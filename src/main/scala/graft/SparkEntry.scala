@@ -18,7 +18,10 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (RelationalQueries.queries, RelationalQueries.oracle)
+      (RelationalQueries.queries, RelationalQueries.oracle),
+      (JoinQueries.queries, JoinQueries.oracle),
+      (AggWindowQueries.queries, AggWindowQueries.oracle),
+      (LabelGeomQueries.queries, LabelGeomQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Readers for the driver corpus (TESTDATA.md) and engine-side sinks.
   *
@@ -22,7 +23,15 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame       = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame     = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame     = table(spark, d, "region")
-  def events(spark: SparkSession, d: String): DataFrame     = table(spark, d, "events")
+  /** The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long (legacy conf, runtime-settable) and
+    * convert to a microsecond timestamp with *integer* division — double
+    * division would lose precision above 2^53 ns. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 }

