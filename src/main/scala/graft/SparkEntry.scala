@@ -21,7 +21,9 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracle),
       (JoinQueries.queries, JoinQueries.oracle),
       (AggWindowQueries.queries, AggWindowQueries.oracle),
-      (LabelGeomQueries.queries, LabelGeomQueries.oracle)
+      (LabelGeomQueries.queries, LabelGeomQueries.oracle),
+      (CustomOpQueries.queries, CustomOpQueries.oracle),
+      (graft.streaming.EventWindows.queries, graft.streaming.EventWindows.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

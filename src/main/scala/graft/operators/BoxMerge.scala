@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** A8 — agglomerative bbox merge (`src/form_calcs.py:753-792`), the
+  * reference's hardest operator, re-expressed as order-independent connected
+  * components over the `calc_sim` predicate (`src/form_calcs.py:716-750`).
+  *
+  * The reference runs a greedy mutating-while-iterating single pass whose
+  * output depends on input order and which accidentally overwrites its own
+  * class-conflict demotion (`src/form_calcs.py:782-784`); per SURVEY.md
+  * §2.11.2 we implement the evident intent: true connected components, class
+  * conflict -> `undefined_object`.
+  *
+  * Scale shape: one `groupByKey(key)` shuffle; clustering is O(n²) in the
+  * boxes *per tile* (hundreds at most in the domain), never in the total box
+  * count, so the operator parallelizes across tiles on any cluster size.
+  */
+object BoxMerge {
+
+  /** One annotation box in tile-frame pixels. `key` is the grouping tile. */
+  case class Box(key: String, id: Int, x1: Int, y1: Int, x2: Int, y2: Int, label: String)
+
+  /** A merged cluster: envelope, member count, conflict-resolved class. */
+  case class Cluster(key: String, cluster_id: Int,
+                     minx: Int, miny: Int, maxx: Int, maxy: Int,
+                     n_boxes: Int, object_class: String, merged: Boolean)
+
+  /** `calc_sim` (`src/form_calcs.py:716-750`): containment either way, or a
+    * <=gap px gap on one axis while the other axis' interval covers. */
+  def similar(a: Box, b: Box, gap: Int): Boolean = {
+    val aContainsB = a.x1 <= b.x1 && a.y1 <= b.y1 && a.x2 >= b.x2 && a.y2 >= b.y2
+    val bContainsA = b.x1 <= a.x1 && b.y1 <= a.y1 && b.x2 >= a.x2 && b.y2 >= a.y2
+    val xGap = math.max(a.x1, b.x1) - math.min(a.x2, b.x2)
+    val yGap = math.max(a.y1, b.y1) - math.min(a.y2, b.y2)
+    val yCovers = (a.y1 <= b.y1 && a.y2 >= b.y2) || (b.y1 <= a.y1 && b.y2 >= a.y2)
+    val xCovers = (a.x1 <= b.x1 && a.x2 >= b.x2) || (b.x1 <= a.x1 && b.x2 >= a.x2)
+    aContainsB || bContainsA || (xGap <= gap && yCovers) || (yGap <= gap && xCovers)
+  }
+
+  /** Union-find over the pairwise predicate; deterministic in input order
+    * (component identity = min member id). */
+  def clusterGroup(boxes: Seq[Box], gap: Int): Seq[Cluster] = {
+    val arr = boxes.toArray
+    val parent = Array.tabulate(arr.length)(identity)
+    def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); var c = i
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }; r }
+    def union(i: Int, j: Int): Unit = { val ri = find(i); val rj = find(j)
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj) }
+    var i = 0
+    while (i < arr.length) {
+      var j = i + 1
+      while (j < arr.length) {
+        if (similar(arr(i), arr(j), gap)) union(i, j)
+        j += 1
+      }
+      i += 1
+    }
+    arr.indices.groupBy(find).valuesIterator.map { members =>
+      val bs = members.map(arr)
+      val labels = bs.map(_.label).distinct
+      Cluster(
+        key = bs.head.key,
+        cluster_id = bs.map(_.id).min,
+        minx = bs.map(_.x1).min, miny = bs.map(_.y1).min,
+        maxx = bs.map(_.x2).max, maxy = bs.map(_.y2).max,
+        n_boxes = bs.size,
+        object_class = if (labels.size > 1) "undefined_object" else labels.head,
+        merged = bs.size > 1)
+    }.toSeq
+  }
+
+  /** Distributed merge: shuffle once on the tile key, cluster per group. */
+  def merge(ds: Dataset[Box], gap: Int = 5): Dataset[Cluster] = {
+    val spark: SparkSession = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key).flatMapGroups((_, it) => clusterGroup(it.toSeq, gap).iterator)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BoxMerge
+import graft.operators.BoxMerge.{Box, Cluster}
+
+/** Properties the reference's greedy order-dependent merge lacks
+  * (SURVEY.md §2.11.2, §5.3): permutation invariance, idempotence,
+  * envelope monotonicity. Seeded random cases keep runs deterministic. */
+class BoxMergeSpec extends AnyFunSuite {
+
+  private def randomBoxes(rng: scala.util.Random, n: Int): Seq[Box] =
+    (0 until n).map { i =>
+      val x1 = rng.nextInt(200); val y1 = rng.nextInt(200)
+      val lbl = if (rng.nextBoolean()) "closed_roof_tank" else "water_tower"
+      Box("t", i, x1, y1, x1 + 1 + rng.nextInt(60), y1 + 1 + rng.nextInt(60), lbl)
+    }
+
+  private def canon(cs: Seq[Cluster]) =
+    cs.map(c => (c.minx, c.miny, c.maxx, c.maxy, c.n_boxes, c.object_class, c.merged)).sorted
+
+  test("permutation invariance: clustering ignores input order") {
+    val rng = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val boxes = randomBoxes(rng, 12)
+      val shuffled = rng.shuffle(boxes.toList)
+      assert(canon(BoxMerge.clusterGroup(boxes, 5)) ==
+        canon(BoxMerge.clusterGroup(shuffled, 5)))
+    }
+  }
+
+  test("idempotence: re-merging merged envelopes only shrinks, never splits") {
+    val rng = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val boxes = randomBoxes(rng, 12)
+      val once = BoxMerge.clusterGroup(boxes, 5)
+      val again = BoxMerge.clusterGroup(once.zipWithIndex.map { case (c, i) =>
+        Box("t", i, c.minx, c.miny, c.maxx, c.maxy, c.object_class)
+      }, 5)
+      assert(again.size <= once.size)
+      once.foreach { c =>
+        assert(again.exists(a =>
+          a.minx <= c.minx && a.miny <= c.miny && a.maxx >= c.maxx && a.maxy >= c.maxy))
+      }
+    }
+  }
+
+  test("members are conserved and envelopes contain their cluster id's box") {
+    val rng = new scala.util.Random(99)
+    (1 to 200).foreach { _ =>
+      val boxes = randomBoxes(rng, 15)
+      val byId = boxes.map(b => b.id -> b).toMap
+      val clusters = BoxMerge.clusterGroup(boxes, 5)
+      assert(clusters.map(_.n_boxes).sum == boxes.size)
+      clusters.foreach { c =>
+        val rep = byId(c.cluster_id)
+        assert(rep.x1 >= c.minx && rep.y1 >= c.miny && rep.x2 <= c.maxx && rep.y2 <= c.maxy)
+      }
+    }
+  }
+
+  test("transitive chain A-B-C merges into one cluster") {
+    // A overlaps B, B overlaps C, A and C are far apart -> single cluster;
+    // the reference's single greedy pass can miss this depending on order
+    val chain = Seq(
+      Box("t", 1, 0, 0, 30, 30, "water_tower"),
+      Box("t", 2, 10, 0, 60, 30, "water_tower"),
+      Box("t", 3, 40, 0, 90, 30, "water_tower"))
+    val cs = BoxMerge.clusterGroup(chain, 5)
+    assert(cs.size == 1 && cs.head.n_boxes == 3 && cs.head.merged)
+    assert((cs.head.minx, cs.head.miny, cs.head.maxx, cs.head.maxy) == (0, 0, 90, 30))
+  }
+
+  test("class conflict demotes to undefined_object; agreement keeps class") {
+    val conflict = Seq(
+      Box("t", 1, 0, 0, 30, 30, "water_tower"),
+      Box("t", 2, 5, 5, 25, 25, "closed_roof_tank"))
+    assert(BoxMerge.clusterGroup(conflict, 5).head.object_class == "undefined_object")
+    val agree = conflict.map(_.copy(label = "water_tower"))
+    assert(BoxMerge.clusterGroup(agree, 5).head.object_class == "water_tower")
+  }
+
+  test("gap semantics: 5px gap with covering interval merges, 6px does not") {
+    def pair(gapPx: Int) = Seq(
+      Box("t", 1, 0, 0, 30, 40, "water_tower"),
+      Box("t", 2, 30 + gapPx, 5, 60 + gapPx, 35, "water_tower"))
+    assert(BoxMerge.clusterGroup(pair(5), 5).size == 1)
+    assert(BoxMerge.clusterGroup(pair(6), 5).size == 2)
+  }
+}

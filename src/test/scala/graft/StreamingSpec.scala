@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Genuinely-streaming behaviour (watermark drop, stateful ops) that the
+  * batch-mode oracle queries in `EventWindows` cannot exercise. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("tumbling window with watermark emits finalized windows and drops late rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String)]
+    val agg = src.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .count()
+      .select(col("window.start").as("ws"), col("event_type"), col("count"))
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData((ts(1), "click"), (ts(2), "click"), (ts(3), "view"))
+      q.processAllAvailable()
+      // watermark still at 0 -> nothing finalized
+      assert(spark.table("tumbling").count() == 0)
+      // event at t=30 pushes watermark to 20 -> first windows finalize
+      src.addData((ts(30), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((0L, "click", 2L), (0L, "view", 1L)))
+      // late event at t=2 is behind the watermark -> dropped, no new output
+      src.addData((ts(2), "click"))
+      q.processAllAvailable()
+      assert(spark.table("tumbling").count() == 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-key counts across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[(String, Int)]
+    val counted = src.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+          state.update(next)
+          (key, next)
+      }
+    val q = counted.toDF("user", "total").writeStream.format("memory")
+      .queryName("running").outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(("a", 1), ("a", 2), ("b", 5))
+      q.processAllAvailable()
+      src.addData(("a", 4))
+      q.processAllAvailable()
+      val last = spark.table("running").collect()
+        .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last == Map("a" -> 7L, "b" -> 5L))
+    } finally q.stop()
+  }
+
+  test("streaming query plans the same tumbling expression used in batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the batch query in EventWindows lifts unchanged onto readStream
+    val src = MemoryStream[(Timestamp, String, Double)]
+    val stream = src.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("lifted")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      src.addData((ts(1), "click", 1.5), (ts(2), "click", 2.5))
+      q.processAllAvailable()
+      val r = spark.table("lifted").select("n_events", "sum_value").collect()
+      assert(r.length == 1 && r.head.getLong(0) == 2 && r.head.getDouble(1) == 4.0)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VocXml
+import graft.sources.VocXml.VocObject
+
+class VocXmlSpec extends AnyFunSuite {
+
+  private val objs = Seq(
+    VocObject("closed_roof_tank", 0, 1, 10, 20, 110, 140),
+    VocObject("water_tower", 1, 0, 300, 310, 360, 390))
+
+  test("render -> parse is the identity") {
+    val xml = VocXml.renderVocString("tile_01_02.jpg", 512, 512, objs)
+    assert(VocXml.parseVocString(xml) == objs)
+  }
+
+  test("parses a reference-shaped VOC file with extra metadata tags") {
+    // shape as written by the reference's tile XML writer
+    // (ref src/form_calcs.py:552-637): extra tags are ignored, floats in
+    // bbox coords are tolerated (ref stores some as '12.0')
+    val xml =
+      """<annotation>
+        |  <folder>chips_positive</folder>
+        |  <filename>m_4109049_ne_15_060_20210906_18_13.jpg</filename>
+        |  <source><database>Unknown</database></source>
+        |  <size><width>512</width><height>512</height><depth>3</depth></size>
+        |  <segmented>0</segmented>
+        |  <object>
+        |    <name>narrow_closed_roof_tank</name>
+        |    <pose>Unspecified</pose>
+        |    <truncated>1</truncated>
+        |    <difficult>0</difficult>
+        |    <bndbox>
+        |      <xmin>12.0</xmin><ymin>0</ymin><xmax>51</xmax><ymax>38.0</ymax>
+        |    </bndbox>
+        |  </object>
+        |</annotation>""".stripMargin
+    val parsed = VocXml.parseVocString(xml)
+    assert(parsed == Seq(VocObject("narrow_closed_roof_tank", 1, 0, 12, 0, 51, 38)))
+  }
+
+  test("file with no objects parses to empty (negative chip)") {
+    val xml = VocXml.renderVocString("neg.jpg", 512, 512, Seq.empty)
+    assert(VocXml.parseVocString(xml).isEmpty)
+  }
+
+  test("missing flags default to 0") {
+    val xml =
+      """<annotation><object><name>water_tower</name>
+        |<bndbox><xmin>1</xmin><ymin>2</ymin><xmax>3</xmax><ymax>4</ymax></bndbox>
+        |</object></annotation>""".stripMargin
+    assert(VocXml.parseVocString(xml) == Seq(VocObject("water_tower", 0, 0, 1, 2, 3, 4)))
+  }
+}
