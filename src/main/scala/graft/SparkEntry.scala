@@ -23,7 +23,9 @@ object SparkEntry {
       (AggWindowQueries.queries, AggWindowQueries.oracle),
       (LabelGeomQueries.queries, LabelGeomQueries.oracle),
       (CustomOpQueries.queries, CustomOpQueries.oracle),
-      (graft.streaming.EventWindows.queries, graft.streaming.EventWindows.oracle)
+      (graft.streaming.EventWindows.queries, graft.streaming.EventWindows.oracle),
+      (TextDedupQueries.queries, TextDedupQueries.oracle),
+      (VectorQueries.queries, VectorQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

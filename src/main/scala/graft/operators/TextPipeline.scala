@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, shingling, minhash signatures, simhash, quality scoring,
+  * language-ID heuristics, and document fingerprinting.
+  *
+  * Everything here is built from codegen'd Catalyst expressions (no UDFs):
+  * at 100 TB these run inside WholeStageCodegen over the scan, shuffle only
+  * at the final per-doc aggregation, and never materialize token lists
+  * beyond the row being processed.
+  */
+object TextPipeline {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles as an array column (k consecutive tokens joined). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    transform(sequence(lit(0), greatest(size(t) - k, lit(-1))),
+      i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o + 1)): _*))
+  }
+
+  /** One deterministic minhash value: lexicographic min of seeded md5 over
+    * the shingle set. Strings compare identically in every engine, which
+    * keeps the signature oracle-checkable (no platform hash involved). */
+  private def seededHash(seed: Int, shingle: Column): Column =
+    md5(concat_ws(":", lit(seed), shingle))
+
+  /** (id, shingle) pairs -> one row per id with h0..h{n-1} signature cols. */
+  def minhashSignature(shingled: DataFrame, idCol: String, shingleCol: String,
+                       numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(s =>
+      min(seededHash(s, col(shingleCol))).as(s"h$s"))
+    shingled.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a minhash signature: band value = concat of its rows.
+    * Candidate pairs are ids sharing any band value — the classic
+    * shingle -> minhash -> band -> bucket-join pipeline; each band join is
+    * an equi-join on the band hash, so Spark shuffles on band value and
+    * never compares documents across buckets. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+                        numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = (0 until bands).map { b =>
+      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      sig.select(col(idCol), concat_ws("|", bandCols: _*).as("band_val"))
+        .withColumn("band", lit(b))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_val"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Estimated jaccard from signature agreement of two joined signatures
+    * (columns suffixed _a / _b). */
+  def signatureAgreement(numHashes: Int): Column =
+    round((0 until numHashes)
+      .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
+      .reduce((x, y) => x + y).cast("double") / numHashes, 4)
+
+  /** Stopword list shared by quality scoring and its oracle SQL. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Quality metrics (length / punctuation / stopword ratios) + bucket. */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stopCount = size(filter(toks, x => x.isInCollection(stopwords)))
+    val punct = length(t) - length(regexp_replace(t, "[.!?,;:]", ""))
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("avg_token_len",
+        round((length(t) - size(toks) + 1).cast("double") / size(toks), 4))
+      .withColumn("punct_ratio", round(punct.cast("double") / length(t), 4))
+      .withColumn("stopword_ratio", round(stopCount.cast("double") / size(toks), 4))
+      .withColumn("quality_bucket",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("stopword_ratio") > 0.4, "boilerplate")
+          .when(col("punct_ratio") > 0.1, "punct_heavy")
+          .otherwise("ok"))
+  }
+
+  /** Marker-word language scores + argmax decision (n-gram heuristic in the
+    * stopword sense; deterministic priority on ties). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "un", "une"))
+
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang",
+        size(filter(toks, x => x.isInCollection(markers))).cast("long"))
+    }
+    val Seq(en, es, de, fr) = Seq("en", "es", "de", "fr").map(l => col(s"score_$l"))
+    scored.withColumn("predicted_lang",
+      when(en + es + de + fr === 0, "und")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr"))
+  }
+
+  /** Positional polynomial fingerprint over characters: exact integer math,
+    * reproducible in any engine (rolling-hash family, §builder prompt). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), "")))
+      .select(col(idCol), (col("pos") + 1).as("i"), ascii(col("col")).as("cp"))
+      .groupBy(idCol)
+      .agg((sum(col("cp") * ((col("i") * 2654435761L) % 1000003)) % 1000000007L)
+        .as("fingerprint"))
+}

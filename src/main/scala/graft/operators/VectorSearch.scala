@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the scale plan:
+  *  - brute force: broadcast the (small) query set against every candidate —
+  *    exact, O(|queries| * N), the correctness baseline;
+  *  - hyperplane LSH buckets: deterministic integer hyperplanes hash each
+  *    vector to a bucket; neighbor search joins only within a bucket, which
+  *    at 100 TB turns a quadratic cross join into an equi-join shuffle on
+  *    the bucket key.
+  *
+  * Dot products run inside codegen via `zip_with`/`aggregate` higher-order
+  * functions (floats cast to double first so accumulation is stable).
+  */
+object VectorSearch {
+
+  /** Sum of elementwise products, accumulated left-to-right in doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Exact top-k neighbors for each query row (query set must be small —
+    * it is broadcast). Ranking uses the 4-dp rounded cosine with the
+    * candidate id as tiebreak, so results are reproducible across engines
+    * regardless of float summation order. */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("cand_emb")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Deterministic integer hyperplane weight for (plane p, 1-based dim j):
+    * ((p*37 + j*17) % 13) - 6, i.e. pseudo-random in [-6, 6] with exact
+    * integer arithmetic any engine reproduces bit-for-bit. */
+  def planeWeight(p: Column, j: Column): Column = (p * 37 + j * 17) % 13 - 6
+
+  /** Bucket id per vector: 8 hyperplane sign bits packed into an int.
+    * Relational form (posexplode + groupBy) keeps it oracle-checkable. */
+  def hyperplaneBuckets(emb: DataFrame, numPlanes: Int = 8): DataFrame = {
+    val unnested = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("j"), col("col").cast("double").as("x"))
+    val planes = unnested.withColumn("p", explode(sequence(lit(0), lit(numPlanes - 1))))
+    planes
+      .groupBy("vec_id", "p")
+      .agg(sum(col("x") * planeWeight(col("p"), col("j"))).as("dotp"))
+      .withColumn("bit", when(col("dotp") > 0, 1).otherwise(0))
+      .groupBy("vec_id")
+      .agg(sum(expr("shiftleft(bit, cast(p as int))")).cast("int").as("bucket"))
+  }
+}

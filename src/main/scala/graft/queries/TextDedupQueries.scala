@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.operators.TextPipeline
+
+/** Text-analysis + deduplication operator catalog over `documents`
+  * (north-star LLM-pipeline surface: exact dedup, minhash+LSH, simhash,
+  * n-gram jaccard, language-ID, quality scoring, token counting,
+  * fingerprinting). Marker/stopword lists in the oracle SQL are generated
+  * from the same Scala values the Spark expressions use. */
+object TextDedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  // ------------------------------------------------------------------ language id
+  private val tLangId: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    TextPipeline.langId(d, "text")
+      .select("doc_id", "lang", "score_en", "score_es", "score_de", "score_fr", "predicted_lang")
+      .orderBy("doc_id")
+  }
+
+  private val tLangIdSql = {
+    val m = TextPipeline.langMarkers
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ${sqlList(m("en"))})) AS BIGINT) AS score_en,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ${sqlList(m("es"))})) AS BIGINT) AS score_es,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ${sqlList(m("de"))})) AS BIGINT) AS score_de,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ${sqlList(m("fr"))})) AS BIGINT) AS score_fr
+       |  FROM documents)
+       |SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+       |  CASE WHEN score_en + score_es + score_de + score_fr = 0 THEN 'und'
+       |       WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+       |       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+       |       WHEN score_de >= score_fr THEN 'de'
+       |       ELSE 'fr' END AS predicted_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ quality scoring
+  private val tQuality: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    TextPipeline.qualityMetrics(d, "text")
+      .select("doc_id", "n_chars", "n_tokens", "avg_token_len",
+        "punct_ratio", "stopword_ratio", "quality_bucket")
+      .orderBy("doc_id")
+  }
+
+  private val tQualitySql =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct,
+       |    len(list_filter(string_split(text, ' '),
+       |        x -> x IN ${sqlList(TextPipeline.stopwords)})) AS stop_cnt
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_chars, n_tokens,
+       |    round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+       |    round(CAST(punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+       |    round(CAST(stop_cnt AS DOUBLE) / n_tokens, 4) AS stopword_ratio
+       |  FROM m)
+       |SELECT *,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN stopword_ratio > 0.4 THEN 'boilerplate'
+       |       WHEN punct_ratio > 0.1 THEN 'punct_heavy'
+       |       ELSE 'ok' END AS quality_bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ token counting
+  private val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private val tTokens: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit(tokenPattern)).cast("long").as("bpe_ish_tokens"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_chars_div4"))
+      .orderBy("doc_id")
+  }
+
+  private val tTokensSql =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$tokenPattern')) AS BIGINT) AS bpe_ish_tokens,
+       |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_chars_div4
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ fingerprint
+  private val tFingerprint: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    TextPipeline.fingerprint(d, "doc_id", "text").orderBy("doc_id")
+  }
+
+  private val tFingerprintSql =
+    """SELECT doc_id,
+      |  CAST(sum(ascii(substring(text, CAST(i.i AS INTEGER), 1))
+      |      * ((i.i * 2654435761) % 1000003)) % 1000000007 AS BIGINT) AS fingerprint
+      |FROM documents, generate_series(1, 1024) i(i)
+      |WHERE i.i <= length(text)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ exact dedup
+  private val d1ExactDedup: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+  }
+
+  private val d1ExactDedupSql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------ minhash signatures
+  /** Corpus + synthetic near-duplicates (one appended token) so LSH always
+    * has true positives to find. */
+  private def nearDupFeed(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text")))
+  }
+
+  private val nearDupFeedSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000 AS doc_id, text || ' extra' AS text
+      |FROM documents WHERE doc_id < 20""".stripMargin
+
+  private val shinglesSql =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM feed),
+       |shingles AS (
+       |  SELECT doc_id, concat(w[CAST(i.i AS INTEGER)], ' ', w[CAST(i.i AS INTEGER) + 1],
+       |                        ' ', w[CAST(i.i AS INTEGER) + 2]) AS shingle
+       |  FROM words, generate_series(1, 512) i(i)
+       |  WHERE i.i + 2 <= len(w))""".stripMargin
+
+  private val sigSql =
+    (0 until 8).map(s => s"min(md5('$s:' || shingle)) AS h$s").mkString(",\n    ")
+
+  private val d2MinhashSig: Q = (spark, dir) => {
+    val feed = nearDupFeed(spark, dir)
+    val shingled = feed.select(col("doc_id"),
+      explode(TextPipeline.wordShingles(col("text"), 3)).as("shingle"))
+    TextPipeline.minhashSignature(shingled, "doc_id", "shingle", 8)
+      .orderBy("doc_id")
+  }
+
+  private val d2MinhashSigSql =
+    s"""WITH feed AS ($nearDupFeedSql),
+       |$shinglesSql
+       |SELECT doc_id,
+       |    $sigSql
+       |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ LSH candidate pairs
+  private val d2LshPairs: Q = (spark, dir) => {
+    val feed = nearDupFeed(spark, dir)
+    val shingled = feed.select(col("doc_id"),
+      explode(TextPipeline.wordShingles(col("text"), 3)).as("shingle"))
+    val sig = TextPipeline.minhashSignature(shingled, "doc_id", "shingle", 8)
+    val pairs = TextPipeline.lshCandidatePairs(sig, "doc_id", 8, 2)
+    val sigA = (0 until 8).foldLeft(sig) { (d, i) => d.withColumnRenamed(s"h$i", s"h${i}_a") }
+      .withColumnRenamed("doc_id", "id_a")
+    val sigB = (0 until 8).foldLeft(sig) { (d, i) => d.withColumnRenamed(s"h$i", s"h${i}_b") }
+      .withColumnRenamed("doc_id", "id_b")
+    pairs.join(sigA, "id_a").join(sigB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        TextPipeline.signatureAgreement(8).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val d2LshPairsSql = {
+    val agree = (0 until 8)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH feed AS ($nearDupFeedSql),
+       |$shinglesSql,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigSql
+       |  FROM shingles GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS band_val FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS band_val FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT p.id_a, p.id_b,
+       |  round(CAST($agree AS DOUBLE) / 8, 4) AS est_jaccard
+       |FROM pairs p
+       |JOIN sig a ON p.id_a = a.doc_id
+       |JOIN sig b ON p.id_b = b.doc_id
+       |ORDER BY p.id_a, p.id_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ simhash
+  private val d3Simhash: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val toks = d.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val bits = toks.withColumn("b", explode(sequence(lit(0), lit(15))))
+      .withColumn("hexd", expr("substring(md5(tok), cast(b div 4 as int) + 1, 1)"))
+      .withColumn("v", expr("locate(hexd, '0123456789abcdef') - 1"))
+      .withColumn("bit", expr("shiftright(v, cast(b % 4 as int)) % 2"))
+    bits.groupBy("doc_id", "b")
+      .agg(sum(col("bit") * 2 - 1).as("s"))
+      .withColumn("outbit", when(col("s") > 0, 1).otherwise(0))
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(outbit, cast(b as int))")).cast("int").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val d3SimhashSql =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, t.tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t),
+      |bits AS (
+      |  SELECT doc_id, CAST(g.b AS INTEGER) AS b,
+      |    (strpos('0123456789abcdef',
+      |       substring(md5(tok), CAST(g.b // 4 AS INTEGER) + 1, 1)) - 1)
+      |      >> CAST(g.b % 4 AS INTEGER) AS shifted
+      |  FROM toks, generate_series(0, 15) g(b)),
+      |persum AS (
+      |  SELECT doc_id, b, sum((shifted % 2) * 2 - 1) AS s
+      |  FROM bits GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum((CASE WHEN s > 0 THEN 1 ELSE 0 END) << b) AS INTEGER) AS simhash
+      |FROM persum GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ n-gram jaccard
+  private val d4Jaccard: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val sh = d.select(col("doc_id"),
+      array_distinct(TextPipeline.wordShingles(col("text"), 3)).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  private val d4JaccardSql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    concat(w[CAST(i.i AS INTEGER)], ' ', w[CAST(i.i AS INTEGER) + 1],
+      |           ' ', w[CAST(i.i AS INTEGER) + 2]) AS shingle
+      |  FROM words, generate_series(1, 512) i(i)
+      |  WHERE i.i + 2 <= len(w)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.shingle = b.shingle
+      |  GROUP BY 1, 2)
+      |SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+      |  round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+      |        / (sa.n + sb.n - coalesce(i.ni, 0)), 4) AS jaccard
+      |FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+      |LEFT JOIN inter i ON i.doc_a = sa.doc_id
+      |ORDER BY doc_a""".stripMargin
+
+  // ------------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "t_lang_id" -> tLangId,
+    "t_quality_score" -> tQuality,
+    "t_token_count" -> tTokens,
+    "t_fingerprint" -> tFingerprint,
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_minhash_signature" -> d2MinhashSig,
+    "d2_lsh_pairs" -> d2LshPairs,
+    "d3_simhash" -> d3Simhash,
+    "d4_ngram_jaccard" -> d4Jaccard
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t_lang_id" -> tLangIdSql,
+    "t_quality_score" -> tQualitySql,
+    "t_token_count" -> tTokensSql,
+    "t_fingerprint" -> tFingerprintSql,
+    "d1_exact_dedup" -> d1ExactDedupSql,
+    "d2_minhash_signature" -> d2MinhashSigSql,
+    "d2_lsh_pairs" -> d2LshPairsSql,
+    "d3_simhash" -> d3SimhashSql,
+    "d4_ngram_jaccard" -> d4JaccardSql
+  )
+}

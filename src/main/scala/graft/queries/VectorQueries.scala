@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.multimodal.BinaryMedia
+import graft.operators.VectorSearch
+
+/** Similarity search over `embeddings` and multimodal binary-column
+  * plumbing over fake payloads (north-star LLM-pipeline surface). */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // common oracle CTEs: unnested embeddings + norms (64 dims, static series)
+  private val unnestSql =
+    """un AS (
+      |  SELECT vec_id, CAST(i.i AS INTEGER) AS i, CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE) AS x
+      |  FROM embeddings, generate_series(1, 64) i(i)),
+      |norms AS (SELECT vec_id, sum(x * x) AS n2 FROM un GROUP BY 1)""".stripMargin
+
+  // ------------------------------------------------------------------ brute-force top-k
+  private val v1CosineTopk: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    VectorSearch.bruteForceTopK(emb, queries, 3)
+      .orderBy("query_id", "rnk")
+  }
+
+  private val v1CosineTopkSql =
+    s"""WITH $unnestSql,
+       |dots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+       |  FROM un a JOIN un b ON a.i = b.i
+       |  WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.query_id, d.neighbor_id,
+       |    round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos_sim
+       |  FROM dots d
+       |  JOIN norms na ON na.vec_id = d.query_id
+       |  JOIN norms nb ON nb.vec_id = d.neighbor_id)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |  FROM scored) WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------------ LSH buckets
+  private val v2LshBuckets: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    VectorSearch.hyperplaneBuckets(emb, 8).orderBy("vec_id")
+  }
+
+  private val v2LshBucketsSql =
+    s"""WITH $unnestSql,
+       |dots AS (
+       |  SELECT vec_id, CAST(g.p AS INTEGER) AS p,
+       |    sum(x * (((g.p * 37 + i * 17) % 13) - 6)) AS dotp
+       |  FROM un, generate_series(0, 7) g(p)
+       |  GROUP BY 1, 2)
+       |SELECT vec_id,
+       |  CAST(sum((CASE WHEN dotp > 0 THEN 1 ELSE 0 END) << p) AS INTEGER) AS bucket
+       |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------------ ANN within bucket
+  private val v3AnnBucket: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    val buckets = VectorSearch.hyperplaneBuckets(emb, 8)
+    val withB = emb.join(buckets, "vec_id")
+    val q = withB.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val c = withB.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cand_emb"), col("bucket"))
+    val joined = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        round(VectorSearch.cosine(col("q_emb"), col("cand_emb")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id")
+  }
+
+  private val v3AnnBucketSql =
+    s"""WITH $unnestSql,
+       |dots8 AS (
+       |  SELECT vec_id, CAST(g.p AS INTEGER) AS p,
+       |    sum(x * (((g.p * 37 + i * 17) % 13) - 6)) AS dotp
+       |  FROM un, generate_series(0, 7) g(p)
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(sum((CASE WHEN dotp > 0 THEN 1 ELSE 0 END) << p) AS INTEGER) AS bucket
+       |  FROM dots8 GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT qa.vec_id AS query_id, qa.bucket, cb.vec_id AS neighbor_id
+       |  FROM buckets qa JOIN buckets cb
+       |    ON qa.bucket = cb.bucket AND qa.vec_id <> cb.vec_id
+       |  WHERE qa.vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT p.query_id, p.bucket, p.neighbor_id,
+       |    round(sum(a.x * b.x) / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos_sim
+       |  FROM pairs p
+       |  JOIN un a ON a.vec_id = p.query_id
+       |  JOIN un b ON b.vec_id = p.neighbor_id AND b.i = a.i
+       |  JOIN norms na ON na.vec_id = p.query_id
+       |  JOIN norms nb ON nb.vec_id = p.neighbor_id
+       |  GROUP BY 1, 2, 3, na.n2, nb.n2)
+       |SELECT query_id, bucket, neighbor_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM scored) WHERE rn = 1
+       |ORDER BY query_id""".stripMargin
+
+  // ------------------------------------------------------------------ multimodal metadata
+  private val m1MediaMeta: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val payloads = BinaryMedia.fakePayloads(spark, docs)
+    val meta = BinaryMedia.decodeMeta(payloads).toDF()
+    val hashes = payloads.toDF().select(col("media_id"),
+      sha2(col("payload"), 256).as("payload_sha256"))
+    meta.join(hashes, "media_id")
+      .select("media_id", "byte_len", "width", "height", "n_frames", "format", "payload_sha256")
+      .orderBy("media_id")
+  }
+
+  private val m1MediaMetaSql =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  CAST(32 + (ascii(substring(text, 1, 1)) % 64) * 8 AS INTEGER) AS width,
+      |  CAST(32 + (octet_length(encode(text)) % 64) * 8 AS INTEGER) AS height,
+      |  CAST(octet_length(encode(text)) % 5 + 1 AS INTEGER) AS n_frames,
+      |  CASE WHEN octet_length(encode(text)) % 2 = 0
+      |       THEN 'img/fake-even' ELSE 'img/fake-odd' END AS format,
+      |  lower(sha256(text)) AS payload_sha256
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ------------------------------------------------------------------ multimodal frame sampling
+  private val m2FrameSample: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val meta = BinaryMedia.decodeMeta(BinaryMedia.fakePayloads(spark, docs)).toDF()
+    BinaryMedia.sampleFrames(meta)
+      .select("media_id", "n_frames", "frame_idx", "frame_offset")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  private val m2FrameSampleSql =
+    """WITH meta AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(octet_length(encode(text)) % 5 + 1 AS INTEGER) AS n_frames
+      |  FROM documents)
+      |SELECT media_id, n_frames, CAST(f.f AS INTEGER) AS frame_idx,
+      |  CAST(f.f * 1024 AS BIGINT) AS frame_offset
+      |FROM meta, generate_series(0, 4) f(f)
+      |WHERE f.f < n_frames
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "v1_cosine_topk" -> v1CosineTopk,
+    "v2_lsh_buckets" -> v2LshBuckets,
+    "v3_ann_bucket" -> v3AnnBucket,
+    "m1_media_meta" -> m1MediaMeta,
+    "m2_frame_sample" -> m2FrameSample
+  )
+
+  val oracle: Map[String, String] = Map(
+    "v1_cosine_topk" -> v1CosineTopkSql,
+    "v2_lsh_buckets" -> v2LshBucketsSql,
+    "v3_ann_bucket" -> v3AnnBucketSql,
+    "m1_media_meta" -> m1MediaMetaSql,
+    "m2_frame_sample" -> m2FrameSampleSql
+  )
+}
