@@ -12,9 +12,11 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * E1 — the full tank-inventory pipeline (merge clustering, UTM/WGS84
+    * georeferencing, broadcast spatial argmax join). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("e1_inventory")(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
@@ -25,7 +27,8 @@ object SparkEntry {
       (CustomOpQueries.queries, CustomOpQueries.oracle),
       (graft.streaming.EventWindows.queries, graft.streaming.EventWindows.oracle),
       (TextDedupQueries.queries, TextDedupQueries.oracle),
-      (VectorQueries.queries, VectorQueries.oracle)
+      (VectorQueries.queries, VectorQueries.oracle),
+      (PipelineQueries.queries, PipelineQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoUtm
+import graft.io.Tables
+import graft.operators.BoxMerge
+
+/** E1 — the flagship pipeline (`tile-level-annotation.py`, SURVEY.md §3):
+  * annotation boxes -> per-tile connected-component merge -> UTM
+  * georeferencing -> WGS84 centroid -> greatest-overlap county assignment ->
+  * tank inventory, as one declarative DataFrame flow.
+  *
+  * The reference re-scans its XML corpus four times and nests loops for the
+  * spatial join; here the box feed is read once, the merge is one shuffle on
+  * the tile key, the county table is broadcast, and everything else is
+  * column arithmetic inside codegen. Domain inputs are synthesized
+  * deterministically from the driver corpus so a DuckDB oracle can replay
+  * every relational step (WGS84 columns are checked as range invariants —
+  * DuckDB has no transverse-Mercator).
+  *
+  * Synthetic georeferencing: 1000 tiles on a UTM zone-16 grid
+  * (6000x5000 px at 0.6 m/px), 25 rectangular counties tiling the same
+  * extent in UTM metres.
+  */
+object TankInventory {
+
+  val MetresPerPx = 0.6
+  val UtmZone = 16
+
+  /** Annotation boxes from lineitem, keyed by synthetic tile id (0..999);
+    * ids are a deterministic per-tile row_number (corpus line numbers are
+    * not unique). */
+  def boxes(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val raw = l.select(
+      (col("l_orderkey") % 1000).cast("string").as("key"),
+      (col("l_partkey") * 13 % 5800).cast("int").as("x1"),
+      (col("l_suppkey") * 29 % 4800).cast("int").as("y1"))
+      .withColumn("x2", col("x1") + 20 + (col("x1") % 40))
+      .withColumn("y2", col("y1") + 20 + (col("y1") % 40))
+      .withColumn("label",
+        when(col("x1") % 3 === 0, "closed_roof_tank")
+          .when(col("x1") % 3 === 1, "water_tower")
+          .otherwise("spherical_tank"))
+    val idw = Window.partitionBy("key").orderBy("x1", "y1", "x2", "y2", "label")
+    raw.withColumn("id", row_number().over(idw).cast("int"))
+  }
+
+  /** NW-corner UTM georef for a tile id (zone 16 grid). */
+  private def nwX(tid: org.apache.spark.sql.Column) = lit(300000) + (tid % 40) * 5000
+  private def nwY(tid: org.apache.spark.sql.Column) = lit(3600000) + floor(tid / 40) * 5000
+
+  /** 25 rectangular counties tiling the UTM extent. */
+  def counties(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir).select(
+      col("n_nationkey").as("county_key"),
+      (lit(280000) + (col("n_nationkey") % 5) * 48000).cast("double").as("kx1"),
+      (lit(3590000) + floor(col("n_nationkey") / 5) * 30000).cast("double").as("ky1"))
+      .withColumn("kx2", col("kx1") + 48000)
+      .withColumn("ky2", col("ky1") + 30000)
+
+  /** The full inventory build. */
+  def inventory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    // 1. merge boxes per tile (A8: one shuffle, union-find per group)
+    val merged = BoxMerge.merge(boxes(spark, dir).as[BoxMerge.Box]).toDF()
+
+    // 2. georeference: px envelope -> UTM metres (linspace closed form)
+    val tid = col("key").cast("int")
+    val geo = merged
+      .withColumn("tile_id", tid)
+      .withColumn("ex1", nwX(tid) + col("minx") * MetresPerPx)
+      .withColumn("ex2", nwX(tid) + col("maxx") * MetresPerPx)
+      .withColumn("ey1", nwY(tid) - col("maxy") * MetresPerPx)
+      .withColumn("ey2", nwY(tid) - col("miny") * MetresPerPx)
+      .withColumn("cx_utm", (col("ex1") + col("ex2")) / 2.0)
+      .withColumn("cy_utm", (col("ey1") + col("ey2")) / 2.0)
+      .withColumn("diameter_m",
+        least(col("maxx") - col("minx"), col("maxy") - col("miny")) * MetresPerPx)
+
+    // 3. WGS84 centroid via the pure-Scala transverse-Mercator inverse
+    val wgs = geo.withColumn("ll",
+        GeoUtm.wgs84FromUtm(col("cx_utm"), col("cy_utm"), lit(UtmZone)))
+      .withColumn("geo_ok",
+        col("ll._1").between(30.0, 36.0) && col("ll._2").between(-91.0, -85.0))
+
+    // 4. greatest-overlap county assignment (J8: counties broadcast,
+    //    exact rect overlap, argmax via row_number)
+    val k = counties(spark, dir)
+    val overlap =
+      greatest(lit(0.0), least(col("ex2"), col("kx2")) - greatest(col("ex1"), col("kx1"))) *
+        greatest(lit(0.0), least(col("ey2"), col("ky2")) - greatest(col("ey1"), col("ky1")))
+    val joined = wgs.join(broadcast(k), overlap > 0.0)
+      .withColumn("overlap_m2", overlap)
+    val w = Window.partitionBy("tile_id", "cluster_id")
+      .orderBy(col("overlap_m2").desc, col("county_key"))
+
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        col("tile_id"), col("cluster_id"),
+        col("minx"), col("miny"), col("maxx"), col("maxy"),
+        col("n_boxes"), col("object_class"), col("merged"),
+        round(col("cx_utm"), 2).as("cx_utm"),
+        round(col("cy_utm"), 2).as("cy_utm"),
+        round(col("diameter_m"), 2).as("diameter_m"),
+        col("county_key"),
+        round(col("overlap_m2"), 2).as("overlap_m2"),
+        col("geo_ok"))
+  }
+
+  /** E3 — county x class crosstab with margins over the inventory
+    * (`distribution_by_county_state.py:32-48`). */
+  def crosstab(spark: SparkSession, dir: String): DataFrame = {
+    val inv = inventory(spark, dir)
+    val classes = Seq("closed_roof_tank", "water_tower", "spherical_tank", "undefined_object")
+    val aggs = classes.map(c => count(when(col("object_class") === c, 1)).as(c))
+    val base = inv.groupBy("county_key").agg(aggs.head, aggs.tail: _*)
+      .withColumn("total", classes.map(col).reduce(_ + _))
+    val marginAggs = classes.map(c => sum(col(c)).as(c)) :+ sum(col("total")).as("total")
+    val margin = base.groupBy().agg(marginAggs.head, marginAggs.tail: _*)
+      .withColumn("county_key", lit(-1))
+    base.unionByName(margin.select(base.columns.map(col).toIndexedSeq: _*))
+      .orderBy(col("total").desc, col("county_key"))
+  }
+}

@@ -1,0 +1,266 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.SpatialOps
+import graft.io.{Sinks, Tables}
+import graft.pipeline.TankInventory
+import graft.sources.VocXml
+
+/** The flagship E1/E3 pipeline queries, non-Parquet IO round trips, and the
+  * JTS-backed spatial join (checked against the closed-form rect oracle). */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------ E1 oracle (recursive CTE replay)
+  private val e1CoreSql =
+    """raw AS (
+      |  SELECT CAST(l_orderkey % 1000 AS VARCHAR) AS key,
+      |    CAST(l_partkey * 13 % 5800 AS INTEGER) AS x1,
+      |    CAST(l_suppkey * 29 % 4800 AS INTEGER) AS y1
+      |  FROM lineitem),
+      |raw2 AS (
+      |  SELECT key, x1, y1, x1 + 20 + (x1 % 40) AS x2, y1 + 20 + (y1 % 40) AS y2,
+      |    CASE WHEN x1 % 3 = 0 THEN 'closed_roof_tank'
+      |         WHEN x1 % 3 = 1 THEN 'water_tower'
+      |         ELSE 'spherical_tank' END AS label
+      |  FROM raw),
+      |boxes AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY key
+      |    ORDER BY x1, y1, x2, y2, label) AS INTEGER) AS id
+      |  FROM raw2),
+      |edges AS (
+      |  SELECT a.key, a.id AS src, b.id AS dst
+      |  FROM boxes a JOIN boxes b ON a.key = b.key AND a.id <> b.id
+      |  WHERE (a.x1 <= b.x1 AND a.y1 <= b.y1 AND a.x2 >= b.x2 AND a.y2 >= b.y2)
+      |     OR (b.x1 <= a.x1 AND b.y1 <= a.y1 AND b.x2 >= a.x2 AND b.y2 >= a.y2)
+      |     OR (greatest(a.x1, b.x1) - least(a.x2, b.x2) <= 5
+      |         AND ((a.y1 <= b.y1 AND a.y2 >= b.y2) OR (b.y1 <= a.y1 AND b.y2 >= a.y2)))
+      |     OR (greatest(a.y1, b.y1) - least(a.y2, b.y2) <= 5
+      |         AND ((a.x1 <= b.x1 AND a.x2 >= b.x2) OR (b.x1 <= a.x1 AND b.x2 >= a.x2)))
+      |  UNION ALL SELECT key, id, id FROM boxes),
+      |reach(key, src, dst) AS (
+      |  SELECT key, src, dst FROM edges
+      |  UNION
+      |  SELECT r.key, r.src, e.dst FROM reach r
+      |  JOIN edges e ON r.key = e.key AND r.dst = e.src),
+      |comp AS (SELECT key, src AS id, min(dst) AS cluster_id FROM reach GROUP BY 1, 2),
+      |clusters AS (
+      |  SELECT b.key, c.cluster_id,
+      |    min(b.x1) AS minx, min(b.y1) AS miny,
+      |    max(b.x2) AS maxx, max(b.y2) AS maxy,
+      |    CAST(count(*) AS INTEGER) AS n_boxes,
+      |    CASE WHEN count(DISTINCT b.label) > 1 THEN 'undefined_object'
+      |         ELSE min(b.label) END AS object_class,
+      |    count(*) > 1 AS merged
+      |  FROM boxes b JOIN comp c ON b.key = c.key AND b.id = c.id
+      |  GROUP BY 1, 2),
+      |geo AS (
+      |  SELECT *, CAST(key AS INTEGER) AS tile_id,
+      |    (300000 + (CAST(key AS INTEGER) % 40) * 5000) + minx * CAST(0.6 AS DOUBLE) AS ex1,
+      |    (300000 + (CAST(key AS INTEGER) % 40) * 5000) + maxx * CAST(0.6 AS DOUBLE) AS ex2,
+      |    (3600000 + (CAST(key AS INTEGER) // 40) * 5000) - maxy * CAST(0.6 AS DOUBLE) AS ey1,
+      |    (3600000 + (CAST(key AS INTEGER) // 40) * 5000) - miny * CAST(0.6 AS DOUBLE) AS ey2
+      |  FROM clusters),
+      |counties AS (
+      |  SELECT n_nationkey AS county_key,
+      |    CAST(280000 + (n_nationkey % 5) * 48000 AS DOUBLE) AS kx1,
+      |    CAST(3590000 + (n_nationkey // 5) * 30000 AS DOUBLE) AS ky1,
+      |    CAST(280000 + (n_nationkey % 5) * 48000 + 48000 AS DOUBLE) AS kx2,
+      |    CAST(3590000 + (n_nationkey // 5) * 30000 + 30000 AS DOUBLE) AS ky2
+      |  FROM nation),
+      |assigned AS (
+      |  SELECT g.*, k.county_key,
+      |    greatest(0.0, least(g.ex2, k.kx2) - greatest(g.ex1, k.kx1)) *
+      |      greatest(0.0, least(g.ey2, k.ky2) - greatest(g.ey1, k.ky1)) AS overlap_m2,
+      |    row_number() OVER (PARTITION BY g.tile_id, g.cluster_id
+      |      ORDER BY greatest(0.0, least(g.ex2, k.kx2) - greatest(g.ex1, k.kx1)) *
+      |               greatest(0.0, least(g.ey2, k.ky2) - greatest(g.ey1, k.ky1)) DESC,
+      |               k.county_key) AS rn
+      |  FROM geo g JOIN counties k
+      |    ON least(g.ex2, k.kx2) > greatest(g.ex1, k.kx1)
+      |   AND least(g.ey2, k.ky2) > greatest(g.ey1, k.ky1))""".stripMargin
+
+  private val e1Inventory: Q = (spark, dir) =>
+    TankInventory.inventory(spark, dir).orderBy("tile_id", "cluster_id")
+
+  private val e1InventorySql =
+    s"""WITH RECURSIVE $e1CoreSql
+       |SELECT tile_id, cluster_id, minx, miny, maxx, maxy, n_boxes, object_class, merged,
+       |  round((ex1 + ex2) / 2.0, 2) AS cx_utm,
+       |  round((ey1 + ey2) / 2.0, 2) AS cy_utm,
+       |  round(least(maxx - minx, maxy - miny) * CAST(0.6 AS DOUBLE), 2) AS diameter_m,
+       |  county_key, round(overlap_m2, 2) AS overlap_m2,
+       |  true AS geo_ok
+       |FROM assigned WHERE rn = 1
+       |ORDER BY tile_id, cluster_id""".stripMargin
+
+  private val e3InventoryCrosstab: Q = (spark, dir) =>
+    TankInventory.crosstab(spark, dir)
+
+  private val e3InventoryCrosstabSql =
+    s"""WITH RECURSIVE $e1CoreSql,
+       |inv AS (SELECT county_key, object_class FROM assigned WHERE rn = 1),
+       |base AS (
+       |  SELECT county_key,
+       |    count(CASE WHEN object_class = 'closed_roof_tank' THEN 1 END) AS closed_roof_tank,
+       |    count(CASE WHEN object_class = 'water_tower' THEN 1 END) AS water_tower,
+       |    count(CASE WHEN object_class = 'spherical_tank' THEN 1 END) AS spherical_tank,
+       |    count(CASE WHEN object_class = 'undefined_object' THEN 1 END) AS undefined_object,
+       |    count(*) AS total
+       |  FROM inv GROUP BY 1),
+       |marg AS (
+       |  SELECT -1 AS county_key,
+       |    CAST(sum(closed_roof_tank) AS BIGINT) AS closed_roof_tank,
+       |    CAST(sum(water_tower) AS BIGINT) AS water_tower,
+       |    CAST(sum(spherical_tank) AS BIGINT) AS spherical_tank,
+       |    CAST(sum(undefined_object) AS BIGINT) AS undefined_object,
+       |    CAST(sum(total) AS BIGINT) AS total
+       |  FROM base)
+       |SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM marg)
+       |ORDER BY total DESC, county_key""".stripMargin
+
+  // ------------------------------------------------------------------ CSV round trip
+  private val ioCsvRoundtrip: Q = (spark, dir) => {
+    val path = Sinks.scratchDir("csv_orders")
+    Sinks.writeCsv(
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus", "o_totalprice"), path)
+    Sinks.readCsv(spark, path)
+      .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
+        round(col("o_totalprice").cast("double"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val ioCsvRoundtripSql =
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------ JSON round trip
+  private val ioJsonRoundtrip: Q = (spark, dir) => {
+    val path = Sinks.scratchDir("json_customer")
+    Sinks.writeJsonLines(
+      Tables.customer(spark, dir).select("c_custkey", "c_name", "c_acctbal"), path)
+    Sinks.readJsonLines(spark, path)
+      .select(col("c_custkey").cast("long"), col("c_name"),
+        round(col("c_acctbal").cast("double"), 2).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  private val ioJsonRoundtripSql =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------ GeoJSON rendering
+  private val ioGeojsonRender: Q = (spark, dir) => {
+    val k = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("county_key"),
+      (col("n_nationkey") % 5 * 200).as("x1"),
+      (floor(col("n_nationkey") / 5) * 160).cast("long").as("y1"))
+      .withColumn("x2", col("x1") + 200)
+      .withColumn("y2", col("y1") + 160)
+    k.select(col("county_key"),
+        Sinks.geoJsonFeature(struct(col("county_key")),
+          col("x1"), col("y1"), col("x2"), col("y2")).as("geojson"))
+      .orderBy("county_key")
+  }
+
+  private val ioGeojsonRenderSql =
+    """SELECT n_nationkey AS county_key,
+      |  concat('{"type":"Feature","properties":{"county_key":', n_nationkey,
+      |    '},"geometry":{"type":"Polygon","coordinates":[[[',
+      |    n_nationkey % 5 * 200, ',', CAST(floor(n_nationkey / 5) * 160 AS BIGINT), '],[',
+      |    n_nationkey % 5 * 200 + 200, ',', CAST(floor(n_nationkey / 5) * 160 AS BIGINT), '],[',
+      |    n_nationkey % 5 * 200 + 200, ',', CAST(floor(n_nationkey / 5) * 160 + 160 AS BIGINT), '],[',
+      |    n_nationkey % 5 * 200, ',', CAST(floor(n_nationkey / 5) * 160 + 160 AS BIGINT), '],[',
+      |    n_nationkey % 5 * 200, ',', CAST(floor(n_nationkey / 5) * 160 AS BIGINT),
+      |    ']]]}}') AS geojson
+      |FROM nation ORDER BY county_key""".stripMargin
+
+  // ------------------------------------------------------------------ binary directory scan
+  /** Writes a deterministic VOC-XML fixture tree (plus junk files that the
+    * glob must prune), scans it via binaryFile, parses, and aggregates. */
+  private val ioBinaryScan: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("voc_tree"))
+    Files.createDirectories(root)
+    val nations = Tables.nation(spark, dir).select("n_nationkey").collect().map(_.getInt(0))
+    nations.foreach { n =>
+      val objs = (0 to n % 3).map { i =>
+        VocXml.VocObject("water_tower", 0, 0, (n * 7 + i * 13) % 100, 10, 100, 110)
+      }
+      Files.write(root.resolve(s"tile_$n.xml"),
+        VocXml.renderVocString(s"tile_$n.jpg", 512, 512, objs)
+          .getBytes(StandardCharsets.UTF_8))
+    }
+    Files.write(root.resolve("Thumbs.db"), Array[Byte](1, 2, 3))
+    Sinks.scanBinaryDir(spark, root.toString, "*.xml")
+      .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+        VocXml.parseVoc(col("content").cast("string")).as("objs"))
+      .select(col("file_name"), explode(col("objs")).as("o"))
+      .groupBy("file_name")
+      .agg(count(lit(1)).as("n_objects"), sum(col("o.xmin")).as("sum_xmin"))
+      .orderBy("file_name")
+  }
+
+  private val ioBinaryScanSql =
+    """SELECT concat('tile_', n_nationkey, '.xml') AS file_name,
+      |  CAST(n_nationkey % 3 + 1 AS BIGINT) AS n_objects,
+      |  CAST((SELECT sum((n_nationkey * 7 + i.i * 13) % 100)
+      |        FROM generate_series(0, 2) i(i) WHERE i.i <= n_nationkey % 3) AS BIGINT) AS sum_xmin
+      |FROM nation ORDER BY file_name""".stripMargin
+
+  // ------------------------------------------------------------------ JTS spatial argmax
+  /** The j8 rect argmax join, but through JTS WKT geometry (polygon ctor,
+    * intersects, intersection area) — must agree exactly with the
+    * closed-form arithmetic oracle. */
+  private val j8WktArgmax: Q = (spark, dir) => {
+    val tanks = Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      (col("c_custkey") * 37 % 1000).cast("double").as("cx"),
+      (col("c_custkey") * 91 % 800).cast("double").as("cy"))
+      .withColumn("tank_wkt", SpatialOps.bboxToWkt(
+        col("cx") - 30, col("cy") - 30, col("cx") + 30, col("cy") + 30))
+    val counties = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("county_key"),
+      (col("n_nationkey") % 5 * 200).cast("double").as("kx1"),
+      (floor(col("n_nationkey") / 5) * 160).cast("double").as("ky1"))
+      .withColumn("county_wkt", SpatialOps.bboxToWkt(
+        col("kx1"), col("ky1"), col("kx1") + 200, col("ky1") + 160))
+      .select("county_key", "county_wkt")
+    val joined = tanks.join(broadcast(counties),
+        SpatialOps.intersectsOrContains(col("tank_wkt"), col("county_wkt")))
+      .withColumn("overlap",
+        SpatialOps.intersectionArea(col("tank_wkt"), col("county_wkt")))
+      .filter(col("overlap") > 0)
+    val w = Window.partitionBy("c_custkey").orderBy(col("overlap").desc, col("county_key"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("c_custkey"), col("county_key"), col("overlap").cast("long").as("overlap"))
+      .orderBy("c_custkey")
+  }
+
+  // ------------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "e1_inventory" -> e1Inventory,
+    "e3_inventory_crosstab" -> e3InventoryCrosstab,
+    "io_csv_roundtrip" -> ioCsvRoundtrip,
+    "io_json_roundtrip" -> ioJsonRoundtrip,
+    "io_geojson_render" -> ioGeojsonRender,
+    "io_binary_scan" -> ioBinaryScan,
+    "j8_wkt_argmax" -> j8WktArgmax
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e1_inventory" -> e1InventorySql,
+    "e3_inventory_crosstab" -> e3InventoryCrosstabSql,
+    "io_csv_roundtrip" -> ioCsvRoundtripSql,
+    "io_json_roundtrip" -> ioJsonRoundtripSql,
+    "io_geojson_render" -> ioGeojsonRenderSql,
+    "io_binary_scan" -> ioBinaryScanSql,
+    "j8_wkt_argmax" -> RelationalQueries.j8ArgmaxOracleSql
+  )
+}

@@ -365,7 +365,9 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
-  private val j8SpatialArgmaxSql =
+  /** Shared with the JTS-backed variant in PipelineQueries, which must
+    * produce byte-identical results through real geometry. */
+  private[queries] val j8ArgmaxOracleSql =
     """WITH tanks AS (
       |  SELECT c_custkey,
       |    c_custkey * 37 % 1000 - 30 AS tx1, c_custkey * 91 % 800 - 30 AS ty1,
@@ -418,6 +420,6 @@ object RelationalQueries {
     "p1_path_parse" -> p1PathParseSql,
     "p5_recency_filter" -> p5RecencyFilterSql,
     "g1_chip_grid" -> g1ChipGridSql,
-    "j8_spatial_argmax" -> j8SpatialArgmaxSql
+    "j8_spatial_argmax" -> j8ArgmaxOracleSql
   )
 }
