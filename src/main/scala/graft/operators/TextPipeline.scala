@@ -17,12 +17,22 @@ object TextPipeline {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word k-shingles as an array column (k consecutive tokens joined). */
-  def wordShingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
-    transform(sequence(lit(0), greatest(size(t) - k, lit(-1))),
-      i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o + 1)): _*))
-  }
+  /** Word k-shingles from a *materialized* token-array column (k consecutive
+    * tokens joined). Docs shorter than k tokens yield an empty array
+    * (`sequence(0, n-k)` would otherwise count DOWN and index out of range). */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*)))
+
+  /** Word k-shingles straight from text. NOTE: prefer materializing the
+    * token array in its own projection (`withColumn("toks", tokens(text))`)
+    * and calling [[shinglesFromTokens]] — a lambda over `split(text)`
+    * re-evaluates the split per element (O(tokens^2) per document), and
+    * CollapseProject will NOT re-inline a non-cheap expression used many
+    * times, so the two-step form evaluates the split once per row. */
+  def wordShingles(text: Column, k: Int): Column =
+    shinglesFromTokens(tokens(text), k)
 
   /** One deterministic minhash value: lexicographic min of seeded md5 over
     * the shingle set. Strings compare identically in every engine, which

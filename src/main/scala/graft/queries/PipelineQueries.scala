@@ -223,17 +223,26 @@ object PipelineQueries {
       col("c_custkey"),
       (col("c_custkey") * 37 % 1000).cast("double").as("cx"),
       (col("c_custkey") * 91 % 800).cast("double").as("cy"))
+      .withColumn("tx1", col("cx") - 30).withColumn("ty1", col("cy") - 30)
+      .withColumn("tx2", col("cx") + 30).withColumn("ty2", col("cy") + 30)
       .withColumn("tank_wkt", SpatialOps.bboxToWkt(
-        col("cx") - 30, col("cy") - 30, col("cx") + 30, col("cy") + 30))
+        col("tx1"), col("ty1"), col("tx2"), col("ty2")))
     val counties = Tables.nation(spark, dir).select(
       col("n_nationkey").as("county_key"),
       (col("n_nationkey") % 5 * 200).cast("double").as("kx1"),
       (floor(col("n_nationkey") / 5) * 160).cast("double").as("ky1"))
+      .withColumn("kx2", col("kx1") + 200)
+      .withColumn("ky2", col("ky1") + 160)
       .withColumn("county_wkt", SpatialOps.bboxToWkt(
-        col("kx1"), col("ky1"), col("kx1") + 200, col("ky1") + 160))
-      .select("county_key", "county_wkt")
-    val joined = tanks.join(broadcast(counties),
-        SpatialOps.intersectsOrContains(col("tank_wkt"), col("county_wkt")))
+        col("kx1"), col("ky1"), col("kx2"), col("ky2")))
+    // bbox prefilter in plain column arithmetic — the exact JTS predicate
+    // and area only run on surviving candidate pairs (~1 per tank), which
+    // keeps WKT parsing off the hot path
+    val bboxHit =
+      col("tx1") < col("kx2") && col("tx2") > col("kx1") &&
+        col("ty1") < col("ky2") && col("ty2") > col("ky1")
+    val joined = tanks.join(broadcast(counties), bboxHit)
+      .filter(SpatialOps.intersectsOrContains(col("tank_wkt"), col("county_wkt")))
       .withColumn("overlap",
         SpatialOps.intersectionArea(col("tank_wkt"), col("county_wkt")))
       .filter(col("overlap") > 0)

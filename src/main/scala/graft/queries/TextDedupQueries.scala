@@ -147,13 +147,15 @@ object TextDedupQueries {
   private val sigSql =
     (0 until 8).map(s => s"min(md5('$s:' || shingle)) AS h$s").mkString(",\n    ")
 
-  private val d2MinhashSig: Q = (spark, dir) => {
-    val feed = nearDupFeed(spark, dir)
-    val shingled = feed.select(col("doc_id"),
-      explode(TextPipeline.wordShingles(col("text"), 3)).as("shingle"))
-    TextPipeline.minhashSignature(shingled, "doc_id", "shingle", 8)
+  private def shingledFeed(spark: SparkSession, dir: String): DataFrame =
+    nearDupFeed(spark, dir)
+      .withColumn("toks", TextPipeline.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(TextPipeline.shinglesFromTokens(col("toks"), 3)).as("shingle"))
+
+  private val d2MinhashSig: Q = (spark, dir) =>
+    TextPipeline.minhashSignature(shingledFeed(spark, dir), "doc_id", "shingle", 8)
       .orderBy("doc_id")
-  }
 
   private val d2MinhashSigSql =
     s"""WITH feed AS ($nearDupFeedSql),
@@ -164,10 +166,10 @@ object TextDedupQueries {
 
   // ------------------------------------------------------------------ LSH candidate pairs
   private val d2LshPairs: Q = (spark, dir) => {
-    val feed = nearDupFeed(spark, dir)
-    val shingled = feed.select(col("doc_id"),
-      explode(TextPipeline.wordShingles(col("text"), 3)).as("shingle"))
-    val sig = TextPipeline.minhashSignature(shingled, "doc_id", "shingle", 8)
+    // the signature feeds the band join AND both sides of the agreement
+    // join — cache it so the shingle->md5-min pipeline runs once
+    val sig = TextPipeline.minhashSignature(
+      shingledFeed(spark, dir), "doc_id", "shingle", 8).cache()
     val pairs = TextPipeline.lshCandidatePairs(sig, "doc_id", 8, 2)
     val sigA = (0 until 8).foldLeft(sig) { (d, i) => d.withColumnRenamed(s"h$i", s"h${i}_a") }
       .withColumnRenamed("doc_id", "id_a")
@@ -241,8 +243,9 @@ object TextDedupQueries {
   // ------------------------------------------------------------------ n-gram jaccard
   private val d4Jaccard: Q = (spark, dir) => {
     val d = Tables.documents(spark, dir)
-    val sh = d.select(col("doc_id"),
-      array_distinct(TextPipeline.wordShingles(col("text"), 3)).as("sh"))
+    val sh = d.withColumn("toks", TextPipeline.tokens(col("text")))
+      .select(col("doc_id"),
+        array_distinct(TextPipeline.shinglesFromTokens(col("toks"), 3)).as("sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, col("doc_b") === col("doc_a") + 1)

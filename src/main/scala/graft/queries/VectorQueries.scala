@@ -115,6 +115,26 @@ object VectorQueries {
        |  FROM scored) WHERE rn = 1
        |ORDER BY query_id""".stripMargin
 
+  // ------------------------------------------------------------------ native-expression top-k
+  /** Same result as v1, computed through the codegen'd native
+    * `cosine_sim` Catalyst expression instead of the higher-order-function
+    * pipeline — the hash match proves the fused loop preserves semantics. */
+  private val v4CosineNative: Q = (spark, dir) => {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val joined = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(expr("cosine_sim(q_emb, cand_emb)"), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   // ------------------------------------------------------------------ multimodal metadata
   private val m1MediaMeta: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir)
@@ -163,6 +183,7 @@ object VectorQueries {
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_lsh_buckets" -> v2LshBuckets,
     "v3_ann_bucket" -> v3AnnBucket,
+    "v4_cosine_native" -> v4CosineNative,
     "m1_media_meta" -> m1MediaMeta,
     "m2_frame_sample" -> m2FrameSample
   )
@@ -171,6 +192,7 @@ object VectorQueries {
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_lsh_buckets" -> v2LshBucketsSql,
     "v3_ann_bucket" -> v3AnnBucketSql,
+    "v4_cosine_native" -> v1CosineTopkSql,
     "m1_media_meta" -> m1MediaMetaSql,
     "m2_frame_sample" -> m2FrameSampleSql
   )
