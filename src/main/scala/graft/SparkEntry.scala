@@ -28,7 +28,8 @@ object SparkEntry {
       (graft.streaming.EventWindows.queries, graft.streaming.EventWindows.oracle),
       (TextDedupQueries.queries, TextDedupQueries.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
-      (PipelineQueries.queries, PipelineQueries.oracle)
+      (PipelineQueries.queries, PipelineQueries.oracle),
+      (WorkflowQueries.queries, WorkflowQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sinks
+
+/** E2 — the work-allocation state machine (`src/az_proc.py:408-445`,
+  * `download_distribution.py:53-60`): take the first N unallocated items
+  * under an explicit total order, assign them round-robin to annotators,
+  * carry the remainder forward as state.
+  *
+  * The reference mutates `.npy` arrays in place and relies on array order;
+  * here the order is an explicit sort key, state is a Parquet checkpoint,
+  * and re-runs are idempotent (allocation is derived from rank, so the same
+  * inputs always produce the same split — the anti-join memoization pattern
+  * of SURVEY.md §2.9).
+  */
+object Allocation {
+
+  /** One allocation round: returns (allocated-with-annotator, remaining). */
+  def allocate(remaining: DataFrame, keyCol: String, orderCols: Seq[String],
+               n: Int, annotators: Seq[String]): (DataFrame, DataFrame) = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    val ranked = remaining.withColumn("rn", row_number().over(w))
+    val allocated = ranked.filter(col("rn") <= n)
+      .withColumn("annotator",
+        element_at(array(annotators.map(lit): _*),
+          ((col("rn") - 1) % annotators.length).cast("int") + 1))
+      .drop("rn")
+    val rest = ranked.filter(col("rn") > n).drop("rn")
+    (allocated, rest)
+  }
+
+  /** Run `rounds` allocation rounds, checkpointing state between them the
+    * way repeated CLI invocations of the reference would. Returns the union
+    * of all allocations tagged with their round. */
+  def allocateRounds(spark: SparkSession, initial: DataFrame, keyCol: String,
+                     orderCols: Seq[String], n: Int, annotators: Seq[String],
+                     rounds: Int, stateDir: Option[String] = None): DataFrame = {
+    var remaining = initial
+    var acc: Option[DataFrame] = None
+    (1 to rounds).foreach { r =>
+      val (allocated, rest) = allocate(remaining, keyCol, orderCols, n, annotators)
+      val tagged = allocated.withColumn("round", lit(r))
+      acc = Some(acc.map(_.unionByName(tagged)).getOrElse(tagged))
+      stateDir.foreach { d =>
+        Sinks.checkpointState(rest, s"$d/remaining_r$r")
+      }
+      remaining = rest
+    }
+    acc.get
+  }
+}

@@ -85,3 +85,22 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
 }
+
+/** `SparkSessionExtensions` entry point so deployments can pre-install the
+  * engine's native functions at session build time:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * (Queries inside this library call [[GraftFunctions.register]] directly,
+  * which works on an already-built session; this hook is for external SQL
+  * users.) */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+}
