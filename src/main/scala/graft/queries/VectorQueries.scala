@@ -115,6 +115,100 @@ object VectorQueries {
        |  FROM scored) WHERE rn = 1
        |ORDER BY query_id""".stripMargin
 
+  // ------------------------------------------------------------------ embedding near-dup
+  /** Embedding-cosine near-duplicate pairs: candidate generation via the
+    * LSH buckets (equi-join), exact cosine >= 0.99 confirms — the
+    * fact-scale near-dup shape (no cross join anywhere). */
+  private val d5EmbeddingNeardup: Q = (spark, dir) => {
+    // the corpus has no natural near-dups (max pairwise cosine ~0.48), so
+    // the feed plants 10 exact duplicates the pipeline must find
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val emb = base.unionByName(base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val withB = emb.join(VectorSearch.hyperplaneBuckets(emb, 8), "vec_id")
+    val a = withB.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = withB.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
+    graft.plans.GraftFunctions.register(spark)
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(expr("cosine_sim(emb_a, emb_b)"), 4))
+      .filter(col("cos_sim") >= 0.99)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val d5EmbeddingNeardupSql =
+    s"""WITH feed AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10),
+       |un AS (
+       |  SELECT vec_id, CAST(i.i AS INTEGER) AS i, CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE) AS x
+       |  FROM feed, generate_series(1, 64) i(i)),
+       |norms AS (SELECT vec_id, sum(x * x) AS n2 FROM un GROUP BY 1),
+       |dots8 AS (
+       |  SELECT vec_id, CAST(g.p AS INTEGER) AS p,
+       |    sum(x * (((g.p * 37 + i * 17) % 13) - 6)) AS dotp
+       |  FROM un, generate_series(0, 7) g(p)
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(sum((CASE WHEN dotp > 0 THEN 1 ELSE 0 END) << p) AS INTEGER) AS bucket
+       |  FROM dots8 GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT p.id_a, p.id_b,
+       |    round(sum(a.x * b.x) / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos_sim
+       |  FROM pairs p
+       |  JOIN un a ON a.vec_id = p.id_a
+       |  JOIN un b ON b.vec_id = p.id_b AND b.i = a.i
+       |  JOIN norms na ON na.vec_id = p.id_a
+       |  JOIN norms nb ON nb.vec_id = p.id_b
+       |  GROUP BY 1, 2, na.n2, nb.n2)
+       |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.99
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------ IVF assignment
+  /** IVF cell assignment: "centroids" are a deterministic subset (ids < 16,
+    * the stand-in for trained k-means centers); every vector joins the
+    * broadcast centroid table and keeps its best cell — the index-build
+    * step whose search path is the within-cell join of v3. */
+  private val v5IvfAssign: Q = (spark, dir) => {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos_sim", round(expr("cosine_sim(embedding, c_emb)"), 4))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "centroid_id", "cos_sim")
+      .orderBy("vec_id")
+  }
+
+  private val v5IvfAssignSql =
+    s"""WITH $unnestSql,
+       |dots AS (
+       |  SELECT b.vec_id, a.vec_id AS centroid_id, sum(a.x * b.x) AS dot
+       |  FROM un a JOIN un b ON a.i = b.i
+       |  WHERE a.vec_id < 16
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.vec_id, d.centroid_id,
+       |    round(d.dot / (sqrt(nb.n2) * sqrt(na.n2)), 4) AS cos_sim
+       |  FROM dots d
+       |  JOIN norms na ON na.vec_id = d.centroid_id
+       |  JOIN norms nb ON nb.vec_id = d.vec_id)
+       |SELECT vec_id, centroid_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, centroid_id) AS rn
+       |  FROM scored) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------------ native-expression top-k
   /** Same result as v1, computed through the codegen'd native
     * `cosine_sim` Catalyst expression instead of the higher-order-function
@@ -184,6 +278,8 @@ object VectorQueries {
     "v2_lsh_buckets" -> v2LshBuckets,
     "v3_ann_bucket" -> v3AnnBucket,
     "v4_cosine_native" -> v4CosineNative,
+    "v5_ivf_assign" -> v5IvfAssign,
+    "d5_embedding_neardup" -> d5EmbeddingNeardup,
     "m1_media_meta" -> m1MediaMeta,
     "m2_frame_sample" -> m2FrameSample
   )
@@ -193,6 +289,8 @@ object VectorQueries {
     "v2_lsh_buckets" -> v2LshBucketsSql,
     "v3_ann_bucket" -> v3AnnBucketSql,
     "v4_cosine_native" -> v1CosineTopkSql,
+    "v5_ivf_assign" -> v5IvfAssignSql,
+    "d5_embedding_neardup" -> d5EmbeddingNeardupSql,
     "m1_media_meta" -> m1MediaMetaSql,
     "m2_frame_sample" -> m2FrameSampleSql
   )

@@ -67,6 +67,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.Event
+    val src = MemoryStream[Event]
+    val sessions = StatefulSessions.sessionize(src.toDS(), gapMs = 10 * 60000L)
+    val q = sessions.toDF().writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events close together, then a 30-minute gap
+      src.addData(Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0)   // session still open
+      src.addData(Event(1L, ts(35), 4.0))            // gap closes session 1
+      q.processAllAvailable()
+      val r = spark.table("sessions").collect()
+      assert(r.length == 1)
+      assert(r.head.getAs[Int]("n_events") == 2)
+      assert(r.head.getAs[Double]("sum_value") == 3.0)
+      assert(r.head.getAs[Timestamp]("session_end").getTime == ts(5).getTime)
+    } finally q.stop()
+  }
+
+  test("file-source stream runs the batch window aggregation with AvailableNow") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val batchEvents = graft.io.Tables.events(spark, sf0001)
+    // the raw parquet carries TIMESTAMP(NANOS): read ts as long (the
+    // nanosAsLong conf is set by Tables.events) and convert in the stream
+    val rawSchema = StructType(batchEvents.schema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")   // file source needs a dir
+      .parquet(sf0001)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = stream.writeStream.format("memory").queryName("filestream")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("filestream").count()
+      val batch = batchEvents
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type")).count().count()
+      assert(streamed == batch, s"stream $streamed vs batch $batch window groups")
+    } finally q.stop()
+  }
+
   test("streaming query plans the same tumbling expression used in batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
