@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** A8 — agglomerative bbox merge (`src/form_calcs.py:753-792`), the
   * reference's hardest operator, re-expressed as order-independent connected
@@ -12,16 +13,21 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * §2.11.2 we implement the evident intent: true connected components, class
   * conflict -> `undefined_object`.
   *
-  * Scale shape: one `groupByKey(key)` shuffle; clustering is O(n²) in the
-  * boxes *per tile* (hundreds at most in the domain), never in the total box
+  * Scale shape: ONE shuffle — `groupBy(key).agg(sort_array(collect_list(
+  * struct(...))))` benefits from map-side partial aggregation, and box ids
+  * are positions in the canonical (x1,y1,x2,y2,label) order, so no
+  * id-assignment window pass is needed. Clustering is O(n²) in the boxes
+  * *per tile* (domain-bounded: hundreds at most), never in the total box
   * count, so the operator parallelizes across tiles on any cluster size.
   */
 object BoxMerge {
 
   /** One annotation box in tile-frame pixels. `key` is the grouping tile. */
-  case class Box(key: String, id: Int, x1: Int, y1: Int, x2: Int, y2: Int, label: String)
+  case class Box(key: String, x1: Int, y1: Int, x2: Int, y2: Int, label: String)
 
-  /** A merged cluster: envelope, member count, conflict-resolved class. */
+  /** A merged cluster: envelope, member count, conflict-resolved class.
+    * `cluster_id` = 1-based rank of the cluster's first member in the
+    * canonical per-tile box order. */
   case class Cluster(key: String, cluster_id: Int,
                      minx: Int, miny: Int, maxx: Int, maxy: Int,
                      n_boxes: Int, object_class: String, merged: Boolean)
@@ -38,8 +44,8 @@ object BoxMerge {
     aContainsB || bContainsA || (xGap <= gap && yCovers) || (yGap <= gap && xCovers)
   }
 
-  /** Union-find over the pairwise predicate; deterministic in input order
-    * (component identity = min member id). */
+  /** Union-find over the pairwise predicate on boxes ALREADY in canonical
+    * order; component identity = min member position (1-based). */
   def clusterGroup(boxes: Seq[Box], gap: Int): Seq[Cluster] = {
     val arr = boxes.toArray
     val parent = Array.tabulate(arr.length)(identity)
@@ -61,7 +67,7 @@ object BoxMerge {
       val labels = bs.map(_.label).distinct
       Cluster(
         key = bs.head.key,
-        cluster_id = bs.map(_.id).min,
+        cluster_id = members.min + 1,
         minx = bs.map(_.x1).min, miny = bs.map(_.y1).min,
         maxx = bs.map(_.x2).max, maxy = bs.map(_.y2).max,
         n_boxes = bs.size,
@@ -70,10 +76,36 @@ object BoxMerge {
     }.toSeq
   }
 
-  /** Distributed merge: shuffle once on the tile key, cluster per group. */
+  /** Canonical in-tile ordering (must match any external oracle that
+    * assigns ids by row_number over the same columns). */
+  private def canonicalSort(boxes: Seq[Box]): Seq[Box] =
+    boxes.sortBy(b => (b.x1, b.y1, b.x2, b.y2, b.label))
+
+  /** Distributed merge: one shuffle (partial-agg collect per tile), then
+    * per-group union-find. */
   def merge(ds: Dataset[Box], gap: Int = 5): Dataset[Cluster] = {
     val spark: SparkSession = ds.sparkSession
     import spark.implicits._
-    ds.groupByKey(_.key).flatMapGroups((_, it) => clusterGroup(it.toSeq, gap).iterator)
+    ds.toDF()
+      .groupBy("key")
+      .agg(sort_array(collect_list(struct(
+        col("x1"), col("y1"), col("x2"), col("y2"), col("label")))).as("boxes"))
+      .as[(String, Seq[(Int, Int, Int, Int, String)])]
+      .flatMap { case (key, packed) =>
+        val boxes = packed.map { case (x1, y1, x2, y2, label) =>
+          Box(key, x1, y1, x2, y2, label)
+        }
+        // sort_array on the struct already yields canonical order, but the
+        // contract belongs to the operator, not the packing detail
+        clusterGroup(canonicalSort(boxes), gap)
+      }
+  }
+
+  /** Convenience: merge straight from a DataFrame with
+    * (key, x1, y1, x2, y2, label) columns. */
+  def mergeFrame(df: DataFrame, gap: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    merge(df.select("key", "x1", "y1", "x2", "y2", "label").as[Box], gap).toDF()
   }
 }

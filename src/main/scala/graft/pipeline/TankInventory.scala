@@ -30,12 +30,12 @@ object TankInventory {
   val MetresPerPx = 0.6
   val UtmZone = 16
 
-  /** Annotation boxes from lineitem, keyed by synthetic tile id (0..999);
-    * ids are a deterministic per-tile row_number (corpus line numbers are
-    * not unique). */
+  /** Annotation boxes from lineitem, keyed by synthetic tile id (0..999).
+    * Box identity is positional in the canonical order (assigned inside
+    * BoxMerge — no window pass needed; corpus line numbers are not unique). */
   def boxes(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
-    val raw = l.select(
+    l.select(
       (col("l_orderkey") % 1000).cast("string").as("key"),
       (col("l_partkey") * 13 % 5800).cast("int").as("x1"),
       (col("l_suppkey") * 29 % 4800).cast("int").as("y1"))
@@ -45,8 +45,6 @@ object TankInventory {
         when(col("x1") % 3 === 0, "closed_roof_tank")
           .when(col("x1") % 3 === 1, "water_tower")
           .otherwise("spherical_tank"))
-    val idw = Window.partitionBy("key").orderBy("x1", "y1", "x2", "y2", "label")
-    raw.withColumn("id", row_number().over(idw).cast("int"))
   }
 
   /** NW-corner UTM georef for a tile id (zone 16 grid). */
@@ -64,10 +62,8 @@ object TankInventory {
 
   /** The full inventory build. */
   def inventory(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-
     // 1. merge boxes per tile (A8: one shuffle, union-find per group)
-    val merged = BoxMerge.merge(boxes(spark, dir).as[BoxMerge.Box]).toDF()
+    val merged = BoxMerge.mergeFrame(boxes(spark, dir))
 
     // 2. georeference: px envelope -> UTM metres (linspace closed form)
     val tid = col("key").cast("int")

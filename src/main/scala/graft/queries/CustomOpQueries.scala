@@ -26,11 +26,10 @@ object CustomOpQueries {
 
   // ------------------------------------------------------------------ A8: merge clustering
   private val a8MergeClusters: Q = (spark, dir) => {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
+    // box identity = position in the canonical (x1,y1,x2,y2,label) order,
+    // assigned inside BoxMerge — (l_orderkey, l_linenumber) is NOT unique
+    // in the synthetic corpus, and the positional scheme needs no window
     val l = Tables.lineitem(spark, dir)
-    // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus, so
-    // box ids come from a deterministic per-key row_number instead
     val raw = l.select(
       col("l_orderkey").cast("string").as("key"),
       (col("l_partkey") * 13 % 300).cast("int").as("x1"),
@@ -40,13 +39,7 @@ object CustomOpQueries {
       when(col("l_partkey") % 3 === 0, "closed_roof_tank")
         .when(col("l_partkey") % 3 === 1, "water_tower")
         .otherwise("spherical_tank").as("label"))
-    val idw = Window.partitionBy("key")
-      .orderBy("x1", "y1", "x2", "y2", "label")
-    val boxes = raw
-      .withColumn("id", row_number().over(idw).cast("int"))
-      .as[BoxMerge.Box]
-    BoxMerge.merge(boxes).toDF()
-      .orderBy("key", "cluster_id")
+    BoxMerge.mergeFrame(raw).orderBy("key", "cluster_id")
   }
 
   private val a8MergeClustersSql =

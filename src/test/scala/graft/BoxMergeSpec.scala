@@ -11,10 +11,10 @@ import graft.operators.BoxMerge.{Box, Cluster}
 class BoxMergeSpec extends AnyFunSuite {
 
   private def randomBoxes(rng: scala.util.Random, n: Int): Seq[Box] =
-    (0 until n).map { i =>
+    (0 until n).map { _ =>
       val x1 = rng.nextInt(200); val y1 = rng.nextInt(200)
       val lbl = if (rng.nextBoolean()) "closed_roof_tank" else "water_tower"
-      Box("t", i, x1, y1, x1 + 1 + rng.nextInt(60), y1 + 1 + rng.nextInt(60), lbl)
+      Box("t", x1, y1, x1 + 1 + rng.nextInt(60), y1 + 1 + rng.nextInt(60), lbl)
     }
 
   private def canon(cs: Seq[Cluster]) =
@@ -35,8 +35,8 @@ class BoxMergeSpec extends AnyFunSuite {
     (1 to 200).foreach { _ =>
       val boxes = randomBoxes(rng, 12)
       val once = BoxMerge.clusterGroup(boxes, 5)
-      val again = BoxMerge.clusterGroup(once.zipWithIndex.map { case (c, i) =>
-        Box("t", i, c.minx, c.miny, c.maxx, c.maxy, c.object_class)
+      val again = BoxMerge.clusterGroup(once.map { c =>
+        Box("t", c.minx, c.miny, c.maxx, c.maxy, c.object_class)
       }, 5)
       assert(again.size <= once.size)
       once.foreach { c =>
@@ -46,15 +46,16 @@ class BoxMergeSpec extends AnyFunSuite {
     }
   }
 
-  test("members are conserved and envelopes contain their cluster id's box") {
+  test("members are conserved and cluster_id points at a member box") {
     val rng = new scala.util.Random(99)
     (1 to 200).foreach { _ =>
       val boxes = randomBoxes(rng, 15)
-      val byId = boxes.map(b => b.id -> b).toMap
       val clusters = BoxMerge.clusterGroup(boxes, 5)
       assert(clusters.map(_.n_boxes).sum == boxes.size)
       clusters.foreach { c =>
-        val rep = byId(c.cluster_id)
+        // cluster_id is the 1-based position of the first member in the
+        // input order, and that box must sit inside the envelope
+        val rep = boxes(c.cluster_id - 1)
         assert(rep.x1 >= c.minx && rep.y1 >= c.miny && rep.x2 <= c.maxx && rep.y2 <= c.maxy)
       }
     }
@@ -64,18 +65,19 @@ class BoxMergeSpec extends AnyFunSuite {
     // A overlaps B, B overlaps C, A and C are far apart -> single cluster;
     // the reference's single greedy pass can miss this depending on order
     val chain = Seq(
-      Box("t", 1, 0, 0, 30, 30, "water_tower"),
-      Box("t", 2, 10, 0, 60, 30, "water_tower"),
-      Box("t", 3, 40, 0, 90, 30, "water_tower"))
+      Box("t", 0, 0, 30, 30, "water_tower"),
+      Box("t", 10, 0, 60, 30, "water_tower"),
+      Box("t", 40, 0, 90, 30, "water_tower"))
     val cs = BoxMerge.clusterGroup(chain, 5)
     assert(cs.size == 1 && cs.head.n_boxes == 3 && cs.head.merged)
     assert((cs.head.minx, cs.head.miny, cs.head.maxx, cs.head.maxy) == (0, 0, 90, 30))
+    assert(cs.head.cluster_id == 1)
   }
 
   test("class conflict demotes to undefined_object; agreement keeps class") {
     val conflict = Seq(
-      Box("t", 1, 0, 0, 30, 30, "water_tower"),
-      Box("t", 2, 5, 5, 25, 25, "closed_roof_tank"))
+      Box("t", 0, 0, 30, 30, "water_tower"),
+      Box("t", 5, 5, 25, 25, "closed_roof_tank"))
     assert(BoxMerge.clusterGroup(conflict, 5).head.object_class == "undefined_object")
     val agree = conflict.map(_.copy(label = "water_tower"))
     assert(BoxMerge.clusterGroup(agree, 5).head.object_class == "water_tower")
@@ -83,9 +85,26 @@ class BoxMergeSpec extends AnyFunSuite {
 
   test("gap semantics: 5px gap with covering interval merges, 6px does not") {
     def pair(gapPx: Int) = Seq(
-      Box("t", 1, 0, 0, 30, 40, "water_tower"),
-      Box("t", 2, 30 + gapPx, 5, 60 + gapPx, 35, "water_tower"))
+      Box("t", 0, 0, 30, 40, "water_tower"),
+      Box("t", 30 + gapPx, 5, 60 + gapPx, 35, "water_tower"))
     assert(BoxMerge.clusterGroup(pair(5), 5).size == 1)
     assert(BoxMerge.clusterGroup(pair(6), 5).size == 2)
+  }
+
+  test("distributed merge produces one shuffle and matches local clustering") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val rng = new scala.util.Random(1)
+    val boxes = (0 until 50).flatMap { t =>
+      randomBoxes(rng, 10).map(_.copy(key = s"t$t"))
+    }
+    val dist = BoxMerge.merge(boxes.toDS()).collect().toSeq
+    val local = boxes.groupBy(_.key).toSeq.flatMap { case (_, bs) =>
+      BoxMerge.clusterGroup(bs.sortBy(b => (b.x1, b.y1, b.x2, b.y2, b.label)), 5)
+    }
+    assert(canon(dist) == canon(local))
+    // plan shape: exactly one exchange feeds the merge
+    val plan = BoxMerge.merge(boxes.toDS()).queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"))
   }
 }
