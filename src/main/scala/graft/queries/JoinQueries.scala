@@ -198,6 +198,47 @@ object JoinQueries {
       |       AND ((a.x1 <= b.x1 AND a.x2 >= b.x2) OR (b.x1 <= a.x1 AND b.x2 >= a.x2)))
       |ORDER BY a.l_orderkey, id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------------------ J11 (north-star): as-of join
+  /** As-of join composed from built-ins (per the custom-operator policy:
+    * window functions express it, so no custom Strategy): for every error
+    * event, the user's most recent click at-or-before it. Union-tag +
+    * `last(..., ignoreNulls)` running window — one shuffle on user_id,
+    * no self-join. */
+  private val j11AsofJoin: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val tagged = e.filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"), col("event_id"), col("event_type").as("kind"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_click_id",
+        last(when(col("kind") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts_us",
+        last(when(col("kind") === "click", col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("kind") === "error")
+      .select("user_id", "event_id", "ts_us", "asof_click_id", "asof_click_ts_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val j11AsofJoinSql =
+    """WITH tagged AS (
+      |  SELECT user_id, event_id, event_type AS kind,
+      |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+      |  FROM events WHERE event_type IN ('click', 'error'))
+      |SELECT user_id, event_id, ts_us, asof_click_id, asof_click_ts_us FROM (
+      |  SELECT *,
+      |    last_value(CASE WHEN kind = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id,
+      |    last_value(CASE WHEN kind = 'click' THEN ts_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_ts_us
+      |  FROM tagged)
+      |WHERE kind = 'error'
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "j4_update_join" -> j4UpdateJoin,
@@ -205,7 +246,8 @@ object JoinQueries {
     "j7_range_join" -> j7RangeJoin,
     "u1_union_catalogs" -> u1UnionCatalogs,
     "u3_intersect" -> u3Intersect,
-    "j10_selfjoin_pairs" -> j10SelfJoinPairs
+    "j10_selfjoin_pairs" -> j10SelfJoinPairs,
+    "j11_asof_join" -> j11AsofJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -214,6 +256,7 @@ object JoinQueries {
     "j7_range_join" -> j7RangeJoinSql,
     "u1_union_catalogs" -> u1UnionCatalogsSql,
     "u3_intersect" -> u3IntersectSql,
-    "j10_selfjoin_pairs" -> j10SelfJoinPairsSql
+    "j10_selfjoin_pairs" -> j10SelfJoinPairsSql,
+    "j11_asof_join" -> j11AsofJoinSql
   )
 }

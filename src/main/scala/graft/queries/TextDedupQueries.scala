@@ -164,6 +164,18 @@ object TextDedupQueries {
        |    $sigSql
        |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Same signature through the native one-pass TypedImperativeAggregate
+    * (one buffer, map-side partial agg) — must hash-match the 8-min
+    * expression form and its oracle exactly. */
+  private val d2bMinhashAgg: Q = (spark, dir) => {
+    graft.plans.MinHashSignature.register(spark)
+    shingledFeed(spark, dir)
+      .groupBy("doc_id")
+      .agg(expr("minhash8(shingle)").as("sig"))
+      .select(col("doc_id") +: (0 until 8).map(i => col(s"sig.h$i").as(s"h$i")): _*)
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------ LSH candidate pairs
   private val d2LshPairs: Q = (spark, dir) => {
     // the signature feeds the band join AND both sides of the agreement
@@ -283,6 +295,7 @@ object TextDedupQueries {
     "t_fingerprint" -> tFingerprint,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_signature" -> d2MinhashSig,
+    "d2b_minhash_agg" -> d2bMinhashAgg,
     "d2_lsh_pairs" -> d2LshPairs,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4Jaccard
@@ -295,6 +308,7 @@ object TextDedupQueries {
     "t_fingerprint" -> tFingerprintSql,
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d2_minhash_signature" -> d2MinhashSigSql,
+    "d2b_minhash_agg" -> d2MinhashSigSql,
     "d2_lsh_pairs" -> d2LshPairsSql,
     "d3_simhash" -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4JaccardSql

@@ -123,6 +123,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark keeps one row per key inside the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, Long)]
+    val dedup = src.toDF().toDF("ts", "key")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("key")
+    val q = dedup.writeStream.format("memory").queryName("wmdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData((ts(1), 7L), (ts(2), 7L), (ts(3), 8L))   // dup of 7 in-batch
+      q.processAllAvailable()
+      src.addData((ts(4), 7L))                             // dup within watermark
+      q.processAllAvailable()
+      val keys = spark.table("wmdedup").collect().map(_.getLong(1)).toSeq.sorted
+      assert(keys == Seq(7L, 8L), s"got $keys")
+    } finally q.stop()
+  }
+
   test("streaming query plans the same tumbling expression used in batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
