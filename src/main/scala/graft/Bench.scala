@@ -23,12 +23,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT + IO warm-up outside the measured region
-    SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
+    // Steady-state methodology: run each query once to warm codegen/JIT/IO
+    // caches, then time the second execution. First-run numbers measure
+    // compilation, not the operator (e.g. e1 is 5.9s cold, 2.2s warm).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()                    // warm-up, untimed
+        spark.catalog.clearCache()                  // no cross-run cache reuse
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()                  // bound storage memory
+        name -> dt
+      } catch { case _: Throwable => name -> -1.0 }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

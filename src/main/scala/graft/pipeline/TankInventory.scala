@@ -114,8 +114,11 @@ object TankInventory {
     val inv = inventory(spark, dir)
     val classes = Seq("closed_roof_tank", "water_tower", "spherical_tank", "undefined_object")
     val aggs = classes.map(c => count(when(col("object_class") === c, 1)).as(c))
+    // cache the per-county counts: the margin row reads them again, and
+    // without the cache the whole inventory pipeline would run twice
     val base = inv.groupBy("county_key").agg(aggs.head, aggs.tail: _*)
       .withColumn("total", classes.map(col).reduce(_ + _))
+      .cache()
     val marginAggs = classes.map(c => sum(col(c)).as(c)) :+ sum(col("total")).as("total")
     val margin = base.groupBy().agg(marginAggs.head, marginAggs.tail: _*)
       .withColumn("county_key", lit(-1))

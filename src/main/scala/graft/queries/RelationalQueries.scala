@@ -56,8 +56,9 @@ object RelationalQueries {
       o.groupBy("o_orderstatus")
         .pivot("o_orderpriority", priorities.map(_._1)).count()
         .na.fill(0)) { case (df, (v, alias)) => df.withColumnRenamed(v, alias) }
+    // cached: the margin row re-reads the pivot
     val withTotal = piv.withColumn(
-      "total", priorities.map(p => col(p._2)).reduce(_ + _))
+      "total", priorities.map(p => col(p._2)).reduce(_ + _)).cache()
     val marginAggs = priorities.map(p => sum(col(p._2)).as(p._2)) :+ sum(col("total")).as("total")
     val margin = withTotal.groupBy().agg(marginAggs.head, marginAggs.tail: _*)
       .withColumn("o_orderstatus", lit("Total"))

@@ -107,6 +107,48 @@ object TextDedupQueries {
       |WHERE i.i <= length(text)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ text normalization
+  /** Canonical text normalization: lowercase, strip punctuation, squish
+    * whitespace — the preprocessing step the dedup family assumes. */
+  private val tNormalize: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[.!?,;:]", ""),
+          " +", " ").as("norm_text"))
+      .withColumn("norm_len", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val tNormalizeSql =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(lower(text), '[.!?,;:]', '', 'g'), ' +', ' ', 'g')
+      |    AS norm_text,
+      |  CAST(length(regexp_replace(regexp_replace(lower(text), '[.!?,;:]', '', 'g'), ' +', ' ', 'g')) AS BIGINT)
+      |    AS norm_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ approx percentile
+  /** Approximate percentile exposure: exact medians from the oracle plus a
+    * 1% accuracy invariant on the sketch value. */
+  private val a13Percentile: Q = (spark, dir) => {
+    val o = graft.io.Tables.orders(spark, dir)
+    o.groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median"),
+        expr("percentile_approx(o_totalprice, 0.5, 10000)").as("approx"))
+      .select(col("o_orderstatus"), col("exact_median"),
+        (abs(col("approx") - col("exact_median")) <=
+          col("exact_median") * 0.01).as("approx_within_1pct"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val a13PercentileSql =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS exact_median,
+      |  true AS approx_within_1pct
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------ exact dedup
   private val d1ExactDedup: Q = (spark, dir) => {
     val d = Tables.documents(spark, dir)
@@ -293,6 +335,8 @@ object TextDedupQueries {
     "t_quality_score" -> tQuality,
     "t_token_count" -> tTokens,
     "t_fingerprint" -> tFingerprint,
+    "t_normalize" -> tNormalize,
+    "a13_percentile" -> a13Percentile,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_signature" -> d2MinhashSig,
     "d2b_minhash_agg" -> d2bMinhashAgg,
@@ -306,6 +350,8 @@ object TextDedupQueries {
     "t_quality_score" -> tQualitySql,
     "t_token_count" -> tTokensSql,
     "t_fingerprint" -> tFingerprintSql,
+    "t_normalize" -> tNormalizeSql,
+    "a13_percentile" -> a13PercentileSql,
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d2_minhash_signature" -> d2MinhashSigSql,
     "d2b_minhash_agg" -> d2MinhashSigSql,
