@@ -30,11 +30,16 @@ object VocXml {
     }
   }
 
+  /** Minimal XML text escaping (labels/filenames are controlled vocabulary,
+    * but a literal `&`/`<` must never corrupt the document). */
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
   def renderVocString(filename: String, width: Int, height: Int,
                       objects: Seq[VocObject]): String = {
     val objXml = objects.map { o =>
       s"""  <object>
-         |    <name>${o.name}</name>
+         |    <name>${esc(o.name)}</name>
          |    <truncated>${o.truncated}</truncated>
          |    <difficult>${o.difficult}</difficult>
          |    <bndbox>
@@ -46,7 +51,7 @@ object VocXml {
          |  </object>""".stripMargin
     }.mkString("\n")
     s"""<annotation>
-       |  <filename>$filename</filename>
+       |  <filename>${esc(filename)}</filename>
        |  <size>
        |    <width>$width</width>
        |    <height>$height</height>

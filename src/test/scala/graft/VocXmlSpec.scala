@@ -46,6 +46,12 @@ class VocXmlSpec extends AnyFunSuite {
     assert(VocXml.parseVocString(xml).isEmpty)
   }
 
+  test("special characters in labels survive the round trip") {
+    val odd = Seq(VocObject("tank & <vessel>", 0, 0, 1, 2, 3, 4))
+    val xml = VocXml.renderVocString("a&b.jpg", 512, 512, odd)
+    assert(VocXml.parseVocString(xml) == odd)
+  }
+
   test("missing flags default to 0") {
     val xml =
       """<annotation><object><name>water_tower</name>
