@@ -29,7 +29,8 @@ object SparkEntry {
       (TextDedupQueries.queries, TextDedupQueries.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
       (PipelineQueries.queries, PipelineQueries.oracle),
-      (WorkflowQueries.queries, WorkflowQueries.oracle)
+      (WorkflowQueries.queries, WorkflowQueries.oracle),
+      (AnalyticsQueries.queries, AnalyticsQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Classic analytic shapes rounding out the north-star surface: deep
+  * multi-join aggregation (join-reorder showcase), pushdown-friendly
+  * filter aggregation, window frames, and the SQL-text entry point. */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------ deep multi-join (Q5 shape)
+  /** Revenue by nation through customer/orders/lineitem/supplier with the
+    * co-nation constraint — six relations; Catalyst reorders, dims
+    * broadcast, fact shuffles once per join key. */
+  private val q5NationRevenue: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val q5NationRevenueSql =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------ filter agg (Q6 shape)
+  /** Pure scan+filter+agg — the pushdown showcase (predicates reach the
+    * Parquet reader, scan reads 4 of 11 columns). */
+  private val q6ForecastRevenue: Q = (spark, dir) => {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_discount").between(0.02, 0.08) &&
+        col("l_quantity") < 24 &&
+        year(col("l_shipdate")) === 2024)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("promo_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q6ForecastRevenueSql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_discount BETWEEN 0.02 AND 0.08
+      |  AND l_quantity < 24 AND year(l_shipdate) = 2024""".stripMargin
+
+  // ------------------------------------------------------------------ window frames
+  /** Moving average over the customer's last 3 orders — the frame-spec
+    * window surface (rows between 2 preceding and current). */
+  private val w4MovingAvg: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    // avg is rounded to 4dp, not 2: sum/3 lands exactly on .xx5 decimal
+    // boundaries where Spark (exact-BigDecimal HALF_UP) and DuckDB
+    // (scale-multiply-then-round) disagree; /3 quotients cannot sit on a
+    // .00005 boundary, so 4dp is engine-stable
+    o.select(col("o_custkey"), col("o_orderkey"),
+        round(avg(col("o_totalprice")).over(w), 4).as("moving_avg_3"),
+        round(sum(col("o_totalprice")).over(w), 2).as("moving_sum_3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val w4MovingAvgSql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum_3
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------ SQL-text entry
+  /** The spark.sql(...) surface: corpus registered as temp views, query
+    * expressed as SQL text — proves the engine's catalog path. */
+  private val sqlTextAgg: Q = (spark, dir) => {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM graft_lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  private val sqlTextAggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "q5_nation_revenue" -> q5NationRevenue,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "w4_moving_avg" -> w4MovingAvg,
+    "sql_text_agg" -> sqlTextAgg
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q5_nation_revenue" -> q5NationRevenueSql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "w4_moving_avg" -> w4MovingAvgSql,
+    "sql_text_agg" -> sqlTextAggSql
+  )
+}
