@@ -18,6 +18,10 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
   }
 
+  test("driver smoke contract: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q1_agg groups by returnflag x linestatus") {
     val df = RelationalQueries.queries("q1_agg")(spark, sf0001)
     assert(df.count() == 6)
