@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.BoxMerge
+
+/** The merge-clustering operator as a first-class physical operator
+  * (SURVEY.md A8 promoted from `flatMapGroups`/collect_list to the full
+  * LogicalPlan -> Strategy -> SparkPlan stack).
+  *
+  * Why a custom operator is justified here (the (c) tier of the extension
+  * policy): grouped connected-components has no relational expression, and
+  * the Dataset-API forms either pay object SerDe (`flatMapGroups`) or
+  * buffer whole groups through an ObjectHashAggregate (`collect_list`).
+  * This Exec instead *declares* its distribution + ordering needs —
+  * `ClusteredDistribution(key)` with an in-partition sort on
+  * (key, x1, y1, x2, y2, label) — so Catalyst plans one exchange (or none,
+  * if the child is already clustered), and the operator streams sorted
+  * runs: buffer one tile's rows, union-find, emit, release.
+  *
+  * Output and semantics are identical to [[graft.operators.BoxMerge]]
+  * (ids = 1-based canonical positions, conflict -> undefined_object).
+  */
+case class MergeBoxesPlan(gap: Int, child: LogicalPlan) extends UnaryNode {
+
+  override def output: Seq[Attribute] = MergeBoxesPlan.outputAttrs
+
+  /** The operator consumes every child column positionally — without this,
+    * ColumnPruning sees no expression references and strips the child. */
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    child.outputSet
+
+  override protected def withNewChildInternal(newChild: LogicalPlan): MergeBoxesPlan =
+    copy(child = newChild)
+}
+
+object MergeBoxesPlan {
+  /** (key, cluster_id, minx, miny, maxx, maxy, n_boxes, object_class, merged) */
+  val outputAttrs: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("cluster_id", IntegerType, nullable = false)(),
+    AttributeReference("minx", IntegerType, nullable = false)(),
+    AttributeReference("miny", IntegerType, nullable = false)(),
+    AttributeReference("maxx", IntegerType, nullable = false)(),
+    AttributeReference("maxy", IntegerType, nullable = false)(),
+    AttributeReference("n_boxes", IntegerType, nullable = false)(),
+    AttributeReference("object_class", StringType, nullable = false)(),
+    AttributeReference("merged", BooleanType, nullable = false)())
+}
+
+case class MergeBoxesExec(gap: Int, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = MergeBoxesPlan.outputAttrs
+
+  // child columns are positional: key, x1, y1, x2, y2, label
+  private def keyAttr = child.output.head
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(keyAttr)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(child.output.map(a => SortOrder(a, Ascending)))
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val g = gap
+    val outTypes = output.map(_.dataType).toArray
+    child.execute().mapPartitions { iter =>
+      // downstream operators require UnsafeRow — project per partition
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(outTypes)
+      new Iterator[InternalRow] {
+        private val in = iter.buffered
+        private var out: Iterator[InternalRow] = Iterator.empty
+
+        private def readGroup(): Unit = {
+          if (!in.hasNext) { out = Iterator.empty; return }
+          val key = in.head.getUTF8String(0).clone()
+          val boxes = scala.collection.mutable.ArrayBuffer.empty[BoxMerge.Box]
+          while (in.hasNext && in.head.getUTF8String(0) == key) {
+            val r = in.next()
+            boxes += BoxMerge.Box(key.toString,
+              r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+              r.getUTF8String(5).toString)
+          }
+          // rows arrive sorted on (key, x1, y1, x2, y2, label) — already the
+          // canonical order, so positional ids match the library operator
+          out = BoxMerge.clusterGroup(boxes.toSeq, g).iterator.map { c =>
+            proj(InternalRow(
+              UTF8String.fromString(c.key), c.cluster_id,
+              c.minx, c.miny, c.maxx, c.maxy,
+              c.n_boxes, UTF8String.fromString(c.object_class), c.merged))
+          }
+        }
+
+        override def hasNext: Boolean = {
+          while (!out.hasNext && in.hasNext) readGroup()
+          out.hasNext
+        }
+
+        override def next(): InternalRow = { if (!hasNext) throw new NoSuchElementException; out.next() }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): MergeBoxesExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical node to the Exec. */
+object MergeBoxesStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case MergeBoxesPlan(gap, child) => MergeBoxesExec(gap, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object MergeBoxesApi {
+  /** Install the strategy on the session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(MergeBoxesStrategy)) {
+      exp.extraStrategies = MergeBoxesStrategy +: exp.extraStrategies
+    }
+  }
+
+  /** Native merge over a (key, x1, y1, x2, y2, label) DataFrame. */
+  def mergeBoxes(df: DataFrame, gap: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val projected = df.select("key", "x1", "y1", "x2", "y2", "label")
+    org.apache.spark.sql.GraftSqlShim.ofRows(
+      spark, MergeBoxesPlan(gap, projected.queryExecution.analyzed))
+  }
+}

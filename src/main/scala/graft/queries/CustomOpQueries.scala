@@ -84,6 +84,23 @@ object CustomOpQueries {
       |FROM boxes b JOIN comp c ON b.key = c.key AND b.id = c.id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Same clustering through the first-class physical operator
+    * (MergeBoxesPlan/Exec via the planner strategy) — must hash-match the
+    * flatMap form's recursive-CTE oracle exactly. */
+  private val a8bMergeNative: Q = (spark, dir) => {
+    val l = Tables.lineitem(spark, dir)
+    val raw = l.select(
+      col("l_orderkey").cast("string").as("key"),
+      (col("l_partkey") * 13 % 300).cast("int").as("x1"),
+      (col("l_suppkey") * 29 % 300).cast("int").as("y1"),
+      (col("l_partkey") * 13 % 300 + 20 + col("l_partkey") % 40).cast("int").as("x2"),
+      (col("l_suppkey") * 29 % 300 + 20 + col("l_suppkey") % 40).cast("int").as("y2"),
+      when(col("l_partkey") % 3 === 0, "closed_roof_tank")
+        .when(col("l_partkey") % 3 === 1, "water_tower")
+        .otherwise("spherical_tank").as("label"))
+    graft.plans.MergeBoxesApi.mergeBoxes(raw).orderBy("key", "cluster_id")
+  }
+
   // ------------------------------------------------------------------ geo: UTM round trip
   private val geoUtmRoundtrip: Q = (spark, dir) => {
     val c = Tables.customer(spark, dir)
@@ -150,12 +167,14 @@ object CustomOpQueries {
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "a8_merge_clusters" -> a8MergeClusters,
+    "a8b_merge_native" -> a8bMergeNative,
     "geo_utm_roundtrip" -> geoUtmRoundtrip,
     "s7_voc_roundtrip" -> s7VocRoundtrip
   )
 
   val oracle: Map[String, String] = Map(
     "a8_merge_clusters" -> a8MergeClustersSql,
+    "a8b_merge_native" -> a8MergeClustersSql,
     "geo_utm_roundtrip" -> geoUtmRoundtripSql,
     "s7_voc_roundtrip" -> s7VocRoundtripSql
   )

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BoxMerge
+import graft.plans.MergeBoxesApi
+
+class MergeBoxesExecSpec extends SparkSpec {
+
+  private def feed = {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    (0 until 400).map { i =>
+      val x1 = rng.nextInt(300); val y1 = rng.nextInt(300)
+      (s"t${i % 20}", x1, y1, x1 + 1 + rng.nextInt(50), y1 + 1 + rng.nextInt(50),
+        if (rng.nextBoolean()) "water_tower" else "closed_roof_tank")
+    }.toDF("key", "x1", "y1", "x2", "y2", "label")
+  }
+
+  test("native exec matches the library operator exactly") {
+    import spark.implicits._
+    val df = feed
+    val native = MergeBoxesApi.mergeBoxes(df)
+      .orderBy("key", "cluster_id").collect().toSeq
+    val library = BoxMerge.mergeFrame(df)
+      .orderBy("key", "cluster_id").collect().toSeq
+    assert(native == library)
+  }
+
+  test("planner inserts exactly one exchange plus the required sort") {
+    val plan = MergeBoxesApi.mergeBoxes(feed).queryExecution.executedPlan.toString
+    assert(plan.contains("MergeBoxes"), plan)
+    assert(plan.split("Exchange").length - 1 == 1, s"expected 1 exchange:\n$plan")
+    assert(plan.contains("Sort "), plan)
+  }
+
+  test("pre-clustered input plans with no additional exchange") {
+    val pre = feed.repartition(col("key"))
+    val plan = MergeBoxesApi.mergeBoxes(pre).queryExecution.executedPlan.toString
+    // the only exchange is the explicit repartition; the exec itself adds none
+    assert(plan.split("Exchange").length - 1 == 1, s"expected 1 exchange:\n$plan")
+  }
+
+  test("empty input yields an empty result through the exec") {
+    val empty = feed.filter(col("x1") < 0)
+    assert(MergeBoxesApi.mergeBoxes(empty).count() == 0)
+  }
+}
