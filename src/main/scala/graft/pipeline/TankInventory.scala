@@ -62,8 +62,10 @@ object TankInventory {
 
   /** The full inventory build. */
   def inventory(spark: SparkSession, dir: String): DataFrame = {
-    // 1. merge boxes per tile (A8: one shuffle, union-find per group)
-    val merged = BoxMerge.mergeFrame(boxes(spark, dir))
+    // 1. merge boxes per tile (A8) through the first-class physical
+    //    operator: ClusteredDistribution on the tile key -> one exchange,
+    //    sorted-run streaming union-find per tile
+    val merged = graft.plans.MergeBoxesApi.mergeBoxes(boxes(spark, dir))
 
     // 2. georeference: px envelope -> UTM metres (linspace closed form)
     val tid = col("key").cast("int")

@@ -97,10 +97,13 @@ object GraftFunctions {
   * which works on an already-built session; this hook is for external SQL
   * users.) */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectPlannerStrategy(_ => MergeBoxesStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughMergeBoxes)
+  }
 }

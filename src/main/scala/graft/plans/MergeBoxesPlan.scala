@@ -123,12 +123,43 @@ object MergeBoxesStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: a filter on the *tile key* commutes with the merge
+  * (clusters never span keys), so push it below the operator where
+  * Catalyst can keep pushing it all the way into the Parquet scan.
+  * Filters on cluster-derived columns (envelope, class, merged) stay put. */
+object PushFilterThroughMergeBoxes
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, m @ MergeBoxesPlan(gap, child)) =>
+      val outKey = m.output.head
+      val childKey = child.output.head
+      val (pushable, kept) =
+        splitConjunctivePredicates(cond)
+          .partition(p => p.references.subsetOf(AttributeSet(Seq(outKey))))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = pushable
+          .map(_.transform { case a: AttributeReference if a.exprId == outKey.exprId => childKey })
+          .reduce(And)
+        val below = MergeBoxesPlan(gap, Filter(pushed, child))
+        if (kept.isEmpty) below else Filter(kept.reduce(And), below)
+      }
+  }
+}
+
 object MergeBoxesApi {
-  /** Install the strategy on the session (idempotent). */
+  /** Install the strategy + pushdown rule on the session (idempotent). */
   def install(spark: SparkSession): Unit = {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(MergeBoxesStrategy)) {
       exp.extraStrategies = MergeBoxesStrategy +: exp.extraStrategies
+    }
+    if (!exp.extraOptimizations.contains(PushFilterThroughMergeBoxes)) {
+      exp.extraOptimizations = PushFilterThroughMergeBoxes +: exp.extraOptimizations
     }
   }
 

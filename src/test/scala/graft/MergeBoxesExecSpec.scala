@@ -41,6 +41,28 @@ class MergeBoxesExecSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 == 1, s"expected 1 exchange:\n$plan")
   }
 
+  test("key filters push through the merge to the source; cluster filters stay above") {
+    import graft.operators.BoxMerge
+    val merged = MergeBoxesApi.mergeBoxes(feed)
+    val keyFiltered = merged.filter(col("key") === "t3")
+    val optimized = keyFiltered.queryExecution.optimizedPlan.toString
+    // the key predicate must sit BELOW MergeBoxes in the optimized plan
+    val idx = optimized.indexOf("MergeBoxes")
+    assert(idx >= 0, optimized)
+    assert(optimized.substring(idx).contains("Filter"),
+      s"key filter not pushed below the merge:\n$optimized")
+    // results agree with filtering the input instead
+    val viaInput = BoxMerge.mergeFrame(feed.filter(col("key") === "t3"))
+      .orderBy("cluster_id").collect().toSeq
+    assert(keyFiltered.orderBy("cluster_id").collect().toSeq == viaInput)
+    // a cluster-derived filter must NOT be pushed
+    val clusterFiltered = MergeBoxesApi.mergeBoxes(feed).filter(col("merged"))
+    val opt2 = clusterFiltered.queryExecution.optimizedPlan.toString
+    val idx2 = opt2.indexOf("MergeBoxes")
+    assert(opt2.substring(0, idx2).contains("Filter"),
+      s"cluster filter should remain above the merge:\n$opt2")
+  }
+
   test("empty input yields an empty result through the exec") {
     val empty = feed.filter(col("x1") < 0)
     assert(MergeBoxesApi.mergeBoxes(empty).count() == 0)
