@@ -123,6 +123,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs errors with preceding clicks") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val errors = MemoryStream[(Timestamp, Long, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user", "c_id").withWatermark("c_ts", "20 minutes")
+    val e = errors.toDF().toDF("e_ts", "e_user", "e_id").withWatermark("e_ts", "20 minutes")
+    val joined = e.join(c,
+      col("c_user") === col("e_user") &&
+        col("c_ts") <= col("e_ts") &&
+        col("c_ts") >= col("e_ts") - org.apache.spark.sql.functions.expr("interval 10 minutes"))
+    val q = joined.select("e_id", "c_id").writeStream.format("memory")
+      .queryName("ssjoin").outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts(1), 1L, 100L), (ts(2), 2L, 200L))
+      errors.addData((ts(5), 1L, 900L))     // within 10 min of click 100
+      errors.addData((ts(30), 2L, 901L))    // 28 min after click 200 -> no match
+      q.processAllAvailable()
+      val pairs = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((900L, 100L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per key inside the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
