@@ -214,6 +214,44 @@ object PipelineQueries {
       |        FROM generate_series(0, 2) i(i) WHERE i.i <= n_nationkey % 3) AS BIGINT) AS sum_xmin
       |FROM nation ORDER BY file_name""".stripMargin
 
+  // ------------------------------------------------------------------ S8: TIFF metadata scan
+  /** Writes minimal valid TIFF headers (real byte-order/magic/IFD layout),
+    * scans them via binaryFile, and parses width/height/bits/samples and
+    * the GeoTIFF pixel scale with the pure-Scala header reader. */
+  private val s8TiffMeta: Q = (spark, dir) => {
+    import graft.sources.TiffMeta
+    val root = Paths.get(Sinks.scratchDir("tiff_tree"))
+    Files.createDirectories(root)
+    val nations = Tables.nation(spark, dir).select("n_nationkey").collect().map(_.getInt(0))
+    nations.foreach { n =>
+      val bytes = TiffMeta.minimalTiff(
+        width = 5000 + n * 613 % 3000, height = 6000 + n * 389 % 2600,
+        bitsPerSample = 8, samplesPerPixel = if (n % 2 == 0) 3 else 4,
+        pixelScaleX = 0.6, pixelScaleY = 0.6)
+      Files.write(root.resolve(f"m_$n%05d.tif"), bytes)
+    }
+    Sinks.scanBinaryDir(spark, root.toString, "*.tif")
+      .select(element_at(split(col("path"), "/"), -1).as("tile_file"),
+        TiffMeta.parseTiff(col("content")).as("m"))
+      .select(col("tile_file"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.bitsPerSample").as("bits_per_sample"),
+        col("m.samplesPerPixel").as("samples_per_pixel"),
+        round(col("m.pixelScaleX"), 2).as("pixel_scale_x"),
+        col("m.valid").as("valid"))
+      .orderBy("tile_file")
+  }
+
+  private val s8TiffMetaSql =
+    """SELECT concat('m_', lpad(CAST(n_nationkey AS VARCHAR), 5, '0'), '.tif') AS tile_file,
+      |  CAST(5000 + n_nationkey * 613 % 3000 AS INTEGER) AS width,
+      |  CAST(6000 + n_nationkey * 389 % 2600 AS INTEGER) AS height,
+      |  CAST(8 AS INTEGER) AS bits_per_sample,
+      |  CAST(CASE WHEN n_nationkey % 2 = 0 THEN 3 ELSE 4 END AS INTEGER) AS samples_per_pixel,
+      |  CAST(0.6 AS DOUBLE) AS pixel_scale_x,
+      |  true AS valid
+      |FROM nation ORDER BY tile_file""".stripMargin
+
   // ------------------------------------------------------------------ JTS spatial argmax
   /** The j8 rect argmax join, but through JTS WKT geometry (polygon ctor,
     * intersects, intersection area) — must agree exactly with the
@@ -260,6 +298,7 @@ object PipelineQueries {
     "io_json_roundtrip" -> ioJsonRoundtrip,
     "io_geojson_render" -> ioGeojsonRender,
     "io_binary_scan" -> ioBinaryScan,
+    "s8_tiff_meta" -> s8TiffMeta,
     "j8_wkt_argmax" -> j8WktArgmax
   )
 
@@ -270,6 +309,7 @@ object PipelineQueries {
     "io_json_roundtrip" -> ioJsonRoundtripSql,
     "io_geojson_render" -> ioGeojsonRenderSql,
     "io_binary_scan" -> ioBinaryScanSql,
+    "s8_tiff_meta" -> s8TiffMetaSql,
     "j8_wkt_argmax" -> RelationalQueries.j8ArgmaxOracleSql
   )
 }

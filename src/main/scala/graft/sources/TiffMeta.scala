@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Minimal TIFF/GeoTIFF *metadata* reader (SURVEY.md S8): byte order,
+  * magic, first-IFD walk, ImageWidth/ImageLength/BitsPerSample/
+  * SamplesPerPixel and the GeoTIFF ModelPixelScale tag.
+  *
+  * The reference reads these via rioxarray (`src/form_calcs.py:261-287`);
+  * the engine needs only header fields — never pixel data — so a ~60-line
+  * pure parser over the first bytes of the blob replaces a raster library.
+  * Runs as a scalar function over `binaryFile` content; at scale the
+  * binaryFile source already reads lazily, and only the header bytes of
+  * each tile are touched.
+  */
+object TiffMeta {
+
+  case class Meta(width: Int, height: Int, bitsPerSample: Int,
+                  samplesPerPixel: Int, pixelScaleX: Double, pixelScaleY: Double,
+                  valid: Boolean)
+
+  private val Invalid = Meta(0, 0, 0, 0, 0.0, 0.0, valid = false)
+
+  def parse(bytes: Array[Byte]): Meta = {
+    if (bytes == null || bytes.length < 8) return Invalid
+    val order = (bytes(0).toChar, bytes(1).toChar) match {
+      case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
+      case ('M', 'M') => ByteOrder.BIG_ENDIAN
+      case _ => return Invalid
+    }
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    if (buf.getShort(2) != 42) return Invalid
+    val ifdOffset = buf.getInt(4)
+    if (ifdOffset < 8 || ifdOffset + 2 > bytes.length) return Invalid
+    val nEntries = buf.getShort(ifdOffset) & 0xffff
+    var width = 0; var height = 0; var bits = 1; var samples = 1
+    var scaleX = 0.0; var scaleY = 0.0
+    var i = 0
+    while (i < nEntries) {
+      val e = ifdOffset + 2 + i * 12
+      if (e + 12 > bytes.length) return Invalid
+      val tag = buf.getShort(e) & 0xffff
+      val typ = buf.getShort(e + 2) & 0xffff
+      // SHORT(3) values live in the low 2 bytes of the value field;
+      // LONG(4) uses all 4
+      def intValue: Int = typ match {
+        case 3 => buf.getShort(e + 8) & 0xffff
+        case 4 => buf.getInt(e + 8)
+        case _ => 0
+      }
+      tag match {
+        case 256 => width = intValue
+        case 257 => height = intValue
+        case 258 => bits = intValue
+        case 277 => samples = intValue
+        case 33550 => // ModelPixelScale: DOUBLE(12) x3 at offset
+          val off = buf.getInt(e + 8)
+          if (typ == 12 && off + 16 <= bytes.length) {
+            scaleX = buf.getDouble(off)
+            scaleY = buf.getDouble(off + 8)
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    if (width > 0 && height > 0) Meta(width, height, bits, samples, scaleX, scaleY, valid = true)
+    else Invalid
+  }
+
+  /** Column form over binary content. */
+  val parseTiff: Column => Column = {
+    val f = udf((b: Array[Byte]) => parse(b))
+    b => f(b)
+  }
+
+  // ------------------------------------------------------------------ writer (fixtures/tests)
+  /** Builds a minimal valid little-endian TIFF header carrying the given
+    * metadata (no pixel strips — metadata-only fixture). */
+  def minimalTiff(width: Int, height: Int, bitsPerSample: Int = 8,
+                  samplesPerPixel: Int = 3,
+                  pixelScaleX: Double = 0.6, pixelScaleY: Double = 0.6): Array[Byte] = {
+    val nEntries = 5
+    val ifdOffset = 8
+    val scaleOffset = ifdOffset + 2 + nEntries * 12 + 4
+    val buf = ByteBuffer.allocate(scaleOffset + 24).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
+    buf.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit =
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    entry(258, 3, 1, bitsPerSample)
+    entry(277, 3, 1, samplesPerPixel)
+    entry(33550, 12, 3, scaleOffset)
+    buf.putInt(0)                       // next-IFD pointer: none
+    buf.putDouble(pixelScaleX).putDouble(pixelScaleY).putDouble(0.0)
+    buf.array()
+  }
+}

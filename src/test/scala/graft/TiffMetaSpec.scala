@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TiffMeta
+
+class TiffMetaSpec extends AnyFunSuite {
+
+  test("round trip: minimal writer -> parser") {
+    val bytes = TiffMeta.minimalTiff(6123, 4987, 8, 3, 0.6, 0.6)
+    val m = TiffMeta.parse(bytes)
+    assert(m.valid)
+    assert(m.width == 6123 && m.height == 4987)
+    assert(m.bitsPerSample == 8 && m.samplesPerPixel == 3)
+    assert(m.pixelScaleX == 0.6 && m.pixelScaleY == 0.6)
+  }
+
+  test("big-endian header parses too") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-build a 2-entry big-endian IFD (width + height, LONG type)
+    val buf = ByteBuffer.allocate(8 + 2 + 2 * 12 + 4).order(ByteOrder.BIG_ENDIAN)
+    buf.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    buf.putShort(2)
+    buf.putShort(256).putShort(4).putInt(1).putInt(1024)
+    buf.putShort(257).putShort(4).putInt(1).putInt(768)
+    buf.putInt(0)
+    val m = TiffMeta.parse(buf.array())
+    assert(m.valid && m.width == 1024 && m.height == 768)
+  }
+
+  test("garbage and truncated input is invalid, not an exception") {
+    assert(!TiffMeta.parse(null).valid)
+    assert(!TiffMeta.parse(Array[Byte](1, 2, 3)).valid)
+    assert(!TiffMeta.parse("not a tiff at all".getBytes).valid)
+    val good = TiffMeta.minimalTiff(100, 100)
+    assert(!TiffMeta.parse(good.take(10)).valid)   // truncated before IFD
+  }
+
+  test("wrong magic rejected") {
+    val bytes = TiffMeta.minimalTiff(100, 100)
+    bytes(2) = 43
+    assert(!TiffMeta.parse(bytes).valid)
+  }
+}
