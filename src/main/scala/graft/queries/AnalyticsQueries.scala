@@ -95,6 +95,61 @@ object AnalyticsQueries {
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum_3
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------------ ranking family
+  /** ntile / percent_rank / cume_dist over a deterministic total order. */
+  private val w5RankFamily: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  private val w5RankFamilySql =
+    """SELECT c_mktsegment, c_custkey,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------ array/map scalar family
+  /** Array construction, set ops, sort, slice, flatten, and map lookup —
+    * results serialized with array_join so comparisons are engine-stable. */
+  private val fArrayOps: Q = (spark, dir) => {
+    val p = Tables.part(spark, dir)
+    val words = split(col("p_name"), " ")
+    val brandChars = split(regexp_replace(col("p_brand"), "Brand#", ""), "")
+    p.select(col("p_partkey"),
+        array_join(array_sort(array_union(words, array(lit("tank")))), ",").as("union_sorted"),
+        array_join(array_intersect(words, array(lit("widget"), lit("bolt"), lit("rod"))), ",").as("known_kinds"),
+        array_join(slice(words, 1, 1), ",").as("first_word"),
+        size(flatten(array(words, brandChars))).cast("int").as("n_flat"),
+        element_at(
+          map(lit("ECONOMY"), lit(1), lit("PROMO"), lit(2), lit("LARGE"), lit(3),
+            lit("MEDIUM"), lit(4), lit("SMALL"), lit(5), lit("STANDARD"), lit(6)),
+          col("p_type")).cast("int").as("type_code"))
+      .orderBy("p_partkey")
+  }
+
+  private val fArrayOpsSql =
+    """SELECT p_partkey,
+      |  array_to_string(list_sort(list_distinct(
+      |      list_concat(string_split(p_name, ' '), ['tank']))), ',') AS union_sorted,
+      |  coalesce(array_to_string(list_filter(string_split(p_name, ' '),
+      |      x -> x IN ('widget', 'bolt', 'rod')), ','), '') AS known_kinds,
+      |  string_split(p_name, ' ')[1] AS first_word,
+      |  CAST(len(string_split(p_name, ' '))
+      |    + len(string_split(replace(p_brand, 'Brand#', ''), '')) AS INTEGER) AS n_flat,
+      |  CAST(CASE p_type WHEN 'ECONOMY' THEN 1 WHEN 'PROMO' THEN 2
+      |       WHEN 'LARGE' THEN 3 WHEN 'MEDIUM' THEN 4 WHEN 'SMALL' THEN 5
+      |       WHEN 'STANDARD' THEN 6 END AS INTEGER) AS type_code
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // ------------------------------------------------------------------ SQL-text entry
   /** The spark.sql(...) surface: corpus registered as temp views, query
     * expressed as SQL text — proves the engine's catalog path. */
@@ -119,10 +174,14 @@ object AnalyticsQueries {
     "q5_nation_revenue" -> q5NationRevenue,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "w4_moving_avg" -> w4MovingAvg,
+    "w5_rank_family" -> w5RankFamily,
+    "f_array_ops" -> fArrayOps,
     "sql_text_agg" -> sqlTextAgg
   )
 
   val oracle: Map[String, String] = Map(
+    "w5_rank_family" -> w5RankFamilySql,
+    "f_array_ops" -> fArrayOpsSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "w4_moving_avg" -> w4MovingAvgSql,
