@@ -27,6 +27,24 @@ object AggWindowQueries {
       |FROM events GROUP BY ROLLUP(event_type)
       |ORDER BY object_class""".stripMargin
 
+  /** Full CUBE over two dimensions (all four grouping sets). */
+  private val a14Cube: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"))
+      .orderBy("status", "priority")
+
+  private val a14CubeSql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS cnt
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   // ------------------------------------------------------------------ A2: unknown labels
   /** Distinct labels outside the known set (`src/az_proc.py:818-832`). */
   private val a2UnknownLabels: Q = (spark, dir) =>
@@ -212,6 +230,7 @@ object AggWindowQueries {
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "a1_rollup_counts" -> a1RollupCounts,
+    "a14_cube" -> a14Cube,
     "a2_unknown_labels" -> a2UnknownLabels,
     "a4_distinct" -> a4Distinct,
     "a5_cardinality" -> a5Cardinality,
@@ -224,6 +243,7 @@ object AggWindowQueries {
 
   val oracle: Map[String, String] = Map(
     "a1_rollup_counts" -> a1RollupCountsSql,
+    "a14_cube" -> a14CubeSql,
     "a2_unknown_labels" -> a2UnknownLabelsSql,
     "a4_distinct" -> a4DistinctSql,
     "a5_cardinality" -> a5CardinalitySql,

@@ -51,6 +51,20 @@ class AllocationSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("cosine_sim runs inside a WholeStageCodegen span, not as fallback") {
+    graft.plans.GraftFunctions.register(spark)
+    // a real parquet scan, so the projection cannot be constant-folded away
+    val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = df.selectExpr("vec_id", "cosine_sim(embedding, embedding) AS c")
+      .filter(col("c") > 0.5)
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage;
+    // the projection and filter evaluating cosine_sim must carry it
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") || plan.contains("WholeStageCodegen"), plan)
+    assert(plan.contains("*(1) Filter"), plan)
+    assert(out.count() == df.count())   // self-cosine = 1 for non-zero vectors
+  }
+
   test("cosine_sim expression survives both codegen and interpreted eval") {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
     import org.apache.spark.sql.catalyst.util.ArrayData
