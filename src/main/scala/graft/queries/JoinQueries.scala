@@ -198,6 +198,91 @@ object JoinQueries {
       |       AND ((a.x1 <= b.x1 AND a.x2 >= b.x2) OR (b.x1 <= a.x1 AND b.x2 >= a.x2)))
       |ORDER BY a.l_orderkey, id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------------------ J8 scale path: grid-bucketed spatial join
+  /** The broadcast-free spatial argmax join: both sides bucket into grid
+    * cells (the rect side replicated to every cell it overlaps, tanks to
+    * the cells their bbox touches), the join becomes an equi-join on the
+    * cell id, and duplicate candidate pairs from multi-cell overlap are
+    * folded by the argmax window. Same output as the broadcast form —
+    * shares its oracle — but shuffles on cell id instead of broadcasting,
+    * which is the path when the polygon table outgrows broadcast size.
+    * Grid pitch 200x160 matches the county tiling; in general pick
+    * ~median-geometry size. */
+  private val j8GridJoin: Q = (spark, dir) => {
+    val cellW = 200; val cellH = 160
+    val tanks = Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      (col("c_custkey") * 37 % 1000 - 30).as("tx1"),
+      (col("c_custkey") * 91 % 800 - 30).as("ty1"),
+      (col("c_custkey") * 37 % 1000 + 30).as("tx2"),
+      (col("c_custkey") * 91 % 800 + 30).as("ty2"))
+      .withColumn("cx", explode(sequence(
+        floor(col("tx1") / cellW).cast("int"), floor((col("tx2") - 1) / cellW).cast("int"))))
+      .withColumn("cy", explode(sequence(
+        floor(col("ty1") / cellH).cast("int"), floor((col("ty2") - 1) / cellH).cast("int"))))
+    val counties = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("county_key"),
+      (col("n_nationkey") % 5 * 200).as("kx1"),
+      (floor(col("n_nationkey") / 5) * 160).as("ky1"))
+      .withColumn("kx2", col("kx1") + 200)
+      .withColumn("ky2", col("ky1") + 160)
+      .withColumn("cx", explode(sequence(
+        floor(col("kx1") / cellW).cast("int"), floor((col("kx2") - 1) / cellW).cast("int"))))
+      .withColumn("cy", explode(sequence(
+        floor(col("ky1") / cellH).cast("int"), floor((col("ky2") - 1) / cellH).cast("int"))))
+    val overlap =
+      greatest(lit(0L), least(col("tx2"), col("kx2")) - greatest(col("tx1"), col("kx1"))) *
+        greatest(lit(0L), least(col("ty2"), col("ky2")) - greatest(col("ty1"), col("ky1")))
+    val joined = tanks.join(counties, Seq("cx", "cy"))
+      .withColumn("overlap", overlap)
+      .filter(col("overlap") > 0)
+      .select("c_custkey", "county_key", "overlap").distinct()
+    val w = Window.partitionBy("c_custkey").orderBy(col("overlap").desc, col("county_key"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("c_custkey"), col("county_key"), col("overlap").cast("long").as("overlap"))
+      .orderBy("c_custkey")
+  }
+
+  // ------------------------------------------------------------------ upsert (MERGE INTO shape)
+  /** Delta-style upsert via full outer join + per-column coalesce
+    * (SURVEY §2.9 tracker lifecycle): source rows update matching targets,
+    * unmatched sources insert, unmatched targets persist; each row tagged
+    * with the action taken. */
+  private val jUpsert: Q = (spark, dir) => {
+    val target = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    val source = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("U").as("status"),
+        round(col("o_totalprice") + 1000.0, 2).as("price"))
+    target.as("t").join(source.as("s"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("s.status"), col("t.status")).as("status"),
+        round(coalesce(col("s.price"), col("t.price")), 2).as("price"),
+        when(col("s.status").isNotNull && col("t.status").isNotNull, "update")
+          .when(col("s.status").isNotNull, "insert")
+          .otherwise("keep").as("action"))
+      .orderBy("o_orderkey")
+  }
+
+  private val jUpsertSql =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |source AS (
+      |  SELECT o_orderkey, 'U' AS status, round(o_totalprice + 1000.0, 2) AS price
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+      |  coalesce(s.status, t.status) AS status,
+      |  round(coalesce(s.price, t.price), 2) AS price,
+      |  CASE WHEN s.status IS NOT NULL AND t.status IS NOT NULL THEN 'update'
+      |       WHEN s.status IS NOT NULL THEN 'insert'
+      |       ELSE 'keep' END AS action
+      |FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------ J11 (north-star): as-of join
   /** As-of join composed from built-ins (per the custom-operator policy:
     * window functions express it, so no custom Strategy): for every error
@@ -247,7 +332,9 @@ object JoinQueries {
     "u1_union_catalogs" -> u1UnionCatalogs,
     "u3_intersect" -> u3Intersect,
     "j10_selfjoin_pairs" -> j10SelfJoinPairs,
-    "j11_asof_join" -> j11AsofJoin
+    "j11_asof_join" -> j11AsofJoin,
+    "j8_grid_join" -> j8GridJoin,
+    "j_upsert" -> jUpsert
   )
 
   val oracle: Map[String, String] = Map(
@@ -257,6 +344,8 @@ object JoinQueries {
     "u1_union_catalogs" -> u1UnionCatalogsSql,
     "u3_intersect" -> u3IntersectSql,
     "j10_selfjoin_pairs" -> j10SelfJoinPairsSql,
-    "j11_asof_join" -> j11AsofJoinSql
+    "j11_asof_join" -> j11AsofJoinSql,
+    "j8_grid_join" -> RelationalQueries.j8ArgmaxOracleSql,
+    "j_upsert" -> jUpsertSql
   )
 }
