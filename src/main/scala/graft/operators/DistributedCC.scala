@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew-proof merge clustering: connected components by Hash-Min label
+  * propagation over grid-cell candidate edges — the 100 TB path when a
+  * single tile's box count breaks the per-group union-find bound
+  * (SCALE.md "pathological tile" note, now implemented).
+  *
+  * Pipeline (all relational, no per-group materialization):
+  *  1. boxes get canonical per-key positions (the same ids the bounded
+  *     operator and the recursive-CTE oracle use);
+  *  2. each box, expanded by the merge gap, is replicated to the 64-px
+  *     grid cells it touches — any pair satisfying the calc_sim predicate
+  *     has intersecting expanded bboxes, hence shares a cell;
+  *  3. candidate pairs come from an equi-join on (key, cell), exact
+  *     predicate applied, duplicates from multi-cell overlap dropped;
+  *  4. Hash-Min iterates label(v) = min(label(v), min label(neighbors))
+  *     until a fixpoint — O(component diameter) joins, each a shuffle on
+  *     (key, id), localCheckpointed to keep lineage flat;
+  *  5. clusters aggregate per (key, final label) with the same
+  *     envelope/conflict semantics as [[BoxMerge]].
+  */
+object DistributedCC {
+
+  val CellPx = 64
+
+  /** (key, x1, y1, x2, y2, label) -> clusters identical to
+    * [[BoxMerge.mergeFrame]] (hash-equal output schema and values). */
+  def mergeUnbounded(df: DataFrame, gap: Int = 5, maxIter: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+
+    val idw = Window.partitionBy("key").orderBy("x1", "y1", "x2", "y2", "label")
+    val boxes = df.select("key", "x1", "y1", "x2", "y2", "label")
+      .withColumn("id", row_number().over(idw).cast("int"))
+      .localCheckpoint()
+
+    // 2. replicate to overlapped cells (gap-expanded)
+    val cells = boxes
+      .withColumn("cx", explode(sequence(
+        floor((col("x1") - gap) / CellPx).cast("int"),
+        floor((col("x2") + gap - 1) / CellPx).cast("int"))))
+      .withColumn("cy", explode(sequence(
+        floor((col("y1") - gap) / CellPx).cast("int"),
+        floor((col("y2") + gap - 1) / CellPx).cast("int"))))
+
+    // 3. candidate pairs -> exact predicate -> undirected edge list
+    val a = cells.select(col("key"), col("cx"), col("cy"), col("id").as("id_a"),
+      col("x1").as("ax1"), col("y1").as("ay1"), col("x2").as("ax2"), col("y2").as("ay2"))
+    val b = cells.select(col("key"), col("cx"), col("cy"), col("id").as("id_b"),
+      col("x1").as("bx1"), col("y1").as("by1"), col("x2").as("bx2"), col("y2").as("by2"))
+    val pairs = a.join(b, Seq("key", "cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.ColumnOps.boxesSimilar(
+        col("ax1"), col("ay1"), col("ax2"), col("ay2"),
+        col("bx1"), col("by1"), col("bx2"), col("by2"), gap))
+      .select("key", "id_a", "id_b").distinct()
+    val edges = pairs.unionByName(
+        pairs.select(col("key"), col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+
+    // 4. Hash-Min to fixpoint ("comp" = smallest reachable canonical id)
+    var comps = boxes.select(col("key"), col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = edges.join(comps,
+          edges("key") === comps("key") && edges("id_a") === comps("id"))
+        .select(edges("key").as("key"), col("id_b").as("id"), col("comp"))
+      val next = comps.unionByName(msgs)
+        .groupBy("key", "id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n").join(comps.as("o"), Seq("key", "id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      comps = next
+      converged = changed == 0
+      iter += 1
+    }
+
+    // 5. cluster aggregation (identical semantics + schema to BoxMerge)
+    boxes.join(comps, Seq("key", "id"))
+      .groupBy("key", "comp")
+      .agg(
+        min("x1").as("minx"), min("y1").as("miny"),
+        max("x2").as("maxx"), max("y2").as("maxy"),
+        count(lit(1)).cast("int").as("n_boxes"),
+        when(countDistinct(col("label")) > 1, "undefined_object")
+          .otherwise(min(col("label"))).as("object_class"),
+        (count(lit(1)) > 1).as("merged"))
+      .withColumnRenamed("comp", "cluster_id")
+      .select("key", "cluster_id", "minx", "miny", "maxx", "maxy",
+        "n_boxes", "object_class", "merged")
+  }
+}

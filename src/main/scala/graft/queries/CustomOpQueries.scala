@@ -101,6 +101,23 @@ object CustomOpQueries {
     graft.plans.MergeBoxesApi.mergeBoxes(raw).orderBy("key", "cluster_id")
   }
 
+  /** Same clustering a third way: skew-proof Hash-Min connected components
+    * over grid-cell candidate edges (no per-tile cardinality bound) —
+    * also pinned to the recursive-CTE oracle. */
+  private val a8cMergeUnbounded: Q = (spark, dir) => {
+    val l = Tables.lineitem(spark, dir)
+    val raw = l.select(
+      col("l_orderkey").cast("string").as("key"),
+      (col("l_partkey") * 13 % 300).cast("int").as("x1"),
+      (col("l_suppkey") * 29 % 300).cast("int").as("y1"),
+      (col("l_partkey") * 13 % 300 + 20 + col("l_partkey") % 40).cast("int").as("x2"),
+      (col("l_suppkey") * 29 % 300 + 20 + col("l_suppkey") % 40).cast("int").as("y2"),
+      when(col("l_partkey") % 3 === 0, "closed_roof_tank")
+        .when(col("l_partkey") % 3 === 1, "water_tower")
+        .otherwise("spherical_tank").as("label"))
+    graft.operators.DistributedCC.mergeUnbounded(raw).orderBy("key", "cluster_id")
+  }
+
   // ------------------------------------------------------------------ geo: UTM round trip
   private val geoUtmRoundtrip: Q = (spark, dir) => {
     val c = Tables.customer(spark, dir)
@@ -168,6 +185,7 @@ object CustomOpQueries {
   val queries: Map[String, Q] = Map(
     "a8_merge_clusters" -> a8MergeClusters,
     "a8b_merge_native" -> a8bMergeNative,
+    "a8c_merge_unbounded" -> a8cMergeUnbounded,
     "geo_utm_roundtrip" -> geoUtmRoundtrip,
     "s7_voc_roundtrip" -> s7VocRoundtrip
   )
@@ -175,6 +193,7 @@ object CustomOpQueries {
   val oracle: Map[String, String] = Map(
     "a8_merge_clusters" -> a8MergeClustersSql,
     "a8b_merge_native" -> a8MergeClustersSql,
+    "a8c_merge_unbounded" -> a8MergeClustersSql,
     "geo_utm_roundtrip" -> geoUtmRoundtripSql,
     "s7_voc_roundtrip" -> s7VocRoundtripSql
   )
