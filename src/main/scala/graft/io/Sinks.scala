@@ -62,6 +62,20 @@ object Sinks {
   def checkpointState(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Binary image/chip sink (S14, ref `src/az_proc.py:524`): one file per
+    * row, written partition-wise from the executors — an IO side-channel,
+    * not a relational op, exactly like the reference's chip JPEG writes.
+    * Expects columns (file_name string, payload binary). */
+  def writeBinaryFiles(df: DataFrame, dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    df.select("file_name", "payload").foreachPartition {
+      (rows: java.util.Iterator[org.apache.spark.sql.Row]) =>
+        rows.forEachRemaining { r =>
+          Files.write(Paths.get(dir, r.getString(0)), r.getAs[Array[Byte]](1))
+        }
+    }
+  }
+
   /** Scratch dir for verify-time roundtrip queries. */
   def scratchDir(name: String): String = {
     val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_scratch", name)

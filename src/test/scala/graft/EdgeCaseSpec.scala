@@ -53,6 +53,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(allocated.count() == 10 && rest.count() == 0)
   }
 
+  test("binary sink writes one file per row, readable back via binaryFile") {
+    import graft.io.Sinks
+    val dir = Sinks.scratchDir("binary_sink_test")
+    val payloads = spark.read.parquet(s"$sf0001/documents.parquet")
+      .limit(10)
+      .select(concat(lit("doc_"), col("doc_id"), lit(".bin")).as("file_name"),
+        encode(col("text"), "UTF-8").as("payload"))
+    Sinks.writeBinaryFiles(payloads, dir)
+    val back = Sinks.scanBinaryDir(spark, dir, "*.bin")
+    assert(back.count() == 10)
+    // content survives byte-for-byte
+    val lens = back.select(length(col("content")).cast("long").as("n"))
+      .collect().map(_.getLong(0)).sorted
+    val orig = payloads.select(length(col("payload")).cast("long").as("n"))
+      .collect().map(_.getLong(0)).sorted
+    assert(lens.toSeq == orig.toSeq)
+  }
+
   private lazy val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     .select("o_orderkey", "o_orderdate")
 }
