@@ -61,11 +61,17 @@ object DistributedCC {
         pairs.select(col("key"), col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
 
-    // 4. Hash-Min to fixpoint ("comp" = smallest reachable canonical id)
+    // 4. Hash-Min to fixpoint ("comp" = smallest reachable canonical id).
+    //    Convergence check: sum(comp) decreases strictly every improving
+    //    iteration and is stable exactly at the fixpoint — one cheap
+    //    aggregate per round instead of a join + count.
     var comps = boxes.select(col("key"), col("id"), col("id").as("comp"))
       .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("comp")).cast("long")).first().getLong(0)
+    var prevSum = if (boxes.isEmpty) 0L else labelSum(comps)
     var iter = 0
-    var converged = false
+    var converged = boxes.isEmpty
     while (!converged && iter < maxIter) {
       val msgs = edges.join(comps,
           edges("key") === comps("key") && edges("id_a") === comps("id"))
@@ -73,10 +79,10 @@ object DistributedCC {
       val next = comps.unionByName(msgs)
         .groupBy("key", "id").agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      val changed = next.as("n").join(comps.as("o"), Seq("key", "id"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
+      val nextSum = labelSum(next)
       comps = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
 

@@ -115,6 +115,67 @@ object VectorQueries {
        |  FROM scored) WHERE rn = 1
        |ORDER BY query_id""".stripMargin
 
+  // ------------------------------------------------------------------ multi-probe ANN
+  /** Multi-probe LSH: each query searches its own bucket plus the 8
+    * one-bit-flip neighbor buckets — the recall knob that trades a 9x
+    * candidate fan-out (still an equi-join, never a cross join) for far
+    * fewer misses than single-bucket search. */
+  private val v6MultiprobeAnn: Q = (spark, dir) => {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val buckets = VectorSearch.hyperplaneBuckets(emb, 8)
+    val withB = emb.join(buckets, "vec_id")
+    val q = withB.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+      .withColumn("probe", explode(expr(
+        "concat(array(bucket), transform(sequence(0, 7), p -> bucket ^ shiftleft(1, p)))")))
+    val c = withB.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cand_emb"), col("bucket").as("probe"))
+    val joined = q.join(c, Seq("probe"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(expr("cosine_sim(q_emb, cand_emb)"), 4))
+      .select("query_id", "neighbor_id", "cos_sim").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .orderBy("query_id")
+  }
+
+  private val v6MultiprobeAnnSql =
+    s"""WITH $unnestSql,
+       |dots8 AS (
+       |  SELECT vec_id, CAST(g.p AS INTEGER) AS p,
+       |    sum(x * (((g.p * 37 + i * 17) % 13) - 6)) AS dotp
+       |  FROM un, generate_series(0, 7) g(p)
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(sum((CASE WHEN dotp > 0 THEN 1 ELSE 0 END) << p) AS INTEGER) AS bucket
+       |  FROM dots8 GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id, CASE WHEN g.p = -1 THEN bucket
+       |    ELSE CAST(xor(bucket, 1 << CAST(g.p AS INTEGER)) AS INTEGER) END AS probe
+       |  FROM buckets, generate_series(-1, 7) g(p)
+       |  WHERE vec_id % 50 = 0),
+       |pairs AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, cb.vec_id AS neighbor_id
+       |  FROM probes q JOIN buckets cb
+       |    ON q.probe = cb.bucket AND q.vec_id <> cb.vec_id),
+       |scored AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |    round(sum(a.x * b.x) / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos_sim
+       |  FROM pairs p
+       |  JOIN un a ON a.vec_id = p.query_id
+       |  JOIN un b ON b.vec_id = p.neighbor_id AND b.i = a.i
+       |  JOIN norms na ON na.vec_id = p.query_id
+       |  JOIN norms nb ON nb.vec_id = p.neighbor_id
+       |  GROUP BY 1, 2, na.n2, nb.n2)
+       |SELECT query_id, neighbor_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM scored) WHERE rn = 1
+       |ORDER BY query_id""".stripMargin
+
   // ------------------------------------------------------------------ embedding near-dup
   /** Embedding-cosine near-duplicate pairs: candidate generation via the
     * LSH buckets (equi-join), exact cosine >= 0.99 confirms — the
@@ -279,6 +340,7 @@ object VectorQueries {
     "v3_ann_bucket" -> v3AnnBucket,
     "v4_cosine_native" -> v4CosineNative,
     "v5_ivf_assign" -> v5IvfAssign,
+    "v6_multiprobe_ann" -> v6MultiprobeAnn,
     "d5_embedding_neardup" -> d5EmbeddingNeardup,
     "m1_media_meta" -> m1MediaMeta,
     "m2_frame_sample" -> m2FrameSample
@@ -290,6 +352,7 @@ object VectorQueries {
     "v3_ann_bucket" -> v3AnnBucketSql,
     "v4_cosine_native" -> v1CosineTopkSql,
     "v5_ivf_assign" -> v5IvfAssignSql,
+    "v6_multiprobe_ann" -> v6MultiprobeAnnSql,
     "d5_embedding_neardup" -> d5EmbeddingNeardupSql,
     "m1_media_meta" -> m1MediaMetaSql,
     "m2_frame_sample" -> m2FrameSampleSql

@@ -63,6 +63,18 @@ class MergeBoxesExecSpec extends SparkSpec {
       s"cluster filter should remain above the merge:\n$opt2")
   }
 
+  test("dense single-tile input (long transitive chains) matches the library") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val dense = (0 until 150).map { _ =>
+      val x1 = rng.nextInt(250); val y1 = rng.nextInt(250)
+      ("hot", x1, y1, x1 + 10 + rng.nextInt(40), y1 + 10 + rng.nextInt(40), "water_tower")
+    }.toDF("key", "x1", "y1", "x2", "y2", "label")
+    val native = MergeBoxesApi.mergeBoxes(dense).orderBy("cluster_id").collect().toSeq
+    val library = BoxMerge.mergeFrame(dense).orderBy("cluster_id").collect().toSeq
+    assert(native == library)
+  }
+
   test("empty input yields an empty result through the exec") {
     val empty = feed.filter(col("x1") < 0)
     assert(MergeBoxesApi.mergeBoxes(empty).count() == 0)

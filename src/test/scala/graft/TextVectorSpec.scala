@@ -79,6 +79,24 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recalls at least as well as single-bucket search") {
+    import graft.queries.VectorQueries
+    def top1(name: String): Map[Long, Long] = {
+      val df = VectorQueries.queries(name)(spark, sf0001)
+      val t1 = if (df.columns.contains("rnk")) df.filter(col("rnk") === 1) else df
+      t1.collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    }
+    val exact = top1("v1_cosine_topk")
+    val single = top1("v3_ann_bucket")
+    val multi = top1("v6_multiprobe_ann")
+    def recall(approx: Map[Long, Long]): Double =
+      exact.count { case (q, n) => approx.get(q).contains(n) }.toDouble / exact.size
+    assert(recall(multi) >= recall(single),
+      s"multi-probe recall ${recall(multi)} < single-bucket ${recall(single)}")
+    // multi-probe must cover at least every query single-bucket covered
+    assert(single.keySet.subsetOf(multi.keySet))
+  }
+
   test("media decode stub is deterministic and frame sampling covers n_frames") {
     import spark.implicits._
     val docs = Seq((7L, "hello world, a fake payload")).toDF("doc_id", "text")
