@@ -19,10 +19,17 @@ object SpatialOps {
 
   @transient private lazy val factory = new GeometryFactory()
 
-  private def read(wkt: String) = new WKTReader(factory).read(wkt)
+  // WKTReader/WKTWriter are stateful and not thread-safe; task threads share
+  // this object, so they get one instance per thread instead of one per row
+  @transient private lazy val readers = ThreadLocal.withInitial(
+    () => new WKTReader(factory))
+  @transient private lazy val writers = ThreadLocal.withInitial(
+    () => new WKTWriter())
+
+  private def read(wkt: String) = readers.get().read(wkt)
 
   def bboxToWktString(minx: Double, miny: Double, maxx: Double, maxy: Double): String = {
-    val w = new WKTWriter()
+    val w = writers.get()
     val shell = Array(
       new Coordinate(minx, miny), new Coordinate(maxx, miny),
       new Coordinate(maxx, maxy), new Coordinate(minx, maxy),

@@ -67,9 +67,11 @@ object Sinks {
     * not a relational op, exactly like the reference's chip JPEG writes.
     * Expects columns (file_name string, payload binary). */
   def writeBinaryFiles(df: DataFrame, dir: String): Unit = {
-    Files.createDirectories(Paths.get(dir))
     df.select("file_name", "payload").foreachPartition {
       (rows: java.util.Iterator[org.apache.spark.sql.Row]) =>
+        // executors write to their local/shared view of `dir`, so the
+        // directory must be created HERE, not on the driver
+        Files.createDirectories(Paths.get(dir))
         rows.forEachRemaining { r =>
           Files.write(Paths.get(dir, r.getString(0)), r.getAs[Array[Byte]](1))
         }

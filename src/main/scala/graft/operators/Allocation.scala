@@ -20,7 +20,7 @@ import graft.io.Sinks
 object Allocation {
 
   /** One allocation round: returns (allocated-with-annotator, remaining). */
-  def allocate(remaining: DataFrame, keyCol: String, orderCols: Seq[String],
+  def allocate(remaining: DataFrame, orderCols: Seq[String],
                n: Int, annotators: Seq[String]): (DataFrame, DataFrame) = {
     val w = Window.orderBy(orderCols.map(col): _*)
     val ranked = remaining.withColumn("rn", row_number().over(w))
@@ -33,22 +33,28 @@ object Allocation {
     (allocated, rest)
   }
 
-  /** Run `rounds` allocation rounds, checkpointing state between them the
-    * way repeated CLI invocations of the reference would. Returns the union
-    * of all allocations tagged with their round. */
-  def allocateRounds(spark: SparkSession, initial: DataFrame, keyCol: String,
+  /** Run `rounds` allocation rounds, truncating lineage between rounds the
+    * way repeated CLI invocations of the reference would (each round's
+    * remainder is materialized — via the Parquet state dir when given,
+    * else a localCheckpoint — so round r does NOT replay rounds 1..r-1's
+    * global-sort windows). Returns the union of all allocations tagged
+    * with their round. */
+  def allocateRounds(spark: SparkSession, initial: DataFrame,
                      orderCols: Seq[String], n: Int, annotators: Seq[String],
                      rounds: Int, stateDir: Option[String] = None): DataFrame = {
     var remaining = initial
     var acc: Option[DataFrame] = None
     (1 to rounds).foreach { r =>
-      val (allocated, rest) = allocate(remaining, keyCol, orderCols, n, annotators)
+      val (allocated, rest) = allocate(remaining, orderCols, n, annotators)
       val tagged = allocated.withColumn("round", lit(r))
       acc = Some(acc.map(_.unionByName(tagged)).getOrElse(tagged))
-      stateDir.foreach { d =>
-        Sinks.checkpointState(rest, s"$d/remaining_r$r")
+      remaining = stateDir match {
+        case Some(d) =>
+          val path = s"$d/remaining_r$r"
+          Sinks.checkpointState(rest, path)
+          spark.read.parquet(path)          // state is re-read: real checkpoint
+        case None => rest.localCheckpoint()
       }
-      remaining = rest
     }
     acc.get
   }

@@ -37,14 +37,16 @@ object DistributedCC {
       .withColumn("id", row_number().over(idw).cast("int"))
       .localCheckpoint()
 
-    // 2. replicate to overlapped cells (gap-expanded)
+    // 2. replicate to overlapped cells (gap-expanded; upper bound INCLUDES
+    //    x2+gap itself — with "-1" a gap=0 pair touching exactly on a cell
+    //    boundary would never share a cell and the edge would be lost)
     val cells = boxes
       .withColumn("cx", explode(sequence(
         floor((col("x1") - gap) / CellPx).cast("int"),
-        floor((col("x2") + gap - 1) / CellPx).cast("int"))))
+        floor((col("x2") + gap) / CellPx).cast("int"))))
       .withColumn("cy", explode(sequence(
         floor((col("y1") - gap) / CellPx).cast("int"),
-        floor((col("y2") + gap - 1) / CellPx).cast("int"))))
+        floor((col("y2") + gap) / CellPx).cast("int"))))
 
     // 3. candidate pairs -> exact predicate -> undirected edge list
     val a = cells.select(col("key"), col("cx"), col("cy"), col("id").as("id_a"),

@@ -103,7 +103,7 @@ object TextDedupQueries {
     """SELECT doc_id,
       |  CAST(sum(ascii(substring(text, CAST(i.i AS INTEGER), 1))
       |      * ((i.i * 2654435761) % 1000003)) % 1000000007 AS BIGINT) AS fingerprint
-      |FROM documents, generate_series(1, 1024) i(i)
+      |FROM documents, generate_series(1, 4096) i(i)
       |WHERE i.i <= length(text)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -183,7 +183,7 @@ object TextDedupQueries {
        |shingles AS (
        |  SELECT doc_id, concat(w[CAST(i.i AS INTEGER)], ' ', w[CAST(i.i AS INTEGER) + 1],
        |                        ' ', w[CAST(i.i AS INTEGER) + 2]) AS shingle
-       |  FROM words, generate_series(1, 512) i(i)
+       |  FROM words, generate_series(1, 1024) i(i)
        |  WHERE i.i + 2 <= len(w))""".stripMargin
 
   private val sigSql =
@@ -315,7 +315,7 @@ object TextDedupQueries {
       |  SELECT DISTINCT doc_id,
       |    concat(w[CAST(i.i AS INTEGER)], ' ', w[CAST(i.i AS INTEGER) + 1],
       |           ' ', w[CAST(i.i AS INTEGER) + 2]) AS shingle
-      |  FROM words, generate_series(1, 512) i(i)
+      |  FROM words, generate_series(1, 1024) i(i)
       |  WHERE i.i + 2 <= len(w)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (

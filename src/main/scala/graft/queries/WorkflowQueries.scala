@@ -19,7 +19,7 @@ object WorkflowQueries {
 
   private val e2AllocationRounds: Q = (spark, dir) => {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
-    Allocation.allocateRounds(spark, o, "o_orderkey",
+    Allocation.allocateRounds(spark, o,
         Seq("o_orderdate", "o_orderkey"), 100, annotators, rounds = 2)
       .select("o_orderkey", "round", "annotator")
       .orderBy("o_orderkey")

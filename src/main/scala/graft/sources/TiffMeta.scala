@@ -44,11 +44,21 @@ object TiffMeta {
       if (e + 12 > bytes.length) return Invalid
       val tag = buf.getShort(e) & 0xffff
       val typ = buf.getShort(e + 2) & 0xffff
-      // SHORT(3) values live in the low 2 bytes of the value field;
-      // LONG(4) uses all 4
+      val count = buf.getInt(e + 4)
+      // SHORT(3)/LONG(4) values are inline ONLY when they fit in the 4-byte
+      // value field (count*size <= 4); otherwise the field is an offset to
+      // the value array — real RGB TIFFs store BitsPerSample as 3 shorts
+      // behind an offset, so reading the field directly would return a
+      // pointer fragment. We take the FIRST element (uniform per band).
       def intValue: Int = typ match {
-        case 3 => buf.getShort(e + 8) & 0xffff
-        case 4 => buf.getInt(e + 8)
+        case 3 if count <= 2 => buf.getShort(e + 8) & 0xffff
+        case 3 =>
+          val off = buf.getInt(e + 8)
+          if (off >= 0 && off + 2 <= bytes.length) buf.getShort(off) & 0xffff else 0
+        case 4 if count == 1 => buf.getInt(e + 8)
+        case 4 =>
+          val off = buf.getInt(e + 8)
+          if (off >= 0 && off + 4 <= bytes.length) buf.getInt(off) else 0
         case _ => 0
       }
       tag match {
@@ -58,7 +68,7 @@ object TiffMeta {
         case 277 => samples = intValue
         case 33550 => // ModelPixelScale: DOUBLE(12) x3 at offset
           val off = buf.getInt(e + 8)
-          if (typ == 12 && off + 16 <= bytes.length) {
+          if (typ == 12 && off >= 0 && off + 16 <= bytes.length) {
             scaleX = buf.getDouble(off)
             scaleY = buf.getDouble(off + 8)
           }

@@ -24,42 +24,56 @@ object StatefulSessions {
   case class ClosedSession(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Int, sum_value: Double)
 
-  /** Close a session after `gapMs` of inactivity (event-time, using the
-    * processing-time timeout as the trigger in streaming mode). */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[ClosedSession] = {
+  /** Close a session after `gapMs` of inactivity — in-stream when a later
+    * event arrives past the gap, and via an EVENT-TIME timeout (fired when
+    * the watermark passes lastTs + gap) for the final session of a user who
+    * goes silent. Without the timeout that session would never be emitted
+    * and its state never released; event-time (rather than processing-time)
+    * timers keep the query data-driven, so batch tests and
+    * `processAllAvailable` terminate deterministically. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
     val spark: SparkSession = events.sparkSession
     import spark.implicits._
 
+    def close(userId: Long, s: SessionState): ClosedSession =
+      ClosedSession(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.sum)
+
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[SessionState]): Iterator[ClosedSession] = {
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var closed = List.empty[ClosedSession]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.lastTs >= gapMs =>
-            closed ::= ClosedSession(userId, new Timestamp(s.start),
-              new Timestamp(s.lastTs), s.n, s.sum)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case Some(s) =>
-            cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1, sum = s.sum + e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
-      }
-      cur.foreach(state.update)
       if (state.hasTimedOut) {
-        state.getOption.foreach { s =>
-          closed ::= ClosedSession(userId, new Timestamp(s.start),
-            new Timestamp(s.lastTs), s.n, s.sum)
-        }
+        // user went silent past the gap: flush and release the state
+        val last = state.getOption.map(close(userId, _))
         state.remove()
+        last.iterator
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[ClosedSession]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastTs >= gapMs =>
+              closed ::= close(userId, s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case Some(s) =>
+              cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1, sum = s.sum + e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastTs + gapMs)
+        }
+        closed.reverseIterator
       }
-      closed.reverseIterator
     }
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+    events.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 }

@@ -12,7 +12,7 @@ class AllocationSpec extends SparkSpec {
 
   test("allocate splits exactly n / rest with no overlap") {
     val (allocated, rest) = Allocation.allocate(
-      orders, "o_orderkey", Seq("o_orderdate", "o_orderkey"), 100, Seq("a", "b"))
+      orders, Seq("o_orderdate", "o_orderkey"), 100, Seq("a", "b"))
     assert(allocated.count() == 100)
     assert(rest.count() == orders.count() - 100)
     assert(allocated.select("o_orderkey")
@@ -20,15 +20,15 @@ class AllocationSpec extends SparkSpec {
   }
 
   test("allocation is idempotent: same inputs, same split") {
-    val (a1, _) = Allocation.allocate(orders, "o_orderkey",
+    val (a1, _) = Allocation.allocate(orders,
       Seq("o_orderdate", "o_orderkey"), 50, Seq("a", "b", "c"))
-    val (a2, _) = Allocation.allocate(orders, "o_orderkey",
+    val (a2, _) = Allocation.allocate(orders,
       Seq("o_orderdate", "o_orderkey"), 50, Seq("a", "b", "c"))
     assert(a1.exceptAll(a2).count() == 0 && a2.exceptAll(a1).count() == 0)
   }
 
   test("rounds are disjoint and cover the first n*rounds items") {
-    val rounds = Allocation.allocateRounds(spark, orders, "o_orderkey",
+    val rounds = Allocation.allocateRounds(spark, orders,
       Seq("o_orderdate", "o_orderkey"), 100, Seq("a", "b"), rounds = 3)
     assert(rounds.count() == 300)
     assert(rounds.select("o_orderkey").distinct().count() == 300)

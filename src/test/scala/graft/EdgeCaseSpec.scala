@@ -49,7 +49,7 @@ class EdgeCaseSpec extends SparkSpec {
     import graft.operators.Allocation
     val small = orders.limit(10)
     val (allocated, rest) = Allocation.allocate(
-      small, "o_orderkey", Seq("o_orderdate", "o_orderkey"), 100, Seq("a"))
+      small, Seq("o_orderdate", "o_orderkey"), 100, Seq("a"))
     assert(allocated.count() == 10 && rest.count() == 0)
   }
 

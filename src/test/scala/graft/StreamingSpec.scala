@@ -77,8 +77,10 @@ class StreamingSpec extends SparkSpec {
     val q = sessions.toDF().writeStream.format("memory").queryName("sessions")
       .outputMode(OutputMode.Append()).start()
     try {
-      // user 1: two events close together, then a 30-minute gap
-      src.addData(Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0))
+      // user 1: two events close together, then a 30-minute gap.
+      // NOTE: ts(1), not ts(0) — an event equal to the initial watermark
+      // (epoch 0 with a 0s delay) is dropped as late by the engine.
+      src.addData(Event(1L, ts(1), 1.0), Event(1L, ts(5), 2.0))
       q.processAllAvailable()
       assert(spark.table("sessions").count() == 0)   // session still open
       src.addData(Event(1L, ts(35), 4.0))            // gap closes session 1
@@ -88,6 +90,16 @@ class StreamingSpec extends SparkSpec {
       assert(r.head.getAs[Int]("n_events") == 2)
       assert(r.head.getAs[Double]("sum_value") == 3.0)
       assert(r.head.getAs[Timestamp]("session_end").getTime == ts(5).getTime)
+      // user 1 goes silent; another user's events push the watermark past
+      // lastTs + gap, firing the event-time timeout for the open session
+      src.addData(Event(2L, ts(60), 9.0))
+      q.processAllAvailable()
+      src.addData(Event(2L, ts(61), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+      assert(closed.length == 2, "expected the silent user's final session to time out")
+      assert(closed.map(_.getAs[Double]("sum_value")).sorted.toSeq == Seq(3.0, 4.0))
     } finally q.stop()
   }
 
