@@ -28,6 +28,25 @@ class TiffMetaSpec extends AnyFunSuite {
     assert(m.valid && m.width == 1024 && m.height == 768)
   }
 
+  test("multi-sample BitsPerSample (count=3 behind an offset) reads the first value") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // real RGB TIFFs store tag 258 as three shorts at an offset
+    val nEntries = 3
+    val ifd = 8
+    val valOff = ifd + 2 + nEntries * 12 + 4
+    val buf = ByteBuffer.allocate(valOff + 6).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd)
+    buf.putShort(nEntries.toShort)
+    buf.putShort(256).putShort(4).putInt(1).putInt(640)
+    buf.putShort(257).putShort(4).putInt(1).putInt(480)
+    buf.putShort(258).putShort(3).putInt(3).putInt(valOff)   // offset, not value
+    buf.putInt(0)
+    buf.putShort(8).putShort(8).putShort(8)
+    val m = TiffMeta.parse(buf.array())
+    assert(m.valid && m.width == 640 && m.height == 480)
+    assert(m.bitsPerSample == 8, s"got ${m.bitsPerSample} (would be a pointer fragment pre-fix)")
+  }
+
   test("garbage and truncated input is invalid, not an exception") {
     assert(!TiffMeta.parse(null).valid)
     assert(!TiffMeta.parse(Array[Byte](1, 2, 3)).valid)
