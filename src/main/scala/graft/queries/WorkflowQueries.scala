@@ -82,6 +82,40 @@ object WorkflowQueries {
       |FROM imgs i LEFT JOIN xmls x ON i.stem = x.stem
       |ORDER BY chip_name""".stripMargin
 
+  // ------------------------------------------------------------------ P9: verifier null-update
+  /** Verification allocation (`src/az_proc.py:709-758`, P9): blank verifier
+    * columns are filled round-robin on allocation; already-assigned rows
+    * keep their verifier (`when(length(c)===0, v).otherwise(c)`). */
+  private val p9VerifierUpdate: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val base = o.select(
+      concat(lit("chip_"), col("o_orderkey")).as("chip_name"),
+      // a third of rows arrive pre-assigned, the rest blank
+      when(col("o_orderkey") % 3 === 0, concat(lit("verifier_pre_"), col("o_orderkey") % 2))
+        .otherwise(lit("")).as("annotator_verify_coverage"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("chip_name"))))
+    base.select(col("chip_name"),
+        when(length(col("annotator_verify_coverage")) === 0,
+          concat(lit("verifier_"), ((col("rn") - 1) % 2).cast("int")))
+          .otherwise(col("annotator_verify_coverage")).as("annotator_verify_coverage"))
+      .orderBy("chip_name")
+  }
+
+  private val p9VerifierUpdateSql =
+    """WITH base AS (
+      |  SELECT 'chip_' || CAST(o_orderkey AS VARCHAR) AS chip_name,
+      |    CASE WHEN o_orderkey % 3 = 0
+      |         THEN 'verifier_pre_' || CAST(o_orderkey % 2 AS VARCHAR)
+      |         ELSE '' END AS cov
+      |  FROM orders),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY chip_name) AS rn FROM base)
+      |SELECT chip_name,
+      |  CASE WHEN length(cov) = 0
+      |       THEN 'verifier_' || CAST(CAST((rn - 1) % 2 AS INTEGER) AS VARCHAR)
+      |       ELSE cov END AS annotator_verify_coverage
+      |FROM ranked ORDER BY chip_name""".stripMargin
+
   // ------------------------------------------------------------------ skew-safe salted agg
   /** Two-phase aggregation with a deterministic salt: partial agg on
     * (key, salt) spreads a hot key over the cluster before the final
@@ -160,6 +194,7 @@ object WorkflowQueries {
   val queries: Map[String, Q] = Map(
     "e2_allocation_rounds" -> e2AllocationRounds,
     "tracker_build" -> trackerBuild,
+    "p9_verifier_update" -> p9VerifierUpdate,
     "a12_salted_agg" -> a12SaltedAgg,
     "a11_approx_distinct" -> a11ApproxDistinct,
     "g1_chip_pad" -> g1ChipPad
@@ -168,6 +203,7 @@ object WorkflowQueries {
   val oracle: Map[String, String] = Map(
     "e2_allocation_rounds" -> e2AllocationRoundsSql,
     "tracker_build" -> trackerBuildSql,
+    "p9_verifier_update" -> p9VerifierUpdateSql,
     "a12_salted_agg" -> a12SaltedAggSql,
     "a11_approx_distinct" -> a11ApproxDistinctSql,
     "g1_chip_pad" -> g1ChipPadSql
