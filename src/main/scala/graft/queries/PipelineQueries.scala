@@ -90,6 +90,22 @@ object PipelineQueries {
   private val e1Inventory: Q = (spark, dir) =>
     TankInventory.inventory(spark, dir).orderBy("tile_id", "cluster_id")
 
+  /** Key-filtered merge through the custom operator: the
+    * PushFilterThroughMergeBoxes rule moves the tile predicate below the
+    * operator (and on into the scan), so this exercises the optimizer rule
+    * inside the correctness gate, not just in a plan-string spec. */
+  private val a8dMergeFiltered: Q = (spark, dir) => {
+    val merged = graft.plans.MergeBoxesApi.mergeBoxes(TankInventory.boxes(spark, dir))
+    merged.filter(col("key").isin("1", "2", "3"))
+      .orderBy("key", "cluster_id")
+  }
+
+  private val a8dMergeFilteredSql =
+    s"""WITH RECURSIVE $e1CoreSql
+       |SELECT key, cluster_id, minx, miny, maxx, maxy, n_boxes, object_class, merged
+       |FROM clusters WHERE key IN ('1', '2', '3')
+       |ORDER BY key, cluster_id""".stripMargin
+
   private val e1InventorySql =
     s"""WITH RECURSIVE $e1CoreSql
        |SELECT tile_id, cluster_id, minx, miny, maxx, maxy, n_boxes, object_class, merged,
@@ -293,6 +309,7 @@ object PipelineQueries {
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "e1_inventory" -> e1Inventory,
+    "a8d_merge_filtered" -> a8dMergeFiltered,
     "e3_inventory_crosstab" -> e3InventoryCrosstab,
     "io_csv_roundtrip" -> ioCsvRoundtrip,
     "io_json_roundtrip" -> ioJsonRoundtrip,
@@ -304,6 +321,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "e1_inventory" -> e1InventorySql,
+    "a8d_merge_filtered" -> a8dMergeFilteredSql,
     "e3_inventory_crosstab" -> e3InventoryCrosstabSql,
     "io_csv_roundtrip" -> ioCsvRoundtripSql,
     "io_json_roundtrip" -> ioJsonRoundtripSql,
