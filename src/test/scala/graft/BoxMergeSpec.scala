@@ -83,6 +83,39 @@ class BoxMergeSpec extends AnyFunSuite {
     assert(BoxMerge.clusterGroup(agree, 5).head.object_class == "water_tower")
   }
 
+  test("clusters equal an independent BFS transitive-closure computation") {
+    val rng = new scala.util.Random(2024)
+    (1 to 100).foreach { _ =>
+      val boxes = randomBoxes(rng, 14)
+      // independent algorithm: BFS over the explicit adjacency relation
+      val n = boxes.size
+      val adj = Array.tabulate(n, n)((i, j) =>
+        i != j && BoxMerge.similar(boxes(i), boxes(j), 5))
+      val comp = Array.fill(n)(-1)
+      var c = 0
+      (0 until n).foreach { s =>
+        if (comp(s) < 0) {
+          var frontier = List(s)
+          while (frontier.nonEmpty) {
+            val v = frontier.head; frontier = frontier.tail
+            if (comp(v) < 0) {
+              comp(v) = c
+              (0 until n).foreach(u => if (adj(v)(u) && comp(u) < 0) frontier ::= u)
+            }
+          }
+          c += 1
+        }
+      }
+      val bfsClusters = (0 until n).groupBy(comp).values.map { members =>
+        val bs = members.map(boxes)
+        val labels = bs.map(_.label).distinct
+        (bs.map(_.x1).min, bs.map(_.y1).min, bs.map(_.x2).max, bs.map(_.y2).max,
+          bs.size, if (labels.size > 1) "undefined_object" else labels.head, bs.size > 1)
+      }.toSeq.sorted
+      assert(canon(BoxMerge.clusterGroup(boxes, 5)) == bfsClusters)
+    }
+  }
+
   test("gap semantics: 5px gap with covering interval merges, 6px does not") {
     def pair(gapPx: Int) = Seq(
       Box("t", 0, 0, 30, 40, "water_tower"),
