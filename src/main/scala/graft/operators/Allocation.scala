@@ -19,11 +19,15 @@ import graft.io.Sinks
   */
 object Allocation {
 
-  /** One allocation round: returns (allocated-with-annotator, remaining). */
+  /** One allocation round: returns (allocated-with-annotator, remaining).
+    *
+    * The rank comes from [[GlobalRank]] (range shuffle + per-partition
+    * row_number + broadcast offsets), NOT an un-partitioned window — the
+    * round-1 `Window.orderBy(...)` form planned a single-partition sort of
+    * the whole remaining catalog, the classic global-window scale-killer. */
   def allocate(remaining: DataFrame, orderCols: Seq[String],
                n: Int, annotators: Seq[String]): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(orderCols.map(col): _*)
-    val ranked = remaining.withColumn("rn", row_number().over(w))
+    val ranked = GlobalRank.withGlobalRowNumber(remaining, orderCols.map(col), "rn")
     val allocated = ranked.filter(col("rn") <= n)
       .withColumn("annotator",
         element_at(array(annotators.map(lit): _*),

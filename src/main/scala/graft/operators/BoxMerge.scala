@@ -22,15 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object BoxMerge {
 
-  /** One annotation box in tile-frame pixels. `key` is the grouping tile. */
-  case class Box(key: String, x1: Int, y1: Int, x2: Int, y2: Int, label: String)
+  /** One annotation box in tile-frame pixels. `key` is the grouping tile;
+    * `chip` names the 512-px chip image the box was annotated on (the
+    * reference's `chip_name`, `src/form_calcs.py:704-714`). */
+  case class Box(key: String, x1: Int, y1: Int, x2: Int, y2: Int, label: String,
+                 chip: String)
 
-  /** A merged cluster: envelope, member count, conflict-resolved class.
-    * `cluster_id` = 1-based rank of the cluster's first member in the
-    * canonical per-tile box order. */
+  /** A merged cluster: envelope, member count, conflict-resolved class, and
+    * the sorted distinct chip names of the contributing boxes (the
+    * reference unions `chip_name`s as it merges, `src/form_calcs.py:770-779`;
+    * downstream flattens the lists to select images,
+    * `make-complete-dataset.py:45-47`). `cluster_id` = 1-based rank of the
+    * cluster's first member in the canonical per-tile box order. */
   case class Cluster(key: String, cluster_id: Int,
                      minx: Int, miny: Int, maxx: Int, maxy: Int,
-                     n_boxes: Int, object_class: String, merged: Boolean)
+                     n_boxes: Int, object_class: String, merged: Boolean,
+                     chip_names: Seq[String])
 
   /** `calc_sim` (`src/form_calcs.py:716-750`): containment either way, or a
     * <=gap px gap on one axis while the other axis' interval covers. */
@@ -72,14 +79,17 @@ object BoxMerge {
         maxx = bs.map(_.x2).max, maxy = bs.map(_.y2).max,
         n_boxes = bs.size,
         object_class = if (labels.size > 1) "undefined_object" else labels.head,
-        merged = bs.size > 1)
+        merged = bs.size > 1,
+        chip_names = bs.map(_.chip).distinct.sorted)
     }.toSeq
   }
 
   /** Canonical in-tile ordering (must match any external oracle that
-    * assigns ids by row_number over the same columns). */
+    * assigns ids by row_number over the same columns). `chip` is a
+    * trailing tiebreaker only; coordinate-identical boxes always land in
+    * the same cluster, so cluster output is chip-order-independent. */
   private def canonicalSort(boxes: Seq[Box]): Seq[Box] =
-    boxes.sortBy(b => (b.x1, b.y1, b.x2, b.y2, b.label))
+    boxes.sortBy(b => (b.x1, b.y1, b.x2, b.y2, b.label, b.chip))
 
   /** Distributed merge: one shuffle (partial-agg collect per tile), then
     * per-group union-find. */
@@ -89,11 +99,11 @@ object BoxMerge {
     ds.toDF()
       .groupBy("key")
       .agg(sort_array(collect_list(struct(
-        col("x1"), col("y1"), col("x2"), col("y2"), col("label")))).as("boxes"))
-      .as[(String, Seq[(Int, Int, Int, Int, String)])]
+        col("x1"), col("y1"), col("x2"), col("y2"), col("label"), col("chip")))).as("boxes"))
+      .as[(String, Seq[(Int, Int, Int, Int, String, String)])]
       .flatMap { case (key, packed) =>
-        val boxes = packed.map { case (x1, y1, x2, y2, label) =>
-          Box(key, x1, y1, x2, y2, label)
+        val boxes = packed.map { case (x1, y1, x2, y2, label, chip) =>
+          Box(key, x1, y1, x2, y2, label, chip)
         }
         // sort_array on the struct already yields canonical order, but the
         // contract belongs to the operator, not the packing detail
@@ -102,10 +112,10 @@ object BoxMerge {
   }
 
   /** Convenience: merge straight from a DataFrame with
-    * (key, x1, y1, x2, y2, label) columns. */
+    * (key, x1, y1, x2, y2, label, chip) columns. */
   def mergeFrame(df: DataFrame, gap: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    merge(df.select("key", "x1", "y1", "x2", "y2", "label").as[Box], gap).toDF()
+    merge(df.select("key", "x1", "y1", "x2", "y2", "label", "chip").as[Box], gap).toDF()
   }
 }

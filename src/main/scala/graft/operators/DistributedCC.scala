@@ -27,13 +27,13 @@ object DistributedCC {
 
   val CellPx = 64
 
-  /** (key, x1, y1, x2, y2, label) -> clusters identical to
+  /** (key, x1, y1, x2, y2, label, chip) -> clusters identical to
     * [[BoxMerge.mergeFrame]] (hash-equal output schema and values). */
   def mergeUnbounded(df: DataFrame, gap: Int = 5, maxIter: Int = 50): DataFrame = {
     val spark = df.sparkSession
 
-    val idw = Window.partitionBy("key").orderBy("x1", "y1", "x2", "y2", "label")
-    val boxes = df.select("key", "x1", "y1", "x2", "y2", "label")
+    val idw = Window.partitionBy("key").orderBy("x1", "y1", "x2", "y2", "label", "chip")
+    val boxes = df.select("key", "x1", "y1", "x2", "y2", "label", "chip")
       .withColumn("id", row_number().over(idw).cast("int"))
       .localCheckpoint()
 
@@ -87,8 +87,15 @@ object DistributedCC {
       prevSum = nextSum
       iter += 1
     }
+    // a component with diameter > maxIter would silently return wrong
+    // clusters — fail loudly instead of defeating the hash-identical
+    // contract with BoxMerge on pathological inputs
+    require(converged,
+      s"Hash-Min connected components did not converge in $maxIter iterations; " +
+        "raise maxIter (component diameter exceeds the bound)")
 
-    // 5. cluster aggregation (identical semantics + schema to BoxMerge)
+    // 5. cluster aggregation (identical semantics + schema to BoxMerge;
+    //    chip_names = sorted distinct member chips, form_calcs.py:770-779)
     boxes.join(comps, Seq("key", "id"))
       .groupBy("key", "comp")
       .agg(
@@ -97,9 +104,10 @@ object DistributedCC {
         count(lit(1)).cast("int").as("n_boxes"),
         when(countDistinct(col("label")) > 1, "undefined_object")
           .otherwise(min(col("label"))).as("object_class"),
-        (count(lit(1)) > 1).as("merged"))
+        (count(lit(1)) > 1).as("merged"),
+        sort_array(collect_set(col("chip"))).as("chip_names"))
       .withColumnRenamed("comp", "cluster_id")
       .select("key", "cluster_id", "minx", "miny", "maxx", "maxy",
-        "n_boxes", "object_class", "merged")
+        "n_boxes", "object_class", "merged", "chip_names")
   }
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global row numbering (VERDICT "What's wrong" #1).
+  *
+  * `row_number() OVER (ORDER BY ...)` with no partitioning plans as a
+  * single-partition sort — every row funnels through one task, a
+  * scale-killer on any catalog-sized input. This operator computes the
+  * identical rank in three distributed steps, all declarative:
+  *
+  *  1. range-repartition on the sort key (the same sampled RangePartitioner
+  *     shuffle a global sort uses — partitions hold disjoint, ordered key
+  *     ranges);
+  *  2. per-partition counts -> cumulative offsets. The count aggregation is
+  *     tiny (one row per shuffle partition), so the offset window runs over
+  *     ~#partitions rows, and the offsets join back as a broadcast;
+  *  3. `row_number` partitioned by `spark_partition_id()` (parallel) plus
+  *     the partition's offset.
+  *
+  * Ties across partitions: the RangePartitioner assigns equal keys to one
+  * partition, so ranks are total and deterministic whenever the sort key
+  * is (callers pass a unique key suffix, as they would for any global
+  * order).
+  */
+object GlobalRank {
+
+  /** Adds `outCol` = 1-based global rank under `orderCols`. */
+  def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column],
+                          outCol: String): DataFrame = {
+    val parted = df.repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    val local = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    parted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, (row_number().over(local) + col("__offset")).cast("long"))
+      .drop("__pid", "__offset")
+  }
+}

@@ -48,25 +48,58 @@ object TextPipeline {
     shingled.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding over a minhash signature: band value = concat of its rows.
-    * Candidate pairs are ids sharing any band value — the classic
-    * shingle -> minhash -> band -> bucket-join pipeline; each band join is
-    * an equi-join on the band hash, so Spark shuffles on band value and
-    * never compares documents across buckets. */
-  def lshCandidatePairs(sig: DataFrame, idCol: String,
-                        numHashes: Int, bands: Int): DataFrame = {
+  /** One row per (band, band_val, id) for a minhash signature frame. */
+  private def bandedRows(sig: DataFrame, idCol: String,
+                         numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val banded = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       sig.select(col(idCol), concat_ws("|", bandCols: _*).as("band_val"))
         .withColumn("band", lit(b))
     }.reduce(_ unionByName _)
+  }
+
+  /** Default bucket-size cap: a band bucket of b docs yields b(b-1)/2
+    * candidate pairs on one shuffle key, so uncapped buckets turn heavy
+    * boilerplate into a quadratic blow-up on a single task — the classic
+    * dedup skew failure at corpus scale. 1000 docs -> ~500k pairs per
+    * bucket, still a bounded task. */
+  val DefaultMaxBucket = 1000
+
+  /** LSH banding over a minhash signature: band value = concat of its rows.
+    * Candidate pairs are ids sharing any band value — the classic
+    * shingle -> minhash -> band -> bucket-join pipeline; each band join is
+    * an equi-join on the band hash, so Spark shuffles on band value and
+    * never compares documents across buckets.
+    *
+    * Buckets larger than `maxBucket` are DROPPED from pair generation (the
+    * count comes from a window over the same shuffle key the join uses, so
+    * the cap costs no extra shuffle). A bucket that big means the band
+    * value is boilerplate, not signal; the dropped buckets are auditable
+    * via [[lshDroppedBuckets]] with the same arguments. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+                        numHashes: Int, bands: Int,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = bandedRows(sig, idCol, numHashes, bands)
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_val")))
+      .filter(col("bucket_n") <= maxBucket)
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_val"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** Audit output for the cap: one row per dropped (band, band_val) with
+    * its size — "what did dedup refuse to pair, and how big was it". */
+  def lshDroppedBuckets(sig: DataFrame, idCol: String,
+                        numHashes: Int, bands: Int,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandedRows(sig, idCol, numHashes, bands)
+      .groupBy("band", "band_val")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
 
   /** Estimated jaccard from signature agreement of two joined signatures
     * (columns suffixed _a / _b). */

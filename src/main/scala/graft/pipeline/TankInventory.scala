@@ -4,9 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GeoUtm
 import graft.io.Tables
-import graft.operators.BoxMerge
 
 /** E1 — the flagship pipeline (`tile-level-annotation.py`, SURVEY.md §3):
   * annotation boxes -> per-tile connected-component merge -> UTM
@@ -18,8 +16,9 @@ import graft.operators.BoxMerge
   * the tile key, the county table is broadcast, and everything else is
   * column arithmetic inside codegen. Domain inputs are synthesized
   * deterministically from the driver corpus so a DuckDB oracle can replay
-  * every relational step (WGS84 columns are checked as range invariants —
-  * DuckDB has no transverse-Mercator).
+  * every relational step, including the WGS84 columns — the
+  * [[graft.functions.GeoPortable]] transform is bit-identical between the
+  * JVM and the DuckDB SQL it renders, so lat/lon hash-compare as values.
   *
   * Synthetic georeferencing: 1000 tiles on a UTM zone-16 grid
   * (6000x5000 px at 0.6 m/px), 25 rectangular counties tiling the same
@@ -32,7 +31,9 @@ object TankInventory {
 
   /** Annotation boxes from lineitem, keyed by synthetic tile id (0..999).
     * Box identity is positional in the canonical order (assigned inside
-    * BoxMerge — no window pass needed; corpus line numbers are not unique). */
+    * BoxMerge — no window pass needed; corpus line numbers are not unique).
+    * `chip` is the 512-px chip image the box sits on (`tile_chip_row_col`,
+    * the reference's chip naming, `src/form_calcs.py:704-714`). */
   def boxes(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     l.select(
@@ -45,16 +46,22 @@ object TankInventory {
         when(col("x1") % 3 === 0, "closed_roof_tank")
           .when(col("x1") % 3 === 1, "water_tower")
           .otherwise("spherical_tank"))
+      .withColumn("chip", concat(col("key"), lit("_chip_"),
+        floor(col("y1") / 512).cast("int"), lit("_"),
+        floor(col("x1") / 512).cast("int")))
   }
 
   /** NW-corner UTM georef for a tile id (zone 16 grid). */
   private def nwX(tid: org.apache.spark.sql.Column) = lit(300000) + (tid % 40) * 5000
   private def nwY(tid: org.apache.spark.sql.Column) = lit(3600000) + floor(tid / 40) * 5000
 
-  /** 25 rectangular counties tiling the UTM extent. */
+  /** 25 rectangular counties tiling the UTM extent, 5 per state (the
+    * reference keys its distribution reports by `state_fips` and
+    * `county_id`, `distribution_by_county_state.py:28-41`). */
   def counties(spark: SparkSession, dir: String): DataFrame =
     Tables.nation(spark, dir).select(
       col("n_nationkey").as("county_key"),
+      floor(col("n_nationkey") / 5).cast("int").as("state_key"),
       (lit(280000) + (col("n_nationkey") % 5) * 48000).cast("double").as("kx1"),
       (lit(3590000) + floor(col("n_nationkey") / 5) * 30000).cast("double").as("ky1"))
       .withColumn("kx2", col("kx1") + 48000)
@@ -80,9 +87,12 @@ object TankInventory {
       .withColumn("diameter_m",
         least(col("maxx") - col("minx"), col("maxy") - col("miny")) * MetresPerPx)
 
-    // 3. WGS84 centroid via the pure-Scala transverse-Mercator inverse
+    // 3. WGS84 centroid via the engine-portable transverse-Mercator
+    //    inverse: its output is bit-identical to the DuckDB SQL the oracle
+    //    runs, so lat/lon are emitted as full-precision doubles and
+    //    hash-compared as ordinary values (`src/form_calcs.py:919,975-984`)
     val wgs = geo.withColumn("ll",
-        GeoUtm.wgs84FromUtm(col("cx_utm"), col("cy_utm"), lit(UtmZone)))
+        graft.functions.GeoPortable.wgs84FromUtm(col("cx_utm"), col("cy_utm"), lit(UtmZone)))
       .withColumn("geo_ok",
         col("ll._1").between(30.0, 36.0) && col("ll._2").between(-91.0, -85.0))
 
@@ -102,29 +112,47 @@ object TankInventory {
         col("tile_id"), col("cluster_id"),
         col("minx"), col("miny"), col("maxx"), col("maxy"),
         col("n_boxes"), col("object_class"), col("merged"),
+        array_join(col("chip_names"), ",").as("chip_names"),
         round(col("cx_utm"), 2).as("cx_utm"),
         round(col("cy_utm"), 2).as("cy_utm"),
         round(col("diameter_m"), 2).as("diameter_m"),
-        col("county_key"),
+        col("ll._1").as("lat"),
+        col("ll._2").as("lon"),
+        col("county_key"), col("state_key"),
         round(col("overlap_m2"), 2).as("overlap_m2"),
         col("geo_ok"))
   }
 
-  /** E3 — county x class crosstab with margins over the inventory
-    * (`distribution_by_county_state.py:32-48`). */
-  def crosstab(spark: SparkSession, dir: String): DataFrame = {
+  val Classes = Seq("closed_roof_tank", "water_tower", "spherical_tank", "undefined_object")
+
+  /** E3 — {state, county} x class crosstabs with margins over the
+    * inventory, count or percent-of-grand-total form — the reference's four
+    * distribution reports (`distribution_by_county_state.py:32-48`;
+    * pandas `crosstab(margins=True[, normalize=True])` divides every cell,
+    * margins included, by the grand total). Percent cells are emitted as
+    * raw long/long double quotients — both engines evaluate the identical
+    * division, so no rounding is needed for the hash compare. */
+  def crosstab(spark: SparkSession, dir: String, dim: String = "county_key",
+               percent: Boolean = false): DataFrame = {
     val inv = inventory(spark, dir)
-    val classes = Seq("closed_roof_tank", "water_tower", "spherical_tank", "undefined_object")
-    val aggs = classes.map(c => count(when(col("object_class") === c, 1)).as(c))
-    // cache the per-county counts: the margin row reads them again, and
+    val aggs = Classes.map(c => count(when(col("object_class") === c, 1)).as(c))
+    // cache the per-dim counts: the margin row reads them again, and
     // without the cache the whole inventory pipeline would run twice
-    val base = inv.groupBy("county_key").agg(aggs.head, aggs.tail: _*)
-      .withColumn("total", classes.map(col).reduce(_ + _))
+    val base = inv.groupBy(dim).agg(aggs.head, aggs.tail: _*)
+      .withColumn("total", Classes.map(col).reduce(_ + _))
       .cache()
-    val marginAggs = classes.map(c => sum(col(c)).as(c)) :+ sum(col("total")).as("total")
+    val marginAggs = Classes.map(c => sum(col(c)).as(c)) :+ sum(col("total")).as("total")
     val margin = base.groupBy().agg(marginAggs.head, marginAggs.tail: _*)
-      .withColumn("county_key", lit(-1))
-    base.unionByName(margin.select(base.columns.map(col).toIndexedSeq: _*))
-      .orderBy(col("total").desc, col("county_key"))
+      .withColumn(dim, lit(-1))
+    val all = base.unionByName(margin.select(base.columns.map(col).toIndexedSeq: _*))
+    val out =
+      if (!percent) all
+      else {
+        val grand = base.agg(sum(col("total")).as("grand"))
+        all.crossJoin(broadcast(grand))
+          .select(col(dim) +:
+            (Classes :+ "total").map(c => (col(c) / col("grand")).as(c)): _*)
+      }
+    out.orderBy(col("total").desc, col(dim))
   }
 }

@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, HashPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.BoxMerge
@@ -22,16 +23,25 @@ import graft.operators.BoxMerge
   * buffer whole groups through an ObjectHashAggregate (`collect_list`).
   * This Exec instead *declares* its distribution + ordering needs —
   * `ClusteredDistribution(key)` with an in-partition sort on
-  * (key, x1, y1, x2, y2, label) — so Catalyst plans one exchange (or none,
-  * if the child is already clustered), and the operator streams sorted
-  * runs: buffer one tile's rows, union-find, emit, release.
+  * (key, x1, y1, x2, y2, label, chip) — so Catalyst plans one exchange (or
+  * none, if the child is already clustered), and the operator streams
+  * sorted runs: buffer one tile's rows, union-find, emit, release.
   *
   * Output and semantics are identical to [[graft.operators.BoxMerge]]
-  * (ids = 1-based canonical positions, conflict -> undefined_object).
+  * (ids = 1-based canonical positions, conflict -> undefined_object,
+  * chip_names = sorted distinct member chips per
+  * `src/form_calcs.py:770-779`).
+  *
+  * Output attributes are a constructor parameter minted fresh per operator
+  * instance ([[MergeBoxesPlan.freshOutput]]): a shared object-level val
+  * would make two merge operators in one query (self-join, union) emit
+  * duplicate ExprIds across branches, which DeduplicateRelations cannot fix
+  * for a custom node.
   */
-case class MergeBoxesPlan(gap: Int, child: LogicalPlan) extends UnaryNode {
+case class MergeBoxesPlan(gap: Int, child: LogicalPlan,
+                          outputAttrs: Seq[Attribute]) extends UnaryNode {
 
-  override def output: Seq[Attribute] = MergeBoxesPlan.outputAttrs
+  override def output: Seq[Attribute] = outputAttrs
 
   /** The operator consumes every child column positionally — without this,
     * ColumnPruning sees no expression references and strips the child. */
@@ -43,8 +53,9 @@ case class MergeBoxesPlan(gap: Int, child: LogicalPlan) extends UnaryNode {
 }
 
 object MergeBoxesPlan {
-  /** (key, cluster_id, minx, miny, maxx, maxy, n_boxes, object_class, merged) */
-  val outputAttrs: Seq[Attribute] = Seq(
+  /** (key, cluster_id, minx, miny, maxx, maxy, n_boxes, object_class,
+    * merged, chip_names) with fresh ExprIds. */
+  def freshOutput(): Seq[Attribute] = Seq(
     AttributeReference("key", StringType, nullable = false)(),
     AttributeReference("cluster_id", IntegerType, nullable = false)(),
     AttributeReference("minx", IntegerType, nullable = false)(),
@@ -53,14 +64,17 @@ object MergeBoxesPlan {
     AttributeReference("maxy", IntegerType, nullable = false)(),
     AttributeReference("n_boxes", IntegerType, nullable = false)(),
     AttributeReference("object_class", StringType, nullable = false)(),
-    AttributeReference("merged", BooleanType, nullable = false)())
+    AttributeReference("merged", BooleanType, nullable = false)(),
+    AttributeReference("chip_names", ArrayType(StringType, containsNull = false),
+      nullable = false)())
 }
 
-case class MergeBoxesExec(gap: Int, child: SparkPlan) extends UnaryExecNode {
+case class MergeBoxesExec(gap: Int, child: SparkPlan,
+                          outputAttrs: Seq[Attribute]) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = MergeBoxesPlan.outputAttrs
+  override def output: Seq[Attribute] = outputAttrs
 
-  // child columns are positional: key, x1, y1, x2, y2, label
+  // child columns are positional: key, x1, y1, x2, y2, label, chip
   private def keyAttr = child.output.head
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -69,7 +83,18 @@ case class MergeBoxesExec(gap: Int, child: SparkPlan) extends UnaryExecNode {
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(child.output.map(a => SortOrder(a, Ascending)))
 
-  override def outputPartitioning: Partitioning = child.outputPartitioning
+  /** Rows stay clustered on the tile key, but the SparkPlan contract
+    * requires the partitioning to be expressed over THIS operator's output
+    * attributes — forwarding the child's (whose expressions reference child
+    * attributes) would make downstream distribution checks never match and
+    * AQE see an inconsistent partitioning. Remap the common case (hash on
+    * the key), declare Unknown otherwise. */
+  override def outputPartitioning: Partitioning = child.outputPartitioning match {
+    case h: HashPartitioning if h.expressions.length == 1 &&
+        h.expressions.head.semanticEquals(keyAttr) =>
+      HashPartitioning(Seq(output.head), h.numPartitions)
+    case p => UnknownPartitioning(p.numPartitions)
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val g = gap
@@ -89,15 +114,17 @@ case class MergeBoxesExec(gap: Int, child: SparkPlan) extends UnaryExecNode {
             val r = in.next()
             boxes += BoxMerge.Box(key.toString,
               r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
-              r.getUTF8String(5).toString)
+              r.getUTF8String(5).toString, r.getUTF8String(6).toString)
           }
-          // rows arrive sorted on (key, x1, y1, x2, y2, label) — already the
-          // canonical order, so positional ids match the library operator
+          // rows arrive sorted on (key, x1, y1, x2, y2, label, chip) —
+          // already the canonical order, so positional ids match the
+          // library operator
           out = BoxMerge.clusterGroup(boxes.toSeq, g).iterator.map { c =>
             proj(InternalRow(
               UTF8String.fromString(c.key), c.cluster_id,
               c.minx, c.miny, c.maxx, c.maxy,
-              c.n_boxes, UTF8String.fromString(c.object_class), c.merged))
+              c.n_boxes, UTF8String.fromString(c.object_class), c.merged,
+              new GenericArrayData(c.chip_names.map(UTF8String.fromString).toArray[Any])))
           }
         }
 
@@ -118,7 +145,7 @@ case class MergeBoxesExec(gap: Int, child: SparkPlan) extends UnaryExecNode {
 /** Planner strategy mapping the logical node to the Exec. */
 object MergeBoxesStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case MergeBoxesPlan(gap, child) => MergeBoxesExec(gap, planLater(child)) :: Nil
+    case MergeBoxesPlan(gap, child, out) => MergeBoxesExec(gap, planLater(child), out) :: Nil
     case _ => Nil
   }
 }
@@ -134,7 +161,7 @@ object PushFilterThroughMergeBoxes
   import org.apache.spark.sql.catalyst.plans.logical.Filter
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, m @ MergeBoxesPlan(gap, child)) =>
+    case f @ Filter(cond, m @ MergeBoxesPlan(gap, child, out)) =>
       val outKey = m.output.head
       val childKey = child.output.head
       val (pushable, kept) =
@@ -145,7 +172,7 @@ object PushFilterThroughMergeBoxes
         val pushed = pushable
           .map(_.transform { case a: AttributeReference if a.exprId == outKey.exprId => childKey })
           .reduce(And)
-        val below = MergeBoxesPlan(gap, Filter(pushed, child))
+        val below = MergeBoxesPlan(gap, Filter(pushed, child), out)
         if (kept.isEmpty) below else Filter(kept.reduce(And), below)
       }
   }
@@ -163,12 +190,13 @@ object MergeBoxesApi {
     }
   }
 
-  /** Native merge over a (key, x1, y1, x2, y2, label) DataFrame. */
+  /** Native merge over a (key, x1, y1, x2, y2, label, chip) DataFrame. */
   def mergeBoxes(df: DataFrame, gap: Int = 5): DataFrame = {
     val spark = df.sparkSession
     install(spark)
-    val projected = df.select("key", "x1", "y1", "x2", "y2", "label")
+    val projected = df.select("key", "x1", "y1", "x2", "y2", "label", "chip")
     org.apache.spark.sql.GraftSqlShim.ofRows(
-      spark, MergeBoxesPlan(gap, projected.queryExecution.analyzed))
+      spark, MergeBoxesPlan(gap, projected.queryExecution.analyzed,
+        MergeBoxesPlan.freshOutput()))
   }
 }

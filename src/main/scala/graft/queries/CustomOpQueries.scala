@@ -24,6 +24,14 @@ object CustomOpQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Chip image a box was annotated on: the 128-px grid cell, named
+    * `key_cROW_COL` (globally unique, like the reference's chip names).
+    * Derived from coordinates, so coordinate-identical boxes share a chip
+    * and id assignment stays deterministic in every engine. */
+  private def chipOf =
+    concat(col("key"), lit("_c"), floor(col("y1") / 128).cast("int"),
+      lit("_"), floor(col("x1") / 128).cast("int"))
+
   // ------------------------------------------------------------------ A8: merge clustering
   private val a8MergeClusters: Q = (spark, dir) => {
     // box identity = position in the canonical (x1,y1,x2,y2,label) order,
@@ -39,11 +47,14 @@ object CustomOpQueries {
       when(col("l_partkey") % 3 === 0, "closed_roof_tank")
         .when(col("l_partkey") % 3 === 1, "water_tower")
         .otherwise("spherical_tank").as("label"))
-    BoxMerge.mergeFrame(raw).orderBy("key", "cluster_id")
+      .withColumn("chip", chipOf)
+    BoxMerge.mergeFrame(raw)
+      .withColumn("chip_names", array_join(col("chip_names"), ","))
+      .orderBy("key", "cluster_id")
   }
 
-  private val a8MergeClustersSql =
-    """WITH RECURSIVE raw AS (
+  private val a8CoreSql =
+    """raw AS (
       |  SELECT CAST(l_orderkey AS VARCHAR) AS key,
       |    CAST(l_partkey * 13 % 300 AS INTEGER) AS x1,
       |    CAST(l_suppkey * 29 % 300 AS INTEGER) AS y1,
@@ -54,7 +65,9 @@ object CustomOpQueries {
       |         ELSE 'spherical_tank' END AS label
       |  FROM lineitem),
       |boxes AS (
-      |  SELECT *, CAST(row_number() OVER (PARTITION BY key
+      |  SELECT *,
+      |    key || '_c' || CAST(CAST(floor(y1 / 128.0) AS INTEGER) AS VARCHAR) || '_' || CAST(CAST(floor(x1 / 128.0) AS INTEGER) AS VARCHAR) AS chip,
+      |    CAST(row_number() OVER (PARTITION BY key
       |    ORDER BY x1, y1, x2, y2, label) AS INTEGER) AS id
       |  FROM raw),
       |edges AS (
@@ -73,14 +86,18 @@ object CustomOpQueries {
       |  SELECT r.key, r.src, e.dst FROM reach r
       |  JOIN edges e ON r.key = e.key AND r.dst = e.src),
       |comp AS (
-      |  SELECT key, src AS id, min(dst) AS cluster_id FROM reach GROUP BY 1, 2)
+      |  SELECT key, src AS id, min(dst) AS cluster_id FROM reach GROUP BY 1, 2)""".stripMargin
+
+  private val a8MergeClustersSql =
+    s"""WITH RECURSIVE $a8CoreSql
       |SELECT b.key, c.cluster_id,
       |  min(b.x1) AS minx, min(b.y1) AS miny,
       |  max(b.x2) AS maxx, max(b.y2) AS maxy,
       |  CAST(count(*) AS INTEGER) AS n_boxes,
       |  CASE WHEN count(DISTINCT b.label) > 1 THEN 'undefined_object'
       |       ELSE min(b.label) END AS object_class,
-      |  count(*) > 1 AS merged
+      |  count(*) > 1 AS merged,
+      |  array_to_string(list_sort(list(DISTINCT b.chip)), ',') AS chip_names
       |FROM boxes b JOIN comp c ON b.key = c.key AND b.id = c.id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -98,7 +115,10 @@ object CustomOpQueries {
       when(col("l_partkey") % 3 === 0, "closed_roof_tank")
         .when(col("l_partkey") % 3 === 1, "water_tower")
         .otherwise("spherical_tank").as("label"))
-    graft.plans.MergeBoxesApi.mergeBoxes(raw).orderBy("key", "cluster_id")
+      .withColumn("chip", chipOf)
+    graft.plans.MergeBoxesApi.mergeBoxes(raw)
+      .withColumn("chip_names", array_join(col("chip_names"), ","))
+      .orderBy("key", "cluster_id")
   }
 
   /** Same clustering a third way: skew-proof Hash-Min connected components
@@ -115,8 +135,54 @@ object CustomOpQueries {
       when(col("l_partkey") % 3 === 0, "closed_roof_tank")
         .when(col("l_partkey") % 3 === 1, "water_tower")
         .otherwise("spherical_tank").as("label"))
-    graft.operators.DistributedCC.mergeUnbounded(raw).orderBy("key", "cluster_id")
+      .withColumn("chip", chipOf)
+    graft.operators.DistributedCC.mergeUnbounded(raw)
+      .withColumn("chip_names", array_join(col("chip_names"), ","))
+      .orderBy("key", "cluster_id")
   }
+
+  // ------------------------------------------------------------------ A10: cluster chip flatten + semi-join
+  /** Replays `make-complete-dataset.py:45-47` /
+    * `tile-level-annotation.py:113`: flatten the merged clusters' chip-name
+    * lists, dedupe, and select those images from the chip universe — the
+    * "images with (merged) annotations" that move into the complete
+    * dataset. Exercises the ArrayType output of the custom physical
+    * operator end-to-end (explode over MergeBoxesExec's chip_names). */
+  private val a10ClusterChips: Q = (spark, dir) => {
+    val l = Tables.lineitem(spark, dir)
+    val raw = l.select(
+      col("l_orderkey").cast("string").as("key"),
+      (col("l_partkey") * 13 % 300).cast("int").as("x1"),
+      (col("l_suppkey") * 29 % 300).cast("int").as("y1"),
+      (col("l_partkey") * 13 % 300 + 20 + col("l_partkey") % 40).cast("int").as("x2"),
+      (col("l_suppkey") * 29 % 300 + 20 + col("l_suppkey") % 40).cast("int").as("y2"),
+      when(col("l_partkey") % 3 === 0, "closed_roof_tank")
+        .when(col("l_partkey") % 3 === 1, "water_tower")
+        .otherwise("spherical_tank").as("label"))
+      .withColumn("chip", chipOf)
+    val selected = graft.plans.MergeBoxesApi.mergeBoxes(raw)
+      .filter(col("merged"))
+      .select(explode(col("chip_names")).as("image_name"))
+      .distinct()
+    // semi-join the chip universe against the flattened selection — the
+    // reference moves matching images out of the annotator directories
+    raw.select(col("chip").as("image_name")).distinct()
+      .join(selected, Seq("image_name"), "left_semi")
+      .orderBy("image_name")
+  }
+
+  private val a10ClusterChipsSql =
+    s"""WITH RECURSIVE $a8CoreSql,
+      |sizes AS (
+      |  SELECT b.key, c.cluster_id, count(*) AS n
+      |  FROM boxes b JOIN comp c ON b.key = c.key AND b.id = c.id
+      |  GROUP BY 1, 2)
+      |SELECT DISTINCT b.chip AS image_name
+      |FROM boxes b
+      |JOIN comp c ON b.key = c.key AND b.id = c.id
+      |JOIN sizes s ON s.key = b.key AND s.cluster_id = c.cluster_id
+      |WHERE s.n > 1
+      |ORDER BY image_name""".stripMargin
 
   // ------------------------------------------------------------------ geo: UTM round trip
   private val geoUtmRoundtrip: Q = (spark, dir) => {
@@ -186,6 +252,7 @@ object CustomOpQueries {
     "a8_merge_clusters" -> a8MergeClusters,
     "a8b_merge_native" -> a8bMergeNative,
     "a8c_merge_unbounded" -> a8cMergeUnbounded,
+    "a10_cluster_chips" -> a10ClusterChips,
     "geo_utm_roundtrip" -> geoUtmRoundtrip,
     "s7_voc_roundtrip" -> s7VocRoundtrip
   )
@@ -194,6 +261,7 @@ object CustomOpQueries {
     "a8_merge_clusters" -> a8MergeClustersSql,
     "a8b_merge_native" -> a8MergeClustersSql,
     "a8c_merge_unbounded" -> a8MergeClustersSql,
+    "a10_cluster_chips" -> a10ClusterChipsSql,
     "geo_utm_roundtrip" -> geoUtmRoundtripSql,
     "s7_voc_roundtrip" -> s7VocRoundtripSql
   )

@@ -32,7 +32,9 @@ object PipelineQueries {
       |         ELSE 'spherical_tank' END AS label
       |  FROM raw),
       |boxes AS (
-      |  SELECT *, CAST(row_number() OVER (PARTITION BY key
+      |  SELECT *,
+      |    key || '_chip_' || CAST(CAST(floor(y1 / 512.0) AS INTEGER) AS VARCHAR) || '_' || CAST(CAST(floor(x1 / 512.0) AS INTEGER) AS VARCHAR) AS chip,
+      |    CAST(row_number() OVER (PARTITION BY key
       |    ORDER BY x1, y1, x2, y2, label) AS INTEGER) AS id
       |  FROM raw2),
       |edges AS (
@@ -58,7 +60,8 @@ object PipelineQueries {
       |    CAST(count(*) AS INTEGER) AS n_boxes,
       |    CASE WHEN count(DISTINCT b.label) > 1 THEN 'undefined_object'
       |         ELSE min(b.label) END AS object_class,
-      |    count(*) > 1 AS merged
+      |    count(*) > 1 AS merged,
+      |    array_to_string(list_sort(list(DISTINCT b.chip)), ',') AS chip_names
       |  FROM boxes b JOIN comp c ON b.key = c.key AND b.id = c.id
       |  GROUP BY 1, 2),
       |geo AS (
@@ -70,13 +73,14 @@ object PipelineQueries {
       |  FROM clusters),
       |counties AS (
       |  SELECT n_nationkey AS county_key,
+      |    CAST(n_nationkey // 5 AS INTEGER) AS state_key,
       |    CAST(280000 + (n_nationkey % 5) * 48000 AS DOUBLE) AS kx1,
       |    CAST(3590000 + (n_nationkey // 5) * 30000 AS DOUBLE) AS ky1,
       |    CAST(280000 + (n_nationkey % 5) * 48000 + 48000 AS DOUBLE) AS kx2,
       |    CAST(3590000 + (n_nationkey // 5) * 30000 + 30000 AS DOUBLE) AS ky2
       |  FROM nation),
       |assigned AS (
-      |  SELECT g.*, k.county_key,
+      |  SELECT g.*, k.county_key, k.state_key,
       |    greatest(0.0, least(g.ex2, k.kx2) - greatest(g.ex1, k.kx1)) *
       |      greatest(0.0, least(g.ey2, k.ky2) - greatest(g.ey1, k.ky1)) AS overlap_m2,
       |    row_number() OVER (PARTITION BY g.tile_id, g.cluster_id
@@ -97,50 +101,80 @@ object PipelineQueries {
   private val a8dMergeFiltered: Q = (spark, dir) => {
     val merged = graft.plans.MergeBoxesApi.mergeBoxes(TankInventory.boxes(spark, dir))
     merged.filter(col("key").isin("1", "2", "3"))
+      .withColumn("chip_names", array_join(col("chip_names"), ","))
       .orderBy("key", "cluster_id")
   }
 
   private val a8dMergeFilteredSql =
     s"""WITH RECURSIVE $e1CoreSql
-       |SELECT key, cluster_id, minx, miny, maxx, maxy, n_boxes, object_class, merged
+       |SELECT key, cluster_id, minx, miny, maxx, maxy, n_boxes, object_class, merged,
+       |  chip_names
        |FROM clusters WHERE key IN ('1', '2', '3')
        |ORDER BY key, cluster_id""".stripMargin
 
-  private val e1InventorySql =
+  /** The final inventory projection replays the WGS84 centroid through the
+    * portable kernel's rendered SQL (bit-identical to the Spark UDF), so
+    * lat/lon and the geo_ok range check are value-compared, not assumed. */
+  private val e1InventorySql = {
+    val georefed = graft.functions.GeoPortable.inverseSql(
+      "SELECT * FROM assigned WHERE rn = 1",
+      "(ex1 + ex2) / 2.0", "(ey1 + ey2) / 2.0", "16")
     s"""WITH RECURSIVE $e1CoreSql
        |SELECT tile_id, cluster_id, minx, miny, maxx, maxy, n_boxes, object_class, merged,
+       |  chip_names,
        |  round((ex1 + ex2) / 2.0, 2) AS cx_utm,
        |  round((ey1 + ey2) / 2.0, 2) AS cy_utm,
        |  round(least(maxx - minx, maxy - miny) * CAST(0.6 AS DOUBLE), 2) AS diameter_m,
-       |  county_key, round(overlap_m2, 2) AS overlap_m2,
-       |  true AS geo_ok
-       |FROM assigned WHERE rn = 1
+       |  g_lat AS lat, g_lon AS lon,
+       |  county_key, state_key, round(overlap_m2, 2) AS overlap_m2,
+       |  (g_lat BETWEEN 30.0 AND 36.0) AND (g_lon BETWEEN -91.0 AND -85.0) AS geo_ok
+       |FROM ($georefed)
        |ORDER BY tile_id, cluster_id""".stripMargin
+  }
 
   private val e3InventoryCrosstab: Q = (spark, dir) =>
     TankInventory.crosstab(spark, dir)
+  private val e3bStateCrosstab: Q = (spark, dir) =>
+    TankInventory.crosstab(spark, dir, dim = "state_key")
+  private val e3cCountyPct: Q = (spark, dir) =>
+    TankInventory.crosstab(spark, dir, dim = "county_key", percent = true)
+  private val e3dStatePct: Q = (spark, dir) =>
+    TankInventory.crosstab(spark, dir, dim = "state_key", percent = true)
 
-  private val e3InventoryCrosstabSql =
+  /** The reference's four distribution reports: {state, county} x class,
+    * count and percent-of-grand-total, margins included
+    * (`distribution_by_county_state.py:32-41`; pandas normalize=True
+    * divides every cell — margins too — by the grand total). Percent cells
+    * are unrounded long/long quotients: both engines evaluate the identical
+    * IEEE division, so the hash compare is exact. */
+  private def crosstabSql(dim: String, percent: Boolean): String = {
+    val classes = graft.pipeline.TankInventory.Classes
+    val cells = classes.map(c =>
+      s"count(CASE WHEN object_class = '$c' THEN 1 END) AS $c").mkString(",\n       |    ")
+    val margins = (classes.map(c => s"CAST(sum($c) AS BIGINT) AS $c") :+
+      "CAST(sum(total) AS BIGINT) AS total").mkString(",\n       |    ")
+    val finalSel =
+      if (!percent) "SELECT * FROM allrows"
+      else {
+        val pct = (classes :+ "total").map(c => s"allrows.$c / g.g AS $c").mkString(",\n       |  ")
+        s"""SELECT allrows.$dim, $pct
+           |FROM allrows, (SELECT CAST(sum(total) AS BIGINT) AS g FROM base) g""".stripMargin
+      }
     s"""WITH RECURSIVE $e1CoreSql,
-       |inv AS (SELECT county_key, object_class FROM assigned WHERE rn = 1),
+       |inv AS (SELECT county_key, state_key, object_class FROM assigned WHERE rn = 1),
        |base AS (
-       |  SELECT county_key,
-       |    count(CASE WHEN object_class = 'closed_roof_tank' THEN 1 END) AS closed_roof_tank,
-       |    count(CASE WHEN object_class = 'water_tower' THEN 1 END) AS water_tower,
-       |    count(CASE WHEN object_class = 'spherical_tank' THEN 1 END) AS spherical_tank,
-       |    count(CASE WHEN object_class = 'undefined_object' THEN 1 END) AS undefined_object,
+       |  SELECT $dim,
+       |    $cells,
        |    count(*) AS total
        |  FROM inv GROUP BY 1),
        |marg AS (
-       |  SELECT -1 AS county_key,
-       |    CAST(sum(closed_roof_tank) AS BIGINT) AS closed_roof_tank,
-       |    CAST(sum(water_tower) AS BIGINT) AS water_tower,
-       |    CAST(sum(spherical_tank) AS BIGINT) AS spherical_tank,
-       |    CAST(sum(undefined_object) AS BIGINT) AS undefined_object,
-       |    CAST(sum(total) AS BIGINT) AS total
-       |  FROM base)
-       |SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM marg)
-       |ORDER BY total DESC, county_key""".stripMargin
+       |  SELECT -1 AS $dim,
+       |    $margins
+       |  FROM base),
+       |allrows AS (SELECT * FROM base UNION ALL SELECT * FROM marg)
+       |$finalSel
+       |ORDER BY total DESC, $dim""".stripMargin
+  }
 
   // ------------------------------------------------------------------ CSV round trip
   private val ioCsvRoundtrip: Q = (spark, dir) => {
@@ -311,6 +345,9 @@ object PipelineQueries {
     "e1_inventory" -> e1Inventory,
     "a8d_merge_filtered" -> a8dMergeFiltered,
     "e3_inventory_crosstab" -> e3InventoryCrosstab,
+    "e3b_state_crosstab" -> e3bStateCrosstab,
+    "e3c_county_pct" -> e3cCountyPct,
+    "e3d_state_pct" -> e3dStatePct,
     "io_csv_roundtrip" -> ioCsvRoundtrip,
     "io_json_roundtrip" -> ioJsonRoundtrip,
     "io_geojson_render" -> ioGeojsonRender,
@@ -322,7 +359,10 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "e1_inventory" -> e1InventorySql,
     "a8d_merge_filtered" -> a8dMergeFilteredSql,
-    "e3_inventory_crosstab" -> e3InventoryCrosstabSql,
+    "e3_inventory_crosstab" -> crosstabSql("county_key", percent = false),
+    "e3b_state_crosstab" -> crosstabSql("state_key", percent = false),
+    "e3c_county_pct" -> crosstabSql("county_key", percent = true),
+    "e3d_state_pct" -> crosstabSql("state_key", percent = true),
     "io_csv_roundtrip" -> ioCsvRoundtripSql,
     "io_json_roundtrip" -> ioJsonRoundtripSql,
     "io_geojson_render" -> ioGeojsonRenderSql,

@@ -43,8 +43,9 @@ object WorkflowQueries {
     * verifier columns blank until P9 fills them. */
   private val trackerBuild: Q = (spark, dir) => {
     val o = Tables.orders(spark, dir)
-    val imgs = o.select(col("o_orderkey").as("stem"), col("o_orderstatus"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("stem"))))
+    val imgs = graft.operators.GlobalRank.withGlobalRowNumber(
+      o.select(col("o_orderkey").as("stem"), col("o_orderstatus")),
+      Seq(col("stem")), "rn")
     val xmls = o.filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey").as("stem"),
         concat(lit("xml/"), col("o_orderkey"), lit(".xml")).as("xml_annotation"))
@@ -93,8 +94,9 @@ object WorkflowQueries {
       // a third of rows arrive pre-assigned, the rest blank
       when(col("o_orderkey") % 3 === 0, concat(lit("verifier_pre_"), col("o_orderkey") % 2))
         .otherwise(lit("")).as("annotator_verify_coverage"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("chip_name"))))
-    base.select(col("chip_name"),
+    val ranked = graft.operators.GlobalRank.withGlobalRowNumber(
+      base, Seq(col("chip_name")), "rn")
+    ranked.select(col("chip_name"),
         when(length(col("annotator_verify_coverage")) === 0,
           concat(lit("verifier_"), ((col("rn") - 1) % 2).cast("int")))
           .otherwise(col("annotator_verify_coverage")).as("annotator_verify_coverage"))

@@ -14,11 +14,13 @@ class BoxMergeSpec extends AnyFunSuite {
     (0 until n).map { _ =>
       val x1 = rng.nextInt(200); val y1 = rng.nextInt(200)
       val lbl = if (rng.nextBoolean()) "closed_roof_tank" else "water_tower"
-      Box("t", x1, y1, x1 + 1 + rng.nextInt(60), y1 + 1 + rng.nextInt(60), lbl)
+      Box("t", x1, y1, x1 + 1 + rng.nextInt(60), y1 + 1 + rng.nextInt(60), lbl,
+        s"c${rng.nextInt(3)}")
     }
 
   private def canon(cs: Seq[Cluster]) =
-    cs.map(c => (c.minx, c.miny, c.maxx, c.maxy, c.n_boxes, c.object_class, c.merged)).sorted
+    cs.map(c => (c.minx, c.miny, c.maxx, c.maxy, c.n_boxes, c.object_class, c.merged,
+      c.chip_names.mkString("|"))).sorted
 
   test("permutation invariance: clustering ignores input order") {
     val rng = new scala.util.Random(42)
@@ -36,7 +38,7 @@ class BoxMergeSpec extends AnyFunSuite {
       val boxes = randomBoxes(rng, 12)
       val once = BoxMerge.clusterGroup(boxes, 5)
       val again = BoxMerge.clusterGroup(once.map { c =>
-        Box("t", c.minx, c.miny, c.maxx, c.maxy, c.object_class)
+        Box("t", c.minx, c.miny, c.maxx, c.maxy, c.object_class, c.chip_names.mkString("|"))
       }, 5)
       assert(again.size <= once.size)
       once.foreach { c =>
@@ -65,9 +67,9 @@ class BoxMergeSpec extends AnyFunSuite {
     // A overlaps B, B overlaps C, A and C are far apart -> single cluster;
     // the reference's single greedy pass can miss this depending on order
     val chain = Seq(
-      Box("t", 0, 0, 30, 30, "water_tower"),
-      Box("t", 10, 0, 60, 30, "water_tower"),
-      Box("t", 40, 0, 90, 30, "water_tower"))
+      Box("t", 0, 0, 30, 30, "water_tower", "c0"),
+      Box("t", 10, 0, 60, 30, "water_tower", "c1"),
+      Box("t", 40, 0, 90, 30, "water_tower", "c0"))
     val cs = BoxMerge.clusterGroup(chain, 5)
     assert(cs.size == 1 && cs.head.n_boxes == 3 && cs.head.merged)
     assert((cs.head.minx, cs.head.miny, cs.head.maxx, cs.head.maxy) == (0, 0, 90, 30))
@@ -76,8 +78,8 @@ class BoxMergeSpec extends AnyFunSuite {
 
   test("class conflict demotes to undefined_object; agreement keeps class") {
     val conflict = Seq(
-      Box("t", 0, 0, 30, 30, "water_tower"),
-      Box("t", 5, 5, 25, 25, "closed_roof_tank"))
+      Box("t", 0, 0, 30, 30, "water_tower", "c0"),
+      Box("t", 5, 5, 25, 25, "closed_roof_tank", "c1"))
     assert(BoxMerge.clusterGroup(conflict, 5).head.object_class == "undefined_object")
     val agree = conflict.map(_.copy(label = "water_tower"))
     assert(BoxMerge.clusterGroup(agree, 5).head.object_class == "water_tower")
@@ -110,7 +112,8 @@ class BoxMergeSpec extends AnyFunSuite {
         val bs = members.map(boxes)
         val labels = bs.map(_.label).distinct
         (bs.map(_.x1).min, bs.map(_.y1).min, bs.map(_.x2).max, bs.map(_.y2).max,
-          bs.size, if (labels.size > 1) "undefined_object" else labels.head, bs.size > 1)
+          bs.size, if (labels.size > 1) "undefined_object" else labels.head, bs.size > 1,
+          bs.map(_.chip).distinct.sorted.mkString("|"))
       }.toSeq.sorted
       assert(canon(BoxMerge.clusterGroup(boxes, 5)) == bfsClusters)
     }
@@ -118,8 +121,8 @@ class BoxMergeSpec extends AnyFunSuite {
 
   test("gap semantics: 5px gap with covering interval merges, 6px does not") {
     def pair(gapPx: Int) = Seq(
-      Box("t", 0, 0, 30, 40, "water_tower"),
-      Box("t", 30 + gapPx, 5, 60 + gapPx, 35, "water_tower"))
+      Box("t", 0, 0, 30, 40, "water_tower", "c0"),
+      Box("t", 30 + gapPx, 5, 60 + gapPx, 35, "water_tower", "c1"))
     assert(BoxMerge.clusterGroup(pair(5), 5).size == 1)
     assert(BoxMerge.clusterGroup(pair(6), 5).size == 2)
   }
@@ -133,7 +136,7 @@ class BoxMergeSpec extends AnyFunSuite {
     }
     val dist = BoxMerge.merge(boxes.toDS()).collect().toSeq
     val local = boxes.groupBy(_.key).toSeq.flatMap { case (_, bs) =>
-      BoxMerge.clusterGroup(bs.sortBy(b => (b.x1, b.y1, b.x2, b.y2, b.label)), 5)
+      BoxMerge.clusterGroup(bs.sortBy(b => (b.x1, b.y1, b.x2, b.y2, b.label, b.chip)), 5)
     }
     assert(canon(dist) == canon(local))
     // plan shape: exactly one exchange feeds the merge

@@ -13,9 +13,9 @@ class DistributedCCSpec extends SparkSpec {
       (0 until perTile).map { _ =>
         val x1 = rng.nextInt(400); val y1 = rng.nextInt(400)
         (s"t$t", x1, y1, x1 + 1 + rng.nextInt(60), y1 + 1 + rng.nextInt(60),
-          if (rng.nextBoolean()) "water_tower" else "closed_roof_tank")
+          if (rng.nextBoolean()) "water_tower" else "closed_roof_tank", s"c${rng.nextInt(3)}")
       }
-    }.toDF("key", "x1", "y1", "x2", "y2", "label")
+    }.toDF("key", "x1", "y1", "x2", "y2", "label", "chip")
   }
 
   private def canon(df: org.apache.spark.sql.DataFrame) =
@@ -32,17 +32,18 @@ class DistributedCCSpec extends SparkSpec {
     // dense: 120 boxes in a 200x200 area -> long transitive chains
     val feed = (0 until 120).map { _ =>
       val x1 = rng.nextInt(200); val y1 = rng.nextInt(200)
-      ("hot", x1, y1, x1 + 10 + rng.nextInt(40), y1 + 10 + rng.nextInt(40), "water_tower")
-    }.toDF("key", "x1", "y1", "x2", "y2", "label")
+      ("hot", x1, y1, x1 + 10 + rng.nextInt(40), y1 + 10 + rng.nextInt(40), "water_tower",
+        s"c${rng.nextInt(3)}")
+    }.toDF("key", "x1", "y1", "x2", "y2", "label", "chip")
     assert(canon(DistributedCC.mergeUnbounded(feed)) == canon(BoxMerge.mergeFrame(feed)))
   }
 
   test("cross-cell merges are found (pair straddling a 64px boundary)") {
     import spark.implicits._
     val feed = Seq(
-      ("t", 50, 10, 63, 40, "water_tower"),     // ends just left of cell edge
-      ("t", 66, 12, 90, 38, "water_tower"))     // starts just right; 3px gap, y-covered... no
-    .toDF("key", "x1", "y1", "x2", "y2", "label")
+      ("t", 50, 10, 63, 40, "water_tower", "c0"),  // ends just left of cell edge
+      ("t", 66, 12, 90, 38, "water_tower", "c1"))  // starts just right; 3px gap
+    .toDF("key", "x1", "y1", "x2", "y2", "label", "chip")
     // gap = 66-63 = 3 <= 5 and y-interval of first covers second -> one cluster
     val out = canon(DistributedCC.mergeUnbounded(feed))
     assert(out.size == 1 && out.head.getAs[Int]("n_boxes") == 2)
@@ -50,7 +51,7 @@ class DistributedCCSpec extends SparkSpec {
 
   test("empty and singleton inputs") {
     import spark.implicits._
-    val single = Seq(("t", 1, 2, 3, 4, "water_tower")).toDF("key", "x1", "y1", "x2", "y2", "label")
+    val single = Seq(("t", 1, 2, 3, 4, "water_tower", "c0")).toDF("key", "x1", "y1", "x2", "y2", "label", "chip")
     val out = canon(DistributedCC.mergeUnbounded(single))
     assert(out.size == 1 && !out.head.getAs[Boolean]("merged"))
     val empty = single.filter(col("x1") < 0)

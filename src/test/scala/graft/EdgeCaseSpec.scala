@@ -15,7 +15,7 @@ class EdgeCaseSpec extends SparkSpec {
 
   test("BoxMerge single box is its own unmerged cluster") {
     import spark.implicits._
-    val one = Seq(BoxMerge.Box("t", 1, 2, 3, 4, "water_tower")).toDS()
+    val one = Seq(BoxMerge.Box("t", 1, 2, 3, 4, "water_tower", "c0")).toDS()
     val c = BoxMerge.merge(one).collect().head
     assert(!c.merged && c.n_boxes == 1 && c.cluster_id == 1)
     assert((c.minx, c.miny, c.maxx, c.maxy) == (1, 2, 3, 4))

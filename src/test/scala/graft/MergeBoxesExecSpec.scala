@@ -13,8 +13,8 @@ class MergeBoxesExecSpec extends SparkSpec {
     (0 until 400).map { i =>
       val x1 = rng.nextInt(300); val y1 = rng.nextInt(300)
       (s"t${i % 20}", x1, y1, x1 + 1 + rng.nextInt(50), y1 + 1 + rng.nextInt(50),
-        if (rng.nextBoolean()) "water_tower" else "closed_roof_tank")
-    }.toDF("key", "x1", "y1", "x2", "y2", "label")
+        if (rng.nextBoolean()) "water_tower" else "closed_roof_tank", s"c${rng.nextInt(4)}")
+    }.toDF("key", "x1", "y1", "x2", "y2", "label", "chip")
   }
 
   test("native exec matches the library operator exactly") {
@@ -68,8 +68,9 @@ class MergeBoxesExecSpec extends SparkSpec {
     val rng = new scala.util.Random(13)
     val dense = (0 until 150).map { _ =>
       val x1 = rng.nextInt(250); val y1 = rng.nextInt(250)
-      ("hot", x1, y1, x1 + 10 + rng.nextInt(40), y1 + 10 + rng.nextInt(40), "water_tower")
-    }.toDF("key", "x1", "y1", "x2", "y2", "label")
+      ("hot", x1, y1, x1 + 10 + rng.nextInt(40), y1 + 10 + rng.nextInt(40), "water_tower",
+        s"c${rng.nextInt(4)}")
+    }.toDF("key", "x1", "y1", "x2", "y2", "label", "chip")
     val native = MergeBoxesApi.mergeBoxes(dense).orderBy("cluster_id").collect().toSeq
     val library = BoxMerge.mergeFrame(dense).orderBy("cluster_id").collect().toSeq
     assert(native == library)
