@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Allocation, GlobalRank}
+
+/** The global-window allocation was VERDICT "What's wrong" #1: an
+  * un-partitioned `row_number` plans a single-partition sort of the whole
+  * input. These tests pin both the semantics (identical ranks) and the
+  * plan shape (range shuffle + partitioned window; no single-partition
+  * exchange on the data path) of the replacement. */
+class GlobalRankSpec extends SparkSpec {
+
+  private lazy val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    .select("o_orderkey", "o_orderdate")
+
+  test("global rank equals the single-partition window rank") {
+    val fast = GlobalRank.withGlobalRowNumber(
+      orders, Seq(col("o_orderdate"), col("o_orderkey")), "rn")
+    val slow = orders.withColumn("rn",
+      row_number().over(Window.orderBy("o_orderdate", "o_orderkey")).cast("long"))
+    assert(fast.exceptAll(slow).count() == 0 && slow.exceptAll(fast).count() == 0)
+  }
+
+  test("data path is range-partitioned; only the tiny offset agg is global") {
+    val plan = GlobalRank.withGlobalRowNumber(
+      orders, Seq(col("o_orderdate"), col("o_orderkey")), "rn")
+      .queryExecution.executedPlan.toString
+    // the full input is ordered by a RangePartitioning shuffle...
+    assert(plan.contains("rangepartitioning"), plan)
+    // ...and its row_number window is partitioned (parallel), never global
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    // the only permissible SinglePartition exchange is the per-partition
+    // count aggregate (one row per shuffle partition)
+    val singles = plan.split("Exchange SinglePartition").length - 1
+    assert(singles <= 1, s"expected at most one tiny global exchange:\n$plan")
+  }
+
+  test("allocate carries the same plan shape through the operator") {
+    val (allocated, rest) = Allocation.allocate(
+      orders, Seq("o_orderdate", "o_orderkey"), 100, Seq("a", "b"))
+    Seq(allocated, rest).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("rangepartitioning"), plan)
+      assert(!plan.contains("windowspecdefinition()"),
+        s"un-partitioned window leaked back into allocation:\n$plan")
+    }
+  }
+
+  test("ranks are dense, unique, and 1-based") {
+    val ranked = GlobalRank.withGlobalRowNumber(
+      orders, Seq(col("o_orderkey")), "rn")
+    val n = orders.count()
+    val stats = ranked.agg(
+      min("rn").as("mn"), max("rn").as("mx"), countDistinct("rn").as("d")).first()
+    assert(stats.getLong(0) == 1L && stats.getLong(1) == n && stats.getLong(2) == n)
+  }
+
+  test("empty input yields an empty ranked frame") {
+    val empty = orders.filter(col("o_orderkey") < 0)
+    assert(GlobalRank.withGlobalRowNumber(empty, Seq(col("o_orderkey")), "rn").count() == 0)
+  }
+}

@@ -80,4 +80,45 @@ class MergeBoxesExecSpec extends SparkSpec {
     val empty = feed.filter(col("x1") < 0)
     assert(MergeBoxesApi.mergeBoxes(empty).count() == 0)
   }
+
+  test("two merge operators in one query carry distinct attribute ids") {
+    // output attrs are minted per instance — a shared val would emit
+    // duplicate ExprIds across branches, which DeduplicateRelations cannot
+    // repair for a custom UnaryNode (self-joins/unions would mis-bind)
+    val m1 = MergeBoxesApi.mergeBoxes(feed)
+    val m2 = MergeBoxesApi.mergeBoxes(feed)
+    val ids1 = m1.queryExecution.analyzed.output.map(_.exprId).toSet
+    val ids2 = m2.queryExecution.analyzed.output.map(_.exprId).toSet
+    assert(ids1.intersect(ids2).isEmpty, "duplicate ExprIds across merge instances")
+    assert(m1.unionByName(m2).count() == 2 * m1.count())
+    val joined = m1.select(col("key"), col("n_boxes").as("n_a"))
+      .join(m2.select(col("key"), col("n_boxes").as("n_b")), Seq("key"))
+      .filter(col("n_a") === col("n_b"))
+    assert(joined.count() > 0)
+  }
+
+  test("chip_names is the sorted distinct chip set of each cluster") {
+    import spark.implicits._
+    val tiny = Seq(
+      ("t", 0, 0, 30, 30, "water_tower", "c2"),
+      ("t", 10, 0, 60, 30, "water_tower", "c1"),   // overlaps first
+      ("t", 40, 0, 90, 30, "water_tower", "c1"),   // chains to second
+      ("t", 500, 500, 520, 520, "water_tower", "c9")) // isolated
+      .toDF("key", "x1", "y1", "x2", "y2", "label", "chip")
+    val out = MergeBoxesApi.mergeBoxes(tiny)
+      .orderBy("cluster_id")
+      .select("n_boxes", "chip_names")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[String](1)))
+    assert(out.toSeq == Seq((3, Seq("c1", "c2")), (1, Seq("c9"))))
+  }
+
+  test("merged output partitioning is expressed over the operator's own output") {
+    // a merge followed by a key aggregation must not re-shuffle: the exec
+    // remaps the child's hash partitioning onto its output key attribute
+    val agg = MergeBoxesApi.mergeBoxes(feed).groupBy("key").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"expected the merge's single exchange to be reused by the aggregation:\n$plan")
+  }
 }
