@@ -39,8 +39,23 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query is a -1 sentinel in the per-query map; it must NOT
+    // shrink the summed total (a broken run would otherwise look faster) —
+    // sum successes only and surface the failures explicitly
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},""" +
+        s""""failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // persist the full per-query artifact in-repo so every round's complete
+    // numbers are recorded, not just what survives the driver's tail-grab
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }   // bench output must never fail the run
     spark.stop()
   }
 }

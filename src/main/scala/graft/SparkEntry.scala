@@ -29,6 +29,7 @@ object SparkEntry {
       (TextDedupQueries.queries, TextDedupQueries.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
       (PipelineQueries.queries, PipelineQueries.oracle),
+      (CharacteristicsQueries.queries, CharacteristicsQueries.oracle),
       (WorkflowQueries.queries, WorkflowQueries.oracle),
       (AnalyticsQueries.queries, AnalyticsQueries.oracle)
     )

@@ -256,7 +256,28 @@ object GeoPortable {
     * stage is computed once as a projection column and later depths hold
     * real column references. Scratch columns keep their g_ prefix to dodge
     * the alias-shadowing trap. */
-  def inverseSql(inner: String, eSql: String, nSql: String, zoneSql: String): String = {
+  def inverseSql(inner: String, eSql: String, nSql: String, zoneSql: String): String =
+    inverseSql(inner, eSql, nSql, zoneSql, "g")
+
+  /** As above with a rename prefix for the emitted columns (`<p>_lat`,
+    * `<p>_lon`, scratch `<p>_*`), so two transform points can be stacked in
+    * one oracle (e.g. NW + SE corners). The input expressions must not
+    * contain the substring `g_`, and the prefix must not turn a scratch
+    * name into an inner-relation column (e.g. prefix "nw" over a base
+    * table with an `nw_x` column collides with the renamed `g_x` stage —
+    * pick an unused prefix like "nwp" — and the prefix itself must not
+    * contain "g_", or stacking a second transform would corrupt the first
+    * one's renamed columns). */
+  def inverseSql(inner: String, eSql: String, nSql: String, zoneSql: String,
+                 prefix: String): String = {
+    require(!eSql.contains("g_") && !nSql.contains("g_") && !inner.contains("g_"),
+      "inner relation and input expressions may not contain the substring g_")
+    require(!prefix.contains("g_"), "prefix may not contain the substring g_")
+    val rendered = inverseSqlRaw(inner, eSql, nSql, zoneSql)
+    if (prefix == "g") rendered else rendered.replace("g_", s"${prefix}_")
+  }
+
+  private def inverseSqlRaw(inner: String, eSql: String, nSql: String, zoneSql: String): String = {
     val base = s"SELECT *, ($eSql) AS g_e, ($nSql) AS g_n, " +
       s"((CAST(-183.0 AS DOUBLE) + (CAST(6.0 AS DOUBLE) * ($zoneSql))) * " +
       s"CAST(${java.lang.Double.toString(Rad)} AS DOUBLE)) AS g_zcm " +

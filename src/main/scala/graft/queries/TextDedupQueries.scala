@@ -260,6 +260,71 @@ object TextDedupQueries {
        |ORDER BY p.id_a, p.id_b""".stripMargin
   }
 
+  // ------------------------------------------------------------------ capped LSH (skew guard in the gate)
+  /** The near-dup feed plus a block of verbatim-identical boilerplate docs
+    * — the corpus shape that makes uncapped LSH quadratic on one band key.
+    * The capped pipeline must keep the true near-dup pairs and refuse the
+    * boilerplate bucket, with the refusal visible in the audit query. */
+  private def boilerFeed(spark: SparkSession, dir: String): DataFrame =
+    nearDupFeed(spark, dir).unionByName(
+      Tables.documents(spark, dir).filter(col("doc_id") < 8)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          lit("quarterly compliance boilerplate header repeated verbatim across the corpus")
+            .as("text")))
+
+  private val boilerFeedSql =
+    s"""$nearDupFeedSql
+       |UNION ALL
+       |SELECT doc_id + 20000 AS doc_id,
+       |  'quarterly compliance boilerplate header repeated verbatim across the corpus' AS text
+       |FROM documents WHERE doc_id < 8""".stripMargin
+
+  private def boilerSig(spark: SparkSession, dir: String): DataFrame =
+    TextPipeline.minhashSignature(
+      boilerFeed(spark, dir)
+        .withColumn("toks", TextPipeline.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(TextPipeline.shinglesFromTokens(col("toks"), 3)).as("shingle")),
+      "doc_id", "shingle", 8)
+
+  private val bandedCappedSql =
+    s"""WITH feed AS ($boilerFeedSql),
+       |$shinglesSql,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigSql
+       |  FROM shingles GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS band_val FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS band_val FROM sig),
+       |sized AS (
+       |  SELECT band, band_val, count(*) AS bucket_n FROM banded GROUP BY 1, 2)""".stripMargin
+
+  private val d2cLshCapped: Q = (spark, dir) =>
+    TextPipeline.lshCandidatePairs(boilerSig(spark, dir), "doc_id", 8, 2, maxBucket = 5)
+      .orderBy("id_a", "id_b")
+
+  private val d2cLshCappedSql =
+    s"""$bandedCappedSql,
+       |keep AS (
+       |  SELECT b.doc_id, b.band, b.band_val
+       |  FROM banded b JOIN sized s ON b.band = s.band AND b.band_val = s.band_val
+       |  WHERE s.bucket_n <= 5)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM keep a JOIN keep b
+       |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val d2dLshDropped: Q = (spark, dir) =>
+    TextPipeline.lshDroppedBuckets(boilerSig(spark, dir), "doc_id", 8, 2, maxBucket = 5)
+      .orderBy("band", "band_val")
+
+  private val d2dLshDroppedSql =
+    s"""$bandedCappedSql
+       |SELECT band, band_val, bucket_n FROM sized WHERE bucket_n > 5
+       |ORDER BY band, band_val""".stripMargin
+
   // ------------------------------------------------------------------ simhash
   private val d3Simhash: Q = (spark, dir) => {
     val d = Tables.documents(spark, dir)
@@ -341,6 +406,8 @@ object TextDedupQueries {
     "d2_minhash_signature" -> d2MinhashSig,
     "d2b_minhash_agg" -> d2bMinhashAgg,
     "d2_lsh_pairs" -> d2LshPairs,
+    "d2c_lsh_capped" -> d2cLshCapped,
+    "d2d_lsh_dropped" -> d2dLshDropped,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4Jaccard
   )
@@ -356,6 +423,8 @@ object TextDedupQueries {
     "d2_minhash_signature" -> d2MinhashSigSql,
     "d2b_minhash_agg" -> d2MinhashSigSql,
     "d2_lsh_pairs" -> d2LshPairsSql,
+    "d2c_lsh_capped" -> d2cLshCappedSql,
+    "d2d_lsh_dropped" -> d2dLshDroppedSql,
     "d3_simhash" -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4JaccardSql
   )

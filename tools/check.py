@@ -11,6 +11,8 @@ Dev-only tooling (not shipped in the library jar).
 """
 import duckdb
 import glob
+import numpy as np
+import pandas as pd
 import json
 import os
 import sys
@@ -69,7 +71,16 @@ def main():
         for c in s.columns:
             sv, dv = s[c], d[c]
             try:
-                eq = (sv == dv) | (sv.isna() & dv.isna())
+                if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+                    # float columns: tolerance compare — Spark-vs-DuckDB
+                    # summation order can differ in the last ulp even when
+                    # both are correct (exact equality would flake on any
+                    # query that forgets to pre-round)
+                    eq = pd.Series(
+                        np.isclose(sv.astype(float), dv.astype(float),
+                                   rtol=1e-9, atol=1e-12, equal_nan=True))
+                else:
+                    eq = (sv == dv) | (sv.isna() & dv.isna())
             except Exception:
                 eq = sv.astype(str) == dv.astype(str)
             if not eq.all():
