@@ -264,6 +264,40 @@ object PipelineQueries {
       |        FROM generate_series(0, 2) i(i) WHERE i.i <= n_nationkey % 3) AS BIGINT) AS sum_xmin
       |FROM nation ORDER BY file_name""".stripMargin
 
+  // ------------------------------------------------------------------ S9: memoized fetch round trip
+  /** End-to-end S9 (`src/az_proc.py:194-221`): catalog -> anti-join against
+    * the store -> partition-wise fetch -> idempotent re-run (must fetch 0)
+    * -> inventory of the store. The second_run_new_files column is the
+    * idempotence proof the oracle pins to 0. */
+  private val s9FetchRoundtrip: Q = (spark, dir) => {
+    import graft.io.Fetcher
+    val store = Paths.get(Sinks.scratchDir("s9_store"))
+    // reset so the listing reflects exactly this scale factor's catalog
+    if (Files.exists(store)) {
+      Files.walk(store).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val catalog = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(
+        concat(lit("img_"), col("o_orderkey"), lit(".bin")).as("file_name"),
+        concat(lit("https://tiles.invalid/naip/"), col("o_orderkey")).as("url"))
+    Fetcher.fetchMissing(spark, catalog, "file_name", "url", store.toString)
+    val second = Fetcher.fetchMissing(spark, catalog, "file_name", "url", store.toString)
+    Sinks.scanBinaryDir(spark, store.toString, "*.bin")
+      .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length").as("size"))
+      .withColumn("second_run_new_files", lit(second))
+      .orderBy("file_name")
+  }
+
+  private val s9FetchRoundtripSql =
+    """SELECT 'img_' || CAST(o_orderkey AS VARCHAR) || '.bin' AS file_name,
+      |  CAST(length('payload:https://tiles.invalid/naip/' || CAST(o_orderkey AS VARCHAR)) AS BIGINT) AS size,
+      |  CAST(0 AS BIGINT) AS second_run_new_files
+      |FROM orders WHERE o_orderkey % 100 = 0
+      |ORDER BY file_name""".stripMargin
+
   // ------------------------------------------------------------------ S8: TIFF metadata scan
   /** Writes minimal valid TIFF headers (real byte-order/magic/IFD layout),
     * scans them via binaryFile, and parses width/height/bits/samples and
@@ -353,6 +387,7 @@ object PipelineQueries {
     "io_geojson_render" -> ioGeojsonRender,
     "io_binary_scan" -> ioBinaryScan,
     "s8_tiff_meta" -> s8TiffMeta,
+    "s9_fetch_roundtrip" -> s9FetchRoundtrip,
     "j8_wkt_argmax" -> j8WktArgmax
   )
 
@@ -368,6 +403,7 @@ object PipelineQueries {
     "io_geojson_render" -> ioGeojsonRenderSql,
     "io_binary_scan" -> ioBinaryScanSql,
     "s8_tiff_meta" -> s8TiffMetaSql,
+    "s9_fetch_roundtrip" -> s9FetchRoundtripSql,
     "j8_wkt_argmax" -> RelationalQueries.j8ArgmaxOracleSql
   )
 }
