@@ -264,6 +264,85 @@ object PipelineQueries {
       |        FROM generate_series(0, 2) i(i) WHERE i.i <= n_nationkey % 3) AS BIGINT) AS sum_xmin
       |FROM nation ORDER BY file_name""".stripMargin
 
+  // ------------------------------------------------------------------ S2: .npy one-time converter
+  /** Legacy-state on-ramp (`src/az_proc.py:414-438`): three `.npy` arrays
+    * (string / int64 / float64) written with the pure-JVM renderer, scanned
+    * back distributed, and value-checked against the corpus. */
+  private val ioNpyRoundtrip: Q = (spark, dir) => {
+    import graft.sources.Npy
+    val root = Paths.get(Sinks.scratchDir("npy_state"))
+    Files.createDirectories(root)
+    val keys = Tables.nation(spark, dir).select("n_nationkey")
+      .collect().map(_.getInt(0)).sorted
+    Files.write(root.resolve("tiles.npy"),
+      Npy.render(Npy.StrArr(keys.map(n => s"tile_$n").toSeq)))
+    Files.write(root.resolve("counts.npy"),
+      Npy.render(Npy.LongArr(keys.map(n => n.toLong * 7).toSeq)))
+    Files.write(root.resolve("scores.npy"),
+      Npy.render(Npy.DoubleArr(keys.map(n => n * 0.25).toSeq)))
+    Npy.scanNpyDir(spark, root.toString)
+      .orderBy("file_name", "idx")
+  }
+
+  private val ioNpyRoundtripSql =
+    """WITH ks AS (
+      |  SELECT n_nationkey AS n,
+      |    CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS INTEGER) AS idx
+      |  FROM nation)
+      |SELECT * FROM (
+      |  SELECT 'tiles.npy' AS file_name, idx, 'tile_' || CAST(n AS VARCHAR) AS value_str,
+      |    CAST(NULL AS DOUBLE) AS value_num FROM ks
+      |  UNION ALL
+      |  SELECT 'counts.npy', idx, CAST(n * 7 AS VARCHAR), CAST(n * 7 AS DOUBLE) FROM ks
+      |  UNION ALL
+      |  SELECT 'scores.npy', idx, CAST(n * CAST(0.25 AS DOUBLE) AS VARCHAR), n * CAST(0.25 AS DOUBLE) FROM ks)
+      |ORDER BY file_name, idx""".stripMargin
+
+  // ------------------------------------------------------------------ S3: zipped shapefile scan
+  /** Legacy-geometry on-ramp (`src/form_calcs.py:40-51`): the county layer
+    * as a real zipped ESRI shapefile (.shp polygons + .dbf attributes),
+    * parsed back distributed with WKT + attribute alignment checked. */
+  private val ioShapefileZip: Q = (spark, dir) => {
+    import graft.sources.Shapefile
+    val root = Paths.get(Sinks.scratchDir("shp_zip"))
+    Files.createDirectories(root)
+    val keys = Tables.nation(spark, dir).select("n_nationkey")
+      .collect().map(_.getInt(0)).sorted
+    val rects = keys.map { n =>
+      val x1 = (n % 5) * 200.0; val y1 = math.floor(n / 5.0) * 160.0
+      (x1, y1, x1 + 200.0, y1 + 160.0)
+    }.toSeq
+    val zip = Shapefile.renderZip(Seq(
+      "counties.shp" -> Shapefile.renderRectShp(rects),
+      "counties.dbf" -> Shapefile.renderDbf("NAME", 12, keys.map(n => s"county_$n").toSeq)))
+    Files.write(root.resolve("counties.zip"), zip)
+    Shapefile.scanZippedShapefiles(spark, root.toString)
+      .select(col("zip_name"), col("record_number"), col("shape_type"),
+        col("minx"), col("miny"), col("maxx"), col("maxy"),
+        col("attrs")("NAME").as("county_name"), col("wkt"))
+      .orderBy("record_number")
+  }
+
+  private val ioShapefileZipSql =
+    """WITH k AS (
+      |  SELECT n_nationkey AS n,
+      |    CAST((n_nationkey % 5) * 200 AS DOUBLE) AS x1,
+      |    CAST((n_nationkey // 5) * 160 AS DOUBLE) AS y1
+      |  FROM nation)
+      |SELECT 'counties.zip' AS zip_name,
+      |  CAST(row_number() OVER (ORDER BY n) AS INTEGER) AS record_number,
+      |  5 AS shape_type,
+      |  x1 AS minx, y1 AS miny, x1 + 200 AS maxx, y1 + 160 AS maxy,
+      |  'county_' || CAST(n AS VARCHAR) AS county_name,
+      |  'POLYGON ((' ||
+      |    CAST(CAST(x1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y1 + 160 AS BIGINT) AS VARCHAR) || ', ' ||
+      |    CAST(CAST(x1 + 200 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y1 + 160 AS BIGINT) AS VARCHAR) || ', ' ||
+      |    CAST(CAST(x1 + 200 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y1 AS BIGINT) AS VARCHAR) || ', ' ||
+      |    CAST(CAST(x1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y1 AS BIGINT) AS VARCHAR) || ', ' ||
+      |    CAST(CAST(x1 AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(y1 + 160 AS BIGINT) AS VARCHAR) ||
+      |  '))' AS wkt
+      |FROM k ORDER BY record_number""".stripMargin
+
   // ------------------------------------------------------------------ S9: memoized fetch round trip
   /** End-to-end S9 (`src/az_proc.py:194-221`): catalog -> anti-join against
     * the store -> partition-wise fetch -> idempotent re-run (must fetch 0)
@@ -388,6 +467,8 @@ object PipelineQueries {
     "io_binary_scan" -> ioBinaryScan,
     "s8_tiff_meta" -> s8TiffMeta,
     "s9_fetch_roundtrip" -> s9FetchRoundtrip,
+    "io_npy_roundtrip" -> ioNpyRoundtrip,
+    "io_shapefile_zip" -> ioShapefileZip,
     "j8_wkt_argmax" -> j8WktArgmax
   )
 
@@ -404,6 +485,8 @@ object PipelineQueries {
     "io_binary_scan" -> ioBinaryScanSql,
     "s8_tiff_meta" -> s8TiffMetaSql,
     "s9_fetch_roundtrip" -> s9FetchRoundtripSql,
+    "io_npy_roundtrip" -> ioNpyRoundtripSql,
+    "io_shapefile_zip" -> ioShapefileZipSql,
     "j8_wkt_argmax" -> RelationalQueries.j8ArgmaxOracleSql
   )
 }

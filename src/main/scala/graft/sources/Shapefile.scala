@@ -1,0 +1,230 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sinks
+
+/** S3 on-ramp — zipped-ESRI-shapefile reader (and writer, for fixtures and
+  * S13-style output parity) in pure JVM code. The reference loads its
+  * county geometries from zipped shapefiles (`src/form_calcs.py:40-51`,
+  * geopandas `read_file("zip://...")`); a user bringing that on-disk state
+  * to this engine needs the same on-ramp.
+  *
+  * Formats implemented from the public ESRI shapefile technical
+  * description and dBase III spec:
+  *  - `.shp`: 100-byte header (big-endian file code 9994 + length,
+  *    little-endian version/type/bbox), records of [BE recnum, BE content
+  *    words] + LE shape payload. Shape types: 1 Point, 3 PolyLine,
+  *    5 Polygon (multi-ring, rendered to WKT).
+  *  - `.dbf`: version byte, LE record count/header size/record size,
+  *    32-byte field descriptors to the 0x0D terminator, fixed-width ASCII
+  *    records with a deletion flag.
+  *  - `.zip`: java.util.zip over the pair; entries matched by extension.
+  *
+  * Scale shape: one zip = one layer, parsed whole on an executor; the
+  * parallelism is across files (binaryFile scan), the same contract as the
+  * VOC/TIFF sources.
+  */
+object Shapefile {
+
+  final case class ShpRecord(recordNumber: Int, shapeType: Int,
+                             minx: Double, miny: Double, maxx: Double, maxy: Double,
+                             wkt: String)
+
+  // ------------------------------------------------------------------ .shp parse
+  def parseShp(bytes: Array[Byte]): Seq[ShpRecord] = {
+    val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require(be.getInt(0) == 9994, "not a .shp file (bad file code)")
+    val fileWords = be.getInt(24)
+    val out = Seq.newBuilder[ShpRecord]
+    var off = 100
+    while (off < fileWords * 2) {
+      val recNum = be.getInt(off)
+      val contentWords = be.getInt(off + 4)
+      val le = ByteBuffer.wrap(bytes, off + 8, contentWords * 2).order(ByteOrder.LITTLE_ENDIAN)
+      val shapeType = le.getInt()
+      shapeType match {
+        case 0 => // null shape
+        case 1 =>
+          val x = le.getDouble(); val y = le.getDouble()
+          out += ShpRecord(recNum, 1, x, y, x, y, s"POINT (${fmt(x)} ${fmt(y)})")
+        case 3 | 5 =>
+          val minx = le.getDouble(); val miny = le.getDouble()
+          val maxx = le.getDouble(); val maxy = le.getDouble()
+          val numParts = le.getInt(); val numPoints = le.getInt()
+          val parts = (0 until numParts).map(_ => le.getInt())
+          val pts = (0 until numPoints).map(_ => (le.getDouble(), le.getDouble()))
+          val bounds = parts :+ numPoints
+          val rings = (0 until numParts).map { p =>
+            pts.slice(bounds(p), bounds(p + 1))
+              .map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }.mkString(", ")
+          }
+          val wkt =
+            if (shapeType == 5) rings.map(r => s"($r)").mkString("POLYGON (", ", ", ")")
+            else if (numParts == 1) s"LINESTRING (${rings.head})"
+            else rings.map(r => s"($r)").mkString("MULTILINESTRING (", ", ", ")")
+          out += ShpRecord(recNum, shapeType, minx, miny, maxx, maxy, wkt)
+        case other => sys.error(s"unsupported shape type $other")
+      }
+      off += 8 + contentWords * 2
+    }
+    out.result()
+  }
+
+  private def fmt(d: Double): String =
+    if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+
+  // ------------------------------------------------------------------ .dbf parse
+  /** Returns (field names, records) — every value as a trimmed string. */
+  def parseDbf(bytes: Array[Byte]): (Seq[String], Seq[Seq[String]]) = {
+    val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val numRecords = le.getInt(4)
+    val headerSize = le.getShort(8) & 0xffff
+    val recordSize = le.getShort(10) & 0xffff
+    val fields = Seq.newBuilder[(String, Int)]
+    var off = 32
+    while (bytes(off) != 0x0d) {
+      val name = new String(bytes, off, 11, StandardCharsets.US_ASCII)
+        .takeWhile(_ != 0).trim
+      val len = bytes(off + 16) & 0xff
+      fields += ((name, len))
+      off += 32
+    }
+    val fs = fields.result()
+    val rows = (0 until numRecords).map { r =>
+      var p = headerSize + r * recordSize + 1   // +1 skips the deletion flag
+      fs.map { case (_, len) =>
+        val v = new String(bytes, p, len, StandardCharsets.US_ASCII).trim
+        p += len
+        v
+      }
+    }
+    (fs.map(_._1), rows)
+  }
+
+  // ------------------------------------------------------------------ zip plumbing
+  /** Extracts (lowercased extension -> bytes) for every zip entry. */
+  def unzip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = Map.newBuilder[String, Array[Byte]]
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) {
+        val buf = new ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = zin.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = zin.read(tmp) }
+        val ext = e.getName.reverse.takeWhile(_ != '.').reverse.toLowerCase
+        out += (ext -> buf.toByteArray)
+      }
+      e = zin.getNextEntry
+    }
+    out.result()
+  }
+
+  /** One zipped layer -> rows of (record_number, shape_type, bbox, wkt,
+    * attributes map from the .dbf, aligned by record order). */
+  def parseZip(bytes: Array[Byte]): Seq[(ShpRecord, Map[String, String])] = {
+    val entries = unzip(bytes)
+    val shp = entries.getOrElse("shp", sys.error("zip has no .shp entry"))
+    val shapes = parseShp(shp)
+    val attrs = entries.get("dbf").map(parseDbf) match {
+      case Some((names, rows)) => rows.map(r => names.zip(r).toMap)
+      case None => Seq.fill(shapes.size)(Map.empty[String, String])
+    }
+    shapes.zipAll(attrs, null.asInstanceOf[ShpRecord], Map.empty[String, String])
+      .collect { case (s, a) if s != null => (s, a) }
+  }
+
+  /** Distributed scan: every `*.zip` under `dir` becomes rows
+    * (zip_name, record_number, shape_type, minx..maxy, wkt, attrs). */
+  def scanZippedShapefiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sinks.scanBinaryDir(spark, dir, "*.zip")
+      .select(element_at(split(col("path"), "/"), -1).as("zip_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        parseZip(bytes).map { case (s, a) =>
+          (name, s.recordNumber, s.shapeType, s.minx, s.miny, s.maxx, s.maxy, s.wkt, a)
+        }
+      }
+      .toDF("zip_name", "record_number", "shape_type",
+        "minx", "miny", "maxx", "maxy", "wkt", "attrs")
+  }
+
+  // ------------------------------------------------------------------ writers (fixtures + S13 parity)
+  /** Renders a Polygon-type .shp from axis-aligned rectangles
+    * (minx, miny, maxx, maxy) — rings closed, clockwise per spec. */
+  def renderRectShp(rects: Seq[(Double, Double, Double, Double)]): Array[Byte] = {
+    // per polygon record, in 16-bit words: shape type (2) + bbox (16) +
+    // numParts (2) + numPoints (2) + one part offset (2) + 5 points (40)
+    val contentWords = 2 + 16 + 2 + 2 + 2 + 5 * 8
+    val fileWords = 50 + rects.size * (4 + contentWords)
+    val bb = ByteBuffer.allocate(fileWords * 2)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(9994); (0 until 5).foreach(_ => bb.putInt(0)); bb.putInt(fileWords)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1000).putInt(5)
+    val gminx = rects.map(_._1).min; val gminy = rects.map(_._2).min
+    val gmaxx = rects.map(_._3).max; val gmaxy = rects.map(_._4).max
+    bb.putDouble(gminx).putDouble(gminy).putDouble(gmaxx).putDouble(gmaxy)
+    (0 until 4).foreach(_ => bb.putDouble(0.0))     // z/m ranges unused
+    rects.zipWithIndex.foreach { case ((minx, miny, maxx, maxy), i) =>
+      bb.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(contentWords)
+      bb.order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(5)
+      bb.putDouble(minx).putDouble(miny).putDouble(maxx).putDouble(maxy)
+      bb.putInt(1).putInt(5).putInt(0)
+      // clockwise closed ring: NW -> NE -> SE -> SW -> NW
+      bb.putDouble(minx).putDouble(maxy)
+      bb.putDouble(maxx).putDouble(maxy)
+      bb.putDouble(maxx).putDouble(miny)
+      bb.putDouble(minx).putDouble(miny)
+      bb.putDouble(minx).putDouble(maxy)
+    }
+    bb.array()
+  }
+
+  /** Renders a single-text-field dBase III .dbf. */
+  def renderDbf(fieldName: String, width: Int, values: Seq[String]): Array[Byte] = {
+    val headerSize = 32 + 32 + 1
+    val recordSize = 1 + width
+    val bb = ByteBuffer.allocate(headerSize + values.size * recordSize + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x03.toByte).put(24.toByte).put(1.toByte).put(1.toByte)
+    bb.putInt(values.size).putShort(headerSize.toShort).putShort(recordSize.toShort)
+    (0 until 20).foreach(_ => bb.put(0.toByte))
+    val nameBytes = fieldName.getBytes(StandardCharsets.US_ASCII).take(10)
+    bb.put(nameBytes); (nameBytes.length until 11).foreach(_ => bb.put(0.toByte))
+    bb.put('C'.toByte); (0 until 4).foreach(_ => bb.put(0.toByte))
+    bb.put(width.toByte).put(0.toByte)
+    (0 until 14).foreach(_ => bb.put(0.toByte))
+    bb.put(0x0d.toByte)
+    values.foreach { v =>
+      bb.put(' '.toByte)                            // not deleted
+      val padded = v.padTo(width, ' ').take(width)
+      bb.put(padded.getBytes(StandardCharsets.US_ASCII))
+    }
+    bb.put(0x1a.toByte)
+    bb.array()
+  }
+
+  /** Zips named byte entries. */
+  def renderZip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    val zout = new ZipOutputStream(buf)
+    entries.foreach { case (name, bytes) =>
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write(bytes)
+      zout.closeEntry()
+    }
+    zout.close()
+    buf.toByteArray
+  }
+}
