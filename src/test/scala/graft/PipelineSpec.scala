@@ -38,4 +38,43 @@ class PipelineSpec extends SparkSpec {
       assert(margin.getLong(i) == rest.map(_.getLong(i)).sum, s"col $i")
     }
   }
+
+  test("e3 percent crosstab cells sum to 1 in the margin row (normalize='all')") {
+    Seq("county_key", "state_key").foreach { dim =>
+      val rows = TankInventory.crosstab(spark, sf0001, dim, percent = true).collect()
+      val margin = rows.find(_.getInt(0) == -1).get
+      assert(math.abs(margin.getDouble(5) - 1.0) < 1e-12, s"$dim margin total")
+      val cellSum = rows.filterNot(_.getInt(0) == -1).map(_.getDouble(5)).sum
+      assert(math.abs(cellSum - 1.0) < 1e-9, s"$dim cells")
+    }
+  }
+
+  test("e1 inventory: chip_names is a sorted list of this tile's chips") {
+    val bad = inv.select(col("tile_id"), col("chip_names"))
+      .collect().filter { r =>
+        val chips = r.getString(1).split(",")
+        val tile = r.getInt(0).toString
+        chips.isEmpty || chips.exists(!_.startsWith(s"${tile}_chip_")) ||
+          (chips.toSeq != chips.toSeq.sorted) || chips.distinct.length != chips.length
+      }
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
+  test("e1 inventory: lat/lon agree with an independent inverse of the centroid") {
+    // recompute the centroid transform with GeoUtm (real trig, same series)
+    // from the UTM columns and compare against the pipeline's portable
+    // kernel output — a full-pipeline geodesy consistency check
+    val rows = inv.select("cx_utm", "cy_utm", "lat", "lon").limit(500).collect()
+    rows.foreach { r =>
+      // cx_utm/cy_utm are rounded to cm in the output; 1 cm ~ 1e-7 deg
+      val (lat, lon) = graft.functions.GeoUtm.toWgs84(r.getDouble(0), r.getDouble(1), 16)
+      assert(math.abs(lat - r.getDouble(2)) < 1e-6, s"lat $r")
+      assert(math.abs(lon - r.getDouble(3)) < 1e-6, s"lon $r")
+    }
+  }
+
+  test("e1 inventory: state matches the assigned county's state") {
+    assert(inv.filter(col("state_key") =!= floor(col("county_key") / 5).cast("int"))
+      .count() == 0)
+  }
 }
