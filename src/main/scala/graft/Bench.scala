@@ -26,7 +26,12 @@ object Bench {
     // Steady-state methodology: run each query once to warm codegen/JIT/IO
     // caches, then time the second execution. First-run numbers measure
     // compilation, not the operator (e.g. e1 is 5.9s cold, 2.2s warm).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1_agg,e1_inventory limits the run (dev: repeated
+    // timing of hot queries without the full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       try {
         fn(spark, sfDir).count()                    // warm-up, untimed
         spark.catalog.clearCache()                  // no cross-run cache reuse

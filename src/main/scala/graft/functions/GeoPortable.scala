@@ -235,6 +235,46 @@ object GeoPortable {
     (e, n, z) => f(e, n, z)
   }
 
+  // ------------------------------------------------------------------ public: Java codegen path
+  /** Renders the transform as a block of Java statements over declared
+    * inputs — the third backend of the same DAG (whole-stage codegen).
+    * Java `double` arithmetic and `Math.floor`/`Math.sqrt` are the same
+    * IEEE operations the interpreter and the SQL render use, so all three
+    * backends produce identical bits.
+    *
+    * @param p      unique variable prefix (codegen term names)
+    * @param eVar   Java expression for the easting (double)
+    * @param nVar   Java expression for the northing (double)
+    * @param zVar   Java expression for the zone (int)
+    * @return (statements, latVar, lonVar)
+    */
+  def javaBody(p: String, eVar: String, nVar: String, zVar: String): (String, String, String) = {
+    def jl(v: Double): String = {
+      val s = java.lang.Double.toString(v)
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def j(e: E): String = e match {
+      case Lit(v)    => jl(v)
+      case Ref(n)    => s"${p}_$n"
+      case Add(a, b) => s"(${j(a)} + ${j(b)})"
+      case Sub(a, b) => s"(${j(a)} - ${j(b)})"
+      case Mul(a, b) => s"(${j(a)} * ${j(b)})"
+      case Div(a, b) => s"(${j(a)} / ${j(b)})"
+      case Floor(a)  => s"java.lang.Math.floor(${j(a)})"
+      case Sqrt(a)   => s"java.lang.Math.sqrt(${j(a)})"
+      case Case4(m, s0, s1, s2, s3) =>
+        val mv = s"((int) ${j(m)})"
+        s"($mv == 0 ? ${j(s0)} : $mv == 1 ? ${j(s1)} : $mv == 2 ? ${j(s2)} : ${j(s3)})"
+    }
+    val header =
+      s"""double ${p}_g_e = $eVar;
+         |double ${p}_g_n = $nVar;
+         |double ${p}_g_zcm = (-183.0 + (6.0 * ((double) $zVar))) * ${jl(Rad)};
+         |""".stripMargin
+    val body = program.map(s => s"double ${p}_${s.name} = ${j(s.expr)};").mkString("\n")
+    (header + body, s"${p}_g_lat", s"${p}_g_lon")
+  }
+
   /** Dev/spec hook: every named stage value for one input. */
   private[graft] def debugStages(easting: Double, northing: Double, zone: Int): Seq[(String, Double)] = {
     val env = collection.mutable.HashMap[String, Double](

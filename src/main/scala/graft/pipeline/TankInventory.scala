@@ -88,13 +88,17 @@ object TankInventory {
         least(col("maxx") - col("minx"), col("maxy") - col("miny")) * MetresPerPx)
 
     // 3. WGS84 centroid via the engine-portable transverse-Mercator
-    //    inverse: its output is bit-identical to the DuckDB SQL the oracle
-    //    runs, so lat/lon are emitted as full-precision doubles and
-    //    hash-compared as ordinary values (`src/form_calcs.py:919,975-984`)
-    val wgs = geo.withColumn("ll",
-        graft.functions.GeoPortable.wgs84FromUtm(col("cx_utm"), col("cy_utm"), lit(UtmZone)))
+    //    inverse as native codegen expressions (utm_lat/utm_lon stay inside
+    //    the WholeStageCodegen span; no UDF in the flagship path). Output
+    //    is bit-identical to the DuckDB SQL the oracle runs, so lat/lon are
+    //    emitted as full-precision doubles and hash-compared as ordinary
+    //    values (`src/form_calcs.py:919,975-984`)
+    graft.plans.GeoFunctions.register(spark)
+    val wgs = geo
+      .withColumn("lat", expr(s"utm_lat(cx_utm, cy_utm, $UtmZone)"))
+      .withColumn("lon", expr(s"utm_lon(cx_utm, cy_utm, $UtmZone)"))
       .withColumn("geo_ok",
-        col("ll._1").between(30.0, 36.0) && col("ll._2").between(-91.0, -85.0))
+        col("lat").between(30.0, 36.0) && col("lon").between(-91.0, -85.0))
 
     // 4. greatest-overlap county assignment (J8: counties broadcast,
     //    exact rect overlap, argmax via row_number)
@@ -116,8 +120,7 @@ object TankInventory {
         round(col("cx_utm"), 2).as("cx_utm"),
         round(col("cy_utm"), 2).as("cy_utm"),
         round(col("diameter_m"), 2).as("diameter_m"),
-        col("ll._1").as("lat"),
-        col("ll._2").as("lon"),
+        col("lat"), col("lon"),
         col("county_key"), col("state_key"),
         round(col("overlap_m2"), 2).as("overlap_m2"),
         col("geo_ok"))

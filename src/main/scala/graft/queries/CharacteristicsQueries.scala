@@ -55,16 +55,19 @@ object CharacteristicsQueries {
 
   // ------------------------------------------------------------------ D4a: tile characteristics (13 cols)
   private val d4TileChars: Q = (spark, dir) => {
+    graft.plans.GeoFunctions.register(spark)
     val t = tiles(spark, dir)
-      .withColumn("nwll", GeoPortable.wgs84FromUtm(col("nw_x"), col("nw_y"), lit(16)))
-      .withColumn("sell", GeoPortable.wgs84FromUtm(col("se_x"), col("se_y"), lit(16)))
+      .withColumn("nw_lat", expr("utm_lat(nw_x, nw_y, 16)"))
+      .withColumn("nw_lon", expr("utm_lon(nw_x, nw_y, 16)"))
+      .withColumn("se_lat", expr("utm_lat(se_x, se_y, 16)"))
+      .withColumn("se_lon", expr("utm_lon(se_x, se_y, 16)"))
     t.select(
       col("tile_name"), col("tile_height"), col("tile_width"), col("tile_bands"),
       lit(Proj).as("utm_projection"),
       col("nw_x").as("nw_x_utm_tile_coord"), col("nw_y").as("nw_y_utm_tile_coord"),
       col("se_x").as("se_x_utm_tile_coord"), col("se_y").as("se_y_utm_tile_coord"),
-      col("nwll._1").as("nw_lat_tile_coord"), col("nwll._2").as("nw_lon_tile_coord"),
-      col("sell._1").as("se_lat_tile_coord"), col("sell._2").as("se_lon_tile_coord"))
+      col("nw_lat").as("nw_lat_tile_coord"), col("nw_lon").as("nw_lon_tile_coord"),
+      col("se_lat").as("se_lat_tile_coord"), col("se_lon").as("se_lon_tile_coord"))
       .orderBy("tile_name")
   }
 
@@ -84,6 +87,7 @@ object CharacteristicsQueries {
 
   // ------------------------------------------------------------------ D4b: image characteristics (17 cols)
   private val d4ImageChars: Q = (spark, dir) => {
+    graft.plans.GeoFunctions.register(spark)
     val chips = tiles(spark, dir)
       .withColumn("row_index",
         explode(sequence(lit(0), ceil(col("tile_height") / lit(512.0)).cast("int") - 1)))
@@ -97,8 +101,10 @@ object CharacteristicsQueries {
       .withColumn("nw_y_img", col("nw_y") - col("nw_y_px") * 0.6)
       .withColumn("se_x_img", col("nw_x") + col("se_x_px") * 0.6)
       .withColumn("se_y_img", col("nw_y") - col("se_y_px") * 0.6)
-      .withColumn("nwll", GeoPortable.wgs84FromUtm(col("nw_x_img"), col("nw_y_img"), lit(16)))
-      .withColumn("sell", GeoPortable.wgs84FromUtm(col("se_x_img"), col("se_y_img"), lit(16)))
+      .withColumn("nw_lat", expr("utm_lat(nw_x_img, nw_y_img, 16)"))
+      .withColumn("nw_lon", expr("utm_lon(nw_x_img, nw_y_img, 16)"))
+      .withColumn("se_lat", expr("utm_lat(se_x_img, se_y_img, 16)"))
+      .withColumn("se_lon", expr("utm_lon(se_x_img, se_y_img, 16)"))
     chips.select(
       concat(col("tile_name"), lit("_"), col("row_index"), lit("_"), col("col_index"))
         .as("image_name"),
@@ -108,8 +114,8 @@ object CharacteristicsQueries {
       lit(Proj).as("utm_projection"),
       col("nw_x_img").as("nw_x_utm_image_coord"), col("nw_y_img").as("nw_y_utm_image_coord"),
       col("se_x_img").as("se_x_utm_image_coord"), col("se_y_img").as("se_y_utm_image_coord"),
-      col("nwll._1").as("nw_lat_image_coord"), col("nwll._2").as("nw_lon_image_coord"),
-      col("sell._1").as("se_lat_image_coord"), col("sell._2").as("se_lon_image_coord"))
+      col("nw_lat").as("nw_lat_image_coord"), col("nw_lon").as("nw_lon_image_coord"),
+      col("se_lat").as("se_lat_image_coord"), col("se_lon").as("se_lon_image_coord"))
       .orderBy("image_name")
   }
 
