@@ -55,12 +55,15 @@ object Bench {
         s""""failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // persist the full per-query artifact in-repo so every round's complete
-    // numbers are recorded, not just what survives the driver's tail-grab
-    try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
-      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }   // bench output must never fail the run
+    // numbers are recorded, not just what survives the driver's tail-grab.
+    // A SPARK_GRAFT_ONLY-filtered dev run must NOT clobber the committed
+    // full-run record — it only writes when given an explicit path.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
+    outPath.foreach { o =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(o), line.getBytes("UTF-8"))
+      catch { case _: Throwable => () } // bench output must never fail the run
+    }
     spark.stop()
   }
 }

@@ -310,7 +310,8 @@ object GeoPortable {
     * one's renamed columns). */
   def inverseSql(inner: String, eSql: String, nSql: String, zoneSql: String,
                  prefix: String): String = {
-    require(!eSql.contains("g_") && !nSql.contains("g_") && !inner.contains("g_"),
+    require(!eSql.contains("g_") && !nSql.contains("g_") && !inner.contains("g_") &&
+        !zoneSql.contains("g_"),
       "inner relation and input expressions may not contain the substring g_")
     require(!prefix.contains("g_"), "prefix may not contain the substring g_")
     val rendered = inverseSqlRaw(inner, eSql, nSql, zoneSql)

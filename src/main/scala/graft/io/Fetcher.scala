@@ -41,29 +41,36 @@ object Fetcher {
   }
 
   /** One fetch round: download every pending (name, url) row into
-    * `storeDir`. Returns the number of files actually written (0 on an
-    * idempotent re-run). */
+    * `storeDir`. Returns the number of files that were missing when the
+    * round started (0 on an idempotent re-run).
+    *
+    * The count is measured BEFORE the side-effecting pass, not with an
+    * executor accumulator — accumulator updates from a task that wrote
+    * some files and then died are discarded while its files persist, so an
+    * accumulator would undercount on retry (and double-count a
+    * speculative duplicate). The pre-count is deterministic and matches
+    * the store-state delta whenever catalog names are unique. */
   def fetchMissing(spark: SparkSession, catalog: DataFrame,
                    nameCol: String, urlCol: String, storeDir: String,
                    get: String => Array[Byte] = simulatedGet): Long = {
-    val fetched = spark.sparkContext.longAccumulator("fetched_files")
-    pending(spark, catalog, nameCol, storeDir)
+    val toFetch = pending(spark, catalog, nameCol, storeDir)
       .select(col(nameCol), col(urlCol))
-      .foreachPartition { (rows: java.util.Iterator[org.apache.spark.sql.Row]) =>
-        Files.createDirectories(Paths.get(storeDir))
-        rows.forEachRemaining { r =>
-          val target = Paths.get(storeDir, r.getString(0))
-          // skip-if-exists re-check (az_proc.py:205): the anti-join ran at
-          // plan time; another round may have landed the file since
-          if (!Files.exists(target)) {
-            val tmp = Files.createTempFile(target.getParent, ".part_", "")
-            Files.write(tmp, get(r.getString(1)))
-            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
-            fetched.add(1)
-          }
+      .localCheckpoint()      // one store listing: count + fetch see the same set
+    val n = toFetch.count()
+    toFetch.foreachPartition { (rows: java.util.Iterator[org.apache.spark.sql.Row]) =>
+      Files.createDirectories(Paths.get(storeDir))
+      rows.forEachRemaining { r =>
+        val target = Paths.get(storeDir, r.getString(0))
+        // skip-if-exists re-check (az_proc.py:205): the anti-join ran at
+        // plan time; another round may have landed the file since
+        if (!Files.exists(target)) {
+          val tmp = Files.createTempFile(target.getParent, ".part_", "")
+          Files.write(tmp, get(r.getString(1)))
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
         }
       }
-    fetched.value
+    }
+    n
   }
 }

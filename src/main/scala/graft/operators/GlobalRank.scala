@@ -27,9 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** Adds `outCol` = 1-based global rank under `orderCols`. */
+  /** Adds `outCol` = 1-based global rank under `orderCols`.
+    *
+    * The input must be deterministic (a re-computation yields the same
+    * rows) — the same precondition any global ordering has. The offsets
+    * branch and the data branch then see identical partition boundaries
+    * whether or not the runtime reuses the exchange: RangePartitioner's
+    * sampling is seeded per input partition, so recomputing the range
+    * shuffle over the same rows reproduces the same boundaries. */
   def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column],
                           outCol: String): DataFrame = {
+    require(!df.columns.contains("__pid") && !df.columns.contains("__offset"),
+      "input already has a __pid/__offset column — rename it before ranking")
     val parted = df.repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
     val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))

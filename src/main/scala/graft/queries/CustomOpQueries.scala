@@ -32,13 +32,10 @@ object CustomOpQueries {
     concat(col("key"), lit("_c"), floor(col("y1") / 128).cast("int"),
       lit("_"), floor(col("x1") / 128).cast("int"))
 
-  // ------------------------------------------------------------------ A8: merge clustering
-  private val a8MergeClusters: Q = (spark, dir) => {
-    // box identity = position in the canonical (x1,y1,x2,y2,label) order,
-    // assigned inside BoxMerge — (l_orderkey, l_linenumber) is NOT unique
-    // in the synthetic corpus, and the positional scheme needs no window
-    val l = Tables.lineitem(spark, dir)
-    val raw = l.select(
+  /** The shared synthetic box feed every a8/a10 variant clusters (mirrors
+    * the `raw` CTE of a8CoreSql — one definition, four consumers). */
+  private def a8Feed(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
       col("l_orderkey").cast("string").as("key"),
       (col("l_partkey") * 13 % 300).cast("int").as("x1"),
       (col("l_suppkey") * 29 % 300).cast("int").as("y1"),
@@ -48,6 +45,13 @@ object CustomOpQueries {
         .when(col("l_partkey") % 3 === 1, "water_tower")
         .otherwise("spherical_tank").as("label"))
       .withColumn("chip", chipOf)
+
+  // ------------------------------------------------------------------ A8: merge clustering
+  private val a8MergeClusters: Q = (spark, dir) => {
+    // box identity = position in the canonical (x1,y1,x2,y2,label) order,
+    // assigned inside BoxMerge — (l_orderkey, l_linenumber) is NOT unique
+    // in the synthetic corpus, and the positional scheme needs no window
+    val raw = a8Feed(spark, dir)
     BoxMerge.mergeFrame(raw)
       .withColumn("chip_names", array_join(col("chip_names"), ","))
       .orderBy("key", "cluster_id")
@@ -105,17 +109,7 @@ object CustomOpQueries {
     * (MergeBoxesPlan/Exec via the planner strategy) — must hash-match the
     * flatMap form's recursive-CTE oracle exactly. */
   private val a8bMergeNative: Q = (spark, dir) => {
-    val l = Tables.lineitem(spark, dir)
-    val raw = l.select(
-      col("l_orderkey").cast("string").as("key"),
-      (col("l_partkey") * 13 % 300).cast("int").as("x1"),
-      (col("l_suppkey") * 29 % 300).cast("int").as("y1"),
-      (col("l_partkey") * 13 % 300 + 20 + col("l_partkey") % 40).cast("int").as("x2"),
-      (col("l_suppkey") * 29 % 300 + 20 + col("l_suppkey") % 40).cast("int").as("y2"),
-      when(col("l_partkey") % 3 === 0, "closed_roof_tank")
-        .when(col("l_partkey") % 3 === 1, "water_tower")
-        .otherwise("spherical_tank").as("label"))
-      .withColumn("chip", chipOf)
+    val raw = a8Feed(spark, dir)
     graft.plans.MergeBoxesApi.mergeBoxes(raw)
       .withColumn("chip_names", array_join(col("chip_names"), ","))
       .orderBy("key", "cluster_id")
@@ -125,17 +119,7 @@ object CustomOpQueries {
     * over grid-cell candidate edges (no per-tile cardinality bound) —
     * also pinned to the recursive-CTE oracle. */
   private val a8cMergeUnbounded: Q = (spark, dir) => {
-    val l = Tables.lineitem(spark, dir)
-    val raw = l.select(
-      col("l_orderkey").cast("string").as("key"),
-      (col("l_partkey") * 13 % 300).cast("int").as("x1"),
-      (col("l_suppkey") * 29 % 300).cast("int").as("y1"),
-      (col("l_partkey") * 13 % 300 + 20 + col("l_partkey") % 40).cast("int").as("x2"),
-      (col("l_suppkey") * 29 % 300 + 20 + col("l_suppkey") % 40).cast("int").as("y2"),
-      when(col("l_partkey") % 3 === 0, "closed_roof_tank")
-        .when(col("l_partkey") % 3 === 1, "water_tower")
-        .otherwise("spherical_tank").as("label"))
-      .withColumn("chip", chipOf)
+    val raw = a8Feed(spark, dir)
     graft.operators.DistributedCC.mergeUnbounded(raw)
       .withColumn("chip_names", array_join(col("chip_names"), ","))
       .orderBy("key", "cluster_id")
@@ -149,17 +133,7 @@ object CustomOpQueries {
     * dataset. Exercises the ArrayType output of the custom physical
     * operator end-to-end (explode over MergeBoxesExec's chip_names). */
   private val a10ClusterChips: Q = (spark, dir) => {
-    val l = Tables.lineitem(spark, dir)
-    val raw = l.select(
-      col("l_orderkey").cast("string").as("key"),
-      (col("l_partkey") * 13 % 300).cast("int").as("x1"),
-      (col("l_suppkey") * 29 % 300).cast("int").as("y1"),
-      (col("l_partkey") * 13 % 300 + 20 + col("l_partkey") % 40).cast("int").as("x2"),
-      (col("l_suppkey") * 29 % 300 + 20 + col("l_suppkey") % 40).cast("int").as("y2"),
-      when(col("l_partkey") % 3 === 0, "closed_roof_tank")
-        .when(col("l_partkey") % 3 === 1, "water_tower")
-        .otherwise("spherical_tank").as("label"))
-      .withColumn("chip", chipOf)
+    val raw = a8Feed(spark, dir)
     val selected = graft.plans.MergeBoxesApi.mergeBoxes(raw)
       .filter(col("merged"))
       .select(explode(col("chip_names")).as("image_name"))

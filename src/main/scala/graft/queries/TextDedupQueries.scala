@@ -224,7 +224,10 @@ object TextDedupQueries {
     // join — cache it so the shingle->md5-min pipeline runs once
     val sig = TextPipeline.minhashSignature(
       shingledFeed(spark, dir), "doc_id", "shingle", 8).cache()
-    val pairs = TextPipeline.lshCandidatePairs(sig, "doc_id", 8, 2)
+    // explicitly UNCAPPED: this is the baseline variant whose oracle
+    // generates every bucket's pairs; the capped production form is gated
+    // separately as d2c_lsh_capped/d2d_lsh_dropped
+    val pairs = TextPipeline.lshCandidatePairs(sig, "doc_id", 8, 2, maxBucket = Int.MaxValue)
     val sigA = (0 until 8).foldLeft(sig) { (d, i) => d.withColumnRenamed(s"h$i", s"h${i}_a") }
       .withColumnRenamed("doc_id", "id_a")
     val sigB = (0 until 8).foldLeft(sig) { (d, i) => d.withColumnRenamed(s"h$i", s"h${i}_b") }

@@ -71,16 +71,22 @@ def main():
         for c in s.columns:
             sv, dv = s[c], d[c]
             try:
-                if sv.dtype.kind == "f" or dv.dtype.kind == "f":
-                    # float columns: tolerance compare — Spark-vs-DuckDB
-                    # summation order can differ in the last ulp even when
-                    # both are correct (exact equality would flake on any
-                    # query that forgets to pre-round)
-                    eq = pd.Series(
+                eq = (sv == dv) | (sv.isna() & dv.isna())
+                if not eq.all() and (sv.dtype.kind == "f" or dv.dtype.kind == "f"):
+                    # the REAL driver gate hash-compares exactly, and the
+                    # engine's float outputs are designed to be bit-identical
+                    # (portable geodesy DAG, identical-division quotients) —
+                    # so exact compare stays primary and bit drift stays
+                    # visible locally. The tolerance path only reclassifies
+                    # last-ulp summation-order differences, loudly.
+                    close = pd.Series(
                         np.isclose(sv.astype(float), dv.astype(float),
                                    rtol=1e-9, atol=1e-12, equal_nan=True))
-                else:
-                    eq = (sv == dv) | (sv.isna() & dv.isna())
+                    if close.all():
+                        print(f"WARN    {name}: col {c} differs in last-ulp "
+                              f"only ({int((~eq).sum())} rows) — the exact "
+                              f"driver gate may still reject this")
+                        eq = close
             except Exception:
                 eq = sv.astype(str) == dv.astype(str)
             if not eq.all():
