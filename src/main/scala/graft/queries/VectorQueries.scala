@@ -270,6 +270,87 @@ object VectorQueries {
        |  FROM scored) WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------------ IVF end-to-end search
+  /** The full IVF search path on top of v5's index build: probe the top-2
+    * cells per query (broadcast centroid table), equi-join candidates on
+    * their assigned cell, exact-cosine rerank, top-3. At corpus scale the
+    * only shuffle is the candidate equi-join on centroid_id — the classic
+    * IVF trade: recall bounded by nprobe, cost bounded by cell sizes. */
+  private val v7IvfSearch: Q = (spark, dir) => {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // index build: every vector keeps its best cell (v5 semantics)
+    val cellW = Window.partitionBy("vec_id").orderBy(col("c_sim").desc, col("centroid_id"))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", round(expr("cosine_sim(embedding, c_emb)"), 4))
+      .withColumn("crn", row_number().over(cellW)).filter(col("crn") === 1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"),
+        col("centroid_id"))
+    // probe: top-2 cells per query vector
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", round(expr("cosine_sim(q_emb, c_emb)"), 4))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("crn") <= 2)
+      .select("query_id", "q_emb", "centroid_id")
+    // candidates from probed cells; exact rerank; top-3
+    val rerank = probes.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", round(expr("cosine_sim(q_emb, cand_emb)"), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    rerank.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("cand_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val v7IvfSearchSql =
+    s"""WITH $unnestSql,
+       |cdots AS (
+       |  SELECT b.vec_id, a.vec_id AS centroid_id, sum(a.x * b.x) AS dot
+       |  FROM un a JOIN un b ON a.i = b.i
+       |  WHERE a.vec_id < 16
+       |  GROUP BY 1, 2),
+       |cscored AS (
+       |  SELECT d.vec_id, d.centroid_id,
+       |    round(d.dot / (sqrt(nb.n2) * sqrt(na.n2)), 4) AS c_sim
+       |  FROM cdots d
+       |  JOIN norms na ON na.vec_id = d.centroid_id
+       |  JOIN norms nb ON nb.vec_id = d.vec_id),
+       |assigned AS (
+       |  SELECT vec_id AS cand_id, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c_sim DESC, centroid_id) AS crn
+       |    FROM cscored) WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c_sim DESC, centroid_id) AS crn
+       |    FROM cscored WHERE vec_id % 50 = 0) WHERE crn <= 2),
+       |cands AS (
+       |  SELECT p.query_id, a.cand_id
+       |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+       |  WHERE p.query_id <> a.cand_id),
+       |rerank AS (
+       |  SELECT c.query_id, c.cand_id,
+       |    round(d.dot / (sqrt(nq.n2) * sqrt(nc.n2)), 4) AS cos_sim
+       |  FROM cands c
+       |  JOIN (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+       |        FROM un a JOIN un b ON a.i = b.i
+       |        WHERE a.vec_id % 50 = 0
+       |        GROUP BY 1, 2) d ON d.qid = c.query_id AND d.cid = c.cand_id
+       |  JOIN norms nq ON nq.vec_id = c.query_id
+       |  JOIN norms nc ON nc.vec_id = c.cand_id)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id AS neighbor_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, cand_id) AS rnk
+       |  FROM rerank) WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
   // ------------------------------------------------------------------ native-expression top-k
   /** Same result as v1, computed through the codegen'd native
     * `cosine_sim` Catalyst expression instead of the higher-order-function
@@ -341,6 +422,7 @@ object VectorQueries {
     "v4_cosine_native" -> v4CosineNative,
     "v5_ivf_assign" -> v5IvfAssign,
     "v6_multiprobe_ann" -> v6MultiprobeAnn,
+    "v7_ivf_search" -> v7IvfSearch,
     "d5_embedding_neardup" -> d5EmbeddingNeardup,
     "m1_media_meta" -> m1MediaMeta,
     "m2_frame_sample" -> m2FrameSample
@@ -353,6 +435,7 @@ object VectorQueries {
     "v4_cosine_native" -> v1CosineTopkSql,
     "v5_ivf_assign" -> v5IvfAssignSql,
     "v6_multiprobe_ann" -> v6MultiprobeAnnSql,
+    "v7_ivf_search" -> v7IvfSearchSql,
     "d5_embedding_neardup" -> d5EmbeddingNeardupSql,
     "m1_media_meta" -> m1MediaMetaSql,
     "m2_frame_sample" -> m2FrameSampleSql
