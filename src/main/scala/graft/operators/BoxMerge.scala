@@ -51,8 +51,20 @@ object BoxMerge {
     aContainsB || bContainsA || (xGap <= gap && yCovers) || (yGap <= gap && xCovers)
   }
 
+  /** Grid cell size for candidate pruning (same invariant DistributedCC
+    * uses: two similar boxes' gap-expanded bboxes intersect, so they share
+    * at least one cell). */
+  private val CellPx = 64
+
   /** Union-find over the pairwise predicate on boxes ALREADY in canonical
-    * order; component identity = min member position (1-based). */
+    * order; component identity = min member position (1-based).
+    *
+    * Candidate pairs come from a 64-px grid bucketing instead of the naive
+    * all-pairs loop: `similar` implies the gap-expanded rectangles
+    * intersect, intersecting rectangles share a grid cell, and the exact
+    * predicate still decides every candidate — so the result is identical
+    * (BoxMergeSpec cross-checks against a BFS transitive closure) while a
+    * dense 600-box tile drops from ~180k to a few hundred predicate calls. */
   def clusterGroup(boxes: Seq[Box], gap: Int): Seq[Cluster] = {
     val arr = boxes.toArray
     val parent = Array.tabulate(arr.length)(identity)
@@ -60,14 +72,46 @@ object BoxMerge {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }; r }
     def union(i: Int, j: Int): Unit = { val ri = find(i); val rj = find(j)
       if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj) }
-    var i = 0
-    while (i < arr.length) {
-      var j = i + 1
-      while (j < arr.length) {
-        if (similar(arr(i), arr(j), gap)) union(i, j)
-        j += 1
+    if (arr.length <= 32) {
+      // tiny groups (the common case for sparse tiles): the direct loop is
+      // cheaper than any indexing structure
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          if (similar(arr(i), arr(j), gap)) union(i, j)
+          j += 1
+        }
+        i += 1
       }
-      i += 1
+    } else {
+      val buckets = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+      var i = 0
+      while (i < arr.length) {
+        val b = arr(i)
+        var cx = Math.floorDiv(b.x1 - gap, CellPx)
+        val cxMax = Math.floorDiv(b.x2 + gap, CellPx)
+        while (cx <= cxMax) {
+          var cy = Math.floorDiv(b.y1 - gap, CellPx)
+          val cyMax = Math.floorDiv(b.y2 + gap, CellPx)
+          while (cy <= cyMax) {
+            val cell = buckets.getOrElseUpdate(cx.toLong << 32 | (cy.toLong & 0xffffffffL),
+              scala.collection.mutable.ArrayBuffer.empty[Int])
+            // compare against earlier members of this cell only — a pair in
+            // several shared cells is just re-checked, never missed
+            var k = 0
+            while (k < cell.length) {
+              val j = cell(k)
+              if (find(i) != find(j) && similar(arr(i), arr(j), gap)) union(i, j)
+              k += 1
+            }
+            cell += i
+            cy += 1
+          }
+          cx += 1
+        }
+        i += 1
+      }
     }
     arr.indices.groupBy(find).valuesIterator.map { members =>
       val bs = members.map(arr)
