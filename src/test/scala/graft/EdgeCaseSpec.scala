@@ -30,6 +30,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sizes == Seq(0, 0, 1))
   }
 
+  test("Fetcher with an empty catalog fetches nothing and creates the store") {
+    import spark.implicits._
+    val store = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_test_store", "empty_catalog")
+    val empty = Seq.empty[(String, String)].toDF("file_name", "url")
+    assert(graft.io.Fetcher.fetchMissing(spark, empty, "file_name", "url", store.toString) == 0)
+    assert(java.nio.file.Files.isDirectory(store) ||
+      java.nio.file.Files.notExists(store.resolve("anything")))
+  }
+
+  test("lshCandidatePairs on an empty signature frame is empty") {
+    import spark.implicits._
+    val sig = Seq.empty[(String, String, String)].toDF("doc_id", "h0", "h1")
+    assert(graft.operators.TextPipeline.lshCandidatePairs(sig, "doc_id", 2, 2).count() == 0)
+    assert(graft.operators.TextPipeline.lshDroppedBuckets(sig, "doc_id", 2, 2).count() == 0)
+  }
+
+  test("clusterGroup hybrid threshold: 33+ boxes take the bucketed path, same result") {
+    // straddle the <=32 cutoff with a dense chain; both paths must agree
+    val boxesSmall = (0 until 32).map(i =>
+      BoxMerge.Box("t", i * 10, 0, i * 10 + 15, 20, "water_tower", s"c$i"))
+    val boxesBig = (0 until 40).map(i =>
+      BoxMerge.Box("t", i * 10, 0, i * 10 + 15, 20, "water_tower", s"c$i"))
+    val s = BoxMerge.clusterGroup(boxesSmall, 5)
+    val b = BoxMerge.clusterGroup(boxesBig, 5)
+    assert(s.size == 1 && s.head.n_boxes == 32 && s.head.chip_names.size == 32)
+    assert(b.size == 1 && b.head.n_boxes == 40 && b.head.chip_names.size == 40)
+    assert(b.head.maxx == 39 * 10 + 15)
+  }
+
   test("bruteForceTopK with an empty query set returns nothing") {
     import spark.implicits._
     val emb = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
