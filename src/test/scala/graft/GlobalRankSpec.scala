@@ -57,6 +57,23 @@ class GlobalRankSpec extends SparkSpec {
     assert(stats.getLong(0) == 1L && stats.getLong(1) == n && stats.getLong(2) == n)
   }
 
+  test("ranks are identical across shuffle partition counts") {
+    // a cluster resize must not change any rank: boundaries move, the
+    // offsets move with them, the global order does not
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    def ranked(): Seq[(Long, Long)] =
+      GlobalRank.withGlobalRowNumber(orders, Seq(col("o_orderdate"), col("o_orderkey")), "rn")
+        .select("o_orderkey", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = ranked()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = ranked()
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
   test("empty input yields an empty ranked frame") {
     val empty = orders.filter(col("o_orderkey") < 0)
     assert(GlobalRank.withGlobalRowNumber(empty, Seq(col("o_orderkey")), "rn").count() == 0)
