@@ -28,7 +28,13 @@ object Bench {
     // compilation, not the operator (e.g. e1 is 5.9s cold, 2.2s warm).
     // SPARK_GRAFT_ONLY=q1_agg,e1_inventory limits the run (dev: repeated
     // timing of hot queries without the full suite)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY lists no valid queries (unknown: ${unknown.mkString(", ")})")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>

@@ -71,6 +71,7 @@ object Fetcher {
         }
       }
     }
+    toFetch.unpersist()
     n
   }
 }

@@ -67,6 +67,11 @@ object BoxMerge {
     * dense 600-box tile drops from ~180k to a few hundred predicate calls. */
   def clusterGroup(boxes: Seq[Box], gap: Int): Seq[Cluster] = {
     val arr = boxes.toArray
+    // the operator contract is pixel bboxes with x1<=x2, y1<=y2; an
+    // inverted box would silently skip the bucketed path's cell loop and
+    // split clusters the direct loop would merge — fail loudly instead
+    require(arr.forall(b => b.x1 <= b.x2 && b.y1 <= b.y2),
+      "clusterGroup requires well-formed boxes (x1<=x2, y1<=y2)")
     val parent = Array.tabulate(arr.length)(identity)
     def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); var c = i
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }; r }

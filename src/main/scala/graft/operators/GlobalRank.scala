@@ -30,11 +30,14 @@ object GlobalRank {
   /** Adds `outCol` = 1-based global rank under `orderCols`.
     *
     * The input must be deterministic (a re-computation yields the same
-    * rows) — the same precondition any global ordering has. The offsets
-    * branch and the data branch then see identical partition boundaries
-    * whether or not the runtime reuses the exchange: RangePartitioner's
-    * sampling is seeded per input partition, so recomputing the range
-    * shuffle over the same rows reproduces the same boundaries. */
+    * rows) — the same precondition any global ordering has. Boundary
+    * consistency between the offsets branch and the data branch comes from
+    * Spark's exchange reuse: both branches canonicalize to the same range
+    * exchange, which plans/executes once (default-on ReuseExchange / AQE
+    * stage reuse; GlobalRankSpec asserts the ReusedExchange at runtime).
+    * Do not disable spark.sql.exchange.reuse around this operator — the
+    * RangePartitioner's sample seed includes the RDD id, so two
+    * independent materializations could pick different boundaries. */
   def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column],
                           outCol: String): DataFrame = {
     require(!df.columns.contains("__pid") && !df.columns.contains("__offset"),

@@ -119,6 +119,49 @@ class BoxMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("dense groups (bucketed path) equal the BFS closure too") {
+    // randomBoxes uses <=15 boxes, which exercises only the <=32 direct
+    // loop — this pins the grid-bucketed branch against the same
+    // independent BFS implementation at realistic tile density
+    val rng = new scala.util.Random(77)
+    (1 to 20).foreach { _ =>
+      val boxes = randomBoxes(rng, 120)
+      val n = boxes.size
+      val adj = Array.tabulate(n, n)((i, j) =>
+        i != j && BoxMerge.similar(boxes(i), boxes(j), 5))
+      val comp = Array.fill(n)(-1)
+      var c = 0
+      (0 until n).foreach { s =>
+        if (comp(s) < 0) {
+          var frontier = List(s)
+          while (frontier.nonEmpty) {
+            val v = frontier.head; frontier = frontier.tail
+            if (comp(v) < 0) {
+              comp(v) = c
+              (0 until n).foreach(u => if (adj(v)(u) && comp(u) < 0) frontier ::= u)
+            }
+          }
+          c += 1
+        }
+      }
+      val bfs = (0 until n).groupBy(comp).values.map { members =>
+        val bs = members.map(boxes)
+        val labels = bs.map(_.label).distinct
+        (bs.map(_.x1).min, bs.map(_.y1).min, bs.map(_.x2).max, bs.map(_.y2).max,
+          bs.size, if (labels.size > 1) "undefined_object" else labels.head, bs.size > 1,
+          bs.map(_.chip).distinct.sorted.mkString("|"))
+      }.toSeq.sorted
+      assert(canon(BoxMerge.clusterGroup(boxes, 5)) == bfs)
+    }
+  }
+
+  test("inverted boxes are rejected loudly, not silently mis-clustered") {
+    val bad = Seq(
+      Box("t", 0, 0, 30, 30, "water_tower", "c0"),
+      Box("t", 200, 0, 50, 10, "water_tower", "c1"))   // x1 > x2
+    intercept[IllegalArgumentException] { BoxMerge.clusterGroup(bad, 5) }
+  }
+
   test("gap semantics: 5px gap with covering interval merges, 6px does not") {
     def pair(gapPx: Int) = Seq(
       Box("t", 0, 0, 30, 40, "water_tower", "c0"),

@@ -50,6 +50,26 @@ class GeoExprSpec extends SparkSpec {
     assert(df.count() == 25)
   }
 
+  test("generated Java compiles under CODEGEN_ONLY (no silent fallback)") {
+    // plan strings cannot reveal a runtime Janino fallback; forcing
+    // factoryMode=CODEGEN_ONLY makes a compile failure throw instead.
+    // Four stacked calls in one projection mirrors d4_image_chars' shape.
+    GeoFunctions.register(spark)
+    val orig = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      import spark.implicits._
+      val out = Seq((300000.0, 3600000.0, 305000.0, 3595000.0))
+        .toDF("e1", "n1", "e2", "n2")
+        .selectExpr(
+          "utm_lat(e1, n1, 16) AS a", "utm_lon(e1, n1, 16) AS b",
+          "utm_lat(e2, n2, 16) AS c", "utm_lon(e2, n2, 16) AS d")
+        .collect().head
+      val (lat1, lon1) = GeoPortable.inverse(300000.0, 3600000.0, 16)
+      assert(out.getDouble(0) == lat1 && out.getDouble(1) == lon1)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", orig)
+  }
+
   test("udf path and native path agree bit-for-bit") {
     import spark.implicits._
     GeoFunctions.register(spark)

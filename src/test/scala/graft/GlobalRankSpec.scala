@@ -74,6 +74,16 @@ class GlobalRankSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
   }
 
+  test("offsets and data branches share one range exchange at runtime") {
+    val ranked = GlobalRank.withGlobalRowNumber(
+      orders, Seq(col("o_orderdate"), col("o_orderkey")), "rn")
+    ranked.collect()   // run so AQE finalizes the plan
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || plan.contains("TableCacheQueryStage"),
+      s"range exchange not reused between offsets and data branches:\n$plan")
+  }
+
   test("empty input yields an empty ranked frame") {
     val empty = orders.filter(col("o_orderkey") < 0)
     assert(GlobalRank.withGlobalRowNumber(empty, Seq(col("o_orderkey")), "rn").count() == 0)
