@@ -232,6 +232,44 @@ object PipelineQueries {
       |    ']]]}}') AS geojson
       |FROM nation ORDER BY county_key""".stripMargin
 
+  // ------------------------------------------------------------------ GeoJSON parse (S4)
+  /** Round-trips the rendered Feature strings back through from_json with
+    * an explicit schema and re-extracts properties + ring corners — the
+    * read side of the GeoJSON surface (`gpd.read_file` in
+    * `distribution_by_county_state.py:27`), schema-on-read, no inference. */
+  private val ioGeojsonParse: Q = (spark, dir) => {
+    val k = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("county_key"),
+      (col("n_nationkey") % 5 * 200).as("x1"),
+      (floor(col("n_nationkey") / 5) * 160).cast("long").as("y1"))
+      .withColumn("x2", col("x1") + 200)
+      .withColumn("y2", col("y1") + 160)
+    val rendered = k.select(Sinks.geoJsonFeature(struct(col("county_key")),
+      col("x1"), col("y1"), col("x2"), col("y2")).as("geojson"))
+    val schema = "STRUCT<type: STRING, properties: STRUCT<county_key: INT>, " +
+      "geometry: STRUCT<type: STRING, coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>>"
+    rendered.select(
+      from_json(col("geojson"), org.apache.spark.sql.types.DataType.fromDDL(schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).as("f"))
+      .select(
+        col("f.properties.county_key").as("county_key"),
+        col("f.geometry.type").as("geom_type"),
+        element_at(element_at(col("f.geometry.coordinates"), 1), 1)(0).as("minx"),
+        element_at(element_at(col("f.geometry.coordinates"), 1), 1)(1).as("miny"),
+        element_at(element_at(col("f.geometry.coordinates"), 1), 3)(0).as("maxx"),
+        element_at(element_at(col("f.geometry.coordinates"), 1), 3)(1).as("maxy"))
+      .orderBy("county_key")
+  }
+
+  private val ioGeojsonParseSql =
+    """SELECT n_nationkey AS county_key,
+      |  'Polygon' AS geom_type,
+      |  CAST(n_nationkey % 5 * 200 AS DOUBLE) AS minx,
+      |  CAST((n_nationkey // 5) * 160 AS DOUBLE) AS miny,
+      |  CAST(n_nationkey % 5 * 200 + 200 AS DOUBLE) AS maxx,
+      |  CAST((n_nationkey // 5) * 160 + 160 AS DOUBLE) AS maxy
+      |FROM nation ORDER BY county_key""".stripMargin
+
   // ------------------------------------------------------------------ binary directory scan
   /** Writes a deterministic VOC-XML fixture tree (plus junk files that the
     * glob must prune), scans it via binaryFile, parses, and aggregates. */
@@ -464,6 +502,7 @@ object PipelineQueries {
     "io_csv_roundtrip" -> ioCsvRoundtrip,
     "io_json_roundtrip" -> ioJsonRoundtrip,
     "io_geojson_render" -> ioGeojsonRender,
+    "io_geojson_parse" -> ioGeojsonParse,
     "io_binary_scan" -> ioBinaryScan,
     "s8_tiff_meta" -> s8TiffMeta,
     "s9_fetch_roundtrip" -> s9FetchRoundtrip,
@@ -482,6 +521,7 @@ object PipelineQueries {
     "io_csv_roundtrip" -> ioCsvRoundtripSql,
     "io_json_roundtrip" -> ioJsonRoundtripSql,
     "io_geojson_render" -> ioGeojsonRenderSql,
+    "io_geojson_parse" -> ioGeojsonParseSql,
     "io_binary_scan" -> ioBinaryScanSql,
     "s8_tiff_meta" -> s8TiffMetaSql,
     "s9_fetch_roundtrip" -> s9FetchRoundtripSql,
