@@ -414,6 +414,43 @@ object VectorQueries {
       |WHERE f.f < n_frames
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------------------------ m3: frame-level dedup (multimodal x dedup composition)
+  /** Composes the multimodal frame generator with the exact-dedup family:
+    * every sampled frame gets a content fingerprint (a deterministic
+    * 32-char window of the payload — the stand-in for a real frame decode,
+    * same stub contract as m1/m2) and media with repeated frames are
+    * detected by hash distinct-counting — frame-level exact dedup, the
+    * video analog of d1. */
+  private val m3FrameDedup: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val meta = BinaryMedia.decodeMeta(BinaryMedia.fakePayloads(spark, docs)).toDF()
+    val frames = BinaryMedia.sampleFrames(meta)
+      .join(docs.select(col("doc_id").as("media_id"), col("text")), Seq("media_id"))
+      .withColumn("frame_hash", md5(substring(
+        col("text"), (col("frame_idx") * 17 % greatest(length(col("text")), lit(1))) + 1, lit(32))))
+    frames.groupBy("media_id")
+      .agg(max(col("n_frames")).as("n_frames"),
+        countDistinct(col("frame_hash")).as("n_distinct_frames"))
+      .withColumn("has_dup_frames", col("n_distinct_frames") < col("n_frames"))
+      .orderBy("media_id")
+  }
+
+  private val m3FrameDedupSql =
+    """WITH meta AS (
+      |  SELECT doc_id AS media_id, text,
+      |    CAST(octet_length(encode(text)) % 5 + 1 AS INTEGER) AS n_frames
+      |  FROM documents),
+      |frames AS (
+      |  SELECT media_id, n_frames,
+      |    md5(substr(text, CAST(f.f * 17 % greatest(length(text), 1) AS INTEGER) + 1, 32)) AS frame_hash
+      |  FROM meta, generate_series(0, 4) f(f)
+      |  WHERE f.f < n_frames)
+      |SELECT media_id, max(n_frames) AS n_frames,
+      |  count(DISTINCT frame_hash) AS n_distinct_frames,
+      |  count(DISTINCT frame_hash) < max(n_frames) AS has_dup_frames
+      |FROM frames GROUP BY media_id
+      |ORDER BY media_id""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "v1_cosine_topk" -> v1CosineTopk,
@@ -425,7 +462,8 @@ object VectorQueries {
     "v7_ivf_search" -> v7IvfSearch,
     "d5_embedding_neardup" -> d5EmbeddingNeardup,
     "m1_media_meta" -> m1MediaMeta,
-    "m2_frame_sample" -> m2FrameSample
+    "m2_frame_sample" -> m2FrameSample,
+    "m3_frame_dedup" -> m3FrameDedup
   )
 
   val oracle: Map[String, String] = Map(
@@ -438,6 +476,7 @@ object VectorQueries {
     "v7_ivf_search" -> v7IvfSearchSql,
     "d5_embedding_neardup" -> d5EmbeddingNeardupSql,
     "m1_media_meta" -> m1MediaMetaSql,
-    "m2_frame_sample" -> m2FrameSampleSql
+    "m2_frame_sample" -> m2FrameSampleSql,
+    "m3_frame_dedup" -> m3FrameDedupSql
   )
 }
