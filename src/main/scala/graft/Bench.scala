@@ -37,29 +37,50 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       try {
-        fn(spark, sfDir).count()                    // warm-up, untimed
-        spark.catalog.clearCache()                  // no cross-run cache reuse
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()                  // bound storage memory
-        name -> dt
-      } catch { case _: Throwable => name -> -1.0 }
+        spark.catalog.clearCache()                  // no cross-run cache reuse
+        dt
+      } catch { case _: Throwable => -1.0 }
+    // Warm the WHOLE suite before timing anything: JIT, codegen cache,
+    // parquet footers, and any transient co-tenant load (the round-2 driver
+    // run showed 2-5x inflation confined to the first queries in run order)
+    // land on the untimed pass instead of whichever queries sort first.
+    selected.foreach { case (n, f) => runOnce(n, f) }
+    // Then two timed passes, per-query min: a transient contention spike
+    // anywhere in either pass cannot poison that query's reported number.
+    val pass1 = selected.map { case (n, f) => n -> runOnce(n, f) }
+    val pass2 = selected.map { case (n, f) => n -> runOnce(n, f) }
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // a failed query is a -1 sentinel in the per-query map; it must NOT
     // shrink the summed total (a broken run would otherwise look faster) —
     // sum successes only and surface the failures explicitly
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},""" +
-        s""""failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    // The driver captures only a bounded tail of stdout: the round-2 full
+    // per-query line (~3 KB for 104 queries) was truncated past parseability
+    // (BENCH_r02.json parsed:null). Print a compact headline line that always
+    // fits; the complete per-query map is persisted to BENCH_FULL.json.
+    val headline = Seq(
+      "e1_inventory", "e3_inventory_crosstab", "a8_merge_clusters",
+      "a8c_merge_unbounded", "d2_lsh_pairs", "d2c_lsh_capped", "q1_agg",
+      "q3_join_topk", "j8_spatial_argmax", "v1_cosine_topk",
+      "s7_voc_roundtrip", "tracker_build", "e4_text_pipeline",
+      "t_token_count", "s3_session_window", "w2_limit_allocation")
+    val headlineRs = results.filter { case (k, _) => headline.contains(k) }
+    def line(rs: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+        s""""n_failed":${failed.size},"failed":$failedJson,""" +
+        s""""queries":${jsonMap(rs)},"sf":"$sfDir"}"""
+    println(line(if (only.isEmpty) headlineRs else results))
     // persist the full per-query artifact in-repo so every round's complete
     // numbers are recorded, not just what survives the driver's tail-grab.
     // A SPARK_GRAFT_ONLY-filtered dev run must NOT clobber the committed
@@ -67,7 +88,8 @@ object Bench {
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
     outPath.foreach { o =>
-      try java.nio.file.Files.write(java.nio.file.Paths.get(o), line.getBytes("UTF-8"))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(o), line(results).getBytes("UTF-8"))
       catch { case _: Throwable => () } // bench output must never fail the run
     }
     spark.stop()
