@@ -63,34 +63,57 @@ object DistributedCC {
         pairs.select(col("key"), col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
 
-    // 4. Hash-Min to fixpoint ("comp" = smallest reachable canonical id).
-    //    Convergence check: sum(comp) decreases strictly every improving
-    //    iteration and is stable exactly at the fixpoint — one cheap
-    //    aggregate per round instead of a join + count.
-    var comps = boxes.select(col("key"), col("id"), col("id").as("comp"))
+    // 4. Hash-Min to fixpoint ("comp" = smallest reachable canonical id),
+    //    frontier-based: each round propagates only from vertices whose
+    //    label changed last round (if a label did not change, every neighbor
+    //    already saw it — every vertex starts in the frontier via the seed).
+    //    The per-round data movement is one scan of the label table joined
+    //    against a broadcast of the (tiny) aggregated improvements; the
+    //    frontier for the next round falls out of the same scan. At
+    //    merge-shaped graphs the frontier collapses from |V| to a few
+    //    hundred rows after the seed, so total cost is the seed scan plus
+    //    O(diameter) cheap rounds — not O(diameter) full shuffles.
+    //
+    //    Seed pass = round 1 of Hash-Min: comp(v) = min(v, min neighbor id).
+    //    The neighbor-min table has one row per vertex-with-edges (tiny next
+    //    to |V|), so it broadcast-joins onto the id table in the same single
+    //    scan shape the loop rounds use.
+    val nbrMin = edges.groupBy(col("key"), col("id_a").as("id"))
+      .agg(min(col("id_b")).as("nbr"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("comp")).cast("long")).first().getLong(0)
-    var prevSum = if (boxes.isEmpty) 0L else labelSum(comps)
-    var iter = 0
-    var converged = boxes.isEmpty
-    while (!converged && iter < maxIter) {
-      val msgs = edges.join(comps,
-          edges("key") === comps("key") && edges("id_a") === comps("id"))
-        .select(edges("key").as("key"), col("id_b").as("id"), col("comp"))
-      val next = comps.unionByName(msgs)
-        .groupBy("key", "id").agg(min(col("comp")).as("comp"))
+    val seedHint = if (nbrMin.count() <= 500000) broadcast(nbrMin) else nbrMin
+    var comps = boxes.select(col("key"), col("id"))
+      .join(seedHint, Seq("key", "id"), "left")
+      .select(col("key"), col("id"),
+        least(col("id"), coalesce(col("nbr"), col("id"))).as("comp"),
+        (coalesce(col("nbr"), col("id")) < col("id")).as("chg"))
+      .localCheckpoint()
+    var frontier = comps.filter(col("chg")).select("key", "id", "comp")
+    var frontierSize = frontier.count()
+    var iter = 1
+    while (frontierSize > 0 && iter < maxIter) {
+      val msgs = frontier.as("f").join(edges.as("e"),
+          col("f.key") === col("e.key") && col("f.id") === col("e.id_a"))
+        .select(col("f.key").as("key"), col("e.id_b").as("id"), col("f.comp").as("comp"))
+      val cand = msgs.groupBy("key", "id").agg(min(col("comp")).as("cand"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      comps = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      // Broadcast only while the frontier is actually small — a pathological
+      // expander graph could keep it large, where a hash join is the safe plan.
+      val hinted = if (frontierSize <= 500000) broadcast(cand) else cand
+      comps = comps.as("c")
+        .join(hinted, Seq("key", "id"), "left")
+        .select(col("key"), col("id"),
+          least(col("c.comp"), coalesce(col("cand"), col("c.comp"))).as("comp"),
+          (coalesce(col("cand"), col("c.comp")) < col("c.comp")).as("chg"))
+        .localCheckpoint()
+      frontier = comps.filter(col("chg")).select("key", "id", "comp")
+      frontierSize = frontier.count()
       iter += 1
     }
     // a component with diameter > maxIter would silently return wrong
     // clusters — fail loudly instead of defeating the hash-identical
     // contract with BoxMerge on pathological inputs
-    require(converged,
+    require(frontierSize == 0,
       s"Hash-Min connected components did not converge in $maxIter iterations; " +
         "raise maxIter (component diameter exceeds the bound)")
 
