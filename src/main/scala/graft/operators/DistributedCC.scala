@@ -59,63 +59,12 @@ object DistributedCC {
         col("ax1"), col("ay1"), col("ax2"), col("ay2"),
         col("bx1"), col("by1"), col("bx2"), col("by2"), gap))
       .select("key", "id_a", "id_b").distinct()
-    val edges = pairs.unionByName(
-        pairs.select(col("key"), col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
 
-    // 4. Hash-Min to fixpoint ("comp" = smallest reachable canonical id),
-    //    frontier-based: each round propagates only from vertices whose
-    //    label changed last round (if a label did not change, every neighbor
-    //    already saw it — every vertex starts in the frontier via the seed).
-    //    The per-round data movement is one scan of the label table joined
-    //    against a broadcast of the (tiny) aggregated improvements; the
-    //    frontier for the next round falls out of the same scan. At
-    //    merge-shaped graphs the frontier collapses from |V| to a few
-    //    hundred rows after the seed, so total cost is the seed scan plus
-    //    O(diameter) cheap rounds — not O(diameter) full shuffles.
-    //
-    //    Seed pass = round 1 of Hash-Min: comp(v) = min(v, min neighbor id).
-    //    The neighbor-min table has one row per vertex-with-edges (tiny next
-    //    to |V|), so it broadcast-joins onto the id table in the same single
-    //    scan shape the loop rounds use.
-    val nbrMin = edges.groupBy(col("key"), col("id_a").as("id"))
-      .agg(min(col("id_b")).as("nbr"))
-      .localCheckpoint()
-    val seedHint = if (nbrMin.count() <= 500000) broadcast(nbrMin) else nbrMin
-    var comps = boxes.select(col("key"), col("id"))
-      .join(seedHint, Seq("key", "id"), "left")
-      .select(col("key"), col("id"),
-        least(col("id"), coalesce(col("nbr"), col("id"))).as("comp"),
-        (coalesce(col("nbr"), col("id")) < col("id")).as("chg"))
-      .localCheckpoint()
-    var frontier = comps.filter(col("chg")).select("key", "id", "comp")
-    var frontierSize = frontier.count()
-    var iter = 1
-    while (frontierSize > 0 && iter < maxIter) {
-      val msgs = frontier.as("f").join(edges.as("e"),
-          col("f.key") === col("e.key") && col("f.id") === col("e.id_a"))
-        .select(col("f.key").as("key"), col("e.id_b").as("id"), col("f.comp").as("comp"))
-      val cand = msgs.groupBy("key", "id").agg(min(col("comp")).as("cand"))
-        .localCheckpoint()
-      // Broadcast only while the frontier is actually small — a pathological
-      // expander graph could keep it large, where a hash join is the safe plan.
-      val hinted = if (frontierSize <= 500000) broadcast(cand) else cand
-      comps = comps.as("c")
-        .join(hinted, Seq("key", "id"), "left")
-        .select(col("key"), col("id"),
-          least(col("c.comp"), coalesce(col("cand"), col("c.comp"))).as("comp"),
-          (coalesce(col("cand"), col("c.comp")) < col("c.comp")).as("chg"))
-        .localCheckpoint()
-      frontier = comps.filter(col("chg")).select("key", "id", "comp")
-      frontierSize = frontier.count()
-      iter += 1
-    }
-    // a component with diameter > maxIter would silently return wrong
-    // clusters — fail loudly instead of defeating the hash-identical
-    // contract with BoxMerge on pathological inputs
-    require(frontierSize == 0,
-      s"Hash-Min connected components did not converge in $maxIter iterations; " +
-        "raise maxIter (component diameter exceeds the bound)")
+    // 4. frontier-based Hash-Min to fixpoint (see [[GraphCC]] for the scale
+    //    shape; fails loudly past maxIter instead of defeating the
+    //    hash-identical contract with BoxMerge on pathological inputs)
+    val comps = GraphCC.connectedComponents(
+      boxes.select("key", "id"), pairs, maxIter)
 
     // 5. cluster aggregation (identical semantics + schema to BoxMerge;
     //    chip_names = sorted distinct member chips, form_calcs.py:770-779)

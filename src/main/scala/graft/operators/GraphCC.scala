@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic distributed connected components: frontier-based Hash-Min label
+  * propagation over an edge list, keyed so many independent graphs (one per
+  * `key`) resolve in the same pass.
+  *
+  * Used by the A8 merge escape hatch ([[DistributedCC]]) and by near-dup
+  * document clustering (d6/d7) — the "collapse LSH candidate pairs into
+  * duplicate clusters" step every corpus-scale dedup pipeline ends with
+  * (reference merge semantics: `form_calcs.py:748-792`, re-expressed as
+  * order-independent components).
+  *
+  * Scale shape: each round propagates labels only from vertices whose label
+  * changed last round (if a label did not change, every neighbor already saw
+  * it — all vertices enter the frontier via the seed round). The per-round
+  * work is one scan of the label table left-joined against a broadcast of
+  * the aggregated improvements; the next frontier falls out of that same
+  * scan. Merge/dedup graphs have tiny components, so the frontier collapses
+  * from |V| to a few hundred rows after the seed and rounds 2..diameter are
+  * near-free — O(diameter) rounds, exactly one of which touches all
+  * vertices. Broadcasts are gated on measured size so a pathological
+  * expander graph degrades to a plain hash join instead of an OOM.
+  */
+object GraphCC {
+
+  /** Connected components of the undirected graph (`vertices`, `pairs`).
+    *
+    * @param vertices (key, id) — every vertex, including isolated ones
+    * @param pairs    (key, id_a, id_b) — one row per undirected edge (either
+    *                 direction; symmetrized internally)
+    * @return (key, id, comp) where comp = smallest id reachable from id;
+    *         hash-partitioned on (key, id)
+    * @throws IllegalArgumentException if a component's diameter exceeds
+    *         maxIter (wrong labels would otherwise be returned silently)
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim.detachStats
+    val edges = detachStats(pairs.select("key", "id_a", "id_b").unionByName(
+        pairs.select(col("key"), col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint())
+
+    // Seed round = round 1 of Hash-Min: comp(v) = min(v, min neighbor id).
+    // The neighbor-min table has one row per vertex-with-edges (small next
+    // to |V| in dedup graphs), broadcast onto the vertex table in the same
+    // single-scan shape the loop rounds use.
+    val nbrMin = detachStats(edges.groupBy(col("key"), col("id_a").as("id"))
+      .agg(min(col("id_b")).as("nbr"))
+      .localCheckpoint())
+    val seedHint = if (nbrMin.count() <= 500000) broadcast(nbrMin) else nbrMin
+    var comps = detachStats(vertices.select(col("key"), col("id"))
+      .join(seedHint, Seq("key", "id"), "left")
+      .select(col("key"), col("id"),
+        least(col("id"), coalesce(col("nbr"), col("id"))).as("comp"),
+        (coalesce(col("nbr"), col("id")) < col("id")).as("chg"))
+      .localCheckpoint())
+    var frontier = comps.filter(col("chg")).select("key", "id", "comp")
+    var frontierSize = frontier.count()
+    var iter = 1
+    while (frontierSize > 0 && iter < maxIter) {
+      val msgs = frontier.as("f").join(edges.as("e"),
+          col("f.key") === col("e.key") && col("f.id") === col("e.id_a"))
+        .select(col("f.key").as("key"), col("e.id_b").as("id"), col("f.comp").as("comp"))
+      val cand = detachStats(msgs.groupBy("key", "id").agg(min(col("comp")).as("cand"))
+        .localCheckpoint())
+      // Broadcast only while the frontier is actually small — a pathological
+      // expander graph could keep it large, where a hash join is the safe plan.
+      val hinted = if (frontierSize <= 500000) broadcast(cand) else cand
+      comps = detachStats(comps.as("c")
+        .join(hinted, Seq("key", "id"), "left")
+        .select(col("key"), col("id"),
+          least(col("c.comp"), coalesce(col("cand"), col("c.comp"))).as("comp"),
+          (coalesce(col("cand"), col("c.comp")) < col("c.comp")).as("chg"))
+        .localCheckpoint())
+      frontier = comps.filter(col("chg")).select("key", "id", "comp")
+      frontierSize = frontier.count()
+      iter += 1
+    }
+    // a component with diameter > maxIter would silently return wrong
+    // labels — fail loudly instead
+    require(frontierSize == 0,
+      s"Hash-Min connected components did not converge in $maxIter iterations; " +
+        "raise maxIter (component diameter exceeds the bound)")
+    comps.select("key", "id", "comp")
+  }
+}

@@ -328,6 +328,96 @@ object TextDedupQueries {
        |SELECT band, band_val, bucket_n FROM sized WHERE bucket_n > 5
        |ORDER BY band, band_val""".stripMargin
 
+  // ------------------------------------------------------------------ near-dup clusters + canonical docs
+  /** d6: collapse LSH candidate pairs into duplicate clusters — connected
+    * components over the candidate graph ([[graft.operators.GraphCC]]),
+    * cluster id = smallest member doc_id. Every corpus-scale dedup pipeline
+    * ends with this step: pairs alone can't answer "which documents are the
+    * same", only components can (A∼B, B∼C ⟹ {A,B,C} one cluster even if
+    * A,C never shared a band). */
+  private def neardupComp(spark: SparkSession, dir: String): DataFrame = {
+    val sig = TextPipeline.minhashSignature(
+      shingledFeed(spark, dir), "doc_id", "shingle", 8)
+    // uncapped like d2_lsh_pairs: the oracle generates every bucket's pairs
+    val pairs = TextPipeline.lshCandidatePairs(sig, "doc_id", 8, 2,
+        maxBucket = Int.MaxValue)
+      .withColumn("key", lit(""))
+    val verts = nearDupFeed(spark, dir)
+      .select(lit("").as("key"), col("doc_id").as("id"))
+    graft.operators.GraphCC.connectedComponents(verts, pairs)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
+  private val d6NeardupComponents: Q = (spark, dir) =>
+    neardupComp(spark, dir)
+      .withColumn("cluster_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+
+  /** Shared oracle core: recursive-CTE reachability over the same LSH pairs
+    * (an independent implementation of the component semantics). */
+  private val neardupCompSql =
+    s"""feed AS ($nearDupFeedSql),
+       |$shinglesSql,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigSql
+       |  FROM shingles GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS band_val FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS band_val FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |cedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |  UNION ALL SELECT doc_id, doc_id FROM feed),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM cedges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN cedges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
+
+  private val d6NeardupComponentsSql =
+    s"""WITH RECURSIVE $neardupCompSql
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_n
+       |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** d7: canonical document per near-dup cluster — keep the longest text
+    * (ties: smallest doc_id), the standard "which copy survives dedup"
+    * rule. One row per cluster with the kept doc and the member count. */
+  private val d7CanonicalDocs: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(length(col("text")).desc, col("doc_id"))
+    neardupComp(spark, dir)
+      .join(nearDupFeed(spark, dir), "doc_id")
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+        length(col("text")).cast("long").as("keep_len"), col("n_docs"))
+      .orderBy("cluster_id")
+  }
+
+  private val d7CanonicalDocsSql =
+    s"""WITH RECURSIVE $neardupCompSql,
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, len(f.text) AS keep_len,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |                       ORDER BY len(f.text) DESC, c.doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+       |  FROM comp c JOIN feed f ON c.doc_id = f.doc_id)
+       |SELECT cluster_id, doc_id AS keep_doc_id,
+       |  CAST(keep_len AS BIGINT) AS keep_len, n_docs
+       |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
   // ------------------------------------------------------------------ simhash
   private val d3Simhash: Q = (spark, dir) => {
     val d = Tables.documents(spark, dir)
@@ -397,6 +487,261 @@ object TextDedupQueries {
       |LEFT JOIN inter i ON i.doc_a = sa.doc_id
       |ORDER BY doc_a""".stripMargin
 
+  // ------------------------------------------------------------------ repetition stats (Gopher-style quality signal)
+  /** Repetition metrics per document: share of the most frequent 2-gram and
+    * share of 3-grams occurring more than once — the "repetitious text"
+    * filters corpus curation applies before training. All ratios are raw
+    * quotients of identical integer divisions, so they compare exactly
+    * across engines without rounding. */
+  private val tRepetition: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val toks = d.withColumn("toks", TextPipeline.tokens(col("text")))
+    def gramCounts(k: Int) = toks
+      .select(col("doc_id"),
+        explode(TextPipeline.shinglesFromTokens(col("toks"), k)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+    val s2 = gramCounts(2).groupBy("doc_id")
+      .agg(sum("n").as("n_2grams"), max("n").as("top_2gram_n"))
+    val s3 = gramCounts(3).groupBy("doc_id")
+      .agg(sum("n").as("n_3grams"),
+        sum(when(col("n") > 1, col("n")).otherwise(0)).as("dup_3gram_n"))
+    s2.join(s3, "doc_id")
+      .select(col("doc_id"), col("n_2grams"), col("top_2gram_n"),
+        (col("top_2gram_n").cast("double") / col("n_2grams")).as("top_2gram_frac"),
+        (col("dup_3gram_n").cast("double") / col("n_3grams")).as("dup_3gram_frac"))
+      .withColumn("repetitive",
+        col("top_2gram_frac") > 0.05 || col("dup_3gram_frac") > 0.3)
+      .orderBy("doc_id")
+  }
+
+  private val tRepetitionSql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, concat(w[CAST(i.i AS INTEGER)], ' ', w[CAST(i.i AS INTEGER) + 1]) AS g
+      |  FROM words, generate_series(1, 2048) i(i) WHERE i.i + 1 <= len(w)),
+      |c2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
+      |s2 AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2grams,
+      |         CAST(max(n) AS BIGINT) AS top_2gram_n FROM c2 GROUP BY 1),
+      |g3 AS (
+      |  SELECT doc_id, concat(w[CAST(i.i AS INTEGER)], ' ', w[CAST(i.i AS INTEGER) + 1],
+      |                        ' ', w[CAST(i.i AS INTEGER) + 2]) AS g
+      |  FROM words, generate_series(1, 2048) i(i) WHERE i.i + 2 <= len(w)),
+      |c3 AS (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2),
+      |s3 AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_3grams,
+      |         CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_3gram_n
+      |       FROM c3 GROUP BY 1)
+      |SELECT s2.doc_id, n_2grams, top_2gram_n,
+      |  CAST(top_2gram_n AS DOUBLE) / n_2grams AS top_2gram_frac,
+      |  CAST(dup_3gram_n AS DOUBLE) / n_3grams AS dup_3gram_frac,
+      |  (CAST(top_2gram_n AS DOUBLE) / n_2grams > 0.05
+      |    OR CAST(dup_3gram_n AS DOUBLE) / n_3grams > 0.3) AS repetitive
+      |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id ORDER BY s2.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ PII scrubbing
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Deterministic synthetic PII so the scrubber always has work: every 5th
+    * doc gains an email, every 7th a phone number. */
+  private def piiFeed(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" call 555-867-5309"))
+          .otherwise(lit(""))).as("text"))
+
+  // NOTE: the `||` concatenations stay mid-line — a leading `||` would be
+  // re-stripped when this CTE is interpolated into another stripMargin string
+  private val piiFeedSql =
+    """SELECT doc_id,
+      |  concat(text,
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com now')
+      |         ELSE '' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END) AS text
+      |FROM documents""".stripMargin
+
+  /** PII redaction: count + replace emails and phone numbers with typed
+    * placeholder tags — the scrub step a pipeline runs before any text
+    * leaves curation. Pure regexp expressions, codegen'd, shuffle-free. */
+  private val tPiiRedact: Q = (spark, dir) =>
+    piiFeed(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+
+  private val tPiiRedactSql =
+    s"""WITH feed AS ($piiFeedSql)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g') AS clean_text,
+       |  CAST(length(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g')) AS BIGINT) AS clean_len
+       |FROM feed ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ deterministic train/val/test split
+  /** Hash-based split assignment: first hex digit of md5(doc_id) buckets
+    * 0..b -> train (12/16), c..d -> val (2/16), e..f -> test (2/16).
+    * Deterministic, engine-portable (string hex compare), and stable under
+    * re-runs and corpus growth — the properties a training split needs.
+    * At 100 TB this is a stateless projection: no shuffle, no join, no
+    * sampling state to coordinate across executors. */
+  private def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      substring(md5(col("doc_id").cast("string")), 1, 1).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < "c", "train")
+          .when(col("bucket") < "e", "val")
+          .otherwise("test"))
+
+  private val splitAssignSql =
+    """SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
+  private val w6TrainSplit: Q = (spark, dir) =>
+    splitAssign(spark, dir).orderBy("doc_id")
+
+  private val w6TrainSplitSql =
+    s"""WITH assign AS ($splitAssignSql)
+       |SELECT * FROM assign ORDER BY doc_id""".stripMargin
+
+  private val w7SplitCounts: Q = (spark, dir) =>
+    splitAssign(spark, dir)
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .withColumn("frac", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))).cast("double"))
+      .orderBy("split")
+
+  private val w7SplitCountsSql =
+    s"""WITH assign AS ($splitAssignSql)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS frac
+       |FROM assign GROUP BY split ORDER BY split""".stripMargin
+
+  // ------------------------------------------------------------------ E4: end-to-end curation pipeline
+  /** The full corpus-curation pipeline as ONE composed query — what a
+    * training-data engine actually runs: normalize -> quality-filter ->
+    * exact-dedup -> near-dup components -> canonical survivors ->
+    * per-language corpus stats. Every stage is the already-verified
+    * operator (tQuality / d1 / d2 / d6 semantics) composed end-to-end;
+    * the oracle replays the same composition in SQL with the recursive-CTE
+    * component step. Scale shape: narrow projections + hash aggregations +
+    * the bucketed LSH join; no stage materializes more than the surviving
+    * rows of the previous one. */
+  private val e4TextPipeline: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    // 1-2. quality gate on raw text, then normalization for all hashing
+    val ok = TextPipeline.qualityMetrics(d, "text")
+      .filter(col("quality_bucket") === "ok")
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[.!?,;:]", ""),
+          " +", " ").as("ntext"))
+    // 3. exact dedup on normalized content (keep smallest doc_id per hash)
+    val exw = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("ntext"))).orderBy("doc_id")
+    val uniq = ok.withColumn("rn", row_number().over(exw))
+      .filter(col("rn") === 1).select("doc_id", "ntext")
+    // 4. near-dup components over LSH candidates; canonical = smallest id
+    val shingled = uniq
+      .withColumn("toks", TextPipeline.tokens(col("ntext")))
+      .select(col("doc_id"),
+        explode(TextPipeline.shinglesFromTokens(col("toks"), 3)).as("shingle"))
+    val sig = TextPipeline.minhashSignature(shingled, "doc_id", "shingle", 8)
+    val pairs = TextPipeline.lshCandidatePairs(sig, "doc_id", 8, 2,
+        maxBucket = Int.MaxValue)
+      .withColumn("key", lit(""))
+    val comp = graft.operators.GraphCC.connectedComponents(
+      uniq.select(lit("").as("key"), col("doc_id").as("id")), pairs)
+    val survivors = comp.filter(col("id") === col("comp"))
+      .select(col("id").as("doc_id"))
+    // 5. per-language stats over the surviving canonical corpus
+    TextPipeline.langId(uniq.join(survivors, "doc_id"), "ntext")
+      .groupBy(col("predicted_lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("ntext"), " "))).cast("long").as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  private val e4TextPipelineSql = {
+    val m = TextPipeline.langMarkers
+    s"""WITH RECURSIVE metrics AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+       |      / length(text), 4) AS punct_ratio,
+       |    round(CAST(len(list_filter(string_split(text, ' '),
+       |        x -> x IN ${sqlList(TextPipeline.stopwords)})) AS DOUBLE)
+       |      / len(string_split(text, ' ')), 4) AS stopword_ratio
+       |  FROM documents),
+       |ok AS (
+       |  SELECT d.doc_id,
+       |    regexp_replace(regexp_replace(lower(d.text), '[.!?,;:]', '', 'g'), ' +', ' ', 'g') AS ntext
+       |  FROM documents d JOIN metrics m ON d.doc_id = m.doc_id
+       |  WHERE NOT (m.n_tokens < 20) AND NOT (m.stopword_ratio > 0.4)
+       |    AND NOT (m.punct_ratio > 0.1)),
+       |uniq AS (
+       |  SELECT doc_id, ntext FROM (
+       |    SELECT doc_id, ntext,
+       |      row_number() OVER (PARTITION BY md5(ntext) ORDER BY doc_id) AS rn
+       |    FROM ok) WHERE rn = 1),
+       |feed AS (SELECT doc_id, ntext AS text FROM uniq),
+       |$shinglesSql,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigSql
+       |  FROM shingles GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS band_val FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS band_val FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |cedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |  UNION ALL SELECT doc_id, doc_id FROM feed),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM cedges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN cedges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1),
+       |surv AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+       |scored AS (
+       |  SELECT f.doc_id, f.text,
+       |    len(list_filter(string_split(f.text, ' '), x -> x IN ${sqlList(m("en"))})) AS score_en,
+       |    len(list_filter(string_split(f.text, ' '), x -> x IN ${sqlList(m("es"))})) AS score_es,
+       |    len(list_filter(string_split(f.text, ' '), x -> x IN ${sqlList(m("de"))})) AS score_de,
+       |    len(list_filter(string_split(f.text, ' '), x -> x IN ${sqlList(m("fr"))})) AS score_fr
+       |  FROM feed f JOIN surv s ON f.doc_id = s.doc_id),
+       |langd AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN score_en + score_es + score_de + score_fr = 0 THEN 'und'
+       |         WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+       |         WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+       |         WHEN score_de >= score_fr THEN 'de'
+       |         ELSE 'fr' END AS lang
+       |  FROM scored)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+       |FROM langd GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t_lang_id" -> tLangId,
@@ -412,7 +757,14 @@ object TextDedupQueries {
     "d2c_lsh_capped" -> d2cLshCapped,
     "d2d_lsh_dropped" -> d2dLshDropped,
     "d3_simhash" -> d3Simhash,
-    "d4_ngram_jaccard" -> d4Jaccard
+    "d4_ngram_jaccard" -> d4Jaccard,
+    "d6_neardup_components" -> d6NeardupComponents,
+    "d7_canonical_docs" -> d7CanonicalDocs,
+    "t_repetition" -> tRepetition,
+    "t_pii_redact" -> tPiiRedact,
+    "w6_train_split" -> w6TrainSplit,
+    "w7_split_counts" -> w7SplitCounts,
+    "e4_text_pipeline" -> e4TextPipeline
   )
 
   val oracle: Map[String, String] = Map(
@@ -429,6 +781,13 @@ object TextDedupQueries {
     "d2c_lsh_capped" -> d2cLshCappedSql,
     "d2d_lsh_dropped" -> d2dLshDroppedSql,
     "d3_simhash" -> d3SimhashSql,
-    "d4_ngram_jaccard" -> d4JaccardSql
+    "d4_ngram_jaccard" -> d4JaccardSql,
+    "d6_neardup_components" -> d6NeardupComponentsSql,
+    "d7_canonical_docs" -> d7CanonicalDocsSql,
+    "t_repetition" -> tRepetitionSql,
+    "t_pii_redact" -> tPiiRedactSql,
+    "w6_train_split" -> w6TrainSplitSql,
+    "w7_split_counts" -> w7SplitCountsSql,
+    "e4_text_pipeline" -> e4TextPipelineSql
   )
 }

@@ -13,4 +13,21 @@ object GraftSqlShim {
   /** DataFrame from a custom LogicalPlan. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Re-bind a materialized (localCheckpoint'd) DataFrame to its RDD through
+    * a fresh LogicalRDD that carries NO inherited statistics or constraints.
+    *
+    * Spark's checkpoint preserves the origin plan's stats; in an iterative
+    * algorithm (label propagation, allocation rounds) each round's join
+    * multiplies the inherited sizeInBytes estimates, so the BigInt estimate
+    * doubles in bit-length every round — after ~30 rounds Catalyst spends
+    * its time doing million-digit multiplications in `computeStats`.
+    * Dropping the origin stats resets the estimate to the default constant
+    * and keeps round cost flat. */
+  def detachStats(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[ClassicDataset[Row]]
+    val session = ds.sparkSession
+    ofRows(session, org.apache.spark.sql.execution.LogicalRDD(
+      ds.queryExecution.analyzed.output, ds.queryExecution.toRdd)(session))
+  }
 }
