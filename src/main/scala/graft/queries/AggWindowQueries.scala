@@ -45,6 +45,32 @@ object AggWindowQueries {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  // ------------------------------------------------------------------ A15: grouping sets
+  /** Explicit GROUPING SETS — the general form behind cube/rollup: the
+    * exact aggregation grain list ((status, priority), (priority), ()),
+    * one shuffle, partial aggregation per grain. */
+  private val a15GroupingSets: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("total"))
+      .orderBy("status", "priority")
+
+  private val a15GroupingSetsSql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   // ------------------------------------------------------------------ A2: unknown labels
   /** Distinct labels outside the known set (`src/az_proc.py:818-832`). */
   private val a2UnknownLabels: Q = (spark, dir) =>
@@ -231,6 +257,7 @@ object AggWindowQueries {
   val queries: Map[String, Q] = Map(
     "a1_rollup_counts" -> a1RollupCounts,
     "a14_cube" -> a14Cube,
+    "a15_grouping_sets" -> a15GroupingSets,
     "a2_unknown_labels" -> a2UnknownLabels,
     "a4_distinct" -> a4Distinct,
     "a5_cardinality" -> a5Cardinality,
@@ -244,6 +271,7 @@ object AggWindowQueries {
   val oracle: Map[String, String] = Map(
     "a1_rollup_counts" -> a1RollupCountsSql,
     "a14_cube" -> a14CubeSql,
+    "a15_grouping_sets" -> a15GroupingSetsSql,
     "a2_unknown_labels" -> a2UnknownLabelsSql,
     "a4_distinct" -> a4DistinctSql,
     "a5_cardinality" -> a5CardinalitySql,

@@ -451,8 +451,47 @@ object VectorQueries {
       |FROM frames GROUP BY media_id
       |ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------------------------ int8 scalar quantization
+  /** Per-vector int8 scalar quantization: scale = 127/max|x|, q = round to
+    * nearest int — the storage-shrink step an embedding store applies
+    * before ANN serving (4x smaller, cosine ranking nearly preserved).
+    * All math runs in DOUBLE with floor-based rounding so the quantized
+    * codes are bit-identical across engines (same-shape IEEE ops); the
+    * gate emits the code vector as a joined string. Stateless projection:
+    * no shuffle at any scale. */
+  private val v8Quantize: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("dvec", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("maxabs", array_max(transform(col("dvec"), x => abs(x))))
+      .withColumn("scale",
+        when(col("maxabs") === lit(0.0), lit(0.0))
+          .otherwise(lit(127.0) / col("maxabs")))
+      .withColumn("qvec", transform(col("dvec"),
+        x => floor(x * col("scale") + lit(0.5)).cast("int")))
+      .select(col("vec_id"), col("maxabs"), col("scale"),
+        array_join(col("qvec"), ",").as("qvec"))
+      .orderBy("vec_id")
+  }
+
+  private val v8QuantizeSql =
+    """WITH m AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, embedding, maxabs,
+      |    CASE WHEN maxabs = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+      |         ELSE CAST(127 AS DOUBLE) / maxabs END AS scale
+      |  FROM m)
+      |SELECT vec_id, maxabs, scale,
+      |  array_to_string(list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + CAST(0.5 AS DOUBLE)) AS INTEGER)), ',') AS qvec
+      |FROM s ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "v8_quantize" -> v8Quantize,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_lsh_buckets" -> v2LshBuckets,
     "v3_ann_bucket" -> v3AnnBucket,
@@ -467,6 +506,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "v8_quantize" -> v8QuantizeSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_lsh_buckets" -> v2LshBucketsSql,
     "v3_ann_bucket" -> v3AnnBucketSql,

@@ -120,13 +120,48 @@ object EventWindows {
     """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS cnt
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------ interval (stream-stream) join
+  /** View→click attribution within 10 minutes per user — the canonical
+    * stream-stream interval join. This batch form is the exact expression
+    * Structured Streaming runs with watermarks on both sides (state pruned
+    * by the interval bound); `StreamingSpec` drives the same join through
+    * two MemoryStreams. Scale shape: equi-join on user_id with the time
+    * bound as a residual predicate — state per key is bounded by the
+    * interval, never by stream length. */
+  private val s6IntervalJoin: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    v.join(c, Seq("user_id"))
+      .filter(col("click_ts") >= col("view_ts") &&
+        col("click_ts") < col("view_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_micros(col("view_ts")).as("view_ts_us"),
+        unix_micros(col("click_ts")).as("click_ts_us"))
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
+  private val s6IntervalJoinSql =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  CAST(epoch_us(CAST(v.ts AS TIMESTAMP)) AS BIGINT) AS view_ts_us,
+      |  CAST(epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS click_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON v.user_id = c.user_id
+      | AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+      | AND CAST(c.ts AS TIMESTAMP) < CAST(v.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "s1_tumbling_window" -> s1Tumbling,
     "s2_sliding_window" -> s2Sliding,
     "s3_session_window" -> s3Session,
     "s4_dedup_first_event" -> s4DedupFirst,
-    "s5_json_props" -> s5JsonProps
+    "s5_json_props" -> s5JsonProps,
+    "s6_interval_join" -> s6IntervalJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -134,6 +169,7 @@ object EventWindows {
     "s2_sliding_window" -> s2SlidingSql,
     "s3_session_window" -> s3SessionSql,
     "s4_dedup_first_event" -> s4DedupFirstSql,
-    "s5_json_props" -> s5JsonPropsSql
+    "s5_json_props" -> s5JsonPropsSql,
+    "s6_interval_join" -> s6IntervalJoinSql
   )
 }

@@ -197,4 +197,37 @@ class StreamingSpec extends SparkSpec {
       assert(r.length == 1 && r.head.getLong(0) == 2 && r.head.getDouble(1) == 4.0)
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes clicks to views within the bound") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the s6_interval_join expression, run as a genuine two-stream join:
+    // watermarks on both sides + the interval condition let Spark prune
+    // per-key state (without them a stream-stream inner join is unbounded)
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val v = views.toDF().toDF("view_ts", "v_user", "view_id")
+      .withWatermark("view_ts", "20 minutes")
+    val c = clicks.toDF().toDF("click_ts", "c_user", "click_id")
+      .withWatermark("click_ts", "20 minutes")
+    val q = v.join(c,
+        col("v_user") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // ts(1), not ts(0): an event equal to the initial watermark (epoch 0)
+      // is dropped as late before it ever reaches the join state
+      views.addData((ts(1), 1L, 100L), (ts(1), 2L, 200L))
+      clicks.addData((ts(5), 1L, 900L),   // within 10 min of view 100 -> joins
+        (ts(15), 1L, 901L),               // outside the interval -> no join
+        (ts(5), 3L, 902L))                // no matching view user -> no join
+      q.processAllAvailable()
+      val got = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 100L, 900L)))
+    } finally q.stop()
+  }
 }
