@@ -35,9 +35,15 @@ object GraphCC {
     *         hash-partitioned on (key, id)
     * @throws IllegalArgumentException if a component's diameter exceeds
     *         maxIter (wrong labels would otherwise be returned silently)
+    *
+    * `broadcastThreshold` caps how large a frontier/neighbor-min table may
+    * be and still get the broadcast hint; above it the loop degrades to a
+    * plain hash join (the safe plan for expander-shaped graphs). Exposed
+    * for tests, which pin the fallback path at threshold 0.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          broadcastThreshold: Long = 500000L): DataFrame = {
     import org.apache.spark.sql.GraftSqlShim.detachStats
     val edges = detachStats(pairs.select("key", "id_a", "id_b").unionByName(
         pairs.select(col("key"), col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -50,7 +56,7 @@ object GraphCC {
     val nbrMin = detachStats(edges.groupBy(col("key"), col("id_a").as("id"))
       .agg(min(col("id_b")).as("nbr"))
       .localCheckpoint())
-    val seedHint = if (nbrMin.count() <= 500000) broadcast(nbrMin) else nbrMin
+    val seedHint = if (nbrMin.count() <= broadcastThreshold) broadcast(nbrMin) else nbrMin
     var comps = detachStats(vertices.select(col("key"), col("id"))
       .join(seedHint, Seq("key", "id"), "left")
       .select(col("key"), col("id"),
@@ -68,7 +74,7 @@ object GraphCC {
         .localCheckpoint())
       // Broadcast only while the frontier is actually small — a pathological
       // expander graph could keep it large, where a hash join is the safe plan.
-      val hinted = if (frontierSize <= 500000) broadcast(cand) else cand
+      val hinted = if (frontierSize <= broadcastThreshold) broadcast(cand) else cand
       comps = detachStats(comps.as("c")
         .join(hinted, Seq("key", "id"), "left")
         .select(col("key"), col("id"),

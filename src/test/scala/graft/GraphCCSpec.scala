@@ -51,4 +51,19 @@ class GraphCCSpec extends SparkSpec {
     val got = cc(verts = Seq(("k", 5L), ("k", 7L)), pairs = Nil)
     assert(got == Map(("k", 5L) -> 5L, ("k", 7L) -> 7L))
   }
+
+  test("non-broadcast fallback path (threshold 0) produces identical labels") {
+    import spark.implicits._
+    // a mix of chains, stars, and isolated vertices across keys
+    val verts = (for (k <- Seq("a", "b"); i <- 1L to 30L) yield (k, i)).toDF("key", "id")
+    val pairs = ((1L until 15L).map(i => ("a", i, i + 1)) ++      // chain in a
+      (17L to 25L).map(i => ("a", 16L, i)) ++                     // star in a
+      Seq(("b", 3L, 9L), ("b", 9L, 27L))).toDF("key", "id_a", "id_b")
+    val hinted = GraphCC.connectedComponents(verts.toDF(), pairs.toDF())
+      .orderBy("key", "id").collect().toSeq
+    val plain = GraphCC.connectedComponents(verts.toDF(), pairs.toDF(),
+        broadcastThreshold = 0L)
+      .orderBy("key", "id").collect().toSeq
+    assert(hinted == plain)
+  }
 }

@@ -230,4 +230,46 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((1L, 100L, 900L)))
     } finally q.stop()
   }
+
+  test("foreachBatch upserts each micro-batch into parquet state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the §2.9 tracker-upsert pattern (full-outer + coalesce) driven by a
+    // real stream: every micro-batch merges into the parquet state dir,
+    // later values win per key, unseen keys append
+    val dir = java.nio.file.Files.createTempDirectory("graft-fb-state").toString
+    val state = s"$dir/state"
+    val src = MemoryStream[(String, Int)]
+    val q = src.toDF().toDF("key", "value")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val latest = batch.groupBy("key").agg(max(col("value")).as("value"))
+        val prev =
+          if (new java.io.File(state).exists) spark.read.parquet(state)
+          else latest.limit(0)
+        val merged = prev.as("p").join(latest.as("n"), Seq("key"), "full_outer")
+          .select(col("key"),
+            coalesce(col("n.value"), col("p.value")).as("value"))
+        // state write must be atomic w.r.t. the read above: stage then move
+        val tmp = s"$dir/stage"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(state), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(state))
+        ()
+      }
+      .start()
+    try {
+      src.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      src.addData(("a", 5), ("c", 7))     // a updated, c appended
+      q.processAllAvailable()
+      val got = spark.read.parquet(state).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toMap
+      assert(got == Map("a" -> 5, "b" -> 2, "c" -> 7))
+    } finally q.stop()
+  }
 }
