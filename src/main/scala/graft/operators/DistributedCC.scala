@@ -53,12 +53,20 @@ object DistributedCC {
       col("x1").as("ax1"), col("y1").as("ay1"), col("x2").as("ax2"), col("y2").as("ay2"))
     val b = cells.select(col("key"), col("cx"), col("cy"), col("id").as("id_b"),
       col("x1").as("bx1"), col("y1").as("by1"), col("x2").as("bx2"), col("y2").as("by2"))
+    // Owner-cell dedup instead of distinct(): a predicate-satisfying pair
+    // has intersecting gap-expanded boxes, so the cell holding the
+    // intersection's top-left corner is covered by BOTH boxes' cell ranges —
+    // emitting the pair only from that one cell yields each edge exactly
+    // once and drops the distinct()'s full shuffle of the pair table.
     val pairs = a.join(b, Seq("key", "cx", "cy"))
       .filter(col("id_a") < col("id_b"))
       .filter(graft.functions.ColumnOps.boxesSimilar(
         col("ax1"), col("ay1"), col("ax2"), col("ay2"),
         col("bx1"), col("by1"), col("bx2"), col("by2"), gap))
-      .select("key", "id_a", "id_b").distinct()
+      .filter(
+        col("cx") === floor((greatest(col("ax1"), col("bx1")) - gap) / CellPx).cast("int") &&
+        col("cy") === floor((greatest(col("ay1"), col("by1")) - gap) / CellPx).cast("int"))
+      .select("key", "id_a", "id_b")
 
     // 4. frontier-based Hash-Min to fixpoint (see [[GraphCC]] for the scale
     //    shape; fails loudly past maxIter instead of defeating the
