@@ -191,6 +191,28 @@ object PipelineQueries {
     """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------------ ORC round trip
+  /** Columnar-format coverage beyond parquet: ORC is Spark-native (same
+    * vectorized reader / predicate-pushdown machinery), so a lakehouse user
+    * with ORC state on-ramps directly. DuckDB cannot read ORC — the oracle
+    * replays the projection from the source table, which the written-then-
+    * rescanned data must reproduce exactly. */
+  private val ioOrcRoundtrip: Q = (spark, dir) => {
+    val path = Sinks.scratchDir("orc_lineitem")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val ioOrcRoundtripSql =
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------ JSON round trip
   private val ioJsonRoundtrip: Q = (spark, dir) => {
     val path = Sinks.scratchDir("json_customer")
@@ -500,6 +522,7 @@ object PipelineQueries {
     "e3c_county_pct" -> e3cCountyPct,
     "e3d_state_pct" -> e3dStatePct,
     "io_csv_roundtrip" -> ioCsvRoundtrip,
+    "io_orc_roundtrip" -> ioOrcRoundtrip,
     "io_json_roundtrip" -> ioJsonRoundtrip,
     "io_geojson_render" -> ioGeojsonRender,
     "io_geojson_parse" -> ioGeojsonParse,
@@ -519,6 +542,7 @@ object PipelineQueries {
     "e3c_county_pct" -> crosstabSql("county_key", percent = true),
     "e3d_state_pct" -> crosstabSql("state_key", percent = true),
     "io_csv_roundtrip" -> ioCsvRoundtripSql,
+    "io_orc_roundtrip" -> ioOrcRoundtripSql,
     "io_json_roundtrip" -> ioJsonRoundtripSql,
     "io_geojson_render" -> ioGeojsonRenderSql,
     "io_geojson_parse" -> ioGeojsonParseSql,
