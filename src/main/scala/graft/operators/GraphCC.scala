@@ -67,7 +67,11 @@ object GraphCC {
     var frontierSize = frontier.count()
     var iter = 1
     while (frontierSize > 0 && iter < maxIter) {
-      val msgs = frontier.as("f").join(edges.as("e"),
+      // frontierSize is exact (counted last round) — a small frontier
+      // broadcast against the edge table avoids re-shuffling edges per round
+      val fHinted = if (frontierSize <= broadcastThreshold) broadcast(frontier)
+                    else frontier
+      val msgs = fHinted.as("f").join(edges.as("e"),
           col("f.key") === col("e.key") && col("f.id") === col("e.id_a"))
         .select(col("f.key").as("key"), col("e.id_b").as("id"), col("f.comp").as("comp"))
       val cand = detachStats(msgs.groupBy("key", "id").agg(min(col("comp")).as("cand"))
