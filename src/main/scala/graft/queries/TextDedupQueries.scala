@@ -419,9 +419,12 @@ object TextDedupQueries {
        |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin
 
   // ------------------------------------------------------------------ simhash
-  private val d3Simhash: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
-    val toks = d.select(col("doc_id"),
+  /** 16-bit SimHash per document from a (doc_id, text) frame: each distinct
+    * token votes ±1 on each bit position of md5(token); the sign of the sum
+    * becomes the output bit. Pure codegen expressions, two map-side-combined
+    * aggregations — no UDF, no shuffle beyond the groupBys. */
+  private def simhashFrame(df: DataFrame): DataFrame = {
+    val toks = df.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
     val bits = toks.withColumn("b", explode(sequence(lit(0), lit(15))))
       .withColumn("hexd", expr("substring(md5(tok), cast(b div 4 as int) + 1, 1)"))
@@ -432,25 +435,99 @@ object TextDedupQueries {
       .withColumn("outbit", when(col("s") > 0, 1).otherwise(0))
       .groupBy("doc_id")
       .agg(sum(expr("shiftleft(outbit, cast(b as int))")).cast("int").as("simhash"))
-      .orderBy("doc_id")
   }
 
+  /** DuckDB twin of [[simhashFrame]] as CTE chunks ending in `sim(doc_id,
+    * simhash)`, parameterized over the source relation. */
+  private def simhashSqlOver(src: String) =
+    s"""toks AS (
+       |  SELECT DISTINCT doc_id, t.tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $src) t),
+       |bits AS (
+       |  SELECT doc_id, CAST(g.b AS INTEGER) AS b,
+       |    (strpos('0123456789abcdef',
+       |       substring(md5(tok), CAST(g.b // 4 AS INTEGER) + 1, 1)) - 1)
+       |      >> CAST(g.b % 4 AS INTEGER) AS shifted
+       |  FROM toks, generate_series(0, 15) g(b)),
+       |persum AS (
+       |  SELECT doc_id, b, sum((shifted % 2) * 2 - 1) AS s
+       |  FROM bits GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(sum((CASE WHEN s > 0 THEN 1 ELSE 0 END) << b) AS INTEGER) AS simhash
+       |  FROM persum GROUP BY doc_id)""".stripMargin
+
+  private val d3Simhash: Q = (spark, dir) =>
+    simhashFrame(Tables.documents(spark, dir)).orderBy("doc_id")
+
   private val d3SimhashSql =
-    """WITH toks AS (
-      |  SELECT DISTINCT doc_id, t.tok FROM (
-      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t),
-      |bits AS (
-      |  SELECT doc_id, CAST(g.b AS INTEGER) AS b,
-      |    (strpos('0123456789abcdef',
-      |       substring(md5(tok), CAST(g.b // 4 AS INTEGER) + 1, 1)) - 1)
-      |      >> CAST(g.b % 4 AS INTEGER) AS shifted
-      |  FROM toks, generate_series(0, 15) g(b)),
-      |persum AS (
-      |  SELECT doc_id, b, sum((shifted % 2) * 2 - 1) AS s
-      |  FROM bits GROUP BY 1, 2)
-      |SELECT doc_id,
-      |  CAST(sum((CASE WHEN s > 0 THEN 1 ELSE 0 END) << b) AS INTEGER) AS simhash
-      |FROM persum GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH ${simhashSqlOver("documents")}
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ simhash hamming-band near-dup pairs
+  /** Completes the SimHash dedup path: band the 16-bit fingerprint into
+    * 4×4-bit keys, equi-join per band (any pair within hamming distance 3
+    * must agree on at least one band — pigeonhole), then filter candidates
+    * by exact `bit_count(xor)` hamming distance. The same
+    * band-join-then-verify shape as MinHash LSH, so it scales identically:
+    * one shuffle on the band key, no all-pairs comparison. */
+  private val d9SimhashPairs: Q = (spark, dir) => {
+    val sim = simhashFrame(nearDupFeed(spark, dir))
+    val banded = sim.withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_val", expr("shiftright(simhash, cast(b * 4 as int)) & 15"))
+    val lhs = banded.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"),
+      col("b"), col("band_val"))
+    val rhs = banded.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"),
+      col("b"), col("band_val"))
+    lhs.join(rhs, Seq("b", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val d9SimhashPairsSql =
+    s"""WITH feed AS ($nearDupFeedSql),
+       |${simhashSqlOver("feed")},
+       |banded AS (
+       |  SELECT doc_id, simhash, CAST(g.b AS INTEGER) AS b,
+       |    (simhash >> (CAST(g.b AS INTEGER) * 4)) & 15 AS band_val
+       |  FROM sim, generate_series(0, 3) g(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) AS INTEGER) AS hamming
+       |FROM pairs
+       |WHERE CAST(bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) AS INTEGER) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------ deterministic global shuffle (training order)
+  /** Training-data epoch ordering: a seeded hash of the document key gives
+    * every row a pseudo-random but fully deterministic position, computed
+    * with the distributed GlobalRank (range shuffle + broadcast offsets) —
+    * no single-partition window, so the order materializes in parallel at
+    * any corpus size and is reproducible across runs and cluster layouts. */
+  private val d8GlobalShuffle: Q = (spark, dir) => {
+    val keyed = Tables.documents(spark, dir).select(col("doc_id"),
+      md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("shuffle_key"))
+    graft.operators.GlobalRank
+      .withGlobalRowNumber(keyed, Seq(col("shuffle_key"), col("doc_id")), "position")
+      .select("position", "doc_id", "shuffle_key")
+      .orderBy("position")
+  }
+
+  private val d8GlobalShuffleSql =
+    """WITH keyed AS (
+      |  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |  FROM documents)
+      |SELECT row_number() OVER (ORDER BY shuffle_key, doc_id) AS position,
+      |  doc_id, shuffle_key
+      |FROM keyed ORDER BY position""".stripMargin
 
   // ------------------------------------------------------------------ n-gram jaccard
   private val d4Jaccard: Q = (spark, dir) => {
@@ -758,6 +835,8 @@ object TextDedupQueries {
     "d2d_lsh_dropped" -> d2dLshDropped,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4Jaccard,
+    "d8_global_shuffle" -> d8GlobalShuffle,
+    "d9_simhash_pairs" -> d9SimhashPairs,
     "d6_neardup_components" -> d6NeardupComponents,
     "d7_canonical_docs" -> d7CanonicalDocs,
     "t_repetition" -> tRepetition,
@@ -782,6 +861,8 @@ object TextDedupQueries {
     "d2d_lsh_dropped" -> d2dLshDroppedSql,
     "d3_simhash" -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4JaccardSql,
+    "d8_global_shuffle" -> d8GlobalShuffleSql,
+    "d9_simhash_pairs" -> d9SimhashPairsSql,
     "d6_neardup_components" -> d6NeardupComponentsSql,
     "d7_canonical_docs" -> d7CanonicalDocsSql,
     "t_repetition" -> tRepetitionSql,
