@@ -101,6 +101,87 @@ object TextPipeline {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
 
+  // ------------------------------------------------------------------ simhash (64-bit)
+
+  /** 64-bit SimHash per document, materialized as four 16-bit band columns
+    * `sim0..sim3` (band k = md5 hex digits 4k..4k+3, i.e. bits 16k..16k+15
+    * of the fingerprint). Each distinct token votes ±1 on all 64 bit
+    * positions of md5(token); the sign of the vote sum becomes the output
+    * bit.
+    *
+    * The band-column representation is deliberate: the four 16-bit ints ARE
+    * the LSH band keys downstream (band-value cardinality 65,536 per band,
+    * so buckets stay tiny at corpus scale — this replaces a 16-bit/4-bit
+    * scheme whose 16 possible band values made every bucket 1/16th of the
+    * corpus, a cross-product in disguise), and all arithmetic stays inside
+    * 32-bit integers, which every engine shifts identically (no 64-bit
+    * `1 << 63` sign traps in the oracle). Pure codegen expressions,
+    * two map-side-combined aggregations — no UDF. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    // one row per (doc, md5 hex digit position p in 0..15): digit value 0..15
+    val digs = toks.withColumn("p", explode(sequence(lit(0), lit(15))))
+      .withColumn("v",
+        expr("locate(substring(md5(tok), cast(p as int) + 1, 1), '0123456789abcdef') - 1"))
+    // the digit's 4 bit votes in one aggregation pass (explode is x16 per
+    // token, not x64 — each row carries 4 of the 64 bit positions)
+    val votes = digs.groupBy(col(idCol), col("p"))
+      .agg(
+        sum(expr("(v % 2) * 2 - 1")).as("s0"),
+        sum(expr("(shiftright(v, 1) % 2) * 2 - 1")).as("s1"),
+        sum(expr("(shiftright(v, 2) % 2) * 2 - 1")).as("s2"),
+        sum(expr("(shiftright(v, 3) % 2) * 2 - 1")).as("s3"))
+      .withColumn("nib",
+        expr("if(s0 > 0, 1, 0) + 2 * if(s1 > 0, 1, 0) + 4 * if(s2 > 0, 1, 0) + 8 * if(s3 > 0, 1, 0)"))
+    val bands = (0 until 4).map(k =>
+      sum(when(col("p").between(k * 4, k * 4 + 3),
+        expr("shiftleft(nib, cast((p % 4) * 4 as int))")).otherwise(0))
+        .cast("int").as(s"sim$k"))
+    votes.groupBy(idCol).agg(bands.head, bands.tail: _*)
+  }
+
+  /** One row per (band b in 0..3, band_val, id) for a [[simhash64]] frame. */
+  def simhashBanded(sim: DataFrame, idCol: String): DataFrame =
+    sim.withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_val", element_at(
+        array(col("sim0"), col("sim1"), col("sim2"), col("sim3")), col("b") + 1))
+
+  /** SimHash near-dup candidate pairs: equi-join per 16-bit band
+    * (pigeonhole: hamming ≤ 3 over 64 bits ⟹ at least one of the 4 bands
+    * identical), then exact hamming via bit_count per band part. One
+    * shuffle on the band key; buckets larger than `maxBucket` are dropped
+    * exactly like the MinHash path ([[lshCandidatePairs]]) — audit with
+    * [[simhashDroppedBuckets]]. */
+  def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int = 3,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = simhashBanded(sim, idCol)
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("b", "band_val")))
+      .filter(col("bucket_n") <= maxBucket)
+    val lhs = banded.select(col(idCol).as("id_a"), col("b"), col("band_val"),
+      col("sim0").as("a0"), col("sim1").as("a1"), col("sim2").as("a2"), col("sim3").as("a3"))
+    val rhs = banded.select(col(idCol).as("id_b"), col("b"), col("band_val"),
+      col("sim0").as("b0"), col("sim1").as("b1"), col("sim2").as("b2"), col("sim3").as("b3"))
+    lhs.join(rhs, Seq("b", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "a0", "a1", "a2", "a3", "b0", "b1", "b2", "b3")
+      .distinct()
+      .withColumn("hamming", expr(
+        "cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Audit for the [[simhashPairs]] cap: one row per dropped (b, band_val)
+    * with its size. */
+  def simhashDroppedBuckets(sim: DataFrame, idCol: String,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame =
+    simhashBanded(sim, idCol)
+      .groupBy("b", "band_val")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
   /** Estimated jaccard from signature agreement of two joined signatures
     * (columns suffixed _a / _b). */
   def signatureAgreement(numHashes: Int): Column =

@@ -338,9 +338,10 @@ object TextDedupQueries {
   private def neardupComp(spark: SparkSession, dir: String): DataFrame = {
     val sig = TextPipeline.minhashSignature(
       shingledFeed(spark, dir), "doc_id", "shingle", 8)
-    // uncapped like d2_lsh_pairs: the oracle generates every bucket's pairs
+    // production bucket cap LIVE (the oracle replays it via its sized/keep
+    // CTE); only d2_lsh_pairs keeps the uncapped form, as a gated baseline
     val pairs = TextPipeline.lshCandidatePairs(sig, "doc_id", 8, 2,
-        maxBucket = Int.MaxValue)
+        maxBucket = TextPipeline.DefaultMaxBucket)
       .withColumn("key", lit(""))
     val verts = nearDupFeed(spark, dir)
       .select(lit("").as("key"), col("doc_id").as("id"))
@@ -367,9 +368,14 @@ object TextDedupQueries {
        |  SELECT doc_id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS band_val FROM sig
        |  UNION ALL
        |  SELECT doc_id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS band_val FROM sig),
+       |lsized AS (SELECT band, band_val, count(*) AS bucket_n FROM banded GROUP BY 1, 2),
+       |lkeep AS (
+       |  SELECT bd.doc_id, bd.band, bd.band_val
+       |  FROM banded bd JOIN lsized s ON bd.band = s.band AND bd.band_val = s.band_val
+       |  WHERE s.bucket_n <= ${TextPipeline.DefaultMaxBucket}),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b
+       |  FROM lkeep a JOIN lkeep b
        |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
        |cedges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -419,92 +425,120 @@ object TextDedupQueries {
        |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin
 
   // ------------------------------------------------------------------ simhash
-  /** 16-bit SimHash per document from a (doc_id, text) frame: each distinct
-    * token votes ±1 on each bit position of md5(token); the sign of the sum
-    * becomes the output bit. Pure codegen expressions, two map-side-combined
-    * aggregations — no UDF, no shuffle beyond the groupBys. */
-  private def simhashFrame(df: DataFrame): DataFrame = {
-    val toks = df.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val bits = toks.withColumn("b", explode(sequence(lit(0), lit(15))))
-      .withColumn("hexd", expr("substring(md5(tok), cast(b div 4 as int) + 1, 1)"))
-      .withColumn("v", expr("locate(hexd, '0123456789abcdef') - 1"))
-      .withColumn("bit", expr("shiftright(v, cast(b % 4 as int)) % 2"))
-    bits.groupBy("doc_id", "b")
-      .agg(sum(col("bit") * 2 - 1).as("s"))
-      .withColumn("outbit", when(col("s") > 0, 1).otherwise(0))
-      .groupBy("doc_id")
-      .agg(sum(expr("shiftleft(outbit, cast(b as int))")).cast("int").as("simhash"))
-  }
+  /** 64-bit SimHash ([[TextPipeline.simhash64]]) as four 16-bit band
+    * columns sim0..sim3 plus the assembled hex fingerprint. The band ints
+    * double as the LSH keys in d9, with 65,536 possible values per band. */
+  private val d3Simhash: Q = (spark, dir) =>
+    TextPipeline.simhash64(Tables.documents(spark, dir), "doc_id", "text")
+      .withColumn("simhash_hex",
+        format_string("%04x%04x%04x%04x",
+          col("sim0"), col("sim1"), col("sim2"), col("sim3")))
+      .orderBy("doc_id")
 
-  /** DuckDB twin of [[simhashFrame]] as CTE chunks ending in `sim(doc_id,
-    * simhash)`, parameterized over the source relation. */
-  private def simhashSqlOver(src: String) =
+  /** DuckDB twin of [[TextPipeline.simhash64]] as CTE chunks ending in
+    * `sim(doc_id, sim0..sim3)`, parameterized over the source relation. */
+  private def simhashSqlOver(src: String) = {
+    val simCols = (0 until 4).map(k =>
+      s"CAST(sum(CASE WHEN p // 4 = $k THEN nib << ((p % 4) * 4) ELSE 0 END) AS INTEGER) AS sim$k")
+      .mkString(",\n    ")
     s"""toks AS (
        |  SELECT DISTINCT doc_id, t.tok FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $src) t),
-       |bits AS (
-       |  SELECT doc_id, CAST(g.b AS INTEGER) AS b,
-       |    (strpos('0123456789abcdef',
-       |       substring(md5(tok), CAST(g.b // 4 AS INTEGER) + 1, 1)) - 1)
-       |      >> CAST(g.b % 4 AS INTEGER) AS shifted
-       |  FROM toks, generate_series(0, 15) g(b)),
-       |persum AS (
-       |  SELECT doc_id, b, sum((shifted % 2) * 2 - 1) AS s
-       |  FROM bits GROUP BY 1, 2),
+       |digs AS (
+       |  SELECT doc_id, CAST(g.p AS INTEGER) AS p,
+       |    strpos('0123456789abcdef',
+       |      substring(md5(tok), CAST(g.p AS INTEGER) + 1, 1)) - 1 AS v
+       |  FROM toks, generate_series(0, 15) g(p)),
+       |votes AS (
+       |  SELECT doc_id, p,
+       |    sum((v % 2) * 2 - 1) AS s0,
+       |    sum(((v // 2) % 2) * 2 - 1) AS s1,
+       |    sum(((v // 4) % 2) * 2 - 1) AS s2,
+       |    sum(((v // 8) % 2) * 2 - 1) AS s3
+       |  FROM digs GROUP BY 1, 2),
+       |nibs AS (
+       |  SELECT doc_id, p,
+       |    (CASE WHEN s0 > 0 THEN 1 ELSE 0 END) + 2 * (CASE WHEN s1 > 0 THEN 1 ELSE 0 END)
+       |      + 4 * (CASE WHEN s2 > 0 THEN 1 ELSE 0 END) + 8 * (CASE WHEN s3 > 0 THEN 1 ELSE 0 END) AS nib
+       |  FROM votes),
        |sim AS (
        |  SELECT doc_id,
-       |    CAST(sum((CASE WHEN s > 0 THEN 1 ELSE 0 END) << b) AS INTEGER) AS simhash
-       |  FROM persum GROUP BY doc_id)""".stripMargin
-
-  private val d3Simhash: Q = (spark, dir) =>
-    simhashFrame(Tables.documents(spark, dir)).orderBy("doc_id")
+       |    $simCols
+       |  FROM nibs GROUP BY doc_id)""".stripMargin
+  }
 
   private val d3SimhashSql =
     s"""WITH ${simhashSqlOver("documents")}
-       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, sim0, sim1, sim2, sim3,
+       |  printf('%04x%04x%04x%04x', sim0, sim1, sim2, sim3) AS simhash_hex
+       |FROM sim ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ simhash hamming-band near-dup pairs
-  /** Completes the SimHash dedup path: band the 16-bit fingerprint into
-    * 4×4-bit keys, equi-join per band (any pair within hamming distance 3
-    * must agree on at least one band — pigeonhole), then filter candidates
-    * by exact `bit_count(xor)` hamming distance. The same
-    * band-join-then-verify shape as MinHash LSH, so it scales identically:
-    * one shuffle on the band key, no all-pairs comparison. */
-  private val d9SimhashPairs: Q = (spark, dir) => {
-    val sim = simhashFrame(nearDupFeed(spark, dir))
-    val banded = sim.withColumn("b", explode(sequence(lit(0), lit(3))))
-      .withColumn("band_val", expr("shiftright(simhash, cast(b * 4 as int)) & 15"))
-    val lhs = banded.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"),
-      col("b"), col("band_val"))
-    val rhs = banded.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"),
-      col("b"), col("band_val"))
-    lhs.join(rhs, Seq("b", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
-      .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
-      .filter(col("hamming") <= 3)
-      .select("id_a", "id_b", "hamming")
+  /** Completes the SimHash dedup path ([[TextPipeline.simhashPairs]]):
+    * equi-join per 16-bit band (pigeonhole: hamming ≤ 3 over 64 bits means
+    * at least one identical band), then exact bit_count hamming. Same
+    * band-join-then-verify shape as MinHash LSH — one shuffle on the band
+    * key — and the same bucket cap, live at its production default here
+    * (oracle replays the cap via the sized/keep CTE). */
+  private val d9SimhashPairs: Q = (spark, dir) =>
+    TextPipeline.simhashPairs(
+      TextPipeline.simhash64(nearDupFeed(spark, dir), "doc_id", "text"),
+      "doc_id", maxHamming = 3, maxBucket = TextPipeline.DefaultMaxBucket)
       .orderBy("id_a", "id_b")
-  }
+
+  /** `banded/bsized/bkeep` CTE chunk shared by the d9 pair query and the
+    * d9b audit, with the bucket cap applied exactly as the engine does. */
+  private def simhashBandedSql(maxBucket: Int) =
+    s"""banded AS (
+       |  SELECT doc_id, sim0, sim1, sim2, sim3, CAST(g.b AS INTEGER) AS b,
+       |    CASE WHEN g.b = 0 THEN sim0 WHEN g.b = 1 THEN sim1
+       |         WHEN g.b = 2 THEN sim2 ELSE sim3 END AS band_val
+       |  FROM sim, generate_series(0, 3) g(b)),
+       |bsized AS (SELECT b, band_val, count(*) AS bucket_n FROM banded GROUP BY 1, 2),
+       |bkeep AS (
+       |  SELECT bd.* FROM banded bd
+       |  JOIN bsized s ON bd.b = s.b AND bd.band_val = s.band_val
+       |  WHERE s.bucket_n <= $maxBucket)""".stripMargin
 
   private val d9SimhashPairsSql =
     s"""WITH feed AS ($nearDupFeedSql),
        |${simhashSqlOver("feed")},
-       |banded AS (
-       |  SELECT doc_id, simhash, CAST(g.b AS INTEGER) AS b,
-       |    (simhash >> (CAST(g.b AS INTEGER) * 4)) & 15 AS band_val
-       |  FROM sim, generate_series(0, 3) g(b)),
-       |pairs AS (
+       |${simhashBandedSql(TextPipeline.DefaultMaxBucket)},
+       |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    a.simhash AS sim_a, b.simhash AS sim_b
-       |  FROM banded a JOIN banded b
-       |    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b,
-       |  CAST(bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) AS INTEGER) AS hamming
-       |FROM pairs
-       |WHERE CAST(bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) AS INTEGER) <= 3
+       |    a.sim0 AS a0, a.sim1 AS a1, a.sim2 AS a2, a.sim3 AS a3,
+       |    b.sim0 AS b0, b.sim1 AS b1, b.sim2 AS b2, b.sim3 AS b3
+       |  FROM bkeep a JOIN bkeep b
+       |    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    CAST(bit_count(CAST(xor(a0, b0) AS BIGINT)) + bit_count(CAST(xor(a1, b1) AS BIGINT))
+       |      + bit_count(CAST(xor(a2, b2) AS BIGINT)) + bit_count(CAST(xor(a3, b3) AS BIGINT)) AS INTEGER) AS hamming
+       |  FROM cand)
+       |SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** d9b: the dropped-bucket audit over a boilerplate-heavy corpus — the
+    * block of verbatim-identical docs lands every copy in the same band
+    * buckets, which the cap refuses; this query surfaces exactly what was
+    * refused and how big it was (the SimHash twin of d2d). */
+  private val d9bSimhashDropped: Q = (spark, dir) =>
+    TextPipeline.simhashDroppedBuckets(
+      TextPipeline.simhash64(boilerFeed(spark, dir), "doc_id", "text"),
+      "doc_id", maxBucket = 5)
+      .orderBy("b", "band_val")
+
+  private val d9bSimhashDroppedSql =
+    s"""WITH feed AS ($boilerFeedSql),
+       |${simhashSqlOver("feed")},
+       |banded AS (
+       |  SELECT doc_id, CAST(g.b AS INTEGER) AS b,
+       |    CASE WHEN g.b = 0 THEN sim0 WHEN g.b = 1 THEN sim1
+       |         WHEN g.b = 2 THEN sim2 ELSE sim3 END AS band_val
+       |  FROM sim, generate_series(0, 3) g(b))
+       |SELECT b, band_val, count(*) AS bucket_n FROM banded GROUP BY 1, 2
+       |HAVING count(*) > 5
+       |ORDER BY b, band_val""".stripMargin
 
   // ------------------------------------------------------------------ deterministic global shuffle (training order)
   /** Training-data epoch ordering: a seeded hash of the document key gives
@@ -717,28 +751,40 @@ object TextDedupQueries {
     * component step. Scale shape: narrow projections + hash aggregations +
     * the bucketed LSH join; no stage materializes more than the surviving
     * rows of the previous one. */
-  private val e4TextPipeline: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
-    // 1-2. quality gate on raw text, then normalization for all hashing
+  /** Stages 1-3 of the curation pipeline (quality gate -> normalize ->
+    * exact dedup), shared by e4 and the e4b refusal audit. */
+  private def curationUniq(d: DataFrame): DataFrame = {
     val ok = TextPipeline.qualityMetrics(d, "text")
       .filter(col("quality_bucket") === "ok")
       .select(col("doc_id"),
         regexp_replace(
           regexp_replace(lower(col("text")), "[.!?,;:]", ""),
           " +", " ").as("ntext"))
-    // 3. exact dedup on normalized content (keep smallest doc_id per hash)
     val exw = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("ntext"))).orderBy("doc_id")
-    val uniq = ok.withColumn("rn", row_number().over(exw))
+    ok.withColumn("rn", row_number().over(exw))
       .filter(col("rn") === 1).select("doc_id", "ntext")
+  }
+
+  /** Stage-4 feed: shingle the deduped normalized text and minhash it. */
+  private def curationSig(uniq: DataFrame): DataFrame =
+    TextPipeline.minhashSignature(
+      uniq.withColumn("toks", TextPipeline.tokens(col("ntext")))
+        .select(col("doc_id"),
+          explode(TextPipeline.shinglesFromTokens(col("toks"), 3)).as("shingle")),
+      "doc_id", "shingle", 8)
+
+  private val e4TextPipeline: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    // 1-3. quality gate, normalization, exact dedup
+    val uniq = curationUniq(d)
     // 4. near-dup components over LSH candidates; canonical = smallest id
-    val shingled = uniq
-      .withColumn("toks", TextPipeline.tokens(col("ntext")))
-      .select(col("doc_id"),
-        explode(TextPipeline.shinglesFromTokens(col("toks"), 3)).as("shingle"))
-    val sig = TextPipeline.minhashSignature(shingled, "doc_id", "shingle", 8)
+    val sig = curationSig(uniq)
+    // the production bucket cap is LIVE in the composed pipeline — the one
+    // query a real corpus run executes must carry the skew guard, not just
+    // the gated d2c variant; refusals are surfaced by e4b
     val pairs = TextPipeline.lshCandidatePairs(sig, "doc_id", 8, 2,
-        maxBucket = Int.MaxValue)
+        maxBucket = TextPipeline.DefaultMaxBucket)
       .withColumn("key", lit(""))
     val comp = graft.operators.GraphCC.connectedComponents(
       uniq.select(lit("").as("key"), col("doc_id").as("id")), pairs)
@@ -784,9 +830,14 @@ object TextDedupQueries {
        |  SELECT doc_id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS band_val FROM sig
        |  UNION ALL
        |  SELECT doc_id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS band_val FROM sig),
+       |lsized AS (SELECT band, band_val, count(*) AS bucket_n FROM banded GROUP BY 1, 2),
+       |lkeep AS (
+       |  SELECT bd.doc_id, bd.band, bd.band_val
+       |  FROM banded bd JOIN lsized s ON bd.band = s.band AND bd.band_val = s.band_val
+       |  WHERE s.bucket_n <= ${TextPipeline.DefaultMaxBucket}),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b
+       |  FROM lkeep a JOIN lkeep b
        |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
        |cedges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -819,6 +870,81 @@ object TextDedupQueries {
        |FROM langd GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------------------ E4b: curation refusal audit
+  /** Boilerplate block for the refusal audit: a long common body with a
+    * unique tail token per copy. Passes the quality gate (31 tokens, no
+    * stopwords, no punctuation), survives exact dedup (every text
+    * distinct), yet shares 28 of 29 shingles — so nearly every copy lands
+    * in the same LSH band bucket. The realistic shape (headers, licenses,
+    * templated pages) that makes an uncapped corpus run quadratic. */
+  private val e4BoilerBody =
+    "storage tank inspection protocol requires annual pressure testing corrosion " +
+      "monitoring valve calibration seal replacement gauge verification ladder " +
+      "maintenance vent cleaning foundation survey coating assessment emergency " +
+      "drill documentation archive review schedule"
+
+  private def e4AuditFeed(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val block = spark.range(1, 1401).select((col("id") + 30000).as("doc_id"),
+      concat(lit(e4BoilerBody + " tail"), col("id")).as("text"))
+    d.unionByName(block)
+  }
+
+  private val e4AuditFeedSql =
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |UNION ALL
+       |SELECT 30000 + g.i AS doc_id, '$e4BoilerBody tail' || CAST(g.i AS VARCHAR) AS text
+       |FROM generate_series(1, 1400) g(i)""".stripMargin
+
+  /** e4b: what the composed pipeline's LIVE bucket cap refused, and how
+    * big each refused bucket was — the audit half of the e4 skew guard,
+    * run at the same production `DefaultMaxBucket` over a corpus carrying
+    * a realistic boilerplate flood. Done right, dedup at 100 TB is
+    * `e4_text_pipeline` for the pairs plus THIS query in the run report. */
+  private val e4bCurationRefusals: Q = (spark, dir) =>
+    TextPipeline.lshDroppedBuckets(
+      curationSig(curationUniq(e4AuditFeed(spark, dir))),
+      "doc_id", 8, 2, maxBucket = TextPipeline.DefaultMaxBucket)
+      .orderBy("band", "band_val")
+
+  private val e4bCurationRefusalsSql = {
+    s"""WITH docs AS ($e4AuditFeedSql),
+       |metrics AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+       |      / length(text), 4) AS punct_ratio,
+       |    round(CAST(len(list_filter(string_split(text, ' '),
+       |        x -> x IN ${sqlList(TextPipeline.stopwords)})) AS DOUBLE)
+       |      / len(string_split(text, ' ')), 4) AS stopword_ratio
+       |  FROM docs),
+       |ok AS (
+       |  SELECT d.doc_id,
+       |    regexp_replace(regexp_replace(lower(d.text), '[.!?,;:]', '', 'g'), ' +', ' ', 'g') AS ntext
+       |  FROM docs d JOIN metrics m ON d.doc_id = m.doc_id
+       |  WHERE NOT (m.n_tokens < 20) AND NOT (m.stopword_ratio > 0.4)
+       |    AND NOT (m.punct_ratio > 0.1)),
+       |uniq AS (
+       |  SELECT doc_id, ntext FROM (
+       |    SELECT doc_id, ntext,
+       |      row_number() OVER (PARTITION BY md5(ntext) ORDER BY doc_id) AS rn
+       |    FROM ok) WHERE rn = 1),
+       |feed AS (SELECT doc_id, ntext AS text FROM uniq),
+       |$shinglesSql,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigSql
+       |  FROM shingles GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS band_val FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS band_val FROM sig)
+       |SELECT band, band_val, count(*) AS bucket_n FROM banded GROUP BY 1, 2
+       |HAVING count(*) > ${TextPipeline.DefaultMaxBucket}
+       |ORDER BY band, band_val""".stripMargin
+  }
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t_lang_id" -> tLangId,
@@ -837,13 +963,15 @@ object TextDedupQueries {
     "d4_ngram_jaccard" -> d4Jaccard,
     "d8_global_shuffle" -> d8GlobalShuffle,
     "d9_simhash_pairs" -> d9SimhashPairs,
+    "d9b_simhash_dropped" -> d9bSimhashDropped,
     "d6_neardup_components" -> d6NeardupComponents,
     "d7_canonical_docs" -> d7CanonicalDocs,
     "t_repetition" -> tRepetition,
     "t_pii_redact" -> tPiiRedact,
     "w6_train_split" -> w6TrainSplit,
     "w7_split_counts" -> w7SplitCounts,
-    "e4_text_pipeline" -> e4TextPipeline
+    "e4_text_pipeline" -> e4TextPipeline,
+    "e4b_curation_refusals" -> e4bCurationRefusals
   )
 
   val oracle: Map[String, String] = Map(
@@ -863,12 +991,14 @@ object TextDedupQueries {
     "d4_ngram_jaccard" -> d4JaccardSql,
     "d8_global_shuffle" -> d8GlobalShuffleSql,
     "d9_simhash_pairs" -> d9SimhashPairsSql,
+    "d9b_simhash_dropped" -> d9bSimhashDroppedSql,
     "d6_neardup_components" -> d6NeardupComponentsSql,
     "d7_canonical_docs" -> d7CanonicalDocsSql,
     "t_repetition" -> tRepetitionSql,
     "t_pii_redact" -> tPiiRedactSql,
     "w6_train_split" -> w6TrainSplitSql,
     "w7_split_counts" -> w7SplitCountsSql,
-    "e4_text_pipeline" -> e4TextPipelineSql
+    "e4_text_pipeline" -> e4TextPipelineSql,
+    "e4b_curation_refusals" -> e4bCurationRefusalsSql
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextPipeline
+
+/** VERDICT r3 "What's wrong" #1: the old 16-bit SimHash with 4-bit bands
+  * had only 16 possible band values, so every bucket held ~1/16th of the
+  * corpus and the band join was a cross-product in disguise. The
+  * 64-bit/16-bit-band redesign must (a) produce genuine 16-bit band keys,
+  * (b) keep true near-dup pairs, (c) refuse identical-corpus floods via
+  * the same maxBucket cap as MinHash LSH, and (d) audit what it refused. */
+class SimHashSkewSpec extends SparkSpec {
+
+  /** n identical boilerplate docs + m fully distinct docs. */
+  private def docs(identical: Int, distinct: Int) = {
+    import spark.implicits._
+    val boiler = (0 until identical).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val uniq = (0 until distinct).map(i =>
+      (1000L + i, s"unique document number $i with words w${i}a w${i}b w${i}c w${i}d"))
+    (boiler ++ uniq).toDF("doc_id", "text")
+  }
+
+  test("band columns are genuine 16-bit values — 65,536-way key space") {
+    val sim = TextPipeline.simhash64(docs(identical = 0, distinct = 30), "doc_id", "text")
+    val bad = sim.filter(
+      (0 until 4).map(k => col(s"sim$k") < 0 || col(s"sim$k") > 65535).reduce(_ || _))
+    assert(bad.count() == 0)
+    // distinct docs should occupy distinct buckets (the property the old
+    // 16-value scheme could not have: 30 docs > 16 possible band values)
+    val distinctBand0 = sim.select("sim0").distinct().count()
+    assert(distinctBand0 > 16, s"band cardinality must exceed the old 4-bit ceiling, got $distinctBand0")
+  }
+
+  test("identical-corpus buckets are dropped by the cap; audit reports them") {
+    val sim = TextPipeline.simhash64(docs(identical = 50, distinct = 6), "doc_id", "text")
+    val pairs = TextPipeline.simhashPairs(sim, "doc_id", maxHamming = 3, maxBucket = 10)
+    // identical docs share all 4 band values, so every bucket containing a
+    // boiler doc has >= 50 members and is refused — the 1,225 would-be
+    // boiler pairs never materialize on one shuffle key
+    assert(pairs.filter(col("id_a") < 1000).count() == 0)
+    val dropped = TextPipeline.simhashDroppedBuckets(sim, "doc_id", maxBucket = 10).collect()
+    assert(dropped.length == 4, s"one flooded bucket per band, got ${dropped.length}")
+    assert(dropped.forall(_.getAs[Long]("bucket_n") >= 50L))
+  }
+
+  test("uncapped run on the same fixture is quadratic — the cap is load-bearing") {
+    val sim = TextPipeline.simhash64(docs(identical = 50, distinct = 0), "doc_id", "text")
+    val n = TextPipeline.simhashPairs(sim, "doc_id", maxHamming = 64,
+      maxBucket = Int.MaxValue).count()
+    assert(n == 50L * 49 / 2)
+  }
+
+  test("true near-dups still pair under the cap") {
+    import spark.implicits._
+    val base = docs(identical = 0, distinct = 20)
+    // two verbatim copies hiding among distinct docs: hamming 0, one pair
+    val twins = Seq(
+      (5000L, "completely separate twin payload with several stable tokens inside"),
+      (5001L, "completely separate twin payload with several stable tokens inside"))
+      .toDF("doc_id", "text")
+    val sim = TextPipeline.simhash64(base.unionByName(twins), "doc_id", "text")
+    val pairs = TextPipeline.simhashPairs(sim, "doc_id", maxHamming = 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((5000L, 5001L, 0)))
+  }
+}
