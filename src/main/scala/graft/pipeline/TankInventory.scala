@@ -136,8 +136,14 @@ object TankInventory {
     * raw long/long double quotients — both engines evaluate the identical
     * division, so no rounding is needed for the hash compare. */
   def crosstab(spark: SparkSession, dir: String, dim: String = "county_key",
-               percent: Boolean = false): DataFrame = {
-    val inv = inventory(spark, dir)
+               percent: Boolean = false): DataFrame =
+    crosstabFrom(inventory(spark, dir), dim, percent)
+
+  /** Crosstab over an already-materialized inventory frame — the
+    * write-once-read-four lifecycle derives all four reports from ONE
+    * persisted inventory (the reference writes the GeoJSON once and its
+    * report script reads it, `distribution_by_county_state.py:27`). */
+  def crosstabFrom(inv: DataFrame, dim: String, percent: Boolean): DataFrame = {
     val aggs = Classes.map(c => count(when(col("object_class") === c, 1)).as(c))
     // cache the per-dim counts: the margin row reads them again, and
     // without the cache the whole inventory pipeline would run twice

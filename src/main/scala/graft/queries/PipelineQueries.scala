@@ -141,6 +141,59 @@ object PipelineQueries {
   private val e3dStatePct: Q = (spark, dir) =>
     TankInventory.crosstab(spark, dir, dim = "state_key", percent = true)
 
+  /** E3e — the write-once-read-four report lifecycle: persist the E1
+    * inventory to Parquet ONCE, then derive all four distribution reports
+    * from the persisted table (the reference's `write_gdf` →
+    * `distribution_by_county_state.py:27` read). The e3/e3b/e3c/e3d gate
+    * queries each rebuild E1 because gate queries must be self-contained;
+    * this is the lifecycle a production run uses instead — the expensive
+    * pipeline runs once, the four reports are cheap scans of its output.
+    * All cells cast to double so count and percent reports union into one
+    * tagged frame (counts are integers, exact in double). */
+  private val e3ePersistedCrosstabs: Q = (spark, dir) => {
+    val path = Sinks.scratchDir("e3e_inventory")
+    TankInventory.inventory(spark, dir).write.mode("overwrite").parquet(path)
+    val inv = spark.read.parquet(path)
+    val reports = Seq(
+      ("county_key", false, "county_count"), ("state_key", false, "state_count"),
+      ("county_key", true, "county_pct"), ("state_key", true, "state_pct"))
+    reports.map { case (dim, pct, tag) =>
+      TankInventory.crosstabFrom(inv, dim, pct)
+        .select(lit(tag).as("report") +: col(dim).cast("int").as("dim_key") +:
+          (TankInventory.Classes :+ "total").map(c => col(c).cast("double").as(c)): _*)
+    }.reduce(_ unionByName _)
+      .orderBy("report", "dim_key")
+  }
+
+  private val e3ePersistedCrosstabsSql = {
+    val classes = TankInventory.Classes
+    val cells = classes.map(c =>
+      s"count(CASE WHEN object_class = '$c' THEN 1 END) AS $c").mkString(",\n       |    ")
+    def base(dim: String) =
+      s"""(SELECT $dim AS dim_key,
+         |    $cells,
+         |    count(*) AS total
+         |  FROM inv GROUP BY 1)""".stripMargin
+    val margins = (classes.map(c => s"CAST(sum($c) AS BIGINT) AS $c") :+
+      "CAST(sum(total) AS BIGINT) AS total").mkString(", ")
+    val dblCols = (classes :+ "total").map(c => s"CAST($c AS DOUBLE) AS $c").mkString(", ")
+    val pctCols = (classes :+ "total").map(c => s"a.$c / g.g AS $c").mkString(", ")
+    s"""WITH RECURSIVE $e1CoreSql,
+       |inv AS (SELECT county_key, state_key, object_class FROM assigned WHERE rn = 1),
+       |base_county AS ${base("county_key")},
+       |base_state AS ${base("state_key")},
+       |allc AS (SELECT * FROM base_county
+       |  UNION ALL SELECT -1 AS dim_key, $margins FROM base_county),
+       |alls AS (SELECT * FROM base_state
+       |  UNION ALL SELECT -1 AS dim_key, $margins FROM base_state),
+       |grand AS (SELECT CAST(sum(total) AS BIGINT) AS g FROM base_county)
+       |SELECT 'county_count' AS report, dim_key, $dblCols FROM allc
+       |UNION ALL SELECT 'state_count' AS report, dim_key, $dblCols FROM alls
+       |UNION ALL SELECT 'county_pct' AS report, a.dim_key, $pctCols FROM allc a, grand g
+       |UNION ALL SELECT 'state_pct' AS report, a.dim_key, $pctCols FROM alls a, grand g
+       |ORDER BY report, dim_key""".stripMargin
+  }
+
   /** The reference's four distribution reports: {state, county} x class,
     * count and percent-of-grand-total, margins included
     * (`distribution_by_county_state.py:32-41`; pandas normalize=True
@@ -403,6 +456,56 @@ object PipelineQueries {
       |  '))' AS wkt
       |FROM k ORDER BY record_number""".stripMargin
 
+  // ------------------------------------------------------------------ S13: shapefile sink + truncated-name report parity
+  /** Writes the E1 inventory as zipped ESRI shapefiles (the reference's
+    * output format, `write_gdf` in `src/form_calcs.py`), rescans the zips,
+    * and replays the reference's county-by-class distribution report
+    * against the 10-char TRUNCATED .dbf column names `object_cla` /
+    * `county_fip` (`distribution_by_county_state.py:29-41`) — the exact
+    * name mismatch a user replaying the reference's report would hit if
+    * the sink didn't reproduce the format's truncation. The geometry
+    * check (`sum_w` from the rescanned .shp envelopes) also proves
+    * .shp/.dbf record alignment survives the round trip. */
+  private val s13ShapefileSink: Q = (spark, dir) => {
+    import graft.sources.Shapefile
+    val root = Paths.get(Sinks.scratchDir("s13_shp_sink"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val inv = TankInventory.inventory(spark, dir).select(
+      col("minx").cast("double").as("minx"), col("miny").cast("double").as("miny"),
+      col("maxx").cast("double").as("maxx"), col("maxy").cast("double").as("maxy"),
+      col("object_class").cast("string").as("object_class"),
+      col("county_key").cast("string").as("county_fips"),
+      col("state_key").cast("string").as("state_fips"))
+    Shapefile.writeZippedLayer(inv, root.toString,
+      Seq(("object_class", 20), ("county_fips", 10), ("state_fips", 10)))
+    val back = Shapefile.scanZippedShapefiles(spark, root.toString)
+    val cells = TankInventory.Classes.map(c =>
+      count(when(col("object_cla") === c, 1)).as(c))
+    back.select(
+        col("attrs")("object_cla").as("object_cla"),
+        col("attrs")("county_fip").cast("int").as("county_fip"),
+        (col("maxx") - col("minx")).cast("long").as("w"))
+      .groupBy("county_fip")
+      .agg(cells.head, (cells.tail :+ count(lit(1)).as("total") :+
+        sum(col("w")).as("sum_w")): _*)
+      .orderBy("county_fip")
+  }
+
+  private val s13ShapefileSinkSql = {
+    val cells = TankInventory.Classes.map(c =>
+      s"count(CASE WHEN object_class = '$c' THEN 1 END) AS $c").mkString(",\n       |  ")
+    s"""WITH RECURSIVE $e1CoreSql,
+       |inv AS (SELECT county_key, object_class, minx, maxx FROM assigned WHERE rn = 1)
+       |SELECT county_key AS county_fip,
+       |  $cells,
+       |  count(*) AS total,
+       |  CAST(sum(maxx - minx) AS BIGINT) AS sum_w
+       |FROM inv GROUP BY 1 ORDER BY county_fip""".stripMargin
+  }
+
   // ------------------------------------------------------------------ S9: memoized fetch round trip
   /** End-to-end S9 (`src/az_proc.py:194-221`): catalog -> anti-join against
     * the store -> partition-wise fetch -> idempotent re-run (must fetch 0)
@@ -521,6 +624,7 @@ object PipelineQueries {
     "e3b_state_crosstab" -> e3bStateCrosstab,
     "e3c_county_pct" -> e3cCountyPct,
     "e3d_state_pct" -> e3dStatePct,
+    "e3e_persisted_crosstabs" -> e3ePersistedCrosstabs,
     "io_csv_roundtrip" -> ioCsvRoundtrip,
     "io_orc_roundtrip" -> ioOrcRoundtrip,
     "io_json_roundtrip" -> ioJsonRoundtrip,
@@ -531,6 +635,7 @@ object PipelineQueries {
     "s9_fetch_roundtrip" -> s9FetchRoundtrip,
     "io_npy_roundtrip" -> ioNpyRoundtrip,
     "io_shapefile_zip" -> ioShapefileZip,
+    "s13_shapefile_sink" -> s13ShapefileSink,
     "j8_wkt_argmax" -> j8WktArgmax
   )
 
@@ -541,6 +646,7 @@ object PipelineQueries {
     "e3b_state_crosstab" -> crosstabSql("state_key", percent = false),
     "e3c_county_pct" -> crosstabSql("county_key", percent = true),
     "e3d_state_pct" -> crosstabSql("state_key", percent = true),
+    "e3e_persisted_crosstabs" -> e3ePersistedCrosstabsSql,
     "io_csv_roundtrip" -> ioCsvRoundtripSql,
     "io_orc_roundtrip" -> ioOrcRoundtripSql,
     "io_json_roundtrip" -> ioJsonRoundtripSql,
@@ -551,6 +657,7 @@ object PipelineQueries {
     "s9_fetch_roundtrip" -> s9FetchRoundtripSql,
     "io_npy_roundtrip" -> ioNpyRoundtripSql,
     "io_shapefile_zip" -> ioShapefileZipSql,
+    "s13_shapefile_sink" -> s13ShapefileSinkSql,
     "j8_wkt_argmax" -> RelationalQueries.j8ArgmaxOracleSql
   )
 }

@@ -192,27 +192,70 @@ object Shapefile {
   }
 
   /** Renders a single-text-field dBase III .dbf. */
-  def renderDbf(fieldName: String, width: Int, values: Seq[String]): Array[Byte] = {
-    val headerSize = 32 + 32 + 1
-    val recordSize = 1 + width
-    val bb = ByteBuffer.allocate(headerSize + values.size * recordSize + 1)
+  def renderDbf(fieldName: String, width: Int, values: Seq[String]): Array[Byte] =
+    renderDbfFields(Seq((fieldName, width)), values.map(Seq(_)))
+
+  /** Renders a multi-field dBase III .dbf (all fields character type).
+    * Field names longer than 10 characters are TRUNCATED, exactly as the
+    * format demands — the reference's downstream report depends on the
+    * truncated names `object_cla`/`county_fip`
+    * (`distribution_by_county_state.py:29-41`). */
+  def renderDbfFields(fields: Seq[(String, Int)],
+                      rows: Seq[Seq[String]]): Array[Byte] = {
+    val headerSize = 32 + 32 * fields.size + 1
+    val recordSize = 1 + fields.map(_._2).sum
+    val bb = ByteBuffer.allocate(headerSize + rows.size * recordSize + 1)
       .order(ByteOrder.LITTLE_ENDIAN)
     bb.put(0x03.toByte).put(24.toByte).put(1.toByte).put(1.toByte)
-    bb.putInt(values.size).putShort(headerSize.toShort).putShort(recordSize.toShort)
+    bb.putInt(rows.size).putShort(headerSize.toShort).putShort(recordSize.toShort)
     (0 until 20).foreach(_ => bb.put(0.toByte))
-    val nameBytes = fieldName.getBytes(StandardCharsets.US_ASCII).take(10)
-    bb.put(nameBytes); (nameBytes.length until 11).foreach(_ => bb.put(0.toByte))
-    bb.put('C'.toByte); (0 until 4).foreach(_ => bb.put(0.toByte))
-    bb.put(width.toByte).put(0.toByte)
-    (0 until 14).foreach(_ => bb.put(0.toByte))
+    fields.foreach { case (name, width) =>
+      val nameBytes = name.getBytes(StandardCharsets.US_ASCII).take(10)
+      bb.put(nameBytes); (nameBytes.length until 11).foreach(_ => bb.put(0.toByte))
+      bb.put('C'.toByte); (0 until 4).foreach(_ => bb.put(0.toByte))
+      bb.put(width.toByte).put(0.toByte)
+      (0 until 14).foreach(_ => bb.put(0.toByte))
+    }
     bb.put(0x0d.toByte)
-    values.foreach { v =>
+    rows.foreach { r =>
       bb.put(' '.toByte)                            // not deleted
-      val padded = v.padTo(width, ' ').take(width)
-      bb.put(padded.getBytes(StandardCharsets.US_ASCII))
+      fields.zip(r).foreach { case ((_, width), v) =>
+        val padded = v.padTo(width, ' ').take(width)
+        bb.put(padded.getBytes(StandardCharsets.US_ASCII))
+      }
     }
     bb.put(0x1a.toByte)
     bb.array()
+  }
+
+  /** S13 sink — writes a DataFrame of axis-aligned rectangles + string
+    * attributes as zipped shapefiles, one zip per partition (the same
+    * executor-side one-artifact-per-task contract as the S14 binary sink;
+    * on a cluster `outDir` is shared storage). Expects columns
+    * `minx, miny, maxx, maxy` (double) followed by the attribute columns;
+    * attribute field names are truncated to 10 chars by the .dbf format. */
+  def writeZippedLayer(df: org.apache.spark.sql.DataFrame, outDir: String,
+                       attrs: Seq[(String, Int)]): Unit = {
+    new java.io.File(outDir).mkdirs()
+    val cols = Seq("minx", "miny", "maxx", "maxy").map(org.apache.spark.sql.functions.col) ++
+      attrs.map { case (c, _) => org.apache.spark.sql.functions.col(c).cast("string") }
+    df.select(cols: _*).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val rows = it.toVector
+      if (rows.nonEmpty) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val rects = rows.map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        val vals = rows.map(r => attrs.indices.map(i => Option(r.getString(4 + i)).getOrElse("")))
+        val zip = renderZip(Seq(
+          f"layer_$pid%05d.shp" -> renderRectShp(rects),
+          f"layer_$pid%05d.dbf" -> renderDbfFields(attrs, vals)))
+        val tmp = java.nio.file.Paths.get(outDir, f".layer_$pid%05d.zip.tmp")
+        java.nio.file.Files.write(tmp, zip)
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outDir, f"layer_$pid%05d.zip"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      ()
+    }
   }
 
   /** Zips named byte entries. */

@@ -82,6 +82,19 @@ class NpyShapefileSpec extends AnyFunSuite {
     assert(rows == Seq(Seq("a"), Seq("bb cc"), Seq("dddddddd")))
   }
 
+  test("dbf field names longer than 10 chars are truncated, like the format demands") {
+    val dbf = Shapefile.renderDbfFields(
+      Seq(("object_class", 20), ("county_fips", 10), ("state_fips", 10), ("short", 5)),
+      Seq(Seq("closed_roof_tank", "17", "3", "ab"),
+        Seq("water_tower", "4", "0", "cd")))
+    val (names, rows) = Shapefile.parseDbf(dbf)
+    // the reference's report script depends on exactly these truncations
+    // (distribution_by_county_state.py:29-41)
+    assert(names == Seq("object_cla", "county_fip", "state_fips", "short"))
+    assert(rows == Seq(Seq("closed_roof_tank", "17", "3", "ab"),
+      Seq("water_tower", "4", "0", "cd")))
+  }
+
   test("zip without a .shp entry fails loudly; missing .dbf yields empty attrs") {
     intercept[RuntimeException] {
       Shapefile.parseZip(Shapefile.renderZip(Seq("readme.txt" -> "hi".getBytes)))
