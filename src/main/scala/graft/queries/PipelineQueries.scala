@@ -578,6 +578,73 @@ object PipelineQueries {
       |  true AS valid
       |FROM nation ORDER BY tile_file""".stripMargin
 
+  // ------------------------------------------------------------------ G1 pixel path: chip slicer over TIFF strips
+  /** The pixel-level half of G1 (`az_proc.py:501-526`,
+    * `form_calcs.py:166-191`): real uncompressed-TIFF strip reads sliced
+    * into 512x512 zero-padded chips, executor-side, one tile per input row
+    * (no shuffle until the final sort). Fixture pixels are
+    * `p(x, y) = (x % 16) + (y % 16)`, so the DuckDB oracle verifies every
+    * chip's pixel sum through the closed-form rectangle sum
+    * S(n) = ((n+1)/16)*120 + r(r-1)/2 — the engine must read the actual
+    * strip bytes to match it, wrong offsets/rows/padding all shift the
+    * sum. Grid and pad columns replay the metadata-level `g1_chip_pad`
+    * accounting at pixel fidelity. */
+  private val g1ChipPixels: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.sources.TiffPixels
+    val root = Paths.get(Sinks.scratchDir("tiff_pixels"))
+    Files.createDirectories(root)
+    val nations = Tables.nation(spark, dir).select("n_nationkey").collect().map(_.getInt(0))
+    nations.foreach { n =>
+      val w = 1000 + n * 97 % 600
+      val h = 900 + n * 53 % 500
+      Files.write(root.resolve(f"t_$n%05d.tif"),
+        TiffPixels.renderGray8(w, h, rowsPerStrip = 64, (x, y) => (x % 16) + (y % 16)))
+    }
+    Sinks.scanBinaryDir(spark, root.toString, "*.tif")
+      .select(element_at(split(col("path"), "/"), -1).as("tile_file"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        TiffPixels.chips(bytes, 512).map { case (r, c, dw, dh, slab) =>
+          var s = 0L
+          var i = 0
+          while (i < slab.length) { s += slab(i) & 0xff; i += 1 }
+          (name, r, c, dw, dh, 512 - dw, 512 - dh, s)
+        }
+      }
+      .toDF("tile_file", "chip_row", "chip_col", "chip_w", "chip_h",
+        "pad_x", "pad_y", "pix_sum")
+      .orderBy("tile_file", "chip_row", "chip_col")
+  }
+
+  private val g1ChipPixelsSql =
+    """WITH t AS (
+      |  SELECT n_nationkey AS n,
+      |    1000 + n_nationkey * 97 % 600 AS w,
+      |    900 + n_nationkey * 53 % 500 AS h
+      |  FROM nation),
+      |grid AS (
+      |  SELECT n, w, h, CAST(r.i AS INTEGER) AS chip_row, CAST(c.i AS INTEGER) AS chip_col
+      |  FROM t, generate_series(0, 7) r(i), generate_series(0, 7) c(i)
+      |  WHERE r.i * 512 < h AND c.i * 512 < w),
+      |dims AS (
+      |  SELECT n, chip_row, chip_col,
+      |    least(512, w - chip_col * 512) AS chip_w,
+      |    least(512, h - chip_row * 512) AS chip_h,
+      |    chip_col * 512 AS x0, chip_row * 512 AS y0
+      |  FROM grid),
+      |sums AS (
+      |  SELECT *, x0 + chip_w - 1 AS x1, y0 + chip_h - 1 AS y1
+      |  FROM dims)
+      |SELECT concat('t_', lpad(CAST(n AS VARCHAR), 5, '0'), '.tif') AS tile_file,
+      |  chip_row, chip_col, chip_w, chip_h,
+      |  512 - chip_w AS pad_x, 512 - chip_h AS pad_y,
+      |  CAST(chip_h * (((x1 + 1) // 16) * 120 + ((x1 + 1) % 16) * ((x1 + 1) % 16 - 1) // 2 - (x0 // 16) * 120)
+      |     + chip_w * (((y1 + 1) // 16) * 120 + ((y1 + 1) % 16) * ((y1 + 1) % 16 - 1) // 2 - (y0 // 16) * 120)
+      |    AS BIGINT) AS pix_sum
+      |FROM sums
+      |ORDER BY tile_file, chip_row, chip_col""".stripMargin
+
   // ------------------------------------------------------------------ JTS spatial argmax
   /** The j8 rect argmax join, but through JTS WKT geometry (polygon ctor,
     * intersects, intersection area) — must agree exactly with the
@@ -636,6 +703,7 @@ object PipelineQueries {
     "io_npy_roundtrip" -> ioNpyRoundtrip,
     "io_shapefile_zip" -> ioShapefileZip,
     "s13_shapefile_sink" -> s13ShapefileSink,
+    "g1_chip_pixels" -> g1ChipPixels,
     "j8_wkt_argmax" -> j8WktArgmax
   )
 
@@ -658,6 +726,7 @@ object PipelineQueries {
     "io_npy_roundtrip" -> ioNpyRoundtripSql,
     "io_shapefile_zip" -> ioShapefileZipSql,
     "s13_shapefile_sink" -> s13ShapefileSinkSql,
+    "g1_chip_pixels" -> g1ChipPixelsSql,
     "j8_wkt_argmax" -> RelationalQueries.j8ArgmaxOracleSql
   )
 }
