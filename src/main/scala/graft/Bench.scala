@@ -57,6 +57,11 @@ object Bench {
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    // min is a floor-biased statistic: publish BOTH passes' numbers so the
+    // measurement envelope lives in the artifact, not just BASELINE.md prose
+    val maxResults = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.max(a, b))
+    }
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // a failed query is a -1 sentinel in the per-query map; it must NOT
@@ -76,11 +81,13 @@ object Bench {
       "s7_voc_roundtrip", "tracker_build", "e4_text_pipeline",
       "t_token_count", "s3_session_window", "w2_limit_allocation")
     val headlineRs = results.filter { case (k, _) => headline.contains(k) }
-    def line(rs: Seq[(String, Double)]): String =
+    def line(rs: Seq[(String, Double)], withEnvelope: Boolean): String =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""n_failed":${failed.size},"failed":$failedJson,""" +
-        s""""queries":${jsonMap(rs)},"sf":"$sfDir"}"""
-    println(line(if (only.isEmpty) headlineRs else results))
+        s""""queries":${jsonMap(rs)},""" +
+        (if (withEnvelope) s""""queries_max":${jsonMap(maxResults)},""" else "") +
+        s""""sf":"$sfDir"}"""
+    println(line(if (only.isEmpty) headlineRs else results, withEnvelope = false))
     // persist the full per-query artifact in-repo so every round's complete
     // numbers are recorded, not just what survives the driver's tail-grab.
     // A SPARK_GRAFT_ONLY-filtered dev run must NOT clobber the committed
@@ -89,7 +96,7 @@ object Bench {
       .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
     outPath.foreach { o =>
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get(o), line(results).getBytes("UTF-8"))
+        java.nio.file.Paths.get(o), line(results, withEnvelope = true).getBytes("UTF-8"))
       catch { case _: Throwable => () } // bench output must never fail the run
     }
     spark.stop()

@@ -76,9 +76,13 @@ object GraphCC {
         .select(col("f.key").as("key"), col("e.id_b").as("id"), col("f.comp").as("comp"))
       val cand = detachStats(msgs.groupBy("key", "id").agg(min(col("comp")).as("cand"))
         .localCheckpoint())
-      // Broadcast only while the frontier is actually small — a pathological
-      // expander graph could keep it large, where a hash join is the safe plan.
-      val hinted = if (frontierSize <= broadcastThreshold) broadcast(cand) else cand
+      // Gate the cand broadcast on cand's OWN measured size, not the
+      // frontier's: cand holds one row per distinct neighbor of any
+      // frontier vertex, so high-degree vertices can make it avg-degree
+      // times larger than the frontier that produced it. The count is free
+      // — localCheckpoint already materialized it. Above the threshold the
+      // round degrades to a plain hash join (the safe plan).
+      val hinted = if (cand.count() <= broadcastThreshold) broadcast(cand) else cand
       comps = detachStats(comps.as("c")
         .join(hinted, Seq("key", "id"), "left")
         .select(col("key"), col("id"),

@@ -178,6 +178,14 @@ object TextDedupQueries {
       |SELECT doc_id + 10000 AS doc_id, text || ' extra' AS text
       |FROM documents WHERE doc_id < 20""".stripMargin
 
+  // ORACLE SERIES-BOUND INVARIANT (here and in tRepetitionSql's 2048): the
+  // DuckDB n-gram CTEs enumerate positions from a STATIC series (DuckDB's
+  // generate_series cannot take lateral args), so documents longer than the
+  // bound would make the ORACLE undercount — the Spark side enumerates all
+  // tokens. The driver corpus maxes out at 100 tokens/doc (measured at
+  // sf0.001/0.01/0.1), 10x headroom. Failure direction is safe: an
+  // overlong doc breaks oracle/engine AGREEMENT, so verification fails
+  // loudly instead of passing on a truncated oracle.
   private val shinglesSql =
     s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM feed),
        |shingles AS (
@@ -625,6 +633,8 @@ object TextDedupQueries {
       .orderBy("doc_id")
   }
 
+  // series bound 2048: see the invariant note at shinglesSql (corpus max
+  // is 100 tokens/doc; overflow fails loudly as an oracle mismatch)
   private val tRepetitionSql =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g2 AS (

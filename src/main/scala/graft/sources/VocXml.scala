@@ -37,34 +37,58 @@ object VocXml {
     import javax.xml.stream.XMLStreamConstants._
     val r = staxFactory.get().createXMLStreamReader(new java.io.StringReader(xml))
     val out = scala.collection.mutable.ArrayBuffer.empty[VocObject]
-    var inObject = false
+    var inObject = false; var inBndbox = false
     var name = ""; var truncated = 0; var difficult = 0
     var xmin = 0; var ymin = 0; var xmax = 0; var ymax = 0
     def num(s: String): Int = s.trim.toDoubleOption.map(_.toInt).getOrElse(0)
+    // consume everything up to the END_ELEMENT matching an already-read
+    // START_ELEMENT: real PASCAL-VOC files nest <part>/<actions> subtrees
+    // inside <object> with their OWN <name>/<bndbox>, which must not
+    // overwrite the object's — ElementTree find() (the reference,
+    // az_proc.py:791-819) reads direct children only, and so does this
+    def skipSubtree(): Unit = {
+      var d = 1
+      while (d > 0) r.next() match {
+        case START_ELEMENT => d += 1
+        case END_ELEMENT => d -= 1
+        case _ => ()
+      }
+    }
     try {
       while (r.hasNext) {
         r.next() match {
           case START_ELEMENT =>
             r.getLocalName match {
-              case "object" =>
-                inObject = true
+              case "object" if !inObject =>
+                inObject = true; inBndbox = false
                 name = ""; truncated = 0; difficult = 0
                 xmin = 0; ymin = 0; xmax = 0; ymax = 0
-              case tag if inObject => tag match {
+              case tag if inObject && !inBndbox => tag match {
+                // direct children of <object> only
                 case "name"      => name = r.getElementText.trim
                 case "truncated" => truncated = num(r.getElementText)
                 case "difficult" => difficult = num(r.getElementText)
-                case "xmin"      => xmin = num(r.getElementText)
-                case "ymin"      => ymin = num(r.getElementText)
-                case "xmax"      => xmax = num(r.getElementText)
-                case "ymax"      => ymax = num(r.getElementText)
-                case _           => () // bndbox wrapper etc: descend
+                case "bndbox"    => inBndbox = true
+                case _           => skipSubtree() // part/pose/actions/...
+              }
+              case tag if inObject => tag match {
+                // direct children of the object's <bndbox> only
+                case "xmin" => xmin = num(r.getElementText)
+                case "ymin" => ymin = num(r.getElementText)
+                case "xmax" => xmax = num(r.getElementText)
+                case "ymax" => ymax = num(r.getElementText)
+                case _      => skipSubtree()
               }
               case _ => ()
             }
-          case END_ELEMENT if r.getLocalName == "object" =>
-            inObject = false
-            out += VocObject(name, truncated, difficult, xmin, ymin, xmax, ymax)
+          case END_ELEMENT =>
+            r.getLocalName match {
+              case "bndbox" if inBndbox => inBndbox = false
+              case "object" if inObject =>
+                inObject = false
+                out += VocObject(name, truncated, difficult, xmin, ymin, xmax, ymax)
+              case _ => ()
+            }
           case _ => ()
         }
       }

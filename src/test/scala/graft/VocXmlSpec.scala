@@ -59,4 +59,25 @@ class VocXmlSpec extends AnyFunSuite {
         |</object></annotation>""".stripMargin
     assert(VocXml.parseVocString(xml) == Seq(VocObject("water_tower", 0, 0, 1, 2, 3, 4)))
   }
+
+  test("nested <part> subtrees do not overwrite the object's name or bndbox") {
+    // genuine PASCAL-VOC shape: person objects carry <part> children with
+    // their own <name> and <bndbox>; ElementTree find() reads direct
+    // children only, and so must the pull parser
+    val xml =
+      """<annotation><object><name>person</name><pose>Left</pose>
+        |<truncated>1</truncated><difficult>0</difficult>
+        |<bndbox><xmin>10</xmin><ymin>20</ymin><xmax>30</xmax><ymax>40</ymax></bndbox>
+        |<part><name>head</name>
+        |  <bndbox><xmin>1</xmin><ymin>2</ymin><xmax>3</xmax><ymax>4</ymax></bndbox></part>
+        |<part><name>hand</name>
+        |  <bndbox><xmin>5</xmin><ymin>6</ymin><xmax>7</xmax><ymax>8</ymax></bndbox></part>
+        |<actions><jumping>0</jumping></actions>
+        |</object><object><name>tank</name>
+        |<bndbox><xmin>100</xmin><ymin>200</ymin><xmax>300</xmax><ymax>400</ymax></bndbox>
+        |</object></annotation>""".stripMargin
+    assert(VocXml.parseVocString(xml) == Seq(
+      VocObject("person", 1, 0, 10, 20, 30, 40),
+      VocObject("tank", 0, 0, 100, 200, 300, 400)))
+  }
 }
