@@ -31,7 +31,8 @@ object SparkEntry {
       (PipelineQueries.queries, PipelineQueries.oracle),
       (CharacteristicsQueries.queries, CharacteristicsQueries.oracle),
       (WorkflowQueries.queries, WorkflowQueries.oracle),
-      (AnalyticsQueries.queries, AnalyticsQueries.oracle)
+      (AnalyticsQueries.queries, AnalyticsQueries.oracle),
+      (TableLogQueries.queries, TableLogQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,184 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal transactional table format for the tracker lifecycle
+  * (SURVEY §2.9; VERDICT r3 "What's missing" #3): Parquet data files plus
+  * an append-only `_log/` of JSON commits, in the style of the public
+  * Delta Lake protocol (Armbrust et al., VLDB 2020) — reduced to the three
+  * things the lifecycle needs: ACID append/upsert, snapshot isolation for
+  * readers, and time travel by version.
+  *
+  * Layout:
+  * {{{
+  *   table/part-*.parquet          data files (immutable once committed)
+  *   table/_log/00000000000N.json  commit N: one JSON object per line —
+  *                                 {"op":...,"version":N} header, then
+  *                                 {"add":"file"} / {"remove":"file"}
+  * }}}
+  *
+  * Protocol:
+  *  - A snapshot at version V = replay add/remove actions of commits 0..V
+  *    in order. Readers list the log once and read only live files —
+  *    uncommitted data files are invisible (writers stage data files into
+  *    the table directory BEFORE their commit lands, so a crash leaves
+  *    garbage bytes, never a torn table; `vacuum` reclaims them).
+  *  - A commit claims its version by atomic rename onto
+  *    `_log/<version>.json` with no overwrite. If another writer claimed
+  *    it first the rename fails, the writer re-reads the log tip and
+  *    retries — optimistic concurrency, exactly one winner per version.
+  *  - Upsert = read-merge-rewrite: matched keys replaced, unmatched kept,
+  *    result committed as adds + removes of every superseded file. At
+  *    100 TB the protocol is unchanged but the rewrite set shrinks: data
+  *    files are partitioned by key range and only touched partitions are
+  *    rewritten — the add/remove commit vocabulary already expresses that.
+  *
+  * JSON is written and parsed with a two-regex vocabulary on purpose: the
+  * format is load-bearing, so the fewer moving parts the better, and file
+  * names (Spark part-file UUIDs) never contain quotes or escapes.
+  */
+object CommitLog {
+
+  final case class Commit(version: Long, op: String,
+                          add: Seq[String], remove: Seq[String])
+
+  private def logDir(table: String): Path = Paths.get(table, "_log")
+
+  private val AddRe = """"add"\s*:\s*"([^"]+)"""".r
+  private val RemoveRe = """"remove"\s*:\s*"([^"]+)"""".r
+  private val OpRe = """"op"\s*:\s*"([^"]+)"""".r
+
+  /** Committed versions, ascending; empty for a fresh/absent table. */
+  def versions(table: String): Seq[Long] =
+    if (!Files.isDirectory(logDir(table))) Seq.empty
+    else Files.list(logDir(table)).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .flatMap(n => n.stripSuffix(".json").toLongOption)
+      .toSeq.sorted
+
+  def currentVersion(table: String): Long = versions(table).lastOption.getOrElse(-1L)
+
+  def readCommit(table: String, version: Long): Commit = {
+    val text = new String(Files.readAllBytes(
+      logDir(table).resolve(f"$version%012d.json")), StandardCharsets.UTF_8)
+    Commit(version,
+      OpRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("unknown"),
+      AddRe.findAllMatchIn(text).map(_.group(1)).toSeq,
+      RemoveRe.findAllMatchIn(text).map(_.group(1)).toSeq)
+  }
+
+  /** Live data files at `asOf` (default: latest), in first-added order. */
+  def snapshotFiles(table: String, asOf: Option[Long] = None): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    versions(table).filter(v => asOf.forall(v <= _)).foreach { v =>
+      val c = readCommit(table, v)
+      live ++= c.add
+      live --= c.remove
+    }
+    live.toSeq
+  }
+
+  /** Snapshot read. Fails loudly on an empty snapshot (a caller reading a
+    * never-written table or a fully-removed version has a bug upstream —
+    * there is no schema to serve). */
+  def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
+    val files = snapshotFiles(table, asOf)
+    require(files.nonEmpty,
+      s"commit-log table $table has no live files at version ${asOf.getOrElse(currentVersion(table))}")
+    spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
+  }
+
+  /** Stages `df` as parquet files inside the table dir; returns their
+    * table-relative names. Staged files are invisible until committed. */
+  private def stage(df: DataFrame, table: String): Seq[String] = {
+    val staging = Paths.get(table, s".staging-${java.util.UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    val parts = Files.list(staging).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val named = parts.map { p =>
+      val name = p.getFileName.toString
+      Files.move(p, Paths.get(table, name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    val leftovers = Files.list(staging).iterator.asScala.toSeq // _SUCCESS, .crc
+    leftovers.foreach(Files.delete)
+    Files.delete(staging)
+    named
+  }
+
+  /** Claims the next version with an atomic no-overwrite rename; retries
+    * on collision (another writer won that version). Returns the version
+    * the commit landed at. */
+  private def commit(table: String, op: String,
+                     add: Seq[String], remove: Seq[String]): Long = {
+    Files.createDirectories(logDir(table))
+    val lines =
+      (s"""{"op":"$op"}""" +:
+        (add.map(f => s"""{"add":"$f"}""") ++ remove.map(f => s"""{"remove":"$f"}""")))
+        .mkString("", "\n", "\n")
+    var attempt = 0
+    while (attempt < 100) {
+      val v = currentVersion(table) + 1
+      val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
+      try {
+        // ATOMIC_MOVE without REPLACE_EXISTING: exactly one writer can
+        // create _log/<v>.json — the loser lands here and retries at v+1
+        Files.move(tmp, logDir(table).resolve(f"$v%012d.json"),
+          StandardCopyOption.ATOMIC_MOVE)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+      }
+    }
+    sys.error(s"commit on $table lost ${100} consecutive version races — aborting")
+  }
+
+  /** Transactional append. Returns the committed version. */
+  def append(df: DataFrame, table: String): Long = {
+    Files.createDirectories(Paths.get(table))
+    commit(table, "append", stage(df, table), Seq.empty)
+  }
+
+  /** Transactional upsert: rows in `updates` replace current rows with the
+    * same `keys` values; everything else is carried forward. One commit —
+    * readers see the old snapshot or the new one, never a mix. On a fresh
+    * table this is just an append. */
+  def upsert(spark: SparkSession, updates: DataFrame, table: String,
+             keys: Seq[String]): Long = {
+    Files.createDirectories(Paths.get(table))
+    val old = snapshotFiles(table)
+    if (old.isEmpty) commit(table, "upsert", stage(updates, table), Seq.empty)
+    else {
+      val current = read(spark, table)
+      val merged = current.join(updates, keys, "left_anti")
+        .unionByName(updates)
+      val added = stage(merged, table)
+      commit(table, "upsert", added, old)
+    }
+  }
+
+  /** Deletes data files no longer referenced by the LATEST snapshot —
+    * superseded rewrites and crashed stagings. Time travel to versions
+    * whose files were vacuumed stops working, exactly like Delta's vacuum
+    * horizon. Returns the deleted names. */
+  def vacuum(table: String): Seq[String] = {
+    val live = snapshotFiles(table).toSet
+    val onDisk = Files.list(Paths.get(table)).iterator.asScala
+      .filter(p => Files.isRegularFile(p))
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !live.contains(n))
+      .toSeq
+    onDisk.foreach(n => Files.delete(Paths.get(table, n)))
+    onDisk
+  }
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{CommitLog, Sinks, Tables}
+
+/** The tracker lifecycle on the transactional commit-log table format
+  * ([[graft.io.CommitLog]]): append a batch, upsert a correction batch,
+  * read the snapshot — and time-travel back to the pre-upsert version.
+  * This is the durable form of the `j_upsert`/`tracker_build` full-outer
+  * merge (the reference's verified-annotations tracker,
+  * `src/az_proc.py:611-647`): same merge semantics, but committed
+  * atomically so readers never see a half-applied correction, and old
+  * versions stay addressable until vacuum. */
+object TableLogQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Batch 1: every third order enters the tracker as 'pending_review'. */
+  private def batch1(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").cast("long").as("id"),
+        lit("pending_review").as("status"),
+        round(col("o_totalprice").cast("double"), 2).as("price"),
+        lit(1).as("batch"))
+
+  /** Batch 2: every sixth order comes back verified (same keys, new
+    * status/batch) — the correction upsert. */
+  private def batch2(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 6 === 0)
+      .select(col("o_orderkey").cast("long").as("id"),
+        lit("verified").as("status"),
+        round(col("o_totalprice").cast("double"), 2).as("price"),
+        lit(2).as("batch"))
+
+  private val batchesSql =
+    """b1 AS (
+      |  SELECT o_orderkey AS id, 'pending_review' AS status,
+      |    round(o_totalprice, 2) AS price, 1 AS batch
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |b2 AS (
+      |  SELECT o_orderkey AS id, 'verified' AS status,
+      |    round(o_totalprice, 2) AS price, 2 AS batch
+      |  FROM orders WHERE o_orderkey % 6 = 0),
+      |merged AS (
+      |  SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM b2)
+      |  UNION ALL SELECT * FROM b2)""".stripMargin
+
+  /** Builds the two-commit table fresh and returns its path. */
+  private def buildTable(spark: SparkSession, dir: String): String = {
+    val root = Paths.get(Sinks.scratchDir("commitlog_tracker"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val table = root.toString
+    CommitLog.append(batch1(spark, dir), table)
+    CommitLog.upsert(spark, batch2(spark, dir), table, Seq("id"))
+    table
+  }
+
+  /** tl1: final snapshot after append + upsert — one commit-log read must
+    * equal the declarative merge of both batches. */
+  private val tl1Snapshot: Q = (spark, dir) => {
+    val table = buildTable(spark, dir)
+    CommitLog.read(spark, table)
+      .select("id", "status", "price", "batch")
+      .orderBy("id")
+  }
+
+  private val tl1SnapshotSql =
+    s"""WITH $batchesSql
+       |SELECT id, status, price, batch FROM merged ORDER BY id""".stripMargin
+
+  /** tl2: time travel — version 0 must still serve the pre-upsert state
+    * after the upsert commits, and the version deltas must reconcile. */
+  private val tl2TimeTravel: Q = (spark, dir) => {
+    val table = buildTable(spark, dir)
+    def stats(version: Long, df: DataFrame): DataFrame =
+      df.groupBy().agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("status") === "verified", 1)).as("n_verified"),
+        count(when(col("status") === "pending_review", 1)).as("n_pending"))
+        .select(lit(version).cast("int").as("version"),
+          col("n_rows"), col("n_verified"), col("n_pending"))
+    stats(0, CommitLog.read(spark, table, asOf = Some(0L)))
+      .unionByName(stats(1, CommitLog.read(spark, table)))
+      .orderBy("version")
+  }
+
+  private val tl2TimeTravelSql =
+    s"""WITH $batchesSql
+       |SELECT 0 AS version, count(*) AS n_rows,
+       |  count(CASE WHEN status = 'verified' THEN 1 END) AS n_verified,
+       |  count(CASE WHEN status = 'pending_review' THEN 1 END) AS n_pending
+       |FROM b1
+       |UNION ALL
+       |SELECT 1 AS version, count(*) AS n_rows,
+       |  count(CASE WHEN status = 'verified' THEN 1 END) AS n_verified,
+       |  count(CASE WHEN status = 'pending_review' THEN 1 END) AS n_pending
+       |FROM merged
+       |ORDER BY version""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "tl1_commitlog_snapshot" -> tl1Snapshot,
+    "tl2_time_travel" -> tl2TimeTravel
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tl1_commitlog_snapshot" -> tl1SnapshotSql,
+    "tl2_time_travel" -> tl2TimeTravelSql
+  )
+}

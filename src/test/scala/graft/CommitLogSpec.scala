@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.io.CommitLog
+
+/** Protocol behaviors of the commit-log table format that the gate
+  * queries (tl1/tl2) cannot observe: version-claim races, snapshot
+  * isolation from uncommitted garbage, vacuum semantics. */
+class CommitLogSpec extends SparkSpec {
+
+  private def freshTable(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_cl_$name")
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    p.toString
+  }
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  test("append then upsert: matched keys replaced, history addressable") {
+    val t = freshTable("upsert")
+    assert(CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t) == 0L)
+    assert(CommitLog.upsert(spark, df(2L -> "B", 4L -> "D"), t, Seq("id")) == 1L)
+    val now = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+    val v0 = CommitLog.read(spark, t, asOf = Some(0L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v0 == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("upsert on a fresh table is an append") {
+    val t = freshTable("fresh")
+    assert(CommitLog.upsert(spark, df(1L -> "x"), t, Seq("id")) == 0L)
+    assert(CommitLog.read(spark, t).count() == 1)
+  }
+
+  test("a claimed version forces the writer to the next one — no overwrite") {
+    val t = freshTable("race")
+    CommitLog.append(df(1L -> "a"), t)
+    // simulate a concurrent writer winning version 1
+    Files.write(Paths.get(t, "_log", f"${1L}%012d.json"),
+      "{\"op\":\"append\"}\n".getBytes(StandardCharsets.UTF_8))
+    val v = CommitLog.append(df(2L -> "b"), t)
+    assert(v == 2L, s"writer must lose the race for v1 and land at v2, got $v")
+    assert(CommitLog.read(spark, t).count() == 2)   // both appends visible
+  }
+
+  test("uncommitted data files are invisible to readers") {
+    val t = freshTable("garbage")
+    CommitLog.append(df(1L -> "a"), t)
+    // a crashed writer's orphan: staged parquet bytes, no commit
+    df(99L -> "ghost").coalesce(1).write.parquet(Paths.get(t, ".crash").toString)
+    val orphan = Files.list(Paths.get(t, ".crash")).iterator()
+    var moved = false
+    while (orphan.hasNext) {
+      val p = orphan.next()
+      if (p.getFileName.toString.endsWith(".parquet") && !moved) {
+        Files.move(p, Paths.get(t, "orphan-crashed.parquet")); moved = true
+      }
+    }
+    assert(moved)
+    assert(CommitLog.read(spark, t).count() == 1)   // orphan not served
+    // vacuum reclaims it (not in the latest snapshot)
+    assert(CommitLog.vacuum(t).contains("orphan-crashed.parquet"))
+    assert(!Files.exists(Paths.get(t, "orphan-crashed.parquet")))
+  }
+
+  test("vacuum keeps the latest snapshot intact and drops superseded files") {
+    val t = freshTable("vacuum")
+    CommitLog.append(df(1L -> "a", 2L -> "b"), t)
+    val oldFiles = CommitLog.snapshotFiles(t)
+    CommitLog.upsert(spark, df(1L -> "A"), t, Seq("id"))
+    val deleted = CommitLog.vacuum(t)
+    assert(oldFiles.forall(deleted.contains))       // rewrite superseded all v0 files
+    val now = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "A", 2L -> "b"))
+    // time travel past the vacuum horizon now fails loudly at read time
+    intercept[Exception] { CommitLog.read(spark, t, asOf = Some(0L)).collect() }
+  }
+
+  test("empty snapshot fails loudly instead of serving a schemaless frame") {
+    val t = freshTable("empty")
+    intercept[IllegalArgumentException] { CommitLog.read(spark, t) }
+  }
+}
