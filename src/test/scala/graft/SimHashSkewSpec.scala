@@ -52,6 +52,14 @@ class SimHashSkewSpec extends SparkSpec {
     assert(n == 50L * 49 / 2)
   }
 
+  test("band join is an equi-join on the band key — never a nested loop") {
+    val sim = TextPipeline.simhash64(docs(identical = 0, distinct = 10), "doc_id", "text")
+    val plan = TextPipeline.simhashPairs(sim, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in the simhash pair plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop in the simhash pair plan")
+  }
+
   test("true near-dups still pair under the cap") {
     import spark.implicits._
     val base = docs(identical = 0, distinct = 20)

@@ -272,4 +272,35 @@ class StreamingSpec extends SparkSpec {
       assert(got == Map("a" -> 5, "b" -> 2, "c" -> 7))
     } finally q.stop()
   }
+
+  test("foreachBatch upserts each micro-batch into a commit-log table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the durable form of the tracker stream: every micro-batch is ONE
+    // transactional CommitLog.upsert — no hand-rolled stage/rename, and
+    // the pre-batch version stays addressable (time travel)
+    val table = java.nio.file.Files.createTempDirectory("graft-cl-stream").toString + "/t"
+    val src = MemoryStream[(String, Int)]
+    val q = src.toDF().toDF("key", "value")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val latest = batch.groupBy("key").agg(max(col("value")).as("value"))
+        graft.io.CommitLog.upsert(batch.sparkSession, latest, table, Seq("key"))
+        ()
+      }
+      .start()
+    try {
+      src.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      src.addData(("a", 5), ("c", 7))
+      q.processAllAvailable()
+      val now = graft.io.CommitLog.read(spark, table).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toMap
+      assert(now == Map("a" -> 5, "b" -> 2, "c" -> 7))
+      // batch 0's state is still readable after batch 1 rewrote it
+      val v0 = graft.io.CommitLog.read(spark, table, asOf = Some(0L)).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toMap
+      assert(v0 == Map("a" -> 1, "b" -> 2))
+    } finally q.stop()
+  }
 }
