@@ -167,6 +167,24 @@ object CommitLog {
     }
   }
 
+  /** Idempotent ingest: appends only rows whose `keys` combination is not
+    * already in the table (one left-anti join on the key — for a corpus
+    * tracker keyed on a 16-byte content hash, the same single-shuffle
+    * shape as exact dedup). Re-running a batch that brings nothing new is
+    * a NO-OP: no empty commit is written, so the version history records
+    * real ingests only. Returns the committed version, or None if the
+    * whole batch was already present. */
+  def dedupAppend(spark: SparkSession, df: DataFrame, table: String,
+                  keys: Seq[String]): Option[Long] = {
+    Files.createDirectories(Paths.get(table))
+    if (snapshotFiles(table).isEmpty) Some(append(df, table))
+    else {
+      val fresh = df.join(read(spark, table).select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti")
+      if (fresh.isEmpty) None else Some(append(fresh, table))
+    }
+  }
+
   /** Deletes data files no longer referenced by the LATEST snapshot —
     * superseded rewrites and crashed stagings. Time travel to versions
     * whose files were vacuumed stops working, exactly like Delta's vacuum

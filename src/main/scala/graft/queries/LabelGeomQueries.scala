@@ -183,13 +183,49 @@ object LabelGeomQueries {
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   // ------------------------------------------------------------------ registry
+  // ------------------------------------------------------------------ G4: z-order spatial layout
+  /** Z-order data layout for the tile grid ([[graft.functions.ZOrder]]):
+    * Morton keys interleave (x, y), so contiguous key ranges are compact
+    * spatial blocks — the layout that makes bbox predicates prune files
+    * instead of scanning the full tile table at 100 TB. The gate groups
+    * tiles by `zkey div 16` (16 curve cells = one 4x4 block) and checks
+    * every bucket's spatial extent: x_span/y_span ≤ 3 everywhere is the
+    * locality property itself, hash-verified — a row-major layout would
+    * put 16-tile runs spanning the full 40-tile grid width in one bucket.
+    * The bit spread is plain 64-bit integer arithmetic on both engines. */
+  private val g4ZorderLayout: Q = (spark, dir) => {
+    val tiles = graft.io.Tables.lineitem(spark, dir)
+      .select((col("l_orderkey") % 1000).cast("long").as("tile_id")).distinct()
+      .withColumn("x", col("tile_id") % 40)
+      .withColumn("y", expr("tile_id div 40"))
+      .withColumn("zkey", graft.functions.ZOrder.morton(col("x"), col("y")))
+    tiles.withColumn("bucket", expr("zkey div 16"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tiles"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .withColumn("x_span", col("max_x") - col("min_x"))
+      .withColumn("y_span", col("max_y") - col("min_y"))
+      .orderBy("bucket")
+  }
+
+  private val g4ZorderLayoutSql =
+    s"""WITH tiles AS (SELECT DISTINCT l_orderkey % 1000 AS tile_id FROM lineitem),
+       |xy AS (SELECT tile_id, tile_id % 40 AS x, tile_id // 40 AS y FROM tiles),
+       |${graft.functions.ZOrder.mortonSqlCtes("xy", Seq("tile_id"), "x", "y", "zkey")}
+       |SELECT zkey // 16 AS bucket, count(*) AS n_tiles,
+       |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+       |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+       |FROM zf GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p11_reclassify" -> p11Reclassify,
     "p12_label_standardize" -> p12LabelStandardize,
     "p13_flag_coupling" -> p13FlagCoupling,
     "f_string_ops" -> fStringOps,
     "g2_object_explode" -> g2ObjectExplode,
-    "g3_frame_translate" -> g3FrameTranslate
+    "g3_frame_translate" -> g3FrameTranslate,
+    "g4_zorder_layout" -> g4ZorderLayout
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,6 +234,7 @@ object LabelGeomQueries {
     "p13_flag_coupling" -> p13FlagCouplingSql,
     "f_string_ops" -> fStringOpsSql,
     "g2_object_explode" -> g2ObjectExplodeSql,
-    "g3_frame_translate" -> g3FrameTranslateSql
+    "g3_frame_translate" -> g3FrameTranslateSql,
+    "g4_zorder_layout" -> g4ZorderLayoutSql
   )
 }

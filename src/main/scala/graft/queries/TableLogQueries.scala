@@ -106,13 +106,59 @@ object TableLogQueries {
        |FROM merged
        |ORDER BY version""".stripMargin
 
+  /** tl3: idempotent corpus ingest — batch 1 loads the corpus keyed by
+    * content hash; batch 2 re-sends a fifth of it verbatim (under new doc
+    * ids) PLUS genuinely new documents; batch 3 is batch 2 again. Only the
+    * new content may land, and the replayed batch must commit nothing —
+    * the exactly-once ingest property a training-data pipeline needs when
+    * crawl deliveries overlap. */
+  private val tl3DedupIngest: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_ingest"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val table = root.toString
+    val d = Tables.documents(spark, dir)
+    val batch1 = d.select(col("doc_id").cast("long").as("doc_id"),
+      md5(col("text")).as("content_hash"), lit(1).as("ingest_batch"))
+    val batch2 = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 20000).cast("long").as("doc_id"),
+        md5(col("text")).as("content_hash"), lit(2).as("ingest_batch"))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 50000).cast("long").as("doc_id"),
+          md5(concat(col("text"), lit(" new"))).as("content_hash"),
+          lit(2).as("ingest_batch")))
+    CommitLog.dedupAppend(spark, batch1, table, Seq("content_hash"))
+    CommitLog.dedupAppend(spark, batch2, table, Seq("content_hash"))
+    val replay = CommitLog.dedupAppend(spark, batch2, table, Seq("content_hash"))
+    require(replay.isEmpty, "replayed ingest batch must be a no-op")
+    CommitLog.read(spark, table)
+      .select(col("doc_id"), col("content_hash"), col("ingest_batch"),
+        lit(CommitLog.currentVersion(table)).cast("int").as("final_version"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle sees what an exactly-once ingest must produce: all of
+    * batch 1, only the genuinely-new half of batch 2, and a version count
+    * that proves the replay never committed. */
+  private val tl3DedupIngestSql =
+    """SELECT doc_id, md5(text) AS content_hash, 1 AS ingest_batch, 1 AS final_version
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id + 50000, md5(text || ' new'), 2, 1
+      |FROM documents WHERE doc_id % 5 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tl1_commitlog_snapshot" -> tl1Snapshot,
-    "tl2_time_travel" -> tl2TimeTravel
+    "tl2_time_travel" -> tl2TimeTravel,
+    "tl3_dedup_ingest" -> tl3DedupIngest
   )
 
   val oracle: Map[String, String] = Map(
     "tl1_commitlog_snapshot" -> tl1SnapshotSql,
-    "tl2_time_travel" -> tl2TimeTravelSql
+    "tl2_time_travel" -> tl2TimeTravelSql,
+    "tl3_dedup_ingest" -> tl3DedupIngestSql
   )
 }

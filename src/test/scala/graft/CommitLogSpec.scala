@@ -89,6 +89,18 @@ class CommitLogSpec extends SparkSpec {
     intercept[Exception] { CommitLog.read(spark, t, asOf = Some(0L)).collect() }
   }
 
+  test("dedupAppend: only unseen keys land; replay is a no-op with no empty commit") {
+    val t = freshTable("ingest")
+    assert(CommitLog.dedupAppend(spark, df(1L -> "a", 2L -> "b"), t, Seq("id")).contains(0L))
+    assert(CommitLog.dedupAppend(spark, df(2L -> "X", 3L -> "c"), t, Seq("id")).contains(1L))
+    val now = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ingest is NOT upsert: key 2 keeps its original value
+    assert(now == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(CommitLog.dedupAppend(spark, df(2L -> "X", 3L -> "c"), t, Seq("id")).isEmpty)
+    assert(CommitLog.versions(t) == Seq(0L, 1L))   // the replay left no commit
+  }
+
   test("empty snapshot fails loudly instead of serving a schemaless frame") {
     val t = freshTable("empty")
     intercept[IllegalArgumentException] { CommitLog.read(spark, t) }
