@@ -75,10 +75,12 @@ object Bench {
     // (BENCH_r02.json parsed:null). Print a compact headline line that always
     // fits; the complete per-query map is persisted to BENCH_FULL.json.
     val headline = Seq(
-      "e1_inventory", "e3_inventory_crosstab", "a8_merge_clusters",
-      "a8c_merge_unbounded", "d2_lsh_pairs", "d2c_lsh_capped", "q1_agg",
+      "e1_inventory", "e3_inventory_crosstab", "e3e_persisted_crosstabs",
+      "a8_merge_clusters", "a8c_merge_unbounded", "d2_lsh_pairs",
+      "d2c_lsh_capped", "d9_simhash_pairs", "q1_agg",
       "q3_join_topk", "j8_spatial_argmax", "v1_cosine_topk",
-      "s7_voc_roundtrip", "tracker_build", "e4_text_pipeline",
+      "s7_voc_roundtrip", "s13_shapefile_sink", "g1_chip_pixels",
+      "tracker_build", "tl1_commitlog_snapshot", "e4_text_pipeline",
       "t_token_count", "s3_session_window", "w2_limit_allocation")
     val headlineRs = results.filter { case (k, _) => headline.contains(k) }
     def line(rs: Seq[(String, Double)], withEnvelope: Boolean): String =

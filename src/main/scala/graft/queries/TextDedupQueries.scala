@@ -658,6 +658,53 @@ object TextDedupQueries {
       |    OR CAST(dup_3gram_n AS DOUBLE) / n_3grams > 0.3) AS repetitive
       |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id ORDER BY s2.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ cross-document boilerplate n-grams
+  /** Corpus-LEVEL boilerplate signal (the Gopher/RefinedWeb-style filter
+    * the per-document stats can't see): a 3-gram appearing in many
+    * documents is boilerplate; each document is scored by the fraction of
+    * its distinct 3-grams that are corpus-frequent. Scale shape: document
+    * frequency is one groupBy on the shingle; the fact table then joins
+    * ONLY against the df≥K survivors — tiny by definition (151 of 16k
+    * shingles on this corpus), so that's a broadcast semi-join, never a
+    * shuffle of the full dfreq table. Per-doc totals are a keyed agg. At
+    * 100 TB the shingle strings would be xxhash64'd to 8-byte keys first;
+    * the string key here keeps the oracle engine-portable. */
+  private val tBoilerplate: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val sh = d.withColumn("toks", TextPipeline.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(TextPipeline.shinglesFromTokens(col("toks"), 3))).as("g"))
+      .cache()                       // feeds dfreq, the base counts, and the semi-join
+    val boiler = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5).select("g")
+    val base = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val nb = sh.join(broadcast(boiler), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    base.join(nb, Seq("doc_id"), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_frac", col("n_boiler").cast("double") / col("n_shingles"))
+      .withColumn("boilerplate_heavy", col("boiler_frac") > 0.2)
+      .orderBy("doc_id")
+  }
+
+  private val tBoilerplateSql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    concat(w[CAST(i.i AS INTEGER)], ' ', w[CAST(i.i AS INTEGER) + 1],
+      |           ' ', w[CAST(i.i AS INTEGER) + 2]) AS g
+      |  FROM words, generate_series(1, 1024) i(i)
+      |  WHERE i.i + 2 <= len(w)),
+      |dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY 1),
+      |per AS (
+      |  SELECT s.doc_id, count(*) AS n_shingles,
+      |    CAST(sum(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      |  FROM sh s JOIN dfreq f ON s.g = f.g GROUP BY 1)
+      |SELECT doc_id, n_shingles, n_boiler,
+      |  CAST(n_boiler AS DOUBLE) / n_shingles AS boiler_frac,
+      |  CAST(n_boiler AS DOUBLE) / n_shingles > 0.2 AS boilerplate_heavy
+      |FROM per ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ PII scrubbing
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
@@ -978,6 +1025,7 @@ object TextDedupQueries {
     "d7_canonical_docs" -> d7CanonicalDocs,
     "t_repetition" -> tRepetition,
     "t_pii_redact" -> tPiiRedact,
+    "t_boilerplate_ngrams" -> tBoilerplate,
     "w6_train_split" -> w6TrainSplit,
     "w7_split_counts" -> w7SplitCounts,
     "e4_text_pipeline" -> e4TextPipeline,
@@ -1006,6 +1054,7 @@ object TextDedupQueries {
     "d7_canonical_docs" -> d7CanonicalDocsSql,
     "t_repetition" -> tRepetitionSql,
     "t_pii_redact" -> tPiiRedactSql,
+    "t_boilerplate_ngrams" -> tBoilerplateSql,
     "w6_train_split" -> w6TrainSplitSql,
     "w7_split_counts" -> w7SplitCountsSql,
     "e4_text_pipeline" -> e4TextPipelineSql,
