@@ -489,9 +489,50 @@ object VectorQueries {
       |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + CAST(0.5 AS DOUBLE)) AS INTEGER)), ',') AS qvec
       |FROM s ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------------ norm outlier filter
+  /** v9 — embedding sanity filter: flag vectors whose L2 norm sits in the
+    * corpus tails (bottom/top 1% by RANK), the QA gate an embedding store
+    * runs before indexing (degenerate/exploded vectors poison both ANN
+    * recall and cosine calibration). Rank-based thresholds on purpose:
+    * percent-rank is integer arithmetic over a deterministic order, so
+    * the flag is engine-exact where an interpolated quantile threshold
+    * would hang on last-ulp float agreement. The global rank runs through
+    * [[graft.operators.GlobalRank]] — range shuffle + broadcast offsets,
+    * no single-partition window at any corpus size. */
+  private val v9NormOutliers: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+    val ranked = graft.operators.GlobalRank
+      .withGlobalRowNumber(emb, Seq(col("norm"), col("vec_id")), "rk")
+    val n = emb.agg(count(lit(1)).as("cnt"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("pct_rank", (col("rk") - 1).cast("double") / (col("cnt") - 1))
+      .select(col("vec_id"), round(col("norm"), 4).as("norm_r"),
+        col("pct_rank"),
+        (col("pct_rank") < 0.01 || col("pct_rank") > 0.99).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  private val v9NormOutliersSql =
+    s"""WITH $unnestSql,
+       |r AS (
+       |  SELECT vec_id, sqrt(n2) AS norm FROM norms),
+       |rk AS (
+       |  SELECT vec_id, norm,
+       |    row_number() OVER (ORDER BY norm, vec_id) AS rk,
+       |    count(*) OVER () AS cnt
+       |  FROM r)
+       |SELECT vec_id, round(norm, 4) AS norm_r,
+       |  CAST(rk - 1 AS DOUBLE) / (cnt - 1) AS pct_rank,
+       |  (CAST(rk - 1 AS DOUBLE) / (cnt - 1) < 0.01
+       |    OR CAST(rk - 1 AS DOUBLE) / (cnt - 1) > 0.99) AS is_outlier
+       |FROM rk ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "v8_quantize" -> v8Quantize,
+    "v9_norm_outliers" -> v9NormOutliers,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_lsh_buckets" -> v2LshBuckets,
     "v3_ann_bucket" -> v3AnnBucket,
@@ -507,6 +548,7 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "v8_quantize" -> v8QuantizeSql,
+    "v9_norm_outliers" -> v9NormOutliersSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_lsh_buckets" -> v2LshBucketsSql,
     "v3_ann_bucket" -> v3AnnBucketSql,
