@@ -81,9 +81,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Registry hook: makes `cosine_sim(a, b)` resolvable in any query on the
   * session (callable from `expr("cosine_sim(...)")` and SQL text). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
+  }
 }
 
 /** `SparkSessionExtensions` entry point so deployments can pre-install the
@@ -103,6 +106,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash64Expr].getCanonicalName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
     ext.injectPlannerStrategy(_ => MergeBoxesStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughMergeBoxes)
   }

@@ -481,6 +481,25 @@ object TextDedupQueries {
        |  printf('%04x%04x%04x%04x', sim0, sim1, sim2, sim3) AS simhash_hex
        |FROM sim ORDER BY doc_id""".stripMargin
 
+  /** The native scalar fingerprint ([[graft.plans.SimHash64Expr]]) as a
+    * (doc_id, sim0..sim3) frame — zero shuffle, the production path the
+    * band join consumes. Must stay bit-identical to the composed form. */
+  private def nativeSim(spark: SparkSession, df: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    df.select(col("doc_id"), expr("simhash64(text)").as("s"))
+      .select(col("doc_id"), col("s.sim0").as("sim0"), col("s.sim1").as("sim1"),
+        col("s.sim2").as("sim2"), col("s.sim3").as("sim3"))
+  }
+
+  /** d3b: same fingerprint, same oracle, through the one-pass scalar
+    * expression instead of the explode+aggregate composition. */
+  private val d3bSimhashNative: Q = (spark, dir) =>
+    nativeSim(spark, Tables.documents(spark, dir))
+      .withColumn("simhash_hex",
+        format_string("%04x%04x%04x%04x",
+          col("sim0"), col("sim1"), col("sim2"), col("sim3")))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------ simhash hamming-band near-dup pairs
   /** Completes the SimHash dedup path ([[TextPipeline.simhashPairs]]):
     * equi-join per 16-bit band (pigeonhole: hamming ≤ 3 over 64 bits means
@@ -490,7 +509,7 @@ object TextDedupQueries {
     * (oracle replays the cap via the sized/keep CTE). */
   private val d9SimhashPairs: Q = (spark, dir) =>
     TextPipeline.simhashPairs(
-      TextPipeline.simhash64(nearDupFeed(spark, dir), "doc_id", "text"),
+      nativeSim(spark, nearDupFeed(spark, dir)),
       "doc_id", maxHamming = 3, maxBucket = TextPipeline.DefaultMaxBucket)
       .orderBy("id_a", "id_b")
 
@@ -532,7 +551,7 @@ object TextDedupQueries {
     * refused and how big it was (the SimHash twin of d2d). */
   private val d9bSimhashDropped: Q = (spark, dir) =>
     TextPipeline.simhashDroppedBuckets(
-      TextPipeline.simhash64(boilerFeed(spark, dir), "doc_id", "text"),
+      nativeSim(spark, boilerFeed(spark, dir)),
       "doc_id", maxBucket = 5)
       .orderBy("b", "band_val")
 
@@ -1017,6 +1036,7 @@ object TextDedupQueries {
     "d2c_lsh_capped" -> d2cLshCapped,
     "d2d_lsh_dropped" -> d2dLshDropped,
     "d3_simhash" -> d3Simhash,
+    "d3b_simhash_native" -> d3bSimhashNative,
     "d4_ngram_jaccard" -> d4Jaccard,
     "d8_global_shuffle" -> d8GlobalShuffle,
     "d9_simhash_pairs" -> d9SimhashPairs,
@@ -1046,6 +1066,7 @@ object TextDedupQueries {
     "d2c_lsh_capped" -> d2cLshCappedSql,
     "d2d_lsh_dropped" -> d2dLshDroppedSql,
     "d3_simhash" -> d3SimhashSql,
+    "d3b_simhash_native" -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4JaccardSql,
     "d8_global_shuffle" -> d8GlobalShuffleSql,
     "d9_simhash_pairs" -> d9SimhashPairsSql,

@@ -52,6 +52,32 @@ class SimHashSkewSpec extends SparkSpec {
     assert(n == 50L * 49 / 2)
   }
 
+  test("native simhash64 expression is bit-identical to the composed form") {
+    graft.plans.GraftFunctions.register(spark)
+    // mixed shapes: boilerplate, distinct docs, repeated tokens, trailing
+    // space (split keeps the empty token), single token
+    import spark.implicits._
+    val tricky = Seq(
+      (9001L, "one"),
+      (9002L, "repeat repeat repeat distinct"),
+      (9003L, "trailing space "),
+      (9004L, " leading"),
+      (9005L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"))
+      .toDF("doc_id", "text")
+    val df = docs(identical = 3, distinct = 10).unionByName(tricky)
+    val composed = TextPipeline.simhash64(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val native = df.select(col("doc_id"), expr("simhash64(text)").as("s"))
+      .select(col("doc_id"), col("s.sim0"), col("s.sim1"), col("s.sim2"), col("s.sim3"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(native.keySet == composed.keySet)
+    native.keys.foreach { id =>
+      assert(native(id) == composed(id), s"doc $id: ${native(id)} != ${composed(id)}")
+    }
+  }
+
   test("band join is an equi-join on the band key — never a nested loop") {
     val sim = TextPipeline.simhash64(docs(identical = 0, distinct = 10), "doc_id", "text")
     val plan = TextPipeline.simhashPairs(sim, "doc_id")
