@@ -235,7 +235,11 @@ object TextPipeline {
   }
 
   /** Positional polynomial fingerprint over characters: exact integer math,
-    * reproducible in any engine (rolling-hash family, §builder prompt). */
+    * reproducible in any engine (rolling-hash family, §builder prompt).
+    * NOTE: this is the composed/explode form kept for oracle-checkable
+    * composition; the production path is the one-pass scalar
+    * [[graft.plans.Fingerprint64Expr]] (`fingerprint64(text)`) — this form
+    * shuffles one row per CHARACTER, which is the wrong shape at scale. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), posexplode(split(col(textCol), "")))
       .select(col(idCol), (col("pos") + 1).as("i"), ascii(col("col")).as("cp"))

@@ -86,6 +86,8 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fingerprint64", exprs => Fingerprint64Expr(exprs.head), "scala_udf")
   }
 }
 
@@ -111,6 +113,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SimHash64Expr].getCanonicalName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("fingerprint64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Fingerprint64Expr].getCanonicalName, "fingerprint64"),
+      (exprs: Seq[Expression]) => Fingerprint64Expr(exprs.head)))
     ext.injectPlannerStrategy(_ => MergeBoxesStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughMergeBoxes)
   }

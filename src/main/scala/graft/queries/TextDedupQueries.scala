@@ -107,6 +107,15 @@ object TextDedupQueries {
       |WHERE i.i <= length(text)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Same fingerprint, same oracle, through the one-pass scalar expression
+    * (zero shuffle) instead of the char-explode composition. */
+  private val tFingerprintNative: Q = (spark, dir) => {
+    graft.plans.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("fingerprint64(text)").as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------ text normalization
   /** Canonical text normalization: lowercase, strip punctuation, squish
     * whitespace — the preprocessing step the dedup family assumes. */
@@ -1027,6 +1036,7 @@ object TextDedupQueries {
     "t_quality_score" -> tQuality,
     "t_token_count" -> tTokens,
     "t_fingerprint" -> tFingerprint,
+    "t_fingerprint_native" -> tFingerprintNative,
     "t_normalize" -> tNormalize,
     "a13_percentile" -> a13Percentile,
     "d1_exact_dedup" -> d1ExactDedup,
@@ -1057,6 +1067,7 @@ object TextDedupQueries {
     "t_quality_score" -> tQualitySql,
     "t_token_count" -> tTokensSql,
     "t_fingerprint" -> tFingerprintSql,
+    "t_fingerprint_native" -> tFingerprintSql,
     "t_normalize" -> tNormalizeSql,
     "a13_percentile" -> a13PercentileSql,
     "d1_exact_dedup" -> d1ExactDedupSql,
