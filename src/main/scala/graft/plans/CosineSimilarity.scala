@@ -88,6 +88,8 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fingerprint64", exprs => Fingerprint64Expr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig8", exprs => MinHashSig8Expr(exprs.head), "scala_udf")
   }
 }
 
@@ -118,6 +120,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Fingerprint64Expr].getCanonicalName, "fingerprint64"),
       (exprs: Seq[Expression]) => Fingerprint64Expr(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig8"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSig8Expr].getCanonicalName, "minhash_sig8"),
+      (exprs: Seq[Expression]) => MinHashSig8Expr(exprs.head)))
     ext.injectPlannerStrategy(_ => MergeBoxesStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughMergeBoxes)
   }

@@ -216,6 +216,22 @@ object TextDedupQueries {
     TextPipeline.minhashSignature(shingledFeed(spark, dir), "doc_id", "shingle", 8)
       .orderBy("doc_id")
 
+  /** The scalar one-pass signature ([[graft.plans.MinHashSig8Expr]]) as a
+    * (doc_id, h0..h7) frame — zero shuffle; what the composed dedup
+    * pipelines (e4/d6/d7) consume. Docs under 3 tokens have no shingles
+    * and produce a NULL signature, filtered exactly like the composed
+    * form's absent groupBy rows. */
+  private def scalarSig(spark: SparkSession, df: DataFrame, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    df.select(col("doc_id"), expr(s"minhash_sig8($textCol)").as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id") +: (0 until 8).map(k => col(s"s.h$k").as(s"h$k")): _*)
+  }
+
+  /** d2e: same signatures, same oracle, through the scalar expression. */
+  private val d2eMinhashScalar: Q = (spark, dir) =>
+    scalarSig(spark, nearDupFeed(spark, dir), "text").orderBy("doc_id")
+
   private val d2MinhashSigSql =
     s"""WITH feed AS ($nearDupFeedSql),
        |$shinglesSql
@@ -353,8 +369,9 @@ object TextDedupQueries {
     * same", only components can (A∼B, B∼C ⟹ {A,B,C} one cluster even if
     * A,C never shared a band). */
   private def neardupComp(spark: SparkSession, dir: String): DataFrame = {
-    val sig = TextPipeline.minhashSignature(
-      shingledFeed(spark, dir), "doc_id", "shingle", 8)
+    // scalar one-pass signatures (zero shuffle) — hash-identical to the
+    // composed shingle-explode form the oracle replays
+    val sig = scalarSig(spark, nearDupFeed(spark, dir), "text")
     // production bucket cap LIVE (the oracle replays it via its sized/keep
     // CTE); only d2_lsh_pairs keeps the uncapped form, as a gated baseline
     val pairs = TextPipeline.lshCandidatePairs(sig, "doc_id", 8, 2,
@@ -851,20 +868,17 @@ object TextDedupQueries {
       .filter(col("rn") === 1).select("doc_id", "ntext")
   }
 
-  /** Stage-4 feed: shingle the deduped normalized text and minhash it. */
-  private def curationSig(uniq: DataFrame): DataFrame =
-    TextPipeline.minhashSignature(
-      uniq.withColumn("toks", TextPipeline.tokens(col("ntext")))
-        .select(col("doc_id"),
-          explode(TextPipeline.shinglesFromTokens(col("toks"), 3)).as("shingle")),
-      "doc_id", "shingle", 8)
+  /** Stage-4 feed: minhash signatures of the deduped normalized text via
+    * the scalar one-pass expression (zero shuffle). */
+  private def curationSig(spark: SparkSession, uniq: DataFrame): DataFrame =
+    scalarSig(spark, uniq, "ntext")
 
   private val e4TextPipeline: Q = (spark, dir) => {
     val d = Tables.documents(spark, dir)
     // 1-3. quality gate, normalization, exact dedup
     val uniq = curationUniq(d)
     // 4. near-dup components over LSH candidates; canonical = smallest id
-    val sig = curationSig(uniq)
+    val sig = curationSig(spark, uniq)
     // the production bucket cap is LIVE in the composed pipeline — the one
     // query a real corpus run executes must carry the skew guard, not just
     // the gated d2c variant; refusals are surfaced by e4b
@@ -989,7 +1003,7 @@ object TextDedupQueries {
     * `e4_text_pipeline` for the pairs plus THIS query in the run report. */
   private val e4bCurationRefusals: Q = (spark, dir) =>
     TextPipeline.lshDroppedBuckets(
-      curationSig(curationUniq(e4AuditFeed(spark, dir))),
+      curationSig(spark, curationUniq(e4AuditFeed(spark, dir))),
       "doc_id", 8, 2, maxBucket = TextPipeline.DefaultMaxBucket)
       .orderBy("band", "band_val")
 
@@ -1042,6 +1056,7 @@ object TextDedupQueries {
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_signature" -> d2MinhashSig,
     "d2b_minhash_agg" -> d2bMinhashAgg,
+    "d2e_minhash_scalar" -> d2eMinhashScalar,
     "d2_lsh_pairs" -> d2LshPairs,
     "d2c_lsh_capped" -> d2cLshCapped,
     "d2d_lsh_dropped" -> d2dLshDropped,
@@ -1073,6 +1088,7 @@ object TextDedupQueries {
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d2_minhash_signature" -> d2MinhashSigSql,
     "d2b_minhash_agg" -> d2MinhashSigSql,
+    "d2e_minhash_scalar" -> d2MinhashSigSql,
     "d2_lsh_pairs" -> d2LshPairsSql,
     "d2c_lsh_capped" -> d2cLshCappedSql,
     "d2d_lsh_dropped" -> d2dLshDroppedSql,
