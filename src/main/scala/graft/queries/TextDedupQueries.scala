@@ -750,6 +750,98 @@ object TextDedupQueries {
       |  CAST(n_boiler AS DOUBLE) / n_shingles > 0.2 AS boilerplate_heavy
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ d10: benchmark decontamination
+  /** Eval-set decontamination: flag training documents sharing any word
+    * 8-gram with a held-out benchmark set — the contamination check every
+    * training corpus needs before an eval claim means anything (the n-gram
+    * overlap rule GPT-3/PaLM-style data cards document). Eval set = docs
+    * with `doc_id % 25 = 0`; the feed plants guaranteed positives by
+    * appending verbatim leaks of each eval doc (id+30000, prefixed). Scale
+    * shape: the eval n-gram set is tiny by definition (benchmarks are
+    * thousands of docs, the corpus is billions) → distinct once, BROADCAST
+    * to a map-side left join; per-doc overlap is then a keyed agg. No
+    * corpus-wide shuffle beyond the per-doc groupBy; at 100 TB the 8-gram
+    * strings would be xxhash64'd to 8-byte keys first. */
+  private def decontamFeed(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(lit("leaked excerpt "), col("text")).as("text")))
+  }
+
+  private val decontamFeedSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 30000 AS doc_id, 'leaked excerpt ' || text AS text
+      |FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
+  private val d10Decontaminate: Q = (spark, dir) => {
+    val g8 = decontamFeed(spark, dir)
+      .withColumn("toks", TextPipeline.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(TextPipeline.shinglesFromTokens(col("toks"), 8))).as("g"))
+    val isEval = col("doc_id") % 25 === 0 && col("doc_id") < 30000
+    val evalGrams = g8.filter(isEval).select("g").distinct()
+    g8.filter(!isEval)
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  private val d10DecontaminateSql = {
+    val gram8 = (0 until 8).map(o => s"w[CAST(i.i AS INTEGER) + $o]")
+      .mkString("concat(", ", ' ', ", ")")
+    s"""WITH feed AS ($decontamFeedSql),
+       |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM feed),
+       |g8 AS (
+       |  SELECT DISTINCT doc_id, $gram8 AS g
+       |  FROM words, generate_series(1, 1024) i(i)
+       |  WHERE i.i + 7 <= len(w)),
+       |evalg AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 25 = 0 AND doc_id < 30000)
+       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+       |FROM g8 c LEFT JOIN evalg e ON c.g = e.g
+       |WHERE NOT (c.doc_id % 25 = 0 AND c.doc_id < 30000)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ t_vocab: corpus vocabulary build
+  /** Corpus vocabulary: term frequency + document frequency per token,
+    * top-100 by frequency — the tokenizer-training / stopword-discovery
+    * precursor every text pipeline runs. Scale shape: token explode is
+    * narrow, the (token) groupBy is ONE hash shuffle with map-side partial
+    * aggregation, and the global top-k order runs through
+    * [[graft.operators.GlobalRank]] (range shuffle + broadcast offsets) —
+    * no single-partition window no matter how large the vocabulary. */
+  private val tVocabTopk: Q = (spark, dir) => {
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextPipeline.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    graft.operators.GlobalRank
+      .withGlobalRowNumber(counts, Seq(col("tf").desc, col("token")), "rnk")
+      .filter(col("rnk") <= 100)
+      .select(col("rnk"), col("token"), col("tf"), col("df"))
+      .orderBy("rnk")
+  }
+
+  private val tVocabTopkSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS tf,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM tok GROUP BY 1)
+      |SELECT rnk, token, tf, df FROM (
+      |  SELECT token, tf, df,
+      |    CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rnk
+      |  FROM c) WHERE rnk <= 100 ORDER BY rnk""".stripMargin
+
   // ------------------------------------------------------------------ PII scrubbing
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
@@ -842,6 +934,44 @@ object TextDedupQueries {
        |SELECT split, CAST(count(*) AS BIGINT) AS n,
        |  CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS frac
        |FROM assign GROUP BY split ORDER BY split""".stripMargin
+
+  // ------------------------------------------------------------------ w8: stratified sample with exact quotas
+  /** Stratified sampling with EXACT per-stratum quotas: ceil(10%) of each
+    * language, chosen by deterministic md5 order — the eval-subset /
+    * data-mixture draw where `sample(fraction)` is wrong (binomial row
+    * counts drift per run and per partitioning). Integer quota arithmetic
+    * ((n+9) div 10) keeps the cut engine-exact. Scale shape: one keyed
+    * window per stratum (languages are few, strata are large) — for a
+    * pathologically dominant stratum the same draw runs through
+    * [[graft.operators.GlobalRank]] per stratum; the keyed form is the
+    * right default. */
+  private val w8StratifiedSample: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("skey", "doc_id")
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat_ws(":", lit("w8"), col("doc_id"))).as("skey"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .withColumn("n_lang", count(lit(1)).over(cw))
+      .withColumn("quota", expr("(n_lang + 9) div 10"))
+      .filter(col("rn") <= col("quota"))
+      .select("doc_id", "lang", "rn", "n_lang", "quota")
+      .orderBy("lang", "rn")
+  }
+
+  private val w8StratifiedSampleSql =
+    """WITH a AS (
+      |  SELECT doc_id, lang, md5('w8:' || CAST(doc_id AS VARCHAR)) AS skey
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS INTEGER) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      |  FROM a)
+      |SELECT doc_id, lang, rn, n_lang, (n_lang + 9) // 10 AS quota
+      |FROM r WHERE rn <= (n_lang + 9) // 10
+      |ORDER BY lang, rn""".stripMargin
 
   // ------------------------------------------------------------------ E4: end-to-end curation pipeline
   /** The full corpus-curation pipeline as ONE composed query — what a
@@ -1071,8 +1201,11 @@ object TextDedupQueries {
     "t_repetition" -> tRepetition,
     "t_pii_redact" -> tPiiRedact,
     "t_boilerplate_ngrams" -> tBoilerplate,
+    "t_vocab_topk" -> tVocabTopk,
+    "d10_decontaminate" -> d10Decontaminate,
     "w6_train_split" -> w6TrainSplit,
     "w7_split_counts" -> w7SplitCounts,
+    "w8_stratified_sample" -> w8StratifiedSample,
     "e4_text_pipeline" -> e4TextPipeline,
     "e4b_curation_refusals" -> e4bCurationRefusals
   )
@@ -1103,8 +1236,11 @@ object TextDedupQueries {
     "t_repetition" -> tRepetitionSql,
     "t_pii_redact" -> tPiiRedactSql,
     "t_boilerplate_ngrams" -> tBoilerplateSql,
+    "t_vocab_topk" -> tVocabTopkSql,
+    "d10_decontaminate" -> d10DecontaminateSql,
     "w6_train_split" -> w6TrainSplitSql,
     "w7_split_counts" -> w7SplitCountsSql,
+    "w8_stratified_sample" -> w8StratifiedSampleSql,
     "e4_text_pipeline" -> e4TextPipelineSql,
     "e4b_curation_refusals" -> e4bCurationRefusalsSql
   )

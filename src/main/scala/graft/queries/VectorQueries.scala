@@ -529,10 +529,81 @@ object VectorQueries {
        |    OR CAST(rk - 1 AS DOUBLE) / (cnt - 1) > 0.99) AS is_outlier
        |FROM rk ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------------ v10: k-means update step (IVF centroid training)
+  /** One Lloyd iteration over int8-QUANTIZED vectors: assign each vector
+    * to its nearest centroid by squared euclidean distance, then emit the
+    * per-dimension centroid update (sum / count). This is the index-build
+    * loop behind v5/v7's IVF — a real engine runs it driver-side until
+    * movement converges; one step is the verifiable unit. Quantizing FIRST
+    * makes the whole step engine-exact: distances and per-dim sums are
+    * integer arithmetic (order-independent, no float summation drift), and
+    * the mean is a single exact-operand double division. Scale shape: k
+    * centroids broadcast to a narrow assignment pass (integer zip_with
+    * inside codegen), then ONE keyed agg on (centroid, dim) — k*d cells —
+    * with map-side partial aggregation; no shuffle grows with corpus size. */
+  private val v10KmeansStep: Q = (spark, dir) => {
+    val qvecs = Tables.embeddings(spark, dir)
+      .withColumn("dvec", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("maxabs", array_max(transform(col("dvec"), x => abs(x))))
+      .withColumn("scale",
+        when(col("maxabs") === lit(0.0), lit(0.0))
+          .otherwise(lit(127.0) / col("maxabs")))
+      .select(col("vec_id"), transform(col("dvec"),
+        x => floor(x * col("scale") + lit(0.5)).cast("int")).as("qvec"))
+    val centroids = qvecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("qvec").as("cvec"))
+    val dist = qvecs.crossJoin(broadcast(centroids))
+      .withColumn("dist", aggregate(
+        zip_with(col("qvec"), col("cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x.cast("long")))
+    val aw = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    val assigned = dist.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1).select("vec_id", "centroid_id", "qvec")
+    assigned.select(col("centroid_id"), posexplode(col("qvec")).as(Seq("dim", "qx")))
+      .groupBy("centroid_id", "dim")
+      .agg(count(lit(1)).as("n_assigned"), sum(col("qx")).as("sum_q"))
+      .withColumn("mean_q", col("sum_q").cast("double") / col("n_assigned"))
+      .orderBy("centroid_id", "dim")
+  }
+
+  private val v10KmeansStepSql =
+    """WITH m AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, embedding,
+      |    CASE WHEN maxabs = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+      |         ELSE CAST(127 AS DOUBLE) / maxabs END AS scale
+      |  FROM m),
+      |q AS (
+      |  SELECT vec_id, CAST(i.i AS INTEGER) - 1 AS dim,
+      |    CAST(floor(CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE) * scale
+      |      + CAST(0.5 AS DOUBLE)) AS INTEGER) AS qx
+      |  FROM s, generate_series(1, 64) i(i)),
+      |cq AS (SELECT vec_id AS centroid_id, dim, qx AS cx FROM q WHERE vec_id < 8),
+      |dist AS (
+      |  SELECT q.vec_id, c.centroid_id,
+      |    CAST(sum(CAST(q.qx - c.cx AS BIGINT) * (q.qx - c.cx)) AS BIGINT) AS dist
+      |  FROM q JOIN cq c ON q.dim = c.dim
+      |  GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT vec_id, centroid_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+      |    FROM dist) WHERE rn = 1)
+      |SELECT a.centroid_id, q.dim,
+      |  CAST(count(*) AS BIGINT) AS n_assigned,
+      |  CAST(sum(q.qx) AS BIGINT) AS sum_q,
+      |  CAST(sum(q.qx) AS DOUBLE) / count(*) AS mean_q
+      |FROM assign a JOIN q ON q.vec_id = a.vec_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "v8_quantize" -> v8Quantize,
     "v9_norm_outliers" -> v9NormOutliers,
+    "v10_kmeans_step" -> v10KmeansStep,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_lsh_buckets" -> v2LshBuckets,
     "v3_ann_bucket" -> v3AnnBucket,
@@ -549,6 +620,7 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "v8_quantize" -> v8QuantizeSql,
     "v9_norm_outliers" -> v9NormOutliersSql,
+    "v10_kmeans_step" -> v10KmeansStepSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_lsh_buckets" -> v2LshBucketsSql,
     "v3_ann_bucket" -> v3AnnBucketSql,
