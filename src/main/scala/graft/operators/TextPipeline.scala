@@ -101,6 +101,50 @@ object TextPipeline {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
 
+  /** Incremental (batch-vs-index) near-dup detection — the production
+    * shape of dedup on a GROWING corpus: the already-indexed corpus is a
+    * persisted band table; an incoming batch is flagged against it without
+    * ever re-pairing the corpus with itself. One row per incoming doc
+    * (with a signature): candidate count, best signature agreement, and
+    * the ≥`minAgree`/`numHashes` duplicate verdict.
+    *
+    * Scale shape: at 100 TB the indexed band rows are a bucketed table
+    * partitioned by (band, band_val) written once at index build, so this
+    * join shuffles ONLY the incoming batch (or broadcasts it when small) —
+    * the corpus-sized side never moves. The bucket cap is applied to the
+    * INDEXED side (a boilerplate band value in the index would otherwise
+    * glue every future batch to it); refused buckets are auditable via
+    * [[lshDroppedBuckets]] over the indexed signatures. */
+  def incrementalDupFlags(indexedSig: DataFrame, incomingSig: DataFrame,
+                          idCol: String, numHashes: Int, bands: Int,
+                          minAgree: Int,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val idxBands = bandedRows(indexedSig, idCol, numHashes, bands)
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_val")))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col(idCol).as("idx_id"), col("band"), col("band_val"))
+    val incBands = bandedRows(incomingSig, idCol, numHashes, bands)
+      .select(col(idCol).as("inc_id"), col("band"), col("band_val"))
+    val cands = incBands.join(idxBands, Seq("band", "band_val"))
+      .select("inc_id", "idx_id").distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val per = cands
+      .join(incomingSig.as("a"), col("inc_id") === col(s"a.$idCol"))
+      .join(indexedSig.as("b"), col("idx_id") === col(s"b.$idCol"))
+      .select(col("inc_id"), agree.as("agree"))
+      .groupBy("inc_id")
+      .agg(count(lit(1)).as("n_candidates"), max("agree").as("best_agree"))
+    incomingSig.select(col(idCol).as("inc_id"))
+      .join(per, Seq("inc_id"), "left")
+      .select(col("inc_id").as(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("best_agree"), lit(0)).as("best_agree"),
+        (coalesce(col("best_agree"), lit(0)) >= minAgree).as("is_dup"))
+  }
+
   // ------------------------------------------------------------------ simhash (64-bit)
 
   /** 64-bit SimHash per document, materialized as four 16-bit band columns

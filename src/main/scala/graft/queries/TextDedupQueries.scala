@@ -810,6 +810,79 @@ object TextDedupQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------ d11: incremental dedup (batch vs index)
+  /** Incremental dedup — the GROWING-corpus production shape: docs
+    * 0..399 are the already-indexed corpus, docs ≥400 plus planted
+    * verbatim copies of indexed docs (id+40000) arrive as a batch, and
+    * each incoming doc is flagged against the index WITHOUT re-pairing
+    * the corpus with itself ([[TextPipeline.incrementalDupFlags]]: band
+    * equi-join, cap on the indexed side, ≥6/8 signature agreement).
+    * Signatures come from the scalar one-pass expression on both sides. */
+  private def d11Feed(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+  }
+
+  private val d11FeedSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 40000 AS doc_id, text FROM documents WHERE doc_id < 10""".stripMargin
+
+  private val d11IncrementalDedup: Q = (spark, dir) => {
+    val sig = scalarSig(spark, d11Feed(spark, dir), "text")
+    val indexed = sig.filter(col("doc_id") < 400)
+    val incoming = sig.filter(col("doc_id") >= 400)
+    TextPipeline.incrementalDupFlags(indexed, incoming, "doc_id", 8, 2,
+      minAgree = 6, maxBucket = TextPipeline.DefaultMaxBucket)
+      .orderBy("doc_id")
+  }
+
+  private val d11IncrementalDedupSql = {
+    val agree = (0 until 8)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH feed AS ($d11FeedSql),
+       |$shinglesSql,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigSql
+       |  FROM shingles GROUP BY doc_id),
+       |idxb AS (
+       |  SELECT doc_id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS band_val
+       |  FROM sig WHERE doc_id < 400
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS band_val
+       |  FROM sig WHERE doc_id < 400),
+       |isized AS (SELECT band, band_val, count(*) AS bucket_n FROM idxb GROUP BY 1, 2),
+       |ikeep AS (
+       |  SELECT bd.doc_id, bd.band, bd.band_val
+       |  FROM idxb bd JOIN isized s ON bd.band = s.band AND bd.band_val = s.band_val
+       |  WHERE s.bucket_n <= ${TextPipeline.DefaultMaxBucket}),
+       |incb AS (
+       |  SELECT doc_id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS band_val
+       |  FROM sig WHERE doc_id >= 400
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS band_val
+       |  FROM sig WHERE doc_id >= 400),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS inc_id, x.doc_id AS idx_id
+       |  FROM incb i JOIN ikeep x ON i.band = x.band AND i.band_val = x.band_val),
+       |per AS (
+       |  SELECT c.inc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+       |    max(CAST($agree AS INTEGER)) AS best_agree
+       |  FROM cand c
+       |  JOIN sig a ON a.doc_id = c.inc_id
+       |  JOIN sig b ON b.doc_id = c.idx_id
+       |  GROUP BY 1)
+       |SELECT s.doc_id, coalesce(p.n_candidates, 0) AS n_candidates,
+       |  coalesce(p.best_agree, 0) AS best_agree,
+       |  coalesce(p.best_agree, 0) >= 6 AS is_dup
+       |FROM sig s LEFT JOIN per p ON p.inc_id = s.doc_id
+       |WHERE s.doc_id >= 400
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ t_vocab: corpus vocabulary build
   /** Corpus vocabulary: term frequency + document frequency per token,
     * top-100 by frequency — the tokenizer-training / stopword-discovery
@@ -1203,6 +1276,7 @@ object TextDedupQueries {
     "t_boilerplate_ngrams" -> tBoilerplate,
     "t_vocab_topk" -> tVocabTopk,
     "d10_decontaminate" -> d10Decontaminate,
+    "d11_incremental_dedup" -> d11IncrementalDedup,
     "w6_train_split" -> w6TrainSplit,
     "w7_split_counts" -> w7SplitCounts,
     "w8_stratified_sample" -> w8StratifiedSample,
@@ -1238,6 +1312,7 @@ object TextDedupQueries {
     "t_boilerplate_ngrams" -> tBoilerplateSql,
     "t_vocab_topk" -> tVocabTopkSql,
     "d10_decontaminate" -> d10DecontaminateSql,
+    "d11_incremental_dedup" -> d11IncrementalDedupSql,
     "w6_train_split" -> w6TrainSplitSql,
     "w7_split_counts" -> w7SplitCountsSql,
     "w8_stratified_sample" -> w8StratifiedSampleSql,

@@ -22,6 +22,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.keySet.exists(id => id % 25 == 0 && id < 30000))
   }
 
+  test("d11: verbatim copies of indexed docs are flagged with full agreement") {
+    val rows = graft.queries.TextDedupQueries.queries("d11_incremental_dedup")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getBoolean(3))).toMap
+    val planted = rows.filter { case (id, _) => id >= 40000 }
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, (agree, dup)) =>
+      assert(agree == 8 && dup, s"planted copy $id: agree=$agree dup=$dup")
+    }
+    // the report covers only the incoming batch, never the index
+    assert(rows.keySet.forall(_ >= 400))
+  }
+
   test("w8: per-stratum sample sizes are exactly ceil(n/10)") {
     val docs = graft.io.Tables.documents(spark, sf0001)
     val expected = docs.groupBy("lang").count().collect()
