@@ -303,4 +303,54 @@ class StreamingSpec extends SparkSpec {
       assert(v0 == Map("a" -> 1, "b" -> 2))
     } finally q.stop()
   }
+
+  test("streaming incremental dedup: batches flag against the growing signature index") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the d11 lifecycle driven by a real stream: each micro-batch computes
+    // scalar minhash signatures, flags against the signature index built
+    // from all PRIOR batches (TextPipeline.incrementalDupFlags), and
+    // appends only the survivors' signatures to the commit-log index —
+    // duplicates arriving later never enter the index
+    graft.plans.GraftFunctions.register(spark)
+    val table = java.nio.file.Files.createTempDirectory("graft-inc-dedup").toString + "/idx"
+    val flagged = collection.mutable.Map[Long, Boolean]()
+    def sigOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), expr("minhash_sig8(text)").as("s"))
+        .filter(col("s").isNotNull)
+        .select(col("doc_id") +: (0 until 8).map(k => col(s"s.h$k").as(s"h$k")): _*)
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val sig = sigOf(batch)
+        val idx =
+          if (new java.io.File(table).exists) graft.io.CommitLog.read(s, table)
+          else sig.limit(0)
+        val verdicts = graft.operators.TextPipeline
+          .incrementalDupFlags(idx, sig, "doc_id", 8, 2, minAgree = 6)
+        verdicts.collect().foreach(r => flagged(r.getLong(0)) = r.getBoolean(3))
+        val survivors = sig.join(
+          verdicts.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"), "left_semi")
+        graft.io.CommitLog.append(survivors, table)
+        ()
+      }
+      .start()
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      src.addData((1L, base), (2L, "a completely different document about storage tanks"))
+      q.processAllAvailable()
+      // batch 2: one verbatim copy of doc 1 (dup) and one fresh doc
+      src.addData((3L, base), (4L, "fresh unseen content with novel words entirely"))
+      q.processAllAvailable()
+      assert(flagged(1L) == false && flagged(2L) == false, "first batch has no index yet")
+      assert(flagged(3L) == true, "verbatim copy of an indexed doc must be flagged")
+      assert(flagged(4L) == false)
+      // the dup never entered the index; the three survivors did
+      val idxIds = graft.io.CommitLog.read(spark, table)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(idxIds == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
 }
