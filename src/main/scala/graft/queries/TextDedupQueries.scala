@@ -1046,6 +1046,56 @@ object TextDedupQueries {
       |FROM r WHERE rn <= (n_lang + 9) // 10
       |ORDER BY lang, rn""".stripMargin
 
+  // ------------------------------------------------------------------ e5: data-mixture report
+  /** The "data card" a training run is configured from: per (source,
+    * lang) document counts, token totals, quality-pass rates, and each
+    * cell's share of corpus tokens. Composes the quality gate with the
+    * mixture aggregation; fractions are single divisions of exact integer
+    * counts (engine-exact, no float accumulation). Scale shape: one
+    * narrow codegen pass for per-doc metrics, ONE hash shuffle on the
+    * (source, lang) key — cells are few by construction, so the final
+    * share window over cells is trivially small. */
+  private val e5DataMixture: Q = (spark, dir) => {
+    val cells = TextPipeline.qualityMetrics(Tables.documents(spark, dir), "text")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("quality_bucket") === "ok", 1L).otherwise(0L)).as("ok_docs"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    cells
+      .withColumn("ok_frac", col("ok_docs").cast("double") / col("n_docs"))
+      .withColumn("token_share",
+        col("total_tokens").cast("double") / sum("total_tokens").over(all))
+      .orderBy("source", "lang")
+  }
+
+  private val e5DataMixtureSql = {
+    val stop = sqlList(TextPipeline.stopwords)
+    s"""WITH m AS (
+       |  SELECT source, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct,
+       |    len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS stop_cnt
+       |  FROM documents),
+       |b AS (
+       |  SELECT source, lang, n_tokens,
+       |    CASE WHEN n_tokens < 20 THEN 'too_short'
+       |         WHEN round(CAST(stop_cnt AS DOUBLE) / n_tokens, 4) > 0.4 THEN 'boilerplate'
+       |         WHEN round(CAST(punct AS DOUBLE) / n_chars, 4) > 0.1 THEN 'punct_heavy'
+       |         ELSE 'ok' END AS quality_bucket
+       |  FROM m),
+       |cells AS (
+       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS ok_docs
+       |  FROM b GROUP BY 1, 2)
+       |SELECT source, lang, n_docs, total_tokens, ok_docs,
+       |  CAST(ok_docs AS DOUBLE) / n_docs AS ok_frac,
+       |  CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE) AS token_share
+       |FROM cells ORDER BY source, lang""".stripMargin
+  }
+
   // ------------------------------------------------------------------ E4: end-to-end curation pipeline
   /** The full corpus-curation pipeline as ONE composed query — what a
     * training-data engine actually runs: normalize -> quality-filter ->
@@ -1281,7 +1331,8 @@ object TextDedupQueries {
     "w7_split_counts" -> w7SplitCounts,
     "w8_stratified_sample" -> w8StratifiedSample,
     "e4_text_pipeline" -> e4TextPipeline,
-    "e4b_curation_refusals" -> e4bCurationRefusals
+    "e4b_curation_refusals" -> e4bCurationRefusals,
+    "e5_data_mixture" -> e5DataMixture
   )
 
   val oracle: Map[String, String] = Map(
@@ -1317,6 +1368,7 @@ object TextDedupQueries {
     "w7_split_counts" -> w7SplitCountsSql,
     "w8_stratified_sample" -> w8StratifiedSampleSql,
     "e4_text_pipeline" -> e4TextPipelineSql,
-    "e4b_curation_refusals" -> e4bCurationRefusalsSql
+    "e4b_curation_refusals" -> e4bCurationRefusalsSql,
+    "e5_data_mixture" -> e5DataMixtureSql
   )
 }
