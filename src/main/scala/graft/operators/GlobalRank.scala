@@ -54,4 +54,32 @@ object GlobalRank {
       .withColumn(outCol, (row_number().over(local) + col("__offset")).cast("long"))
       .drop("__pid", "__offset")
   }
+
+  /** Adds `outCol` = inclusive running total of `valueCol` under the global
+    * order `orderCols` — the distributed prefix sum behind sequence packing
+    * and token-budget accounting. Same three-step shape as
+    * [[withGlobalRowNumber]]: range shuffle, per-partition sums -> broadcast
+    * cumulative offsets, partition-local window + offset. A plain
+    * `sum(...) OVER (ORDER BY ...)` would plan the same single-partition
+    * WindowExec this operator exists to avoid. Preconditions match
+    * [[withGlobalRowNumber]] (deterministic input, unique sort key,
+    * exchange reuse left on). */
+  def withRunningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                       outCol: String): DataFrame = {
+    require(!df.columns.contains("__pid") && !df.columns.contains("__offset"),
+      "input already has a __pid/__offset column — rename it before ranking")
+    val parted = df.repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__val", valueCol.cast("long"))
+    val offsets = parted.groupBy("__pid").agg(sum(col("__val")).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    val local = Window.partitionBy("__pid").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, (sum(col("__val")).over(local) + col("__offset")).cast("long"))
+      .drop("__pid", "__offset", "__val")
+  }
 }

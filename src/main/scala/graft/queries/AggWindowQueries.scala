@@ -124,8 +124,8 @@ object AggWindowQueries {
     * single-row audit query. */
   private val a6Invariant: Q = (spark, dir) => {
     val o = Tables.orders(spark, dir)
-    val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
-    val ranked = o.withColumn("rn", row_number().over(w))
+    val ranked = graft.operators.GlobalRank.withGlobalRowNumber(
+      o, Seq(col("o_orderdate"), col("o_orderkey")), "rn")
     ranked.agg(
       sum(when(col("rn") <= 100, 1).otherwise(0)).as("allocated"),
       sum(when(col("rn") > 100, 1).otherwise(0)).as("remaining"),

@@ -182,8 +182,8 @@ object RelationalQueries {
     * round-robin (`src/az_proc.py:408-445` made deterministic, SURVEY.md W2). */
   private val w2LimitAllocation: Q = (spark, dir) => {
     val o = Tables.orders(spark, dir)
-    val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
-    o.withColumn("rn", row_number().over(w))
+    graft.operators.GlobalRank.withGlobalRowNumber(
+      o, Seq(col("o_orderdate"), col("o_orderkey")), "rn")
       .filter(col("rn") <= 100)
       .withColumn("annotator", concat(lit("annotator_"), ((col("rn") - 1) % 4).cast("int")))
       .select("o_orderkey", "o_orderdate", "annotator")
@@ -202,8 +202,8 @@ object RelationalQueries {
     * `src/az_proc.py:437-438`) via exceptAll. */
   private val u2ExceptRemaining: Q = (spark, dir) => {
     val o = Tables.orders(spark, dir)
-    val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
-    val ranked = o.withColumn("rn", row_number().over(w))
+    val ranked = graft.operators.GlobalRank.withGlobalRowNumber(
+      o, Seq(col("o_orderdate"), col("o_orderkey")), "rn")
     val allocated = ranked.filter(col("rn") <= 100).select("o_orderkey")
     o.select("o_orderkey").exceptAll(allocated).orderBy("o_orderkey")
   }

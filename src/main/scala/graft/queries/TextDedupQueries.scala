@@ -1096,6 +1096,87 @@ object TextDedupQueries {
        |FROM cells ORDER BY source, lang""".stripMargin
   }
 
+  // ------------------------------------------------------------------ w9: sequence packing (concat-and-chunk)
+  /** Concat-and-chunk sequence packing: documents laid end-to-end in a
+    * deterministic global order and cut into fixed 256-token training
+    * sequences; each document reports the token span it occupies and the
+    * first/last sequence it lands in (a doc crossing a cut spans several).
+    * The running token offset is the distributed prefix sum
+    * ([[graft.operators.GlobalRank.withRunningTotal]] — range shuffle +
+    * broadcast partition offsets), NOT a single-partition
+    * `sum() OVER (ORDER BY)`. Scale shape: one range shuffle, then narrow
+    * integer arithmetic; sequence ids never materialize as rows. */
+  private val packBudget = 256L
+
+  private val w9SequencePack: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextPipeline.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.GlobalRank
+      .withRunningTotal(d, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
+      .withColumn("start_token", col("cum_tokens") - col("n_tokens"))
+      .withColumn("first_seq", expr(s"start_token div $packBudget"))
+      .withColumn("last_seq", expr(s"(cum_tokens - 1) div $packBudget"))
+      .withColumn("offset_in_seq", col("start_token") % packBudget)
+      .select("doc_id", "n_tokens", "start_token", "first_seq", "last_seq", "offset_in_seq")
+      .orderBy("doc_id")
+  }
+
+  private val w9SequencePackSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+       |  FROM tok)
+       |SELECT doc_id, n_tokens, cum_tokens - n_tokens AS start_token,
+       |  (cum_tokens - n_tokens) // $packBudget AS first_seq,
+       |  (cum_tokens - 1) // $packBudget AS last_seq,
+       |  (cum_tokens - n_tokens) % $packBudget AS offset_in_seq
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ e6: temperature-weighted mixture
+  /** Temperature-weighted source sampling (the multi-source rebalancing
+    * rule p_i ∝ n_i^α, α = 0.5 — flattens the source distribution so
+    * small sources are not drowned by the largest): per-source token
+    * counts -> α-powered weights -> expected tokens drawn per source at a
+    * fixed 100k-token budget, plus the implied epoch count (how many
+    * times each source is replayed at that draw). Scale shape: one
+    * (source) hash agg; the normalizing total is a broadcast single row.
+    * Quotients are rounded (6/2/4 dp) per the repo convention so
+    * summation-order differences cannot flip the hash. */
+  private val e6MixtureWeights: Q = (spark, dir) => {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextPipeline.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .withColumn("w_raw", sqrt(col("tokens").cast("double")))
+    val tot = per.agg(sum("w_raw").as("w_tot"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("weight", round(col("w_raw") / col("w_tot"), 6))
+      .withColumn("expected_tokens",
+        round(col("w_raw") / col("w_tot") * 100000.0, 2))
+      .withColumn("epochs",
+        round(col("w_raw") / col("w_tot") * 100000.0 / col("tokens"), 4))
+      .select("source", "n_docs", "tokens", "weight", "expected_tokens", "epochs")
+      .orderBy("source")
+  }
+
+  private val e6MixtureWeightsSql =
+    """WITH per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT *, sqrt(CAST(tokens AS DOUBLE)) AS w_raw FROM per),
+      |tot AS (SELECT sum(w_raw) AS w_tot FROM w)
+      |SELECT source, n_docs, tokens,
+      |  round(w_raw / w_tot, 6) AS weight,
+      |  round(w_raw / w_tot * 100000.0, 2) AS expected_tokens,
+      |  round(w_raw / w_tot * 100000.0 / tokens, 4) AS epochs
+      |FROM w, tot ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------ E4: end-to-end curation pipeline
   /** The full corpus-curation pipeline as ONE composed query — what a
     * training-data engine actually runs: normalize -> quality-filter ->
@@ -1332,7 +1413,9 @@ object TextDedupQueries {
     "w8_stratified_sample" -> w8StratifiedSample,
     "e4_text_pipeline" -> e4TextPipeline,
     "e4b_curation_refusals" -> e4bCurationRefusals,
-    "e5_data_mixture" -> e5DataMixture
+    "e5_data_mixture" -> e5DataMixture,
+    "w9_sequence_pack" -> w9SequencePack,
+    "e6_mixture_weights" -> e6MixtureWeights
   )
 
   val oracle: Map[String, String] = Map(
@@ -1369,6 +1452,8 @@ object TextDedupQueries {
     "w8_stratified_sample" -> w8StratifiedSampleSql,
     "e4_text_pipeline" -> e4TextPipelineSql,
     "e4b_curation_refusals" -> e4bCurationRefusalsSql,
-    "e5_data_mixture" -> e5DataMixtureSql
+    "e5_data_mixture" -> e5DataMixtureSql,
+    "w9_sequence_pack" -> w9SequencePackSql,
+    "e6_mixture_weights" -> e6MixtureWeightsSql
   )
 }

@@ -599,8 +599,98 @@ object VectorQueries {
       |FROM assign a JOIN q ON q.vec_id = a.vec_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------ v11: ANN recall vs exact
+  /** The ANN tuning loop's metric: recall@3 of the multi-probe LSH
+    * candidate set against the exact brute-force top-3 — the number a
+    * recall/latency trade-off is steered by. Composes the two verified
+    * paths (v1's exact top-k, v6's probe fan-out) and scores them
+    * against each other. Scale shape: the exact side is the broadcast
+    * query set vs corpus (the documented baseline); candidates come from
+    * the same bucket equi-join as v6; scoring is two keyed counts and a
+    * semi-join — nothing quadratic beyond the deliberate exact baseline. */
+  private val v11AnnRecall: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val exact = VectorSearch.bruteForceTopK(emb, qs, 3)
+      .select("query_id", "neighbor_id")
+    val buckets = VectorSearch.hyperplaneBuckets(emb, 8)
+    val q = qs.select(col("vec_id").as("query_id"))
+      .join(buckets.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .withColumn("probe", explode(expr(
+        "concat(array(bucket), transform(sequence(0, 7), p -> bucket ^ shiftleft(1, p)))")))
+      .select("query_id", "probe")
+    val c = buckets.select(col("vec_id").as("neighbor_id"), col("bucket").as("probe"))
+    val cand = q.join(c, Seq("probe"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val nc = cand.groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+    val hits = exact.join(cand, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    qs.select(col("vec_id").as("query_id"))
+      .join(nc, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall_at_3", round(col("hits").cast("double") / 3.0, 4))
+      .orderBy("query_id")
+  }
+
+  private val v11AnnRecallSql =
+    s"""WITH $unnestSql,
+       |dots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+       |  FROM un a JOIN un b ON a.i = b.i
+       |  WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.query_id, d.neighbor_id,
+       |    round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos_sim
+       |  FROM dots d
+       |  JOIN norms na ON na.vec_id = d.query_id
+       |  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |    FROM scored) WHERE rnk <= 3),
+       |dots8 AS (
+       |  SELECT vec_id, CAST(g.p AS INTEGER) AS p,
+       |    sum(x * (((g.p * 37 + i * 17) % 13) - 6)) AS dotp
+       |  FROM un, generate_series(0, 7) g(p)
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(sum((CASE WHEN dotp > 0 THEN 1 ELSE 0 END) << p) AS INTEGER) AS bucket
+       |  FROM dots8 GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id, CASE WHEN g.p = -1 THEN bucket
+       |    ELSE CAST(xor(bucket, 1 << CAST(g.p AS INTEGER)) AS INTEGER) END AS probe
+       |  FROM buckets, generate_series(-1, 7) g(p)
+       |  WHERE vec_id % 50 = 0),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, cb.vec_id AS neighbor_id
+       |  FROM probes q JOIN buckets cb
+       |    ON q.probe = cb.bucket AND q.vec_id <> cb.vec_id),
+       |nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cand GROUP BY 1),
+       |h AS (
+       |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM exact e JOIN cand c
+       |    ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+       |  GROUP BY 1)
+       |SELECT e.vec_id AS query_id,
+       |  CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 3.0, 4) AS recall_at_3
+       |FROM embeddings e
+       |LEFT JOIN nc ON nc.query_id = e.vec_id
+       |LEFT JOIN h ON h.query_id = e.vec_id
+       |WHERE e.vec_id % 50 = 0
+       |ORDER BY query_id""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "v11_ann_recall" -> v11AnnRecall,
     "v8_quantize" -> v8Quantize,
     "v9_norm_outliers" -> v9NormOutliers,
     "v10_kmeans_step" -> v10KmeansStep,
@@ -618,6 +708,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "v11_ann_recall" -> v11AnnRecallSql,
     "v8_quantize" -> v8QuantizeSql,
     "v9_norm_outliers" -> v9NormOutliersSql,
     "v10_kmeans_step" -> v10KmeansStepSql,

@@ -88,4 +88,34 @@ class GlobalRankSpec extends SparkSpec {
     val empty = orders.filter(col("o_orderkey") < 0)
     assert(GlobalRank.withGlobalRowNumber(empty, Seq(col("o_orderkey")), "rn").count() == 0)
   }
+
+  test("running total equals the single-partition window cumsum") {
+    val withVal = orders.withColumn("v", (col("o_orderkey") % 7).cast("long"))
+    val fast = GlobalRank.withRunningTotal(
+      withVal, Seq(col("o_orderdate"), col("o_orderkey")), col("v"), "cum")
+    val slow = withVal.withColumn("cum",
+      sum("v").over(Window.orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    assert(fast.exceptAll(slow).count() == 0 && slow.exceptAll(fast).count() == 0)
+  }
+
+  test("running total data path is range-partitioned, window partitioned") {
+    val withVal = orders.withColumn("v", lit(1L))
+    val plan = GlobalRank.withRunningTotal(
+      withVal, Seq(col("o_orderdate"), col("o_orderkey")), col("v"), "cum")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    val singles = plan.split("Exchange SinglePartition").length - 1
+    assert(singles <= 1, s"expected at most one tiny global exchange:\n$plan")
+  }
+
+  test("running total of all-ones equals the global rank") {
+    val withVal = orders.withColumn("v", lit(1L))
+    val cum = GlobalRank.withRunningTotal(
+      withVal, Seq(col("o_orderkey")), col("v"), "cum").drop("v")
+    val rn = GlobalRank.withGlobalRowNumber(
+      orders, Seq(col("o_orderkey")), "cum")
+    assert(cum.exceptAll(rn).count() == 0 && rn.exceptAll(cum).count() == 0)
+  }
 }
