@@ -124,12 +124,17 @@ object AggWindowQueries {
     * single-row audit query. */
   private val a6Invariant: Q = (spark, dir) => {
     val o = Tables.orders(spark, dir)
-    val ranked = graft.operators.GlobalRank.withGlobalRowNumber(
-      o, Seq(col("o_orderdate"), col("o_orderkey")), "rn")
-    ranked.agg(
-      sum(when(col("rn") <= 100, 1).otherwise(0)).as("allocated"),
-      sum(when(col("rn") > 100, 1).otherwise(0)).as("remaining"),
-      count(lit(1)).as("total"))
+    // audits the ACTUAL allocated set (first-100 via TakeOrderedAndProject,
+    // broadcast back) rather than re-ranking the whole table: one narrow
+    // pass + one tiny agg, no global window, no full shuffle.
+    val top = o.orderBy(col("o_orderdate"), col("o_orderkey")).limit(100)
+      .select(col("o_orderkey")).withColumn("__hit", lit(1))
+    o.select("o_orderkey")
+      .join(broadcast(top), Seq("o_orderkey"), "left")
+      .agg(
+        sum(when(col("__hit") === 1, 1).otherwise(0)).as("allocated"),
+        sum(when(col("__hit").isNull, 1).otherwise(0)).as("remaining"),
+        count(lit(1)).as("total"))
       .withColumn("invariant_holds",
         col("allocated") + col("remaining") === col("total"))
   }

@@ -182,9 +182,13 @@ object RelationalQueries {
     * round-robin (`src/az_proc.py:408-445` made deterministic, SURVEY.md W2). */
   private val w2LimitAllocation: Q = (spark, dir) => {
     val o = Tables.orders(spark, dir)
-    graft.operators.GlobalRank.withGlobalRowNumber(
-      o, Seq(col("o_orderdate"), col("o_orderkey")), "rn")
-      .filter(col("rn") <= 100)
+    // first-N under a total order: orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition top-N, driver merge of P*N
+    // rows) — no full shuffle, no global window. The row_number below
+    // runs over exactly N=100 rows, bounded by the limit, not the data.
+    val top = o.orderBy(col("o_orderdate"), col("o_orderkey")).limit(100)
+    val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
+    top.withColumn("rn", row_number().over(w))
       .withColumn("annotator", concat(lit("annotator_"), ((col("rn") - 1) % 4).cast("int")))
       .select("o_orderkey", "o_orderdate", "annotator")
       .orderBy("o_orderkey")
@@ -202,10 +206,15 @@ object RelationalQueries {
     * `src/az_proc.py:437-438`) via exceptAll. */
   private val u2ExceptRemaining: Q = (spark, dir) => {
     val o = Tables.orders(spark, dir)
-    val ranked = graft.operators.GlobalRank.withGlobalRowNumber(
-      o, Seq(col("o_orderdate"), col("o_orderkey")), "rn")
-    val allocated = ranked.filter(col("rn") <= 100).select("o_orderkey")
-    o.select("o_orderkey").exceptAll(allocated).orderBy("o_orderkey")
+    // remaining = all minus the first-100: the allocated set comes from
+    // TakeOrderedAndProject (see w2) and is anti-joined back broadcast —
+    // one narrow pass over the fact table, no full-table exceptAll
+    // shuffle. Keys are unique, so anti-join == EXCEPT ALL here.
+    val allocated = o.orderBy(col("o_orderdate"), col("o_orderkey")).limit(100)
+      .select("o_orderkey")
+    o.select("o_orderkey")
+      .join(broadcast(allocated), Seq("o_orderkey"), "left_anti")
+      .orderBy("o_orderkey")
   }
 
   private val u2ExceptRemainingSql =

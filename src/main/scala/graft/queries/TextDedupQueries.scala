@@ -1096,6 +1096,86 @@ object TextDedupQueries {
        |FROM cells ORDER BY source, lang""".stripMargin
   }
 
+  // ------------------------------------------------------------------ t_quality_model: linear classifier scoring
+  /** Model-based quality scoring (the fasttext-style classifier gate modern
+    * corpus pipelines run after the heuristic filters): a fixed-weight
+    * logistic model over the verified quality features — token count
+    * (capped), stopword ratio, punctuation ratio. Weights are literals, so
+    * this is the SERVING half (distributed scoring as a stateless codegen
+    * projection); training happens offline. Features are the 4-dp rounded
+    * ratios from [[TextPipeline.qualityMetrics]] and z is rounded before
+    * the sigmoid, so both engines feed exp() the identical double. */
+  private val tQualityModel: Q = (spark, dir) => {
+    val m = TextPipeline.qualityMetrics(Tables.documents(spark, dir), "text")
+    val z = round(
+      lit(-2.0) + lit(0.015) * least(col("n_tokens"), lit(200L)).cast("double")
+        + lit(5.0) * col("stopword_ratio") - lit(20.0) * col("punct_ratio"), 4)
+    m.withColumn("z", z)
+      .withColumn("quality_prob", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4))
+      .withColumn("model_keep", col("quality_prob") >= 0.5)
+      .select("doc_id", "n_tokens", "stopword_ratio", "punct_ratio",
+        "z", "quality_prob", "model_keep")
+      .orderBy("doc_id")
+  }
+
+  private val tQualityModelSql = {
+    val stop = sqlList(TextPipeline.stopwords)
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    round(CAST(len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS DOUBLE)
+       |      / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       |    round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+       |      / length(text), 4) AS punct_ratio
+       |  FROM documents),
+       |z AS (
+       |  SELECT *, round(-2.0 + 0.015 * CAST(least(n_tokens, 200) AS DOUBLE)
+       |    + 5.0 * stopword_ratio - 20.0 * punct_ratio, 4) AS z
+       |  FROM f)
+       |SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, z,
+       |  round(1.0 / (1.0 + exp(-z)), 4) AS quality_prob,
+       |  round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS model_keep
+       |FROM z ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ t_bpe_pairs: tokenizer-training pair counts
+  /** One BPE training iteration's counting step: corpus-wide frequencies of
+    * adjacent character pairs inside words, global top-20 — the inner loop
+    * of byte-pair-encoding tokenizer training, distributed. Scale shape:
+    * the pair explode is narrow, the (pair) groupBy is one hash shuffle
+    * with map-side partials over a tiny key space (alphabet^2), and the
+    * top-k runs through [[graft.operators.GlobalRank]].
+    * ORACLE SERIES-BOUND INVARIANT: the DuckDB twin enumerates character
+    * positions via generate_series(1, 63) — valid while fixture words stay
+    * under 64 chars (corpus words are short English words; same invariant
+    * family as the shingle caps above). */
+  private val tBpePairs: Q = (spark, dir) => {
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(TextPipeline.tokens(col("text"))).as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, greatest(length(w) - 1, 0)), i -> substring(w, i, 2))")).as("pair"))
+      .filter(length(col("pair")) === 2)
+    val counts = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+    graft.operators.GlobalRank
+      .withGlobalRowNumber(counts, Seq(col("cnt").desc, col("pair")), "rnk")
+      .filter(col("rnk") <= 20)
+      .select("rnk", "pair", "cnt")
+      .orderBy("rnk")
+  }
+
+  private val tBpePairsSql =
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |pairs AS (
+      |  SELECT substring(w, CAST(i.i AS INTEGER), 2) AS pair
+      |  FROM words, generate_series(1, 63) i(i)
+      |  WHERE i.i + 1 <= length(w)),
+      |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1)
+      |SELECT rnk, pair, cnt FROM (
+      |  SELECT pair, cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+      |  FROM c) WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   // ------------------------------------------------------------------ w9: sequence packing (concat-and-chunk)
   /** Concat-and-chunk sequence packing: documents laid end-to-end in a
     * deterministic global order and cut into fixed 256-token training
@@ -1415,7 +1495,9 @@ object TextDedupQueries {
     "e4b_curation_refusals" -> e4bCurationRefusals,
     "e5_data_mixture" -> e5DataMixture,
     "w9_sequence_pack" -> w9SequencePack,
-    "e6_mixture_weights" -> e6MixtureWeights
+    "e6_mixture_weights" -> e6MixtureWeights,
+    "t_quality_model" -> tQualityModel,
+    "t_bpe_pairs" -> tBpePairs
   )
 
   val oracle: Map[String, String] = Map(
@@ -1454,6 +1536,8 @@ object TextDedupQueries {
     "e4b_curation_refusals" -> e4bCurationRefusalsSql,
     "e5_data_mixture" -> e5DataMixtureSql,
     "w9_sequence_pack" -> w9SequencePackSql,
-    "e6_mixture_weights" -> e6MixtureWeightsSql
+    "e6_mixture_weights" -> e6MixtureWeightsSql,
+    "t_quality_model" -> tQualityModelSql,
+    "t_bpe_pairs" -> tBpePairsSql
   )
 }
