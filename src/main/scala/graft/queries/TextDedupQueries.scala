@@ -1257,6 +1257,89 @@ object TextDedupQueries {
       |  round(w_raw / w_tot * 100000.0 / tokens, 4) AS epochs
       |FROM w, tot ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------------ e7: training-ready manifest (the last mile)
+  /** The last mile of the curation story: what a training job actually
+    * consumes. Composes four verified stages into one manifest —
+    * model-based quality gate (t_quality_model's logistic) -> exact dedup
+    * survivors (d1's min-doc_id rule) -> deterministic split assignment
+    * (w6's md5 buckets) -> per-split concat-and-chunk sequence packing
+    * (w9's budget). Scale shape: the per-split cumsum does NOT use a
+    * `PARTITION BY split` window (3 splits = 3 tasks = the single-partition
+    * problem reborn); instead ONE global prefix sum ordered by
+    * (split, doc_id) ([[graft.operators.GlobalRank.withRunningTotal]])
+    * and each split's start offset subtracted via a tiny broadcast agg —
+    * splits are contiguous in that order, so within-split offsets fall out
+    * exactly. One range shuffle + one keyed dedup shuffle total. */
+  private val e7TrainingManifest: Q = (spark, dir) => {
+    val m = TextPipeline.qualityMetrics(Tables.documents(spark, dir), "text")
+    val z = round(
+      lit(-2.0) + lit(0.015) * least(col("n_tokens"), lit(200L)).cast("double")
+        + lit(5.0) * col("stopword_ratio") - lit(20.0) * col("punct_ratio"), 4)
+    val kept = m.withColumn("z", z)
+      .withColumn("quality_prob", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4))
+      .filter(col("quality_prob") >= 0.5)
+      .withColumn("content_hash", md5(col("text")))
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy("doc_id")
+    val surv = kept.withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("bucket") < "c", "train")
+          .when(col("bucket") < "e", "val")
+          .otherwise("test"))
+      .select("doc_id", "split", "n_tokens", "quality_prob")
+    val cum = graft.operators.GlobalRank.withRunningTotal(
+      surv, Seq(col("split"), col("doc_id")), col("n_tokens"), "cum_all")
+      .withColumn("start_all", col("cum_all") - col("n_tokens"))
+    val offs = cum.groupBy("split").agg(min("start_all").as("split_off"))
+    cum.join(broadcast(offs), "split")
+      .withColumn("start_token", col("start_all") - col("split_off"))
+      .withColumn("first_seq", expr(s"start_token div $packBudget"))
+      .withColumn("last_seq",
+        expr(s"(start_token + n_tokens - 1) div $packBudget"))
+      .select("doc_id", "split", "n_tokens", "quality_prob",
+        "start_token", "first_seq", "last_seq")
+      .orderBy("split", "doc_id")
+  }
+
+  private val e7TrainingManifestSql = {
+    val stop = sqlList(TextPipeline.stopwords)
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    round(CAST(len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS DOUBLE)
+       |      / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       |    round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+       |      / length(text), 4) AS punct_ratio
+       |  FROM documents),
+       |zc AS (
+       |  SELECT *, round(-2.0 + 0.015 * CAST(least(n_tokens, 200) AS DOUBLE)
+       |    + 5.0 * stopword_ratio - 20.0 * punct_ratio, 4) AS z
+       |  FROM f),
+       |kept AS (
+       |  SELECT doc_id, text, n_tokens,
+       |    round(1.0 / (1.0 + exp(-z)), 4) AS quality_prob
+       |  FROM zc WHERE round(1.0 / (1.0 + exp(-z)), 4) >= 0.5),
+       |ded AS (
+       |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM kept),
+       |sp AS (
+       |  SELECT doc_id, n_tokens, quality_prob,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM ded WHERE rn = 1),
+       |c AS (
+       |  SELECT *, CAST(sum(n_tokens) OVER (
+       |    PARTITION BY split ORDER BY doc_id) AS BIGINT) AS cum
+       |  FROM sp)
+       |SELECT doc_id, split, n_tokens, quality_prob,
+       |  cum - n_tokens AS start_token,
+       |  (cum - n_tokens) // $packBudget AS first_seq,
+       |  (cum - 1) // $packBudget AS last_seq
+       |FROM c ORDER BY split, doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ E4: end-to-end curation pipeline
   /** The full corpus-curation pipeline as ONE composed query — what a
     * training-data engine actually runs: normalize -> quality-filter ->
@@ -1497,7 +1580,8 @@ object TextDedupQueries {
     "w9_sequence_pack" -> w9SequencePack,
     "e6_mixture_weights" -> e6MixtureWeights,
     "t_quality_model" -> tQualityModel,
-    "t_bpe_pairs" -> tBpePairs
+    "t_bpe_pairs" -> tBpePairs,
+    "e7_training_manifest" -> e7TrainingManifest
   )
 
   val oracle: Map[String, String] = Map(
@@ -1538,6 +1622,7 @@ object TextDedupQueries {
     "w9_sequence_pack" -> w9SequencePackSql,
     "e6_mixture_weights" -> e6MixtureWeightsSql,
     "t_quality_model" -> tQualityModelSql,
-    "t_bpe_pairs" -> tBpePairsSql
+    "t_bpe_pairs" -> tBpePairsSql,
+    "e7_training_manifest" -> e7TrainingManifestSql
   )
 }
