@@ -185,6 +185,27 @@ object CommitLog {
     }
   }
 
+  /** Bin-packs the live snapshot into `targetFiles` data files — the
+    * small-file compaction every long-lived ingest table needs (thousands
+    * of tiny appends otherwise degrade every downstream scan's task count
+    * and footer-read overhead). Pure metadata semantics: one commit whose
+    * adds are the rewritten files and whose removes are every old live
+    * file, so readers see the old layout or the new one, never a mix, and
+    * the table CONTENT is bit-identical. No-op (None) when the table
+    * already meets the target. At 100 TB compaction runs per key-range
+    * partition and only rewrites ranges whose file count drifted — the
+    * add/remove commit vocabulary already expresses that; the full-table
+    * rewrite here is the local[32] instance of the same commit. */
+  def compact(spark: SparkSession, table: String, targetFiles: Int): Option[Long] = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val old = snapshotFiles(table)
+    if (old.length <= targetFiles) None
+    else {
+      val rewritten = read(spark, table).repartition(targetFiles)
+      Some(commit(table, "compact", stage(rewritten, table), old))
+    }
+  }
+
   /** Deletes data files no longer referenced by the LATEST snapshot —
     * superseded rewrites and crashed stagings. Time travel to versions
     * whose files were vacuumed stops working, exactly like Delta's vacuum

@@ -266,6 +266,32 @@ object PipelineQueries {
     """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------ partitioned layout + pruning
+  /** Hive-style partitioned table lifecycle: the corpus written
+    * `partitionBy(lang)` (the layout a 100 TB curation store actually
+    * uses — per-language directories so language-scoped jobs touch only
+    * their slice), then read back with a partition predicate AND a data
+    * predicate. The lang filter must prune at the DIRECTORY level (3 of 5
+    * partitions never open a file) and the n_chars filter must push into
+    * the parquet row-group scan — both pinned by `PartitionPruneSpec`;
+    * this query pins the numbers. */
+  private val ioPartitionedPrune: Q = (spark, dir) => {
+    val path = Sinks.scratchDir("partitioned_documents")
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("lang").isin("en", "zh") && col("n_chars") > 100)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+
+  private val ioPartitionedPruneSql =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang IN ('en', 'zh') AND n_chars > 100
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------ JSON round trip
   private val ioJsonRoundtrip: Q = (spark, dir) => {
     val path = Sinks.scratchDir("json_customer")
@@ -694,6 +720,7 @@ object PipelineQueries {
     "e3e_persisted_crosstabs" -> e3ePersistedCrosstabs,
     "io_csv_roundtrip" -> ioCsvRoundtrip,
     "io_orc_roundtrip" -> ioOrcRoundtrip,
+    "io_partitioned_prune" -> ioPartitionedPrune,
     "io_json_roundtrip" -> ioJsonRoundtrip,
     "io_geojson_render" -> ioGeojsonRender,
     "io_geojson_parse" -> ioGeojsonParse,
@@ -717,6 +744,7 @@ object PipelineQueries {
     "e3e_persisted_crosstabs" -> e3ePersistedCrosstabsSql,
     "io_csv_roundtrip" -> ioCsvRoundtripSql,
     "io_orc_roundtrip" -> ioOrcRoundtripSql,
+    "io_partitioned_prune" -> ioPartitionedPruneSql,
     "io_json_roundtrip" -> ioJsonRoundtripSql,
     "io_geojson_render" -> ioGeojsonRenderSql,
     "io_geojson_parse" -> ioGeojsonParseSql,

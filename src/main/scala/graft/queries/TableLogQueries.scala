@@ -150,15 +150,65 @@ object TableLogQueries {
       |FROM documents WHERE doc_id % 5 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** tl4: small-file compaction — four separate appends (each fanned out
+    * to 4 data files, 16 small files total) bin-packed to 2 by
+    * [[CommitLog.compact]], then vacuumed. The query pins the whole
+    * lifecycle: content after compact+vacuum is byte-identical to the
+    * declarative union of the four batches (the oracle), the file count
+    * hits the target, the version history shows 4 appends + 1 compact,
+    * and vacuum reclaims exactly the 16 superseded files. A second
+    * compact at the same target must be a no-op (no empty commit). */
+  private val tl4Compaction: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_compact"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val table = root.toString
+    val orders = Tables.orders(spark, dir)
+    (0 until 4).foreach { b =>
+      CommitLog.append(
+        orders.filter(col("o_orderkey") % 4 === b)
+          .select(col("o_orderkey").cast("long").as("id"),
+            round(col("o_totalprice").cast("double"), 2).as("price"),
+            lit(b).as("batch"))
+          .repartition(4),
+        table)
+    }
+    val before = CommitLog.snapshotFiles(table).length
+    require(before == 16, s"expected 16 small files before compaction, got $before")
+    CommitLog.compact(spark, table, targetFiles = 2)
+    require(CommitLog.compact(spark, table, targetFiles = 2).isEmpty,
+      "compaction at an already-met target must be a no-op")
+    val after = CommitLog.snapshotFiles(table).length
+    val reclaimed = CommitLog.vacuum(table).length
+    require(reclaimed == before,
+      s"vacuum must reclaim all $before superseded files, got $reclaimed")
+    CommitLog.read(spark, table)
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("price")), 2).as("total"))
+      .withColumn("files_after", lit(after))
+      .withColumn("n_versions", lit(CommitLog.versions(table).length))
+      .orderBy("batch")
+  }
+
+  private val tl4CompactionSql =
+    """SELECT CAST(o_orderkey % 4 AS INTEGER) AS batch, count(*) AS n_rows,
+      |  round(CAST(sum(round(o_totalprice, 2)) AS DOUBLE), 2) AS total,
+      |  2 AS files_after, 5 AS n_versions
+      |FROM orders GROUP BY 1 ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tl1_commitlog_snapshot" -> tl1Snapshot,
     "tl2_time_travel" -> tl2TimeTravel,
-    "tl3_dedup_ingest" -> tl3DedupIngest
+    "tl3_dedup_ingest" -> tl3DedupIngest,
+    "tl4_compaction" -> tl4Compaction
   )
 
   val oracle: Map[String, String] = Map(
     "tl1_commitlog_snapshot" -> tl1SnapshotSql,
     "tl2_time_travel" -> tl2TimeTravelSql,
-    "tl3_dedup_ingest" -> tl3DedupIngestSql
+    "tl3_dedup_ingest" -> tl3DedupIngestSql,
+    "tl4_compaction" -> tl4CompactionSql
   )
 }

@@ -1277,7 +1277,7 @@ object TextDedupQueries {
         + lit(5.0) * col("stopword_ratio") - lit(20.0) * col("punct_ratio"), 4)
     val kept = m.withColumn("z", z)
       .withColumn("quality_prob", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4))
-      .filter(col("quality_prob") >= 0.5)
+      .filter(col("quality_prob") >= 0.3)
       .withColumn("content_hash", md5(col("text")))
     val wDedup = org.apache.spark.sql.expressions.Window
       .partitionBy("content_hash").orderBy("doc_id")
@@ -1319,7 +1319,7 @@ object TextDedupQueries {
        |kept AS (
        |  SELECT doc_id, text, n_tokens,
        |    round(1.0 / (1.0 + exp(-z)), 4) AS quality_prob
-       |  FROM zc WHERE round(1.0 / (1.0 + exp(-z)), 4) >= 0.5),
+       |  FROM zc WHERE round(1.0 / (1.0 + exp(-z)), 4) >= 0.3),
        |ded AS (
        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
        |  FROM kept),
@@ -1339,6 +1339,88 @@ object TextDedupQueries {
        |  (cum - 1) // $packBudget AS last_seq
        |FROM c ORDER BY split, doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------ t: character entropy
+  /** Character-level Shannon entropy per document — the classic gibberish
+    * / boilerplate signal (near-zero entropy = repeated filler, unusually
+    * high = random noise; cf. Gopher's quality heuristics, Rae et al.
+    * 2021, public). Pure scalar fold — distinct chars SORTED first so the
+    * double accumulation has one fixed order at any parallelism, and no
+    * shuffle at all: the same stateless-projection shape as t_quality. */
+  private val tEntropy: Q = (spark, dir) => {
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      expr(
+        """round(aggregate(
+          |  transform(array_sort(array_distinct(split(text, ''))),
+          |    ch -> size(filter(split(text, ''), c -> c = ch)) / CAST(length(text) AS DOUBLE)),
+          |  0D, (acc, p) -> acc - p * log2(p)), 4)""".stripMargin).as("char_entropy"))
+      .orderBy("doc_id")
+  }
+
+  private val tEntropySql =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |freq AS (SELECT doc_id, ch, count(*) AS k FROM chars GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS n FROM documents)
+      |SELECT t.doc_id, t.lang,
+      |  round(-sum((f.k / t.n) * log2(f.k / t.n)), 4) AS char_entropy
+      |FROM tot t JOIN freq f ON f.doc_id = t.doc_id
+      |GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ d12: chunk-level cross-document dedup
+  /** Line/paragraph-level exact dedup across the whole corpus (the
+    * CCNet / RefinedWeb pattern, Wenzek et al. 2020 — public): every
+    * document is cut into 20-token chunks scalar-side, each chunk keyed
+    * by md5, and only the globally FIRST occurrence (min doc_id, then
+    * chunk position) of each chunk survives; documents are then
+    * reassembled from their surviving chunks in order. Run over the
+    * near-dup feed (corpus + replayed copies with a tail appended), so
+    * the copies' full chunks dedup against the originals while their
+    * tail chunk survives. Shape: chunking is a narrow Generate, the
+    * first-occurrence rule is ONE window over the 16-byte chunk hash,
+    * reassembly ONE keyed agg — two linear shuffles, no joins; at 100 TB
+    * the hash shuffle is the same single-key exchange as d1 exact dedup. */
+  private val d12ChunkDedup: Q = (spark, dir) => {
+    val chunks = nearDupFeed(spark, dir).select(col("doc_id"),
+      posexplode(expr(
+        """transform(
+          |  sequence(0, CAST(ceil(size(split(text, ' ')) / 20.0) AS INT) - 1),
+          |  i -> array_join(slice(split(text, ' '), i * 20 + 1, 20), ' '))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk"))).orderBy("doc_id", "chunk_idx")
+    chunks.withColumn("rn", row_number().over(w))
+      .withColumn("keep", col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        sort_array(collect_list(when(col("keep"),
+          struct(col("chunk_idx"), col("chunk"))))).as("cs"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        md5(array_join(expr("transform(cs, x -> x.chunk)"), " ")).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  // ORACLE SERIES-BOUND INVARIANT: chunk positions come from a static
+  // 0..9 series (>= ceil(100-token max / 20); see the shingle-bound note
+  // above) — an overlong doc breaks agreement loudly, never silently.
+  private val d12ChunkDedupSql =
+    s"""WITH feed AS ($nearDupFeedSql),
+       |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM feed),
+       |chunks AS (
+       |  SELECT doc_id, CAST(g.i AS INTEGER) AS chunk_idx,
+       |    array_to_string(w[(CAST(g.i AS INTEGER) * 20 + 1):(CAST(g.i AS INTEGER) * 20 + 20)], ' ') AS chunk
+       |  FROM words, generate_series(0, 9) g(i)
+       |  WHERE CAST(g.i AS INTEGER) * 20 + 1 <= len(w)),
+       |flag AS (
+       |  SELECT *, row_number() OVER (PARTITION BY md5(chunk)
+       |    ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM chunks)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+       |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+       |    ORDER BY chunk_idx), '')) AS kept_hash
+       |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ E4: end-to-end curation pipeline
   /** The full corpus-curation pipeline as ONE composed query — what a
@@ -1581,7 +1663,9 @@ object TextDedupQueries {
     "e6_mixture_weights" -> e6MixtureWeights,
     "t_quality_model" -> tQualityModel,
     "t_bpe_pairs" -> tBpePairs,
-    "e7_training_manifest" -> e7TrainingManifest
+    "e7_training_manifest" -> e7TrainingManifest,
+    "t_entropy" -> tEntropy,
+    "d12_chunk_dedup" -> d12ChunkDedup
   )
 
   val oracle: Map[String, String] = Map(
@@ -1623,6 +1707,8 @@ object TextDedupQueries {
     "e6_mixture_weights" -> e6MixtureWeightsSql,
     "t_quality_model" -> tQualityModelSql,
     "t_bpe_pairs" -> tBpePairsSql,
-    "e7_training_manifest" -> e7TrainingManifestSql
+    "e7_training_manifest" -> e7TrainingManifestSql,
+    "t_entropy" -> tEntropySql,
+    "d12_chunk_dedup" -> d12ChunkDedupSql
   )
 }

@@ -688,8 +688,73 @@ object VectorQueries {
        |WHERE e.vec_id % 50 = 0
        |ORDER BY query_id""".stripMargin
 
+  // ------------------------------------------------------------------ product quantization
+  /** Product-quantization codes (Jégou et al., TPAMI 2011 — public): the
+    * 64-dim embedding split into 8 subspaces of 8 dims, each subvector
+    * snapped to its nearest of 4 codebook centroids (deterministic
+    * stand-ins: the subvectors of vec_id < 4, the same convention as v5's
+    * IVF centroids). Output is the 8-byte code word (c0..c7) + squared
+    * reconstruction error — the memory layout an ANN index at 100 TB
+    * actually stores (8 bytes/vector instead of 256). Shape: one narrow
+    * explode to (vector, subspace), a broadcast join against the 32-row
+    * codebook, and `min(struct(d2, k))` argmin aggregation — map-side
+    * partial, no window sort; the only shuffle is the two keyed
+    * hash-aggregations, linear in corpus size. */
+  private val v12PqCodes: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    val subs = emb.select(col("vec_id"),
+      explode(array((0 until 8).map(s =>
+        struct(lit(s).as("sub"), slice(col("embedding"), s * 8 + 1, 8).as("v"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+    val codebook = subs.filter(col("vec_id") < 4)
+      .select(col("sub"), col("vec_id").as("k"), col("v").as("c"))
+    // fixed-order fold: deterministic double sum, same order as the oracle
+    val sqDist = expr(
+      """aggregate(zip_with(v, c,
+        |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+        |  0D, (acc, x) -> acc + x)""".stripMargin)
+    val best = subs.join(broadcast(codebook), "sub")
+      .withColumn("d2", round(sqDist, 4))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("k"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.k").as("k"), col("best.d2").as("d2"))
+    val codeCols = (0 until 8).map(s =>
+      max(when(col("sub") === s, col("k"))).as(s"c$s")) :+
+      round(sum("d2"), 4).as("recon_err")
+    best.groupBy("vec_id")
+      .agg(codeCols.head, codeCols.tail: _*)
+      .orderBy("vec_id")
+  }
+
+  private val v12PqCodesSql = {
+    val codeSel = (0 until 8)
+      .map(s => s"max(CASE WHEN sub = $s THEN k END) AS c$s").mkString(",\n  ")
+    s"""WITH $unnestSql,
+       |sub AS (
+       |  SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS sub,
+       |    CAST((i - 1) % 8 AS INTEGER) AS d, x
+       |  FROM un),
+       |cb AS (SELECT vec_id AS k, sub, d, x AS c FROM sub WHERE vec_id < 4),
+       |dist AS (
+       |  SELECT s.vec_id, s.sub, c.k,
+       |    round(sum((s.x - c.c) * (s.x - c.c)), 4) AS d2
+       |  FROM sub s JOIN cb c ON c.sub = s.sub AND c.d = s.d
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT vec_id, sub, k, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY d2, k) AS rn
+       |    FROM dist) WHERE rn = 1)
+       |SELECT vec_id,
+       |  $codeSel,
+       |  round(sum(d2), 4) AS recon_err
+       |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "v12_pq_codes" -> v12PqCodes,
     "v11_ann_recall" -> v11AnnRecall,
     "v8_quantize" -> v8Quantize,
     "v9_norm_outliers" -> v9NormOutliers,
@@ -708,6 +773,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "v12_pq_codes" -> v12PqCodesSql,
     "v11_ann_recall" -> v11AnnRecallSql,
     "v8_quantize" -> v8QuantizeSql,
     "v9_norm_outliers" -> v9NormOutliersSql,

@@ -105,4 +105,28 @@ class CommitLogSpec extends SparkSpec {
     val t = freshTable("empty")
     intercept[IllegalArgumentException] { CommitLog.read(spark, t) }
   }
+
+  test("compact bin-packs live files, preserves content, no-ops at a met target") {
+    val t = freshTable("compact")
+    CommitLog.append(df(1L -> "a", 2L -> "b").repartition(3), t)
+    CommitLog.append(df(3L -> "c", 4L -> "d").repartition(3), t)
+    val before = CommitLog.snapshotFiles(t)
+    assert(before.length > 2, s"fixture should start fragmented, got $before")
+
+    assert(CommitLog.compact(spark, t, targetFiles = 2).contains(2L))
+    assert(CommitLog.snapshotFiles(t).length == 2)
+    val now = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+
+    // already at target: no rewrite, no empty commit in the history
+    assert(CommitLog.compact(spark, t, targetFiles = 2).isEmpty)
+    assert(CommitLog.currentVersion(t) == 2L)
+
+    // time travel across the compaction boundary still works until vacuum
+    assert(CommitLog.read(spark, t, asOf = Some(0L)).count() == 2)
+    val reclaimed = CommitLog.vacuum(t)
+    assert(reclaimed.toSet == before.toSet,
+      s"vacuum must drop exactly the superseded files: $reclaimed vs $before")
+  }
 }
