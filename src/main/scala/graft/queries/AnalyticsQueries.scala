@@ -169,8 +169,49 @@ object AnalyticsQueries {
       |  count(*) AS cnt
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------ skew diagnostics
+  /** Key-distribution diagnostics — the report an operator runs BEFORE
+    * picking a shuffle strategy on a 100 TB join/agg key: key cardinality,
+    * max/avg per-key row counts, the skew ratio, the derived salt factor
+    * a12-style salting would need, and the top-5 hot keys. One row; the
+    * heavy lifting is a single map-side-combined count per key, then a
+    * 5-row TakeOrderedAndProject and two tiny broadcast-size aggregates —
+    * nothing here grows with the key count except the first exchange. */
+  private val a16SkewReport: Q = (spark, dir) => {
+    val cnts = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+    val hot = cnts.orderBy(col("cnt").desc, col("l_suppkey")).limit(5)
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(-cnt AS negc, l_suppkey AS k, cnt AS c))), x -> concat(x.k, ':', x.c))"),
+        ",").as("hot_keys"))
+    cnts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("cnt").as("total_rows"),
+      max("cnt").as("max_cnt"),
+      round(sum("cnt").cast("double") / count(lit(1)), 4).as("avg_cnt"))
+      .withColumn("skew_ratio", round(col("max_cnt") / col("avg_cnt"), 4))
+      .withColumn("suggested_salt", ceil(col("max_cnt") / col("avg_cnt")).cast("int"))
+      .crossJoin(broadcast(hot))
+  }
+
+  private val a16SkewReportSql =
+    """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |s AS (
+      |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+      |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+      |    round(CAST(sum(cnt) AS DOUBLE) / count(*), 4) AS avg_cnt
+      |  FROM c),
+      |h AS (
+      |  SELECT string_agg(l_suppkey || ':' || cnt, ',' ORDER BY cnt DESC, l_suppkey) AS hot_keys
+      |  FROM (SELECT * FROM c ORDER BY cnt DESC, l_suppkey LIMIT 5))
+      |SELECT n_keys, total_rows, max_cnt, avg_cnt,
+      |  round(max_cnt / avg_cnt, 4) AS skew_ratio,
+      |  CAST(ceil(max_cnt / avg_cnt) AS INTEGER) AS suggested_salt, hot_keys
+      |FROM s, h""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "a16_skew_report" -> a16SkewReport,
     "q5_nation_revenue" -> q5NationRevenue,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "w4_moving_avg" -> w4MovingAvg,
@@ -180,6 +221,7 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "a16_skew_report" -> a16SkewReportSql,
     "w5_rank_family" -> w5RankFamilySql,
     "f_array_ops" -> fArrayOpsSql,
     "q5_nation_revenue" -> q5NationRevenueSql,

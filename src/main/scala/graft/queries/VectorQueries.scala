@@ -688,6 +688,101 @@ object VectorQueries {
        |WHERE e.vec_id % 50 = 0
        |ORDER BY query_id""".stripMargin
 
+  // ------------------------------------------------------------------ semantic dedup
+  /** SemDeDup (Abbas et al. 2023, public): semantic near-duplicate REMOVAL
+    * driven by embedding clusters — assign every vector to its nearest
+    * centroid cell (v5's IVF assignment), generate candidate pairs only
+    * WITHIN a cell, confirm with exact cosine >= 0.99, collapse into
+    * clusters with [[graft.operators.GraphCC]], keep the smallest id as
+    * canonical. The cell structure is what makes this linear-ish at
+    * 100 TB: pair generation is an equi-join on cell_id bounded by cell
+    * sizes, never a corpus cross-join; cross-cell duplicates are the
+    * method's documented miss (quantify with a v11-style recall probe).
+    * Feed plants 10 exact duplicates (same convention as d5) so the
+    * pipeline provably collapses them onto their originals. */
+  private val d13SemanticDedup: Q = (spark, dir) => {
+    graft.plans.GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val feed = base.unionByName(base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val centroids = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val cellW = Window.partitionBy("vec_id").orderBy(col("c_sim").desc, col("centroid_id"))
+    val cells = feed.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", round(expr("cosine_sim(embedding, c_emb)"), 4))
+      .withColumn("rn", row_number().over(cellW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell_id"))
+    val a = cells.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("cell_id"))
+    val b = cells.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("cell_id"))
+    val pairs = a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(expr("cosine_sim(emb_a, emb_b)"), 4))
+      .filter(col("cos_sim") >= 0.99)
+      .select(lit("").as("key"), col("id_a"), col("id_b"))
+    val verts = feed.select(lit("").as("key"), col("vec_id").as("id"))
+    val comp = graft.operators.GraphCC.connectedComponents(verts, pairs)
+      .select(col("id").as("vec_id"), col("comp").as("canonical_id"))
+    comp.join(cells.select("vec_id", "cell_id"), "vec_id")
+      .withColumn("is_canonical", col("vec_id") === col("canonical_id"))
+      .withColumn("cluster_n", count(lit(1)).over(
+        Window.partitionBy("canonical_id")))
+      .select("vec_id", "cell_id", "canonical_id", "is_canonical", "cluster_n")
+      .orderBy("vec_id")
+  }
+
+  private val d13SemanticDedupSql =
+    """WITH RECURSIVE feed AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |un AS (
+      |  SELECT vec_id, CAST(i.i AS INTEGER) AS i, CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE) AS x
+      |  FROM feed, generate_series(1, 64) i(i)),
+      |norms AS (SELECT vec_id, sum(x * x) AS n2 FROM un GROUP BY 1),
+      |cdots AS (
+      |  SELECT b.vec_id, a.vec_id AS centroid_id, sum(a.x * b.x) AS dot
+      |  FROM un a JOIN un b ON a.i = b.i
+      |  WHERE a.vec_id < 16
+      |  GROUP BY 1, 2),
+      |cscored AS (
+      |  SELECT d.vec_id, d.centroid_id,
+      |    round(d.dot / (sqrt(nb.n2) * sqrt(na.n2)), 4) AS c_sim
+      |  FROM cdots d
+      |  JOIN norms na ON na.vec_id = d.centroid_id
+      |  JOIN norms nb ON nb.vec_id = d.vec_id),
+      |cells AS (
+      |  SELECT vec_id, centroid_id AS cell_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY c_sim DESC, centroid_id) AS rn
+      |    FROM cscored) WHERE rn = 1),
+      |cand AS (
+      |  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+      |  FROM cells ca JOIN cells cb
+      |    ON ca.cell_id = cb.cell_id AND ca.vec_id < cb.vec_id),
+      |pairs AS (
+      |  SELECT p.id_a, p.id_b
+      |  FROM cand p
+      |  JOIN un a ON a.vec_id = p.id_a
+      |  JOIN un b ON b.vec_id = p.id_b AND b.i = a.i
+      |  JOIN norms na ON na.vec_id = p.id_a
+      |  JOIN norms nb ON nb.vec_id = p.id_b
+      |  GROUP BY 1, 2, na.n2, nb.n2
+      |  HAVING round(sum(a.x * b.x) / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.99),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |  UNION ALL SELECT vec_id, vec_id FROM feed),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS vec_id, min(dst) AS canonical_id FROM reach GROUP BY 1)
+      |SELECT c.vec_id, cl.cell_id, c.canonical_id,
+      |  c.vec_id = c.canonical_id AS is_canonical,
+      |  count(*) OVER (PARTITION BY c.canonical_id) AS cluster_n
+      |FROM comp c JOIN cells cl ON cl.vec_id = c.vec_id
+      |ORDER BY c.vec_id""".stripMargin
+
   // ------------------------------------------------------------------ product quantization
   /** Product-quantization codes (Jégou et al., TPAMI 2011 — public): the
     * 64-dim embedding split into 8 subspaces of 8 dims, each subvector
@@ -754,6 +849,7 @@ object VectorQueries {
 
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "d13_semantic_dedup" -> d13SemanticDedup,
     "v12_pq_codes" -> v12PqCodes,
     "v11_ann_recall" -> v11AnnRecall,
     "v8_quantize" -> v8Quantize,
@@ -773,6 +869,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "d13_semantic_dedup" -> d13SemanticDedupSql,
     "v12_pq_codes" -> v12PqCodesSql,
     "v11_ann_recall" -> v11AnnRecallSql,
     "v8_quantize" -> v8QuantizeSql,
