@@ -52,6 +52,9 @@ object CommitLog {
   private val AddRe = """"add"\s*:\s*"([^"]+)"""".r
   private val RemoveRe = """"remove"\s*:\s*"([^"]+)"""".r
   private val OpRe = """"op"\s*:\s*"([^"]+)"""".r
+  // zone-map vocabulary: an add action MAY carry the file's [lo, hi] range
+  // on the table's clustering column — {"add":"f","lo":N,"hi":N}
+  private val AddStatsRe = """"add"\s*:\s*"([^"]+)"\s*,\s*"lo"\s*:\s*(-?\d+)\s*,\s*"hi"\s*:\s*(-?\d+)""".r
 
   /** Committed versions, ascending; empty for a fresh/absent table. */
   def versions(table: String): Seq[Long] =
@@ -116,12 +119,13 @@ object CommitLog {
     * on collision (another writer won that version). Returns the version
     * the commit landed at. */
   private def commit(table: String, op: String,
-                     add: Seq[String], remove: Seq[String]): Long = {
+                     add: Seq[String], remove: Seq[String]): Long =
+    commitRaw(table, op,
+      add.map(f => s"""{"add":"$f"}""") ++ remove.map(f => s"""{"remove":"$f"}"""))
+
+  private def commitRaw(table: String, op: String, actions: Seq[String]): Long = {
     Files.createDirectories(logDir(table))
-    val lines =
-      (s"""{"op":"$op"}""" +:
-        (add.map(f => s"""{"add":"$f"}""") ++ remove.map(f => s"""{"remove":"$f"}""")))
-        .mkString("", "\n", "\n")
+    val lines = (s"""{"op":"$op"}""" +: actions).mkString("", "\n", "\n")
     var attempt = 0
     while (attempt < 100) {
       val v = currentVersion(table) + 1
@@ -182,6 +186,60 @@ object CommitLog {
       val fresh = df.join(read(spark, table).select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
       if (fresh.isEmpty) None else Some(append(fresh, table))
+    }
+  }
+
+  /** Zone maps of the LIVE snapshot: file → [lo, hi] on the clustering
+    * column, for files whose commit recorded stats (plain appends carry
+    * none and are never skipped — absence of stats must fail SAFE). */
+  def fileStats(table: String, asOf: Option[Long] = None): Map[String, (Long, Long)] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[(Long, Long)]]
+    versions(table).filter(v => asOf.forall(v <= _)).foreach { v =>
+      val text = new String(Files.readAllBytes(
+        logDir(table).resolve(f"$v%012d.json")), StandardCharsets.UTF_8)
+      val stats = AddStatsRe.findAllMatchIn(text)
+        .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+      AddRe.findAllMatchIn(text).map(_.group(1)).foreach(f => live(f) = stats.get(f))
+      RemoveRe.findAllMatchIn(text).map(_.group(1)).foreach(live.remove)
+    }
+    live.collect { case (f, Some(s)) => f -> s }.toMap
+  }
+
+  /** Transactional append that clusters `df` on `statsCol` (range
+    * repartition into `buckets` files, each covering a disjoint key range)
+    * and records each file's [min, max] in the commit — the zone-map /
+    * data-skipping layout (public Delta `stats` / Iceberg manifest-metrics
+    * shape). At 100 TB stats come from the write tasks; here they are read
+    * back from the staged footers, which is equivalent and keeps the write
+    * path untouched. Returns the committed version. */
+  def appendClustered(spark: SparkSession, df: DataFrame, table: String,
+                      statsCol: String, buckets: Int): Long = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    Files.createDirectories(Paths.get(table))
+    val clustered = df.repartitionByRange(buckets, col(statsCol))
+    val files = stage(clustered, table)
+    val lines = files.map { f =>
+      val r = spark.read.parquet(Paths.get(table, f).toString)
+        .agg(fmin(col(statsCol)), fmax(col(statsCol))).head()
+      // an empty file (range partition with no rows) gets no stats — it
+      // is then never skipped, the fail-safe default
+      if (r.isNullAt(0)) s"""{"add":"$f"}"""
+      else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)}}"""
+    }
+    commitRaw(table, "append", lines)
+  }
+
+  /** The files a predicate `statsCol BETWEEN lo AND hi` must read: live
+    * files whose zone overlaps the range, PLUS every live file without
+    * recorded stats (skipping is only ever an optimization — a file is
+    * dropped solely on positive evidence its range cannot match). */
+  def prunedFiles(table: String, lo: Long, hi: Long): Seq[String] = {
+    val stats = fileStats(table)
+    snapshotFiles(table).filter { f =>
+      stats.get(f) match {
+        case Some((flo, fhi)) => fhi >= lo && flo <= hi
+        case None => true
+      }
     }
   }
 

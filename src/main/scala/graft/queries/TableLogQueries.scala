@@ -198,7 +198,47 @@ object TableLogQueries {
       |  2 AS files_after, 5 AS n_versions
       |FROM orders GROUP BY 1 ORDER BY batch""".stripMargin
 
+  /** tl5: zone-map file skipping — the corpus appended CLUSTERED on the
+    * key (range-partitioned files, per-file [lo, hi] recorded in the
+    * commit), then a narrow key-range read proves the zone maps prune to
+    * 1 of 4 data files before any parquet footer is opened. This is the
+    * commit-log's answer to partition pruning for high-cardinality keys
+    * (the public Delta stats / Iceberg manifest-metrics mechanism): at
+    * 100 TB the scan's file list shrinks by the clustering factor, and a
+    * file with no recorded stats is always read — skipping only ever acts
+    * on positive evidence. */
+  private val tl5ZonemapSkip: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_zonemap"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val table = root.toString
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey").cast("long").as("id"),
+        round(col("o_totalprice").cast("double"), 2).as("price"))
+    CommitLog.appendClustered(spark, orders, table, "id", buckets = 4)
+    val all = CommitLog.snapshotFiles(table)
+    require(all.length == 4, s"expected 4 clustered files, got ${all.length}")
+    // predicate well inside the first quartile: exactly one zone overlaps
+    val hit = CommitLog.prunedFiles(table, 0L, 300L)
+    require(hit.length == 1,
+      s"zone maps should prune to 1 of 4 files, got ${hit.length}")
+    spark.read.parquet(hit.map(f => Paths.get(table, f).toString): _*)
+      .filter(col("id").between(0, 300))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("price")), 2).as("total"))
+      .withColumn("files_scanned", lit(hit.length))
+      .withColumn("files_total", lit(all.length))
+  }
+
+  private val tl5ZonemapSkipSql =
+    """SELECT count(*) AS n_rows,
+      |  round(CAST(sum(round(o_totalprice, 2)) AS DOUBLE), 2) AS total,
+      |  1 AS files_scanned, 4 AS files_total
+      |FROM orders WHERE o_orderkey BETWEEN 0 AND 300""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl5_zonemap_skip" -> tl5ZonemapSkip,
     "tl1_commitlog_snapshot" -> tl1Snapshot,
     "tl2_time_travel" -> tl2TimeTravel,
     "tl3_dedup_ingest" -> tl3DedupIngest,
@@ -206,6 +246,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl5_zonemap_skip" -> tl5ZonemapSkipSql,
     "tl1_commitlog_snapshot" -> tl1SnapshotSql,
     "tl2_time_travel" -> tl2TimeTravelSql,
     "tl3_dedup_ingest" -> tl3DedupIngestSql,

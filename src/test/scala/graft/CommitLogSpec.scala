@@ -129,4 +129,36 @@ class CommitLogSpec extends SparkSpec {
     assert(reclaimed.toSet == before.toSet,
       s"vacuum must drop exactly the superseded files: $reclaimed vs $before")
   }
+
+  test("zone maps prune by range; files without stats are never skipped") {
+    import spark.implicits._
+    val t = freshTable("zonemap")
+    // clustered append: 2 files with disjoint [lo, hi] zones
+    CommitLog.appendClustered(spark,
+      (1L to 100L).toDF("id"), t, "id", buckets = 2)
+    val stats = CommitLog.fileStats(t)
+    assert(stats.size == 2, s"both clustered files need stats: $stats")
+    assert(stats.values.map { case (lo, hi) => (lo, hi) }.toSeq.sortBy(_._1)
+      .sliding(2).forall { case Seq((_, h1), (l2, _)) => h1 < l2; case _ => true },
+      s"zones must be disjoint: $stats")
+
+    // a range inside one zone reads exactly that file
+    val onezone = CommitLog.prunedFiles(t, 1L, 5L)
+    assert(onezone.length == 1, s"expected 1 file for a one-zone range: $onezone")
+    // a range spanning the boundary reads both
+    assert(CommitLog.prunedFiles(t, 1L, 100L).length == 2)
+    // a range outside every zone reads nothing
+    assert(CommitLog.prunedFiles(t, 1000L, 2000L).isEmpty)
+
+    // plain append carries no stats -> its file must survive every prune
+    CommitLog.append((200L to 210L).toDF("id").coalesce(1), t)
+    val afterPlain = CommitLog.prunedFiles(t, 1L, 5L)
+    assert(afterPlain.length == 2,
+      s"the stats-less file must always be read: $afterPlain")
+    // and the skipping read still returns exactly the right rows
+    val ids = spark.read.parquet(
+        CommitLog.prunedFiles(t, 1L, 5L).map(f => java.nio.file.Paths.get(t, f).toString): _*)
+      .filter($"id".between(1, 5)).as[Long].collect().sorted
+    assert(ids.toSeq == (1L to 5L))
+  }
 }
