@@ -181,7 +181,7 @@ object TextDedupQueries {
           concat(col("text"), lit(" extra")).as("text")))
   }
 
-  private val nearDupFeedSql =
+  private[queries] val nearDupFeedSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 10000 AS doc_id, text || ' extra' AS text
@@ -471,7 +471,7 @@ object TextDedupQueries {
 
   /** DuckDB twin of [[TextPipeline.simhash64]] as CTE chunks ending in
     * `sim(doc_id, sim0..sim3)`, parameterized over the source relation. */
-  private def simhashSqlOver(src: String) = {
+  private[queries] def simhashSqlOver(src: String) = {
     val simCols = (0 until 4).map(k =>
       s"CAST(sum(CASE WHEN p // 4 = $k THEN nib << ((p % 4) * 4) ELSE 0 END) AS INTEGER) AS sim$k")
       .mkString(",\n    ")
@@ -541,7 +541,7 @@ object TextDedupQueries {
 
   /** `banded/bsized/bkeep` CTE chunk shared by the d9 pair query and the
     * d9b audit, with the bucket cap applied exactly as the engine does. */
-  private def simhashBandedSql(maxBucket: Int) =
+  private[queries] def simhashBandedSql(maxBucket: Int) =
     s"""banded AS (
        |  SELECT doc_id, sim0, sim1, sim2, sim3, CAST(g.b AS INTEGER) AS b,
        |    CASE WHEN g.b = 0 THEN sim0 WHEN g.b = 1 THEN sim1

@@ -688,6 +688,79 @@ object VectorQueries {
        |WHERE e.vec_id % 50 = 0
        |ORDER BY query_id""".stripMargin
 
+  // ------------------------------------------------------------------ media perceptual-hash dedup
+  /** End-to-end MEDIA near-dup removal: binary payloads → partition-wise
+    * decode → 64-bit perceptual hash → banded hamming pairs → clusters →
+    * canonical survivor + bytes-reclaimed accounting. The pHash stands in
+    * for a DCT/pixel perceptual hash (no codecs in this container): it is
+    * [[graft.operators.TextPipeline.simhash64]] over the DECODED payload,
+    * which has the property that matters — locality-sensitivity on
+    * content — while the Spark-side plumbing (opaque binary column,
+    * narrow decode, the d9 band join with its live bucket cap, GraphCC,
+    * per-cluster byte rollup) is exactly the production media-dedup
+    * pipeline. Feed plants 20 tailed copies; their hamming distance to
+    * the originals is ≤ 3, so each collapses onto its original and the
+    * report prices the reclaimed bytes. */
+  private val m4PhashNeardup: Q = (spark, dir) => {
+    graft.plans.GraftFunctions.register(spark)
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val feed = d.unionByName(d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text")))
+    val media = BinaryMedia.fakePayloads(spark, feed)
+    val sim = media.toDF()
+      .select(col("media_id"), expr("simhash64(decode(payload, 'UTF-8'))").as("s"))
+      .select(col("media_id").as("doc_id"), col("s.sim0").as("sim0"),
+        col("s.sim1").as("sim1"), col("s.sim2").as("sim2"), col("s.sim3").as("sim3"))
+    val pairs = graft.operators.TextPipeline.simhashPairs(sim, "doc_id",
+        maxHamming = 3, maxBucket = graft.operators.TextPipeline.DefaultMaxBucket)
+      .select(lit("").as("key"), col("id_a"), col("id_b"))
+    val verts = media.toDF().select(lit("").as("key"), col("media_id").as("id"))
+    val comp = graft.operators.GraphCC.connectedComponents(verts, pairs)
+      .select(col("id").as("media_id"), col("comp").as("cluster_id"))
+    val meta = BinaryMedia.decodeMeta(media).toDF().select("media_id", "byte_len")
+    comp.join(meta, "media_id")
+      .groupBy("cluster_id")
+      .agg(min("media_id").as("keep_media_id"),
+        count(lit(1)).as("n_media"),
+        sum("byte_len").as("bytes_total"),
+        min_by(col("byte_len"), col("media_id")).as("keep_bytes"))
+      .withColumn("bytes_dropped", col("bytes_total") - col("keep_bytes"))
+      .select("cluster_id", "keep_media_id", "n_media", "bytes_total", "bytes_dropped")
+      .orderBy("cluster_id")
+  }
+
+  private val m4PhashNeardupSql =
+    s"""WITH RECURSIVE feed AS (${TextDedupQueries.nearDupFeedSql}),
+       |${TextDedupQueries.simhashSqlOver("feed")},
+       |${TextDedupQueries.simhashBandedSql(graft.operators.TextPipeline.DefaultMaxBucket)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sim0 AS a0, a.sim1 AS a1, a.sim2 AS a2, a.sim3 AS a3,
+       |    b.sim0 AS b0, b.sim1 AS b1, b.sim2 AS b2, b.sim3 AS b3
+       |  FROM bkeep a JOIN bkeep b
+       |    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |hpairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  WHERE bit_count(CAST(xor(a0, b0) AS BIGINT)) + bit_count(CAST(xor(a1, b1) AS BIGINT))
+       |    + bit_count(CAST(xor(a2, b2) AS BIGINT)) + bit_count(CAST(xor(a3, b3) AS BIGINT)) <= 3),
+       |cedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM hpairs
+       |  UNION ALL SELECT id_b, id_a FROM hpairs
+       |  UNION ALL SELECT doc_id, doc_id FROM feed),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM cedges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN cedges e ON r.dst = e.src),
+       |comp AS (SELECT src AS media_id, min(dst) AS cluster_id FROM reach GROUP BY 1),
+       |meta AS (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS byte_len FROM feed)
+       |SELECT c.cluster_id, min(c.media_id) AS keep_media_id,
+       |  count(*) AS n_media,
+       |  CAST(sum(m.byte_len) AS BIGINT) AS bytes_total,
+       |  CAST(sum(m.byte_len) - arg_min(m.byte_len, c.media_id) AS BIGINT) AS bytes_dropped
+       |FROM comp c JOIN meta m ON m.media_id = c.media_id
+       |GROUP BY c.cluster_id ORDER BY c.cluster_id""".stripMargin
+
   // ------------------------------------------------------------------ semantic dedup
   /** SemDeDup (Abbas et al. 2023, public): semantic near-duplicate REMOVAL
     * driven by embedding clusters — assign every vector to its nearest
@@ -849,6 +922,7 @@ object VectorQueries {
 
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "m4_phash_neardup" -> m4PhashNeardup,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "v12_pq_codes" -> v12PqCodes,
     "v11_ann_recall" -> v11AnnRecall,
@@ -869,6 +943,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "m4_phash_neardup" -> m4PhashNeardupSql,
     "d13_semantic_dedup" -> d13SemanticDedupSql,
     "v12_pq_codes" -> v12PqCodesSql,
     "v11_ann_recall" -> v11AnnRecallSql,
