@@ -2,7 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Survivability contract (round-5): oracle_sql.json is written FIRST —
+  * it depends only on the static SparkEntry.oracleSql map, not on any
+  * query having run. Round 4's driver record came back empty (`{}`)
+  * after a timeout because this file was written last: a kill at any
+  * point during the query loop left zero comparable evidence even though
+  * every already-completed query had its parquet on disk. With the
+  * oracle up front, a killed run still yields a valid partial compare
+  * over every query whose output directory finished writing.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,13 +25,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,6 +40,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    all.zipWithIndex.foreach { case ((name, fn), i) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[verify] ${i + 1}/${all.size} $name ok in $dt%.1fs")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] ${i + 1}/${all.size} $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }
