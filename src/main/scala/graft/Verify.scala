@@ -40,7 +40,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Dev filter, same contract as Bench: SPARK_GRAFT_ONLY=d13,d13b runs a
+    // subset (the driver never sets it). oracle_sql.json above still holds
+    // every query, so check.py simply skips entries with no output dir.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     all.zipWithIndex.foreach { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       try {

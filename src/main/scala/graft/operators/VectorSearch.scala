@@ -50,6 +50,38 @@ object VectorSearch {
       .select(col("query_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Default cell-population cap for within-cell pair generation (SemDeDup
+    * and friends): a cell of n vectors yields n(n-1)/2 candidate pairs on
+    * ONE shuffle key, and SemDeDup's own use case — mass near-duplicate
+    * embeddings — concentrates exactly those vectors into one cell. Same
+    * guard, same default, as the text path's
+    * [[TextPipeline.DefaultMaxBucket]]. */
+  val DefaultMaxCell = 1000
+
+  /** Within-cell candidate pairs for cluster-bucketed dedup. `cells` must
+    * carry (idCol, embCol, cellCol). Cells larger than `maxCell` are
+    * REFUSED from pair generation — their members stay singletons (audit
+    * them with [[droppedCells]]); the population count comes from a window
+    * over the same shuffle key the join uses, so the cap costs no extra
+    * shuffle. Output: (cellCol, id_a, id_b, emb_a, emb_b) with id_a < id_b. */
+  def cellPairs(cells: DataFrame, idCol: String, embCol: String,
+                cellCol: String, maxCell: Int = DefaultMaxCell): DataFrame = {
+    val kept = cells
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy(cellCol)))
+      .filter(col("cell_n") <= maxCell)
+    val a = kept.select(col(idCol).as("id_a"), col(embCol).as("emb_a"), col(cellCol))
+    val b = kept.select(col(idCol).as("id_b"), col(embCol).as("emb_b"), col(cellCol))
+    a.join(b, Seq(cellCol)).filter(col("id_a") < col("id_b"))
+  }
+
+  /** Audit output for the cap: one row per refused cell with its
+    * population — "what did semantic dedup refuse to pair, and how big". */
+  def droppedCells(cells: DataFrame, cellCol: String,
+                   maxCell: Int = DefaultMaxCell): DataFrame =
+    cells.groupBy(cellCol)
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") > maxCell)
+
   /** Deterministic integer hyperplane weight for (plane p, 1-based dim j):
     * ((p*37 + j*17) % 13) - 6, i.e. pseudo-random in [-6, 6] with exact
     * integer arithmetic any engine reproduces bit-for-bit. */

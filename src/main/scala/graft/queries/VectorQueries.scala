@@ -772,8 +772,16 @@ object VectorQueries {
     * sizes, never a corpus cross-join; cross-cell duplicates are the
     * method's documented miss (quantify with a v11-style recall probe).
     * Feed plants 10 exact duplicates (same convention as d5) so the
-    * pipeline provably collapses them onto their originals. */
-  private val d13SemanticDedup: Q = (spark, dir) => {
+    * pipeline provably collapses them onto their originals.
+    *
+    * The within-cell pair join runs CAPPED
+    * ([[graft.operators.VectorSearch.cellPairs]], default 1000): SemDeDup's
+    * own use case — mass near-duplicate embeddings — concentrates exactly
+    * those vectors into ONE cell, so an uncapped cell join is |cell|²
+    * on a single shuffle key. Refused cells leave their members as
+    * singletons; d13b audits the refusals (same guard discipline as the
+    * text path's DefaultMaxBucket since r3). */
+  private def semCells(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val feed = base.unionByName(base.filter(col("vec_id") < 10)
@@ -781,18 +789,21 @@ object VectorQueries {
     val centroids = base.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val cellW = Window.partitionBy("vec_id").orderBy(col("c_sim").desc, col("centroid_id"))
-    val cells = feed.crossJoin(broadcast(centroids))
+    feed.crossJoin(broadcast(centroids))
       .withColumn("c_sim", round(expr("cosine_sim(embedding, c_emb)"), 4))
       .withColumn("rn", row_number().over(cellW)).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell_id"))
-    val a = cells.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("cell_id"))
-    val b = cells.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("cell_id"))
-    val pairs = a.join(b, Seq("cell_id"))
-      .filter(col("id_a") < col("id_b"))
+  }
+
+  private val d13SemanticDedup: Q = (spark, dir) => {
+    val cells = semCells(spark, dir)
+    val pairs = graft.operators.VectorSearch
+      .cellPairs(cells, "vec_id", "embedding", "cell_id",
+        maxCell = graft.operators.VectorSearch.DefaultMaxCell)
       .withColumn("cos_sim", round(expr("cosine_sim(emb_a, emb_b)"), 4))
       .filter(col("cos_sim") >= 0.99)
       .select(lit("").as("key"), col("id_a"), col("id_b"))
-    val verts = feed.select(lit("").as("key"), col("vec_id").as("id"))
+    val verts = cells.select(lit("").as("key"), col("vec_id").as("id"))
     val comp = graft.operators.GraphCC.connectedComponents(verts, pairs)
       .select(col("id").as("vec_id"), col("comp").as("canonical_id"))
     comp.join(cells.select("vec_id", "cell_id"), "vec_id")
@@ -803,8 +814,10 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  private val d13SemanticDedupSql =
-    """WITH RECURSIVE feed AS (
+  /** Shared oracle prefix for d13/d13b: feed -> unnested dims -> nearest
+    * centroid cell per vector -> per-cell populations. */
+  private val semCellsSql =
+    """feed AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
       |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10),
@@ -828,9 +841,17 @@ object VectorQueries {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY c_sim DESC, centroid_id) AS rn
       |    FROM cscored) WHERE rn = 1),
+      |csized AS (SELECT cell_id, count(*) AS cell_n FROM cells GROUP BY 1)""".stripMargin
+
+  private val d13SemanticDedupSql =
+    s"""WITH RECURSIVE $semCellsSql,
+      |ckeep AS (
+      |  SELECT c.vec_id, c.cell_id
+      |  FROM cells c JOIN csized s ON c.cell_id = s.cell_id
+      |  WHERE s.cell_n <= 1000),
       |cand AS (
       |  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
-      |  FROM cells ca JOIN cells cb
+      |  FROM ckeep ca JOIN ckeep cb
       |    ON ca.cell_id = cb.cell_id AND ca.vec_id < cb.vec_id),
       |pairs AS (
       |  SELECT p.id_a, p.id_b
@@ -855,6 +876,22 @@ object VectorQueries {
       |  count(*) OVER (PARTITION BY c.canonical_id) AS cluster_n
       |FROM comp c JOIN cells cl ON cl.vec_id = c.vec_id
       |ORDER BY c.vec_id""".stripMargin
+
+  /** d13b: the refusal audit for d13's cell cap — one row per cell whose
+    * population exceeds the cap, i.e. "what did semantic dedup refuse to
+    * pair, and how big was it". Cap 30 here (vs d13's production 1000) so
+    * the audit provably fires on the gate corpus: 510 vectors over 16
+    * cells puts the largest cell >= 32 by pigeonhole. Companion to the
+    * text path's d2d_lsh_dropped. */
+  private val d13bSemanticRefusals: Q = (spark, dir) =>
+    graft.operators.VectorSearch
+      .droppedCells(semCells(spark, dir), "cell_id", maxCell = 30)
+      .orderBy("cell_id")
+
+  private val d13bSemanticRefusalsSql =
+    s"""WITH $semCellsSql
+      |SELECT cell_id, cell_n FROM csized WHERE cell_n > 30
+      |ORDER BY cell_id""".stripMargin
 
   // ------------------------------------------------------------------ product quantization
   /** Product-quantization codes (Jégou et al., TPAMI 2011 — public): the
@@ -924,6 +961,7 @@ object VectorQueries {
   val queries: Map[String, Q] = Map(
     "m4_phash_neardup" -> m4PhashNeardup,
     "d13_semantic_dedup" -> d13SemanticDedup,
+    "d13b_semantic_refusals" -> d13bSemanticRefusals,
     "v12_pq_codes" -> v12PqCodes,
     "v11_ann_recall" -> v11AnnRecall,
     "v8_quantize" -> v8Quantize,
@@ -945,6 +983,7 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "m4_phash_neardup" -> m4PhashNeardupSql,
     "d13_semantic_dedup" -> d13SemanticDedupSql,
+    "d13b_semantic_refusals" -> d13bSemanticRefusalsSql,
     "v12_pq_codes" -> v12PqCodesSql,
     "v11_ann_recall" -> v11AnnRecallSql,
     "v8_quantize" -> v8QuantizeSql,
