@@ -82,4 +82,41 @@ object GlobalRank {
       .withColumn(outCol, (sum(col("__val")).over(local) + col("__offset")).cast("long"))
       .drop("__pid", "__offset", "__val")
   }
+
+  /** Adds `outCol` = inclusive running total of `valueCol` WITHIN each
+    * `groupCol` value, ordered by `orderCols` inside the group — i.e.
+    * `sum(v) OVER (PARTITION BY g ORDER BY o)` without the g-partition
+    * window (a handful of groups = a handful of tasks = the
+    * single-partition problem reborn whenever groups are few and large,
+    * e.g. train/val/test splits).
+    *
+    * Same single range shuffle as [[withRunningTotal]], keyed on
+    * (group, order): groups are contiguous in that order, so the
+    * per-(partition, group) sums — at most #partitions x #groups rows,
+    * broadcast-sized for any bounded group count — give each group's
+    * carry-in offset per partition directly. No second pass over the
+    * data: the offsets branch reads the reused range exchange and
+    * map-side-combines straight down to those few rows. Preconditions
+    * match [[withRunningTotal]]. */
+  def withRunningTotalGrouped(df: DataFrame, groupCol: Column, orderCols: Seq[Column],
+                              valueCol: Column, outCol: String): DataFrame = {
+    require(!df.columns.contains("__pid") && !df.columns.contains("__offset") &&
+      !df.columns.contains("__grp"),
+      "input already has a __pid/__offset/__grp column — rename it before ranking")
+    val parted = df.repartitionByRange((groupCol +: orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__grp", groupCol)
+      .withColumn("__val", valueCol.cast("long"))
+    val offsets = parted.groupBy("__pid", "__grp").agg(sum(col("__val")).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.partitionBy("__grp").orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__grp", "__offset")
+    val local = Window.partitionBy("__pid", "__grp").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offsets), Seq("__pid", "__grp"))
+      .withColumn(outCol, (sum(col("__val")).over(local) + col("__offset")).cast("long"))
+      .drop("__pid", "__grp", "__offset", "__val")
+  }
 }

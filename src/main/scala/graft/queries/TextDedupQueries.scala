@@ -1265,11 +1265,13 @@ object TextDedupQueries {
     * (w6's md5 buckets) -> per-split concat-and-chunk sequence packing
     * (w9's budget). Scale shape: the per-split cumsum does NOT use a
     * `PARTITION BY split` window (3 splits = 3 tasks = the single-partition
-    * problem reborn); instead ONE global prefix sum ordered by
-    * (split, doc_id) ([[graft.operators.GlobalRank.withRunningTotal]])
-    * and each split's start offset subtracted via a tiny broadcast agg —
-    * splits are contiguous in that order, so within-split offsets fall out
-    * exactly. One range shuffle + one keyed dedup shuffle total. */
+    * problem reborn); instead ONE grouped prefix sum ordered by
+    * (split, doc_id) ([[graft.operators.GlobalRank.withRunningTotalGrouped]])
+    * whose per-(partition, split) carry-ins come out of the same range
+    * shuffle — no second aggregation pass over the survivors (the r4
+    * version derived split offsets from a min() over the cumsum subtree,
+    * executing the gate + dedup window twice; VERDICT r4 Wrong #3).
+    * One range shuffle + one keyed dedup shuffle total. */
   private val e7TrainingManifest: Q = (spark, dir) => {
     val m = TextPipeline.qualityMetrics(Tables.documents(spark, dir), "text")
     val z = round(
@@ -1288,12 +1290,9 @@ object TextDedupQueries {
           .when(col("bucket") < "e", "val")
           .otherwise("test"))
       .select("doc_id", "split", "n_tokens", "quality_prob")
-    val cum = graft.operators.GlobalRank.withRunningTotal(
-      surv, Seq(col("split"), col("doc_id")), col("n_tokens"), "cum_all")
-      .withColumn("start_all", col("cum_all") - col("n_tokens"))
-    val offs = cum.groupBy("split").agg(min("start_all").as("split_off"))
-    cum.join(broadcast(offs), "split")
-      .withColumn("start_token", col("start_all") - col("split_off"))
+    graft.operators.GlobalRank.withRunningTotalGrouped(
+      surv, col("split"), Seq(col("doc_id")), col("n_tokens"), "cum_split")
+      .withColumn("start_token", col("cum_split") - col("n_tokens"))
       .withColumn("first_seq", expr(s"start_token div $packBudget"))
       .withColumn("last_seq",
         expr(s"(start_token + n_tokens - 1) div $packBudget"))
@@ -1344,16 +1343,31 @@ object TextDedupQueries {
   /** Character-level Shannon entropy per document — the classic gibberish
     * / boilerplate signal (near-zero entropy = repeated filler, unusually
     * high = random noise; cf. Gopher's quality heuristics, Rae et al.
-    * 2021, public). Pure scalar fold — distinct chars SORTED first so the
-    * double accumulation has one fixed order at any parallelism, and no
-    * shuffle at all: the same stateless-projection shape as t_quality. */
+    * 2021, public). Pure scalar fold, no shuffle at all: sort the chars
+    * once (O(n log n)), then ONE run-length pass accumulates each
+    * distinct char's -p*log2(p) term as its run closes — linear after
+    * the sort, vs the r4 version's per-distinct-char rescan of the full
+    * array (O(alphabet x length); VERDICT r4 Wrong #4). Terms fold in
+    * sorted-char order, the same fixed order at any parallelism the old
+    * expression used, so the rounded output is bit-identical. The ''
+    * sentinel in the zero-struct is safe: a genuine leading '' element
+    * just extends the zero-length run to 1, which is the correct count. */
   private val tEntropy: Q = (spark, dir) => {
     Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
       expr(
-        """round(aggregate(
-          |  transform(array_sort(array_distinct(split(text, ''))),
-          |    ch -> size(filter(split(text, ''), c -> c = ch)) / CAST(length(text) AS DOUBLE)),
-          |  0D, (acc, p) -> acc - p * log2(p)), 4)""".stripMargin).as("char_entropy"))
+        """round((aggregate(
+          |  array_sort(split(text, '')),
+          |  named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS DOUBLE)),
+          |  (s, ch) -> IF(ch = s.prev,
+          |    named_struct('prev', s.prev, 'run', s.run + 1L, 'acc', s.acc),
+          |    named_struct('prev', ch, 'run', 1L,
+          |      'acc', s.acc - IF(s.run > 0L,
+          |        (s.run / CAST(length(text) AS DOUBLE))
+          |          * log2(s.run / CAST(length(text) AS DOUBLE)), 0D))),
+          |  s -> s.acc - IF(s.run > 0L,
+          |    (s.run / CAST(length(text) AS DOUBLE))
+          |      * log2(s.run / CAST(length(text) AS DOUBLE)), 0D))), 4)""".stripMargin)
+        .as("char_entropy"))
       .orderBy("doc_id")
   }
 

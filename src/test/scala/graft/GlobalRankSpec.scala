@@ -110,6 +110,43 @@ class GlobalRankSpec extends SparkSpec {
     assert(singles <= 1, s"expected at most one tiny global exchange:\n$plan")
   }
 
+  test("grouped running total equals the per-group window cumsum") {
+    val withVal = orders
+      .withColumn("g", (col("o_orderkey") % 3).cast("string"))
+      .withColumn("v", (col("o_orderkey") % 7).cast("long"))
+    val fast = GlobalRank.withRunningTotalGrouped(
+      withVal, col("g"), Seq(col("o_orderdate"), col("o_orderkey")), col("v"), "cum")
+    val slow = withVal.withColumn("cum",
+      sum("v").over(Window.partitionBy("g").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    assert(fast.exceptAll(slow).count() == 0 && slow.exceptAll(fast).count() == 0)
+  }
+
+  test("grouped running total never plans a group-partitioned data window") {
+    // 3 groups must NOT become 3 window tasks: the data window is keyed by
+    // (__pid, __grp), the range shuffle carries the parallelism
+    val withVal = orders
+      .withColumn("g", (col("o_orderkey") % 3).cast("string"))
+      .withColumn("v", lit(1L))
+    val plan = GlobalRank.withRunningTotalGrouped(
+      withVal, col("g"), Seq(col("o_orderkey")), col("v"), "cum")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"grouped running total should need no global exchange at all:\n$plan")
+  }
+
+  test("grouped running total with one group equals the plain running total") {
+    val withVal = orders.withColumn("v", (col("o_orderkey") % 5).cast("long"))
+    val grouped = GlobalRank.withRunningTotalGrouped(
+      withVal.withColumn("g", lit("all")), col("g"),
+      Seq(col("o_orderkey")), col("v"), "cum").drop("g")
+    val plain = GlobalRank.withRunningTotal(
+      withVal, Seq(col("o_orderkey")), col("v"), "cum")
+    assert(grouped.exceptAll(plain).count() == 0 && plain.exceptAll(grouped).count() == 0)
+  }
+
   test("running total of all-ones equals the global rank") {
     val withVal = orders.withColumn("v", lit(1L))
     val cum = GlobalRank.withRunningTotal(
