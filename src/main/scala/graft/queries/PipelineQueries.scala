@@ -482,6 +482,72 @@ object PipelineQueries {
       |  '))' AS wkt
       |FROM k ORDER BY record_number""".stripMargin
 
+  // ------------------------------------------------------------------ S3b: real-world-shaped county layer
+  /** The S3 on-ramp against the attribute quirks a REAL counties download
+    * carries (`form_calcs.py:40-51` fidelity; VERDICT r4 Missing #2):
+    * NULL SHAPE records interleaved with polygons (record numbers stay
+    * sequential, the .dbf row for a null shape is real — the reader must
+    * align attributes by record number, not by surviving-geometry
+    * position), non-ASCII text in TWO encodings of the same layer
+    * (Latin-1/Windows-ANSI declared by the .dbf language driver byte vs
+    * UTF-8 declared by a `.cpg` sidecar — `Doña Ana`-style names must
+    * decode identically from both), and a right-justified numeric (N)
+    * field beside character fields. Both zips must parse to the same
+    * logical rows. */
+  private val s3RealworldCounties: Q = (spark, dir) => {
+    import graft.sources.Shapefile
+    val root = Paths.get(Sinks.scratchDir("shp_realworld"))
+    Files.createDirectories(root)
+    val ks = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+      .collect().map(r => (r.getInt(0), r.getString(1).trim)).sortBy(_._1).toSeq
+    val shapes = ks.map { case (n, _) =>
+      if (n % 7 == 0) None
+      else {
+        val x1 = (n % 5) * 200.0; val y1 = math.floor(n / 5.0) * 160.0
+        Some((x1, y1, x1 + 200.0, y1 + 160.0))
+      }
+    }
+    val rows = ks.map { case (n, nm) =>
+      Seq(nm + (if (n % 5 == 0) " ñ" else ""), f"$n%03d", (n * 1234567L + 89).toString)
+    }
+    val fields = Seq(("NAME", 'C', 24), ("COUNTYFP", 'C', 3), ("ALAND", 'N', 12))
+    val shp = Shapefile.renderMixedShp(shapes)
+    Files.write(root.resolve("latin1_counties.zip"), Shapefile.renderZip(Seq(
+      "counties.shp" -> shp,
+      "counties.dbf" -> Shapefile.renderDbfTyped(fields, rows,
+        java.nio.charset.Charset.forName("windows-1252"), languageDriver = 0x57))))
+    Files.write(root.resolve("utf8_counties.zip"), Shapefile.renderZip(Seq(
+      "counties.shp" -> shp,
+      "counties.cpg" -> "UTF-8".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      "counties.dbf" -> Shapefile.renderDbfTyped(fields, rows,
+        java.nio.charset.StandardCharsets.UTF_8, languageDriver = 0))))
+    Shapefile.scanZippedShapefiles(spark, root.toString)
+      .select(col("zip_name"), col("record_number"), col("shape_type"),
+        col("attrs")("NAME").as("county_name"),
+        col("attrs")("COUNTYFP").as("countyfp"),
+        col("attrs")("ALAND").cast("long").as("aland"),
+        col("wkt").isNotNull.as("has_geom"))
+      .orderBy("zip_name", "record_number")
+  }
+
+  private val s3RealworldCountiesSql =
+    """WITH k AS (
+      |  SELECT n_nationkey AS n, trim(n_name) AS nm,
+      |    CAST(row_number() OVER (ORDER BY n_nationkey) AS INTEGER) AS rec
+      |  FROM nation),
+      |r AS (
+      |  SELECT rec,
+      |    CAST(CASE WHEN n % 7 = 0 THEN 0 ELSE 5 END AS INTEGER) AS shape_type,
+      |    nm || CASE WHEN n % 5 = 0 THEN ' ñ' ELSE '' END AS county_name,
+      |    lpad(CAST(n AS VARCHAR), 3, '0') AS countyfp,
+      |    CAST(n * 1234567 + 89 AS BIGINT) AS aland,
+      |    n % 7 <> 0 AS has_geom
+      |  FROM k)
+      |SELECT z.zip_name, rec AS record_number, shape_type,
+      |  county_name, countyfp, aland, has_geom
+      |FROM r, (VALUES ('latin1_counties.zip'), ('utf8_counties.zip')) z(zip_name)
+      |ORDER BY zip_name, record_number""".stripMargin
+
   // ------------------------------------------------------------------ S13: shapefile sink + truncated-name report parity
   /** Writes the E1 inventory as zipped ESRI shapefiles (the reference's
     * output format, `write_gdf` in `src/form_calcs.py`), rescans the zips,
@@ -671,6 +737,76 @@ object PipelineQueries {
       |FROM sums
       |ORDER BY tile_file, chip_row, chip_col""".stripMargin
 
+  // ------------------------------------------------------------------ G1 pixel path, RGB: 3-band chip slicer
+  /** `g1_chip_pixels` at the reference's ACTUAL tile shape: NAIP tiles are
+    * RGB (`az_proc.py:510` chips 3-band jpegs), so this slices
+    * SamplesPerPixel=3 interleaved strips into 512x512x3 zero-padded
+    * chips. Band fixtures R=(x%16)+(y%16), G=x%16, B=y%16 keep every
+    * band's chip sum in the same closed rectangle form the gray oracle
+    * already verifies (R's formula IS the gray one; G/H are its two
+    * halves) — wrong interleaving, strip stride, or pad shows up as a
+    * cross-band sum mismatch. Same narrow executor-side flatMap shape. */
+  private val g1ChipPixelsRgb: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.sources.TiffPixels
+    val root = Paths.get(Sinks.scratchDir("tiff_pixels_rgb"))
+    Files.createDirectories(root)
+    val nations = Tables.nation(spark, dir).select("n_nationkey").collect().map(_.getInt(0))
+    nations.foreach { n =>
+      val w = 1000 + n * 97 % 600
+      val h = 900 + n * 53 % 500
+      Files.write(root.resolve(f"r_$n%05d.tif"),
+        TiffPixels.renderRgb8(w, h, rowsPerStrip = 64,
+          (x, y) => ((x % 16) + (y % 16), x % 16, y % 16)))
+    }
+    Sinks.scanBinaryDir(spark, root.toString, "*.tif")
+      .select(element_at(split(col("path"), "/"), -1).as("tile_file"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        TiffPixels.chipsRgb(bytes, 512).map { case (r, c, dw, dh, slab) =>
+          val s = new Array[Long](3)
+          var i = 0
+          while (i < slab.length) { s(i % 3) += slab(i) & 0xff; i += 1 }
+          (name, r, c, dw, dh, s(0), s(1), s(2))
+        }
+      }
+      .toDF("tile_file", "chip_row", "chip_col", "chip_w", "chip_h",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy("tile_file", "chip_row", "chip_col")
+  }
+
+  private val g1ChipPixelsRgbSql =
+    """WITH t AS (
+      |  SELECT n_nationkey AS n,
+      |    1000 + n_nationkey * 97 % 600 AS w,
+      |    900 + n_nationkey * 53 % 500 AS h
+      |  FROM nation),
+      |grid AS (
+      |  SELECT n, w, h, CAST(r.i AS INTEGER) AS chip_row, CAST(c.i AS INTEGER) AS chip_col
+      |  FROM t, generate_series(0, 7) r(i), generate_series(0, 7) c(i)
+      |  WHERE r.i * 512 < h AND c.i * 512 < w),
+      |dims AS (
+      |  SELECT n, chip_row, chip_col,
+      |    least(512, w - chip_col * 512) AS chip_w,
+      |    least(512, h - chip_row * 512) AS chip_h,
+      |    chip_col * 512 AS x0, chip_row * 512 AS y0
+      |  FROM grid),
+      |f AS (
+      |  SELECT *, x0 + chip_w - 1 AS x1, y0 + chip_h - 1 AS y1
+      |  FROM dims),
+      |bands AS (
+      |  SELECT *,
+      |    ((x1 + 1) // 16) * 120 + ((x1 + 1) % 16) * ((x1 + 1) % 16 - 1) // 2 - (x0 // 16) * 120 AS fx,
+      |    ((y1 + 1) // 16) * 120 + ((y1 + 1) % 16) * ((y1 + 1) % 16 - 1) // 2 - (y0 // 16) * 120 AS fy
+      |  FROM f)
+      |SELECT concat('r_', lpad(CAST(n AS VARCHAR), 5, '0'), '.tif') AS tile_file,
+      |  chip_row, chip_col, chip_w, chip_h,
+      |  CAST(chip_h * fx + chip_w * fy AS BIGINT) AS sum_r,
+      |  CAST(chip_h * fx AS BIGINT) AS sum_g,
+      |  CAST(chip_w * fy AS BIGINT) AS sum_b
+      |FROM bands
+      |ORDER BY tile_file, chip_row, chip_col""".stripMargin
+
   // ------------------------------------------------------------------ JTS spatial argmax
   /** The j8 rect argmax join, but through JTS WKT geometry (polygon ctor,
     * intersects, intersection area) — must agree exactly with the
@@ -729,8 +865,10 @@ object PipelineQueries {
     "s9_fetch_roundtrip" -> s9FetchRoundtrip,
     "io_npy_roundtrip" -> ioNpyRoundtrip,
     "io_shapefile_zip" -> ioShapefileZip,
+    "s3_realworld_counties" -> s3RealworldCounties,
     "s13_shapefile_sink" -> s13ShapefileSink,
     "g1_chip_pixels" -> g1ChipPixels,
+    "g1_chip_pixels_rgb" -> g1ChipPixelsRgb,
     "j8_wkt_argmax" -> j8WktArgmax
   )
 
@@ -753,8 +891,10 @@ object PipelineQueries {
     "s9_fetch_roundtrip" -> s9FetchRoundtripSql,
     "io_npy_roundtrip" -> ioNpyRoundtripSql,
     "io_shapefile_zip" -> ioShapefileZipSql,
+    "s3_realworld_counties" -> s3RealworldCountiesSql,
     "s13_shapefile_sink" -> s13ShapefileSinkSql,
     "g1_chip_pixels" -> g1ChipPixelsSql,
+    "g1_chip_pixels_rgb" -> g1ChipPixelsRgbSql,
     "j8_wkt_argmax" -> RelationalQueries.j8ArgmaxOracleSql
   )
 }

@@ -50,7 +50,11 @@ object Shapefile {
       val le = ByteBuffer.wrap(bytes, off + 8, contentWords * 2).order(ByteOrder.LITTLE_ENDIAN)
       val shapeType = le.getInt()
       shapeType match {
-        case 0 => // null shape
+        case 0 =>
+          // null shape: the record EXISTS (its .dbf attributes are real —
+          // TIGER layers ship these) but carries no geometry; surfaced as
+          // wkt=null so downstream alignment by record number holds
+          out += ShpRecord(recNum, 0, Double.NaN, Double.NaN, Double.NaN, Double.NaN, null)
         case 1 =>
           val x = le.getDouble(); val y = le.getDouble()
           out += ShpRecord(recNum, 1, x, y, x, y, s"POINT (${fmt(x)} ${fmt(y)})")
@@ -81,31 +85,54 @@ object Shapefile {
     if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
 
   // ------------------------------------------------------------------ .dbf parse
-  /** Returns (field names, records) — every value as a trimmed string. */
+  /** Returns (field names, records) — every value as a trimmed string,
+    * decoded per the file's language driver byte (see [[parseDbfTyped]]). */
   def parseDbf(bytes: Array[Byte]): (Seq[String], Seq[Seq[String]]) = {
+    val (fields, rows) = parseDbfTyped(bytes, None)
+    (fields.map(_._1), rows)
+  }
+
+  /** Typed, charset-aware .dbf parse: ((name, type, length) per field,
+    * trimmed string records). Real-world layers are not ASCII — TIGER
+    * county names carry Latin-1 (`Doña Ana`), modern exports declare
+    * UTF-8 via a `.cpg` sidecar — so text decodes with, in precedence
+    * order: the explicit `charsetOverride` (the zip's .cpg), the header's
+    * language driver ID (byte 29: 0x03/0x57 = Windows ANSI), else
+    * ISO-8859-1 (byte-transparent, never throws). Field values are
+    * fixed-width in BYTES, decoded after slicing, so multi-byte UTF-8
+    * values with their shorter pad survive intact. Numeric (N/F), date
+    * (D) and logical (L) fields arrive right-justified and are trimmed
+    * like everything else. */
+  def parseDbfTyped(bytes: Array[Byte], charsetOverride: Option[java.nio.charset.Charset])
+      : (Seq[(String, Char, Int)], Seq[Seq[String]]) = {
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val numRecords = le.getInt(4)
     val headerSize = le.getShort(8) & 0xffff
     val recordSize = le.getShort(10) & 0xffff
-    val fields = Seq.newBuilder[(String, Int)]
+    val charset = charsetOverride.getOrElse((bytes(29) & 0xff) match {
+      case 0x03 | 0x57 => java.nio.charset.Charset.forName("windows-1252")
+      case _ => StandardCharsets.ISO_8859_1
+    })
+    val fields = Seq.newBuilder[(String, Char, Int)]
     var off = 32
     while (bytes(off) != 0x0d) {
       val name = new String(bytes, off, 11, StandardCharsets.US_ASCII)
         .takeWhile(_ != 0).trim
+      val typ = (bytes(off + 11) & 0xff).toChar
       val len = bytes(off + 16) & 0xff
-      fields += ((name, len))
+      fields += ((name, typ, len))
       off += 32
     }
     val fs = fields.result()
     val rows = (0 until numRecords).map { r =>
       var p = headerSize + r * recordSize + 1   // +1 skips the deletion flag
-      fs.map { case (_, len) =>
-        val v = new String(bytes, p, len, StandardCharsets.US_ASCII).trim
+      fs.map { case (_, _, len) =>
+        val v = new String(bytes, p, len, charset).trim
         p += len
         v
       }
     }
-    (fs.map(_._1), rows)
+    (fs, rows)
   }
 
   // ------------------------------------------------------------------ zip plumbing
@@ -129,17 +156,31 @@ object Shapefile {
   }
 
   /** One zipped layer -> rows of (record_number, shape_type, bbox, wkt,
-    * attributes map from the .dbf, aligned by record order). */
+    * attributes map from the .dbf). Attributes align by RECORD NUMBER
+    * (1-based, = .dbf row order per the spec), not by position in the
+    * parsed sequence — null-shape records keep their attribute rows. A
+    * `.cpg` sidecar entry, when present, names the .dbf text encoding
+    * (the geopandas behavior); otherwise the .dbf language driver byte
+    * decides. */
   def parseZip(bytes: Array[Byte]): Seq[(ShpRecord, Map[String, String])] = {
     val entries = unzip(bytes)
     val shp = entries.getOrElse("shp", sys.error("zip has no .shp entry"))
     val shapes = parseShp(shp)
-    val attrs = entries.get("dbf").map(parseDbf) match {
-      case Some((names, rows)) => rows.map(r => names.zip(r).toMap)
-      case None => Seq.fill(shapes.size)(Map.empty[String, String])
+    val cpg = entries.get("cpg").map(b =>
+      java.nio.charset.Charset.forName(new String(b, StandardCharsets.US_ASCII).trim))
+    val attrRows: Seq[Map[String, String]] = entries.get("dbf") match {
+      case Some(dbf) =>
+        val (fields, rows) = parseDbfTyped(dbf, cpg)
+        val names = fields.map(_._1)
+        rows.map(r => names.zip(r).toMap)
+      case None => Seq.empty
     }
-    shapes.zipAll(attrs, null.asInstanceOf[ShpRecord], Map.empty[String, String])
-      .collect { case (s, a) if s != null => (s, a) }
+    shapes.map { s =>
+      val a = if (s.recordNumber >= 1 && s.recordNumber <= attrRows.size)
+        attrRows(s.recordNumber - 1)
+      else Map.empty[String, String]
+      (s, a)
+    }
   }
 
   /** Distributed scan: every `*.zip` under `dir` becomes rows
@@ -161,11 +202,24 @@ object Shapefile {
   // ------------------------------------------------------------------ writers (fixtures + S13 parity)
   /** Renders a Polygon-type .shp from axis-aligned rectangles
     * (minx, miny, maxx, maxy) — rings closed, clockwise per spec. */
-  def renderRectShp(rects: Seq[(Double, Double, Double, Double)]): Array[Byte] = {
+  def renderRectShp(rects: Seq[(Double, Double, Double, Double)]): Array[Byte] =
+    renderMixedShp(rects.map(Some(_)))
+
+  /** Renders a Polygon-type .shp where `None` entries become NULL SHAPE
+    * records (type 0, content = the type word only) — the real-world
+    * layer shape: record numbers stay sequential, the .dbf still has a
+    * row for every record. */
+  def renderMixedShp(shapes: Seq[Option[(Double, Double, Double, Double)]]): Array[Byte] = {
+    val rects = shapes.flatten
+    require(rects.nonEmpty, "at least one non-null shape required for the file bbox")
     // per polygon record, in 16-bit words: shape type (2) + bbox (16) +
-    // numParts (2) + numPoints (2) + one part offset (2) + 5 points (40)
-    val contentWords = 2 + 16 + 2 + 2 + 2 + 5 * 8
-    val fileWords = 50 + rects.size * (4 + contentWords)
+    // numParts (2) + numPoints (2) + one part offset (2) + 5 points (40);
+    // null records carry the type word only
+    val polyWords = 2 + 16 + 2 + 2 + 2 + 5 * 8
+    val nullWords = 2
+    def words(s: Option[(Double, Double, Double, Double)]): Int =
+      if (s.isDefined) polyWords else nullWords
+    val fileWords = 50 + shapes.map(s => 4 + words(s)).sum
     val bb = ByteBuffer.allocate(fileWords * 2)
     bb.order(ByteOrder.BIG_ENDIAN)
     bb.putInt(9994); (0 until 5).foreach(_ => bb.putInt(0)); bb.putInt(fileWords)
@@ -175,18 +229,23 @@ object Shapefile {
     val gmaxx = rects.map(_._3).max; val gmaxy = rects.map(_._4).max
     bb.putDouble(gminx).putDouble(gminy).putDouble(gmaxx).putDouble(gmaxy)
     (0 until 4).foreach(_ => bb.putDouble(0.0))     // z/m ranges unused
-    rects.zipWithIndex.foreach { case ((minx, miny, maxx, maxy), i) =>
-      bb.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(contentWords)
-      bb.order(ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(5)
-      bb.putDouble(minx).putDouble(miny).putDouble(maxx).putDouble(maxy)
-      bb.putInt(1).putInt(5).putInt(0)
-      // clockwise closed ring: NW -> NE -> SE -> SW -> NW
-      bb.putDouble(minx).putDouble(maxy)
-      bb.putDouble(maxx).putDouble(maxy)
-      bb.putDouble(maxx).putDouble(miny)
-      bb.putDouble(minx).putDouble(miny)
-      bb.putDouble(minx).putDouble(maxy)
+    shapes.zipWithIndex.foreach {
+      case (Some((minx, miny, maxx, maxy)), i) =>
+        bb.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(polyWords)
+        bb.order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(5)
+        bb.putDouble(minx).putDouble(miny).putDouble(maxx).putDouble(maxy)
+        bb.putInt(1).putInt(5).putInt(0)
+        // clockwise closed ring: NW -> NE -> SE -> SW -> NW
+        bb.putDouble(minx).putDouble(maxy)
+        bb.putDouble(maxx).putDouble(maxy)
+        bb.putDouble(maxx).putDouble(miny)
+        bb.putDouble(minx).putDouble(miny)
+        bb.putDouble(minx).putDouble(maxy)
+      case (None, i) =>
+        bb.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(nullWords)
+        bb.order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(0)
     }
     bb.array()
   }
@@ -201,27 +260,44 @@ object Shapefile {
     * truncated names `object_cla`/`county_fip`
     * (`distribution_by_county_state.py:29-41`). */
   def renderDbfFields(fields: Seq[(String, Int)],
-                      rows: Seq[Seq[String]]): Array[Byte] = {
+                      rows: Seq[Seq[String]]): Array[Byte] =
+    renderDbfTyped(fields.map { case (n, w) => (n, 'C', w) }, rows,
+      StandardCharsets.ISO_8859_1, languageDriver = 0)
+
+  /** Full-control dBase III writer for real-world-shaped fixtures: typed
+    * fields (C character left-justified, N/F numeric right-justified, D/L
+    * fixed), values encoded with `charset` and padded to the field's BYTE
+    * width, and the header's language driver ID byte (offset 29) set —
+    * 0x57 marks Windows ANSI, 0 leaves the encoding to sidecars. */
+  def renderDbfTyped(fields: Seq[(String, Char, Int)], rows: Seq[Seq[String]],
+                     charset: java.nio.charset.Charset, languageDriver: Int): Array[Byte] = {
     val headerSize = 32 + 32 * fields.size + 1
-    val recordSize = 1 + fields.map(_._2).sum
+    val recordSize = 1 + fields.map(_._3).sum
     val bb = ByteBuffer.allocate(headerSize + rows.size * recordSize + 1)
       .order(ByteOrder.LITTLE_ENDIAN)
     bb.put(0x03.toByte).put(24.toByte).put(1.toByte).put(1.toByte)
     bb.putInt(rows.size).putShort(headerSize.toShort).putShort(recordSize.toShort)
-    (0 until 20).foreach(_ => bb.put(0.toByte))
-    fields.foreach { case (name, width) =>
+    (0 until 17).foreach(_ => bb.put(0.toByte))
+    bb.put(languageDriver.toByte)                   // byte 29: language driver ID
+    (0 until 2).foreach(_ => bb.put(0.toByte))
+    fields.foreach { case (name, typ, width) =>
       val nameBytes = name.getBytes(StandardCharsets.US_ASCII).take(10)
       bb.put(nameBytes); (nameBytes.length until 11).foreach(_ => bb.put(0.toByte))
-      bb.put('C'.toByte); (0 until 4).foreach(_ => bb.put(0.toByte))
+      bb.put(typ.toByte); (0 until 4).foreach(_ => bb.put(0.toByte))
       bb.put(width.toByte).put(0.toByte)
       (0 until 14).foreach(_ => bb.put(0.toByte))
     }
     bb.put(0x0d.toByte)
     rows.foreach { r =>
       bb.put(' '.toByte)                            // not deleted
-      fields.zip(r).foreach { case ((_, width), v) =>
-        val padded = v.padTo(width, ' ').take(width)
-        bb.put(padded.getBytes(StandardCharsets.US_ASCII))
+      fields.zip(r).foreach { case ((_, typ, width), v) =>
+        val enc = v.getBytes(charset)
+        val padded = new Array[Byte](width)
+        java.util.Arrays.fill(padded, ' '.toByte)
+        val n = math.min(enc.length, width)
+        val at = if (typ == 'N' || typ == 'F') width - n else 0
+        System.arraycopy(enc, 0, padded, at, n)
+        bb.put(padded)
       }
     }
     bb.put(0x1a.toByte)

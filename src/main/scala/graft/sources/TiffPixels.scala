@@ -6,12 +6,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * (`az_proc.py:501-526`, `form_calcs.py:166-191`: tile raster -> 512x512
   * chips, right/bottom edges zero-padded to full chip size).
   *
-  * Uncompressed 8-bit grayscale, little-endian, strip-organized — the
-  * layout `TiffMeta`'s IFD walker already understands, extended here with
-  * the strip tags (273 StripOffsets, 278 RowsPerStrip, 279
-  * StripByteCounts). No codec library exists in this environment, so the
-  * *format* scope is honest: uncompressed strips only, loud failure on
-  * anything compressed. The slicing itself — strip reads, row copies, pad
+  * Uncompressed 8-bit strips, little-endian on write (either byte order on
+  * read), chunky/interleaved samples — gray (SamplesPerPixel=1) and RGB
+  * (SamplesPerPixel=3, the NAIP tile shape `az_proc.py:510` actually
+  * chips). No codec library exists in this environment, so the *format*
+  * scope is honest: uncompressed strips only, loud failure on anything
+  * compressed. The slicing itself — strip reads, row copies, pad
   * semantics — is the real computation and runs executor-side over
   * `binaryFile` content (one tile per row, narrow flatMap, no shuffle).
   */
@@ -20,21 +20,44 @@ object TiffPixels {
   /** Renders an uncompressed striped gray-8 TIFF whose pixel at (x, y) is
     * `pix(x, y) & 0xff` — deterministic fixtures an oracle can replay. */
   def renderGray8(width: Int, height: Int, rowsPerStrip: Int,
-                  pix: (Int, Int) => Int): Array[Byte] = {
+                  pix: (Int, Int) => Int): Array[Byte] =
+    renderStriped(width, height, rowsPerStrip, samples = 1, photometric = 1,
+      (x, y, _) => pix(x, y))
+
+  /** Renders an uncompressed striped interleaved RGB-8 TIFF
+    * (SamplesPerPixel=3, PhotometricInterpretation=RGB, BitsPerSample the
+    * standards-required 3-SHORT out-of-line array). `pix(x, y)` returns
+    * the (r, g, b) byte triple. */
+  def renderRgb8(width: Int, height: Int, rowsPerStrip: Int,
+                 pix: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    renderStriped(width, height, rowsPerStrip, samples = 3, photometric = 2,
+      (x, y, band) => band match {
+        case 0 => pix(x, y)._1
+        case 1 => pix(x, y)._2
+        case _ => pix(x, y)._3
+      })
+
+  private def renderStriped(width: Int, height: Int, rowsPerStrip: Int,
+                            samples: Int, photometric: Int,
+                            pixByte: (Int, Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && rowsPerStrip > 0)
+    require(samples == 1 || samples == 3, s"1 or 3 samples, got $samples")
     val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
     val nEntries = 9
     val ifdOffset = 8
-    // after the IFD + next-IFD pointer: strip offset/count arrays (when
-    // they don't fit inline), then pixel strips
-    var arrOffset = ifdOffset + 2 + nEntries * 12 + 4
+    // after the IFD + next-IFD pointer: the BitsPerSample SHORT array when
+    // samples > 1 (3 shorts do not fit the 4-byte value field), then the
+    // strip offset/count arrays (when they don't fit inline), then strips
+    val afterIfd = ifdOffset + 2 + nEntries * 12 + 4
+    val bitsInline = samples == 1
+    val bitsOffset = afterIfd
+    val stripArrOffset = bitsOffset + (if (bitsInline) 0 else samples * 2)
+    val offsetsInline = nStrips == 1
+    val pixelStart = stripArrOffset + (if (offsetsInline) 0 else nStrips * 4 * 2)
     val stripLens = (0 until nStrips).map { s =>
       val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
-      rows * width
+      rows * width * samples
     }
-    val offsetsInline = nStrips == 1
-    val arrBytes = if (offsetsInline) 0 else nStrips * 4 * 2
-    val pixelStart = arrOffset + arrBytes
     val stripOffsets = stripLens.scanLeft(pixelStart)(_ + _).init
     val buf = ByteBuffer.allocate(pixelStart + stripLens.sum)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -44,16 +67,18 @@ object TiffPixels {
       buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count).putInt(value)
     entry(256, 4, 1, width)                      // ImageWidth
     entry(257, 4, 1, height)                     // ImageLength
-    entry(258, 3, 1, 8)                          // BitsPerSample
+    if (bitsInline) entry(258, 3, 1, 8)          // BitsPerSample
+    else entry(258, 3, samples, bitsOffset)
     entry(259, 3, 1, 1)                          // Compression: none
-    entry(262, 3, 1, 1)                          // Photometric: BlackIsZero
+    entry(262, 3, 1, photometric)                // BlackIsZero / RGB
     if (offsetsInline) entry(273, 4, 1, stripOffsets.head)
-    else { entry(273, 4, nStrips, arrOffset); arrOffset += nStrips * 4 }
-    entry(277, 3, 1, 1)                          // SamplesPerPixel
+    else entry(273, 4, nStrips, stripArrOffset)
+    entry(277, 3, 1, samples)                    // SamplesPerPixel
     entry(278, 4, 1, rowsPerStrip)               // RowsPerStrip
     if (offsetsInline) entry(279, 4, 1, stripLens.head)
-    else { entry(279, 4, nStrips, arrOffset) }
+    else entry(279, 4, nStrips, stripArrOffset + nStrips * 4)
     buf.putInt(0)                                // next-IFD pointer: none
+    if (!bitsInline) (0 until samples).foreach(_ => buf.putShort(8))
     if (!offsetsInline) {
       stripOffsets.foreach(buf.putInt)
       stripLens.foreach(buf.putInt)
@@ -61,17 +86,37 @@ object TiffPixels {
     var y = 0
     while (y < height) {
       var x = 0
-      while (x < width) { buf.put((pix(x, y) & 0xff).toByte); x += 1 }
+      while (x < width) {
+        var b = 0
+        while (b < samples) { buf.put((pixByte(x, y, b) & 0xff).toByte); b += 1 }
+        x += 1
+      }
       y += 1
     }
     buf.array()
   }
 
   /** Reads an uncompressed striped gray-8 TIFF back into
-    * (width, height, row-major pixel bytes). Fails loudly on compressed
-    * or non-8-bit-gray input — scope is the fixture format above plus any
-    * standards-conforming uncompressed gray-8 striped file. */
+    * (width, height, row-major pixel bytes). Fails loudly on compressed,
+    * non-8-bit, or multi-sample input. */
   def readGray8(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, s, px) = readStriped(bytes)
+    require(s == 1, s"gray-8 only, got samples=$s (use readRgb8)")
+    (w, h, px)
+  }
+
+  /** Reads an uncompressed striped interleaved RGB-8 TIFF back into
+    * (width, height, row-major r,g,b-interleaved bytes). */
+  def readRgb8(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, s, px) = readStriped(bytes)
+    require(s == 3, s"rgb-8 only, got samples=$s (use readGray8)")
+    (w, h, px)
+  }
+
+  /** Shared strip reader: (width, height, samplesPerPixel, interleaved
+    * bytes). Scope is the fixture formats above plus any
+    * standards-conforming uncompressed chunky 8-bit striped file. */
+  private def readStriped(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     val order = (bytes(0).toChar, bytes(1).toChar) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
       case ('M', 'M') => ByteOrder.BIG_ENDIAN
@@ -82,7 +127,7 @@ object TiffPixels {
     val ifdOffset = buf.getInt(4)
     val nEntries = buf.getShort(ifdOffset) & 0xffff
     var width = 0; var height = 0; var rowsPerStrip = Int.MaxValue
-    var compression = 1; var bits = 1; var samples = 1
+    var compression = 1; var bits = 1; var samples = 1; var planar = 1
     var offsets = Seq.empty[Int]; var counts = Seq.empty[Int]
     def longArray(e: Int): Seq[Int] = {
       val count = buf.getInt(e + 4)
@@ -102,28 +147,43 @@ object TiffPixels {
       tag match {
         case 256 => width = shortOrLong
         case 257 => height = shortOrLong
-        case 258 => bits = shortOrLong
+        case 258 =>
+          // count > 1 => the value field is an offset to a SHORT array
+          // (the standards-conforming multi-sample layout)
+          val count = buf.getInt(e + 4)
+          bits =
+            if (count == 1) shortOrLong
+            else {
+              val off = buf.getInt(e + 8)
+              val all = (0 until count).map(k => buf.getShort(off + k * 2) & 0xffff)
+              require(all.distinct.size == 1, s"heterogeneous BitsPerSample $all")
+              all.head
+            }
         case 259 => compression = shortOrLong
         case 273 => offsets = longArray(e)
         case 277 => samples = shortOrLong
         case 278 => rowsPerStrip = shortOrLong
         case 279 => counts = longArray(e)
+        case 284 => planar = shortOrLong
         case _ =>
       }
       i += 1
     }
     require(compression == 1, s"unsupported compression $compression (uncompressed strips only)")
-    require(bits == 8 && samples == 1, s"gray-8 only, got bits=$bits samples=$samples")
+    require(bits == 8, s"8-bit samples only, got bits=$bits")
+    require(planar == 1, s"chunky (interleaved) samples only, got planar=$planar")
+    require(samples == 1 || samples == 3, s"1 or 3 samples only, got $samples")
     require(width > 0 && height > 0 && offsets.nonEmpty, "missing dimensions or strips")
-    val out = new Array[Byte](width * height)
+    val rowBytes = width * samples
+    val out = new Array[Byte](rowBytes * height)
     var row = 0
     offsets.zip(counts).foreach { case (off, len) =>
-      val rows = len / width
-      System.arraycopy(bytes, off, out, row * width, rows * width)
+      val rows = len / rowBytes
+      System.arraycopy(bytes, off, out, row * rowBytes, rows * rowBytes)
       row += rows
     }
     require(row == height, s"strips covered $row of $height rows")
-    (width, height, out)
+    (width, height, samples, out)
   }
 
   /** Slices a gray-8 tile into `chip`x`chip` slabs, right/bottom edges
@@ -134,6 +194,18 @@ object TiffPixels {
     * ceil(w/chip) x ceil(h/chip) chips, pad = chip - data. */
   def chips(bytes: Array[Byte], chip: Int): Seq[(Int, Int, Int, Int, Array[Byte])] = {
     val (w, h, px) = readGray8(bytes)
+    sliceChips(w, h, 1, px, chip)
+  }
+
+  /** RGB variant of [[chips]]: slabs are chip*chip*3 interleaved bytes,
+    * zero-padded — the `az_proc.py:510` NAIP chip shape. */
+  def chipsRgb(bytes: Array[Byte], chip: Int): Seq[(Int, Int, Int, Int, Array[Byte])] = {
+    val (w, h, px) = readRgb8(bytes)
+    sliceChips(w, h, 3, px, chip)
+  }
+
+  private def sliceChips(w: Int, h: Int, samples: Int, px: Array[Byte],
+                         chip: Int): Seq[(Int, Int, Int, Int, Array[Byte])] = {
     val nCols = (w + chip - 1) / chip
     val nRows = (h + chip - 1) / chip
     for {
@@ -142,10 +214,11 @@ object TiffPixels {
     } yield {
       val dataW = math.min(chip, w - c * chip)
       val dataH = math.min(chip, h - r * chip)
-      val slab = new Array[Byte](chip * chip)      // zero-initialized = pad
+      val slab = new Array[Byte](chip * chip * samples)  // zero-initialized = pad
       var y = 0
       while (y < dataH) {
-        System.arraycopy(px, (r * chip + y) * w + c * chip, slab, y * chip, dataW)
+        System.arraycopy(px, ((r * chip + y) * w + c * chip) * samples,
+          slab, y * chip * samples, dataW * samples)
         y += 1
       }
       (r, c, dataW, dataH, slab)

@@ -95,6 +95,59 @@ class NpyShapefileSpec extends AnyFunSuite {
       Seq("water_tower", "4", "0", "cd")))
   }
 
+  test("null shapes keep their record numbers and dbf attribute rows") {
+    val shapes = Seq(None, Some((0.0, 0.0, 10.0, 10.0)), None, Some((10.0, 0.0, 20.0, 10.0)))
+    val zip = Shapefile.renderZip(Seq(
+      "layer.shp" -> Shapefile.renderMixedShp(shapes),
+      "layer.dbf" -> Shapefile.renderDbf("NAME", 10, Seq("n1", "poly1", "n2", "poly2"))))
+    val out = Shapefile.parseZip(zip)
+    assert(out.size == 4)
+    assert(out.map(_._1.recordNumber) == Seq(1, 2, 3, 4))
+    assert(out.map(_._1.shapeType) == Seq(0, 5, 0, 5))
+    assert(out.map(_._1.wkt == null) == Seq(true, false, true, false))
+    // the quirk this pins: attribute rows 1 and 3 belong to the NULL
+    // records — positional zip of surviving geometries would shift them
+    assert(out.map(_._2("NAME")) == Seq("n1", "poly1", "n2", "poly2"))
+  }
+
+  test("dbf text decodes per the language driver byte (Windows ANSI)") {
+    val fields = Seq(("NAME", 'C', 16))
+    val rows = Seq(Seq("Doña Ana"), Seq("Añasco"))
+    val dbf = Shapefile.renderDbfTyped(fields, rows,
+      java.nio.charset.Charset.forName("windows-1252"), languageDriver = 0x57)
+    val (_, got) = Shapefile.parseDbfTyped(dbf, None)
+    assert(got == rows)
+    // the same bytes decoded as ASCII would have mangled the ñ
+    assert(dbf.count(b => (b & 0xff) == 0xf1) == 2)
+  }
+
+  test("a .cpg sidecar overrides the dbf encoding (UTF-8 layer)") {
+    val fields = Seq(("NAME", 'C', 16))
+    val rows = Seq(Seq("Doña Ana"))
+    val shp = Shapefile.renderRectShp(Seq((0.0, 0.0, 1.0, 1.0)))
+    val utf8Dbf = Shapefile.renderDbfTyped(fields, rows,
+      java.nio.charset.StandardCharsets.UTF_8, languageDriver = 0)
+    val withCpg = Shapefile.parseZip(Shapefile.renderZip(Seq(
+      "l.shp" -> shp, "l.dbf" -> utf8Dbf, "l.cpg" -> "UTF-8".getBytes)))
+    assert(withCpg.head._2("NAME") == "Doña Ana")
+    // without the sidecar the ñ's two UTF-8 bytes mis-decode as Latin-1
+    val without = Shapefile.parseZip(Shapefile.renderZip(Seq(
+      "l.shp" -> shp, "l.dbf" -> utf8Dbf)))
+    assert(without.head._2("NAME") != "Doña Ana")
+  }
+
+  test("numeric dbf fields are right-justified and parse back trimmed") {
+    val fields = Seq(("ALAND", 'N', 10), ("NAME", 'C', 6))
+    val dbf = Shapefile.renderDbfTyped(fields, Seq(Seq("42", "ab")),
+      java.nio.charset.StandardCharsets.ISO_8859_1, languageDriver = 0)
+    val (fs, rows) = Shapefile.parseDbfTyped(dbf, None)
+    assert(fs == Seq(("ALAND", 'N', 10), ("NAME", 'C', 6)))
+    assert(rows == Seq(Seq("42", "ab")))
+    // the raw record bytes hold the N value right-justified, C left
+    val rec = new String(dbf, dbf.length - 1 - 16, 16, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(rec == "        42ab    ")
+  }
+
   test("zip without a .shp entry fails loudly; missing .dbf yields empty attrs") {
     intercept[RuntimeException] {
       Shapefile.parseZip(Shapefile.renderZip(Seq("readme.txt" -> "hi".getBytes)))

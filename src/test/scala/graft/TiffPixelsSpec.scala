@@ -53,6 +53,52 @@ class TiffPixelsSpec extends AnyFunSuite {
     assert(fw == 512 && fh == 512)
   }
 
+  private def rgb(x: Int, y: Int): (Int, Int, Int) = ((x % 16) + (y % 16), x % 16, y % 16)
+
+  test("rgb-8 interleaved strips round-trip, odd strip heights included") {
+    for ((w, h, rps) <- Seq((100, 80, 16), (37, 53, 7), (64, 64, 64))) {
+      val bytes = TiffPixels.renderRgb8(w, h, rps, rgb)
+      val (rw, rh, px) = TiffPixels.readRgb8(bytes)
+      assert((rw, rh) == (w, h) && px.length == w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = rgb(x, y)
+        val i = (y * w + x) * 3
+        assert(((px(i) & 0xff), (px(i + 1) & 0xff), (px(i + 2) & 0xff)) == ((r, g, b)),
+          s"($x,$y) w=$w h=$h rps=$rps")
+      }
+    }
+  }
+
+  test("rgb metadata: 3 samples, 8-bit out-of-line BitsPerSample, visible to TiffMeta") {
+    val m = TiffMeta.parse(TiffPixels.renderRgb8(300, 200, 64, rgb))
+    assert(m.valid && m.width == 300 && m.height == 200 &&
+      m.bitsPerSample == 8 && m.samplesPerPixel == 3)
+  }
+
+  test("rgb chips: pad zeroing and per-band placement at global coordinates") {
+    val bytes = TiffPixels.renderRgb8(1100, 900, 64, rgb)
+    val chips = TiffPixels.chipsRgb(bytes, 512)
+    assert(chips.size == 6)
+    val (_, _, dw, dh, slab) = chips.map(c => ((c._1, c._2), c)).toMap.apply((1, 2))
+    assert(dw == 1100 - 1024 && dh == 900 - 512)
+    for (y <- 0 until dh; x <- 0 until dw) {
+      val (r, g, b) = rgb(1024 + x, 512 + y)
+      val i = (y * 512 + x) * 3
+      assert(((slab(i) & 0xff), (slab(i + 1) & 0xff), (slab(i + 2) & 0xff)) == ((r, g, b)))
+    }
+    for (y <- 0 until 512; x <- 0 until 512 if x >= dw || y >= dh; b <- 0 until 3)
+      assert(slab((y * 512 + x) * 3 + b) == 0, s"pad at ($x,$y,$b) not zero")
+  }
+
+  test("sample-count mismatches between readers fail loudly") {
+    intercept[IllegalArgumentException] {
+      TiffPixels.readGray8(TiffPixels.renderRgb8(16, 16, 8, rgb))
+    }
+    intercept[IllegalArgumentException] {
+      TiffPixels.readRgb8(TiffPixels.renderGray8(16, 16, 8, pix))
+    }
+  }
+
   test("compressed or non-gray input fails loudly") {
     val bytes = TiffPixels.renderGray8(32, 32, 8, pix)
     // flip the Compression entry (tag 259 is the 4th entry) to LZW (5)
