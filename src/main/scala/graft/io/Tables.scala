@@ -23,15 +23,30 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame       = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame     = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame     = table(spark, d, "region")
-  /** The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf, runtime-settable) and
-    * convert to a microsecond timestamp with *integer* division — double
-    * division would lose precision above 2^53 ns. */
+  /** Schema-adaptive events loader. Corpus generations differ in how `ts` is
+    * written: early drops used TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read nanos as long via the legacy conf and convert with
+    * *integer* division; double division would lose precision above 2^53 ns),
+    * later drops use plain TIMESTAMP(MICROS) with isAdjustedToUTC=false, which
+    * Spark surfaces as TIMESTAMP_NTZ. Branch on the type that actually scans
+    * back so the loader works against any generation; NTZ is cast to session
+    * timestamp (session TZ is pinned to UTC, so the cast is value-identical). */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(spark, d, "events"))
   }
+
+  /** Normalize an events frame's `ts` to session TIMESTAMP whatever physical
+    * form it scanned back as (see [[events]]). Also used by the streaming
+    * file-source path, which must declare the raw scan schema up front. */
+  def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 }

@@ -105,21 +105,17 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source stream runs the batch window aggregation with AvailableNow") {
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types.{LongType, StructType}
     val batchEvents = graft.io.Tables.events(spark, sf0001)
-    // the raw parquet carries TIMESTAMP(NANOS): read ts as long (the
-    // nanosAsLong conf is set by Tables.events) and convert in the stream
-    val rawSchema = StructType(batchEvents.schema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
-      case f => f
-    })
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")   // file source needs a dir
-      .parquet(sf0001)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    // the file source must declare the scan schema up front: use whatever the
+    // raw parquet scans back as (long nanos on old corpus drops, TIMESTAMP_NTZ
+    // on new ones) and normalize with the same helper the batch loader uses
+    val rawSchema =
+      spark.read.option("pathGlobFilter", "events.parquet").parquet(sf0001).schema
+    val stream = graft.io.Tables.normalizeTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")   // file source needs a dir
+        .parquet(sf0001))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
