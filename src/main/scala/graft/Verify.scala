@@ -40,6 +40,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Corpus-schema canary (round-6): record what each table actually scans
+    // back as, so the next silent testdata regeneration (round 5 lost ten
+    // queries to an unannounced ts retype) is diagnosed from the artifact
+    // instead of re-derived in-session. Written before the query loop so a
+    // killed run still carries it.
+    val canary = new java.io.File(sfDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
+      .sorted.map { t =>
+        val schema = try {
+          spark.read.parquet(s"$sfDir/$t.parquet").schema
+            .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+        } catch { case e: Throwable => s"UNREADABLE ${e.getMessage.take(120)}" }
+        System.err.println(s"[verify] schema $t = $schema")
+        s"${q(t)}: ${q(schema)}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/corpus_schema.json"), canary)
     // Dev filter, same contract as Bench: SPARK_GRAFT_ONLY=d13,d13b runs a
     // subset (the driver never sets it). oracle_sql.json above still holds
     // every query, so check.py simply skips entries with no output dir.

@@ -50,15 +50,18 @@ object GraphCC {
       .localCheckpoint())
 
     // Seed round = round 1 of Hash-Min: comp(v) = min(v, min neighbor id).
-    // The neighbor-min table has one row per vertex-with-edges (small next
-    // to |V| in dedup graphs), broadcast onto the vertex table in the same
-    // single-scan shape the loop rounds use.
-    val nbrMin = detachStats(edges.groupBy(col("key"), col("id_a").as("id"))
+    // The neighbor-min aggregation is inlined into the seed join — no
+    // separate materialization: its size is unknown, so join strategy is
+    // AQE's call from runtime stats (the bench/verify sessions run with
+    // adaptive on; a pathological expander degrades to a hash join, not an
+    // OOM). Per round this plan costs exactly two jobs — the eager
+    // localCheckpoint and the frontier count — where a checkpoint-and-
+    // count-per-intermediate version cost four; at local-mode scale the
+    // fixpoint is orchestration-bound, so halving the jobs halves the wall.
+    val nbrMin = edges.groupBy(col("key"), col("id_a").as("id"))
       .agg(min(col("id_b")).as("nbr"))
-      .localCheckpoint())
-    val seedHint = if (nbrMin.count() <= broadcastThreshold) broadcast(nbrMin) else nbrMin
     var comps = detachStats(vertices.select(col("key"), col("id"))
-      .join(seedHint, Seq("key", "id"), "left")
+      .join(nbrMin, Seq("key", "id"), "left")
       .select(col("key"), col("id"),
         least(col("id"), coalesce(col("nbr"), col("id"))).as("comp"),
         (coalesce(col("nbr"), col("id")) < col("id")).as("chg"))
@@ -68,23 +71,20 @@ object GraphCC {
     var iter = 1
     while (frontierSize > 0 && iter < maxIter) {
       // frontierSize is exact (counted last round) — a small frontier
-      // broadcast against the edge table avoids re-shuffling edges per round
+      // broadcast against the edge table avoids re-shuffling edges per
+      // round; the hint costs nothing because the size is already known
       val fHinted = if (frontierSize <= broadcastThreshold) broadcast(frontier)
                     else frontier
       val msgs = fHinted.as("f").join(edges.as("e"),
           col("f.key") === col("e.key") && col("f.id") === col("e.id_a"))
         .select(col("f.key").as("key"), col("e.id_b").as("id"), col("f.comp").as("comp"))
-      val cand = detachStats(msgs.groupBy("key", "id").agg(min(col("comp")).as("cand"))
-        .localCheckpoint())
-      // Gate the cand broadcast on cand's OWN measured size, not the
-      // frontier's: cand holds one row per distinct neighbor of any
-      // frontier vertex, so high-degree vertices can make it avg-degree
-      // times larger than the frontier that produced it. The count is free
-      // — localCheckpoint already materialized it. Above the threshold the
-      // round degrades to a plain hash join (the safe plan).
-      val hinted = if (cand.count() <= broadcastThreshold) broadcast(cand) else cand
+      // the neighbor-min candidates stay inlined (one row per distinct
+      // neighbor of a frontier vertex — can exceed the frontier by the
+      // average degree, so no blind broadcast hint; AQE decides from the
+      // runtime size of the aggregated side)
+      val cand = msgs.groupBy("key", "id").agg(min(col("comp")).as("cand"))
       comps = detachStats(comps.as("c")
-        .join(hinted, Seq("key", "id"), "left")
+        .join(cand, Seq("key", "id"), "left")
         .select(col("key"), col("id"),
           least(col("c.comp"), coalesce(col("cand"), col("c.comp"))).as("comp"),
           (coalesce(col("cand"), col("c.comp")) < col("c.comp")).as("chg"))
@@ -92,6 +92,8 @@ object GraphCC {
       frontier = comps.filter(col("chg")).select("key", "id", "comp")
       frontierSize = frontier.count()
       iter += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+        System.err.println(s"[graphcc] round $iter frontier=$frontierSize")
     }
     // a component with diameter > maxIter would silently return wrong
     // labels — fail loudly instead
