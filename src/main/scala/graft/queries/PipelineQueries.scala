@@ -642,10 +642,13 @@ object PipelineQueries {
     Files.createDirectories(root)
     val nations = Tables.nation(spark, dir).select("n_nationkey").collect().map(_.getInt(0))
     nations.foreach { n =>
+      // two UTM zones in one corpus: the CRS must come from each blob's
+      // GeoKeyDirectory, not an assumed constant (ref form_calcs.py:279-287)
       val bytes = TiffMeta.minimalTiff(
         width = 5000 + n * 613 % 3000, height = 6000 + n * 389 % 2600,
         bitsPerSample = 8, samplesPerPixel = if (n % 2 == 0) 3 else 4,
-        pixelScaleX = 0.6, pixelScaleY = 0.6)
+        pixelScaleX = 0.6, pixelScaleY = 0.6,
+        epsg = if (n % 3 == 0) 32617 else 32616)
       Files.write(root.resolve(f"m_$n%05d.tif"), bytes)
     }
     Sinks.scanBinaryDir(spark, root.toString, "*.tif")
@@ -656,6 +659,8 @@ object PipelineQueries {
         col("m.bitsPerSample").as("bits_per_sample"),
         col("m.samplesPerPixel").as("samples_per_pixel"),
         round(col("m.pixelScaleX"), 2).as("pixel_scale_x"),
+        col("m.epsg").as("epsg"),
+        concat(lit("EPSG:"), col("m.epsg")).as("utm_projection"),
         col("m.valid").as("valid"))
       .orderBy("tile_file")
   }
@@ -667,6 +672,8 @@ object PipelineQueries {
       |  CAST(8 AS INTEGER) AS bits_per_sample,
       |  CAST(CASE WHEN n_nationkey % 2 = 0 THEN 3 ELSE 4 END AS INTEGER) AS samples_per_pixel,
       |  CAST(0.6 AS DOUBLE) AS pixel_scale_x,
+      |  CAST(CASE WHEN n_nationkey % 3 = 0 THEN 32617 ELSE 32616 END AS INTEGER) AS epsg,
+      |  'EPSG:' || CAST(CASE WHEN n_nationkey % 3 = 0 THEN 32617 ELSE 32616 END AS VARCHAR) AS utm_projection,
       |  true AS valid
       |FROM nation ORDER BY tile_file""".stripMargin
 
@@ -807,6 +814,95 @@ object PipelineQueries {
       |FROM bands
       |ORDER BY tile_file, chip_row, chip_col""".stripMargin
 
+  // ------------------------------------------------------------------ G1 JPEG chip sink round trip
+  /** The byte-real S14 chip sink (ref `az_proc.py:524` writes each chip as
+    * a `.jpg`): gray chips JPEG-encode executor-side
+    * ([[graft.multimodal.JpegCodec]], `javax.imageio`), land on disk
+    * through [[Sinks.writeBinaryFiles]], rescan through the binaryFile
+    * source, and decode back. Each output row hash-checks the chip grid
+    * (names + dims from the closed form) plus a `round_trip_ok` verdict:
+    * decoded dims must be exact and the mean absolute pixel error against
+    * the fixture's closed-form pixels (zero-padded outside the data
+    * window) must stay under 3/255 — JPEG is lossy, equality is the wrong
+    * contract. A wrong strip offset, interleave, or pad would push MAE far
+    * past the bound. */
+  private val g1ChipJpeg: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.multimodal.JpegCodec
+    import graft.sources.TiffPixels
+    val root = Paths.get(Sinks.scratchDir("tiff_jpeg_src"))
+    Files.createDirectories(root)
+    val nations = Tables.nation(spark, dir).select("n_nationkey").collect().map(_.getInt(0))
+    nations.foreach { n =>
+      val w = 1000 + n * 97 % 600
+      val h = 900 + n * 53 % 500
+      Files.write(root.resolve(f"j_$n%05d.tif"),
+        TiffPixels.renderGray8(w, h, rowsPerStrip = 64, (x, y) => (x % 16) + (y % 16)))
+    }
+    val jpgDir = Sinks.scratchDir("tiff_jpeg_out")
+    val encoded = Sinks.scanBinaryDir(spark, root.toString, "*.tif")
+      .select(element_at(split(col("path"), "/"), -1).as("tile_file"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        TiffPixels.chips(bytes, 512).map { case (r, c, _, _, slab) =>
+          (s"${name.stripSuffix(".tif")}_${r}_$c.jpg", JpegCodec.encodeGray(slab, 512, 512))
+        }
+      }.toDF("file_name", "payload")
+    Sinks.writeBinaryFiles(encoded, jpgDir)
+    Sinks.scanBinaryDir(spark, jpgDir, "*.jpg")
+      .select(element_at(split(col("path"), "/"), -1).as("jpg_file"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (jpg, bytes) =>
+        val parts = jpg.stripSuffix(".jpg").split("_")
+        val n = parts(1).toInt
+        val r = parts(2).toInt
+        val c = parts(3).toInt
+        val w = 1000 + n * 97 % 600
+        val h = 900 + n * 53 % 500
+        val dw = math.min(512, w - c * 512)
+        val dh = math.min(512, h - r * 512)
+        val (jw, jh, bands, px) = JpegCodec.decode(bytes)
+        var errSum = 0L
+        if (jw == 512 && jh == 512 && bands == 1) {
+          var y = 0
+          while (y < 512) {
+            var x = 0
+            while (x < 512) {
+              val expected =
+                if (x < dw && y < dh) ((c * 512 + x) % 16) + ((r * 512 + y) % 16) else 0
+              errSum += math.abs((px(y * 512 + x) & 0xff) - expected)
+              x += 1
+            }
+            y += 1
+          }
+        }
+        val ok = jw == 512 && jh == 512 && bands == 1 &&
+          errSum.toDouble / (512 * 512) < 3.0
+        (jpg, r, c, dw, dh, ok)
+      }
+      .toDF("jpg_file", "chip_row", "chip_col", "chip_w", "chip_h", "round_trip_ok")
+      .orderBy("jpg_file")
+  }
+
+  private val g1ChipJpegSql =
+    """WITH t AS (
+      |  SELECT n_nationkey AS n,
+      |    1000 + n_nationkey * 97 % 600 AS w,
+      |    900 + n_nationkey * 53 % 500 AS h
+      |  FROM nation),
+      |grid AS (
+      |  SELECT n, w, h, CAST(r.i AS INTEGER) AS chip_row, CAST(c.i AS INTEGER) AS chip_col
+      |  FROM t, generate_series(0, 7) r(i), generate_series(0, 7) c(i)
+      |  WHERE r.i * 512 < h AND c.i * 512 < w)
+      |SELECT concat('j_', lpad(CAST(n AS VARCHAR), 5, '0'), '_',
+      |    CAST(chip_row AS VARCHAR), '_', CAST(chip_col AS VARCHAR), '.jpg') AS jpg_file,
+      |  chip_row, chip_col,
+      |  least(512, w - chip_col * 512) AS chip_w,
+      |  least(512, h - chip_row * 512) AS chip_h,
+      |  true AS round_trip_ok
+      |FROM grid
+      |ORDER BY jpg_file""".stripMargin
+
   // ------------------------------------------------------------------ JTS spatial argmax
   /** The j8 rect argmax join, but through JTS WKT geometry (polygon ctor,
     * intersects, intersection area) — must agree exactly with the
@@ -869,6 +965,7 @@ object PipelineQueries {
     "s13_shapefile_sink" -> s13ShapefileSink,
     "g1_chip_pixels" -> g1ChipPixels,
     "g1_chip_pixels_rgb" -> g1ChipPixelsRgb,
+    "g1_chip_jpeg" -> g1ChipJpeg,
     "j8_wkt_argmax" -> j8WktArgmax
   )
 
@@ -895,6 +992,7 @@ object PipelineQueries {
     "s13_shapefile_sink" -> s13ShapefileSinkSql,
     "g1_chip_pixels" -> g1ChipPixelsSql,
     "g1_chip_pixels_rgb" -> g1ChipPixelsRgbSql,
+    "g1_chip_jpeg" -> g1ChipJpegSql,
     "j8_wkt_argmax" -> RelationalQueries.j8ArgmaxOracleSql
   )
 }

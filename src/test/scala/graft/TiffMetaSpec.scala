@@ -13,6 +13,32 @@ class TiffMetaSpec extends AnyFunSuite {
     assert(m.width == 6123 && m.height == 4987)
     assert(m.bitsPerSample == 8 && m.samplesPerPixel == 3)
     assert(m.pixelScaleX == 0.6 && m.pixelScaleY == 0.6)
+    assert(m.epsg == 32616, "default fixture carries zone-16 geokeys")
+  }
+
+  test("GeoKeyDirectory: per-file EPSG is read, absence yields 0") {
+    val z17 = TiffMeta.parse(TiffMeta.minimalTiff(100, 100, epsg = 32617))
+    assert(z17.valid && z17.epsg == 32617)
+    val plain = TiffMeta.parse(TiffMeta.minimalTiff(100, 100, epsg = 0))
+    assert(plain.valid && plain.epsg == 0, "no geokey directory -> epsg 0")
+  }
+
+  test("GeoKeyDirectory: geographic CRS (2048) is the fallback when no projected key") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val nEntries = 3
+    val ifd = 8
+    val valOff = ifd + 2 + nEntries * 12 + 4
+    val buf = ByteBuffer.allocate(valOff + 16).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd)
+    buf.putShort(nEntries.toShort)
+    buf.putShort(256).putShort(4).putInt(1).putInt(640)
+    buf.putShort(257).putShort(4).putInt(1).putInt(480)
+    buf.putShort(34735.toShort).putShort(3).putInt(8).putInt(valOff)
+    buf.putInt(0)
+    buf.putShort(1).putShort(1).putShort(0).putShort(1)
+    buf.putShort(2048).putShort(0).putShort(1).putShort(4326)   // WGS84 geographic
+    val m = TiffMeta.parse(buf.array())
+    assert(m.valid && m.epsg == 4326)
   }
 
   test("big-endian header parses too") {

@@ -99,6 +99,42 @@ class TiffPixelsSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG chip encode -> decode round trip stays within the lossy bound") {
+    import graft.multimodal.JpegCodec
+    val w = 700
+    val h = 600
+    val tiff = TiffPixels.renderGray8(w, h, rowsPerStrip = 64, pix)
+    val all = TiffPixels.chips(tiff, 512)
+    assert(all.size == 4)
+    all.foreach { case (r, c, dw, dh, slab) =>
+      val jpeg = JpegCodec.encodeGray(slab, 512, 512)
+      assert(jpeg.length > 2 &&
+        (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8, "JFIF SOI magic")
+      val (jw, jh, bands, px) = JpegCodec.decode(jpeg)
+      assert(jw == 512 && jh == 512 && bands == 1)
+      var errSum = 0L
+      for (y <- 0 until 512; x <- 0 until 512)
+        errSum += math.abs((px(y * 512 + x) & 0xff) - (slab(y * 512 + x) & 0xff))
+      val mae = errSum.toDouble / (512 * 512)
+      assert(mae < 3.0, s"chip ($r,$c) dims ${dw}x$dh mean abs err $mae")
+    }
+  }
+
+  test("JPEG RGB encode -> decode keeps band order") {
+    import graft.multimodal.JpegCodec
+    // a solid color disambiguates R/B swaps that gray fixtures can't see
+    val w = 64
+    val h = 32
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) { px(i) = 200.toByte; px(i + 1) = 80.toByte; px(i + 2) = 20.toByte; i += 3 }
+    val (jw, jh, bands, out) = JpegCodec.decode(JpegCodec.encodeRgb(px, w, h))
+    assert(jw == w && jh == h && bands == 3)
+    val r = out(0) & 0xff; val g = out(1) & 0xff; val b = out(2) & 0xff
+    assert(math.abs(r - 200) < 8 && math.abs(g - 80) < 8 && math.abs(b - 20) < 8,
+      s"decoded first pixel ($r,$g,$b) != (200,80,20) within JPEG tolerance")
+  }
+
   test("compressed or non-gray input fails loudly") {
     val bytes = TiffPixels.renderGray8(32, 32, 8, pix)
     // flip the Compression entry (tag 259 is the 4th entry) to LZW (5)
