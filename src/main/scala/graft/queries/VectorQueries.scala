@@ -957,6 +957,152 @@ object VectorQueries {
        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------ PQ asymmetric-distance search
+  /** v13: ADC (asymmetric distance computation) top-k over the v12 PQ
+    * codes — the canonical billion-vector search kernel: the corpus is
+    * stored ONLY as m=8 one-byte codes per vector; a query builds an
+    * m x k lookup table of exact subspace distances (query sub-vector to
+    * each centroid), and each candidate's approximate distance is m LUT
+    * probes summed — no corpus-side float math at all.
+    *
+    * Scale shape: the LUT (queries x 8 subs x k centroids, here 96 rows)
+    * broadcasts; the probe is a broadcast hash join against the code
+    * table followed by a partial-aggregated sum, so the corpus never
+    * shuffles and scan cost is 8 bytes/vector. Per-query top-k
+    * partitions by q_id (query batches are the parallelism unit).
+    * Distances accumulate in DECIMAL(18,4) so the 8-way sum is exact and
+    * order-independent (double addition is not associative), then cast
+    * back to double for the oracle compare. */
+  private val v13PqAdc: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    val subs = emb.select(col("vec_id"),
+      explode(array((0 until 8).map(s =>
+        struct(lit(s).as("sub"), slice(col("embedding"), s * 8 + 1, 8).as("v"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+    val codebook = subs.filter(col("vec_id") < 4)
+      .select(col("sub"), col("vec_id").as("k"), col("v").as("c"))
+    val sqDist = expr(
+      """aggregate(zip_with(v, c,
+        |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+        |  0D, (acc, x) -> acc + x)""".stripMargin)
+    val dist = subs.join(broadcast(codebook), "sub")
+      .withColumn("d2", round(sqDist, 4))
+    val codes = dist
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("k"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.k").as("k"))
+    val lut = dist.filter(col("vec_id") >= 4 && col("vec_id") < 7)
+      .select(col("vec_id").as("q_id"), col("sub"), col("k"), col("d2").as("ld"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "k"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("ld").cast("decimal(18,4)")).cast("double").as("adc"))
+    adc.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))).cast("int"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "vec_id", "adc")
+      .orderBy("q_id", "rank")
+  }
+
+  private val v13PqAdcSql =
+    s"""WITH $unnestSql,
+       |sub AS (
+       |  SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS sub,
+       |    CAST((i - 1) % 8 AS INTEGER) AS d, x
+       |  FROM un),
+       |cb AS (SELECT vec_id AS k, sub, d, x AS c FROM sub WHERE vec_id < 4),
+       |dist AS (
+       |  SELECT s.vec_id, s.sub, c.k,
+       |    round(sum((s.x - c.c) * (s.x - c.c)), 4) AS d2
+       |  FROM sub s JOIN cb c ON c.sub = s.sub AND c.d = s.d
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT vec_id, sub, k FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY d2, k) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |lut AS (
+       |  SELECT vec_id AS q_id, sub, k, d2 AS ld
+       |  FROM dist WHERE vec_id >= 4 AND vec_id < 7),
+       |adc AS (
+       |  SELECT l.q_id, b.vec_id,
+       |    CAST(sum(CAST(l.ld AS DECIMAL(18,4))) AS DOUBLE) AS adc
+       |  FROM best b JOIN lut l ON l.sub = b.sub AND l.k = b.k
+       |  WHERE b.vec_id <> l.q_id GROUP BY 1, 2),
+       |topk AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc, vec_id) AS INTEGER) AS rank FROM adc)
+       |SELECT q_id, rank, vec_id, adc FROM topk WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------ audio energy / silence windows
+  /** m5: the audio half of the multimodal surface — PCM16LE payloads as
+    * opaque binary columns, decoded executor-side (a REAL byte parse, not
+    * a stub: little-endian shorts), folded into fixed 256-sample energy
+    * windows with integer sum-of-squares / sum-of-abs and a silence flag.
+    * Silence detection over energy windows is the standard first pass of
+    * any audio curation pipeline (VAD pre-filter). The waveform is a
+    * deterministic integer formula (every third window muted), so the
+    * DuckDB oracle replays the whole thing exactly — all-BIGINT outputs,
+    * no float rounding anywhere.
+    *
+    * Scale shape: synth + decode + fold run in one narrow mapPartitions
+    * pass (payloads never shuffle); only the tiny per-window rows move. */
+  private val m5AudioEnergy: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50).select("doc_id")
+    val pcm = docs.as[Long].map { id =>
+      val n = 2048
+      val bb = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) {
+        val s = if ((i / 256) % 3 == 2) 0L
+                else (id * 31 + i * 7919) % 2048 - 1024
+        bb.putShort(s.toShort)
+        i += 1
+      }
+      (id, bb.array())
+    }.toDF("doc_id", "pcm")
+    pcm.as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = bytes.length / 2
+      (0 until n / 256).map { w =>
+        var sumSq = 0L
+        var sumAbs = 0L
+        var i = w * 256
+        while (i < (w + 1) * 256) {
+          val s = bb.getShort(i * 2).toLong
+          sumSq += s * s
+          sumAbs += math.abs(s)
+          i += 1
+        }
+        (id, w, n, n * 1000 / 16000, sumSq, sumAbs, sumSq == 0L)
+      }
+    }.toDF("doc_id", "window_idx", "n_samples", "duration_ms",
+        "sum_sq", "sum_abs", "is_silence")
+      .orderBy("doc_id", "window_idx")
+  }
+
+  private val m5AudioEnergySql =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      |samples AS (
+      |  SELECT d.doc_id, i.i AS i,
+      |    CASE WHEN (i.i // 256) % 3 = 2 THEN 0
+      |         ELSE (d.doc_id * 31 + i.i * 7919) % 2048 - 1024 END AS s
+      |  FROM d, generate_series(0, 2047) i(i)),
+      |w AS (
+      |  SELECT doc_id, CAST(i // 256 AS INTEGER) AS window_idx,
+      |    CAST(sum(s * s) AS BIGINT) AS sum_sq,
+      |    CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+      |  FROM samples GROUP BY 1, 2)
+      |SELECT doc_id, window_idx, CAST(2048 AS INTEGER) AS n_samples,
+      |  CAST(128 AS INTEGER) AS duration_ms,
+      |  sum_sq, sum_abs, sum_sq = 0 AS is_silence
+      |FROM w ORDER BY doc_id, window_idx""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "m4_phash_neardup" -> m4PhashNeardup,
@@ -977,7 +1123,9 @@ object VectorQueries {
     "d5_embedding_neardup" -> d5EmbeddingNeardup,
     "m1_media_meta" -> m1MediaMeta,
     "m2_frame_sample" -> m2FrameSample,
-    "m3_frame_dedup" -> m3FrameDedup
+    "m3_frame_dedup" -> m3FrameDedup,
+    "m5_audio_energy" -> m5AudioEnergy,
+    "v13_pq_adc" -> v13PqAdc
   )
 
   val oracle: Map[String, String] = Map(
@@ -999,6 +1147,8 @@ object VectorQueries {
     "d5_embedding_neardup" -> d5EmbeddingNeardupSql,
     "m1_media_meta" -> m1MediaMetaSql,
     "m2_frame_sample" -> m2FrameSampleSql,
-    "m3_frame_dedup" -> m3FrameDedupSql
+    "m3_frame_dedup" -> m3FrameDedupSql,
+    "m5_audio_energy" -> m5AudioEnergySql,
+    "v13_pq_adc" -> v13PqAdcSql
   )
 }
