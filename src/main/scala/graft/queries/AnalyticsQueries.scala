@@ -209,8 +209,53 @@ object AnalyticsQueries {
       |  CAST(ceil(max_cnt / avg_cnt) AS INTEGER) AS suggested_salt, hot_keys
       |FROM s, h""".stripMargin
 
+  // ------------------------------------------------------------------ event funnel
+  /** a17: ordered-sequence funnel over the event stream — per user, the
+    * first 'view', the first 'click' strictly after it, the first
+    * 'purchase' strictly after that; summarized as users reaching each
+    * stage. The stage times are sequential conditional-min windows over
+    * the SAME user_id partitioning (one exchange, three WindowExecs), then
+    * a per-user rollup on the same key — the classic product-analytics
+    * funnel as one shuffle. At 100 TB this is a single hash shuffle on
+    * user_id with all-integer outputs. */
+  private val a17EventFunnel: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id")
+    val staged = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+    staged.groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_view_click_purchase"))
+  }
+
+  private val a17EventFunnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |pu AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      |  FROM s3 GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(count(t1) AS BIGINT) AS n_view,
+      |  CAST(count(t2) AS BIGINT) AS n_view_click,
+      |  CAST(count(t3) AS BIGINT) AS n_view_click_purchase
+      |FROM pu""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "a17_event_funnel" -> a17EventFunnel,
     "a16_skew_report" -> a16SkewReport,
     "q5_nation_revenue" -> q5NationRevenue,
     "q6_forecast_revenue" -> q6ForecastRevenue,
@@ -221,6 +266,7 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "a17_event_funnel" -> a17EventFunnelSql,
     "a16_skew_report" -> a16SkewReportSql,
     "w5_rank_family" -> w5RankFamilySql,
     "f_array_ops" -> fArrayOpsSql,

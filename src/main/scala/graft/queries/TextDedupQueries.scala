@@ -616,6 +616,39 @@ object TextDedupQueries {
       |  doc_id, shuffle_key
       |FROM keyed ORDER BY position""".stripMargin
 
+  // ------------------------------------------------------------------ curriculum schedule
+  /** w10: training-curriculum ordering — documents staged easy-to-hard by
+    * length tier, deterministically shuffled WITHIN each stage (seeded
+    * md5, the d8 shuffle applied per tier), with an inclusive running
+    * character budget over the whole schedule. The cumulative budget is
+    * [[graft.operators.GlobalRank.withRunningTotal]] — a range shuffle +
+    * broadcast partition offsets, never a single-partition window — so
+    * the curriculum scales to any corpus. A trainer consumes this as
+    * "stream in cum_chars order; stage boundaries are where stage
+    * increments". */
+  private val w10Curriculum: Q = (spark, dir) => {
+    val staged = Tables.documents(spark, dir).select(
+      col("doc_id"), col("n_chars"),
+      when(col("n_chars") < 200, 0).when(col("n_chars") < 400, 1).otherwise(2).as("stage"),
+      md5(concat(lit("cur:"), col("doc_id").cast("string"))).as("shuffle_key"))
+    graft.operators.GlobalRank.withRunningTotal(staged,
+        Seq(col("stage"), col("shuffle_key"), col("doc_id")),
+        col("n_chars"), "cum_chars")
+      .select("doc_id", "stage", "cum_chars")
+      .orderBy("doc_id")
+  }
+
+  private val w10CurriculumSql =
+    """WITH staged AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1 ELSE 2 END AS stage,
+      |    md5('cur:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |  FROM documents)
+      |SELECT doc_id, stage,
+      |  CAST(sum(n_chars) OVER (ORDER BY stage, shuffle_key, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+      |FROM staged ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ n-gram jaccard
   private val d4Jaccard: Q = (spark, dir) => {
     val d = Tables.documents(spark, dir)
@@ -1674,6 +1707,7 @@ object TextDedupQueries {
     "e4b_curation_refusals" -> e4bCurationRefusals,
     "e5_data_mixture" -> e5DataMixture,
     "w9_sequence_pack" -> w9SequencePack,
+    "w10_curriculum" -> w10Curriculum,
     "e6_mixture_weights" -> e6MixtureWeights,
     "t_quality_model" -> tQualityModel,
     "t_bpe_pairs" -> tBpePairs,
@@ -1718,6 +1752,7 @@ object TextDedupQueries {
     "e4b_curation_refusals" -> e4bCurationRefusalsSql,
     "e5_data_mixture" -> e5DataMixtureSql,
     "w9_sequence_pack" -> w9SequencePackSql,
+    "w10_curriculum" -> w10CurriculumSql,
     "e6_mixture_weights" -> e6MixtureWeightsSql,
     "t_quality_model" -> tQualityModelSql,
     "t_bpe_pairs" -> tBpePairsSql,
