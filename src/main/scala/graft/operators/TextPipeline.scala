@@ -48,15 +48,22 @@ object TextPipeline {
     shingled.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** One row per (band, band_val, id) for a minhash signature frame. */
+  /** One row per (band, id, band_val) for a minhash signature frame.
+    *
+    * Single-pass posexplode over an array of per-band concats — NOT a
+    * union of per-band projections: Spark does not reuse the exchange
+    * between union branches here, so the union form recomputed the whole
+    * shingle→minhash aggregation once per band. One generator over one
+    * signature evaluation is the shape that survives wide banding
+    * (16–32 bands at corpus scale = 16–32× saved signature passes). */
   private def bandedRows(sig: DataFrame, idCol: String,
                          numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    (0 until bands).map { b =>
-      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      sig.select(col(idCol), concat_ws("|", bandCols: _*).as("band_val"))
-        .withColumn("band", lit(b))
-    }.reduce(_ unionByName _)
+    val bandVals = (0 until bands).map { b =>
+      concat_ws("|",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+    }
+    sig.select(col(idCol), posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
   }
 
   /** Default bucket-size cap: a band bucket of b docs yields b(b-1)/2

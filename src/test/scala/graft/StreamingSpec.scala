@@ -103,6 +103,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful funnel stage machine agrees with the batch funnel windows") {
+    import spark.implicits._
+    import graft.streaming.FunnelState
+    import graft.streaming.FunnelState.FunnelEvent
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[FunnelEvent]
+    val q = FunnelState.funnelStages(src.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 1 converts fully; user 2 clicks before viewing (click must NOT
+      // count), then views; user 3 purchases without clicking (stuck at 1)
+      src.addData(
+        FunnelEvent(1L, ts(1), "view"), FunnelEvent(2L, ts(1), "click"),
+        FunnelEvent(3L, ts(1), "view"))
+      q.processAllAvailable()
+      src.addData(
+        FunnelEvent(1L, ts(2), "click"), FunnelEvent(2L, ts(2), "view"),
+        FunnelEvent(3L, ts(2), "purchase"))
+      q.processAllAvailable()
+      src.addData(FunnelEvent(1L, ts(3), "purchase"), FunnelEvent(2L, ts(3), "click"))
+      q.processAllAvailable()
+      // memory sink in Update mode appends every update; take the latest per user
+      val stages = spark.table("funnel").groupBy("user_id")
+        .agg(max("stage").as("stage")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(stages == Map(1L -> 3, 2L -> 2, 3L -> 1))
+
+      // batch replay through the a17 window formulation over the same rows
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val batch = Seq(
+        (1L, ts(1), "view"), (2L, ts(1), "click"), (3L, ts(1), "view"),
+        (1L, ts(2), "click"), (2L, ts(2), "view"), (3L, ts(2), "purchase"),
+        (1L, ts(3), "purchase"), (2L, ts(3), "click"))
+        .toDF("user_id", "ts", "event_type")
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .select(col("user_id"),
+          (when(col("t1").isNotNull, 1).otherwise(0) +
+            when(col("t2").isNotNull, 1).otherwise(0) +
+            when(col("t3").isNotNull, 1).otherwise(0)).cast("int").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(batch == stages, s"stream $stages vs batch $batch")
+    } finally q.stop()
+  }
+
   test("file-source stream runs the batch window aggregation with AvailableNow") {
     import org.apache.spark.sql.streaming.Trigger
     val batchEvents = graft.io.Tables.events(spark, sf0001)
