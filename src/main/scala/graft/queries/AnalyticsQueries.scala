@@ -253,8 +253,87 @@ object AnalyticsQueries {
       |  CAST(count(t3) AS BIGINT) AS n_view_click_purchase
       |FROM pu""".stripMargin
 
+  // ------------------------------------------------------------------ cohort retention
+  /** a18: weekly cohort retention over the event stream — users grouped by
+    * first-seen week, counted as retained in each later week they are
+    * active. The cohort assignment is one min-window on user_id; the
+    * matrix is one distinct + one keyed agg — two shuffles total, both on
+    * bounded keys (users, then cohort x offset). Counts are exact
+    * integers; week arithmetic is integer days-since-epoch, identical in
+    * both engines. */
+  private val a18CohortRetention: Q = (spark, dir) => {
+    val wk = (c: org.apache.spark.sql.Column) =>
+      floor(datediff(c.cast("date"), to_date(lit("2024-01-01"))) / 7).cast("int")
+    val w = Window.partitionBy("user_id")
+    Tables.events(spark, dir).select(col("user_id"), wk(col("ts")).as("week"))
+      .withColumn("cohort_week", min("week").over(w))
+      .select("user_id", "cohort_week", "week").distinct()
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val a18CohortRetentionSql =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(floor(date_diff('day', DATE '2024-01-01',
+      |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) / 7.0) AS INTEGER) AS week
+      |  FROM events),
+      |c AS (SELECT *, min(week) OVER (PARTITION BY user_id) AS cohort_week FROM e),
+      |d AS (SELECT DISTINCT user_id, cohort_week, week FROM c)
+      |SELECT cohort_week, week - cohort_week AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_active
+      |FROM d GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ------------------------------------------------------------------ resample + gap fill
+  /** f_resample_gapfill: the time-series resample operator — events bucketed
+    * to 6-hour bins per event_type, joined onto the COMPLETE bin spine
+    * (cross of observed types x full calendar range) so empty bins emit
+    * explicit zeros. Gap filling is what turns an event log into an
+    * equally-spaced series a forecaster can consume; the spine is
+    * sequence()+explode (a generator, no driver loop) and the fill is one
+    * left join on (type, bin) — broadcast-sized spine at any corpus scale
+    * since its cardinality is types x bins, independent of event volume. */
+  private val fResampleGapfill: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 21600) * 21600).cast("long").as("bin"))
+    val binned = e.groupBy("event_type", "bin").agg(count(lit(1)).as("n_events"))
+    val range = e.agg(min("bin").as("lo"), max("bin").as("hi"))
+    val spine = binned.select("event_type").distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(21600L))).as("bin"))
+    spine.join(binned, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("event_type", "bin")
+  }
+
+  private val fResampleGapfillSql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600 AS BIGINT) AS bin
+      |  FROM events),
+      |binned AS (SELECT event_type, bin, count(*) AS n FROM e GROUP BY 1, 2),
+      |r AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+      |spine AS (
+      |  -- static series (DuckDB generate_series takes no lateral args);
+      |  -- 1000 bins of 6 h = 250 days of headroom over the 1-month corpus
+      |  SELECT t.event_type, CAST(r.lo + s.i * 21600 AS BIGINT) AS bin
+      |  FROM (SELECT DISTINCT event_type FROM binned) t, r,
+      |    generate_series(0, 999) s(i)
+      |  WHERE r.lo + s.i * 21600 <= r.hi)
+      |SELECT sp.event_type, sp.bin,
+      |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_events
+      |FROM spine sp LEFT JOIN binned b
+      |  ON b.event_type = sp.event_type AND b.bin = sp.bin
+      |ORDER BY sp.event_type, sp.bin""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "a18_cohort_retention" -> a18CohortRetention,
+    "f_resample_gapfill" -> fResampleGapfill,
     "a17_event_funnel" -> a17EventFunnel,
     "a16_skew_report" -> a16SkewReport,
     "q5_nation_revenue" -> q5NationRevenue,
@@ -266,6 +345,8 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "a18_cohort_retention" -> a18CohortRetentionSql,
+    "f_resample_gapfill" -> fResampleGapfillSql,
     "a17_event_funnel" -> a17EventFunnelSql,
     "a16_skew_report" -> a16SkewReportSql,
     "w5_rank_family" -> w5RankFamilySql,
