@@ -330,8 +330,87 @@ object AnalyticsQueries {
       |  ON b.event_type = sp.event_type AND b.bin = sp.bin
       |ORDER BY sp.event_type, sp.bin""".stripMargin
 
+  // ------------------------------------------------------------------ time-range window frame
+  /** w11: value-based (RANGE) window frame — events counted and summed
+    * over each row's trailing 24 hours per user, the frame form w4's
+    * ROWS-based moving average cannot express (a RANGE frame is bounded
+    * by the ORDER-BY value, so rows with equal timestamps always share a
+    * frame and tie order cannot change the result). Epoch seconds keep
+    * the bound arithmetic integer-exact in both engines. */
+  private val w11RangeWindow: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("epoch_s"))
+      .rangeBetween(-86399, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"), col("value"))
+      .select(col("user_id"), col("event_id"), col("epoch_s"),
+        count(lit(1)).over(w).as("n_last_24h"),
+        round(sum(col("value")).over(w), 2).as("sum_last_24h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val w11RangeWindowSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s, value
+      |  FROM events)
+      |SELECT user_id, event_id, epoch_s,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_last_24h,
+      |  round(sum(value) OVER w, 2) AS sum_last_24h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+      |  RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------------------------ unpivot / melt
+  /** f_unpivot: wide→long reshaping via `stack` (the inverse of the A3
+    * pivot) — each order row melts into one row per measure. A generator
+    * expression, so it stays inside whole-stage codegen with no shuffle;
+    * the oracle replays it as a UNION ALL. */
+  private val fUnpivot: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), expr(
+        """stack(2,
+          |  'totalprice', round(o_totalprice, 2),
+          |  'custkey', CAST(o_custkey AS DOUBLE)) AS (measure, value)""".stripMargin))
+      .orderBy("o_orderkey", "measure")
+
+  private val fUnpivotSql =
+    """SELECT o_orderkey, 'totalprice' AS measure, round(o_totalprice, 2) AS value
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS value
+      |FROM orders
+      |ORDER BY o_orderkey, measure""".stripMargin
+
+  // ------------------------------------------------------------------ null semantics
+  /** f_null_semantics: three-valued-logic parity — NULLIF, COALESCE,
+    * null-safe equality (`<=>` / IS NOT DISTINCT FROM), and NULL
+    * propagation through comparisons, pinned row-by-row against the
+    * oracle. Engines disagreeing on null semantics corrupt every
+    * downstream join/filter silently, so the parity gets its own gate. */
+  private val fNullSemantics: Q = (spark, dir) =>
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg_or_null"),
+        expr("coalesce(nullif(c_mktsegment, 'BUILDING'), 'was-building')").as("seg_filled"),
+        expr("nullif(c_mktsegment, 'BUILDING') <=> NULL").as("is_building"),
+        expr("(nullif(c_mktsegment, 'BUILDING') = 'MACHINERY') IS NULL").as("cmp_is_unknown"))
+      .orderBy("c_custkey")
+
+  private val fNullSemanticsSql =
+    """SELECT c_custkey,
+      |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'was-building') AS seg_filled,
+      |  nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS is_building,
+      |  (nullif(c_mktsegment, 'BUILDING') = 'MACHINERY') IS NULL AS cmp_is_unknown
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "w11_range_window" -> w11RangeWindow,
+    "f_unpivot" -> fUnpivot,
+    "f_null_semantics" -> fNullSemantics,
     "a18_cohort_retention" -> a18CohortRetention,
     "f_resample_gapfill" -> fResampleGapfill,
     "a17_event_funnel" -> a17EventFunnel,
@@ -345,6 +424,9 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "w11_range_window" -> w11RangeWindowSql,
+    "f_unpivot" -> fUnpivotSql,
+    "f_null_semantics" -> fNullSemanticsSql,
     "a18_cohort_retention" -> a18CohortRetentionSql,
     "f_resample_gapfill" -> fResampleGapfillSql,
     "a17_event_funnel" -> a17EventFunnelSql,
