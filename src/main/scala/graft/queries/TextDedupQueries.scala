@@ -1414,6 +1414,67 @@ object TextDedupQueries {
       |FROM tot t JOIN freq f ON f.doc_id = t.doc_id
       |GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ bigram LM scoring
+  /** t_bigram_lm: language-model quality scoring, the CCNet/KenLM-style
+    * signal — a character-bigram LM trained on the corpus itself
+    * (add-one smoothing over the observed alphabet), each document scored
+    * by its summed negative log2-likelihood. High-NLL docs are gibberish
+    * or out-of-domain; this is the classic model-based filter beside the
+    * heuristic gates (t_quality_score) and the fixed-weight classifier
+    * (t_quality_model).
+    *
+    * Scale shape: the LM is corpus-global but BOUNDED — bigram types are
+    * at most alphabet², context counts at most alphabet — so both tables
+    * broadcast at any corpus size and scoring is a narrow broadcast-join
+    * pass over the bigram stream; nothing document-sized ever shuffles.
+    * Each term is rounded to 4dp then summed as DECIMAL, so the per-doc
+    * sum is exact and order-independent (a raw double sum would make the
+    * hash depend on aggregation order). */
+  private val tBigramLm: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // sequence(1, n) counts DOWN when n < 1 — guard the 0/1-char docs
+    val bigrams = docs.select(col("doc_id"),
+      explode(expr(
+        """IF(length(text) < 2, array(),
+          |  transform(sequence(1, length(text) - 1),
+          |    i -> substring(text, i, 2)))""".stripMargin)).as("bg"))
+    val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val ctxCounts = bigrams.groupBy(expr("substring(bg, 1, 1)").as("c1ch"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = bigrams.agg(countDistinct(expr("substring(bg, 2, 1)")).as("v"))
+    bigrams
+      .join(broadcast(bgCounts), "bg")
+      .join(broadcast(ctxCounts), expr("substring(bg, 1, 1)") === col("c1ch"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", round(-log2(
+        (col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")), 4))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll").cast("decimal(18,4)")).cast("double").as("sum_nll"))
+      .orderBy("doc_id")
+  }
+
+  // ORACLE SERIES-BOUND INVARIANT: positions come from a static 1..2047
+  // series (same contract as the shingle CTEs above) — an overlong doc
+  // breaks oracle/engine agreement loudly, never silently.
+  private val tBigramLmSql =
+    """WITH bg AS (
+      |  SELECT doc_id, substring(text, s.i, 2) AS bg
+      |  FROM documents, generate_series(1, 2047) s(i)
+      |  WHERE s.i <= length(text) - 1),
+      |bgc AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+      |ctx AS (SELECT substring(bg, 1, 1) AS c1ch, count(*) AS c1 FROM bg GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT substring(bg, 2, 1)) AS v FROM bg)
+      |SELECT b.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CAST(round(-log2((c.c2 + 1) / CAST(x.c1 + vo.v AS DOUBLE)), 4)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_nll
+      |FROM bg b
+      |JOIN bgc c ON c.bg = b.bg
+      |JOIN ctx x ON x.c1ch = substring(b.bg, 1, 1)
+      |CROSS JOIN vocab vo
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ d12: chunk-level cross-document dedup
   /** Line/paragraph-level exact dedup across the whole corpus (the
     * CCNet / RefinedWeb pattern, Wenzek et al. 2020 — public): every
@@ -1713,6 +1774,7 @@ object TextDedupQueries {
     "t_bpe_pairs" -> tBpePairs,
     "e7_training_manifest" -> e7TrainingManifest,
     "t_entropy" -> tEntropy,
+    "t_bigram_lm" -> tBigramLm,
     "d12_chunk_dedup" -> d12ChunkDedup
   )
 
@@ -1758,6 +1820,7 @@ object TextDedupQueries {
     "t_bpe_pairs" -> tBpePairsSql,
     "e7_training_manifest" -> e7TrainingManifestSql,
     "t_entropy" -> tEntropySql,
+    "t_bigram_lm" -> tBigramLmSql,
     "d12_chunk_dedup" -> d12ChunkDedupSql
   )
 }
