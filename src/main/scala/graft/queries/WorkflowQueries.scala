@@ -138,6 +138,51 @@ object WorkflowQueries {
       |  count(*) AS cnt
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------ skew-safe salted join
+  /** j12: the hot-key JOIN salt pattern (a12's sibling) — a fact table
+    * where ~90% of rows share one key would put the whole hot key on one
+    * task in a plain shuffle join; salting appends `hash(row) % N` to the
+    * fact key and replicates each dim row across all N salt values, so
+    * the hot key spreads over N tasks. The gate proves the transformation
+    * is RESULT-INVARIANT: the oracle computes the plain unsalted join.
+    * (With a broadcast-able dim Spark would avoid the problem outright;
+    * salting is the pattern for when the dim must shuffle — AQE skew
+    * handling automates the same idea, this is its explicit form.) */
+  private val j12SaltedJoin: Q = (spark, dir) => {
+    val Salts = 8
+    val fact = Tables.lineitem(spark, dir).select(
+      when(col("l_partkey") % 100 < 90, 1)
+        .otherwise((col("l_partkey") % 100).cast("int")).as("join_key"),
+      col("l_extendedprice"),
+      (col("l_orderkey") % Salts).cast("int").as("salt"))
+    val dim = Tables.nation(spark, dir).select(
+      (col("n_nationkey") * 4 + 1).cast("int").as("join_key"),
+      col("n_name").as("dim_name"))
+    val saltedDim = dim
+      .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
+      .withColumn("salt", col("salt").cast("int"))
+    fact.join(saltedDim, Seq("join_key", "salt"))
+      .groupBy("join_key", "dim_name")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("join_key")
+  }
+
+  private val j12SaltedJoinSql =
+    """WITH fact AS (
+      |  SELECT CASE WHEN l_partkey % 100 < 90 THEN 1
+      |              ELSE CAST(l_partkey % 100 AS INTEGER) END AS join_key,
+      |    l_extendedprice
+      |  FROM lineitem),
+      |dim AS (
+      |  SELECT CAST(n_nationkey * 4 + 1 AS INTEGER) AS join_key, n_name AS dim_name
+      |  FROM nation)
+      |SELECT f.join_key, d.dim_name,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  round(sum(f.l_extendedprice), 2) AS sum_price
+      |FROM fact f JOIN dim d ON d.join_key = f.join_key
+      |GROUP BY 1, 2 ORDER BY f.join_key""".stripMargin
+
   // ------------------------------------------------------------------ approx distinct
   /** HyperLogLog++ distinct-count exposure: the approx value is engine
     * specific, so the oracle checks the exact count plus a 5% accuracy
@@ -198,6 +243,7 @@ object WorkflowQueries {
     "tracker_build" -> trackerBuild,
     "p9_verifier_update" -> p9VerifierUpdate,
     "a12_salted_agg" -> a12SaltedAgg,
+    "j12_salted_join" -> j12SaltedJoin,
     "a11_approx_distinct" -> a11ApproxDistinct,
     "g1_chip_pad" -> g1ChipPad
   )
@@ -207,6 +253,7 @@ object WorkflowQueries {
     "tracker_build" -> trackerBuildSql,
     "p9_verifier_update" -> p9VerifierUpdateSql,
     "a12_salted_agg" -> a12SaltedAggSql,
+    "j12_salted_join" -> j12SaltedJoinSql,
     "a11_approx_distinct" -> a11ApproxDistinctSql,
     "g1_chip_pad" -> g1ChipPadSql
   )
