@@ -1438,10 +1438,14 @@ object TextDedupQueries {
         """IF(length(text) < 2, array(),
           |  transform(sequence(1, length(text) - 1),
           |    i -> substring(text, i, 2)))""".stripMargin)).as("bg"))
-    val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val ctxCounts = bigrams.groupBy(expr("substring(bg, 1, 1)").as("c1ch"))
-      .agg(count(lit(1)).as("c1"))
-    val vocab = bigrams.agg(countDistinct(expr("substring(bg, 2, 1)")).as("v"))
+    // the TYPE table is ≤ alphabet² rows — cache it so the corpus-wide
+    // bigram explode runs exactly twice (once to count, once to score);
+    // without the cache each broadcast subtree (counts, context totals,
+    // alphabet size) re-evaluates the full explode independently
+    val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("c2")).cache()
+    val ctxCounts = bgCounts.groupBy(expr("substring(bg, 1, 1)").as("c1ch"))
+      .agg(sum("c2").as("c1"))
+    val vocab = bgCounts.agg(countDistinct(expr("substring(bg, 2, 1)")).as("v"))
     bigrams
       .join(broadcast(bgCounts), "bg")
       .join(broadcast(ctxCounts), expr("substring(bg, 1, 1)") === col("c1ch"))
