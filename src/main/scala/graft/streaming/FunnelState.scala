@@ -27,13 +27,30 @@ object FunnelState {
 
   private val Stages = Array("view", "click", "purchase")
 
-  /** Current funnel depth per user: 0 = nothing yet, 3 = full conversion. */
-  def funnelStages(events: Dataset[FunnelEvent]): Dataset[FunnelProgress] = {
+  /** Current funnel depth per user: 0 = nothing yet, 3 = full conversion.
+    *
+    * `conversionWindowMs` bounds how long a user's funnel stays open: when
+    * the WATERMARK passes lastAdvance + window, the state times out, the
+    * final depth is emitted once more, and the store entry is RELEASED.
+    * Without the timeout the state store grows monotonically with every
+    * user ever seen — the unbounded-state bug every long-running stateful
+    * stream eventually hits; with it, store size tracks users active
+    * within the window. Pass `0` to keep state forever (tests, bounded
+    * replays). Event-time (not processing-time) timers keep the query
+    * data-driven, so `processAllAvailable` terminates deterministically. */
+  def funnelStages(events: Dataset[FunnelEvent],
+                   conversionWindowMs: Long = 0L,
+                   watermarkDelay: String = "0 seconds"): Dataset[FunnelProgress] = {
     val spark = events.sparkSession
     import spark.implicits._
 
     def update(userId: Long, rows: Iterator[FunnelEvent],
                state: GroupState[(Int, Long)]): FunnelProgress = {
+      if (state.hasTimedOut) {
+        val stage = state.getOption.map(_._1).getOrElse(0)
+        state.remove()
+        return FunnelProgress(userId, stage)
+      }
       var (stage, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
       rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
         if (stage < Stages.length && e.event_type == Stages(stage) &&
@@ -43,10 +60,16 @@ object FunnelState {
         }
       }
       state.update((stage, lastTs))
+      if (conversionWindowMs > 0 && lastTs != Long.MinValue)
+        state.setTimeoutTimestamp(lastTs + conversionWindowMs)
       FunnelProgress(userId, stage)
     }
 
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+    val timeout = if (conversionWindowMs > 0) GroupStateTimeout.EventTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    val src = if (conversionWindowMs > 0) events.withWatermark("ts", watermarkDelay)
+              else events
+    src.groupByKey(_.user_id)
+      .mapGroupsWithState(timeout)(update)
   }
 }

@@ -154,6 +154,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel conversion window evicts state and restarts the funnel") {
+    import spark.implicits._
+    import graft.streaming.FunnelState
+    import graft.streaming.FunnelState.FunnelEvent
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[FunnelEvent]
+    // 10-minute conversion window, zero watermark delay
+    val q = FunnelState.funnelStages(src.toDS(), conversionWindowMs = 600000L)
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(FunnelEvent(1L, ts(1), "view"), FunnelEvent(2L, ts(1), "view"))
+      q.processAllAvailable()
+      // user 2's event at t=30 pushes the watermark past user 1's
+      // t=1+10min timeout -> user 1's state is flushed and RELEASED
+      src.addData(FunnelEvent(2L, ts(30), "click"))
+      q.processAllAvailable()
+      // user 1 returns: fresh state at stage 0 — a click cannot advance a
+      // restarted funnel (it needs a view first)
+      src.addData(FunnelEvent(1L, ts(31), "click"))
+      q.processAllAvailable()
+      val updates = spark.table("funnel_evict").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      // last emission per user: user 1 restarted at 0, user 2 advanced to 2
+      assert(updates.contains((1L, 1)), "initial view advanced user 1")
+      assert(updates.last._1 == 1L && updates.last._2 == 0,
+        s"restarted funnel must be back at stage 0, got ${updates.toSeq}")
+      assert(updates.contains((2L, 2)), "user 2 view+click reached stage 2")
+    } finally q.stop()
+  }
+
   test("file-source stream runs the batch window aggregation with AvailableNow") {
     import org.apache.spark.sql.streaming.Trigger
     val batchEvents = graft.io.Tables.events(spark, sf0001)
