@@ -135,6 +135,19 @@ class TiffPixelsSpec extends AnyFunSuite {
       s"decoded first pixel ($r,$g,$b) != (200,80,20) within JPEG tolerance")
   }
 
+  test("JPEG codec rejects bad input loudly") {
+    import graft.multimodal.JpegCodec
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode("definitely not a jpeg".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      JpegCodec.encodeGray(new Array[Byte](10), 512, 512)   // slab/dims mismatch
+    }
+    intercept[IllegalArgumentException] {
+      JpegCodec.encodeRgb(new Array[Byte](512 * 512), 512, 512)  // gray-sized slab
+    }
+  }
+
   test("compressed or non-gray input fails loudly") {
     val bytes = TiffPixels.renderGray8(32, 32, 8, pix)
     // flip the Compression entry (tag 259 is the 4th entry) to LZW (5)
