@@ -177,11 +177,99 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val updates = spark.table("funnel_evict").collect()
         .map(r => (r.getLong(0), r.getInt(1)))
-      // last emission per user: user 1 restarted at 0, user 2 advanced to 2
-      assert(updates.contains((1L, 1)), "initial view advanced user 1")
-      assert(updates.last._1 == 1L && updates.last._2 == 0,
-        s"restarted funnel must be back at stage 0, got ${updates.toSeq}")
+      // memory-sink row order across batches is an implementation detail:
+      // assert on each user's multiset of emissions, not global order
+      val u1 = updates.filter(_._1 == 1L).map(_._2)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      // stage 1 twice (initial view + timeout flush), then 0 once after the
+      // restarted funnel rejects the view-less click
+      assert(u1 == Map(1 -> 2, 0 -> 1),
+        s"user 1 emissions should be {1:2, 0:1}, got ${updates.toSeq}")
       assert(updates.contains((2L, 2)), "user 2 view+click reached stage 2")
+    } finally q.stop()
+  }
+
+  test("funnel times out and releases state for users whose events never start it") {
+    import spark.implicits._
+    import graft.streaming.FunnelState
+    import graft.streaming.FunnelState.FunnelEvent
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[FunnelEvent]
+    val q = FunnelState.funnelStages(src.toDS(), conversionWindowMs = 600000L)
+      .writeStream.format("memory").queryName("funnel_stage0")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 1's first (and only) event is a click: the stage machine never
+      // advances, stage stays 0 — before the fix, no timeout was armed for
+      // such users and their store entries leaked forever
+      src.addData(FunnelEvent(1L, ts(1), "click"), FunnelEvent(2L, ts(1), "view"))
+      q.processAllAvailable()
+      // other-user traffic pushes the watermark past user 1's window
+      src.addData(FunnelEvent(2L, ts(30), "click"))
+      q.processAllAvailable()
+      src.addData(FunnelEvent(2L, ts(60), "purchase"))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_stage0").collect()
+        .filter(_.getLong(0) == 1L).map(_.getInt(1)).toSeq
+      // two emissions with NO further user-1 data: the initial update and
+      // the timeout flush — proof the timer armed and the entry released
+      assert(u1 == Seq(0, 0),
+        s"stage-0 user must emit once on update and once on timeout, got $u1")
+    } finally q.stop()
+  }
+
+  test("funnel agrees with batch when events are shuffled across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.FunnelState
+    import graft.streaming.FunnelState.FunnelEvent
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[FunnelEvent]
+    // generous watermark delay: every shuffled event stays admissible; the
+    // pending buffer + speculative emission must reconstruct event-time order
+    val q = FunnelState.funnelStages(src.toDS(),
+        conversionWindowMs = 24L * 3600000L, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("funnel_shuffled")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 1 converts fully but its purchase arrives FIRST and its view
+      // LAST-but-one; user 2's first click arrives after its later click;
+      // user 3's purchase precedes its view in arrival order. An eager
+      // stage machine gets users 1 and 3 wrong; the buffered one must not.
+      src.addData(
+        FunnelEvent(1L, ts(3), "purchase"), FunnelEvent(2L, ts(3), "click"),
+        FunnelEvent(3L, ts(2), "purchase"))
+      q.processAllAvailable()
+      src.addData(FunnelEvent(1L, ts(1), "view"), FunnelEvent(2L, ts(2), "view"))
+      q.processAllAvailable()
+      src.addData(
+        FunnelEvent(1L, ts(2), "click"), FunnelEvent(2L, ts(1), "click"),
+        FunnelEvent(3L, ts(1), "view"))
+      q.processAllAvailable()
+      // speculative depth is monotone in the event set -> max == latest
+      val stages = spark.table("funnel_shuffled").groupBy("user_id")
+        .agg(max("stage").as("stage")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val batch = Seq(
+        (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+        (2L, ts(1), "click"), (2L, ts(2), "view"), (2L, ts(3), "click"),
+        (3L, ts(1), "view"), (3L, ts(2), "purchase"))
+        .toDF("user_id", "ts", "event_type")
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .select(col("user_id"),
+          (when(col("t1").isNotNull, 1).otherwise(0) +
+            when(col("t2").isNotNull, 1).otherwise(0) +
+            when(col("t3").isNotNull, 1).otherwise(0)).cast("int").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(stages == batch, s"stream $stages vs batch $batch")
+      assert(batch == Map(1L -> 3, 2L -> 2, 3L -> 1))
     } finally q.stop()
   }
 
