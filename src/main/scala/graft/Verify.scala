@@ -45,7 +45,14 @@ object Verify {
     // queries to an unannounced ts retype) is diagnosed from the artifact
     // instead of re-derived in-session. Written before the query loop so a
     // killed run still carries it.
-    val canary = new java.io.File(sfDir).listFiles()
+    // nanosAsLong up front, mirroring Tables.events: on old corpus drops
+    // where events carries TIMESTAMP(NANOS), schema inference would throw
+    // and record UNREADABLE for exactly the table this canary diagnoses
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // listFiles() is null for a missing sfDir — canary must record that,
+    // not NPE before the query loop even starts
+    val sfFiles = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+    val canary = sfFiles
       .filter(f => f.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
       .sorted.map { t =>
         val schema = try {

@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   * scan. Merge/dedup graphs have tiny components, so the frontier collapses
   * from |V| to a few hundred rows after the seed and rounds 2..diameter are
   * near-free — O(diameter) rounds, exactly one of which touches all
-  * vertices. Broadcasts are gated on measured size so a pathological
-  * expander graph degrades to a plain hash join instead of an OOM.
+  * vertices. Only the frontier — whose exact size is counted each round —
+  * is explicitly broadcast-hinted; the aggregated neighbor-min sides
+  * (`nbrMin`, `cand`) are left to AQE, which sizes them from runtime stats,
+  * so a pathological expander graph degrades to a plain hash join instead
+  * of an OOM. That safety depends on adaptive execution being on, which
+  * [[connectedComponents]] asserts up front.
   */
 object GraphCC {
 
@@ -36,15 +40,21 @@ object GraphCC {
     * @throws IllegalArgumentException if a component's diameter exceeds
     *         maxIter (wrong labels would otherwise be returned silently)
     *
-    * `broadcastThreshold` caps how large a frontier/neighbor-min table may
-    * be and still get the broadcast hint; above it the loop degrades to a
-    * plain hash join (the safe plan for expander-shaped graphs). Exposed
-    * for tests, which pin the fallback path at threshold 0.
+    * `broadcastThreshold` caps how large the FRONTIER may be and still get
+    * the explicit broadcast hint (it is the only table hinted — the
+    * aggregated neighbor-min sides are AQE-planned from runtime stats);
+    * above it the loop degrades to a plain hash join (the safe plan for
+    * expander-shaped graphs). Exposed for tests, which pin the fallback
+    * path at threshold 0.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
                           maxIter: Int = 50,
                           broadcastThreshold: Long = 500000L): DataFrame = {
     import org.apache.spark.sql.GraftSqlShim.detachStats
+    // the unhinted aggregated joins rely on AQE to right-size their strategy;
+    // with it off a huge neighbor-min side could plan as a broadcast OOM
+    require(vertices.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+      .toBoolean, "GraphCC.connectedComponents requires adaptive query execution")
     val edges = detachStats(pairs.select("key", "id_a", "id_b").unionByName(
         pairs.select(col("key"), col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint())
