@@ -744,6 +744,41 @@ object PipelineQueries {
       |FROM sums
       |ORDER BY tile_file, chip_row, chip_col""".stripMargin
 
+  /** `g1_chip_pixels` over Deflate-compressed predictor-2 strips — the
+    * layout real NAIP GeoTIFFs actually ship in (the reference reads them
+    * through cv2/rioxarray, `az_proc.py:510`, `form_calcs.py:261-287`).
+    * Same fixture pixels, same closed-form rectangle-sum oracle: a wrong
+    * inflate length, predictor undo, or strip row count all shift the
+    * per-chip sums. */
+  private val g1ChipPixelsDeflate: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.sources.TiffPixels
+    val root = Paths.get(Sinks.scratchDir("tiff_pixels_deflate"))
+    Files.createDirectories(root)
+    val nations = Tables.nation(spark, dir).select("n_nationkey").collect().map(_.getInt(0))
+    nations.foreach { n =>
+      val w = 1000 + n * 97 % 600
+      val h = 900 + n * 53 % 500
+      Files.write(root.resolve(f"t_$n%05d.tif"),
+        TiffPixels.renderGray8(w, h, rowsPerStrip = 64, (x, y) => (x % 16) + (y % 16),
+          compression = TiffPixels.CompDeflate, predictor = 2))
+    }
+    Sinks.scanBinaryDir(spark, root.toString, "*.tif")
+      .select(element_at(split(col("path"), "/"), -1).as("tile_file"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        TiffPixels.chips(bytes, 512).map { case (r, c, dw, dh, slab) =>
+          var s = 0L
+          var i = 0
+          while (i < slab.length) { s += slab(i) & 0xff; i += 1 }
+          (name, r, c, dw, dh, 512 - dw, 512 - dh, s)
+        }
+      }
+      .toDF("tile_file", "chip_row", "chip_col", "chip_w", "chip_h",
+        "pad_x", "pad_y", "pix_sum")
+      .orderBy("tile_file", "chip_row", "chip_col")
+  }
+
   // ------------------------------------------------------------------ G1 pixel path, RGB: 3-band chip slicer
   /** `g1_chip_pixels` at the reference's ACTUAL tile shape: NAIP tiles are
     * RGB (`az_proc.py:510` chips 3-band jpegs), so this slices
@@ -964,6 +999,7 @@ object PipelineQueries {
     "s3_realworld_counties" -> s3RealworldCounties,
     "s13_shapefile_sink" -> s13ShapefileSink,
     "g1_chip_pixels" -> g1ChipPixels,
+    "g1_chip_pixels_deflate" -> g1ChipPixelsDeflate,
     "g1_chip_pixels_rgb" -> g1ChipPixelsRgb,
     "g1_chip_jpeg" -> g1ChipJpeg,
     "j8_wkt_argmax" -> j8WktArgmax
@@ -991,6 +1027,7 @@ object PipelineQueries {
     "s3_realworld_counties" -> s3RealworldCountiesSql,
     "s13_shapefile_sink" -> s13ShapefileSinkSql,
     "g1_chip_pixels" -> g1ChipPixelsSql,
+    "g1_chip_pixels_deflate" -> g1ChipPixelsSql,
     "g1_chip_pixels_rgb" -> g1ChipPixelsRgbSql,
     "g1_chip_jpeg" -> g1ChipJpegSql,
     "j8_wkt_argmax" -> RelationalQueries.j8ArgmaxOracleSql

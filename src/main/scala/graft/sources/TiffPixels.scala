@@ -6,44 +6,197 @@ import java.nio.{ByteBuffer, ByteOrder}
   * (`az_proc.py:501-526`, `form_calcs.py:166-191`: tile raster -> 512x512
   * chips, right/bottom edges zero-padded to full chip size).
   *
-  * Uncompressed 8-bit strips, little-endian on write (either byte order on
-  * read), chunky/interleaved samples — gray (SamplesPerPixel=1) and RGB
+  * 8-bit strips, little-endian on write (either byte order on read),
+  * chunky/interleaved samples — gray (SamplesPerPixel=1) and RGB
   * (SamplesPerPixel=3, the NAIP tile shape `az_proc.py:510` actually
-  * chips). No codec library exists in this environment, so the *format*
-  * scope is honest: uncompressed strips only, loud failure on anything
-  * compressed. The slicing itself — strip reads, row copies, pad
+  * chips). Strip codecs: none (1), Deflate (8 and the old-style 32946,
+  * via `java.util.zip` — no new dependency) and PackBits (32773), with
+  * horizontal-differencing predictor 2 — the shapes real NAIP GeoTIFFs
+  * ship in (the reference reads them through cv2/rioxarray,
+  * `az_proc.py:510`, `form_calcs.py:261-287`). LZW/JPEG-in-TIFF stay a
+  * loud failure. The slicing itself — strip reads, row copies, pad
   * semantics — is the real computation and runs executor-side over
   * `binaryFile` content (one tile per row, narrow flatMap, no shuffle).
   */
 object TiffPixels {
 
-  /** Renders an uncompressed striped gray-8 TIFF whose pixel at (x, y) is
-    * `pix(x, y) & 0xff` — deterministic fixtures an oracle can replay. */
-  def renderGray8(width: Int, height: Int, rowsPerStrip: Int,
-                  pix: (Int, Int) => Int): Array[Byte] =
-    renderStriped(width, height, rowsPerStrip, samples = 1, photometric = 1,
-      (x, y, _) => pix(x, y))
+  /** TIFF compression tag values accepted by the reader and writer. */
+  val CompNone = 1
+  val CompDeflate = 8
+  val CompDeflateOld = 32946
+  val CompPackBits = 32773
 
-  /** Renders an uncompressed striped interleaved RGB-8 TIFF
-    * (SamplesPerPixel=3, PhotometricInterpretation=RGB, BitsPerSample the
-    * standards-required 3-SHORT out-of-line array). `pix(x, y)` returns
-    * the (r, g, b) byte triple. */
+  /** Renders a striped gray-8 TIFF whose pixel at (x, y) is
+    * `pix(x, y) & 0xff` — deterministic fixtures an oracle can replay.
+    * `compression`: CompNone | CompDeflate | CompPackBits; `predictor` 2 =
+    * horizontal differencing before compression (the common NAIP layout). */
+  def renderGray8(width: Int, height: Int, rowsPerStrip: Int,
+                  pix: (Int, Int) => Int,
+                  compression: Int = CompNone, predictor: Int = 1): Array[Byte] =
+    renderStriped(width, height, rowsPerStrip, samples = 1, photometric = 1,
+      (x, y, _) => pix(x, y), compression, predictor)
+
+  /** Renders a striped interleaved RGB-8 TIFF (SamplesPerPixel=3,
+    * PhotometricInterpretation=RGB, BitsPerSample the standards-required
+    * 3-SHORT out-of-line array). `pix(x, y)` returns the (r, g, b) byte
+    * triple. Same codec/predictor options as [[renderGray8]]. */
   def renderRgb8(width: Int, height: Int, rowsPerStrip: Int,
-                 pix: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+                 pix: (Int, Int) => (Int, Int, Int),
+                 compression: Int = CompNone, predictor: Int = 1): Array[Byte] =
     renderStriped(width, height, rowsPerStrip, samples = 3, photometric = 2,
       (x, y, band) => band match {
         case 0 => pix(x, y)._1
         case 1 => pix(x, y)._2
         case _ => pix(x, y)._3
-      })
+      }, compression, predictor)
+
+  // ---------------------------------------------------------------- codecs
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(src: Array[Byte], off: Int, len: Int,
+                      expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(src, off, len)
+    val out = new Array[Byte](expected)
+    var o = 0
+    while (o < expected && !inf.finished()) {
+      val n = inf.inflate(out, o, expected - o)
+      require(n > 0 || !inf.needsInput(), "truncated Deflate strip")
+      o += n
+    }
+    inf.end()
+    require(o == expected, s"Deflate strip decoded $o of $expected bytes")
+    out
+  }
+
+  /** PackBits-encodes one row (TIFF spec: encoding never crosses rows). */
+  private def packBitsRow(row: Array[Byte], out: java.io.ByteArrayOutputStream): Unit = {
+    var i = 0
+    while (i < row.length) {
+      var runLen = 1
+      while (i + runLen < row.length && runLen < 128 && row(i + runLen) == row(i))
+        runLen += 1
+      if (runLen >= 2) {
+        out.write(1 - runLen)                    // -(runLen-1): replicate
+        out.write(row(i))
+        i += runLen
+      } else {
+        val start = i
+        var j = i + 1
+        var cut = -1
+        while (j < row.length && (j - start) < 128 && cut < 0) {
+          if (j + 2 < row.length && row(j) == row(j + 1) && row(j) == row(j + 2)) cut = j
+          else j += 1
+        }
+        val end = if (cut >= 0) cut else j
+        out.write(end - start - 1)               // literal count - 1
+        out.write(row, start, end - start)
+        i = end
+      }
+    }
+  }
+
+  private def unpackBits(src: Array[Byte], off: Int, len: Int,
+                         expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var i = off; var o = 0
+    val end = off + len
+    while (o < expected && i < end) {
+      val n = src(i); i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        System.arraycopy(src, i, out, o, cnt); i += cnt; o += cnt
+      } else if (n != -128) {                    // -128 is a spec'd no-op
+        val cnt = 1 - n
+        java.util.Arrays.fill(out, o, o + cnt, src(i)); i += 1; o += cnt
+      }
+    }
+    require(o == expected, s"PackBits strip decoded $o of $expected bytes")
+    out
+  }
+
+  /** Horizontal differencing (predictor 2), in place, per sample channel. */
+  private def applyPredictor(strip: Array[Byte], rowBytes: Int, samples: Int): Unit = {
+    var r = 0
+    while (r * rowBytes < strip.length) {
+      val base = r * rowBytes
+      var i = rowBytes - 1
+      while (i >= samples) {
+        strip(base + i) = (strip(base + i) - strip(base + i - samples)).toByte
+        i -= 1
+      }
+      r += 1
+    }
+  }
+
+  private def undoPredictor(strip: Array[Byte], rowBytes: Int, samples: Int): Unit = {
+    var r = 0
+    while (r * rowBytes < strip.length) {
+      val base = r * rowBytes
+      var i = samples
+      while (i < rowBytes) {
+        strip(base + i) = (strip(base + i) + strip(base + i - samples)).toByte
+        i += 1
+      }
+      r += 1
+    }
+  }
 
   private def renderStriped(width: Int, height: Int, rowsPerStrip: Int,
                             samples: Int, photometric: Int,
-                            pixByte: (Int, Int, Int) => Int): Array[Byte] = {
+                            pixByte: (Int, Int, Int) => Int,
+                            compression: Int, predictor: Int): Array[Byte] = {
     require(width > 0 && height > 0 && rowsPerStrip > 0)
     require(samples == 1 || samples == 3, s"1 or 3 samples, got $samples")
+    require(compression == CompNone || compression == CompDeflate ||
+      compression == CompPackBits, s"writer supports none/deflate/packbits, got $compression")
+    require(predictor == 1 || predictor == 2, s"predictor 1 or 2, got $predictor")
     val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
-    val nEntries = 9
+    val rowBytes = width * samples
+    // materialize (predictor'd, compressed) strip payloads first: their
+    // encoded lengths drive the offset layout
+    val strips: IndexedSeq[Array[Byte]] = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+      val raw = new Array[Byte](rows * rowBytes)
+      var r = 0
+      while (r < rows) {
+        val y = s * rowsPerStrip + r
+        var x = 0
+        while (x < width) {
+          var b = 0
+          while (b < samples) {
+            raw(r * rowBytes + x * samples + b) = (pixByte(x, y, b) & 0xff).toByte
+            b += 1
+          }
+          x += 1
+        }
+        r += 1
+      }
+      if (predictor == 2) applyPredictor(raw, rowBytes, samples)
+      compression match {
+        case CompNone => raw
+        case CompDeflate => deflate(raw)
+        case CompPackBits =>
+          val out = new java.io.ByteArrayOutputStream(raw.length + raw.length / 128 + 16)
+          var rr = 0
+          while (rr < rows) {
+            packBitsRow(java.util.Arrays.copyOfRange(raw, rr * rowBytes,
+              (rr + 1) * rowBytes), out)
+            rr += 1
+          }
+          out.toByteArray
+      }
+    }
+    val nEntries = if (predictor == 2) 10 else 9
     val ifdOffset = 8
     // after the IFD + next-IFD pointer: the BitsPerSample SHORT array when
     // samples > 1 (3 shorts do not fit the 4-byte value field), then the
@@ -54,10 +207,7 @@ object TiffPixels {
     val stripArrOffset = bitsOffset + (if (bitsInline) 0 else samples * 2)
     val offsetsInline = nStrips == 1
     val pixelStart = stripArrOffset + (if (offsetsInline) 0 else nStrips * 4 * 2)
-    val stripLens = (0 until nStrips).map { s =>
-      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
-      rows * width * samples
-    }
+    val stripLens = strips.map(_.length)
     val stripOffsets = stripLens.scanLeft(pixelStart)(_ + _).init
     val buf = ByteBuffer.allocate(pixelStart + stripLens.sum)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -69,7 +219,7 @@ object TiffPixels {
     entry(257, 4, 1, height)                     // ImageLength
     if (bitsInline) entry(258, 3, 1, 8)          // BitsPerSample
     else entry(258, 3, samples, bitsOffset)
-    entry(259, 3, 1, 1)                          // Compression: none
+    entry(259, 3, 1, compression)                // Compression
     entry(262, 3, 1, photometric)                // BlackIsZero / RGB
     if (offsetsInline) entry(273, 4, 1, stripOffsets.head)
     else entry(273, 4, nStrips, stripArrOffset)
@@ -77,35 +227,27 @@ object TiffPixels {
     entry(278, 4, 1, rowsPerStrip)               // RowsPerStrip
     if (offsetsInline) entry(279, 4, 1, stripLens.head)
     else entry(279, 4, nStrips, stripArrOffset + nStrips * 4)
+    if (predictor == 2) entry(317, 3, 1, 2)      // Predictor: horizontal
     buf.putInt(0)                                // next-IFD pointer: none
     if (!bitsInline) (0 until samples).foreach(_ => buf.putShort(8))
     if (!offsetsInline) {
       stripOffsets.foreach(buf.putInt)
       stripLens.foreach(buf.putInt)
     }
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        var b = 0
-        while (b < samples) { buf.put((pixByte(x, y, b) & 0xff).toByte); b += 1 }
-        x += 1
-      }
-      y += 1
-    }
+    strips.foreach(buf.put)
     buf.array()
   }
 
-  /** Reads an uncompressed striped gray-8 TIFF back into
-    * (width, height, row-major pixel bytes). Fails loudly on compressed,
-    * non-8-bit, or multi-sample input. */
+  /** Reads a striped gray-8 TIFF (none/Deflate/PackBits strips, predictor
+    * 1 or 2) back into (width, height, row-major pixel bytes). Fails
+    * loudly on other codecs, non-8-bit, or multi-sample input. */
   def readGray8(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     val (w, h, s, px) = readStriped(bytes)
     require(s == 1, s"gray-8 only, got samples=$s (use readRgb8)")
     (w, h, px)
   }
 
-  /** Reads an uncompressed striped interleaved RGB-8 TIFF back into
+  /** Reads a striped interleaved RGB-8 TIFF back into
     * (width, height, row-major r,g,b-interleaved bytes). */
   def readRgb8(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     val (w, h, s, px) = readStriped(bytes)
@@ -115,7 +257,8 @@ object TiffPixels {
 
   /** Shared strip reader: (width, height, samplesPerPixel, interleaved
     * bytes). Scope is the fixture formats above plus any
-    * standards-conforming uncompressed chunky 8-bit striped file. */
+    * standards-conforming chunky 8-bit striped file in none/Deflate/
+    * PackBits compression with predictor 1 or 2. */
   private def readStriped(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     val order = (bytes(0).toChar, bytes(1).toChar) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -128,6 +271,7 @@ object TiffPixels {
     val nEntries = buf.getShort(ifdOffset) & 0xffff
     var width = 0; var height = 0; var rowsPerStrip = Int.MaxValue
     var compression = 1; var bits = 1; var samples = 1; var planar = 1
+    var predictor = 1
     var offsets = Seq.empty[Int]; var counts = Seq.empty[Int]
     def longArray(e: Int): Seq[Int] = {
       val count = buf.getInt(e + 4)
@@ -165,21 +309,39 @@ object TiffPixels {
         case 278 => rowsPerStrip = shortOrLong
         case 279 => counts = longArray(e)
         case 284 => planar = shortOrLong
+        case 317 => predictor = shortOrLong
         case _ =>
       }
       i += 1
     }
-    require(compression == 1, s"unsupported compression $compression (uncompressed strips only)")
+    require(compression == CompNone || compression == CompDeflate ||
+      compression == CompDeflateOld || compression == CompPackBits,
+      s"unsupported compression $compression (none/Deflate/PackBits only; LZW and " +
+        "JPEG-in-TIFF are out of scope)")
     require(bits == 8, s"8-bit samples only, got bits=$bits")
     require(planar == 1, s"chunky (interleaved) samples only, got planar=$planar")
     require(samples == 1 || samples == 3, s"1 or 3 samples only, got $samples")
+    require(predictor == 1 || predictor == 2, s"predictor 1 or 2 only, got $predictor")
     require(width > 0 && height > 0 && offsets.nonEmpty, "missing dimensions or strips")
+    require(rowsPerStrip > 0, s"bad RowsPerStrip $rowsPerStrip")
     val rowBytes = width * samples
     val out = new Array[Byte](rowBytes * height)
     var row = 0
-    offsets.zip(counts).foreach { case (off, len) =>
-      val rows = len / rowBytes
-      System.arraycopy(bytes, off, out, row * rowBytes, rows * rowBytes)
+    offsets.zip(counts).zipWithIndex.foreach { case ((off, len), s) =>
+      // expected rows come from RowsPerStrip (the last strip is short);
+      // with compression the stored byte count is the ENCODED length
+      val rows = math.min(rowsPerStrip.toLong,
+        (height - s.toLong * rowsPerStrip)).toInt
+      val expected = rows * rowBytes
+      val strip = compression match {
+        case CompNone =>
+          require(len >= expected, s"uncompressed strip $s holds $len of $expected bytes")
+          java.util.Arrays.copyOfRange(bytes, off, off + expected)
+        case CompDeflate | CompDeflateOld => inflate(bytes, off, len, expected)
+        case CompPackBits => unpackBits(bytes, off, len, expected)
+      }
+      if (predictor == 2) undoPredictor(strip, rowBytes, samples)
+      System.arraycopy(strip, 0, out, row * rowBytes, expected)
       row += rows
     }
     require(row == height, s"strips covered $row of $height rows")

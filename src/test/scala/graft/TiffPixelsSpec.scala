@@ -148,6 +148,62 @@ class TiffPixelsSpec extends AnyFunSuite {
     }
   }
 
+  test("Deflate and PackBits strips round-trip, with and without predictor 2") {
+    for {
+      comp <- Seq(TiffPixels.CompDeflate, TiffPixels.CompPackBits)
+      pred <- Seq(1, 2)
+      (w, h, rps) <- Seq((100, 81, 16), (37, 53, 7), (64, 64, 64))
+    } {
+      val bytes = TiffPixels.renderGray8(w, h, rps, pix, comp, pred)
+      // compressed fixture must actually be smaller than raw for the
+      // regular gradient (otherwise the codec path isn't exercised)
+      if (comp == TiffPixels.CompDeflate)
+        assert(bytes.length < w * h, s"deflate did not compress w=$w h=$h")
+      val (rw, rh, px) = TiffPixels.readGray8(bytes)
+      assert((rw, rh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xff) == pix(x, y),
+          s"($x,$y) w=$w h=$h rps=$rps comp=$comp pred=$pred")
+    }
+  }
+
+  test("Deflate RGB strips with predictor 2 round-trip (per-channel differencing)") {
+    for ((w, h, rps) <- Seq((100, 80, 16), (37, 53, 7))) {
+      val bytes = TiffPixels.renderRgb8(w, h, rps, rgb, TiffPixels.CompDeflate, 2)
+      val (rw, rh, px) = TiffPixels.readRgb8(bytes)
+      assert((rw, rh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = rgb(x, y)
+        val i = (y * w + x) * 3
+        assert(((px(i) & 0xff), (px(i + 1) & 0xff), (px(i + 2) & 0xff)) == ((r, g, b)),
+          s"($x,$y) w=$w h=$h rps=$rps")
+      }
+    }
+  }
+
+  test("old-style Deflate code 32946 is accepted on read") {
+    val bytes = TiffPixels.renderGray8(32, 32, 8, pix, TiffPixels.CompDeflate)
+    // rewrite the Compression entry value (tag 259, 4th entry) to 32946
+    val b = bytes.clone()
+    val e = 8 + 2 + 3 * 12
+    assert((b(e) & 0xff) == 3 && (b(e + 1) & 0xff) == 1)   // tag 259 LE
+    b(e + 8) = (32946 & 0xff).toByte
+    b(e + 9) = ((32946 >> 8) & 0xff).toByte
+    val (w, h, px) = TiffPixels.readGray8(b)
+    assert((w, h) == (32, 32) && (px(33) & 0xff) == pix(1, 1))
+  }
+
+  test("PackBits copes with incompressible and constant rows") {
+    // constant rows become replicate runs; a sawtooth with period > 128
+    // forces literal runs through the 128-byte cap
+    val bytes = TiffPixels.renderGray8(300, 10, 4, (x, y) => if (y % 2 == 0) 7 else x % 251,
+      TiffPixels.CompPackBits)
+    val (w, h, px) = TiffPixels.readGray8(bytes)
+    assert((w, h) == (300, 10))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((px(y * w + x) & 0xff) == (if (y % 2 == 0) 7 else x % 251), s"($x,$y)")
+  }
+
   test("compressed or non-gray input fails loudly") {
     val bytes = TiffPixels.renderGray8(32, 32, 8, pix)
     // flip the Compression entry (tag 259 is the 4th entry) to LZW (5)
