@@ -27,9 +27,34 @@ import org.apache.spark.sql.functions._
 object Fetcher {
 
   /** Deterministic stand-in for the HTTP GET: payload derived from the
-    * URL, so size/content are oracle-checkable. */
+    * URL, so size/content are oracle-checkable. The sandboxed gate uses
+    * this; [[httpGet]] is the real transport. */
   def simulatedGet(url: String): Array[Byte] =
     s"payload:$url".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Real HTTP(S) GET over `HttpURLConnection` — plain JDK, runs on the
+    * executor that owns the partition (the same per-worker fan-out the
+    * reference's download loop gets from its process pool). Non-2xx or a
+    * short read raise, so a failed fetch surfaces as a task error (and the
+    * temp-file + atomic-move protocol in [[fetchMissing]] guarantees no
+    * half-written store file). FetcherSpec exercises this against a
+    * localhost `com.sun.net.httpserver` fixture; the driver gate keeps
+    * [[simulatedGet]] because the sandbox has no egress. */
+  def httpGet(url: String, connectTimeoutMs: Int = 10000,
+              readTimeoutMs: Int = 30000): Array[Byte] = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod("GET")
+    try {
+      val code = conn.getResponseCode
+      require(code >= 200 && code < 300, s"GET $url returned HTTP $code")
+      val in = conn.getInputStream
+      try in.readAllBytes()
+      finally in.close()
+    } finally conn.disconnect()
+  }
 
   /** Catalog rows whose `nameCol` is not yet present in `storeDir`. */
   def pending(spark: SparkSession, catalog: DataFrame,
