@@ -1035,6 +1035,213 @@ object VectorQueries {
        |SELECT q_id, rank, vec_id, adc FROM topk WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------ IVF+PQ composed end-to-end search
+  /** v14: the composed billion-vector serving plan — v5/v7's IVF probe,
+    * v13's PQ asymmetric-distance scan, and an exact top-k rerank, in one
+    * query: assign every vector to its best IVF cell; PQ-encode the corpus
+    * to 8 one-byte codes; per query, probe the top-2 cells, ADC-score only
+    * candidates inside them through the broadcast LUT, shortlist the 10
+    * best ADC candidates, and exact-cosine rerank to the final top-3. The
+    * output carries recall@3 against the brute-force exact top-3 so the
+    * approximation quality is a GATED number, not a claim. Because the
+    * corpus is random noise (near-uniform similarity — nothing for an ANN
+    * index to find), the feed plants three exact copies of each query (the
+    * d5 convention): the true top-3. Every stage must then cooperate for
+    * recall 1.0 — copies land in the query's own best cell (IVF), carry
+    * the query's own optimal code word so their ADC is the attainable
+    * minimum (PQ), survive the shortlist, and rerank to the top (exact).
+    *
+    * Scale shape: every small side broadcasts (16 centroids, 32-row
+    * codebook, 96-row LUT, 6 probe rows, 30-row shortlist); the corpus is
+    * touched by narrow passes only (assign, encode, ADC probe) and never
+    * shuffles on anything wider than its own aggregation keys. At 10^9
+    * vectors the ADC scan reads 8 bytes/vector within probed cells — the
+    * IVF-PQ trade exactly as production vector stores run it; the exact
+    * rerank touches `shortlist` full vectors per query, not the corpus.
+    * (The brute-force recall leg is gate instrumentation, dropped in
+    * production serving.) */
+  private val v14IvfpqSearch: Q = (spark, dir) => {
+    graft.plans.GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // planted true neighbors: 3 exact copies of each query (ids +10k/+20k/+30k)
+    val planted = (1 to 3).map(j =>
+        base.filter(col("vec_id") >= 4 && col("vec_id") < 7)
+          .select((col("vec_id") + j * 10000).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val emb = base.unionByName(planted)
+    // IVF index build (v5/v7 semantics): best cell per vector
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", round(expr("cosine_sim(embedding, c_emb)"), 4))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    // PQ corpus codes (v12 semantics: codebook = subvectors of vec_id < 4)
+    val subs = emb.select(col("vec_id"),
+      explode(array((0 until 8).map(s =>
+        struct(lit(s).as("sub"), slice(col("embedding"), s * 8 + 1, 8).as("v"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+    val codebook = subs.filter(col("vec_id") < 4)
+      .select(col("sub"), col("vec_id").as("k"), col("v").as("c"))
+    val sqDist = expr(
+      """aggregate(zip_with(v, c,
+        |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+        |  0D, (acc, x) -> acc + x)""".stripMargin)
+    val dist = subs.join(broadcast(codebook), "sub")
+      .withColumn("d2", round(sqDist, 4))
+    val codes = dist.groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("k"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.k").as("k"))
+    // queries, probed cells, and the per-query ADC lookup table
+    val queries = emb.filter(col("vec_id") >= 4 && col("vec_id") < 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", round(expr("cosine_sim(q_emb, c_emb)"), 4))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("crn") <= 2)
+      .select("q_id", "centroid_id")
+    val lut = dist.filter(col("vec_id") >= 4 && col("vec_id") < 7)
+      .select(col("vec_id").as("q_id"), col("sub"), col("k"), col("d2").as("ld"))
+    // ADC over candidates inside probed cells only (decimal: exact 8-way sum)
+    val cands = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val adc = cands.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "k"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("ld").cast("decimal(18,4)")).cast("double").as("adc"))
+    val shortlist = adc.withColumn("arn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))))
+      .filter(col("arn") <= 10)
+      .select("q_id", "vec_id")
+    // exact rerank of the shortlist
+    val rer = broadcast(shortlist)
+      .join(emb.select(col("vec_id"), col("embedding").as("cand_emb")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos_sim", round(expr("cosine_sim(q_emb, cand_emb)"), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))).cast("int"))
+      .filter(col("rnk") <= 3)
+    // recall@3 vs the brute-force exact top-3 (gate instrumentation)
+    val exact = emb.select(col("vec_id").as("cand_id"), col("embedding").as("e_emb"))
+      .crossJoin(broadcast(queries))
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("e_sim", round(expr("cosine_sim(q_emb, e_emb)"), 4))
+      .withColumn("ern", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("e_sim").desc, col("cand_id"))))
+      .filter(col("ern") <= 3)
+      .select(col("q_id"), col("cand_id"))
+    val hits = rer.select(col("q_id"), col("vec_id"))
+      .join(exact, Seq("q_id"))
+      .filter(col("vec_id") === col("cand_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("nhit"))
+    rer.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos_sim"),
+        round(coalesce(col("nhit"), lit(0L)) / 3.0, 4).as("recall_at_3"))
+      .orderBy("q_id", "rnk")
+  }
+
+  private val v14IvfpqSearchSql =
+    s"""WITH feed AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 * CAST(j.j AS INTEGER) AS vec_id, embedding
+       |  FROM embeddings, generate_series(1, 3) j(j)
+       |  WHERE vec_id >= 4 AND vec_id < 7),
+       |un AS (
+       |  SELECT vec_id, CAST(i.i AS INTEGER) AS i, CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE) AS x
+       |  FROM feed, generate_series(1, 64) i(i)),
+       |norms AS (SELECT vec_id, sum(x * x) AS n2 FROM un GROUP BY 1),
+       |cdots AS (
+       |  SELECT b.vec_id, a.vec_id AS centroid_id, sum(a.x * b.x) AS dot
+       |  FROM un a JOIN un b ON a.i = b.i
+       |  WHERE a.vec_id < 16
+       |  GROUP BY 1, 2),
+       |cscored AS (
+       |  SELECT d.vec_id, d.centroid_id,
+       |    round(d.dot / (sqrt(nb.n2) * sqrt(na.n2)), 4) AS c_sim
+       |  FROM cdots d
+       |  JOIN norms na ON na.vec_id = d.centroid_id
+       |  JOIN norms nb ON nb.vec_id = d.vec_id),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c_sim DESC, centroid_id) AS crn
+       |    FROM cscored) WHERE crn = 1),
+       |sub AS (
+       |  SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS sub,
+       |    CAST((i - 1) % 8 AS INTEGER) AS d, x
+       |  FROM un),
+       |cb AS (SELECT vec_id AS k, sub, d, x AS c FROM sub WHERE vec_id < 4),
+       |dist AS (
+       |  SELECT s.vec_id, s.sub, c.k,
+       |    round(sum((s.x - c.c) * (s.x - c.c)), 4) AS d2
+       |  FROM sub s JOIN cb c ON c.sub = s.sub AND c.d = s.d
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, sub, k FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY d2, k) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c_sim DESC, centroid_id) AS crn
+       |    FROM cscored WHERE vec_id >= 4 AND vec_id < 7) WHERE crn <= 2),
+       |lut AS (
+       |  SELECT vec_id AS q_id, sub, k, d2 AS ld
+       |  FROM dist WHERE vec_id >= 4 AND vec_id < 7),
+       |cands AS (
+       |  SELECT p.q_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+       |  WHERE a.vec_id <> p.q_id),
+       |adc AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    CAST(sum(CAST(l.ld AS DECIMAL(18,4))) AS DOUBLE) AS adc
+       |  FROM cands c
+       |  JOIN codes b ON b.vec_id = c.vec_id
+       |  JOIN lut l ON l.q_id = c.q_id AND l.sub = b.sub AND l.k = b.k
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc, vec_id) AS arn FROM adc) WHERE arn <= 10),
+       |qdots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id, sum(a.x * b.x) AS dot
+       |  FROM un a JOIN un b ON a.i = b.i
+       |  WHERE a.vec_id >= 4 AND a.vec_id < 7
+       |  GROUP BY 1, 2),
+       |qscored AS (
+       |  SELECT d.q_id, d.vec_id,
+       |    round(d.dot / (sqrt(nq.n2) * sqrt(nc.n2)), 4) AS cos_sim
+       |  FROM qdots d
+       |  JOIN norms nq ON nq.vec_id = d.q_id
+       |  JOIN norms nc ON nc.vec_id = d.vec_id),
+       |rer AS (
+       |  SELECT s.q_id, s.vec_id, q.cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY q.cos_sim DESC, s.vec_id) AS INTEGER) AS rnk
+       |  FROM shortlist s JOIN qscored q ON q.q_id = s.q_id AND q.vec_id = s.vec_id),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS ern
+       |    FROM qscored WHERE q_id <> vec_id) WHERE ern <= 3),
+       |hits AS (
+       |  SELECT r.q_id, count(*) AS nhit
+       |  FROM rer r JOIN exact e ON e.q_id = r.q_id AND e.vec_id = r.vec_id
+       |  WHERE r.rnk <= 3
+       |  GROUP BY 1)
+       |SELECT r.q_id, r.rnk, r.vec_id AS neighbor_id, r.cos_sim,
+       |  round(coalesce(h.nhit, 0) / 3.0, 4) AS recall_at_3
+       |FROM rer r LEFT JOIN hits h ON h.q_id = r.q_id
+       |WHERE r.rnk <= 3
+       |ORDER BY r.q_id, r.rnk""".stripMargin
+
   // ------------------------------------------------------------------ audio energy / silence windows
   /** m5: the audio half of the multimodal surface — PCM16LE payloads as
     * opaque binary columns, decoded executor-side (a REAL byte parse, not
@@ -1125,7 +1332,8 @@ object VectorQueries {
     "m2_frame_sample" -> m2FrameSample,
     "m3_frame_dedup" -> m3FrameDedup,
     "m5_audio_energy" -> m5AudioEnergy,
-    "v13_pq_adc" -> v13PqAdc
+    "v13_pq_adc" -> v13PqAdc,
+    "v14_ivfpq_search" -> v14IvfpqSearch
   )
 
   val oracle: Map[String, String] = Map(
@@ -1149,6 +1357,7 @@ object VectorQueries {
     "m2_frame_sample" -> m2FrameSampleSql,
     "m3_frame_dedup" -> m3FrameDedupSql,
     "m5_audio_energy" -> m5AudioEnergySql,
-    "v13_pq_adc" -> v13PqAdcSql
+    "v13_pq_adc" -> v13PqAdcSql,
+    "v14_ivfpq_search" -> v14IvfpqSearchSql
   )
 }

@@ -119,4 +119,17 @@ class TextVectorSpec extends SparkSpec {
     assert(rows(1L).getAs[String]("quality_bucket") == "too_short")
     assert(rows(2L).getAs[String]("quality_bucket") == "boilerplate")
   }
+
+  test("v14 IVF+PQ composed search recovers every planted neighbor (recall@3 = 1)") {
+    val rows = graft.queries.VectorQueries.queries("v14_ivfpq_search")(spark, sf0001)
+      .collect()
+    assert(rows.length == 9)   // 3 queries x top-3
+    // the full probe -> ADC -> shortlist -> rerank chain must surface all
+    // three planted copies of each query at cosine 1.0
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_at_3") == 1.0, r.toString)
+      assert(r.getAs[Double]("cos_sim") == 1.0, r.toString)
+      assert(r.getAs[Long]("neighbor_id") % 10000 == r.getAs[Long]("q_id"), r.toString)
+    }
+  }
 }
