@@ -64,6 +64,18 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // Host 1-minute loadavg, recorded before/after every query. The round-6
+    // driver record carried a 30.9s reading for a query that is 1.3s in every
+    // other record — co-tenant host load with no in-guest consumer. Stamping
+    // load into the record makes burst-inflated readings machine-flaggable
+    // (load >> local parallelism during the window) instead of narrative.
+    def loadAvg(): Double =
+      try {
+        val l = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        math.rint(l * 100) / 100
+      } catch { case _: Throwable => -1.0 }
+
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       try {
         val t0 = System.nanoTime()
@@ -89,9 +101,13 @@ object Bench {
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
 
-    def record(done: Seq[(String, Double, Double)], partial: Boolean): String = {
-      val results = done.map { case (n, lo, _) => n -> lo }
-      val maxResults = done.map { case (n, _, hi) => n -> hi }
+    def record(done: Seq[(String, Double, Double, Double, Double)], partial: Boolean): String = {
+      val results = done.map { case (n, lo, _, _, _) => n -> lo }
+      val maxResults = done.map { case (n, _, hi, _, _) => n -> hi }
+      // per-query [loadBefore, loadAfter] — the variance canary
+      val loadJson = done.map { case (n, _, _, lb, la) =>
+        "\"" + n + "\":[" + lb + "," + la + "]"
+      }.mkString("{", ",", "}")
       val failed = results.collect { case (k, v) if v < 0 => k }
       // a failed query is a -1 sentinel in the per-query map; it must NOT
       // shrink the summed total (a broken run would otherwise look faster)
@@ -104,9 +120,10 @@ object Bench {
         s""""n_failed":${failed.size},"failed":$failedJson,""" +
         s""""queries":${jsonMap(results)},""" +
         s""""queries_max":${jsonMap(maxResults)},""" +
+        s""""load":$loadJson,""" +
         s""""sf":"$sfDir"}"""
     }
-    def flush(done: Seq[(String, Double, Double)], partial: Boolean): Unit =
+    def flush(done: Seq[(String, Double, Double, Double, Double)], partial: Boolean): Unit =
       outPath.foreach { o =>
         // atomic-rename rewrite: a kill mid-write can't leave a torn file
         try {
@@ -118,8 +135,9 @@ object Bench {
         } catch { case _: Throwable => () } // bench output must never fail the run
       }
 
-    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Double, Double)]
     selected.zipWithIndex.foreach { case ((name, fn), i) =>
+      val loadBefore = loadAvg()
       val (lo, hi) =
         if (fast) { val t = runOnce(fn); (t, t) }
         else {
@@ -127,14 +145,15 @@ object Bench {
           val a = runOnce(fn); val b = runOnce(fn)
           if (a < 0 || b < 0) (-1.0, -1.0) else (math.min(a, b), math.max(a, b))
         }
-      done += ((name, lo, hi))
+      val loadAfter = loadAvg()
+      done += ((name, lo, hi, loadBefore, loadAfter))
       // per-query progress line: compact, bounded, and shaped differently
       // from the final metric line (no "metric" key) so tail-grabs stay
       // unambiguous. This is the kill-survivable stdout evidence.
-      println(s"""{"query":"$name","sec":$lo,"max":$hi,"i":${i + 1},"n":${selected.size}}""")
+      println(s"""{"query":"$name","sec":$lo,"max":$hi,"load":[$loadBefore,$loadAfter],"i":${i + 1},"n":${selected.size}}""")
       flush(done.toSeq, partial = true)
     }
-    val results = done.toSeq.map { case (n, lo, _) => n -> lo }
+    val results = done.toSeq.map { case (n, lo, _, _, _) => n -> lo }
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
