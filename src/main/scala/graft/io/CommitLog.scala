@@ -20,6 +20,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   table/_log/00000000000N.json  commit N: one JSON object per line —
   *                                 {"op":...,"version":N} header, then
   *                                 {"add":"file"} / {"remove":"file"}
+  *   table/_log/N.checkpoint.json  optional: the full live state at N in
+  *                                 one file (see [[checkpoint]])
+  *   table/_log/_last_checkpoint   pointer to the newest checkpoint version
   * }}}
   *
   * Protocol:
@@ -48,6 +51,12 @@ object CommitLog {
                           add: Seq[String], remove: Seq[String])
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
+  private def commitPath(table: String, v: Long): Path =
+    logDir(table).resolve(f"$v%012d.json")
+  private def ckptPath(table: String, v: Long): Path =
+    logDir(table).resolve(f"$v%012d.checkpoint.json")
+  private def lastCkptPath(table: String): Path =
+    logDir(table).resolve("_last_checkpoint")
 
   private val AddRe = """"add"\s*:\s*"([^"]+)"""".r
   private val RemoveRe = """"remove"\s*:\s*"([^"]+)"""".r
@@ -56,7 +65,10 @@ object CommitLog {
   // on the table's clustering column — {"add":"f","lo":N,"hi":N}
   private val AddStatsRe = """"add"\s*:\s*"([^"]+)"\s*,\s*"lo"\s*:\s*(-?\d+)\s*,\s*"hi"\s*:\s*(-?\d+)""".r
 
-  /** Committed versions, ascending; empty for a fresh/absent table. */
+  /** Committed versions with a RETAINED commit file, ascending; empty for
+    * a fresh/absent table. After [[expireLog]] this lists only the tail —
+    * use [[currentVersion]]/[[lastCheckpoint]] for protocol decisions; this
+    * listing exists for history inspection. */
   def versions(table: String): Seq[Long] =
     if (!Files.isDirectory(logDir(table))) Seq.empty
     else Files.list(logDir(table)).iterator.asScala
@@ -65,7 +77,24 @@ object CommitLog {
       .flatMap(n => n.stripSuffix(".json").toLongOption)
       .toSeq.sorted
 
-  def currentVersion(table: String): Long = versions(table).lastOption.getOrElse(-1L)
+  /** The log tip, found WITHOUT a directory listing: versions are dense
+    * (every commit claims tip+1 by atomic no-overwrite rename), so probing
+    * forward from the last checkpoint — or from 0 — visits only the
+    * post-checkpoint tail. On a 10⁵-commit checkpointed table this is
+    * O(commits since checkpoint) existence checks, not a 10⁵-entry list. */
+  def currentVersion(table: String): Long = {
+    var v = lastCheckpoint(table).getOrElse(-1L)
+    while (Files.exists(commitPath(table, v + 1))) v += 1
+    v
+  }
+
+  /** Version of the newest valid checkpoint, if any: the `_last_checkpoint`
+    * pointer is trusted only when the summary file it names exists (a crash
+    * between the two writes leaves the previous pointer, never a dangle). */
+  def lastCheckpoint(table: String): Option[Long] =
+    if (!Files.exists(lastCkptPath(table))) None
+    else new String(Files.readAllBytes(lastCkptPath(table)), StandardCharsets.UTF_8)
+      .trim.toLongOption.filter(v => Files.exists(ckptPath(table, v)))
 
   def readCommit(table: String, version: Long): Commit = {
     val text = new String(Files.readAllBytes(
@@ -76,16 +105,48 @@ object CommitLog {
       RemoveRe.findAllMatchIn(text).map(_.group(1)).toSeq)
   }
 
-  /** Live data files at `asOf` (default: latest), in first-added order. */
-  def snapshotFiles(table: String, asOf: Option[Long] = None): Seq[String] = {
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    versions(table).filter(v => asOf.forall(v <= _)).foreach { v =>
-      val c = readCommit(table, v)
-      live ++= c.add
-      live --= c.remove
-    }
-    live.toSeq
+  /** Applies one log file's add/remove actions (with optional zone-map
+    * stats) to the live map, preserving first-added order. */
+  private def applyActions(
+      live: scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]],
+      text: String): Unit = {
+    val stats = AddStatsRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+    AddRe.findAllMatchIn(text).map(_.group(1)).foreach(f => live(f) = stats.get(f))
+    RemoveRe.findAllMatchIn(text).map(_.group(1)).foreach(live.remove)
   }
+
+  /** The live file → stats state at `asOf` (default: latest). Checkpoint-
+    * aware: when a checkpoint at V ≤ asOf exists, replay = that ONE summary
+    * file + the probed tail of commits after V — O(tail) log reads, no
+    * directory listing, regardless of total history length. Time travel
+    * BELOW the checkpoint falls back to a full replay from version 0, which
+    * works until [[expireLog]] reclaims the pre-checkpoint commits, and
+    * fails loudly after. */
+  private def replay(table: String, asOf: Option[Long])
+      : scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[(Long, Long)]]
+    val cp = lastCheckpoint(table).filter(v => asOf.forall(v <= _))
+    for (a <- asOf; v <- lastCheckpoint(table))
+      if (a < v && !Files.exists(commitPath(table, 0L)))
+        sys.error(s"version $a of $table predates checkpoint $v and the " +
+          "pre-checkpoint log was expired — that history is gone")
+    cp.foreach { v =>
+      applyActions(live, new String(
+        Files.readAllBytes(ckptPath(table, v)), StandardCharsets.UTF_8))
+    }
+    var v = cp.getOrElse(-1L) + 1
+    while (Files.exists(commitPath(table, v)) && asOf.forall(v <= _)) {
+      applyActions(live, new String(
+        Files.readAllBytes(commitPath(table, v)), StandardCharsets.UTF_8))
+      v += 1
+    }
+    live
+  }
+
+  /** Live data files at `asOf` (default: latest), in first-added order. */
+  def snapshotFiles(table: String, asOf: Option[Long] = None): Seq[String] =
+    replay(table, asOf).keys.toSeq
 
   /** Snapshot read. Fails loudly on an empty snapshot (a caller reading a
     * never-written table or a fully-removed version has a bug upstream —
@@ -192,18 +253,8 @@ object CommitLog {
   /** Zone maps of the LIVE snapshot: file → [lo, hi] on the clustering
     * column, for files whose commit recorded stats (plain appends carry
     * none and are never skipped — absence of stats must fail SAFE). */
-  def fileStats(table: String, asOf: Option[Long] = None): Map[String, (Long, Long)] = {
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[(Long, Long)]]
-    versions(table).filter(v => asOf.forall(v <= _)).foreach { v =>
-      val text = new String(Files.readAllBytes(
-        logDir(table).resolve(f"$v%012d.json")), StandardCharsets.UTF_8)
-      val stats = AddStatsRe.findAllMatchIn(text)
-        .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
-      AddRe.findAllMatchIn(text).map(_.group(1)).foreach(f => live(f) = stats.get(f))
-      RemoveRe.findAllMatchIn(text).map(_.group(1)).foreach(live.remove)
-    }
-    live.collect { case (f, Some(s)) => f -> s }.toMap
-  }
+  def fileStats(table: String, asOf: Option[Long] = None): Map[String, (Long, Long)] =
+    replay(table, asOf).collect { case (f, Some(s)) => f -> s }.toMap
 
   /** Transactional append that clusters `df` on `statsCol` (range
     * repartition into `buckets` files, each covering a disjoint key range)
@@ -278,4 +329,56 @@ object CommitLog {
     onDisk.foreach(n => Files.delete(Paths.get(table, n)))
     onDisk
   }
+
+  /** Rolls the full live state at the current tip into ONE summary file —
+    * the public Delta Lake checkpoint mechanism (Armbrust et al., VLDB
+    * 2020, §3.2), reduced to this log's add-with-stats vocabulary. A
+    * 10⁵-commit tracker otherwise pays 10⁵ log-file reads per snapshot;
+    * after a checkpoint every read is the summary + the commit tail.
+    *
+    * Crash-safe ordering: the summary lands first (atomic rename, content
+    * idempotent — re-checkpointing the same version rewrites identical
+    * bytes), the `_last_checkpoint` pointer second; readers validate the
+    * pointer against the summary's existence, so a crash between the two
+    * writes leaves the previous checkpoint in force, never a dangle.
+    * Production writers call this every N commits (Delta's N=10); it is
+    * explicit here so gates can pin the before/after behavior. Returns the
+    * checkpointed version. */
+  def checkpoint(table: String): Long = {
+    val v = currentVersion(table)
+    require(v >= 0, s"cannot checkpoint $table: no commits")
+    val live = replay(table, Some(v))
+    val lines = (s"""{"op":"checkpoint","version":$v}""" +: live.toSeq.map {
+      case (f, Some((lo, hi))) => s"""{"add":"$f","lo":$lo,"hi":$hi}"""
+      case (f, None)           => s"""{"add":"$f"}"""
+    }).mkString("", "\n", "\n")
+    val tmp = logDir(table).resolve(s".tmp-ckpt-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, ckptPath(table, v),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val ptr = logDir(table).resolve(s".tmp-ptr-${java.util.UUID.randomUUID()}")
+    Files.write(ptr, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(ptr, lastCkptPath(table),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Reclaims commit files STRICTLY BELOW the last checkpoint (the
+    * checkpointed version's own commit is kept as the dense-probe anchor).
+    * Time travel below the checkpoint stops working — the same horizon
+    * trade vacuum makes for data files. No-op without a checkpoint.
+    * Returns the deleted log-file names. */
+  def expireLog(table: String): Seq[String] =
+    lastCheckpoint(table) match {
+      case None => Seq.empty
+      case Some(cp) =>
+        val old = Files.list(logDir(table)).iterator.asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".json") && !n.endsWith(".checkpoint.json") &&
+              n.stripSuffix(".json").toLongOption.exists(_ < cp)
+          }.toSeq
+        old.foreach(Files.delete)
+        old.map(_.getFileName.toString).sorted
+    }
 }

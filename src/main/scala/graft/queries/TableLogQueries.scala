@@ -237,7 +237,50 @@ object TableLogQueries {
       |  1 AS files_scanned, 4 AS files_total
       |FROM orders WHERE o_orderkey BETWEEN 0 AND 300""".stripMargin
 
+  /** tl6: log checkpointing — six appends, a checkpoint rolled over the
+    * first five, the pre-checkpoint commits EXPIRED, then one more append.
+    * The read that produces the result is served from exactly the summary
+    * file plus a two-commit tail (anchor + post-checkpoint append) — the
+    * metadata shape that keeps a 10⁵-commit tracker's snapshot O(1) log
+    * reads instead of O(history). Content must equal the declarative union
+    * of all six batches even though most of the log is gone. */
+  private val tl6LogCheckpoint: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_ckpt"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val table = root.toString
+    val orders = Tables.orders(spark, dir)
+    def batch(b: Int): DataFrame = orders.filter(col("o_orderkey") % 6 === b)
+      .select(col("o_orderkey").cast("long").as("id"),
+        round(col("o_totalprice").cast("double"), 2).as("price"),
+        lit(b).as("batch"))
+    (0 until 5).foreach(b => CommitLog.append(batch(b), table))
+    val cp = CommitLog.checkpoint(table)
+    require(cp == 4L, s"checkpoint should land at the tip (v4), got $cp")
+    val expired = CommitLog.expireLog(table).length
+    require(expired == 4, s"commits 0..3 should be expired, got $expired")
+    CommitLog.append(batch(5), table)
+    val commitFiles = CommitLog.versions(table).length
+    require(commitFiles == 2,
+      s"post-expiry log must hold only anchor+tail commits, got $commitFiles")
+    CommitLog.read(spark, table)
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("price")), 2).as("total"))
+      .withColumn("commit_files", lit(commitFiles))
+      .withColumn("checkpoint_at", lit(cp).cast("int"))
+      .orderBy("batch")
+  }
+
+  private val tl6LogCheckpointSql =
+    """SELECT CAST(o_orderkey % 6 AS INTEGER) AS batch, count(*) AS n_rows,
+      |  round(CAST(sum(round(o_totalprice, 2)) AS DOUBLE), 2) AS total,
+      |  2 AS commit_files, 4 AS checkpoint_at
+      |FROM orders GROUP BY 1 ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl6_log_checkpoint" -> tl6LogCheckpoint,
     "tl5_zonemap_skip" -> tl5ZonemapSkip,
     "tl1_commitlog_snapshot" -> tl1Snapshot,
     "tl2_time_travel" -> tl2TimeTravel,
@@ -246,6 +289,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl6_log_checkpoint" -> tl6LogCheckpointSql,
     "tl5_zonemap_skip" -> tl5ZonemapSkipSql,
     "tl1_commitlog_snapshot" -> tl1SnapshotSql,
     "tl2_time_travel" -> tl2TimeTravelSql,

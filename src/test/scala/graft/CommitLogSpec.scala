@@ -130,6 +130,62 @@ class CommitLogSpec extends SparkSpec {
       s"vacuum must drop exactly the superseded files: $reclaimed vs $before")
   }
 
+  test("checkpoint rolls the log: reads touch the summary + tail, not the history") {
+    val t = freshTable("ckpt")
+    (0 until 12).foreach(i => CommitLog.append(df(i.toLong -> s"v$i").coalesce(1), t))
+    CommitLog.upsert(spark, df(0L -> "V0"), t, Seq("id"))
+    val fullReplay = CommitLog.snapshotFiles(t)
+
+    assert(CommitLog.checkpoint(t) == 12L)
+    assert(CommitLog.lastCheckpoint(t).contains(12L))
+    // checkpointed state is file-for-file the full replay, order included
+    assert(CommitLog.snapshotFiles(t) == fullReplay)
+
+    // the log keeps moving after the checkpoint
+    CommitLog.append(df(100L -> "tail").coalesce(1), t)
+    assert(CommitLog.currentVersion(t) == 13L)
+
+    // expire the pre-checkpoint history: commits 0..11 reclaimed, commit 12
+    // (the checkpointed version, the dense-probe anchor) retained
+    val expired = CommitLog.expireLog(t)
+    assert(expired.size == 12, s"expected commits 0..11 expired, got $expired")
+    val logFiles = Files.list(Paths.get(t, "_log")).iterator()
+    var n = 0
+    while (logFiles.hasNext) { logFiles.next(); n += 1 }
+    // O(1) log files regardless of history: ckpt summary + pointer +
+    // anchor commit + one tail commit
+    assert(n == 4, s"expected 4 log files after expiry, got $n")
+
+    // the snapshot is still exactly right, from the summary + tail alone
+    val now = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == ((1L to 11L).map(i => i -> s"v$i").toMap
+      + (0L -> "V0") + (100L -> "tail")))
+    // time travel at and after the checkpoint still works
+    assert(CommitLog.read(spark, t, asOf = Some(12L)).count() == 12)
+    // below the checkpoint the history is gone — loud failure, not silence
+    val e = intercept[RuntimeException] { CommitLog.read(spark, t, asOf = Some(3L)) }
+    assert(e.getMessage.contains("expired"))
+  }
+
+  test("checkpoint preserves zone-map stats; a stale pointer is ignored") {
+    import spark.implicits._
+    val t = freshTable("ckptzone")
+    CommitLog.appendClustered(spark, (1L to 100L).toDF("id"), t, "id", buckets = 2)
+    val statsBefore = CommitLog.fileStats(t)
+    CommitLog.checkpoint(t)
+    CommitLog.expireLog(t)
+    // stats flowed through the summary: pruning still works post-expiry
+    assert(CommitLog.fileStats(t) == statsBefore)
+    assert(CommitLog.prunedFiles(t, 1L, 5L).length == 1)
+
+    // a pointer naming a missing summary (crash between the two checkpoint
+    // writes) must be ignored, not dangled on
+    Files.write(Paths.get(t, "_log", "_last_checkpoint"),
+      "999".getBytes(StandardCharsets.UTF_8))
+    assert(CommitLog.lastCheckpoint(t).isEmpty)
+  }
+
   test("zone maps prune by range; files without stats are never skipped") {
     import spark.implicits._
     val t = freshTable("zonemap")
