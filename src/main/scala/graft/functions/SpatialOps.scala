@@ -80,22 +80,36 @@ object SpatialOps {
     (a, b, c, d) => f(a, b, c, d)
   }
 
+  /** Envelope [minx, miny, maxx, maxy] of a WKT geometry (cached parse;
+    * JTS keeps the envelope on the geometry, so repeats are free). Used by
+    * [[graft.plans.WktEnvelopeExpr]] to derive the bbox-prefilter columns
+    * the spatial join rewrite injects. */
+  def envelopeOf(wkt: String): Array[Double] = {
+    val e = read(wkt).getEnvelopeInternal
+    Array(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+  }
+
   /** Exact intersection area of two WKT geometries (cached parse; the
-    * overlay itself has no prepared fast path in JTS). */
+    * overlay itself has no prepared fast path in JTS). Named so
+    * [[graft.plans.SpatialJoinRewrite]] can recognize `area > 0` join
+    * predicates in the logical plan. */
   val intersectionArea: (Column, Column) => Column = {
     val f = udf((a: String, b: String) => read(a).intersection(read(b)).getArea)
+      .withName("st_intersection_area")
     (a, b) => f(a, b)
   }
 
   /** intersects OR contains (the reference's join predicate,
     * `src/form_calcs.py:1011-1019`). The left side is prepared once per
     * distinct WKT; `b.contains(a)` is evaluated as `prepared(a).within(b)`
-    * so every predicate goes through the prepared (indexed) geometry. */
+    * so every predicate goes through the prepared (indexed) geometry.
+    * Named so [[graft.plans.SpatialJoinRewrite]] can recognize it as a
+    * join predicate in the logical plan. */
   val intersectsOrContains: (Column, Column) => Column = {
     val f = udf((a: String, b: String) => {
       val pa = readPrepared(a); val gb = read(b)
       pa.intersects(gb) || pa.contains(gb) || pa.within(gb)
-    })
+    }).withName("st_intersects_or_contains")
     (a, b) => f(a, b)
   }
 

@@ -127,5 +127,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => MinHashSig8Expr(exprs.head)))
     ext.injectPlannerStrategy(_ => MergeBoxesStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughMergeBoxes)
+    ext.injectOptimizerRule(_ => SpatialJoinRewrite)
   }
 }

@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.SpatialOps
+
+/** `wkt_envelope(wkt)` -> struct<minx,miny,maxx,maxy: double> — the
+  * geometry's axis-aligned bounding box, parsed ONCE per row through
+  * [[SpatialOps]]' per-thread geometry cache. [[SpatialJoinRewrite]]
+  * projects this below a spatial join so the cheap interval-overlap
+  * prefilter runs on materialized doubles while the exact JTS predicate
+  * only sees surviving pairs. */
+case class WktEnvelopeExpr(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = WktEnvelopeExpr.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wkt_envelope expects a WKT string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WktEnvelopeExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WktEnvelopeExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WktEnvelopeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "wkt_envelope"
+}
+
+object WktEnvelopeExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("minx", DoubleType, nullable = false),
+    StructField("miny", DoubleType, nullable = false),
+    StructField("maxx", DoubleType, nullable = false),
+    StructField("maxy", DoubleType, nullable = false)))
+
+  def compute(wkt: UTF8String): GenericInternalRow = {
+    val e = SpatialOps.envelopeOf(wkt.toString)
+    new GenericInternalRow(Array[Any](e(0), e(1), e(2), e(3)))
+  }
+}
+
+/** The optional optimizer rule from SURVEY §4.1: a user who writes the
+  * NAIVE declarative spatial join —
+  *
+  * {{{
+  *   tanks.join(counties, SpatialOps.intersectsOrContains($"tank_wkt", $"county_wkt"))
+  * }}}
+  *
+  * — gets the hand-optimized plan shape of `j8_spatial_argmax`
+  * automatically: per-row envelopes projected below the join (one WKT
+  * parse per ROW instead of per PAIR), an inclusive bbox interval-overlap
+  * conjunct PREPENDED to the join condition (`And` short-circuits in the
+  * generated predicate, so the JTS test runs only on pairs whose boxes
+  * meet), and a broadcast hint on a side the optimizer's statistics say
+  * fits (so the non-equi join plans as `BroadcastNestedLoopJoin`, never a
+  * cartesian shuffle). At 100 TB the prefilter is what bounds the
+  * candidate-pair count; without it every pair pays a prepared-geometry
+  * probe even when bboxes are disjoint.
+  *
+  * Soundness: both recognized predicates (`st_intersects_or_contains`,
+  * `st_intersection_area > 0`) imply envelope overlap — JTS `intersects`/
+  * `contains`/`within` and a positive overlay area all require it — so the
+  * inclusive-bounds conjunct never drops a qualifying pair and the rewrite
+  * is result-invariant (`j8_naive_argmax` hash-shares the `j8` oracle).
+  *
+  * Install via `spark.experimental.extraOptimizations` (library sessions)
+  * or `spark.sql.extensions=graft.plans.GraftExtensions` (external SQL
+  * users — [[GraftExtensions]] injects it). Inner joins only: for outer
+  * joins a strengthened join condition changes null-extension semantics.
+  */
+object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val EnvPrefix = "__graft_env"
+
+  /** Has this join already been rewritten? (The rule runs to fixpoint.) */
+  def rewritten(plan: LogicalPlan): Boolean = plan.exists {
+    case j: Join => j.condition.exists(_.exists {
+      case a: AttributeReference => a.name.startsWith(EnvPrefix)
+      case _ => false
+    })
+    case _ => false
+  }
+
+  /** The (leftWkt, rightWkt) children of a recognized spatial predicate
+    * conjunct, or None. */
+  private def spatialArgs(conjunct: Expression): Option[(Expression, Expression)] =
+    conjunct match {
+      case u: ScalaUDF if u.udfName.contains("st_intersects_or_contains") =>
+        Some((u.children(0), u.children(1)))
+      case GreaterThan(u: ScalaUDF, Literal(v, _))
+          if u.udfName.contains("st_intersection_area") && v == 0.0 =>
+        Some((u.children(0), u.children(1)))
+      case LessThan(Literal(v, _), u: ScalaUDF)
+          if u.udfName.contains("st_intersection_area") && v == 0.0 =>
+        Some((u.children(0), u.children(1)))
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !rewritten(j) && j.resolved =>
+      val args = splitConjunctivePredicates(cond).iterator
+        .flatMap(spatialArgs)
+        .flatMap { case (a, b) =>
+          // bind each WKT expression to its side (either order)
+          if (a.references.subsetOf(left.outputSet) &&
+              b.references.subsetOf(right.outputSet)) Some((a, b))
+          else if (b.references.subsetOf(left.outputSet) &&
+                   a.references.subsetOf(right.outputSet)) Some((b, a))
+          else None
+        }
+        .nextOption()
+      args match {
+        case None => j
+        case Some((lWkt, rWkt)) =>
+          val envL = Alias(WktEnvelopeExpr(lWkt), s"${EnvPrefix}_l")()
+          val envR = Alias(WktEnvelopeExpr(rWkt), s"${EnvPrefix}_r")()
+          val leftP = Project(left.output :+ envL, left)
+          val rightP = Project(right.output :+ envR, right)
+          val l = envL.toAttribute
+          val r = envR.toAttribute
+          def fld(att: Attribute, i: Int): Expression =
+            GetStructField(att, i, Some(WktEnvelopeExpr.schema(i).name))
+          // inclusive interval overlap on both axes: touching envelopes can
+          // still intersect, so the bounds must not be strict
+          val prefilter = And(
+            And(LessThanOrEqual(fld(l, 0), fld(r, 2)),
+                GreaterThanOrEqual(fld(l, 2), fld(r, 0))),
+            And(LessThanOrEqual(fld(l, 1), fld(r, 3)),
+                GreaterThanOrEqual(fld(l, 3), fld(r, 1))))
+          // a statistics-small side gets an explicit broadcast hint so the
+          // non-equi join deterministically plans nested-loop-broadcast
+          // rather than depending on a runtime re-plan
+          val threshold = conf.autoBroadcastJoinThreshold
+          val newHint =
+            if (hint.leftHint.isDefined || hint.rightHint.isDefined || threshold < 0) hint
+            else if (right.stats.sizeInBytes <= threshold)
+              JoinHint(None, Some(HintInfo(Some(BROADCAST))))
+            else if (left.stats.sizeInBytes <= threshold)
+              JoinHint(Some(HintInfo(Some(BROADCAST))), None)
+            else hint
+          Project(j.output,
+            Join(leftP, rightP, Inner, Some(And(prefilter, cond)), newHint))
+      }
+  }
+}

@@ -976,8 +976,58 @@ object PipelineQueries {
       .orderBy("c_custkey")
   }
 
+  /** The NAIVE user form of the j8 spatial argmax — `join(st_intersects)`
+    * with no manual bbox prefilter and no broadcast hint — executed with
+    * [[graft.plans.SpatialJoinRewrite]] installed (SURVEY §4.1). The rule
+    * must produce the hand-optimized plan (envelope projections below the
+    * join, interval-overlap conjunct ahead of the JTS predicate, broadcast
+    * nested loop) and the result must hash-match the same closed-form
+    * oracle as `j8_spatial_argmax`/`j8_wkt_argmax`. The gate REQUIREs the
+    * rewrite actually fired, so a silently-uninstalled rule cannot pass as
+    * brute force. */
+  private val j8NaiveArgmax: Q = (spark, dir) => {
+    import graft.plans.SpatialJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(SpatialJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SpatialJoinRewrite
+    val tanks = Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      (col("c_custkey") * 37 % 1000).cast("double").as("cx"),
+      (col("c_custkey") * 91 % 800).cast("double").as("cy"))
+      .withColumn("tank_wkt", SpatialOps.bboxToWkt(
+        col("cx") - 30, col("cy") - 30, col("cx") + 30, col("cy") + 30))
+      .select("c_custkey", "tank_wkt")
+    val counties = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("county_key"),
+      (col("n_nationkey") % 5 * 200).cast("double").as("kx1"),
+      (floor(col("n_nationkey") / 5) * 160).cast("double").as("ky1"))
+      .withColumn("county_wkt", SpatialOps.bboxToWkt(
+        col("kx1"), col("ky1"), col("kx1") + 200, col("ky1") + 160))
+      .select("county_key", "county_wkt")
+    // what a user would write: predicate join, exact area, argmax — nothing
+    // about broadcasting, envelopes, or candidate pruning
+    val joined = tanks.join(counties,
+        SpatialOps.intersectsOrContains(col("tank_wkt"), col("county_wkt")))
+      .withColumn("overlap",
+        SpatialOps.intersectionArea(col("tank_wkt"), col("county_wkt")))
+      .filter(col("overlap") > 0)
+    val w = Window.partitionBy("c_custkey").orderBy(col("overlap").desc, col("county_key"))
+    val out = joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("c_custkey"), col("county_key"), col("overlap").cast("long").as("overlap"))
+      .orderBy("c_custkey")
+    require(SpatialJoinRewrite.rewritten(out.queryExecution.optimizedPlan),
+      "SpatialJoinRewrite did not fire on the naive spatial join")
+    // forcing optimizedPlan above cached the rewritten plan in this
+    // QueryExecution, so the rule can be uninstalled again — the shared
+    // session stays pristine for gates that hand-build their join shape
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == SpatialJoinRewrite)
+    out
+  }
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "j8_naive_argmax" -> j8NaiveArgmax,
     "e1_inventory" -> e1Inventory,
     "a8d_merge_filtered" -> a8dMergeFiltered,
     "e3_inventory_crosstab" -> e3InventoryCrosstab,
@@ -1030,6 +1080,7 @@ object PipelineQueries {
     "g1_chip_pixels_deflate" -> g1ChipPixelsSql,
     "g1_chip_pixels_rgb" -> g1ChipPixelsRgbSql,
     "g1_chip_jpeg" -> g1ChipJpegSql,
-    "j8_wkt_argmax" -> RelationalQueries.j8ArgmaxOracleSql
+    "j8_wkt_argmax" -> RelationalQueries.j8ArgmaxOracleSql,
+    "j8_naive_argmax" -> RelationalQueries.j8ArgmaxOracleSql
   )
 }
