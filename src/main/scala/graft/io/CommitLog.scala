@@ -61,6 +61,10 @@ object CommitLog {
   private val AddRe = """"add"\s*:\s*"([^"]+)"""".r
   private val RemoveRe = """"remove"\s*:\s*"([^"]+)"""".r
   private val OpRe = """"op"\s*:\s*"([^"]+)"""".r
+  // transaction marker (the public Delta SetTransaction shape): an
+  // application-level id committed atomically WITH its data, so a replayed
+  // batch can be recognized and skipped — exactly-once streaming ingest
+  private val TxnRe = """"txn"\s*:\s*"([^"]+)"""".r
   // zone-map vocabulary: an add action MAY carry the file's [lo, hi] range
   // on the table's clustering column — {"add":"f","lo":N,"hi":N}
   private val AddStatsRe = """"add"\s*:\s*"([^"]+)"\s*,\s*"lo"\s*:\s*(-?\d+)\s*,\s*"hi"\s*:\s*(-?\d+)""".r
@@ -105,15 +109,20 @@ object CommitLog {
       RemoveRe.findAllMatchIn(text).map(_.group(1)).toSeq)
   }
 
-  /** Applies one log file's add/remove actions (with optional zone-map
-    * stats) to the live map, preserving first-added order. */
-  private def applyActions(
-      live: scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]],
-      text: String): Unit = {
+  /** Replayed log state: live files (first-added order, with optional
+    * zone-map stats) plus the set of committed transaction ids. */
+  private final class LogState {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[(Long, Long)]]
+    val txns = scala.collection.mutable.LinkedHashSet.empty[String]
+  }
+
+  /** Applies one log file's add/remove/txn actions to the state. */
+  private def applyActions(state: LogState, text: String): Unit = {
     val stats = AddStatsRe.findAllMatchIn(text)
       .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
-    AddRe.findAllMatchIn(text).map(_.group(1)).foreach(f => live(f) = stats.get(f))
-    RemoveRe.findAllMatchIn(text).map(_.group(1)).foreach(live.remove)
+    AddRe.findAllMatchIn(text).map(_.group(1)).foreach(f => state.live(f) = stats.get(f))
+    RemoveRe.findAllMatchIn(text).map(_.group(1)).foreach(state.live.remove)
+    TxnRe.findAllMatchIn(text).map(_.group(1)).foreach(state.txns += _)
   }
 
   /** The live file → stats state at `asOf` (default: latest). Checkpoint-
@@ -123,30 +132,32 @@ object CommitLog {
     * BELOW the checkpoint falls back to a full replay from version 0, which
     * works until [[expireLog]] reclaims the pre-checkpoint commits, and
     * fails loudly after. */
-  private def replay(table: String, asOf: Option[Long])
-      : scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]] = {
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[(Long, Long)]]
+  private def replay(table: String, asOf: Option[Long]): LogState = {
+    val state = new LogState
     val cp = lastCheckpoint(table).filter(v => asOf.forall(v <= _))
     for (a <- asOf; v <- lastCheckpoint(table))
       if (a < v && !Files.exists(commitPath(table, 0L)))
         sys.error(s"version $a of $table predates checkpoint $v and the " +
           "pre-checkpoint log was expired — that history is gone")
     cp.foreach { v =>
-      applyActions(live, new String(
+      applyActions(state, new String(
         Files.readAllBytes(ckptPath(table, v)), StandardCharsets.UTF_8))
     }
     var v = cp.getOrElse(-1L) + 1
     while (Files.exists(commitPath(table, v)) && asOf.forall(v <= _)) {
-      applyActions(live, new String(
+      applyActions(state, new String(
         Files.readAllBytes(commitPath(table, v)), StandardCharsets.UTF_8))
       v += 1
     }
-    live
+    state
   }
 
   /** Live data files at `asOf` (default: latest), in first-added order. */
   def snapshotFiles(table: String, asOf: Option[Long] = None): Seq[String] =
-    replay(table, asOf).keys.toSeq
+    replay(table, asOf).live.keys.toSeq
+
+  /** Committed transaction ids ([[txnAppend]]); survives checkpointing. */
+  def transactions(table: String): Set[String] = replay(table, None).txns.toSet
 
   /** Snapshot read. Fails loudly on an empty snapshot (a caller reading a
     * never-written table or a fully-removed version has a bug upstream —
@@ -214,6 +225,34 @@ object CommitLog {
     commit(table, "append", stage(df, table), Seq.empty)
   }
 
+  /** Idempotent transactional append: the `txnId` marker lands in the SAME
+    * atomic commit as the data, so if this id has already committed the
+    * call is a no-op (None) — nothing is staged, nothing lands twice. This
+    * is the exactly-once primitive for streaming ingest (the public Delta
+    * `txn`/SetTransaction idempotent-writer mechanism): a restarted query
+    * re-delivers its last micro-batch, the replayed `(query, batchId)` txn
+    * is recognized, and the duplicate write vanishes. Markers survive
+    * [[checkpoint]]/[[expireLog]]. One writer per txn-id namespace (a
+    * streaming query IS one); concurrent writers with the SAME id are a
+    * deployment error this log does not arbitrate. */
+  def txnAppend(df: DataFrame, table: String, txnId: String): Option[Long] = {
+    require(txnId.nonEmpty && !txnId.exists(c => c == '"' || c == '\n'),
+      s"txnId must be non-empty without quotes/newlines: '$txnId'")
+    Files.createDirectories(Paths.get(table))
+    if (transactions(table).contains(txnId)) None
+    else Some(commitRaw(table, "txn-append",
+      stage(df, table).map(f => s"""{"add":"$f"}""") :+ s"""{"txn":"$txnId"}"""))
+  }
+
+  /** `foreachBatch` body for exactly-once streaming ingest into a
+    * commit-log table: {{{
+    *   events.writeStream.foreachBatch(CommitLog.streamingBatchWriter(table, "ingest"))
+    * }}}
+    * Batch replays after a restart dedupe on the `queryName#batchId` txn. */
+  def streamingBatchWriter(table: String, queryName: String)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => { txnAppend(batch, table, s"$queryName#$batchId"); () }
+
   /** Transactional upsert: rows in `updates` replace current rows with the
     * same `keys` values; everything else is carried forward. One commit —
     * readers see the old snapshot or the new one, never a mix. On a fresh
@@ -254,7 +293,7 @@ object CommitLog {
     * column, for files whose commit recorded stats (plain appends carry
     * none and are never skipped — absence of stats must fail SAFE). */
   def fileStats(table: String, asOf: Option[Long] = None): Map[String, (Long, Long)] =
-    replay(table, asOf).collect { case (f, Some(s)) => f -> s }.toMap
+    replay(table, asOf).live.collect { case (f, Some(s)) => f -> s }.toMap
 
   /** Transactional append that clusters `df` on `statsCol` (range
     * repartition into `buckets` files, each covering a disjoint key range)
@@ -347,11 +386,13 @@ object CommitLog {
   def checkpoint(table: String): Long = {
     val v = currentVersion(table)
     require(v >= 0, s"cannot checkpoint $table: no commits")
-    val live = replay(table, Some(v))
-    val lines = (s"""{"op":"checkpoint","version":$v}""" +: live.toSeq.map {
-      case (f, Some((lo, hi))) => s"""{"add":"$f","lo":$lo,"hi":$hi}"""
-      case (f, None)           => s"""{"add":"$f"}"""
-    }).mkString("", "\n", "\n")
+    val state = replay(table, Some(v))
+    val lines = (s"""{"op":"checkpoint","version":$v}""" +:
+      (state.live.toSeq.map {
+        case (f, Some((lo, hi))) => s"""{"add":"$f","lo":$lo,"hi":$hi}"""
+        case (f, None)           => s"""{"add":"$f"}"""
+      } ++ state.txns.toSeq.map(t => s"""{"txn":"$t"}"""))
+    ).mkString("", "\n", "\n")
     val tmp = logDir(table).resolve(s".tmp-ckpt-${java.util.UUID.randomUUID()}")
     Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, ckptPath(table, v),

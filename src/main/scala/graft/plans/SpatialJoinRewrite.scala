@@ -96,17 +96,31 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
+  /** Boolean spatial predicate through a `PreparedGeometry` — cheap
+    * relative to an overlay. */
+  private def isPreparedPredicate(conjunct: Expression): Boolean = conjunct match {
+    case u: ScalaUDF => u.udfName.contains("st_intersects_or_contains")
+    case _ => false
+  }
+
+  /** Overlay-backed area threshold — the expensive spatial conjunct. */
+  private def isAreaThreshold(conjunct: Expression): Boolean = conjunct match {
+    case GreaterThan(u: ScalaUDF, Literal(v, _)) =>
+      u.udfName.contains("st_intersection_area") && v == 0.0
+    case LessThan(Literal(v, _), u: ScalaUDF) =>
+      u.udfName.contains("st_intersection_area") && v == 0.0
+    case _ => false
+  }
+
   /** The (leftWkt, rightWkt) children of a recognized spatial predicate
     * conjunct, or None. */
   private def spatialArgs(conjunct: Expression): Option[(Expression, Expression)] =
     conjunct match {
-      case u: ScalaUDF if u.udfName.contains("st_intersects_or_contains") =>
+      case u: ScalaUDF if isPreparedPredicate(conjunct) =>
         Some((u.children(0), u.children(1)))
-      case GreaterThan(u: ScalaUDF, Literal(v, _))
-          if u.udfName.contains("st_intersection_area") && v == 0.0 =>
+      case GreaterThan(u: ScalaUDF, _) if isAreaThreshold(conjunct) =>
         Some((u.children(0), u.children(1)))
-      case LessThan(Literal(v, _), u: ScalaUDF)
-          if u.udfName.contains("st_intersection_area") && v == 0.0 =>
+      case LessThan(_, u: ScalaUDF) if isAreaThreshold(conjunct) =>
         Some((u.children(0), u.children(1)))
       case _ => None
     }
@@ -154,8 +168,16 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             else if (left.stats.sizeInBytes <= threshold)
               JoinHint(Some(HintInfo(Some(BROADCAST))), None)
             else hint
-          Project(j.output,
-            Join(leftP, rightP, Inner, Some(And(prefilter, cond)), newHint))
+          // expensive-predicate ordering: prepared-geometry booleans are an
+          // indexed probe, overlay-backed area thresholds build a whole new
+          // geometry — evaluate booleans first so (with the left-to-right
+          // short-circuit) overlays only run on pairs that truly intersect
+          val conjuncts = splitConjunctivePredicates(cond)
+          val (areaConjs, nonArea) = conjuncts.partition(isAreaThreshold)
+          val (preparedConjs, otherConjs) = nonArea.partition(isPreparedPredicate)
+          val ordered = (prefilter +: (otherConjs ++ preparedConjs ++ areaConjs))
+            .reduceLeft(And)
+          Project(j.output, Join(leftP, rightP, Inner, Some(ordered), newHint))
       }
   }
 }

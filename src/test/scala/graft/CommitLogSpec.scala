@@ -55,6 +55,36 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).count() == 2)   // both appends visible
   }
 
+  test("eight genuinely concurrent writers all land, each at a distinct version") {
+    val t = freshTable("mwriter")
+    CommitLog.append(df(0L -> "seed"), t)
+    // stage all batches first so the race is purely over version claims
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val frames = (1 to 8).map(i => df(i.toLong -> s"w$i"))
+    val versions = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    try {
+      val futures = frames.map { f =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            versions.add(CommitLog.append(f, t))
+          }
+        })
+      }
+      start.countDown()
+      futures.foreach(_.get(120, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // every writer won SOME version; all distinct; log is dense 0..8
+    assert(versions.size() == 8, s"all 8 writers must land: $versions")
+    assert(CommitLog.versions(t) == (0L to 8L),
+      s"version log must be dense: ${CommitLog.versions(t)}")
+    val rows = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == (0 to 8).map(i => i.toLong -> (if (i == 0) "seed" else s"w$i")).toMap)
+  }
+
   test("uncommitted data files are invisible to readers") {
     val t = freshTable("garbage")
     CommitLog.append(df(1L -> "a"), t)
