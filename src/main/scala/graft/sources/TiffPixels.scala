@@ -42,13 +42,22 @@ object TiffPixels {
     * triple. Same codec/predictor options as [[renderGray8]]. */
   def renderRgb8(width: Int, height: Int, rowsPerStrip: Int,
                  pix: (Int, Int) => (Int, Int, Int),
-                 compression: Int = CompNone, predictor: Int = 1): Array[Byte] =
+                 compression: Int = CompNone, predictor: Int = 1): Array[Byte] = {
+    // bands iterate innermost, so memoize the current pixel's triple — one
+    // pix() call (and one tuple) per PIXEL, not per band; at NAIP tile
+    // sizes the per-band form tripled the allocation rate of the render
+    var lastX = -1; var lastY = -1
+    var last: (Int, Int, Int) = null
     renderStriped(width, height, rowsPerStrip, samples = 3, photometric = 2,
-      (x, y, band) => band match {
-        case 0 => pix(x, y)._1
-        case 1 => pix(x, y)._2
-        case _ => pix(x, y)._3
+      (x, y, band) => {
+        if (x != lastX || y != lastY) { last = pix(x, y); lastX = x; lastY = y }
+        band match {
+          case 0 => last._1
+          case 1 => last._2
+          case _ => last._3
+        }
       }, compression, predictor)
+  }
 
   // ---------------------------------------------------------------- codecs
 
