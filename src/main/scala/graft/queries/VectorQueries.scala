@@ -1060,7 +1060,17 @@ object VectorQueries {
     * rerank touches `shortlist` full vectors per query, not the corpus.
     * (The brute-force recall leg is gate instrumentation, dropped in
     * production serving.) */
-  private val v14IvfpqSearch: Q = (spark, dir) => {
+  /** The IVF+PQ index artifacts shared by `v14` (in-memory) and `v15`
+    * (persisted + reloaded): corpus feed with planted neighbors, IVF
+    * centroids + cell assignment, PQ codebook + per-vector codes, and the
+    * query set. `dist` (sub-distances of every vector to every code word)
+    * is the shared intermediate: corpus rows of it collapse into `codes`
+    * at BUILD time, query rows become the ADC LUT at SERVE time. */
+  private final case class IvfPqIndex(
+      emb: DataFrame, centroids: DataFrame, assigned: DataFrame,
+      codebook: DataFrame, codes: DataFrame, dist: DataFrame, queries: DataFrame)
+
+  private def buildIvfPq(spark: SparkSession, dir: String): IvfPqIndex = {
     graft.plans.GraftFunctions.register(spark)
     val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     // planted true neighbors: 3 exact copies of each query (ids +10k/+20k/+30k)
@@ -1086,26 +1096,37 @@ object VectorQueries {
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
     val codebook = subs.filter(col("vec_id") < 4)
       .select(col("sub"), col("vec_id").as("k"), col("v").as("c"))
-    val sqDist = expr(
-      """aggregate(zip_with(v, c,
-        |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
-        |  0D, (acc, x) -> acc + x)""".stripMargin)
     val dist = subs.join(broadcast(codebook), "sub")
-      .withColumn("d2", round(sqDist, 4))
+      .withColumn("d2", round(pqSqDist, 4))
     val codes = dist.groupBy("vec_id", "sub")
       .agg(min(struct(col("d2"), col("k"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.k").as("k"))
-    // queries, probed cells, and the per-query ADC lookup table
     val queries = emb.filter(col("vec_id") >= 4 && col("vec_id") < 7)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    IvfPqIndex(emb, centroids, assigned, codebook, codes, dist, queries)
+  }
+
+  /** Exact squared distance between a subvector `v` and a code word `c`
+    * (8-way double sum) — the PQ kernel shared by build and serve. */
+  private val pqSqDist = expr(
+    """aggregate(zip_with(v, c,
+      |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+      |  0D, (acc, x) -> acc + x)""".stripMargin)
+
+  /** The IVF+PQ serving side, shared verbatim by `v14` (artifacts straight
+    * from the build) and `v15` (artifacts reloaded from the persisted
+    * index): probe top-2 cells, ADC-score candidates inside them through
+    * the broadcast LUT, shortlist 10, exact-rerank to top-3, and gate
+    * recall@3 against brute force. */
+  private def serveIvfPq(emb: DataFrame, centroids: DataFrame,
+                         assigned: DataFrame, codes: DataFrame,
+                         lut: DataFrame, queries: DataFrame): DataFrame = {
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("c_sim", round(expr("cosine_sim(q_emb, c_emb)"), 4))
       .withColumn("crn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("centroid_id"))))
       .filter(col("crn") <= 2)
       .select("q_id", "centroid_id")
-    val lut = dist.filter(col("vec_id") >= 4 && col("vec_id") < 7)
-      .select(col("vec_id").as("q_id"), col("sub"), col("k"), col("d2").as("ld"))
     // ADC over candidates inside probed cells only (decimal: exact 8-way sum)
     val cands = assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1143,6 +1164,53 @@ object VectorQueries {
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos_sim"),
         round(coalesce(col("nhit"), lit(0L)) / 3.0, 4).as("recall_at_3"))
       .orderBy("q_id", "rnk")
+  }
+
+  private val v14IvfpqSearch: Q = (spark, dir) => {
+    val ix = buildIvfPq(spark, dir)
+    // query rows of the shared sub-distance frame ARE the ADC LUT
+    val lut = ix.dist.filter(col("vec_id") >= 4 && col("vec_id") < 7)
+      .select(col("vec_id").as("q_id"), col("sub"), col("k"), col("d2").as("ld"))
+    serveIvfPq(ix.emb, ix.centroids, ix.assigned, ix.codes, lut, ix.queries)
+  }
+
+  /** v15: build-once / serve-many. The four index artifacts — IVF
+    * centroids, cell assignment, PQ codebook, per-vector codes — are
+    * committed to transactional commit-log tables and the v14 search runs
+    * entirely FROM THE RELOADED copies (the query-side LUT is recomputed
+    * against the loaded codebook, as a serving process that never saw the
+    * build would). Output schema and oracle are identical to v14:
+    * persistence must be bit-exact through parquet and the log, or the
+    * hash check fails. This is the production vector-store lifecycle — a
+    * nightly build job commits the index, serving jobs snapshot-read it,
+    * and the commit-log's atomicity means a rebuild lands as one version
+    * flip, never a half-updated index. */
+  private val v15IndexPersist: Q = (spark, dir) => {
+    import java.nio.file.{Files, Paths}
+    val ix = buildIvfPq(spark, dir)
+    val root = Paths.get(graft.io.Sinks.scratchDir("vector_index"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    def persist(df: DataFrame, name: String): DataFrame = {
+      val t = root.resolve(name).toString
+      graft.io.CommitLog.append(df, t)
+      graft.io.CommitLog.read(spark, t)
+    }
+    val centroids = persist(ix.centroids, "centroids")
+    val assigned = persist(ix.assigned, "assigned")
+    val codebook = persist(ix.codebook, "codebook")
+    val codes = persist(ix.codes, "codes")
+    // serving-side LUT: query subvectors against the LOADED codebook
+    val qsubs = ix.queries.select(col("q_id"),
+      explode(array((0 until 8).map(s =>
+        struct(lit(s).as("sub"), slice(col("q_emb"), s * 8 + 1, 8).as("v"))): _*)).as("sv"))
+      .select(col("q_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+    val lut = qsubs.join(broadcast(codebook), "sub")
+      .withColumn("ld", round(pqSqDist, 4))
+      .select("q_id", "sub", "k", "ld")
+    serveIvfPq(ix.emb, centroids, assigned, codes, lut, ix.queries)
   }
 
   private val v14IvfpqSearchSql =
@@ -1333,7 +1401,8 @@ object VectorQueries {
     "m3_frame_dedup" -> m3FrameDedup,
     "m5_audio_energy" -> m5AudioEnergy,
     "v13_pq_adc" -> v13PqAdc,
-    "v14_ivfpq_search" -> v14IvfpqSearch
+    "v14_ivfpq_search" -> v14IvfpqSearch,
+    "v15_index_persist" -> v15IndexPersist
   )
 
   val oracle: Map[String, String] = Map(
@@ -1358,6 +1427,7 @@ object VectorQueries {
     "m3_frame_dedup" -> m3FrameDedupSql,
     "m5_audio_energy" -> m5AudioEnergySql,
     "v13_pq_adc" -> v13PqAdcSql,
-    "v14_ivfpq_search" -> v14IvfpqSearchSql
+    "v14_ivfpq_search" -> v14IvfpqSearchSql,
+    "v15_index_persist" -> v14IvfpqSearchSql
   )
 }
