@@ -31,10 +31,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    uncommitted data files are invisible (writers stage data files into
   *    the table directory BEFORE their commit lands, so a crash leaves
   *    garbage bytes, never a torn table; `vacuum` reclaims them).
-  *  - A commit claims its version by atomic rename onto
-  *    `_log/<version>.json` with no overwrite. If another writer claimed
-  *    it first the rename fails, the writer re-reads the log tip and
-  *    retries — optimistic concurrency, exactly one winner per version.
+  *  - A commit claims its version by atomically hard-linking its staged
+  *    file onto `_log/<version>.json` (`Files.createLink` — the local
+  *    put-if-absent). If another writer claimed it first the link throws,
+  *    the loser re-reads the log tip and retries — optimistic
+  *    concurrency, exactly one winner per version. (NOT a rename: POSIX
+  *    rename silently replaces an existing target.)
   *  - Upsert = read-merge-rewrite: matched keys replaced, unmatched kept,
   *    result committed as adds + removes of every superseded file. At
   *    100 TB the protocol is unchanged but the rewrite set shrinks: data
@@ -204,10 +206,16 @@ object CommitLog {
       val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
       try {
-        // ATOMIC_MOVE without REPLACE_EXISTING: exactly one writer can
-        // create _log/<v>.json — the loser lands here and retries at v+1
-        Files.move(tmp, logDir(table).resolve(f"$v%012d.json"),
-          StandardCopyOption.ATOMIC_MOVE)
+        // createLink is the put-if-absent primitive: hard-linking onto an
+        // existing _log/<v>.json throws FileAlreadyExistsException
+        // atomically, so exactly ONE writer creates each version — the
+        // loser lands here and retries at v+1. (A rename would NOT work:
+        // POSIX rename(2), which ATOMIC_MOVE maps to, silently REPLACES an
+        // existing target, letting two racing writers both believe they
+        // won the same version — caught by the 8-thread CommitLogSpec
+        // race.)
+        Files.createLink(logDir(table).resolve(f"$v%012d.json"), tmp)
+        Files.deleteIfExists(tmp)
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException |
