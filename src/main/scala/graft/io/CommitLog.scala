@@ -256,10 +256,25 @@ object CommitLog {
     * commit-log table: {{{
     *   events.writeStream.foreachBatch(CommitLog.streamingBatchWriter(table, "ingest"))
     * }}}
-    * Batch replays after a restart dedupe on the `queryName#batchId` txn. */
-  def streamingBatchWriter(table: String, queryName: String)
+    * Batch replays after a restart dedupe on the `queryName#batchId` txn.
+    * With `checkpointEvery` = N > 0 the writer self-maintains its log:
+    * after every Nth landed version it rolls a checkpoint and expires the
+    * pre-checkpoint commits (Delta's every-10-commits cadence), so a
+    * months-running ingest query's snapshot reads stay O(N) log files
+    * instead of O(batches-ever). Txn markers survive the roll, so replay
+    * dedup is unaffected. */
+  def streamingBatchWriter(table: String, queryName: String,
+                           checkpointEvery: Int = 0)
       : (DataFrame, Long) => Unit =
-    (batch, batchId) => { txnAppend(batch, table, s"$queryName#$batchId"); () }
+    (batch, batchId) => {
+      txnAppend(batch, table, s"$queryName#$batchId").foreach { v =>
+        if (checkpointEvery > 0 && v > 0 && v % checkpointEvery == 0) {
+          checkpoint(table)
+          expireLog(table)
+        }
+      }
+      ()
+    }
 
   /** Transactional upsert: rows in `updates` replace current rows with the
     * same `keys` values; everything else is carried forward. One commit —

@@ -71,6 +71,34 @@ class StreamingCommitLogSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).count() == 3)
   }
 
+  test("checkpointEvery keeps a long-running ingest's log bounded") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t = freshTable("cadence")
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDS().toDF("id", "v")
+      .writeStream
+      .foreachBatch(CommitLog.streamingBatchWriter(t, "q", checkpointEvery = 4))
+      .start()
+    try {
+      (0 until 12).foreach { i =>
+        src.addData(i.toLong -> s"b$i")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // versions 0..11 landed; rolls at v4 and v8 expired everything below
+    // the last checkpoint — the log holds the summary + anchor + tail,
+    // never the full batch history
+    assert(CommitLog.currentVersion(t) == 11L)
+    assert(CommitLog.lastCheckpoint(t).contains(8L))
+    val retained = CommitLog.versions(t)
+    assert(retained == (8L to 11L), s"only the post-checkpoint tail remains: $retained")
+    assert(CommitLog.read(spark, t).count() == 12)
+    // replay dedup still holds across the rolls
+    assert(CommitLog.txnAppend(Seq(0L -> "b0").toDF("id", "v"), t, "q#0").isEmpty)
+    assert(CommitLog.transactions(t).size == 12)
+  }
+
   test("a malformed txn id is rejected before anything is staged") {
     import spark.implicits._
     val t = freshTable("txnbad")
