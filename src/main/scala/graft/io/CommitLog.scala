@@ -193,16 +193,36 @@ object CommitLog {
     * on collision (another writer won that version). Returns the version
     * the commit landed at. */
   private def commit(table: String, op: String,
-                     add: Seq[String], remove: Seq[String]): Long =
+                     add: Seq[String], remove: Seq[String],
+                     expectedTip: Option[Long] = None): Long =
     commitRaw(table, op,
-      add.map(f => s"""{"add":"$f"}""") ++ remove.map(f => s"""{"remove":"$f"}"""))
+      add.map(f => s"""{"add":"$f"}""") ++ remove.map(f => s"""{"remove":"$f"}"""),
+      expectedTip)
 
-  private def commitRaw(table: String, op: String, actions: Seq[String]): Long = {
+  /** Lands the actions at the next version. `expectedTip`: the log tip the
+    * WRITER's snapshot was computed against — a commit whose content
+    * depends on what it read (upsert's merge, compact's rewrite,
+    * dedupAppend's index check, txnAppend's marker check) must pass it,
+    * and if the log has advanced past it the commit ABORTS with
+    * `ConcurrentModificationException` instead of landing stale adds/
+    * removes on top of someone else's version (the write-conflict
+    * detection of the public Delta protocol, §2.2 of the VLDB paper —
+    * a lost-update/duplicate-rows corruption otherwise, caught by the
+    * concurrent-upsert race in `CommitLogSpec`). Content-independent
+    * appends pass None and blind-retry at the next slot. */
+  private def commitRaw(table: String, op: String, actions: Seq[String],
+                        expectedTip: Option[Long] = None): Long = {
     Files.createDirectories(logDir(table))
     val lines = (s"""{"op":"$op"}""" +: actions).mkString("", "\n", "\n")
     var attempt = 0
     while (attempt < 100) {
-      val v = currentVersion(table) + 1
+      val tip = currentVersion(table)
+      expectedTip.foreach { e =>
+        if (tip != e) throw new java.util.ConcurrentModificationException(
+          s"$op on $table was computed against snapshot v$e but the log tip " +
+            s"is now v$tip — the caller must re-read and re-derive the commit")
+      }
+      val v = tip + 1
       val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
       try {
@@ -227,11 +247,33 @@ object CommitLog {
     sys.error(s"commit on $table lost ${100} consecutive version races — aborting")
   }
 
-  /** Transactional append. Returns the committed version. */
+  /** Transactional append. Returns the committed version. Appends are
+    * content-independent (no removes, no reads), so a lost version race
+    * blind-retries at the next slot — never a conflict. */
   def append(df: DataFrame, table: String): Long = {
     Files.createDirectories(Paths.get(table))
     commit(table, "append", stage(df, table), Seq.empty)
   }
+
+  /** Runs `body(tip)` — which must derive its commit from the snapshot at
+    * `tip` and pass `expectedTip = Some(tip)` — retrying with a FRESH tip
+    * whenever the commit aborts on a write conflict. This is what makes
+    * concurrent upserts/compactions serializable: each retry re-reads and
+    * re-derives, so the landed commit is always consistent with the
+    * version directly below it. */
+  private def serializably[A](table: String)(body: Long => A): A = {
+    var attempt = 0
+    while (attempt < 100) {
+      try return body(currentVersion(table))
+      catch { case _: java.util.ConcurrentModificationException => attempt += 1 }
+    }
+    sys.error(s"derived commit on $table lost 100 consecutive conflicts — aborting")
+  }
+
+  /** Deletes files staged for a commit that aborted on conflict — they are
+    * invisible garbage either way, but eager reclaim keeps vacuum small. */
+  private def unstage(table: String, files: Seq[String]): Unit =
+    files.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
 
   /** Idempotent transactional append: the `txnId` marker lands in the SAME
     * atomic commit as the data, so if this id has already committed the
@@ -247,9 +289,18 @@ object CommitLog {
     require(txnId.nonEmpty && !txnId.exists(c => c == '"' || c == '\n'),
       s"txnId must be non-empty without quotes/newlines: '$txnId'")
     Files.createDirectories(Paths.get(table))
-    if (transactions(table).contains(txnId)) None
-    else Some(commitRaw(table, "txn-append",
-      stage(df, table).map(f => s"""{"add":"$f"}""") :+ s"""{"txn":"$txnId"}"""))
+    serializably(table) { tip =>
+      if (replay(table, Some(tip)).txns.contains(txnId)) None
+      else {
+        val added = stage(df, table)
+        try Some(commitRaw(table, "txn-append",
+          added.map(f => s"""{"add":"$f"}""") :+ s"""{"txn":"$txnId"}""", Some(tip)))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            unstage(table, added); throw e
+        }
+      }
+    }
   }
 
   /** `foreachBatch` body for exactly-once streaming ingest into a
@@ -283,14 +334,29 @@ object CommitLog {
   def upsert(spark: SparkSession, updates: DataFrame, table: String,
              keys: Seq[String]): Long = {
     Files.createDirectories(Paths.get(table))
-    val old = snapshotFiles(table)
-    if (old.isEmpty) commit(table, "upsert", stage(updates, table), Seq.empty)
-    else {
-      val current = read(spark, table)
-      val merged = current.join(updates, keys, "left_anti")
-        .unionByName(updates)
-      val added = stage(merged, table)
-      commit(table, "upsert", added, old)
+    serializably(table) { tip =>
+      val old = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
+      if (old.isEmpty) {
+        // a fresh/empty table can still lose the race to a first writer,
+        // and the merge decision ("nothing to merge") was derived from
+        // this tip — conflict-abort applies here too
+        val added = stage(updates, table)
+        try commit(table, "upsert", added, Seq.empty, Some(tip))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            unstage(table, added); throw e
+        }
+      } else {
+        val current = spark.read.parquet(old.map(f => Paths.get(table, f).toString): _*)
+        val merged = current.join(updates, keys, "left_anti")
+          .unionByName(updates)
+        val added = stage(merged, table)
+        try commit(table, "upsert", added, old, Some(tip))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            unstage(table, added); throw e
+        }
+      }
     }
   }
 
@@ -304,11 +370,27 @@ object CommitLog {
   def dedupAppend(spark: SparkSession, df: DataFrame, table: String,
                   keys: Seq[String]): Option[Long] = {
     Files.createDirectories(Paths.get(table))
-    if (snapshotFiles(table).isEmpty) Some(append(df, table))
-    else {
-      val fresh = df.join(read(spark, table).select(keys.map(org.apache.spark.sql.functions.col): _*),
-        keys, "left_anti")
-      if (fresh.isEmpty) None else Some(append(fresh, table))
+    serializably(table) { tip =>
+      val files = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
+      val fresh =
+        if (files.isEmpty) df
+        else df.join(
+          spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
+            .select(keys.map(org.apache.spark.sql.functions.col): _*),
+          keys, "left_anti")
+      if (files.nonEmpty && fresh.isEmpty) None
+      else {
+        // the keys-not-present check was made against the snapshot at
+        // `tip`; a concurrent ingest could have landed the same keys, so
+        // this commit must conflict-abort and re-derive rather than
+        // double-ingest
+        val added = stage(fresh, table)
+        try Some(commit(table, "append", added, Seq.empty, Some(tip)))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            unstage(table, added); throw e
+        }
+      }
     }
   }
 
@@ -369,11 +451,20 @@ object CommitLog {
     * rewrite here is the local[32] instance of the same commit. */
   def compact(spark: SparkSession, table: String, targetFiles: Int): Option[Long] = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
-    val old = snapshotFiles(table)
-    if (old.length <= targetFiles) None
-    else {
-      val rewritten = read(spark, table).repartition(targetFiles)
-      Some(commit(table, "compact", stage(rewritten, table), old))
+    serializably(table) { tip =>
+      val old = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
+      if (old.length <= targetFiles) None
+      else {
+        val rewritten = spark.read
+          .parquet(old.map(f => Paths.get(table, f).toString): _*)
+          .repartition(targetFiles)
+        val added = stage(rewritten, table)
+        try Some(commit(table, "compact", added, old, Some(tip)))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            unstage(table, added); throw e
+        }
+      }
     }
   }
 
