@@ -163,12 +163,21 @@ object CommitLog {
 
   /** Snapshot read. Fails loudly on an empty snapshot (a caller reading a
     * never-written table or a fully-removed version has a bug upstream —
-    * there is no schema to serve). */
-  def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
+    * there is no schema to serve). `mergeSchema` unions the live files'
+    * parquet schemas, so a table whose later appends ADDED columns serves
+    * every column with nulls where early files lack them — additive schema
+    * evolution, the only kind an append-only ingest log needs (renames/
+    * retypes go through an upsert rewrite, which re-stages every row
+    * under the new schema in one commit). Off by default: schema drift in
+    * a corpus tracker is usually a bug, and the single-schema read keeps
+    * the footer merge off the hot path. */
+  def read(spark: SparkSession, table: String, asOf: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val files = snapshotFiles(table, asOf)
     require(files.nonEmpty,
       s"commit-log table $table has no live files at version ${asOf.getOrElse(currentVersion(table))}")
-    spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
+    spark.read.option("mergeSchema", mergeSchema)
+      .parquet(files.map(f => Paths.get(table, f).toString): _*)
   }
 
   /** Stages `df` as parquet files inside the table dir; returns their

@@ -164,6 +164,23 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.versions(t) == Seq(0L, 1L))   // the replay left no commit
   }
 
+  test("additive schema evolution: a later append's new column reads as null for old rows") {
+    import spark.implicits._
+    val t = freshTable("schemaev")
+    CommitLog.append(df(1L -> "a"), t)
+    CommitLog.append(Seq((2L, "b", 0.9)).toDF("id", "v", "quality"), t)
+    val merged = CommitLog.read(spark, t, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq == Seq("id", "quality", "v"))
+    val byId = merged.collect().map { r =>
+      val qi = r.fieldIndex("quality")
+      r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(qi)) None else Some(r.getDouble(qi)))
+    }.toMap
+    assert(byId == Map(1L -> None, 2L -> Some(0.9)))
+    // the default single-schema read stays cheap and serves SOME schema
+    assert(CommitLog.read(spark, t).columns.length >= 2)
+  }
+
   test("empty snapshot fails loudly instead of serving a schemaless frame") {
     val t = freshTable("empty")
     intercept[IllegalArgumentException] { CommitLog.read(spark, t) }
