@@ -796,6 +796,42 @@ object PipelineQueries {
       .orderBy("tile_file", "chip_row", "chip_col")
   }
 
+  /** `g1_chip_pixels` over LZW predictor-2 strips — LZW is the single
+    * most common codec in archived GeoTIFF corpora (and what NAIP drops
+    * historically shipped in), decoded by the pure-Scala TIFF 6.0 §13
+    * LZW reader ([[graft.sources.TiffPixels.lzwDecode]], spec
+    * early-change code widths). Same fixture pixels, same closed-form
+    * rectangle-sum oracle: a wrong bit-unpack, width flip, KwKwK case,
+    * or Clear reset all shift the per-chip sums. */
+  private val g1ChipPixelsLzw: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.sources.TiffPixels
+    val root = Paths.get(Sinks.scratchDir("tiff_pixels_lzw"))
+    Files.createDirectories(root)
+    val nations = Tables.nation(spark, dir).select("n_nationkey").collect().map(_.getInt(0))
+    nations.foreach { n =>
+      val w = 1000 + n * 97 % 600
+      val h = 900 + n * 53 % 500
+      writeFixture(root.resolve(f"t_$n%05d.tif"),
+        TiffPixels.renderGray8(w, h, rowsPerStrip = 64, (x, y) => (x % 16) + (y % 16),
+          compression = TiffPixels.CompLzw, predictor = 2))
+    }
+    Sinks.scanBinaryDir(spark, root.toString, "*.tif")
+      .select(element_at(split(col("path"), "/"), -1).as("tile_file"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        TiffPixels.chips(bytes, 512).map { case (r, c, dw, dh, slab) =>
+          var s = 0L
+          var i = 0
+          while (i < slab.length) { s += slab(i) & 0xff; i += 1 }
+          (name, r, c, dw, dh, 512 - dw, 512 - dh, s)
+        }
+      }
+      .toDF("tile_file", "chip_row", "chip_col", "chip_w", "chip_h",
+        "pad_x", "pad_y", "pix_sum")
+      .orderBy("tile_file", "chip_row", "chip_col")
+  }
+
   // ------------------------------------------------------------------ G1 pixel path, RGB: 3-band chip slicer
   /** `g1_chip_pixels` at the reference's ACTUAL tile shape: NAIP tiles are
     * RGB (`az_proc.py:510` chips 3-band jpegs), so this slices
@@ -1067,6 +1103,7 @@ object PipelineQueries {
     "s13_shapefile_sink" -> s13ShapefileSink,
     "g1_chip_pixels" -> g1ChipPixels,
     "g1_chip_pixels_deflate" -> g1ChipPixelsDeflate,
+    "g1_chip_pixels_lzw" -> g1ChipPixelsLzw,
     "g1_chip_pixels_rgb" -> g1ChipPixelsRgb,
     "g1_chip_jpeg" -> g1ChipJpeg,
     "j8_wkt_argmax" -> j8WktArgmax
@@ -1095,6 +1132,7 @@ object PipelineQueries {
     "s13_shapefile_sink" -> s13ShapefileSinkSql,
     "g1_chip_pixels" -> g1ChipPixelsSql,
     "g1_chip_pixels_deflate" -> g1ChipPixelsSql,
+    "g1_chip_pixels_lzw" -> g1ChipPixelsSql,
     "g1_chip_pixels_rgb" -> g1ChipPixelsRgbSql,
     "g1_chip_jpeg" -> g1ChipJpegSql,
     "j8_wkt_argmax" -> RelationalQueries.j8ArgmaxOracleSql,

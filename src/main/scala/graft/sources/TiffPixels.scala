@@ -9,11 +9,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * 8-bit strips, little-endian on write (either byte order on read),
   * chunky/interleaved samples — gray (SamplesPerPixel=1) and RGB
   * (SamplesPerPixel=3, the NAIP tile shape `az_proc.py:510` actually
-  * chips). Strip codecs: none (1), Deflate (8 and the old-style 32946,
-  * via `java.util.zip` — no new dependency) and PackBits (32773), with
-  * horizontal-differencing predictor 2 — the shapes real NAIP GeoTIFFs
-  * ship in (the reference reads them through cv2/rioxarray,
-  * `az_proc.py:510`, `form_calcs.py:261-287`). LZW/JPEG-in-TIFF stay a
+  * chips). Strip codecs: none (1), LZW (5, TIFF 6.0 §13 with the spec's
+  * early-change code widths), Deflate (8 and the old-style 32946, via
+  * `java.util.zip` — no new dependency) and PackBits (32773), with
+  * horizontal-differencing predictor 2 — the full set of shapes real
+  * NAIP GeoTIFFs ship in (the reference reads them through cv2/rioxarray,
+  * `az_proc.py:510`, `form_calcs.py:261-287`). JPEG-in-TIFF stays a
   * loud failure. The slicing itself — strip reads, row copies, pad
   * semantics — is the real computation and runs executor-side over
   * `binaryFile` content (one tile per row, narrow flatMap, no shuffle).
@@ -22,6 +23,7 @@ object TiffPixels {
 
   /** TIFF compression tag values accepted by the reader and writer. */
   val CompNone = 1
+  val CompLzw = 5
   val CompDeflate = 8
   val CompDeflateOld = 32946
   val CompPackBits = 32773
@@ -84,6 +86,110 @@ object TiffPixels {
     }
     inf.end()
     require(o == expected, s"Deflate strip decoded $o of $expected bytes")
+    out
+  }
+
+  // TIFF LZW (6.0 spec §13). Codes are packed MSB-first; ClearCode=256,
+  // EOI=257, first table entry 258. The spec's "early change" pairing:
+  // the ENCODER widens the code one entry earlier than generic LZW
+  // (after table size hits 511/1023/2047) and the DECODER — which lags
+  // the encoder by exactly one table insert at read time — widens after
+  // size 510/1022/2046, so both sides flip width between the same two
+  // codes of the stream. A ClearCode is emitted when the table reaches
+  // 4094 entries, so 12-bit codes never overflow.
+  private val LzwClear = 256
+  private val LzwEoi = 257
+
+  private[graft] def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    var bitBuf = 0L; var bits = 0; var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bits += width
+      while (bits >= 8) { out.write(((bitBuf >>> (bits - 8)) & 0xff).toInt); bits -= 8 }
+    }
+    // (prefixCode << 8 | byte) -> code; prefix < 4096 so the key fits an Int
+    val table = new java.util.HashMap[Integer, Integer](8192)
+    var next = 258
+    put(LzwClear)
+    var omega = -1
+    var i = 0
+    while (i < raw.length) {
+      val k = raw(i) & 0xff
+      if (omega < 0) omega = k
+      else {
+        val hit = table.get((omega << 8) | k)
+        if (hit != null) omega = hit.intValue()
+        else {
+          put(omega)
+          table.put((omega << 8) | k, next); next += 1
+          omega = k
+          if (next == 4094) { put(LzwClear); table.clear(); next = 258; width = 9 }
+          else if (width < 12 && next == (1 << width) - 1) width += 1
+        }
+      }
+      i += 1
+    }
+    if (omega >= 0) put(omega)
+    put(LzwEoi)
+    if (bits > 0) out.write(((bitBuf << (8 - bits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private[graft] def lzwDecode(src: Array[Byte], off: Int, len: Int,
+                               expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var o = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var next = 258; var width = 9
+    var bitBuf = 0L; var bits = 0; var p = off
+    val end = off + len
+    def read(): Int = {
+      while (bits < width && p < end) {
+        bitBuf = (bitBuf << 8) | (src(p) & 0xff); bits += 8; p += 1
+      }
+      if (bits < width) LzwEoi                   // ran off the strip: stop
+      else { bits -= width; ((bitBuf >>> bits) & ((1 << width) - 1)).toInt }
+    }
+    def firstByteOf(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c.toByte
+    }
+    // writes string(code) to out; returns its first byte
+    def expand(code: Int): Byte = {
+      var sp = 0; var c = code
+      while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      require(o + sp + 1 <= expected, s"LZW output overruns $expected bytes")
+      out(o) = c.toByte; o += 1
+      var j = sp - 1
+      while (j >= 0) { out(o) = stack(j); o += 1; j -= 1 }
+      c.toByte
+    }
+    var old = -1
+    var done = false
+    while (!done && o < expected) {
+      val code = read()
+      if (code == LzwEoi) done = true
+      else if (code == LzwClear) { next = 258; width = 9; old = -1 }
+      else if (old < 0) {
+        require(code < 256, s"first LZW code after clear must be a literal, got $code")
+        expand(code); old = code
+      } else {
+        require(code <= next && code != 257, s"bad LZW code $code (table size $next)")
+        if (code == next) {                      // KwKwK: entry defined by itself
+          prefix(next) = old; suffix(next) = firstByteOf(old); next += 1
+          expand(code)
+        } else {
+          val first = expand(code)
+          prefix(next) = old; suffix(next) = first; next += 1
+        }
+        old = code
+        if (width < 12 && next == (1 << width) - 2) width += 1
+      }
+    }
+    require(o == expected, s"LZW strip decoded $o of $expected bytes")
     out
   }
 
@@ -166,8 +272,9 @@ object TiffPixels {
                             compression: Int, predictor: Int): Array[Byte] = {
     require(width > 0 && height > 0 && rowsPerStrip > 0)
     require(samples == 1 || samples == 3, s"1 or 3 samples, got $samples")
-    require(compression == CompNone || compression == CompDeflate ||
-      compression == CompPackBits, s"writer supports none/deflate/packbits, got $compression")
+    require(compression == CompNone || compression == CompLzw ||
+      compression == CompDeflate || compression == CompPackBits,
+      s"writer supports none/lzw/deflate/packbits, got $compression")
     require(predictor == 1 || predictor == 2, s"predictor 1 or 2, got $predictor")
     val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
     val rowBytes = width * samples
@@ -193,6 +300,7 @@ object TiffPixels {
       if (predictor == 2) applyPredictor(raw, rowBytes, samples)
       compression match {
         case CompNone => raw
+        case CompLzw => lzwEncode(raw)
         case CompDeflate => deflate(raw)
         case CompPackBits =>
           val out = new java.io.ByteArrayOutputStream(raw.length + raw.length / 128 + 16)
@@ -247,9 +355,9 @@ object TiffPixels {
     buf.array()
   }
 
-  /** Reads a striped gray-8 TIFF (none/Deflate/PackBits strips, predictor
-    * 1 or 2) back into (width, height, row-major pixel bytes). Fails
-    * loudly on other codecs, non-8-bit, or multi-sample input. */
+  /** Reads a striped gray-8 TIFF (none/LZW/Deflate/PackBits strips,
+    * predictor 1 or 2) back into (width, height, row-major pixel bytes).
+    * Fails loudly on other codecs, non-8-bit, or multi-sample input. */
   def readGray8(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     val (w, h, s, px) = readStriped(bytes)
     require(s == 1, s"gray-8 only, got samples=$s (use readRgb8)")
@@ -266,7 +374,7 @@ object TiffPixels {
 
   /** Shared strip reader: (width, height, samplesPerPixel, interleaved
     * bytes). Scope is the fixture formats above plus any
-    * standards-conforming chunky 8-bit striped file in none/Deflate/
+    * standards-conforming chunky 8-bit striped file in none/LZW/Deflate/
     * PackBits compression with predictor 1 or 2. */
   private def readStriped(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     val order = (bytes(0).toChar, bytes(1).toChar) match {
@@ -323,10 +431,11 @@ object TiffPixels {
       }
       i += 1
     }
-    require(compression == CompNone || compression == CompDeflate ||
-      compression == CompDeflateOld || compression == CompPackBits,
-      s"unsupported compression $compression (none/Deflate/PackBits only; LZW and " +
-        "JPEG-in-TIFF are out of scope)")
+    require(compression == CompNone || compression == CompLzw ||
+      compression == CompDeflate || compression == CompDeflateOld ||
+      compression == CompPackBits,
+      s"unsupported compression $compression (none/LZW/Deflate/PackBits only; " +
+        "JPEG-in-TIFF is out of scope)")
     require(bits == 8, s"8-bit samples only, got bits=$bits")
     require(planar == 1, s"chunky (interleaved) samples only, got planar=$planar")
     require(samples == 1 || samples == 3, s"1 or 3 samples only, got $samples")
@@ -346,6 +455,7 @@ object TiffPixels {
         case CompNone =>
           require(len >= expected, s"uncompressed strip $s holds $len of $expected bytes")
           java.util.Arrays.copyOfRange(bytes, off, off + expected)
+        case CompLzw => lzwDecode(bytes, off, len, expected)
         case CompDeflate | CompDeflateOld => inflate(bytes, off, len, expected)
         case CompPackBits => unpackBits(bytes, off, len, expected)
       }

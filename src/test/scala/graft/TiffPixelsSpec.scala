@@ -206,13 +206,66 @@ class TiffPixelsSpec extends AnyFunSuite {
 
   test("compressed or non-gray input fails loudly") {
     val bytes = TiffPixels.renderGray8(32, 32, 8, pix)
-    // flip the Compression entry (tag 259 is the 4th entry) to LZW (5)
+    // flip the Compression entry (tag 259 is the 4th entry) to JPEG (7),
+    // the one mainstream codec deliberately out of scope
     val b = bytes.clone()
     val e = 8 + 2 + 3 * 12
     assert((b(e) & 0xff) == 3 && (b(e + 1) & 0xff) == 1)   // tag 259 LE
-    b(e + 8) = 5
+    b(e + 8) = 7
     intercept[IllegalArgumentException] { TiffPixels.readGray8(b) }
     // RGB fixtures from TiffMeta are metadata-only (no strips): also loud
     intercept[Exception] { TiffPixels.readGray8(TiffMeta.minimalTiff(10, 10)) }
+  }
+
+  test("LZW golden bytes: bit packing, code numbering, and early change are the spec's") {
+    // Encoding "ABAB": Clear(256), 65, 66, 258 (=AB), EOI(257), all 9-bit
+    // MSB-first -> 45 bits -> 6 bytes with 3 pad bits. Hand-packed from the
+    // TIFF 6.0 §13 rules; pins the wire convention independent of the
+    // encoder so a desync in either half fails this test, not just the
+    // round trip.
+    val golden = Array(0x80, 0x10, 0x48, 0x50, 0x28, 0x08).map(_.toByte)
+    assert(TiffPixels.lzwEncode("ABAB".getBytes("US-ASCII")).sameElements(golden))
+    assert(new String(TiffPixels.lzwDecode(golden, 0, golden.length, 4), "US-ASCII") == "ABAB")
+  }
+
+  test("LZW round-trips across code-width changes and a table-full Clear reset") {
+    // LCG bytes barely compress, so the table grows ~1 entry per 2 input
+    // bytes: 64 KiB forces all three width bumps (511/1023/2047) and
+    // several 4094-entry Clear resets in one strip.
+    var seed = 12345L
+    val raw = Array.fill(64 * 1024) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 33).toByte
+    }
+    val enc = TiffPixels.lzwEncode(raw)
+    assert(TiffPixels.lzwDecode(enc, 0, enc.length, raw.length).sameElements(raw))
+    // KwKwK path: a constant run makes the decoder hit code == next
+    val runs = Array.fill(4096)(42.toByte)
+    val encRuns = TiffPixels.lzwEncode(runs)
+    assert(encRuns.length < runs.length / 4, "constant run should compress hard")
+    assert(TiffPixels.lzwDecode(encRuns, 0, encRuns.length, runs.length).sameElements(runs))
+  }
+
+  test("LZW strips round-trip through the TIFF writer/reader, predictor 1 and 2") {
+    for {
+      pred <- Seq(1, 2)
+      (w, h, rps) <- Seq((100, 81, 16), (37, 53, 7), (64, 64, 64))
+    } {
+      val bytes = TiffPixels.renderGray8(w, h, rps, pix, TiffPixels.CompLzw, pred)
+      assert(bytes.length < w * h, s"LZW did not compress w=$w h=$h")
+      val (rw, rh, px) = TiffPixels.readGray8(bytes)
+      assert((rw, rh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xff) == pix(x, y), s"($x,$y) w=$w h=$h rps=$rps pred=$pred")
+    }
+    // RGB with per-channel predictor
+    val bytes = TiffPixels.renderRgb8(100, 80, 16, rgb, TiffPixels.CompLzw, 2)
+    val (rw, rh, px) = TiffPixels.readRgb8(bytes)
+    assert((rw, rh) == (100, 80))
+    for (y <- 0 until 80; x <- 0 until 100) {
+      val (r, g, b) = rgb(x, y)
+      val i = (y * 100 + x) * 3
+      assert(((px(i) & 0xff), (px(i + 1) & 0xff), (px(i + 2) & 0xff)) == ((r, g, b)), s"($x,$y)")
+    }
   }
 }
