@@ -406,8 +406,40 @@ object AnalyticsQueries {
       |  (nullif(c_mktsegment, 'BUILDING') = 'MACHINERY') IS NULL AS cmp_is_unknown
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------------------ heavy hitters
+  /** a19: frequent items via the native Misra–Gries aggregate
+    * ([[graft.plans.ApproxTopK]]) — top-20 supplier-key buckets by line
+    * count from a bounded 2048-counter summary. The modulus keeps the key
+    * domain <= 701 at every scale factor, inside the exactness window
+    * (capacity >= distinct => zero evictions => the sketch IS the exact
+    * top-k), so the DuckDB twin is a plain exact top-k; the approximation
+    * guarantees under capacity pressure are pinned in `ApproxTopKSpec`.
+    * At 100 TB this is the frequent-URLs/tokens shape: per-task state is
+    * capped at `capacity` counters no matter the input, partials combine
+    * map-side, and only summary buffers cross the exchange — where the
+    * exact `groupBy(item)` would shuffle one row per distinct item. */
+  private val a19HeavyHitters: Q = (spark, dir) => {
+    graft.plans.ApproxTopK.register(spark)
+    Tables.lineitem(spark, dir)
+      .select((col("l_suppkey") % 701).cast("string").as("item"))
+      .agg(expr("approx_top_k(item, 20, 2048)").as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.item").as("item"), col("col.est").as("est"))
+      .orderBy("rank")
+  }
+
+  private val a19HeavyHittersSql =
+    """SELECT CAST(rn AS INTEGER) AS rank, item, est FROM (
+      |  SELECT CAST(l_suppkey % 701 AS VARCHAR) AS item,
+      |    count(*) AS est,
+      |    row_number() OVER (ORDER BY count(*) DESC, CAST(l_suppkey % 701 AS VARCHAR)) AS rn
+      |  FROM lineitem GROUP BY 1)
+      |WHERE rn <= 20 ORDER BY rank""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "a19_heavy_hitters" -> a19HeavyHitters,
     "w11_range_window" -> w11RangeWindow,
     "f_unpivot" -> fUnpivot,
     "f_null_semantics" -> fNullSemantics,
@@ -424,6 +456,7 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "a19_heavy_hitters" -> a19HeavyHittersSql,
     "w11_range_window" -> w11RangeWindowSql,
     "f_unpivot" -> fUnpivotSql,
     "f_null_semantics" -> fNullSemanticsSql,

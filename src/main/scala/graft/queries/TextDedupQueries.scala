@@ -1534,6 +1534,59 @@ object TextDedupQueries {
        |    ORDER BY chunk_idx), '')) AS kept_hash
        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ D14: exact substring-span dedup
+  /** d14: exact duplicated-SPAN detection at character granularity — the
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022) signal, re-expressed as rolling windows instead of suffix
+    * arrays: every 40-char window of every document is hashed, a window
+    * whose content already occurs in an EARLIER document marks its chars
+    * as copied, and each document reports its window count, cross-doc
+    * duplicated-window count, duplication share in exact basis points
+    * (integer division — no float-rounding seam between engines), and a
+    * majority-duplicated verdict.
+    *
+    * Scale shape: window enumeration is a narrow per-row transform (the
+    * 40-char strings exist only in flight); the wide ops are one hash
+    * shuffle (min-doc per window content via a window function — no
+    * join back) and one doc_id rollup. At 100 TB the window hash becomes
+    * xxhash64 instead of md5 (8 bytes on the wire, engine-internal so no
+    * oracle twin needed) and stride/winnowing trims the window stream —
+    * the plan shape is unchanged. */
+  private val d14SubstringDedup: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir).filter(length(col("text")) >= 40)
+    val w = docs.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, length(text) - 39), p -> md5(substring(text, p, 40)))"))
+        .as("h"))
+    val byContent = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    w.withColumn("first_doc", min("doc_id").over(byContent))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("first_doc") < col("doc_id"), lit(1))).as("dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+        expr("10000 * dup_windows div n_windows").as("dup_bp"),
+        (col("dup_windows") * 2 > col("n_windows")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  // ORACLE SERIES-BOUND INVARIANT: window starts come from a static
+  // 1..20000 series (documents cap out well below; an overlong doc would
+  // disagree loudly because Spark enumerates every window).
+  private val d14SubstringDedupSql =
+    """WITH w AS (
+      |  SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), 40)) AS h
+      |  FROM documents, generate_series(1, 20000) s(p)
+      |  WHERE length(text) >= 40 AND p <= length(text) - 39),
+      |m AS (SELECT h, min(doc_id) AS first_doc FROM w GROUP BY 1),
+      |d AS (
+      |  SELECT w.doc_id, count(*) AS n_windows,
+      |    count(CASE WHEN m.first_doc < w.doc_id THEN 1 END) AS dup_windows
+      |  FROM w JOIN m USING (h) GROUP BY 1)
+      |SELECT doc_id, n_windows, dup_windows,
+      |  CAST(10000 * dup_windows // n_windows AS BIGINT) AS dup_bp,
+      |  dup_windows * 2 > n_windows AS is_dup
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ E4: end-to-end curation pipeline
   /** The full corpus-curation pipeline as ONE composed query — what a
     * training-data engine actually runs: normalize -> quality-filter ->
@@ -1779,7 +1832,8 @@ object TextDedupQueries {
     "e7_training_manifest" -> e7TrainingManifest,
     "t_entropy" -> tEntropy,
     "t_bigram_lm" -> tBigramLm,
-    "d12_chunk_dedup" -> d12ChunkDedup
+    "d12_chunk_dedup" -> d12ChunkDedup,
+    "d14_substring_dedup" -> d14SubstringDedup
   )
 
   val oracle: Map[String, String] = Map(
@@ -1825,6 +1879,7 @@ object TextDedupQueries {
     "e7_training_manifest" -> e7TrainingManifestSql,
     "t_entropy" -> tEntropySql,
     "t_bigram_lm" -> tBigramLmSql,
-    "d12_chunk_dedup" -> d12ChunkDedupSql
+    "d12_chunk_dedup" -> d12ChunkDedupSql,
+    "d14_substring_dedup" -> d14SubstringDedupSql
   )
 }

@@ -519,4 +519,41 @@ class StreamingSpec extends SparkSpec {
       assert(idxIds == Set(1L, 2L, 4L))
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark dedups in-window and releases state after it") {
+    // The built-in bounded-state streaming exact dedup: duplicate ids are
+    // suppressed while their event time is inside the watermark delay, and
+    // the per-id state is EVICTED once the watermark passes — so the store
+    // tracks recent ids, not ids-ever-seen (the unbounded-state trap of
+    // plain dropDuplicates on a stream).
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String)]
+    val dedup = src.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append()).start()
+    def emitted: Seq[String] =
+      spark.table("dedup_wm").collect().map(_.getString(1)).toSeq
+    try {
+      // in-batch duplicate suppressed, first occurrences emitted at once
+      src.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+      q.processAllAvailable()
+      assert(emitted.sorted == Seq("a", "b"))
+      // cross-batch duplicate inside the window: suppressed
+      src.addData((ts(4), "a"))
+      q.processAllAvailable()
+      assert(emitted.sorted == Seq("a", "b"))
+      // watermark jumps to 50 -> state for a (expires 11) and b (13) evicted
+      src.addData((ts(60), "c"))
+      q.processAllAvailable()
+      // same id far beyond its window: state is gone, so it re-emits —
+      // the documented within-watermark contract, and the proof the store
+      // does not grow with distinct ids forever
+      src.addData((ts(55), "a"))
+      q.processAllAvailable()
+      assert(emitted.sorted == Seq("a", "a", "b", "c"))
+    } finally q.stop()
+  }
 }
