@@ -1548,15 +1548,17 @@ object TextDedupQueries {
     * Scale shape: window enumeration is a narrow per-row transform (the
     * 40-char strings exist only in flight); the wide ops are one hash
     * shuffle (min-doc per window content via a window function — no
-    * join back) and one doc_id rollup. At 100 TB the window hash becomes
-    * xxhash64 instead of md5 (8 bytes on the wire, engine-internal so no
-    * oracle twin needed) and stride/winnowing trims the window stream —
-    * the plan shape is unchanged. */
+    * join back) and one doc_id rollup. The window hash is engine-internal
+    * (only the resulting counts are compared), so Spark uses xxhash64 —
+    * 8 bytes on the wire where the oracle's md5 twin shuffles 32-char
+    * strings; both are collision-free at corpus size, and a 100 TB run
+    * would move to a 128-bit hash plus stride/winnowing to trim the
+    * window stream — the plan shape is unchanged. */
   private val d14SubstringDedup: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir).filter(length(col("text")) >= 40)
     val w = docs.select(col("doc_id"),
       explode(expr(
-        "transform(sequence(1, length(text) - 39), p -> md5(substring(text, p, 40)))"))
+        "transform(sequence(1, length(text) - 39), p -> xxhash64(substring(text, p, 40)))"))
         .as("h"))
     val byContent = org.apache.spark.sql.expressions.Window.partitionBy("h")
     w.withColumn("first_doc", min("doc_id").over(byContent))
