@@ -1213,6 +1213,79 @@ object VectorQueries {
     serveIvfPq(ix.emb, centroids, assigned, codes, lut, ix.queries)
   }
 
+  /** v16: INCREMENTAL index maintenance — the daily reality of a vector
+    * store, where new embeddings arrive but retraining centroids/codebook
+    * per batch is unaffordable. The batch (a 4th planted copy set,
+    * +40000) is assigned and PQ-encoded against the FROZEN artifacts
+    * reloaded from the committed index (broadcast joins, batch-sized —
+    * the corpus is never touched), and the new `assigned`/`codes` rows
+    * land as commit-log appends: two atomic version flips, readers see
+    * before/after but never half. Because assignment and encoding are
+    * deterministic functions of the frozen artifacts, the incrementally
+    * maintained index must EQUAL a from-scratch build over the union —
+    * which is exactly what the oracle computes (the v14 twin with the
+    * extended feed), so the hash gate proves no-rebuild updates are
+    * lossless. Serving is verbatim v14/v15.
+    *
+    * Scale shape: per batch, work is O(batch x centroids) + O(batch x
+    * codebook) with all index sides broadcast; the existing corpus codes
+    * are untouched parquet. Centroid drift over many batches is the known
+    * trade — production re-trains offline and swaps via one commit, the
+    * v15 lifecycle. */
+  private val v16IvfIncremental: Q = (spark, dir) => {
+    import java.nio.file.{Files, Paths}
+    val ix = buildIvfPq(spark, dir)
+    val root = Paths.get(graft.io.Sinks.scratchDir("vector_index_incr"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    def persist(df: DataFrame, name: String): String = {
+      val t = root.resolve(name).toString
+      graft.io.CommitLog.append(df, t)
+      t
+    }
+    val centroidsT = persist(ix.centroids, "centroids")
+    val assignedT = persist(ix.assigned, "assigned")
+    val codebookT = persist(ix.codebook, "codebook")
+    val codesT = persist(ix.codes, "codes")
+    val centroids = graft.io.CommitLog.read(spark, centroidsT)
+    val codebook = graft.io.CommitLog.read(spark, codebookT)
+    // ---- the incremental batch: assign + encode against frozen artifacts
+    val batch = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 4 && col("vec_id") < 7)
+      .select((col("vec_id") + 40000).as("vec_id"), col("embedding"))
+    val assignedB = batch.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", round(expr("cosine_sim(embedding, c_emb)"), 4))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    val subsB = batch.select(col("vec_id"),
+      explode(array((0 until 8).map(s =>
+        struct(lit(s).as("sub"), slice(col("embedding"), s * 8 + 1, 8).as("v"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+    val codesB = subsB.join(broadcast(codebook), "sub")
+      .withColumn("d2", round(pqSqDist, 4))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("k"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.k").as("k"))
+    graft.io.CommitLog.append(assignedB, assignedT)
+    graft.io.CommitLog.append(codesB, codesT)
+    // ---- serve from the post-append snapshot reads
+    val assigned = graft.io.CommitLog.read(spark, assignedT)
+    val codes = graft.io.CommitLog.read(spark, codesT)
+    val embAll = ix.emb.unionByName(batch)
+    val qsubs = ix.queries.select(col("q_id"),
+      explode(array((0 until 8).map(s =>
+        struct(lit(s).as("sub"), slice(col("q_emb"), s * 8 + 1, 8).as("v"))): _*)).as("sv"))
+      .select(col("q_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+    val lut = qsubs.join(broadcast(codebook), "sub")
+      .withColumn("ld", round(pqSqDist, 4))
+      .select("q_id", "sub", "k", "ld")
+    serveIvfPq(embAll, centroids, assigned, codes, lut, ix.queries)
+  }
+
   private val v14IvfpqSearchSql =
     s"""WITH feed AS (
        |  SELECT vec_id, embedding FROM embeddings
@@ -1402,7 +1475,8 @@ object VectorQueries {
     "m5_audio_energy" -> m5AudioEnergy,
     "v13_pq_adc" -> v13PqAdc,
     "v14_ivfpq_search" -> v14IvfpqSearch,
-    "v15_index_persist" -> v15IndexPersist
+    "v15_index_persist" -> v15IndexPersist,
+    "v16_ivf_incremental" -> v16IvfIncremental
   )
 
   val oracle: Map[String, String] = Map(
@@ -1428,6 +1502,10 @@ object VectorQueries {
     "m5_audio_energy" -> m5AudioEnergySql,
     "v13_pq_adc" -> v13PqAdcSql,
     "v14_ivfpq_search" -> v14IvfpqSearchSql,
-    "v15_index_persist" -> v14IvfpqSearchSql
+    "v15_index_persist" -> v14IvfpqSearchSql,
+    // the v14 twin over the union feed: a from-scratch rebuild, which the
+    // incrementally maintained index must equal exactly
+    "v16_ivf_incremental" -> v14IvfpqSearchSql.replace(
+      "generate_series(1, 3) j(j)", "generate_series(1, 4) j(j)")
   )
 }
