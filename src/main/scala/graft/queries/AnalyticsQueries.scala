@@ -437,9 +437,41 @@ object AnalyticsQueries {
       |  FROM lineitem GROUP BY 1)
       |WHERE rn <= 20 ORDER BY rank""".stripMargin
 
+  // ------------------------------------------------------------------ count-min point frequency
+  /** a20: point-frequency queries via the native Count–Min sketch
+    * ([[graft.plans.CmsSketch]]) — build one 4x8192 counter grid over the
+    * same bounded supplier-key domain as a19, then answer an estimate per
+    * distinct item from the broadcast 1-row sketch. CMS is the dual of
+    * a19's Misra–Gries: MG surfaces WHICH items are frequent, CMS answers
+    * HOW OFTEN for arbitrary later point queries. The 4x8192 grid leaves
+    * every one of the <= 701 items isolated in at least one hash row
+    * (deterministic — the hashes are fixed), so estimates are exact and
+    * the DuckDB twin is a plain `GROUP BY count(*)`; the never-undercount
+    * bound under width pressure is pinned in `CountMinSketchSpec`.
+    * At 100 TB: per-task state is exactly depth*width longs (256 KiB)
+    * regardless of key cardinality, merge is a pointwise sum (CMS is a
+    * linear sketch — merging is lossless), and only the fixed grid crosses
+    * the exchange; the estimate side touches the distinct-item list, never
+    * the corpus. */
+  private val a20CmsFreq: Q = (spark, dir) => {
+    graft.plans.CountMinSketch.register(spark)
+    val items = Tables.lineitem(spark, dir)
+      .select((col("l_suppkey") % 701).cast("string").as("item"))
+    val sketch = items.agg(expr("cms_sketch(item, 4, 8192)").as("sk"))
+    items.distinct()
+      .crossJoin(broadcast(sketch))
+      .select(col("item"), expr("cms_estimate(sk, item, 4, 8192)").as("est"))
+      .orderBy("item")
+  }
+
+  private val a20CmsFreqSql =
+    """SELECT CAST(l_suppkey % 701 AS VARCHAR) AS item, count(*) AS est
+      |FROM lineitem GROUP BY 1 ORDER BY item""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "a19_heavy_hitters" -> a19HeavyHitters,
+    "a20_cms_freq" -> a20CmsFreq,
     "w11_range_window" -> w11RangeWindow,
     "f_unpivot" -> fUnpivot,
     "f_null_semantics" -> fNullSemantics,
@@ -457,6 +489,7 @@ object AnalyticsQueries {
 
   val oracle: Map[String, String] = Map(
     "a19_heavy_hitters" -> a19HeavyHittersSql,
+    "a20_cms_freq" -> a20CmsFreqSql,
     "w11_range_window" -> w11RangeWindowSql,
     "f_unpivot" -> fUnpivotSql,
     "f_null_semantics" -> fNullSemanticsSql,
