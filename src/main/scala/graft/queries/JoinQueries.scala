@@ -114,6 +114,52 @@ object JoinQueries {
       |  AND event_id * 31 % 800 <  floor(n_nationkey / 5) * 160 + 160
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------ J13: binned range join (both sides large)
+  /** The same point->rect semantics as J7, planned for the case J7's
+    * broadcast CANNOT handle: BOTH sides too large for one executor (a
+    * planet-scale tile index joined against a planet-scale point stream).
+    * The range predicate is turned into an equi-join by discretizing space
+    * into grid cells: each point lands in exactly ONE cell; each rect
+    * explodes to the (bounded) set of cells it overlaps; the join is a
+    * plain equi-join on the cell key — shuffled, co-partitioned, spillable —
+    * with the exact half-open predicate as a residual filter. Because a
+    * point lives in one cell, every qualifying (point, rect) pair meets in
+    * exactly one cell: no duplicate elimination is needed.
+    *
+    * The cell size (128, deliberately misaligned with the 200x160 rects)
+    * caps rect fan-out at 2x3 cells; at 100 TB you size cells so fan-out
+    * stays O(1) while cell occupancy stays balanced. The SHUFFLE_HASH hint
+    * pins the both-sides-shuffled plan even at test scale (AQE would
+    * otherwise broadcast the small fixture side, which is exactly the plan
+    * this variant exists to avoid); `BinnedRangeJoinSpec` asserts the
+    * exchange-fed ShuffledHashJoin. Same oracle as J7. */
+  private val j13BinnedRangeJoin: Q = (spark, dir) => {
+    val cell = 128
+    val pts = Tables.events(spark, dir).select(
+      col("event_id"),
+      (col("event_id") * 97 % 1000).as("px"),
+      (col("event_id") * 31 % 800).as("py"))
+      .withColumn("cx", floor(col("px") / cell))
+      .withColumn("cy", floor(col("py") / cell))
+    val rects = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("county_key"),
+      (col("n_nationkey") % 5 * 200).as("kx1"),
+      (floor(col("n_nationkey") / 5) * 160).as("ky1"))
+      .withColumn("kx2", col("kx1") + 200)
+      .withColumn("ky2", col("ky1") + 160)
+    // kx2/ky2 are exclusive edges: the last covered cell is (k2 - 1) / cell
+    val rectCells = rects
+      .withColumn("cx", explode(sequence(
+        floor(col("kx1") / cell), floor((col("kx2") - 1) / cell))))
+      .withColumn("cy", explode(sequence(
+        floor(col("ky1") / cell), floor((col("ky2") - 1) / cell))))
+    pts.join(rectCells.hint("shuffle_hash"), Seq("cx", "cy"))
+      .filter(col("px") >= col("kx1") && col("px") < col("kx2") &&
+        col("py") >= col("ky1") && col("py") < col("ky2"))
+      .select("event_id", "county_key", "px", "py")
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------------ U1: union + U4 distinct-union
   /** Catalog append (`pd.concat`/`np.vstack`, `src/az_proc.py:281-288`) with
     * provenance tag, then U4 distinct-union of the key sets. */
@@ -329,6 +375,7 @@ object JoinQueries {
     "j4_update_join" -> j4UpdateJoin,
     "j5_catalog_dup" -> j5CatalogDup,
     "j7_range_join" -> j7RangeJoin,
+    "j13_binned_range_join" -> j13BinnedRangeJoin,
     "u1_union_catalogs" -> u1UnionCatalogs,
     "u3_intersect" -> u3Intersect,
     "j10_selfjoin_pairs" -> j10SelfJoinPairs,
@@ -341,6 +388,7 @@ object JoinQueries {
     "j4_update_join" -> j4UpdateJoinSql,
     "j5_catalog_dup" -> j5CatalogDupSql,
     "j7_range_join" -> j7RangeJoinSql,
+    "j13_binned_range_join" -> j7RangeJoinSql,
     "u1_union_catalogs" -> u1UnionCatalogsSql,
     "u3_intersect" -> u3IntersectSql,
     "j10_selfjoin_pairs" -> j10SelfJoinPairsSql,
