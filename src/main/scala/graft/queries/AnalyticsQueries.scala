@@ -468,10 +468,135 @@ object AnalyticsQueries {
     """SELECT CAST(l_suppkey % 701 AS VARCHAR) AS item, count(*) AS est
       |FROM lineitem GROUP BY 1 ORDER BY item""".stripMargin
 
+  // ------------------------------------------------------------------ fixed-iteration PageRank
+  /** gr1: three damped PageRank iterations over the symmetric
+    * customer<->supplier trade graph (edges = distinct (custkey, suppkey)
+    * pairs through orders x lineitem, mirrored so no node dangles) — the
+    * Pregel-on-DataFrames shape: each iteration is ONE shuffled equi-join
+    * of the rank table onto the edge list (contribution = rank/out-degree)
+    * plus ONE keyed aggregation on the destination — both linear in edges,
+    * both map-side partial. No vertex ever sees more than its neighborhood;
+    * the driver only sequences iterations (bounded, here 3).
+    *
+    * Determinism across engines AND shuffles: ranks are scaled integers
+    * (BASE = 10^12) and every step is integer arithmetic — `div` for the
+    * degree split, `(85 * sum) div 100` for damping — so the per-node
+    * aggregation is an exact BIGINT sum (order-independent where a double
+    * sum is not) and Spark and DuckDB agree bit-for-bit. Headroom: total
+    * mass is nodes x BASE; 85x a single node's inflow must stay below
+    * 2^63, which holds through ~10^5 nodes and is checked per-iteration
+    * at larger scales by the overflow-free BIGINT contract. */
+  private val gr1PageRank: Q = (spark, dir) => {
+    val base = 1000000000000L // rank scale: 1.0 == 10^12
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var ranks = nodes.withColumn("r", lit(base))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (lit(base * 15 / 100) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+    }
+    ranks.select(col("node"), col("r").cast("long").as("rank")).orderBy("node")
+  }
+
+  private val gr1PageRankSql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+      |    's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+      |c1 AS (SELECT e.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+      |  FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node GROUP BY 1),
+      |r1 AS (SELECT n.node, CAST(150000000000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN c1 ON n.node = c1.dst),
+      |c2 AS (SELECT e.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+      |  FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON e.src = r.node GROUP BY 1),
+      |r2 AS (SELECT n.node, CAST(150000000000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN c2 ON n.node = c2.dst),
+      |c3 AS (SELECT e.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+      |  FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON e.src = r.node GROUP BY 1),
+      |r3 AS (SELECT n.node, CAST(150000000000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
+      |SELECT node, r AS rank FROM r3 ORDER BY node""".stripMargin
+
+  // ------------------------------------------------------------------ column profiling
+  /** a21: the data-quality profile report — one output row per profiled
+    * column with row/null/distinct counts and min/max (rendered as
+    * strings so the report schema is column-type-independent). This is
+    * the ingest-time audit a training pipeline runs on every new drop
+    * before anything downstream trusts it. One corpus pass: all metrics
+    * are aggregates of a single scan (Spark plans the multi-column
+    * distinct via Expand — rows x #profiled-columns on the wire, the
+    * standard exact-distinct trade; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` and keep the same report shape), then a
+    * 1-row-to-N-rows stack into long format — no second scan, no join.
+    * `err_props` (props of error events, null otherwise) keeps the null
+    * metrics non-vacuous on a fully-populated corpus. */
+  private val a21Profile: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      when(col("event_type") === "error", col("props")).as("err_props"))
+    val cols = Seq("event_id", "user_id", "event_type", "err_props")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}__n"),
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = ev.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map { c =>
+      s"'$c', ${c}__n, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max"
+    }.mkString(s"stack(${cols.size}, ", ", ", ")")
+    wide.select(expr(
+      s"$stackExpr AS (column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"))
+      .orderBy("column_name")
+  }
+
+  private val a21ProfileSql =
+    """WITH src AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CASE WHEN event_type = 'error' THEN props END AS err_props
+      |  FROM events)
+      |SELECT 'event_id' AS column_name, count(*) AS n_rows,
+      |  count(*) - count(event_id) AS n_nulls,
+      |  count(DISTINCT event_id) AS n_distinct,
+      |  CAST(min(event_id) AS VARCHAR) AS min_val,
+      |  CAST(max(event_id) AS VARCHAR) AS max_val FROM src
+      |UNION ALL
+      |SELECT 'user_id', count(*), count(*) - count(user_id),
+      |  count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR),
+      |  CAST(max(user_id) AS VARCHAR) FROM src
+      |UNION ALL
+      |SELECT 'event_type', count(*), count(*) - count(event_type),
+      |  count(DISTINCT event_type), min(event_type), max(event_type) FROM src
+      |UNION ALL
+      |SELECT 'err_props', count(*), count(*) - count(err_props),
+      |  count(DISTINCT err_props), min(err_props), max(err_props) FROM src
+      |ORDER BY column_name""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "a19_heavy_hitters" -> a19HeavyHitters,
     "a20_cms_freq" -> a20CmsFreq,
+    "gr1_pagerank" -> gr1PageRank,
+    "a21_profile" -> a21Profile,
     "w11_range_window" -> w11RangeWindow,
     "f_unpivot" -> fUnpivot,
     "f_null_semantics" -> fNullSemantics,
@@ -490,6 +615,8 @@ object AnalyticsQueries {
   val oracle: Map[String, String] = Map(
     "a19_heavy_hitters" -> a19HeavyHittersSql,
     "a20_cms_freq" -> a20CmsFreqSql,
+    "gr1_pagerank" -> gr1PageRankSql,
+    "a21_profile" -> a21ProfileSql,
     "w11_range_window" -> w11RangeWindowSql,
     "f_unpivot" -> fUnpivotSql,
     "f_null_semantics" -> fNullSemanticsSql,

@@ -397,6 +397,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits the unmatched view only after the watermark closes its window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // outer stream-stream semantics: a view with no click inside its
+    // 10-minute attribution window must eventually emit null-padded — but
+    // only once the watermark proves no matching click can still arrive.
+    // Until then the row sits in state; emitting earlier would be wrong
+    // (a click could still show up within the interval bound).
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val v = views.toDF().toDF("view_ts", "v_user", "view_id")
+      .withWatermark("view_ts", "20 minutes")
+    val c = clicks.toDF().toDF("click_ts", "c_user", "click_id")
+      .withWatermark("click_ts", "20 minutes")
+    val q = v.join(c,
+        col("v_user") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((ts(1), 1L, 100L),   // will be clicked
+        (ts(1), 2L, 200L))               // never clicked
+      clicks.addData((ts(5), 1L, 900L))
+      q.processAllAvailable()
+      val early = spark.table("attrib_outer").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)))).toSet
+      assert(!early.contains((200L, None)),
+        s"unmatched view must NOT emit before its window is watermark-closed, got $early")
+      // advance BOTH watermarks past view 200's window end (t=1 + 10min):
+      // watermark = min(sources) = 60 - 20 = 40 min > 11 min
+      views.addData((ts(60), 8L, 888L))
+      clicks.addData((ts(60), 9L, 998L))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+      assert(got == Set(
+        (1L, 100L, Some(900L)),   // matched inside the window
+        (2L, 200L, None)),        // watermark-proven unmatched, null-padded
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("foreachBatch upserts each micro-batch into parquet state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
