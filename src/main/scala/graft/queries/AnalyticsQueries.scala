@@ -495,21 +495,9 @@ object AnalyticsQueries {
         concat(lit("s:"), col("l_suppkey")).as("dst"))
       .distinct()
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
-    var ranks = nodes.withColumn("r", lit(base))
-    for (_ <- 1 to 3) {
-      val contribs = edges
-        .join(deg, "src")
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy("dst").agg(sum("c").as("s"))
-      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit(base * 15 / 100) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
-    }
-    ranks.select(col("node"), col("r").cast("long").as("rank")).orderBy("node")
+      .cache()
+    graft.operators.PageRank.ranks(edges, iterations = 3, base = base)
+      .orderBy("node")
   }
 
   private val gr1PageRankSql =

@@ -1249,6 +1249,48 @@ object TextDedupQueries {
        |  (cum_tokens - n_tokens) % $packBudget AS offset_in_seq
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ w12: overlapping context windows
+  /** Stride-overlap chunking — the long-document → context-window splitter
+    * (window 32 tokens, stride 24, so consecutive chunks share 8 tokens of
+    * context). Complements `w9_sequence_pack`: packing concatenates SHORT
+    * docs into full windows; this splits LONG docs into overlapping ones,
+    * the standard prep for training on documents longer than the model
+    * context. Pure generator shape: tokenize (scalar), explode the stride
+    * sequence (narrow — no shuffle anywhere), slice + hash each window.
+    * Output rows = chunks, each carrying the md5 of its exact token span
+    * so the oracle pins window boundaries, not just counts. At 100 TB
+    * this runs entirely inside the scan's codegen stage; the only data
+    * movement is the final sink. */
+  private val w12ChunkOverlap: Q = (spark, dir) => {
+    val win = 32L
+    val stride = 24L
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextPipeline.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    d.withColumn("start", explode(sequence(lit(0L), col("n_tokens") - 1, lit(stride))))
+      .withColumn("chunk_id", expr(s"start div $stride"))
+      .withColumn("n_chunk_tokens", least(lit(win), col("n_tokens") - col("start")))
+      .withColumn("chunk_hash", md5(array_join(
+        slice(col("toks"), (col("start") + 1).cast("int"), col("n_chunk_tokens").cast("int")),
+        " ")))
+      .select("doc_id", "chunk_id", "start", "n_chunk_tokens", "chunk_hash")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val w12ChunkOverlapSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, toks, n_tokens, unnest(range(0, n_tokens, 24)) AS start
+      |  FROM tok)
+      |SELECT doc_id, start // 24 AS chunk_id, start,
+      |  least(32, n_tokens - start) AS n_chunk_tokens,
+      |  md5(array_to_string(
+      |    toks[start + 1 : start + least(32, n_tokens - start)], ' ')) AS chunk_hash
+      |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------------------------ e6: temperature-weighted mixture
   /** Temperature-weighted source sampling (the multi-source rebalancing
     * rule p_i ∝ n_i^α, α = 0.5 — flattens the source distribution so
@@ -1828,6 +1870,7 @@ object TextDedupQueries {
     "e5_data_mixture" -> e5DataMixture,
     "w9_sequence_pack" -> w9SequencePack,
     "w10_curriculum" -> w10Curriculum,
+    "w12_chunk_overlap" -> w12ChunkOverlap,
     "e6_mixture_weights" -> e6MixtureWeights,
     "t_quality_model" -> tQualityModel,
     "t_bpe_pairs" -> tBpePairs,
@@ -1875,6 +1918,7 @@ object TextDedupQueries {
     "e5_data_mixture" -> e5DataMixtureSql,
     "w9_sequence_pack" -> w9SequencePackSql,
     "w10_curriculum" -> w10CurriculumSql,
+    "w12_chunk_overlap" -> w12ChunkOverlapSql,
     "e6_mixture_weights" -> e6MixtureWeightsSql,
     "t_quality_model" -> tQualityModelSql,
     "t_bpe_pairs" -> tBpePairsSql,
