@@ -141,11 +141,14 @@ object ApproxTopK {
     case other => sys.error(s"approx_top_k $what must be an integer literal, got $other")
   }
 
+  /** Expression builder shared by [[register]] and the
+    * `GraftExtensions` session-build injection. */
+  def build(exprs: Seq[Expression]): Expression =
+    ApproxTopK(exprs.head, lit(exprs(1), "k"), lit(exprs(2), "capacity"))
+      .toAggregateExpression()
+
   /** Registers `approx_top_k(item, k, capacity)` on the session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "approx_top_k",
-      exprs => ApproxTopK(exprs.head, lit(exprs(1), "k"), lit(exprs(2), "capacity"))
-        .toAggregateExpression(),
-      "scala_udf")
+      "approx_top_k", build, "scala_udf")
 }

@@ -125,6 +125,21 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashSig8Expr].getCanonicalName, "minhash_sig8"),
       (exprs: Seq[Expression]) => MinHashSig8Expr(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("approx_top_k"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ApproxTopK].getCanonicalName, "approx_top_k"),
+      (exprs: Seq[Expression]) => ApproxTopK.build(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cms_sketch"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CmsSketch].getCanonicalName, "cms_sketch"),
+      (exprs: Seq[Expression]) => CountMinSketch.buildSketch(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cms_estimate"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CmsEstimate].getCanonicalName, "cms_estimate"),
+      (exprs: Seq[Expression]) => CountMinSketch.buildEstimate(exprs)))
     ext.injectPlannerStrategy(_ => MergeBoxesStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughMergeBoxes)
     ext.injectOptimizerRule(_ => SpatialJoinRewrite)

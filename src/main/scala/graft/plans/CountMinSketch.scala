@@ -163,18 +163,22 @@ object CountMinSketch {
     case other => sys.error(s"$what must be an integer literal, got $other")
   }
 
+  /** Expression builders shared by [[register]] and the
+    * `GraftExtensions` session-build injection. */
+  def buildSketch(exprs: Seq[Expression]): Expression =
+    CmsSketch(exprs.head, lit(exprs(1), "cms_sketch depth"), lit(exprs(2), "cms_sketch width"))
+      .toAggregateExpression()
+
+  def buildEstimate(exprs: Seq[Expression]): Expression =
+    CmsEstimate(exprs(0), exprs(1),
+      lit(exprs(2), "cms_estimate depth"), lit(exprs(3), "cms_estimate width"))
+
   /** Registers `cms_sketch(item, depth, width)` and
     * `cms_estimate(sketch, item, depth, width)` on the session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_sketch",
-      exprs => CmsSketch(exprs.head, lit(exprs(1), "cms_sketch depth"), lit(exprs(2), "cms_sketch width"))
-        .toAggregateExpression(),
-      "scala_udf")
+      "cms_sketch", buildSketch, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_estimate",
-      exprs => CmsEstimate(exprs(0), exprs(1),
-        lit(exprs(2), "cms_estimate depth"), lit(exprs(3), "cms_estimate width")),
-      "scala_udf")
+      "cms_estimate", buildEstimate, "scala_udf")
   }
 }

@@ -59,6 +59,23 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("config-installed extensions register the sketch aggregates") {
+    withExtensionsSession { s =>
+      import s.implicits._
+      Seq("a", "a", "a", "b", "b", "c").toDF("item").createOrReplaceTempView("sk_items")
+      val top = s.sql(
+        "SELECT approx_top_k(item, 2, 16) AS top FROM sk_items")
+        .selectExpr("inline(top)").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(top == Seq(("a", 3L), ("b", 2L)), s"got $top")
+      val est = s.sql(
+        """WITH sk AS (SELECT cms_sketch(item, 4, 256) AS g FROM sk_items)
+          |SELECT cms_estimate(g, 'a', 4, 256) AS ea,
+          |       cms_estimate(g, 'zzz', 4, 256) AS ez FROM sk""".stripMargin).head()
+      assert(est.getLong(0) == 3L && est.getLong(1) == 0L, s"got $est")
+    }
+  }
+
   test("config-installed extensions rewrite the naive spatial join") {
     withExtensionsSession { s =>
       import s.implicits._
