@@ -1291,6 +1291,56 @@ object TextDedupQueries {
       |    toks[start + 1 : start + least(32, n_tokens - start)], ' ')) AS chunk_hash
       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ------------------------------------------------------------------ w13: systematic PPS sample
+  /** Systematic probability-proportional-to-size sampling — k=50 draws
+    * where a document's selection count is proportional to its char
+    * weight: lay every doc's weight on a line (the distributed prefix
+    * sum), then take equally-spaced sample points (step = total/k,
+    * deterministic mid-step start). The classic survey-sampling design,
+    * and the deterministic alternative to `sample(fraction)` (whose
+    * binomial counts drift per run/partitioning — the same reason w8
+    * avoids it): same corpus → same sample, exactly k picks, heavy docs
+    * picked with multiplicity. Scale shape: ONE GlobalRank prefix sum
+    * (range shuffle + broadcast offsets), a broadcast 1-row total, and a
+    * stateless pick-count projection — integer arithmetic throughout
+    * (pick counts come from clamped integer ceil-divisions), so Spark and
+    * DuckDB agree exactly. */
+  private val w13SystematicSample: Q = (spark, dir) => {
+    val k = 50L
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+    val cum = graft.operators.GlobalRank
+      .withRunningTotal(d, Seq(col("doc_id")), col("w"), "cum")
+    val tot = cum.agg(max("cum").as("total"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("step", expr(s"total div $k"))
+      .withColumn("strt", expr("step div 2"))
+      .withColumn("f_hi", least(lit(k), greatest(lit(0L),
+        expr("(cum - strt + step - 1) div step"))))
+      .withColumn("f_lo", least(lit(k), greatest(lit(0L),
+        expr("(cum - w - strt + step - 1) div step"))))
+      .withColumn("n_picks", col("f_hi") - col("f_lo"))
+      .filter(col("n_picks") > 0)
+      .select("doc_id", "w", "n_picks")
+      .orderBy("doc_id")
+  }
+
+  private val w13SystematicSampleSql =
+    """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+      |c AS (SELECT doc_id, w,
+      |  CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM d),
+      |t AS (SELECT max(cum) AS total FROM c),
+      |p AS (SELECT c.doc_id, c.w, c.cum,
+      |  total // 50 AS step, (total // 50) // 2 AS strt FROM c, t),
+      |picks AS (
+      |  SELECT doc_id, w,
+      |    CAST(least(50, greatest(0, (cum - strt + step - 1) // step))
+      |      - least(50, greatest(0, (cum - w - strt + step - 1) // step))
+      |      AS BIGINT) AS n_picks
+      |  FROM p)
+      |SELECT doc_id, w, n_picks FROM picks WHERE n_picks > 0
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ e6: temperature-weighted mixture
   /** Temperature-weighted source sampling (the multi-source rebalancing
     * rule p_i ∝ n_i^α, α = 0.5 — flattens the source distribution so
@@ -1871,6 +1921,7 @@ object TextDedupQueries {
     "w9_sequence_pack" -> w9SequencePack,
     "w10_curriculum" -> w10Curriculum,
     "w12_chunk_overlap" -> w12ChunkOverlap,
+    "w13_systematic_sample" -> w13SystematicSample,
     "e6_mixture_weights" -> e6MixtureWeights,
     "t_quality_model" -> tQualityModel,
     "t_bpe_pairs" -> tBpePairs,
@@ -1919,6 +1970,7 @@ object TextDedupQueries {
     "w9_sequence_pack" -> w9SequencePackSql,
     "w10_curriculum" -> w10CurriculumSql,
     "w12_chunk_overlap" -> w12ChunkOverlapSql,
+    "w13_systematic_sample" -> w13SystematicSampleSql,
     "e6_mixture_weights" -> e6MixtureWeightsSql,
     "t_quality_model" -> tQualityModelSql,
     "t_bpe_pairs" -> tBpePairsSql,
