@@ -523,6 +523,36 @@ object AnalyticsQueries {
       |  FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
       |SELECT node, r AS rank FROM r3 ORDER BY node""".stripMargin
 
+  // ------------------------------------------------------------------ exact quantiles
+  /** a22: EXACT interpolated quartiles per group — the counterpart of
+    * a13's approx sketch. Exact percentile is the right tool when the
+    * value domain is bounded (quantities, sizes, ratings): Spark's
+    * Percentile aggregate keeps a per-group value->count map, so state
+    * is O(distinct values) — here <= 50 — regardless of row count, and
+    * partials merge map-side. (Unbounded domains are what a13's
+    * approx_percentile sketch is for.) Inputs cast to BIGINT so the
+    * linear interpolation lands on exact .0/.5 doubles and both engines
+    * agree bit-for-bit (Spark percentile and DuckDB quantile_cont share
+    * the p*(n-1) linear-interpolation definition). */
+  private val a22ExactMedian: Q = (spark, dir) => {
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(q, 0.25)").as("p25"),
+        expr("percentile(q, 0.5)").as("median"),
+        expr("percentile(q, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val a22ExactMedianSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS p25,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS median,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS p75,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------ column profiling
   /** a21: the data-quality profile report — one output row per profiled
     * column with row/null/distinct counts and min/max (rendered as
@@ -585,6 +615,7 @@ object AnalyticsQueries {
     "a20_cms_freq" -> a20CmsFreq,
     "gr1_pagerank" -> gr1PageRank,
     "a21_profile" -> a21Profile,
+    "a22_exact_median" -> a22ExactMedian,
     "w11_range_window" -> w11RangeWindow,
     "f_unpivot" -> fUnpivot,
     "f_null_semantics" -> fNullSemantics,
@@ -605,6 +636,7 @@ object AnalyticsQueries {
     "a20_cms_freq" -> a20CmsFreqSql,
     "gr1_pagerank" -> gr1PageRankSql,
     "a21_profile" -> a21ProfileSql,
+    "a22_exact_median" -> a22ExactMedianSql,
     "w11_range_window" -> w11RangeWindowSql,
     "f_unpivot" -> fUnpivotSql,
     "f_null_semantics" -> fNullSemanticsSql,

@@ -1291,6 +1291,84 @@ object TextDedupQueries {
       |    toks[start + 1 : start + least(32, n_tokens - start)], ' ')) AS chunk_hash
       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ------------------------------------------------------------------ t: inverted index + BM25
+  /** Token -> posting-list index, the retrieval-side build (BM25 prep,
+    * decontamination lookups, eval-set search). One (doc, token)
+    * de-duplication shuffle then one token-keyed agg; posting lists are
+    * numerically sorted so their md5 pins EXACT list content against the
+    * oracle without shipping arrays through the comparator. At 100 TB
+    * postings for stop-word-like tokens are the classic skew: cap or
+    * tier them (the LSH bucket-cap pattern); here the closed 31-word
+    * vocabulary keeps every list bounded by corpus size. */
+  private val tInvertedIndex: Q = (spark, dir) => {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextPipeline.tokens(col("text"))).as("tok"))
+      .distinct()
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        expr("md5(array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ','))")
+          .as("postings_md5"))
+      .orderBy("tok")
+  }
+
+  private val tInvertedIndexSql =
+    """WITH dt AS (
+      |  SELECT DISTINCT * FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))
+      |SELECT tok, count(*) AS df,
+      |  md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS postings_md5
+      |FROM dt GROUP BY tok ORDER BY tok""".stripMargin
+
+  /** BM25 (k1 = 1.2, b = 0.75, Lucene idf) for a fixed 3-term query —
+    * the lexical-retrieval scorer a curation stack uses for eval-set
+    * decontamination and targeted corpus search. Shape: per-doc term
+    * frequencies for the query terms only (the explode filters to the
+    * query vocabulary before any shuffle), document frequencies and
+    * length stats broadcast (query-sized and 1-row), score assembled
+    * per (doc, term) and summed per doc. Per the repo convention the
+    * per-term scores are rounded then DECIMAL-summed so the <= 3-term
+    * addition is order-independent and hash-stable vs the oracle. */
+  private val tBm25: Q = (spark, dir) => {
+    val qTerms = Seq("data", "join", "vector")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextPipeline.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(qTerms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dft = tf.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    tf.join(broadcast(dft), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", round(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))),
+        4))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("term_score").cast("decimal(18,4)")).cast("double").as("bm25"))
+      .orderBy("doc_id")
+  }
+
+  private val tBm25Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (
+      |  SELECT t.doc_id, d.dl, tok, count(*) AS tf FROM toks t
+      |  JOIN docs d ON t.doc_id = d.doc_id
+      |  WHERE tok IN ('data', 'join', 'vector') GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+      |dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+      |SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST(round(
+      |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+      |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS DECIMAL(18,4))) AS DOUBLE) AS bm25
+      |FROM tf JOIN dft USING (tok), stats
+      |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+
   // ------------------------------------------------------------------ w13: systematic PPS sample
   /** Systematic probability-proportional-to-size sampling — k=50 draws
     * where a document's selection count is proportional to its char
@@ -1922,6 +2000,8 @@ object TextDedupQueries {
     "w10_curriculum" -> w10Curriculum,
     "w12_chunk_overlap" -> w12ChunkOverlap,
     "w13_systematic_sample" -> w13SystematicSample,
+    "t_inverted_index" -> tInvertedIndex,
+    "t_bm25" -> tBm25,
     "e6_mixture_weights" -> e6MixtureWeights,
     "t_quality_model" -> tQualityModel,
     "t_bpe_pairs" -> tBpePairs,
@@ -1971,6 +2051,8 @@ object TextDedupQueries {
     "w10_curriculum" -> w10CurriculumSql,
     "w12_chunk_overlap" -> w12ChunkOverlapSql,
     "w13_systematic_sample" -> w13SystematicSampleSql,
+    "t_inverted_index" -> tInvertedIndexSql,
+    "t_bm25" -> tBm25Sql,
     "e6_mixture_weights" -> e6MixtureWeightsSql,
     "t_quality_model" -> tQualityModelSql,
     "t_bpe_pairs" -> tBpePairsSql,
