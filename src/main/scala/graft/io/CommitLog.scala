@@ -180,6 +180,32 @@ object CommitLog {
       .parquet(files.map(f => Paths.get(table, f).toString): _*)
   }
 
+  /** Timestamp-based time travel: the version that was current at
+    * wall-clock `tsMillis`, resolved from commit-file modification times
+    * (the same source Delta's `AS OF TIMESTAMP` uses — commits carry no
+    * in-band clock). Resolution scans only the RETAINED commit tail and
+    * stops at the first commit newer than `tsMillis` (which also
+    * monotonizes any filesystem mtime jitter, mirroring Delta's adjusted
+    * timestamps). Fails loudly when `tsMillis` precedes retained history —
+    * after [[expireLog]] the pre-checkpoint past is gone and silently
+    * serving a newer snapshot would misrepresent it. */
+  def versionAt(table: String, tsMillis: Long): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"commit-log table $table has no retained commits")
+    val times = vs.map(v =>
+      v -> Files.getLastModifiedTime(commitPath(table, v)).toMillis)
+    require(times.head._2 <= tsMillis,
+      s"timestamp $tsMillis precedes the retained history of $table " +
+        s"(earliest retained commit v${times.head._1} at ${times.head._2}; " +
+        "older commits were expired past the time-travel horizon)")
+    times.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** `read` at the snapshot that was current at wall-clock `tsMillis`. */
+  def readAsOfTimestamp(spark: SparkSession, table: String, tsMillis: Long,
+                        mergeSchema: Boolean = false): DataFrame =
+    read(spark, table, Some(versionAt(table, tsMillis)), mergeSchema)
+
   /** Stages `df` as parquet files inside the table dir; returns their
     * table-relative names. Staged files are invisible until committed. */
   private def stage(df: DataFrame, table: String): Seq[String] = {

@@ -297,4 +297,45 @@ class CommitLogSpec extends SparkSpec {
       .filter($"id".between(1, 5)).as[Long].collect().sorted
     assert(ids.toSeq == (1L to 5L))
   }
+
+  test("timestamp time travel resolves versions from commit times") {
+    val t = freshTable("tstravel")
+    CommitLog.append(df(1L -> "a"), t)                        // v0
+    Thread.sleep(30)
+    val betweenV0andV1 = System.currentTimeMillis()
+    Thread.sleep(30)
+    CommitLog.append(df(2L -> "b"), t)                        // v1
+    Thread.sleep(30)
+    CommitLog.append(df(3L -> "c"), t)                        // v2
+    assert(CommitLog.versionAt(t, betweenV0andV1) == 0L)
+    assert(CommitLog.versionAt(t, System.currentTimeMillis()) == 2L)
+    val snap = CommitLog.readAsOfTimestamp(spark, t, betweenV0andV1)
+      .collect().map(_.getLong(0)).sorted
+    assert(snap.toSeq == Seq(1L), s"as-of snapshot should be v0 only: ${snap.toSeq}")
+    // before any commit existed -> loud failure, not an empty read
+    val tooEarly = intercept[IllegalArgumentException] {
+      CommitLog.versionAt(t, 1L)
+    }
+    assert(tooEarly.getMessage.contains("precedes the retained history"))
+  }
+
+  test("timestamp time travel refuses timestamps past the expiry horizon") {
+    val t = freshTable("tshorizon")
+    CommitLog.append(df(1L -> "a"), t)                        // v0
+    Thread.sleep(30)
+    val whenV0Live = System.currentTimeMillis()
+    Thread.sleep(30)
+    (1 to 3).foreach(i => CommitLog.append(df(i.toLong + 10 -> s"x$i"), t)) // v1..v3
+    CommitLog.checkpoint(t)
+    CommitLog.expireLog(t)
+    // the pre-checkpoint past is expired: a timestamp from v0's lifetime
+    // must fail loudly, not silently serve a newer snapshot
+    val gone = intercept[IllegalArgumentException] {
+      CommitLog.versionAt(t, whenV0Live)
+    }
+    assert(gone.getMessage.contains("precedes the retained history"))
+    // the present still resolves
+    assert(CommitLog.readAsOfTimestamp(spark, t, System.currentTimeMillis())
+      .count() == 4L)
+  }
 }
