@@ -523,6 +523,79 @@ object AnalyticsQueries {
       |  FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
       |SELECT node, r AS rank FROM r3 ORDER BY node""".stripMargin
 
+  // ------------------------------------------------------------------ triangle counting
+  /** gr2: triangle counting on the part co-purchase graph (parts sharing
+    * an order) via DEGREE-ORDERED edge orientation — the industrial
+    * formulation, not the naive 3-way self-join. Orienting every edge
+    * from its lower-(degree, id) endpoint makes the graph a DAG where
+    * each triangle has exactly ONE pivot with two out-edges, so the count
+    * is pivot-out-pairs joined against the undirected edge set — and,
+    * crucially, per-node OUT-degree is bounded by O(sqrt(|E|)) whatever
+    * the in-degree skew, which caps the pair-enumeration blowup a hub
+    * node causes in the unoriented form (the same reason j10 bounds its
+    * self-join per tile). Edge building is bounded per order
+    * (lines-per-order choose 2); everything else is equi-joins on node
+    * ids — all shuffled, all spillable, integer-exact. */
+  private val gr2Triangles: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("x"), col("b.s").as("y")).distinct().cache()
+    val deg = und.select(col("x").as("n"))
+      .union(und.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val orient = und
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+      .select(
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")), col("x"))
+          .otherwise(col("y")).as("u"),
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")), col("y"))
+          .otherwise(col("x")).as("v"))
+    // edge-iterator form: for each oriented edge (u, v), the triangles it
+    // closes are |out(u) ∩ out(v)| — each triangle counted exactly once
+    // (only via the edge whose source is the pivot). One shuffle builds
+    // the out-adjacency arrays; the per-edge intersect is a native array
+    // op on two O(sqrt(|E|))-bounded lists, so there is NO |E|^1.5-sized
+    // intermediate anywhere — neither materialized (the pair-explode form
+    // allocates it through interpreted lambdas) nor shuffled (the
+    // self-join form sorts and exchanges it twice). Work is
+    // sum-over-edges of the two out-degrees, all inside one stage.
+    val adj = orient.groupBy("u")
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val tri = orient
+      .join(adj.select(col("u"), col("nbrs").as("nu")), "u")
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), "v")
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+      .agg(sum("c").as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+  }
+
+  private val gr2TrianglesSql =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.s AS x, b.s AS y FROM li a JOIN li b
+      |  ON a.ok = b.ok AND a.s < b.s),
+      |deg AS (
+      |  SELECT n, count(*) AS d FROM (
+      |    SELECT x AS n FROM und UNION ALL SELECT y AS n FROM und) GROUP BY 1),
+      |orient AS (
+      |  SELECT CASE WHEN (dx.d, u.x) < (dy.d, u.y) THEN u.x ELSE u.y END AS u,
+      |         CASE WHEN (dx.d, u.x) < (dy.d, u.y) THEN u.y ELSE u.x END AS v
+      |  FROM und u JOIN deg dx ON dx.n = u.x JOIN deg dy ON dy.n = u.y),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM orient e1 JOIN orient e2 ON e1.u = e2.u AND e1.v < e2.v
+      |  JOIN und w ON w.x = e1.v AND w.y = e2.v)
+      |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |       (SELECT count(*) FROM und) AS n_edges,
+      |       n_triangles FROM tri""".stripMargin
+
   // ------------------------------------------------------------------ exact quantiles
   /** a22: EXACT interpolated quartiles per group — the counterpart of
     * a13's approx sketch. Exact percentile is the right tool when the
@@ -614,6 +687,7 @@ object AnalyticsQueries {
     "a19_heavy_hitters" -> a19HeavyHitters,
     "a20_cms_freq" -> a20CmsFreq,
     "gr1_pagerank" -> gr1PageRank,
+    "gr2_triangles" -> gr2Triangles,
     "a21_profile" -> a21Profile,
     "a22_exact_median" -> a22ExactMedian,
     "w11_range_window" -> w11RangeWindow,
@@ -635,6 +709,7 @@ object AnalyticsQueries {
     "a19_heavy_hitters" -> a19HeavyHittersSql,
     "a20_cms_freq" -> a20CmsFreqSql,
     "gr1_pagerank" -> gr1PageRankSql,
+    "gr2_triangles" -> gr2TrianglesSql,
     "a21_profile" -> a21ProfileSql,
     "a22_exact_median" -> a22ExactMedianSql,
     "w11_range_window" -> w11RangeWindowSql,
