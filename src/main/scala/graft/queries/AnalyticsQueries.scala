@@ -523,6 +523,36 @@ object AnalyticsQueries {
       |  FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
       |SELECT node, r AS rank FROM r3 ORDER BY node""".stripMargin
 
+  // ------------------------------------------------------------------ recursive SQL
+  /** The SAME recursive-CTE text runs on both engines (Spark 4.1's
+    * WITH RECURSIVE / UnionLoop execution — the capability the rest of
+    * this catalog's oracle-side-only recursive closures predate): BFS
+    * from node 0 over a synthetic 2-out-degree ring graph, path counts
+    * and min-hop distances per reached node. Iterations are bounded by
+    * the hop guard (the recursion ships one frontier per step — the
+    * driver-sequenced loop gr1 writes by hand, expressed declaratively);
+    * the graph is deliberately small because UNION ALL recursion
+    * enumerates PATHS — on a fact-scale graph you bound the frontier
+    * (distinct per level) or use the operator form ([[graft.operators.GraphCC]]). */
+  private val recursiveBfsTemplate =
+    """WITH RECURSIVE edges AS (
+      |  SELECT n_nationkey AS x, (n_nationkey + 1) % 25 AS y FROM %TBL%
+      |  UNION ALL
+      |  SELECT n_nationkey, (n_nationkey + 3) % 25 FROM %TBL%),
+      |reach(n, hops) AS (
+      |  SELECT 0, 0
+      |  UNION ALL
+      |  SELECT e.y, r.hops + 1 FROM reach r JOIN edges e ON e.x = r.n WHERE r.hops < 6)
+      |SELECT n, min(hops) AS min_hops, count(*) AS n_paths
+      |FROM reach GROUP BY n ORDER BY n""".stripMargin
+
+  private val sqlRecursiveBfs: Q = (spark, dir) => {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
+    spark.sql(recursiveBfsTemplate.replace("%TBL%", "nation_v"))
+  }
+
+  private val sqlRecursiveBfsSql = recursiveBfsTemplate.replace("%TBL%", "nation")
+
   // ------------------------------------------------------------------ triangle counting
   /** gr2: triangle counting on the part co-purchase graph (parts sharing
     * an order) via DEGREE-ORDERED edge orientation — the industrial
@@ -688,6 +718,7 @@ object AnalyticsQueries {
     "a20_cms_freq" -> a20CmsFreq,
     "gr1_pagerank" -> gr1PageRank,
     "gr2_triangles" -> gr2Triangles,
+    "sql_recursive_bfs" -> sqlRecursiveBfs,
     "a21_profile" -> a21Profile,
     "a22_exact_median" -> a22ExactMedian,
     "w11_range_window" -> w11RangeWindow,
@@ -710,6 +741,7 @@ object AnalyticsQueries {
     "a20_cms_freq" -> a20CmsFreqSql,
     "gr1_pagerank" -> gr1PageRankSql,
     "gr2_triangles" -> gr2TrianglesSql,
+    "sql_recursive_bfs" -> sqlRecursiveBfsSql,
     "a21_profile" -> a21ProfileSql,
     "a22_exact_median" -> a22ExactMedianSql,
     "w11_range_window" -> w11RangeWindowSql,
