@@ -1369,6 +1369,67 @@ object TextDedupQueries {
       |FROM tf JOIN dft USING (tok), stats
       |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ t: iterative BPE trainer
+  /** A real greedy BPE TRAINER, not just the pair-count inner loop
+    * (`t_bpe_pairs`): five merge rounds, each recounting adjacent-pair
+    * frequencies over the CURRENT segmentation before choosing the next
+    * merge — the part the single-pass pair count cannot express. The
+    * scale shape is the one production BPE trainers use: the corpus is
+    * touched ONCE (the fact-scale token pass collapsing to the
+    * (word, freq) vocabulary table); every round after that works on the
+    * vocabulary — pair counts are a vocab-bounded agg, the argmax is a
+    * 1-row driver collect (count desc, pair asc — deterministic), and
+    * the merge application is a stateless string rewrite (left-to-right
+    * non-overlapping replace, the same greediness both engines share).
+    * Output pins the full final segmentation per word, so a wrong merge
+    * in ANY round breaks the hash. DuckDB twin: the same five rounds as
+    * chained CTEs with LIMIT-1 argmax blocks. */
+  private val tBpeTrain: Q = (spark, dir) => {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(TextPipeline.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .cache()
+    var cur = wf.withColumn("syms", expr("rtrim(regexp_replace(word, '(.)', '$1 '))"))
+    for (_ <- 1 to 5) {
+      val best = cur
+        .select(col("freq"), expr("split(syms, ' ')").as("sp"))
+        // sequence(1, n) counts DOWN when n < 1 — guard 1-char words
+        .select(col("freq"), explode(expr(
+          """IF(size(sp) < 2, array(),
+            |  transform(sequence(1, size(sp) - 1),
+            |    i -> concat(element_at(sp, i), ' ', element_at(sp, i + 1))))""".stripMargin))
+          .as("pr"))
+        .groupBy("pr").agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("pr")).limit(1)
+        .collect()(0).getString(0)
+      val merged = best.replace(" ", "")
+      cur = cur.withColumn("syms",
+        expr(s"trim(replace(' ' || syms || ' ', ' $best ', ' $merged '))"))
+    }
+    cur.select(col("word"), col("freq"), col("syms"),
+      size(split(col("syms"), " ")).cast("long").as("n_pieces"))
+      .orderBy("word")
+  }
+
+  private val tBpeTrainSql: String = {
+    val rounds = (1 to 5).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s""",
+         |p$r AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |   SELECT freq, sp[s.i] || ' ' || sp[s.i+1] AS pr
+         |   FROM (SELECT freq, string_split(syms, ' ') AS sp FROM $prev), s
+         |   WHERE s.i <= len(sp) - 1) GROUP BY 1),
+         |b$r AS (SELECT pr, replace(pr, ' ', '') AS m FROM p$r ORDER BY c DESC, pr LIMIT 1),
+         |w$r AS (SELECT word, freq, trim(replace(' '||syms||' ', ' '||b$r.pr||' ', ' '||b$r.m||' ')) AS syms FROM $prev, b$r)""".stripMargin
+    }.mkString
+    s"""WITH s AS (SELECT * FROM generate_series(1, 31) t(i)),
+       |tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+       |w0 AS (SELECT word, freq, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms FROM wf)$rounds
+       |SELECT word, freq, syms, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_pieces
+       |FROM w5 ORDER BY word""".stripMargin
+  }
+
   // ------------------------------------------------------------------ w13: systematic PPS sample
   /** Systematic probability-proportional-to-size sampling — k=50 draws
     * where a document's selection count is proportional to its char
@@ -2002,6 +2063,7 @@ object TextDedupQueries {
     "w13_systematic_sample" -> w13SystematicSample,
     "t_inverted_index" -> tInvertedIndex,
     "t_bm25" -> tBm25,
+    "t_bpe_train" -> tBpeTrain,
     "e6_mixture_weights" -> e6MixtureWeights,
     "t_quality_model" -> tQualityModel,
     "t_bpe_pairs" -> tBpePairs,
@@ -2053,6 +2115,7 @@ object TextDedupQueries {
     "w13_systematic_sample" -> w13SystematicSampleSql,
     "t_inverted_index" -> tInvertedIndexSql,
     "t_bm25" -> tBm25Sql,
+    "t_bpe_train" -> tBpeTrainSql,
     "e6_mixture_weights" -> e6MixtureWeightsSql,
     "t_quality_model" -> tQualityModelSql,
     "t_bpe_pairs" -> tBpePairsSql,
