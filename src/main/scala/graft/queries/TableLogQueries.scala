@@ -279,7 +279,59 @@ object TableLogQueries {
       |  2 AS commit_files, 4 AS checkpoint_at
       |FROM orders GROUP BY 1 ORDER BY batch""".stripMargin
 
+  // ------------------------------------------------------------------ tl7: z-order box pruning
+  /** tl7: the composition that makes Z-ORDER clustering an INDEX, not
+    * just a layout — a 2-D box predicate answered through the 1-D zkey
+    * zone maps. Points are clustered by Morton key (`appendClustered`
+    * records each file's [lo, hi] zkey range at commit time); the box is
+    * decomposed into zkey intervals by [[graft.functions.ZOrder.zRangesForBox]]
+    * (Tropf–Herzog quadtree descent, budget-coarsened superset); each
+    * interval prunes the file list through the zone maps; the residual
+    * exact x/y filter runs only over surviving files. The gate REQUIREs
+    * that files were actually skipped, and the row content hash-matches
+    * DuckDB filtering the same derived points directly — layout, index
+    * metadata, decomposition, and residual filter all have to agree. */
+  private val tl7Box = (100L, 180L, 200L, 260L)
+  private val tl7Ranges =
+    graft.functions.ZOrder.zRangesForBox(tl7Box._1, tl7Box._2, tl7Box._3, tl7Box._4, maxRanges = 32)
+
+  private val tl7ZorderBox: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_zbox"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val table = root.toString
+    val pts = Tables.orders(spark, dir).select(
+        col("o_orderkey").as("id"),
+        (col("o_orderkey") * 7919 % 1024).as("x"),
+        (col("o_orderkey") * 104729 % 1024).as("y"))
+      .withColumn("zkey", graft.functions.ZOrder.morton(col("x"), col("y")))
+    CommitLog.appendClustered(spark, pts, table, "zkey", buckets = 8)
+    val all = CommitLog.snapshotFiles(table)
+    val files = tl7Ranges
+      .flatMap(r => CommitLog.prunedFiles(table, r._1, r._2)).distinct
+    require(files.length < all.length,
+      s"z-range pruning should skip files: read ${files.length} of ${all.length}")
+    spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
+      .filter(col("x").between(tl7Box._1, tl7Box._2) &&
+        col("y").between(tl7Box._3, tl7Box._4))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"))
+      .withColumn("n_ranges", lit(tl7Ranges.length))
+  }
+
+  private val tl7ZorderBoxSql =
+    s"""SELECT count(*) AS n_rows,
+       |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+       |  ${tl7Ranges.length} AS n_ranges
+       |FROM (SELECT o_orderkey * 7919 % 1024 AS x,
+       |             o_orderkey * 104729 % 1024 AS y FROM orders)
+       |WHERE x BETWEEN ${tl7Box._1} AND ${tl7Box._2}
+       |  AND y BETWEEN ${tl7Box._3} AND ${tl7Box._4}""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl7_zorder_box" -> tl7ZorderBox,
     "tl6_log_checkpoint" -> tl6LogCheckpoint,
     "tl5_zonemap_skip" -> tl5ZonemapSkip,
     "tl1_commitlog_snapshot" -> tl1Snapshot,
@@ -289,6 +341,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl7_zorder_box" -> tl7ZorderBoxSql,
     "tl6_log_checkpoint" -> tl6LogCheckpointSql,
     "tl5_zonemap_skip" -> tl5ZonemapSkipSql,
     "tl1_commitlog_snapshot" -> tl1SnapshotSql,

@@ -54,4 +54,44 @@ class ZOrderSpec extends SparkSpec {
         s"bucket not a 4x4 block: $members")
     }
   }
+
+  test("scalar morton mirrors the Column expression") {
+    import spark.implicits._
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L), (12345L, 54321L))
+    val got = pts.toDF("x", "y")
+      .select(ZOrder.morton(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pts.map { case (x, y) => ZOrder.mortonScalar(x, y) })
+  }
+
+  test("full-depth box decomposition is EXACT: intervals hold precisely the box's z-values") {
+    val (xmin, xmax, ymin, ymax) = (5L, 19L, 9L, 13L)
+    val ranges = ZOrder.zRangesForBox(xmin, xmax, ymin, ymax, maxRanges = Int.MaxValue)
+    val inBox = (for (x <- xmin to xmax; y <- ymin to ymax)
+      yield ZOrder.mortonScalar(x, y)).toSet
+    // every box point is covered
+    inBox.foreach(z => assert(ranges.exists(r => r._1 <= z && z <= r._2), s"uncovered z=$z"))
+    // and nothing else is: total interval mass equals the box size
+    val mass = ranges.map(r => r._2 - r._1 + 1).sum
+    assert(mass == inBox.size.toLong,
+      s"exact decomposition must not over-cover: mass=$mass box=${inBox.size}")
+    // intervals are sorted and disjoint
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1, s"overlap/disorder: $a $b")
+      case _ =>
+    }
+  }
+
+  test("budget-coarsened decomposition is a superset within the range cap") {
+    val (xmin, xmax, ymin, ymax) = (100L, 180L, 200L, 260L)
+    val exact = ZOrder.zRangesForBox(xmin, xmax, ymin, ymax, maxRanges = Int.MaxValue)
+    val coarse = ZOrder.zRangesForBox(xmin, xmax, ymin, ymax, maxRanges = 8)
+    assert(coarse.length <= 8, s"cap violated: ${coarse.length}")
+    assert(coarse.length < exact.length, "coarsening should reduce the interval count")
+    // superset: every exact interval lies inside some coarse interval
+    exact.foreach { e =>
+      assert(coarse.exists(c => c._1 <= e._1 && e._2 <= c._2),
+        s"exact interval $e escaped the coarse cover")
+    }
+  }
 }
