@@ -1396,7 +1396,9 @@ object VectorQueries {
     *
     * Scale shape: synth + decode + fold run in one narrow mapPartitions
     * pass (payloads never shuffle); only the tiny per-window rows move. */
-  private val m5AudioEnergy: Q = (spark, dir) => {
+  /** Shared by m5/m6: synth PCM16LE payloads, decode executor-side,
+    * fold into 256-sample energy windows (see m5's scaladoc). */
+  private def audioEnergyWindows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .filter(col("doc_id") < 50).select("doc_id")
@@ -1431,8 +1433,10 @@ object VectorQueries {
       }
     }.toDF("doc_id", "window_idx", "n_samples", "duration_ms",
         "sum_sq", "sum_abs", "is_silence")
-      .orderBy("doc_id", "window_idx")
   }
+
+  private val m5AudioEnergy: Q = (spark, dir) =>
+    audioEnergyWindows(spark, dir).orderBy("doc_id", "window_idx")
 
   private val m5AudioEnergySql =
     """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
@@ -1451,8 +1455,70 @@ object VectorQueries {
       |  sum_sq, sum_abs, sum_sq = 0 AS is_silence
       |FROM w ORDER BY doc_id, window_idx""".stripMargin
 
+  // ------------------------------------------------------------------ VAD utterance segments
+  /** m6: the step after m5's silence flags — merge consecutive voiced
+    * windows into utterance SEGMENTS (start/end/duration/energy), the
+    * gaps-and-islands pattern every speech-curation pipeline runs before
+    * transcription: a new segment opens where the voiced window sequence
+    * has a gap, segment ids are a running sum of those opens, and one
+    * keyed agg emits the per-utterance envelope. All windows are
+    * partitioned by media id (never a global order-by), arithmetic is
+    * integer end-to-end, and the window stream comes from the same
+    * executor-side PCM decode as m5 — payloads still never shuffle. */
+  private val m6VadSegments: Q = (spark, dir) => {
+    val act = audioEnergyWindows(spark, dir)
+      .filter(!col("is_silence"))
+      .select("doc_id", "window_idx", "sum_sq")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("window_idx")
+    act
+      .withColumn("new_seg",
+        when(col("window_idx") -
+          coalesce(lag("window_idx", 1).over(w), lit(-2)) > 1, 1).otherwise(0))
+      .withColumn("seg_idx", sum("new_seg").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "seg_idx")
+      .agg(min("window_idx").as("start_window"),
+        max("window_idx").as("end_window"),
+        count(lit(1)).as("n_windows"),
+        (min("window_idx") * 16).as("start_ms"),
+        ((max("window_idx") + 1) * 16).as("end_ms"),
+        sum("sum_sq").as("energy"))
+      .orderBy("doc_id", "seg_idx")
+  }
+
+  private val m6VadSegmentsSql =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      |samples AS (
+      |  SELECT d.doc_id, i.i AS i,
+      |    CASE WHEN (i.i // 256) % 3 = 2 THEN 0
+      |         ELSE (d.doc_id * 31 + i.i * 7919) % 2048 - 1024 END AS s
+      |  FROM d, generate_series(0, 2047) i(i)),
+      |w AS (
+      |  SELECT doc_id, CAST(i // 256 AS INTEGER) AS window_idx,
+      |    CAST(sum(s * s) AS BIGINT) AS sum_sq
+      |  FROM samples GROUP BY 1, 2),
+      |act AS (SELECT * FROM w WHERE sum_sq <> 0),
+      |f AS (
+      |  SELECT *, CASE WHEN window_idx - coalesce(lag(window_idx)
+      |      OVER (PARTITION BY doc_id ORDER BY window_idx), -2) > 1
+      |    THEN 1 ELSE 0 END AS new_seg
+      |  FROM act),
+      |s AS (
+      |  SELECT *, CAST(sum(new_seg) OVER (PARTITION BY doc_id ORDER BY window_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_idx
+      |  FROM f)
+      |SELECT doc_id, seg_idx,
+      |  min(window_idx) AS start_window, max(window_idx) AS end_window,
+      |  count(*) AS n_windows,
+      |  CAST(min(window_idx) * 16 AS INTEGER) AS start_ms,
+      |  CAST((max(window_idx) + 1) * 16 AS INTEGER) AS end_ms,
+      |  CAST(sum(sum_sq) AS BIGINT) AS energy
+      |FROM s GROUP BY 1, 2 ORDER BY doc_id, seg_idx""".stripMargin
+
   // ------------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "m6_vad_segments" -> m6VadSegments,
     "m4_phash_neardup" -> m4PhashNeardup,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "d13b_semantic_refusals" -> d13bSemanticRefusals,
@@ -1500,6 +1566,7 @@ object VectorQueries {
     "m2_frame_sample" -> m2FrameSampleSql,
     "m3_frame_dedup" -> m3FrameDedupSql,
     "m5_audio_energy" -> m5AudioEnergySql,
+    "m6_vad_segments" -> m6VadSegmentsSql,
     "v13_pq_adc" -> v13PqAdcSql,
     "v14_ivfpq_search" -> v14IvfpqSearchSql,
     "v15_index_persist" -> v14IvfpqSearchSql,
