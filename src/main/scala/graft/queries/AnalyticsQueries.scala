@@ -594,12 +594,21 @@ object AnalyticsQueries {
     // allocates it through interpreted lambdas) nor shuffled (the
     // self-join form sorts and exchanges it twice). Work is
     // sum-over-edges of the two out-degrees, all inside one stage.
+    graft.plans.SortedIntersectCount.register(spark)
     val adj = orient.groupBy("u")
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    // BROADCAST the adjacency: it is node-bounded (one row per node,
+    // out-lists O(sqrt E)) — without the hint the second join would
+    // exchange-and-sort the edge stream WITH its attached nu arrays
+    // (edges x avg-degree longs on the wire, the hidden E^1.5 shuffle
+    // this formulation exists to avoid). With both lookups broadcast the
+    // whole count is one codegen pipeline over the edge stream. If the
+    // node table ever outgrows broadcast, fall back to the packed-key
+    // pair join (pairs stream vs edge set) rather than shipping arrays.
     val tri = orient
-      .join(adj.select(col("u"), col("nbrs").as("nu")), "u")
-      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), "v")
-      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+      .join(broadcast(adj.select(col("u"), col("nbrs").as("nu"))), "u")
+      .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nv"))), "v")
+      .select(expr("sorted_intersect_count(nu, nv)").as("c"))
       .agg(sum("c").as("n_triangles"))
     deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))

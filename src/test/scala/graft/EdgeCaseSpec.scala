@@ -102,4 +102,27 @@ class EdgeCaseSpec extends SparkSpec {
 
   private lazy val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     .select("o_orderkey", "o_orderdate")
+
+  test("sorted_intersect_count: empty/disjoint/subset/null, codegen and interpreted agree") {
+    import spark.implicits._
+    graft.plans.SortedIntersectCount.register(spark)
+    val rows = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 6L, 7L), 3L),  // partial overlap
+      (Seq.empty[Long], Seq(1L, 2L), 0L),                   // empty side
+      (Seq(1L, 2L), Seq(3L, 4L), 0L),                       // disjoint
+      (Seq(2L, 4L), Seq(1L, 2L, 3L, 4L, 5L), 2L))           // subset
+    val got = rows.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .selectExpr("sorted_intersect_count(a, b) AS c")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == rows.map(_._3), s"codegen path: $got")
+    // interpreted path must agree (the expression is also its own oracle)
+    rows.foreach { case (a, b, want) =>
+      val x = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray)
+      val y = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray)
+      assert(graft.plans.SortedIntersectCount.walk(x, y) == want)
+    }
+    val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .selectExpr("sorted_intersect_count(a, b) AS c").collect()(0)
+    assert(n.isNullAt(0), "null input must yield null, not 0")
+  }
 }
