@@ -733,6 +733,102 @@ object PipelineQueries {
       .orderBy("tile_file", "chip_row", "chip_col")
   }
 
+  // ------------------------------------------------------------------ G1 resize: 2x box-sum thumbnails
+  /** The RESIZE step of the multimodal decode family: every decoded chip
+    * is 2x-downsampled by box-SUM pooling (each thumbnail pixel = the sum
+    * of its 2x2 source block, partial blocks at odd edges kept) — a real
+    * pooled array is materialized per chip, executor-side, then reported
+    * through two closed-form-checkable projections: the thumbnail total
+    * (sum-pooling preserves mass, so it must equal the chip's closed-form
+    * pixel sum — any dropped/duplicated block breaks it) and the
+    * thumbnail first-ROW sum (ties the pooling geometry: exactly the
+    * first two source scanlines — a wrong stride or y-offset breaks it
+    * while leaving the total intact). Same fixtures and decode path as
+    * `g1_chip_pixels`; payloads never shuffle. */
+  private val g1ChipThumb: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.sources.TiffPixels
+    val root = Paths.get(Sinks.scratchDir("tiff_pixels"))
+    Files.createDirectories(root)
+    val nations = Tables.nation(spark, dir).select("n_nationkey").collect().map(_.getInt(0))
+    nations.foreach { n =>
+      val w = 1000 + n * 97 % 600
+      val h = 900 + n * 53 % 500
+      writeFixture(root.resolve(f"t_$n%05d.tif"),
+        TiffPixels.renderGray8(w, h, rowsPerStrip = 64, (x, y) => (x % 16) + (y % 16)))
+    }
+    Sinks.scanBinaryDir(spark, root.toString, "*.tif")
+      .select(element_at(split(col("path"), "/"), -1).as("tile_file"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        TiffPixels.chips(bytes, 512).map { case (r, c, dw, dh, slab) =>
+          val tw = (dw + 1) / 2
+          val th = (dh + 1) / 2
+          val thumb = new Array[Long](th * tw)
+          var by = 0
+          while (by < th) {
+            var bx = 0
+            while (bx < tw) {
+              var s = 0L
+              var y = by * 2
+              val yEnd = math.min(by * 2 + 2, dh)
+              while (y < yEnd) {
+                var x = bx * 2
+                val xEnd = math.min(bx * 2 + 2, dw)
+                while (x < xEnd) { s += slab(y * 512 + x) & 0xff; x += 1 }
+                y += 1
+              }
+              thumb(by * tw + bx) = s
+              bx += 1
+            }
+            by += 1
+          }
+          var total = 0L
+          var i = 0
+          while (i < thumb.length) { total += thumb(i); i += 1 }
+          var row0 = 0L
+          var j = 0
+          while (j < tw) { row0 += thumb(j); j += 1 }
+          (name, r, c, tw, th, total, row0)
+        }
+      }
+      .toDF("tile_file", "chip_row", "chip_col", "thumb_w", "thumb_h",
+        "thumb_total", "thumb_row0")
+      .orderBy("tile_file", "chip_row", "chip_col")
+  }
+
+  private val g1ChipThumbSql =
+    """WITH t AS (
+      |  SELECT n_nationkey AS n,
+      |    1000 + n_nationkey * 97 % 600 AS w,
+      |    900 + n_nationkey * 53 % 500 AS h
+      |  FROM nation),
+      |grid AS (
+      |  SELECT n, w, h, CAST(r.i AS INTEGER) AS chip_row, CAST(c.i AS INTEGER) AS chip_col
+      |  FROM t, generate_series(0, 7) r(i), generate_series(0, 7) c(i)
+      |  WHERE r.i * 512 < h AND c.i * 512 < w),
+      |dims AS (
+      |  SELECT n, chip_row, chip_col,
+      |    least(512, w - chip_col * 512) AS chip_w,
+      |    least(512, h - chip_row * 512) AS chip_h,
+      |    chip_col * 512 AS x0, chip_row * 512 AS y0
+      |  FROM grid),
+      |sums AS (
+      |  SELECT *, x0 + chip_w - 1 AS x1, y0 + chip_h - 1 AS y1
+      |  FROM dims)
+      |SELECT concat('t_', lpad(CAST(n AS VARCHAR), 5, '0'), '.tif') AS tile_file,
+      |  chip_row, chip_col,
+      |  CAST((chip_w + 1) // 2 AS INTEGER) AS thumb_w,
+      |  CAST((chip_h + 1) // 2 AS INTEGER) AS thumb_h,
+      |  CAST(chip_h * (((x1 + 1) // 16) * 120 + ((x1 + 1) % 16) * ((x1 + 1) % 16 - 1) // 2 - (x0 // 16) * 120)
+      |     + chip_w * (((y1 + 1) // 16) * 120 + ((y1 + 1) % 16) * ((y1 + 1) % 16 - 1) // 2 - (y0 // 16) * 120)
+      |    AS BIGINT) AS thumb_total,
+      |  CAST(least(2, chip_h) * (((x1 + 1) // 16) * 120 + ((x1 + 1) % 16) * ((x1 + 1) % 16 - 1) // 2 - (x0 // 16) * 120)
+      |     + chip_w * (CASE WHEN chip_h >= 2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS thumb_row0
+      |FROM sums
+      |ORDER BY tile_file, chip_row, chip_col""".stripMargin
+
   private val g1ChipPixelsSql =
     """WITH t AS (
       |  SELECT n_nationkey AS n,
@@ -1102,6 +1198,7 @@ object PipelineQueries {
     "s3_realworld_counties" -> s3RealworldCounties,
     "s13_shapefile_sink" -> s13ShapefileSink,
     "g1_chip_pixels" -> g1ChipPixels,
+    "g1_chip_thumb" -> g1ChipThumb,
     "g1_chip_pixels_deflate" -> g1ChipPixelsDeflate,
     "g1_chip_pixels_lzw" -> g1ChipPixelsLzw,
     "g1_chip_pixels_rgb" -> g1ChipPixelsRgb,
@@ -1131,6 +1228,7 @@ object PipelineQueries {
     "s3_realworld_counties" -> s3RealworldCountiesSql,
     "s13_shapefile_sink" -> s13ShapefileSinkSql,
     "g1_chip_pixels" -> g1ChipPixelsSql,
+    "g1_chip_thumb" -> g1ChipThumbSql,
     "g1_chip_pixels_deflate" -> g1ChipPixelsSql,
     "g1_chip_pixels_lzw" -> g1ChipPixelsSql,
     "g1_chip_pixels_rgb" -> g1ChipPixelsRgbSql,
