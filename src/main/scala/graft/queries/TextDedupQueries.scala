@@ -1402,6 +1402,11 @@ object TextDedupQueries {
         .groupBy("pr").agg(sum("freq").as("c"))
         .orderBy(col("c").desc, col("pr")).limit(1)
         .collect()(0).getString(0)
+      // the pair is spliced into SQL text: keep the embedding safe by
+      // construction (symbols here are merges of corpus word characters;
+      // anything outside the expected alphabet means a corrupted round)
+      require(best.matches("[\\p{Alnum} ]+"),
+        s"unexpected characters in BPE merge pair: '$best'")
       val merged = best.replace(" ", "")
       cur = cur.withColumn("syms",
         expr(s"trim(replace(' ' || syms || ' ', ' $best ', ' $merged '))"))
