@@ -6,6 +6,7 @@ import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -56,6 +57,15 @@ case class CmsSketch(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+
+  // reject misuse at analysis time (a non-string item would otherwise be a
+  // runtime ClassCastException inside executors)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cms_sketch expects a STRING item column, got ${other.simpleString}; " +
+        "cast the item to string (the sketch hashes its UTF-8 bytes)")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -123,6 +133,13 @@ case class CmsEstimate(
   override def children: Seq[Expression] = Seq(sketch, item)
   override def nullable: Boolean = true
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (sketch.dataType, item.dataType) match {
+    case (ArrayType(LongType, _), StringType) => TypeCheckResult.TypeCheckSuccess
+    case (s, i) => TypeCheckResult.TypeCheckFailure(
+      s"cms_estimate expects (ARRAY<BIGINT> sketch, STRING item), " +
+        s"got (${s.simpleString}, ${i.simpleString})")
+  }
 
   override def eval(input: InternalRow): Any = {
     val sk = sketch.eval(input)

@@ -1267,7 +1267,12 @@ object TextDedupQueries {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), TextPipeline.tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
-    d.withColumn("start", explode(sequence(lit(0L), col("n_tokens") - 1, lit(stride))))
+    // empty-doc guard: sequence(0, -1, stride) throws in Spark while the
+    // DuckDB twin's range(0, 0, 24) is empty — same shape as
+    // TextPipeline.shinglesFromTokens' guard, so a tokenizer change that
+    // can yield zero tokens keeps both engines agreeing (doc dropped)
+    d.withColumn("start", explode(when(col("n_tokens") < 1, array().cast("array<bigint>"))
+        .otherwise(sequence(lit(0L), col("n_tokens") - 1, lit(stride)))))
       .withColumn("chunk_id", expr(s"start div $stride"))
       .withColumn("n_chunk_tokens", least(lit(win), col("n_tokens") - col("start")))
       .withColumn("chunk_hash", md5(array_join(
@@ -1457,7 +1462,11 @@ object TextDedupQueries {
       .withRunningTotal(d, Seq(col("doc_id")), col("w"), "cum")
     val tot = cum.agg(max("cum").as("total"))
     cum.crossJoin(broadcast(tot))
-      .withColumn("step", expr(s"total div $k"))
+      // undersized-corpus guard: total < k would make step 0, which is a
+      // null division in Spark but an error in DuckDB — clamp to 1 (both
+      // engines, see the oracle) so tiny corpora degrade to positional
+      // sampling identically instead of diverging silently
+      .withColumn("step", greatest(lit(1L), expr(s"total div $k")))
       .withColumn("strt", expr("step div 2"))
       .withColumn("f_hi", least(lit(k), greatest(lit(0L),
         expr("(cum - strt + step - 1) div step"))))
@@ -1475,7 +1484,8 @@ object TextDedupQueries {
       |  CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM d),
       |t AS (SELECT max(cum) AS total FROM c),
       |p AS (SELECT c.doc_id, c.w, c.cum,
-      |  total // 50 AS step, (total // 50) // 2 AS strt FROM c, t),
+      |  greatest(1, total // 50) AS step,
+      |  greatest(1, total // 50) // 2 AS strt FROM c, t),
       |picks AS (
       |  SELECT doc_id, w,
       |    CAST(least(50, greatest(0, (cum - strt + step - 1) // step))

@@ -20,9 +20,9 @@ class BinnedRangeJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }
     assert(shj.nonEmpty, s"expected a ShuffledHashJoin on the cell key, got:\n$plan")
-    assert(shj.head.leftKeys.map(_.sql).mkString(",").contains("cx") ||
-      shj.head.leftKeys.size == 2,
-      s"join keys should be the two cell coordinates, got ${shj.head.leftKeys}")
+    val keySql = shj.head.leftKeys.map(_.sql).mkString(",")
+    assert(keySql.contains("cx") && keySql.contains("cy"),
+      s"join keys must be BOTH cell coordinates (cx, cy), got $keySql")
     val bcast = collectWithSubqueries(plan) {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
       case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b

@@ -298,17 +298,26 @@ class CommitLogSpec extends SparkSpec {
     assert(ids.toSeq == (1L to 5L))
   }
 
+  // versionAt resolves from commit-file mtimes; on filesystems with coarse
+  // mtime granularity (1 s is common) sleep-based spacing is flaky, so the
+  // tests stamp each commit's mtime explicitly and query between the stamps
+  private def stampCommit(t: String, v: Long, ts: Long): Unit =
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(t, "_log", f"$v%012d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(ts))
+
   test("timestamp time travel resolves versions from commit times") {
     val t = freshTable("tstravel")
+    val base = System.currentTimeMillis() - 1000000 // stamps must stay in the past
     CommitLog.append(df(1L -> "a"), t)                        // v0
-    Thread.sleep(30)
-    val betweenV0andV1 = System.currentTimeMillis()
-    Thread.sleep(30)
     CommitLog.append(df(2L -> "b"), t)                        // v1
-    Thread.sleep(30)
     CommitLog.append(df(3L -> "c"), t)                        // v2
+    stampCommit(t, 0L, base)
+    stampCommit(t, 1L, base + 10000)
+    stampCommit(t, 2L, base + 20000)
+    val betweenV0andV1 = base + 5000
     assert(CommitLog.versionAt(t, betweenV0andV1) == 0L)
-    assert(CommitLog.versionAt(t, System.currentTimeMillis()) == 2L)
+    assert(CommitLog.versionAt(t, base + 20000) == 2L)
     val snap = CommitLog.readAsOfTimestamp(spark, t, betweenV0andV1)
       .collect().map(_.getLong(0)).sorted
     assert(snap.toSeq == Seq(1L), s"as-of snapshot should be v0 only: ${snap.toSeq}")
@@ -321,11 +330,11 @@ class CommitLogSpec extends SparkSpec {
 
   test("timestamp time travel refuses timestamps past the expiry horizon") {
     val t = freshTable("tshorizon")
+    val base = System.currentTimeMillis() - 1000000 // stamps must stay in the past
     CommitLog.append(df(1L -> "a"), t)                        // v0
-    Thread.sleep(30)
-    val whenV0Live = System.currentTimeMillis()
-    Thread.sleep(30)
     (1 to 3).foreach(i => CommitLog.append(df(i.toLong + 10 -> s"x$i"), t)) // v1..v3
+    (0L to 3L).foreach(v => stampCommit(t, v, base + v * 10000))
+    val whenV0Live = base + 5000
     CommitLog.checkpoint(t)
     CommitLog.expireLog(t)
     // the pre-checkpoint past is expired: a timestamp from v0's lifetime
