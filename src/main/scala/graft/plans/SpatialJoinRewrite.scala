@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -125,10 +125,17 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint)
-        if !rewritten(j) && j.resolved =>
-      val args = splitConjunctivePredicates(cond).iterator
+  /** The bbox-prefiltered join with area thresholds pulled OUT of the join
+    * condition: `areaAliases` are `__graft_area` projections of each
+    * distinct overlay UDF (to evaluate once, above the join) and
+    * `areaPreds` the `> 0` predicates over their attributes. */
+  private case class Rewritten(
+      join: Join, areaAliases: Seq[Alias], areaPreds: Seq[Expression])
+
+  private def rewriteJoin(j: Join): Option[Rewritten] = j match {
+    case Join(left, right, Inner, Some(cond), hint) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val args = conjuncts.iterator
         .flatMap(spatialArgs)
         .flatMap { case (a, b) =>
           // bind each WKT expression to its side (either order)
@@ -139,45 +146,118 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           else None
         }
         .nextOption()
-      args match {
+      args.map { case (lWkt, rWkt) =>
+        val envL = Alias(WktEnvelopeExpr(lWkt), s"${EnvPrefix}_l")()
+        val envR = Alias(WktEnvelopeExpr(rWkt), s"${EnvPrefix}_r")()
+        val leftP = Project(left.output :+ envL, left)
+        val rightP = Project(right.output :+ envR, right)
+        val l = envL.toAttribute
+        val r = envR.toAttribute
+        def fld(att: Attribute, i: Int): Expression =
+          GetStructField(att, i, Some(WktEnvelopeExpr.schema(i).name))
+        // inclusive interval overlap on both axes: touching envelopes can
+        // still intersect, so the bounds must not be strict
+        val prefilter = And(
+          And(LessThanOrEqual(fld(l, 0), fld(r, 2)),
+              GreaterThanOrEqual(fld(l, 2), fld(r, 0))),
+          And(LessThanOrEqual(fld(l, 1), fld(r, 3)),
+              GreaterThanOrEqual(fld(l, 3), fld(r, 1))))
+        // a statistics-small side gets an explicit broadcast hint so the
+        // non-equi join deterministically plans nested-loop-broadcast
+        // rather than depending on a runtime re-plan
+        val threshold = conf.autoBroadcastJoinThreshold
+        val newHint =
+          if (hint.leftHint.isDefined || hint.rightHint.isDefined || threshold < 0) hint
+          else if (right.stats.sizeInBytes <= threshold)
+            JoinHint(None, Some(HintInfo(Some(BROADCAST))))
+          else if (left.stats.sizeInBytes <= threshold)
+            JoinHint(Some(HintInfo(Some(BROADCAST))), None)
+          else hint
+        // expensive-predicate ordering: prepared-geometry booleans are an
+        // indexed probe (evaluated after the prefilter, so with the
+        // left-to-right short-circuit they only see bbox-overlapping pairs).
+        // Overlay-backed area thresholds are costlier still AND their value
+        // is usually re-projected downstream (the argmax overlap), so they
+        // leave the join condition entirely: each distinct overlay becomes
+        // ONE `__graft_area` projection above the join and the threshold a
+        // Filter over that attribute — the caller substitutes the same
+        // attribute into its parent projection, so the overlay runs once
+        // per bbox-surviving pair instead of once in the condition plus
+        // once per surviving row in the projection.
+        val (areaConjs, nonArea) = conjuncts.partition(isAreaThreshold)
+        val (preparedConjs, otherConjs) = nonArea.partition(isPreparedPredicate)
+        val ordered = (prefilter +: (otherConjs ++ preparedConjs)).reduceLeft(And)
+        val areaUdfs = areaConjs
+          .collect { case c => spatialUdfOf(c) }.flatten
+          .foldLeft(Vector.empty[ScalaUDF]) { (acc, u) =>
+            if (acc.exists(_.canonicalized == u.canonicalized)) acc else acc :+ u
+          }
+        val aliases = areaUdfs.map(u => Alias(u, s"${EnvPrefix.stripSuffix("env")}area")())
+        val preds: Seq[Expression] = aliases.map(a =>
+          GreaterThan(a.toAttribute, Literal(0.0)))
+        Rewritten(Join(leftP, rightP, Inner, Some(ordered), newHint), aliases, preds)
+      }
+    case _ => None
+  }
+
+  /** The overlay UDF inside a recognized area-threshold conjunct. */
+  private def spatialUdfOf(conjunct: Expression): Option[ScalaUDF] = conjunct match {
+    case GreaterThan(u: ScalaUDF, _) if isAreaThreshold(conjunct) => Some(u)
+    case LessThan(_, u: ScalaUDF) if isAreaThreshold(conjunct) => Some(u)
+    case _ => None
+  }
+
+  private def eligible(j: Join): Boolean =
+    j.resolved && j.joinType == Inner && j.condition.isDefined && !rewritten(j)
+
+  /** Assemble `Filter(area > 0, Project(out :+ __graft_area, join))` when
+    * area thresholds were extracted; plain restore otherwise. */
+  private def assemble(j: Join, rw: Rewritten): LogicalPlan =
+    if (rw.areaAliases.isEmpty) Project(j.output, rw.join)
+    else Filter(rw.areaPreds.reduceLeft(And),
+      Project(j.output ++ rw.areaAliases, rw.join))
+
+  /** Session-scoped kill switch. The rewrite must be ACTIVE at the
+    * optimization that feeds execution — a terminal action (`count`,
+    * `write`) builds a fresh QueryExecution from the logical plan, so
+    * installing the rule, forcing `optimizedPlan`, then uninstalling
+    * rewrites a plan that never runs (the round-7 gate timed exactly that
+    * mistake). Leaving the rule installed and toggling this flag lets a
+    * caller that hand-built its own prefilter opt out deterministically
+    * without a session-global install/uninstall race. */
+  val EnabledKey = "spark.graft.spatialJoinRewrite"
+
+  // transformDown so the Project-over-Join case wins before the bare-Join
+  // case sees the child (transformUp would rewrite the join first and the
+  // parent projection could never reuse the extracted overlay)
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else applyEnabled(plan)
+
+  private def applyEnabled(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // a projection directly above the join (the optimized-plan shape of
+    // "join, compute overlap, argmax it" after CollapseProject +
+    // PushPredicateThroughJoin): substitute the extracted `__graft_area`
+    // attribute for semantically-equal overlay calls in the projection, so
+    // the plan carries exactly ONE overlay evaluation per surviving pair
+    case p @ Project(projList, j: Join) if eligible(j) =>
+      rewriteJoin(j) match {
+        case None => p
+        case Some(rw) if rw.areaAliases.isEmpty => p.copy(child = assemble(j, rw))
+        case Some(rw) =>
+          val byCanon = rw.areaAliases
+            .map(a => a.child.canonicalized -> a.toAttribute).toMap
+          val newList = projList.map(_.transformDown {
+            case e if byCanon.contains(e.canonicalized) => byCanon(e.canonicalized)
+          }.asInstanceOf[NamedExpression])
+          Project(newList, assemble(j, rw))
+      }
+    // any other consumer: restore the join's original output above the
+    // Filter so the extracted attribute never leaks into the plan schema
+    case j: Join if eligible(j) =>
+      rewriteJoin(j) match {
         case None => j
-        case Some((lWkt, rWkt)) =>
-          val envL = Alias(WktEnvelopeExpr(lWkt), s"${EnvPrefix}_l")()
-          val envR = Alias(WktEnvelopeExpr(rWkt), s"${EnvPrefix}_r")()
-          val leftP = Project(left.output :+ envL, left)
-          val rightP = Project(right.output :+ envR, right)
-          val l = envL.toAttribute
-          val r = envR.toAttribute
-          def fld(att: Attribute, i: Int): Expression =
-            GetStructField(att, i, Some(WktEnvelopeExpr.schema(i).name))
-          // inclusive interval overlap on both axes: touching envelopes can
-          // still intersect, so the bounds must not be strict
-          val prefilter = And(
-            And(LessThanOrEqual(fld(l, 0), fld(r, 2)),
-                GreaterThanOrEqual(fld(l, 2), fld(r, 0))),
-            And(LessThanOrEqual(fld(l, 1), fld(r, 3)),
-                GreaterThanOrEqual(fld(l, 3), fld(r, 1))))
-          // a statistics-small side gets an explicit broadcast hint so the
-          // non-equi join deterministically plans nested-loop-broadcast
-          // rather than depending on a runtime re-plan
-          val threshold = conf.autoBroadcastJoinThreshold
-          val newHint =
-            if (hint.leftHint.isDefined || hint.rightHint.isDefined || threshold < 0) hint
-            else if (right.stats.sizeInBytes <= threshold)
-              JoinHint(None, Some(HintInfo(Some(BROADCAST))))
-            else if (left.stats.sizeInBytes <= threshold)
-              JoinHint(Some(HintInfo(Some(BROADCAST))), None)
-            else hint
-          // expensive-predicate ordering: prepared-geometry booleans are an
-          // indexed probe, overlay-backed area thresholds build a whole new
-          // geometry — evaluate booleans first so (with the left-to-right
-          // short-circuit) overlays only run on pairs that truly intersect
-          val conjuncts = splitConjunctivePredicates(cond)
-          val (areaConjs, nonArea) = conjuncts.partition(isAreaThreshold)
-          val (preparedConjs, otherConjs) = nonArea.partition(isPreparedPredicate)
-          val ordered = (prefilter +: (otherConjs ++ preparedConjs ++ areaConjs))
-            .reduceLeft(And)
-          Project(j.output, Join(leftP, rightP, Inner, Some(ordered), newHint))
+        case Some(rw) => Project(j.output, assemble(j, rw))
       }
   }
 }

@@ -84,6 +84,49 @@ class SpatialJoinRewriteSpec extends SparkSpec {
       "outer joins must not be rewritten (strengthened condition changes null-extension)")
   }
 
+  test("area threshold is extracted: exactly ONE overlay UDF in the optimized plan") {
+    installRule()
+    // the argmax shape: join on the predicate, project the overlay area,
+    // threshold it — the round-7 plan evaluated the overlay twice (once in
+    // the pushed join condition, once in the projection); the rewrite must
+    // share a single __graft_area alias between the Filter and projection
+    val naive = tanks.join(counties,
+        SpatialOps.intersectsOrContains(col("tank_wkt"), col("county_wkt")))
+      .withColumn("overlap",
+        SpatialOps.intersectionArea(col("tank_wkt"), col("county_wkt")))
+      .filter(col("overlap") > 0)
+      .select("id", "county_key", "overlap")
+    val opt = naive.queryExecution.optimizedPlan
+    assert(SpatialJoinRewrite.rewritten(opt), s"rule did not fire:\n$opt")
+    val areaUdfs = opt.collectWithSubqueries { case p =>
+      p.expressions.map(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF
+            if u.udfName.exists(_.contains("st_intersection_area")) => u
+      }.size).sum
+    }.sum
+    assert(areaUdfs == 1,
+      s"expected exactly one st_intersection_area instance, got $areaUdfs:\n$opt")
+    // the join condition itself must carry no overlay — only the bbox
+    // prefilter and the prepared-geometry boolean
+    val joinConds = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.sql).getOrElse("")
+    }
+    assert(joinConds.forall(!_.contains("st_intersection_area")),
+      s"overlay must not remain in the join condition: $joinConds")
+    // and the result must match the overlay evaluated the naive way
+    val got = naive.collect().map(r => (r.getLong(0), r.getLong(1),
+      math.rint(r.getDouble(2) * 100) / 100)).toSet
+    val exact = tanks.crossJoin(counties)
+      .withColumn("overlap",
+        SpatialOps.intersectionArea(col("tank_wkt"), col("county_wkt")))
+      .filter(col("overlap") > 0)
+      .select("id", "county_key", "overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 100) / 100)).toSet
+    assert(got == exact, "extracted-overlay plan changed the result")
+  }
+
   test("rewrite is idempotent under the optimizer's fixpoint") {
     installRule()
     val naive = tanks.join(counties,
