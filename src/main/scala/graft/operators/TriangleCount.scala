@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting via DEGREE-ORDERED edge orientation —
+  * the industrial formulation (each triangle counted exactly once at its
+  * lowest-(degree, id) pivot; per-node OUT-degree bounded by O(sqrt |E|)
+  * whatever the in-degree skew), with TWO physical forms selected by how
+  * the oriented adjacency relates to the broadcast budget:
+  *
+  *  - [[broadcastCount]] — one shuffle builds per-pivot out-adjacency
+  *    arrays, which are broadcast so the whole count is one codegen
+  *    pipeline over the edge stream evaluating
+  *    `sorted_intersect_count(nu, nv)` per edge. Fastest when the
+  *    adjacency fits an executor: zero joins shuffle the edge stream.
+  *    But the adjacency is O(|E|) TOTAL BYTES (one row per node carrying
+  *    its out-list) — on a cluster-sized graph it cannot broadcast, and
+  *    at 100 TB this form OOMs the driver building the relation.
+  *
+  *  - [[shuffledCount]] — the broadcast-free fallback: pivot out-PAIRS
+  *    are enumerated by a self-equi-join of the oriented edges on the
+  *    pivot and streamed as bare `(v1, v2)` key pairs (no arrays on the
+  *    wire) into an equi-join against the undirected edge set. Every
+  *    join is an explicitly-hinted ShuffledHashJoin, so each stage is
+  *    partitioned, spillable, and executor-memory-bounded at ANY graph
+  *    size. Total wire volume is the pair stream — `sum(outdeg choose
+  *    2) <= O(|E|^1.5)` worst case, the same work the broadcast form
+  *    does CPU-side — traded against never holding the adjacency in one
+  *    place. This is the same relationship j13_binned_range_join bears
+  *    to the broadcast j7 range join.
+  *
+  * [[sizeGatedCount]] applies the size gate: the oriented adjacency's estimated
+  * broadcast footprint (~48 bytes/edge: an 8-byte long per out-entry
+  * plus array/row overhead and the node key) against
+  * `spark.sql.autoBroadcastJoinThreshold`. The gate is LIVE — callers
+  * get the scale-safe plan automatically when the graph outgrows the
+  * budget; `gr2b_triangles_shuffled` gates the fallback directly so both
+  * plans stay oracle-verified whatever size the driver tests at.
+  *
+  * Determinism: integer-exact everywhere (counts of equi-join matches);
+  * both forms return bit-identical `n_triangles`.
+  */
+object TriangleCount {
+
+  /** Orient each undirected edge `(x, y)` from its lower-(degree, id)
+    * endpoint. Input must be the DISTINCT undirected edge set with
+    * `x < y`. Returns (u, v) oriented edges.
+    *
+    * `shuffled = true` pins the two degree-attachment joins to
+    * ShuffledHashJoin: the degree table is one row per NODE — O(|V|) —
+    * so on a cluster-sized graph it cannot broadcast any more than the
+    * adjacency can, and the scale-safe path must keep even these lookups
+    * partitioned. */
+  def orient(und: DataFrame, shuffled: Boolean = false): DataFrame = {
+    val deg0 = degrees(und)
+    val deg = if (shuffled) deg0.hint("shuffle_hash") else deg0
+    und
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+      .select(
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")), col("x"))
+          .otherwise(col("y")).as("u"),
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")), col("y"))
+          .otherwise(col("x")).as("v"))
+  }
+
+  /** Undirected degree of every node: one shuffle over the edge ends. */
+  def degrees(und: DataFrame): DataFrame =
+    und.select(col("x").as("n"))
+      .union(und.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+
+  /** Edge-iterator count over a BROADCAST out-adjacency: for each
+    * oriented edge (u, v) the triangles it closes are |out(u) ∩ out(v)|.
+    * One row: `n_triangles`. Adjacency must fit the broadcast budget. */
+  def broadcastCount(spark: SparkSession, oriented: DataFrame): DataFrame = {
+    graft.plans.SortedIntersectCount.register(spark)
+    val adj = oriented.groupBy("u")
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    oriented
+      .join(broadcast(adj.select(col("u"), col("nbrs").as("nu"))), "u")
+      .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nv"))), "v")
+      .select(expr("sorted_intersect_count(nu, nv)").as("c"))
+      .agg(sum("c").as("n_triangles"))
+  }
+
+  /** Broadcast-free count: pivot out-pairs as a streamed (v1, v2) join
+    * against the undirected edge set. Every join carries the explicit
+    * SHUFFLE_HASH hint — the planner must not pick (and AQE must not
+    * demote to) a broadcast join even when a side looks small, because
+    * this form exists precisely for graphs where "small" is a sampling
+    * illusion. One row: `n_triangles`. */
+  def shuffledCount(und: DataFrame, oriented: DataFrame): DataFrame = {
+    // e1.v < e2.v orders each out-pair by id, which is exactly und's
+    // (x < y) convention — so the closing-edge probe is a bare two-column
+    // equi-join, no canonicalization reshuffle
+    val pairs = oriented.as("e1")
+      .join(oriented.as("e2").hint("shuffle_hash"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+    pairs.join(und.hint("shuffle_hash"), Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Rough broadcast footprint of the oriented adjacency: an 8-byte long
+    * per out-entry plus per-element and per-row (node key, array header,
+    * hash-relation) overhead. Deliberately conservative — a fallback that
+    * triggers early wastes a little shuffle; a broadcast that OOMs kills
+    * the job. */
+  def adjacencyBytesEstimate(edgeCount: Long): Long = 48L * edgeCount
+
+  /** Size-gated count: broadcast form while the adjacency estimate fits
+    * `spark.sql.autoBroadcastJoinThreshold`, shuffled form beyond (or
+    * when broadcasting is disabled). `und` should be cached by the
+    * caller — the gate counts it and both forms re-read it. */
+  def sizeGatedCount(spark: SparkSession, und: DataFrame): DataFrame = {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .stripSuffix("b").stripSuffix("B") match {
+      case s if s.endsWith("k") || s.endsWith("K") => s.dropRight(1).toLong << 10
+      case s if s.endsWith("m") || s.endsWith("M") => s.dropRight(1).toLong << 20
+      case s if s.endsWith("g") || s.endsWith("G") => s.dropRight(1).toLong << 30
+      case s => s.toLong
+    }
+    if (threshold > 0 && adjacencyBytesEstimate(und.count()) <= threshold)
+      broadcastCount(spark, orient(und))
+    else shuffledCount(und, orient(und, shuffled = true))
+  }
+}

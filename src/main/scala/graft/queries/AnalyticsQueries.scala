@@ -566,53 +566,42 @@ object AnalyticsQueries {
     * self-join per tile). Edge building is bounded per order
     * (lines-per-order choose 2); everything else is equi-joins on node
     * ids — all shuffled, all spillable, integer-exact. */
-  private val gr2Triangles: Q = (spark, dir) => {
+  /** The distinct undirected co-purchase edge set (x < y), the shared
+    * input of both triangle-count forms. Edge building is bounded per
+    * order (lines-per-order choose 2). */
+  private def coPurchaseEdges(spark: SparkSession, dir: String) = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
-    val und = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("x"), col("b.s").as("y")).distinct().cache()
-    val deg = und.select(col("x").as("n"))
-      .union(und.select(col("y").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    val orient = und
-      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
-      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
-      .select(
-        when(col("dx") < col("dy") ||
-          (col("dx") === col("dy") && col("x") < col("y")), col("x"))
-          .otherwise(col("y")).as("u"),
-        when(col("dx") < col("dy") ||
-          (col("dx") === col("dy") && col("x") < col("y")), col("y"))
-          .otherwise(col("x")).as("v"))
-    // edge-iterator form: for each oriented edge (u, v), the triangles it
-    // closes are |out(u) ∩ out(v)| — each triangle counted exactly once
-    // (only via the edge whose source is the pivot). One shuffle builds
-    // the out-adjacency arrays; the per-edge intersect is a native array
-    // op on two O(sqrt(|E|))-bounded lists, so there is NO |E|^1.5-sized
-    // intermediate anywhere — neither materialized (the pair-explode form
-    // allocates it through interpreted lambdas) nor shuffled (the
-    // self-join form sorts and exchanges it twice). Work is
-    // sum-over-edges of the two out-degrees, all inside one stage.
-    graft.plans.SortedIntersectCount.register(spark)
-    val adj = orient.groupBy("u")
-      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    // BROADCAST the adjacency: it is node-bounded (one row per node,
-    // out-lists O(sqrt E)) — without the hint the second join would
-    // exchange-and-sort the edge stream WITH its attached nu arrays
-    // (edges x avg-degree longs on the wire, the hidden E^1.5 shuffle
-    // this formulation exists to avoid). With both lookups broadcast the
-    // whole count is one codegen pipeline over the edge stream. If the
-    // node table ever outgrows broadcast, fall back to the packed-key
-    // pair join (pairs stream vs edge set) rather than shipping arrays.
-    val tri = orient
-      .join(broadcast(adj.select(col("u"), col("nbrs").as("nu"))), "u")
-      .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nv"))), "v")
-      .select(expr("sorted_intersect_count(nu, nv)").as("c"))
-      .agg(sum("c").as("n_triangles"))
-    deg.agg(count(lit(1)).as("n_nodes"))
+      .select(col("a.s").as("x"), col("b.s").as("y")).distinct()
+  }
+
+  private def triangleReport(und: org.apache.spark.sql.DataFrame,
+                             tri: org.apache.spark.sql.DataFrame) =
+    graft.operators.TriangleCount.degrees(und)
+      .agg(count(lit(1)).as("n_nodes"))
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri)
+
+  /** gr2 routes through [[graft.operators.TriangleCount.sizeGatedCount]]'s LIVE
+    * size gate: broadcast adjacency while its ~48 B/edge estimate fits
+    * `autoBroadcastJoinThreshold` (this scale), the shuffled pair join
+    * beyond it — so the 100 TB path is selected automatically, not by
+    * hand-editing the query. */
+  private val gr2Triangles: Q = (spark, dir) => {
+    val und = coPurchaseEdges(spark, dir).cache()
+    triangleReport(und, graft.operators.TriangleCount.sizeGatedCount(spark, und))
+  }
+
+  /** gr2b: the broadcast-free form FORCED (same oracle as gr2) — proves
+    * the fallback the size gate selects on cluster-sized graphs against
+    * the same DuckDB truth, and `TriangleCountSpec` pins its plan to
+    * shuffled joins only. */
+  private val gr2bTrianglesShuffled: Q = (spark, dir) => {
+    val und = coPurchaseEdges(spark, dir).cache()
+    triangleReport(und, graft.operators.TriangleCount.shuffledCount(
+      und, graft.operators.TriangleCount.orient(und, shuffled = true)))
   }
 
   private val gr2TrianglesSql =
@@ -727,6 +716,7 @@ object AnalyticsQueries {
     "a20_cms_freq" -> a20CmsFreq,
     "gr1_pagerank" -> gr1PageRank,
     "gr2_triangles" -> gr2Triangles,
+    "gr2b_triangles_shuffled" -> gr2bTrianglesShuffled,
     "sql_recursive_bfs" -> sqlRecursiveBfs,
     "a21_profile" -> a21Profile,
     "a22_exact_median" -> a22ExactMedian,
@@ -750,6 +740,7 @@ object AnalyticsQueries {
     "a20_cms_freq" -> a20CmsFreqSql,
     "gr1_pagerank" -> gr1PageRankSql,
     "gr2_triangles" -> gr2TrianglesSql,
+    "gr2b_triangles_shuffled" -> gr2TrianglesSql,
     "sql_recursive_bfs" -> sqlRecursiveBfsSql,
     "a21_profile" -> a21ProfileSql,
     "a22_exact_median" -> a22ExactMedianSql,
