@@ -65,10 +65,14 @@ object TableLogQueries {
   }
 
   /** tl1: final snapshot after append + upsert — one commit-log read must
-    * equal the declarative merge of both batches. */
+    * equal the declarative merge of both batches. Reads through the
+    * `graftlog` DataSource (`spark.read.format`), so the gate proves the
+    * SQL-facing surface serves the same bytes as the Scala API
+    * ([[graft.sources.GraftLogDataSource]]; spec-pinned equal to
+    * `CommitLog.read`). */
   private val tl1Snapshot: Q = (spark, dir) => {
     val table = buildTable(spark, dir)
-    CommitLog.read(spark, table)
+    spark.read.format("graftlog").load(table)
       .select("id", "status", "price", "batch")
       .orderBy("id")
   }
@@ -78,7 +82,9 @@ object TableLogQueries {
        |SELECT id, status, price, batch FROM merged ORDER BY id""".stripMargin
 
   /** tl2: time travel — version 0 must still serve the pre-upsert state
-    * after the upsert commits, and the version deltas must reconcile. */
+    * after the upsert commits, and the version deltas must reconcile.
+    * Both snapshots read through the `graftlog` DataSource's
+    * `versionAsOf` option — the SQL-facing form of `CommitLog.read(asOf)`. */
   private val tl2TimeTravel: Q = (spark, dir) => {
     val table = buildTable(spark, dir)
     def stats(version: Long, df: DataFrame): DataFrame =
@@ -88,8 +94,8 @@ object TableLogQueries {
         count(when(col("status") === "pending_review", 1)).as("n_pending"))
         .select(lit(version).cast("int").as("version"),
           col("n_rows"), col("n_verified"), col("n_pending"))
-    stats(0, CommitLog.read(spark, table, asOf = Some(0L)))
-      .unionByName(stats(1, CommitLog.read(spark, table)))
+    stats(0, spark.read.format("graftlog").option("versionAsOf", 0).load(table))
+      .unionByName(stats(1, spark.read.format("graftlog").load(table)))
       .orderBy("version")
   }
 
