@@ -22,6 +22,47 @@ class BoxMergeSpec extends AnyFunSuite {
     cs.map(c => (c.minx, c.miny, c.maxx, c.maxy, c.n_boxes, c.object_class, c.merged,
       c.chip_names.mkString("|"))).sorted
 
+  // ---------------------------------------------------------------- ScalaCheck generators
+  // Generator-driven sweeps (SURVEY §5.3): unlike the seeded fixtures
+  // below, these shrink to a minimal counterexample and deliberately
+  // include DEGENERATE boxes — zero-width, zero-height, and point boxes —
+  // that hand-picked fixtures miss.
+  private val genBox: org.scalacheck.Gen[Box] = for {
+    x1 <- org.scalacheck.Gen.choose(0, 220)
+    y1 <- org.scalacheck.Gen.choose(0, 220)
+    w <- org.scalacheck.Gen.frequency(1 -> org.scalacheck.Gen.const(0),
+      9 -> org.scalacheck.Gen.choose(1, 60))
+    h <- org.scalacheck.Gen.frequency(1 -> org.scalacheck.Gen.const(0),
+      9 -> org.scalacheck.Gen.choose(1, 60))
+    lbl <- org.scalacheck.Gen.oneOf("closed_roof_tank", "water_tower")
+    chip <- org.scalacheck.Gen.oneOf("c0", "c1", "c2")
+  } yield Box("t", x1, y1, x1 + w, y1 + h, lbl, chip)
+
+  private val genBoxes: org.scalacheck.Gen[List[Box]] =
+    org.scalacheck.Gen.choose(0, 18).flatMap(n =>
+      org.scalacheck.Gen.listOfN(n, genBox))
+
+  test("forAll: permutation invariance over generated (incl. degenerate) boxes") {
+    PropCheck(org.scalacheck.Prop.forAll(genBoxes, org.scalacheck.Gen.choose(0L, Long.MaxValue)) {
+      (boxes, shuffleSeed) =>
+        val shuffled = new scala.util.Random(shuffleSeed).shuffle(boxes)
+        canon(BoxMerge.clusterGroup(boxes, 5)) ==
+          canon(BoxMerge.clusterGroup(shuffled, 5))
+    })
+  }
+
+  test("forAll: idempotence — re-merging envelopes never splits, membership conserved") {
+    PropCheck(org.scalacheck.Prop.forAll(genBoxes) { boxes =>
+      val once = BoxMerge.clusterGroup(boxes, 5)
+      val again = BoxMerge.clusterGroup(once.map(c =>
+        Box("t", c.minx, c.miny, c.maxx, c.maxy, c.object_class, c.chip_names.mkString("|"))), 5)
+      again.size <= once.size &&
+        once.forall(c => again.exists(a =>
+          a.minx <= c.minx && a.miny <= c.miny && a.maxx >= c.maxx && a.maxy >= c.maxy)) &&
+        once.map(_.n_boxes).sum == boxes.size
+    })
+  }
+
   test("permutation invariance: clustering ignores input order") {
     val rng = new scala.util.Random(42)
     (1 to 200).foreach { _ =>

@@ -19,6 +19,46 @@ class GeoUtmSpec extends AnyFunSuite {
     }
   }
 
+  test("forAll: round trip holds on generated in-zone points, zone edges included") {
+    // lat spans the full UTM validity band; lon is drawn WITHIN a random
+    // zone with a bias toward the zone edges (±3° from the central
+    // meridian is where the Krueger series error is largest and where the
+    // fixed CONUS sweep above never samples — southern hemisphere + high
+    // latitudes included here too)
+    val genCase = for {
+      zone <- org.scalacheck.Gen.choose(1, 60)
+      lat <- org.scalacheck.Gen.choose(-80.0, 84.0)
+      // offset from the zone's west edge; bias edges (0 and 6 degrees)
+      off <- org.scalacheck.Gen.frequency(
+        2 -> org.scalacheck.Gen.choose(1e-9, 1e-3),
+        2 -> org.scalacheck.Gen.choose(6.0 - 1e-3, 6.0 - 1e-9),
+        6 -> org.scalacheck.Gen.choose(0.0, 6.0))
+    } yield (zone, lat, -180.0 + (zone - 1) * 6.0 + off)
+    PropCheck(org.scalacheck.Prop.forAll(genCase) { case (zone, lat, lon) =>
+      val (e, n) = GeoUtm.toUtm(lat, lon, zone)
+      val (lat2, lon2) = GeoUtm.toWgs84(e, n, zone)
+      math.abs(lat2 - lat) < 1e-6 && math.abs(lon2 - lon) < 1e-6 &&
+        GeoUtm.zone(lon) == zone
+    }, minTests = 500)
+  }
+
+  test("forAll: GeoPortable inverse round-trips generated UTM points within 1e-6 deg") {
+    // GeoPortable.inverse is the fixed-coefficient Krueger inverse whose
+    // SQL rendering the DuckDB oracles share — forward through GeoUtm then
+    // back through GeoPortable must land within the engine-parity
+    // tolerance on arbitrary in-zone points, not just anchor fixtures
+    val genCase = for {
+      zone <- org.scalacheck.Gen.choose(1, 60)
+      lat <- org.scalacheck.Gen.choose(-80.0, 84.0)
+      off <- org.scalacheck.Gen.choose(0.05, 5.95)
+    } yield (zone, lat, -180.0 + (zone - 1) * 6.0 + off)
+    PropCheck(org.scalacheck.Prop.forAll(genCase) { case (zone, lat, lon) =>
+      val (e, n) = GeoUtm.toUtm(lat, lon, zone)
+      val (lat2, lon2) = graft.functions.GeoPortable.inverse(e, n, zone)
+      math.abs(lat2 - lat) < 1e-6 && math.abs(lon2 - lon) < 1e-6
+    }, minTests = 500)
+  }
+
   test("central meridian maps to easting 500000 with k0 scale") {
     // zone 16 central meridian is -87 deg
     val (e, _) = GeoUtm.toUtm(35.0, -87.0, 16)

@@ -82,6 +82,55 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("forAll: exact decomposition == brute-force z-set on generated boxes") {
+    // random boxes (degenerate single-row/column/point boxes included, and
+    // boxes straddling high-bit quad boundaries where the recursion splits
+    // deepest) — the full-depth interval union must hold EXACTLY the box's
+    // morton codes: covered, no over-coverage, sorted, disjoint
+    val genBox = for {
+      xmin <- org.scalacheck.Gen.frequency(
+        8 -> org.scalacheck.Gen.choose(0L, 65500L),
+        2 -> org.scalacheck.Gen.oneOf(0L, 32767L, 32768L, 65535L))
+      ymin <- org.scalacheck.Gen.frequency(
+        8 -> org.scalacheck.Gen.choose(0L, 65500L),
+        2 -> org.scalacheck.Gen.oneOf(0L, 32767L, 32768L, 65535L))
+      w <- org.scalacheck.Gen.choose(0L, 40L)
+      h <- org.scalacheck.Gen.choose(0L, 40L)
+    } yield (xmin, math.min(xmin + w, 65535L), ymin, math.min(ymin + h, 65535L))
+    PropCheck(org.scalacheck.Prop.forAll(genBox) { case (xmin, xmax, ymin, ymax) =>
+      val ranges = ZOrder.zRangesForBox(xmin, xmax, ymin, ymax, maxRanges = Int.MaxValue)
+      val inBox = (for (x <- xmin to xmax; y <- ymin to ymax)
+        yield ZOrder.mortonScalar(x, y)).toSet
+      val covered = inBox.forall(z => ranges.exists(r => r._1 <= z && z <= r._2))
+      val mass = ranges.map(r => r._2 - r._1 + 1).sum
+      val sortedDisjoint = ranges.sliding(2).forall {
+        case Seq(a, b) => a._2 < b._1
+        case _ => true
+      }
+      covered && mass == inBox.size.toLong && sortedDisjoint
+    }, minTests = 150)
+  }
+
+  test("forAll: coarsened decomposition stays a sorted superset within any cap") {
+    val genCase = for {
+      xmin <- org.scalacheck.Gen.choose(0L, 65000L)
+      ymin <- org.scalacheck.Gen.choose(0L, 65000L)
+      w <- org.scalacheck.Gen.choose(0L, 300L)
+      h <- org.scalacheck.Gen.choose(0L, 300L)
+      cap <- org.scalacheck.Gen.choose(1, 16)
+    } yield (xmin, math.min(xmin + w, 65535L), ymin, math.min(ymin + h, 65535L), cap)
+    PropCheck(org.scalacheck.Prop.forAll(genCase) { case (xmin, xmax, ymin, ymax, cap) =>
+      val exact = ZOrder.zRangesForBox(xmin, xmax, ymin, ymax, maxRanges = Int.MaxValue)
+      val coarse = ZOrder.zRangesForBox(xmin, xmax, ymin, ymax, maxRanges = cap)
+      coarse.length <= cap &&
+        exact.forall(e => coarse.exists(c => c._1 <= e._1 && e._2 <= c._2)) &&
+        coarse.sliding(2).forall {
+          case Seq(a, b) => a._2 < b._1
+          case _ => true
+        }
+    }, minTests = 150)
+  }
+
   test("budget-coarsened decomposition is a superset within the range cap") {
     val (xmin, xmax, ymin, ymax) = (100L, 180L, 200L, 260L)
     val exact = ZOrder.zRangesForBox(xmin, xmax, ymin, ymax, maxRanges = Int.MaxValue)
