@@ -39,6 +39,17 @@ import org.apache.spark.sql.SparkSession
   *     steady-state ones.
   *   - SPARK_GRAFT_ONLY=q1,q2: limit to named queries (dev: repeated
   *     focused timing without the full suite).
+  *   - SPARK_GRAFT_ORDER=reverse | first:<name>: run the suite in reverse
+  *     alphabetical order, or with one query moved to the front — the
+  *     suite-order experiment knobs (is a slow reading position-dependent
+  *     predecessor state or environment noise?).
+  *   - SPARK_GRAFT_REQUEUE_LOAD (default 3.0, 0 disables): any query whose
+  *     before/after host-load stamp exceeded the threshold is re-measured
+  *     once more at the END of the run (hopefully past the burst). The
+  *     record keeps BOTH readings — `queries` carries the effective
+  *     (minimum) seconds, `requeued` the original/retry pair with its own
+  *     load stamps — so burst-inflated readings adjudicate themselves
+  *     instead of needing a manual re-run narrative.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,8 +72,18 @@ object Bench {
       require(names.nonEmpty && unknown.isEmpty,
         s"SPARK_GRAFT_ONLY lists no valid queries (unknown: ${unknown.mkString(", ")})")
     }
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sortedSel = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val selected = sys.env.get("SPARK_GRAFT_ORDER") match {
+      case Some("reverse") => sortedSel.reverse
+      case Some(s) if s.startsWith("first:") =>
+        val head = s.stripPrefix("first:")
+        require(sortedSel.exists(_._1 == head), s"SPARK_GRAFT_ORDER first: unknown query $head")
+        sortedSel.filter(_._1 == head) ++ sortedSel.filterNot(_._1 == head)
+      case Some(other) if other.nonEmpty =>
+        sys.error(s"SPARK_GRAFT_ORDER must be 'reverse' or 'first:<name>', got $other")
+      case _ => sortedSel
+    }
 
     // Host 1-minute loadavg, recorded before/after every query. The round-6
     // driver record carried a 30.9s reading for a query that is 1.3s in every
@@ -101,12 +122,29 @@ object Bench {
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
 
+    // retry readings from the end-of-run burst re-measure:
+    // name -> (retrySec, retryMax, retryLoadBefore, retryLoadAfter)
+    val requeued = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Double, Double)]
+
     def record(done: Seq[(String, Double, Double, Double, Double)], partial: Boolean): String = {
-      val results = done.map { case (n, lo, _, _, _) => n -> lo }
+      // effective seconds: the retry replaces the original only when BOTH
+      // are valid and the retry is faster (a burst can hit the retry too)
+      def effective(n: String, lo: Double): Double = requeued.get(n) match {
+        case Some((r, _, _, _)) if r >= 0 && lo >= 0 => math.min(lo, r)
+        case Some((r, _, _, _)) if lo < 0 => r
+        case _ => lo
+      }
+      val results = done.map { case (n, lo, _, _, _) => n -> effective(n, lo) }
       val maxResults = done.map { case (n, _, hi, _, _) => n -> hi }
       // per-query [loadBefore, loadAfter] — the variance canary
       val loadJson = done.map { case (n, _, _, lb, la) =>
         "\"" + n + "\":[" + lb + "," + la + "]"
+      }.mkString("{", ",", "}")
+      val origByName = done.map { case (n, lo, _, _, _) => n -> lo }.toMap
+      val requeuedJson = requeued.map { case (n, (r, rMax, lb, la)) =>
+        "\"" + n + "\":{\"orig\":" + origByName.getOrElse(n, -1.0) +
+          ",\"sec\":" + r + ",\"max\":" + rMax + ",\"load\":[" + lb + "," + la + "]}"
       }.mkString("{", ",", "}")
       val failed = results.collect { case (k, v) if v < 0 => k }
       // a failed query is a -1 sentinel in the per-query map; it must NOT
@@ -121,6 +159,7 @@ object Bench {
         s""""queries":${jsonMap(results)},""" +
         s""""queries_max":${jsonMap(maxResults)},""" +
         s""""load":$loadJson,""" +
+        s""""requeued":$requeuedJson,""" +
         s""""sf":"$sfDir"}"""
     }
     def flush(done: Seq[(String, Double, Double, Double, Double)], partial: Boolean): Unit =
@@ -153,10 +192,48 @@ object Bench {
       println(s"""{"query":"$name","sec":$lo,"max":$hi,"load":[$loadBefore,$loadAfter],"i":${i + 1},"n":${selected.size}}""")
       flush(done.toSeq, partial = true)
     }
-    val results = done.toSeq.map { case (n, lo, _, _, _) => n -> lo }
+    // -------------------------------------------------------------- burst re-queue
+    // Re-measure queries whose load stamps flagged a co-tenant burst, once,
+    // at the end of the run (the burst has usually passed). The threshold
+    // is in loadavg units: quiet benching sits at 1-2 on this host; the
+    // documented burst signature is 4-16.
+    val requeueLoad = sys.env.getOrElse("SPARK_GRAFT_REQUEUE_LOAD", "3.0").toDouble
+    if (requeueLoad > 0) {
+      val flagged = done.toSeq.collect {
+        case (n, _, _, lb, la) if math.max(lb, la) > requeueLoad => n
+      }
+      flagged.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val lb = loadAvg()
+        val (lo, hi) =
+          if (fast) { val t = runOnce(fn); (t, t) }
+          else {
+            runOnce(fn)
+            val a = runOnce(fn); val b = runOnce(fn)
+            if (a < 0 || b < 0) (-1.0, -1.0) else (math.min(a, b), math.max(a, b))
+          }
+        val la = loadAvg()
+        requeued += name -> ((lo, hi, lb, la))
+        println(s"""{"requeue":"$name","sec":$lo,"max":$hi,"load":[$lb,$la]}""")
+        flush(done.toSeq, partial = true)
+      }
+    }
+
+    val results = done.toSeq.map { case (n, lo, _, _, _) =>
+      n -> (requeued.get(n) match {
+        case Some((r, _, _, _)) if r >= 0 && lo >= 0 => math.min(lo, r)
+        case Some((r, _, _, _)) if lo < 0 => r
+        case _ => lo
+      })
+    }
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    flush(done.toSeq, partial = false)
+    // stop Spark BEFORE the metric line so nothing can interleave after
+    // it — the driver parses the LAST stdout tail, and round 7's record
+    // came back parsed:null
+    spark.stop()
     // The driver captures only a bounded tail of stdout: the round-2 full
     // per-query line (~3 KB for 104 queries) was truncated past parseability
     // (BENCH_r02.json parsed:null). Print a compact headline line that always
@@ -166,9 +243,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         (if (fast) """"mode":"fast",""" else "") +
         s""""n_failed":${failed.size},"failed":$failedJson,""" +
+        s""""n_requeued":${requeued.size},""" +
         s""""queries":${jsonMap(if (only.isEmpty) headlineRs else results)},""" +
         s""""sf":"$sfDir"}""")
-    flush(done.toSeq, partial = false)
-    spark.stop()
   }
 }
