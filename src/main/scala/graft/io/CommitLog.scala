@@ -290,6 +290,27 @@ object CommitLog {
     commit(table, "append", stage(df, table), Seq.empty)
   }
 
+  /** Transactional full overwrite: one commit adds the staged replacement
+    * files and removes every file live at the snapshot the writer read —
+    * readers see the old table or the new one, never a mix, and the old
+    * version stays time-travelable until vacuum. The remove set derives
+    * from the tip, so a concurrent commit aborts-and-retries this one
+    * against the fresh tip (same serializability contract as [[upsert]]).
+    * This is the `SaveMode.Overwrite` primitive behind the `graftlog`
+    * DataSource's truncate write. */
+  def overwrite(df: DataFrame, table: String): Long = {
+    Files.createDirectories(Paths.get(table))
+    serializably(table) { tip =>
+      val old = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
+      val added = stage(df, table)
+      try commit(table, "overwrite", added, old, Some(tip))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          unstage(table, added); throw e
+      }
+    }
+  }
+
   /** Runs `body(tip)` — which must derive its commit from the snapshot at
     * `tip` and pass `expectedTip = Some(tip)` — retrying with a FRESH tip
     * whenever the commit aborts on a write conflict. This is what makes

@@ -117,13 +117,14 @@ object TriangleCount {
     * when broadcasting is disabled). `und` should be cached by the
     * caller — the gate counts it and both forms re-read it. */
   def sizeGatedCount(spark: SparkSession, und: DataFrame): DataFrame = {
-    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      .stripSuffix("b").stripSuffix("B") match {
-      case s if s.endsWith("k") || s.endsWith("K") => s.dropRight(1).toLong << 10
-      case s if s.endsWith("m") || s.endsWith("M") => s.dropRight(1).toLong << 20
-      case s if s.endsWith("g") || s.endsWith("G") => s.dropRight(1).toLong << 30
-      case s => s.toLong
-    }
+    // parse with the same routine the conf itself uses (handles every legal
+    // Spark byte-size form: "10m", "1t", "100kb", mixed case); an
+    // unparseable value falls back to the always-safe shuffled form
+    // instead of throwing from inside the gate
+    val threshold =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+      catch { case _: NumberFormatException => -1L }
     if (threshold > 0 && adjacencyBytesEstimate(und.count()) <= threshold)
       broadcastCount(spark, orient(und))
     else shuffledCount(und, orient(und, shuffled = true))

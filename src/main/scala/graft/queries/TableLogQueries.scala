@@ -336,7 +336,52 @@ object TableLogQueries {
        |WHERE x BETWEEN ${tl7Box._1} AND ${tl7Box._2}
        |  AND y BETWEEN ${tl7Box._3} AND ${tl7Box._4}""".stripMargin
 
+  /** tl8: the DataSource WRITE surface — `df.write.format("graftlog")`
+    * must land the same transactional commits the Scala API lands. The
+    * gate creates the table through a DataSource append (no prior
+    * commits), appends a second batch, then `mode("overwrite")`s the
+    * verified subset — exactly one commit per write, pinned by version
+    * asserts — and reads both the pre-overwrite version and the final
+    * snapshot back THROUGH the DataSource (the snapshot read is filtered
+    * + projected, so it exercises the pruned bridge). Oracle: the same
+    * stats computed declaratively from the batch definitions. */
+  private val tl8SqlWrite: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_sqlwrite"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val table = root.toString
+    batch1(spark, dir).write.format("graftlog").mode("append").save(table)     // v0 creates
+    batch2(spark, dir).write.format("graftlog").mode("append").save(table)     // v1
+    require(CommitLog.currentVersion(table) == 1L,
+      "each DataSource append must land exactly one commit")
+    batch2(spark, dir).write.format("graftlog").mode("overwrite").save(table)  // v2 replaces
+    require(CommitLog.currentVersion(table) == 2L,
+      "DataSource overwrite must land exactly one commit")
+    def stats(version: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("price").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .select(lit(version).as("version"), col("n_rows"), col("sum_price"))
+    val preOverwrite = spark.read.format("graftlog").option("versionAsOf", 1).load(table)
+    val finalVerified = spark.read.format("graftlog").load(table)
+      .filter(col("status") === "verified").select("id", "price")   // pruned bridge read
+    stats(1, preOverwrite).unionByName(stats(2, finalVerified)).orderBy("version")
+  }
+
+  private val tl8SqlWriteSql =
+    s"""WITH $batchesSql
+       |SELECT 1 AS version, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+       |UNION ALL
+       |SELECT 2 AS version, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM b2
+       |ORDER BY version""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl8_sql_write" -> tl8SqlWrite,
     "tl7_zorder_box" -> tl7ZorderBox,
     "tl6_log_checkpoint" -> tl6LogCheckpoint,
     "tl5_zonemap_skip" -> tl5ZonemapSkip,
@@ -347,6 +392,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl8_sql_write" -> tl8SqlWriteSql,
     "tl7_zorder_box" -> tl7ZorderBoxSql,
     "tl6_log_checkpoint" -> tl6LogCheckpointSql,
     "tl5_zonemap_skip" -> tl5ZonemapSkipSql,

@@ -5,11 +5,14 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SparkSession, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -26,23 +29,42 @@ import graft.io.CommitLog
   *     .option("timestampAsOf", "2026-08-14T12:00:00Z").load(path)   // timestamp time travel
   *   spark.read.format("graftlog")
   *     .option("mergeSchema", true).load(path)                       // additive evolution
+  *   df.write.format("graftlog").mode("append").save(path)           // transactional append
+  *   df.write.format("graftlog").mode("overwrite").save(path)        // one-commit replace
   * }}}
   *
   * Registered under the short name `graftlog` via the standard
   * `DataSourceRegister` service file, so SQL users reach snapshots,
-  * time travel and schema evolution without touching the Scala API
-  * (`CREATE TEMPORARY VIEW t USING graftlog OPTIONS (path '...')`
-  * works through the same provider).
+  * time travel, schema evolution AND transactional writes without
+  * touching the Scala API (`CREATE TEMPORARY VIEW t USING graftlog
+  * OPTIONS (path '...')` works through the same provider).
   *
   * Implementation: a minimal DataSource **V2** `TableProvider` whose scan
   * bridges through [[V1Scan]] — the connector API's sanctioned adapter
-  * (JDBC uses it) that hands execution to a `BaseRelation` built from
-  * `CommitLog.read`. The heavy lifting — snapshot resolution from the
-  * log, live-file pruning, mergeSchema — happens in the commit-log
-  * replay, and the actual data movement is Spark's own parquet scan over
-  * exactly the snapshot's live files, so pushdown and column pruning
-  * apply there as usual. Version resolution happens once per query
-  * planning (driver-side log replay, O(retained commits)).
+  * (JDBC uses it). The scan builder implements the V2 pushdown
+  * interfaces (`SupportsPushDownRequiredColumns` / `SupportsPushDownFilters`),
+  * so a `SELECT two_cols ... WHERE pred` narrows the bridged relation to
+  * exactly those columns and applies the predicate INSIDE the bridged
+  * DataFrame — where Catalyst pushes both down to the underlying parquet
+  * scan (`ReadSchema` carries only requested columns, `PushedFilters` the
+  * translated predicates; spec-asserted in `GraftLogDataSourceSpec`). At
+  * 100 TB the SQL read path therefore prunes and row-group-skips exactly
+  * like the Scala `CommitLog.read(...).select(...)` path. Pushed filters
+  * are also all reported back as residuals, so Spark re-applies them
+  * above the scan — pushdown is a strict optimization, never a
+  * correctness dependency.
+  *
+  * Writes bridge through [[V1Write]]/[[InsertableRelation]] to
+  * [[CommitLog.append]] / [[CommitLog.overwrite]]: staging is Spark's own
+  * distributed parquet write, the commit is one atomic version flip, and
+  * `mode("overwrite")` lands adds+removes in a single commit (readers see
+  * old or new, never a mix). Writing to a time-travel snapshot is refused
+  * at analysis time. Version resolution happens once per query planning
+  * (driver-side log replay, O(retained commits)); `inferSchema` caches
+  * the resolved table and `getTable` consumes it, so one `load()` never
+  * resolves twice — and cannot pin a different version than the schema it
+  * just inferred (the TOCTOU a commit landing between the two calls
+  * would otherwise open).
   */
 class GraftLogDataSource extends TableProvider with DataSourceRegister {
 
@@ -51,75 +73,204 @@ class GraftLogDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftLogDataSource.resolve(options.asCaseSensitiveMap()).schema
+    GraftLogDataSource.resolveCached(options.asCaseSensitiveMap()).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    GraftLogDataSource.resolve(properties)
+    GraftLogDataSource.consumeCached(properties)
 }
 
 object GraftLogDataSource {
 
-  /** A resolved snapshot: table path + pinned version + read options. */
-  final case class GraftLogTable(path: String, snapshotVersion: Long, mergeSchema: Boolean)
-    extends Table with SupportsRead {
+  /** One-shot handoff from `inferSchema` to `getTable`: the resolved table
+    * keyed by its option map. `getTable` consumes the entry, so a LATER
+    * `load()` of the same path re-resolves and sees new commits — the
+    * cache only pins version/schema agreement within a single load. */
+  private val pending =
+    new java.util.concurrent.ConcurrentHashMap[Map[String, String], GraftLogTable]
 
-    private def spark: SparkSession = SparkSession.active
+  private def optKey(properties: util.Map[String, String]): Map[String, String] =
+    properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
 
-    /** Pin the schema at resolution so planning and execution agree even
-      * if the log advances between them. */
-    val schema0: StructType =
-      CommitLog.read(spark, path, Some(snapshotVersion), mergeSchema).schema
+  private[sources] def resolveCached(properties: util.Map[String, String]): GraftLogTable = {
+    val key = optKey(properties)
+    val t = resolve(key)
+    pending.put(key, t)
+    t
+  }
 
-    override def name(): String = s"graftlog.`$path`@v$snapshotVersion"
+  private[sources] def consumeCached(properties: util.Map[String, String]): GraftLogTable = {
+    val key = optKey(properties)
+    Option(pending.remove(key)).getOrElse(resolve(key))
+  }
+
+  /** A resolved snapshot: table path + pinned version + read options.
+    * `snapshotVersion == -1` marks a not-yet-created table — write-only
+    * (the first append/overwrite creates it), accepting any schema. */
+  final case class GraftLogTable(path: String, snapshotVersion: Long,
+                                 mergeSchema: Boolean, timeTravel: Boolean,
+                                 schema0: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+
+    private def exists: Boolean = snapshotVersion >= 0
+
+    override def name(): String =
+      if (exists) s"graftlog.`$path`@v$snapshotVersion" else s"graftlog.`$path`@new"
     override def schema(): StructType = schema0
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
+      if (exists)
+        util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+          TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      else // no snapshot to read or to check schemas against yet
+        util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+          TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
+    // ------------------------------------------------------------------ read
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      () => new V1Scan {
-        override def readSchema(): StructType = schema0
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new BaseRelation with TableScan {
-            override def sqlContext: SQLContext = context
-            override def schema: StructType = schema0
-            override def buildScan(): RDD[Row] =
-              CommitLog.read(context.sparkSession, path, Some(snapshotVersion), mergeSchema).rdd
-          }.asInstanceOf[T]
+      new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+        private var required: StructType = schema0
+        private var pushed: Array[Filter] = Array.empty
+
+        override def pruneColumns(requiredSchema: StructType): Unit =
+          required = requiredSchema
+
+        /** Push what translates; report EVERYTHING as residual so Spark
+          * re-applies above the scan — the pushed copy only exists to
+          * reach the parquet scan's row-group/page skipping. */
+        override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+          pushed = filters.filter(translate(_).isDefined)
+          filters
+        }
+        override def pushedFilters(): Array[Filter] = pushed
+
+        override def build(): Scan = {
+          val req = required
+          val flt = pushed
+          new V1Scan {
+            override def readSchema(): StructType = req
+            override def toV1TableScan[T <: BaseRelation with TableScan](
+                context: SQLContext): T =
+              new BaseRelation with TableScan {
+                override def sqlContext: SQLContext = context
+                override def schema: StructType = req
+                override def buildScan(): RDD[Row] =
+                  narrowedRead(context.sparkSession, path, snapshotVersion,
+                    mergeSchema, req, flt.toIndexedSeq).rdd
+              }.asInstanceOf[T]
+          }
+        }
       }
+
+    // ------------------------------------------------------------------ write
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      require(!timeTravel,
+        s"graftlog: cannot write to a time-travel snapshot of $path " +
+          "(drop versionAsOf/timestampAsOf to write to the table head)")
+      new WriteBuilder with SupportsTruncate {
+        private var replace = false
+        override def truncate(): WriteBuilder = { replace = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                if (replace || overwrite) CommitLog.overwrite(data, path)
+                else CommitLog.append(data, path)
+                ()
+              }
+            }
+        }
+      }
+    }
+  }
+
+  /** The narrowed read the V1 bridge executes: the pinned snapshot with
+    * pushed filters applied and columns pruned to `required` (possibly
+    * zero columns — the `count(*)` scan). This is a real Catalyst plan, so
+    * the filter and projection reach the underlying parquet file scan as
+    * `PushedFilters` / `ReadSchema` — asserted by `GraftLogDataSourceSpec`
+    * against this exact method, which is also the one `buildScan` runs. */
+  private[graft] def narrowedRead(spark: SparkSession, path: String, version: Long,
+                                  mergeSchema: Boolean, required: StructType,
+                                  filters: Seq[Filter]): DataFrame = {
+    val base = CommitLog.read(spark, path, Some(version), mergeSchema)
+    val filtered = filters.flatMap(translate).foldLeft(base)((df, c) => df.filter(c))
+    filtered.select(required.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+  }
+
+  /** Best-effort source-filter → Column translation for parquet pushdown.
+    * Unsupported shapes return None and simply aren't pushed (Spark
+    * evaluates every filter above the scan regardless). */
+  private[graft] def translate(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(s"`$a`") === v)
+    case sources.EqualNullSafe(a, v)      => Some(col(s"`$a`") <=> v)
+    case sources.GreaterThan(a, v)        => Some(col(s"`$a`") > v)
+    case sources.GreaterThanOrEqual(a, v) => Some(col(s"`$a`") >= v)
+    case sources.LessThan(a, v)           => Some(col(s"`$a`") < v)
+    case sources.LessThanOrEqual(a, v)    => Some(col(s"`$a`") <= v)
+    case sources.In(a, vs)                => Some(col(s"`$a`").isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a)                => Some(col(s"`$a`").isNull)
+    case sources.IsNotNull(a)             => Some(col(s"`$a`").isNotNull)
+    case sources.StringStartsWith(a, v)   => Some(col(s"`$a`").startsWith(v))
+    case sources.StringEndsWith(a, v)     => Some(col(s"`$a`").endsWith(v))
+    case sources.StringContains(a, v)     => Some(col(s"`$a`").contains(v))
+    case sources.And(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case sources.Not(c) => translate(c).map(!_)
+    case _ => None
   }
 
   /** Resolve `path` + time-travel options to a pinned snapshot version.
     * `versionAsOf` and `timestampAsOf` are mutually exclusive, exactly as
-    * in Delta; a missing path or an empty table fails loudly here, at
-    * analysis time. */
-  def resolve(properties: util.Map[String, String]): GraftLogTable = {
-    val opts = properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
+    * in Delta; a missing/empty table resolves to the write-only "new
+    * table" sentinel (reads of it fail at analysis, the first write
+    * creates it). */
+  def resolve(opts: Map[String, String]): GraftLogTable = {
     val path = opts.getOrElse("path",
       throw new IllegalArgumentException(
         "graftlog requires a path: spark.read.format(\"graftlog\").load(\"/table/dir\")"))
-    val versionAsOf = opts.get("versionasof").map(_.toLong)
+    val versionAsOf = opts.get("versionasof").map { v =>
+      try v.trim.toLong
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"graftlog: versionAsOf must be a version number, got '$v'", e)
+      }
+    }
     val tsAsOf = opts.get("timestampasof").map(parseTs)
     require(versionAsOf.isEmpty || tsAsOf.isEmpty,
       "graftlog: versionAsOf and timestampAsOf are mutually exclusive")
+    val timeTravel = versionAsOf.nonEmpty || tsAsOf.nonEmpty
+    val mergeSchema = opts.get("mergeschema").exists(_.toBoolean)
     val head = CommitLog.currentVersion(path)
+    if (head < 0) {
+      require(!timeTravel,
+        s"commit-log table $path has no commits — nothing to time-travel to")
+      return GraftLogTable(path, -1L, mergeSchema, timeTravel = false, new StructType())
+    }
     val version = versionAsOf
       .orElse(tsAsOf.map(ts => CommitLog.versionAt(path, ts)))
       .getOrElse(head)
-    require(version >= 0, s"commit-log table $path has no commits")
+    require(version >= 0,
+      s"commit-log table $path: versionAsOf must be >= 0, got $version")
     // a version past the log head would otherwise silently replay to the
     // current snapshot — refuse it here, at analysis time
     require(version <= head,
       s"commit-log table $path is at version $head; versionAsOf $version does not exist")
-    GraftLogTable(path, version,
-      opts.get("mergeschema").exists(_.toBoolean))
+    // pin the schema at resolution so planning and execution agree even if
+    // the log advances between them (one driver-side read, reused by both
+    // inferSchema and getTable via the pending cache)
+    val schema = CommitLog.read(SparkSession.active, path, Some(version), mergeSchema).schema
+    GraftLogTable(path, version, mergeSchema, timeTravel, schema)
   }
+
+  def resolve(properties: util.Map[String, String]): GraftLogTable =
+    resolve(optKey(properties))
 
   /** Epoch millis, an ISO-8601 instant, or an ISO local date-time/date
     * (interpreted as UTC, the engine's session zone). */
   private def parseTs(s: String): Long =
-    if (s.forall(c => c.isDigit)) s.toLong
+    if (s.nonEmpty && s.forall(c => c.isDigit)) s.toLong
     else try java.time.Instant.parse(s).toEpochMilli
     catch {
       case _: java.time.format.DateTimeParseException =>
@@ -127,8 +278,14 @@ object GraftLogDataSource {
           .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
         catch {
           case _: java.time.format.DateTimeParseException =>
-            java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC)
+            try java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC)
               .toInstant.toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"graftlog: timestampAsOf '$s' is not epoch millis, an " +
+                    "ISO-8601 instant, or an ISO local date-time/date")
+            }
         }
     }
 }

@@ -90,6 +90,96 @@ class GraftLogDataSourceSpec extends SparkSpec {
       "early files must serve null for the added column")
   }
 
+  test("column pruning and filter pushdown reach the parquet scan") {
+    val t = freshTable("prune")
+    CommitLog.append((1L to 100L).map(i => (i, s"v$i", i * 10, s"pad$i"))
+      .toDF("id", "v", "score", "pad"), t)
+
+    // (a) wiring: the V2 scan builder hands the bridge ONLY the selected
+    // columns and the translated predicate — visible on the outer
+    // RowDataSourceScan (no full-width scan for a 2-column projection)
+    val q = spark.read.format("graftlog").load(t)
+      .filter($"score" > 500).select("id", "v")
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }
+    assert(scan.nonEmpty, s"expected a RowDataSourceScan:\n${q.queryExecution.executedPlan}")
+    // Spark keeps the residual-filter column (`score`) in the bridge's
+    // required schema so it can re-apply the filter above the scan; the
+    // point of pruning is that the UNREFERENCED column never crosses
+    val outCols = scan.head.output.map(_.name).toSet
+    assert(outCols == Set("id", "v", "score"),
+      s"bridge scan must be pruned to selected+filter columns, got $outCols")
+    assert(!outCols.contains("pad"), "unreferenced columns must not cross the bridge")
+    val meta = scan.head.metadata.getOrElse("PushedFilters", "")
+    assert(meta.contains("GreaterThan(score,500)"),
+      s"predicate must be pushed into the bridge: PushedFilters=$meta")
+    assert(q.count() == 50L)
+
+    // (b) mechanism: the narrowed inner plan (the exact DataFrame
+    // buildScan executes) pushes both into the parquet file scan
+    val narrowed = graft.sources.GraftLogDataSource.narrowedRead(
+      spark, t, 0L, mergeSchema = false,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))),
+      Seq(org.apache.spark.sql.sources.GreaterThan("score", 500L)))
+    val fileScans = narrowed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScans.nonEmpty, s"expected a parquet FileSourceScan:\n${narrowed.queryExecution.executedPlan}")
+    val readCols = fileScans.head.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("id", "v", "score"),
+      s"parquet ReadSchema must carry only selected+filter columns, got $readCols")
+    assert(!readCols.contains("pad"), "unselected columns must not be read")
+    val pushed = fileScans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThan(score,500)"),
+      s"filter must reach the parquet scan: PushedFilters=$pushed")
+
+    // zero-column scan (count(*)) still answers
+    assert(spark.read.format("graftlog").load(t).count() == 100L)
+  }
+
+  test("write path: append and overwrite land as commit-log transactions") {
+    import org.apache.spark.sql.SaveMode
+    val t = freshTable("write")
+
+    // first write CREATES the table (no prior commits)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("graftlog").mode(SaveMode.Append).save(t)
+    assert(CommitLog.currentVersion(t) == 0L)
+    assert(spark.read.format("graftlog").load(t).count() == 2L)
+
+    // second append is one more version; DataSource read == Scala read
+    Seq((3L, "c")).toDF("id", "v")
+      .write.format("graftlog").mode(SaveMode.Append).save(t)
+    assert(CommitLog.currentVersion(t) == 1L)
+    val viaDs = spark.read.format("graftlog").load(t)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val viaApi = CommitLog.read(spark, t)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaDs == Seq((1L, "a"), (2L, "b"), (3L, "c")) && viaDs == viaApi)
+
+    // overwrite replaces the snapshot in ONE commit; the old version
+    // remains time-travelable
+    Seq((9L, "z")).toDF("id", "v")
+      .write.format("graftlog").mode(SaveMode.Overwrite).save(t)
+    assert(CommitLog.currentVersion(t) == 2L, "overwrite must be exactly one commit")
+    val after = spark.read.format("graftlog").load(t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == Seq((9L, "z")))
+    val v1 = spark.read.format("graftlog").option("versionAsOf", 1).load(t)
+    assert(v1.count() == 3L, "pre-overwrite snapshot must still time-travel")
+
+    // writing to a time-travel snapshot is refused
+    val e = intercept[Exception] {
+      Seq((0L, "x")).toDF("id", "v").write.format("graftlog")
+        .option("versionAsOf", 1).mode(SaveMode.Append).save(t)
+    }
+    assert(e.getMessage.contains("time-travel"),
+      s"time-travel write must be refused, got: ${e.getMessage}")
+  }
+
   test("misuse fails loudly at analysis time") {
     val t = freshTable("errs")
     CommitLog.append(Seq((1L, "a")).toDF("id", "v"), t)

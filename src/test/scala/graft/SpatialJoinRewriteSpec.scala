@@ -15,10 +15,22 @@ import graft.plans.SpatialJoinRewrite
   * hand-optimized form. */
 class SpatialJoinRewriteSpec extends SparkSpec {
 
-  private def installRule(): Unit =
+  /** Install the rule AND pin the enable flag on the shared session. The
+    * flag must be pinned here, not assumed: the hand-built j8 gates
+    * (`j8_wkt_argmax`, `j8_spatial_argmax`) set it FALSE on entry and —
+    * deliberately — never restore it, because their terminal action
+    * re-optimizes a fresh QueryExecution after the gate returns, so the
+    * flag state has to persist past return (PipelineQueries.scala j8
+    * comments). Round 8 ran `RelationalQueriesSpec` (which executes the
+    * wkt gate) before this spec and every rewrite assertion failed against
+    * a silently-disabled rule. Each spec/gate pins its own flag state;
+    * nobody restores. */
+  private def installRule(): Unit = {
     if (!spark.experimental.extraOptimizations.contains(SpatialJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SpatialJoinRewrite
+    spark.conf.set(SpatialJoinRewrite.EnabledKey, "true")
+  }
 
   private def tanks: DataFrame = {
     import spark.implicits._
@@ -136,5 +148,34 @@ class SpatialJoinRewriteSpec extends SparkSpec {
         p.projectList.count(_.name.startsWith("__graft_env"))
     }.sum
     assert(envAliases == 2, s"expected exactly one envelope alias per side, got $envAliases")
+  }
+
+  test("gate order cannot disable the rewrite: wkt gate then naive gate, both ways") {
+    // the round-8 regression, encoded: the hand-built wkt gate flips the
+    // session flag to false; any later rewrite user (this spec, the naive
+    // gate) must still get the rewrite because it pins the flag itself
+    val wkt = SparkEntry.queries("j8_wkt_argmax")
+    val nve = SparkEntry.queries("j8_naive_argmax")
+
+    // wkt first: leaves the flag false; the naive gate must still rewrite
+    assert(wkt(spark, sf0001).count() > 0)
+    assert(spark.conf.get(SpatialJoinRewrite.EnabledKey) == "false",
+      "wkt gate should pin the flag false for its own deferred action")
+    assert(nve(spark, sf0001).count() > 0) // gate REQUIREs the rewrite fired
+    // and this spec's own assertions must hold right after the wkt gate ran
+    spark.conf.set(SpatialJoinRewrite.EnabledKey, "false") // simulate leak
+    installRule()
+    val naive = tanks.join(counties,
+      SpatialOps.intersectsOrContains(col("tank_wkt"), col("county_wkt")))
+    assert(SpatialJoinRewrite.rewritten(naive.queryExecution.optimizedPlan),
+      "installRule() must re-enable the rewrite whatever a prior gate left behind")
+
+    // naive first: leaves the flag true; the wkt gate's hand-built plan
+    // must NOT be rewritten (it opts out on entry)
+    assert(nve(spark, sf0001).count() > 0)
+    val wktDf = wkt(spark, sf0001)
+    assert(!SpatialJoinRewrite.rewritten(wktDf.queryExecution.optimizedPlan),
+      "wkt gate's hand-optimized plan must stay un-rewritten after the naive gate")
+    assert(wktDf.count() > 0)
   }
 }
