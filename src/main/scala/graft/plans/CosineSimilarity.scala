@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression for cosine similarity over `array<float>`.
+/** Native Catalyst expression for cosine similarity over `array<float>`
+  * or `array<double>` (independently per side — a float corpus can score
+  * against double-precision trained centroids without a lossy cast).
   *
   * Rationale (SURVEY.md §4.1 policy — custom Catalyst only where it pays):
   * the brute-force similarity path evaluates the dot product once per
@@ -18,7 +20,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * whole-stage codegen (one pass, three accumulators, no allocation).
   *
   * Semantics match `VectorSearch.cosine` exactly: accumulate in double,
-  * left-to-right, cos = dot / (sqrt(na) * sqrt(nb)).
+  * left-to-right, cos = dot / (sqrt(na) * sqrt(nb)); float elements widen
+  * to double per element, exactly as an explicit cast would.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -27,24 +30,35 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects (array<float>, array<float>), got " +
+        s"cosine_sim expects array<float>|array<double> on each side, got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
   }
 
+  private def leftIsFloat: Boolean = elemType(left.dataType).contains(FloatType)
+  private def rightIsFloat: Boolean = elemType(right.dataType).contains(FloatType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lf = leftIsFloat
+    val rf = rightIsFloat
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -60,12 +74,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val getX = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = $getX;
+         |  double $yi = $getY;
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

@@ -617,9 +617,16 @@ object PipelineQueries {
 
   // ------------------------------------------------------------------ S9: memoized fetch round trip
   /** End-to-end S9 (`src/az_proc.py:194-221`): catalog -> anti-join against
-    * the store -> partition-wise fetch -> idempotent re-run (must fetch 0)
-    * -> inventory of the store. The second_run_new_files column is the
-    * idempotence proof the oracle pins to 0. */
+    * the store -> partition-wise fetch THROUGH THE REAL HTTP TRANSPORT ->
+    * idempotent re-run (must fetch 0) -> inventory of the store. The
+    * transport is [[graft.io.Fetcher.httpGet]] against an in-process
+    * loopback fixture server (plain JDK httpserver — no egress needed)
+    * that serves each logical tile's deterministic payload bytes, so the
+    * gate exercises connection handling, status checks and streaming reads
+    * for real while the oracle stays byte-exact: stored size ==
+    * length('payload:<logical url>'). If the loopback server cannot bind
+    * (hardened sandbox), the gate falls back to the deterministic
+    * [[graft.io.Fetcher.simulatedGet]] byte source with identical output. */
   private val s9FetchRoundtrip: Q = (spark, dir) => {
     import graft.io.Fetcher
     val store = Paths.get(Sinks.scratchDir("s9_store"))
@@ -628,18 +635,67 @@ object PipelineQueries {
       Files.walk(store).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
     }
+    // logical catalog: the url the reference pipeline would fetch; its
+    // payload (and thus the oracle-pinned size) is a pure function of it
     val catalog = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 100 === 0)
       .select(
         concat(lit("img_"), col("o_orderkey"), lit(".bin")).as("file_name"),
         concat(lit("https://tiles.invalid/naip/"), col("o_orderkey")).as("url"))
-    Fetcher.fetchMissing(spark, catalog, "file_name", "url", store.toString)
-    val second = Fetcher.fetchMissing(spark, catalog, "file_name", "url", store.toString)
-    Sinks.scanBinaryDir(spark, store.toString, "*.bin")
-      .select(element_at(split(col("path"), "/"), -1).as("file_name"),
-        col("length").as("size"))
-      .withColumn("second_run_new_files", lit(second))
-      .orderBy("file_name")
+    val hits = new java.util.concurrent.atomic.AtomicLong(0)
+    val server =
+      try {
+        val s = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        // GET /naip/<key> serves simulatedGet("https://tiles.invalid/naip/<key>")
+        s.createContext("/naip/", { exchange =>
+          hits.incrementAndGet()
+          val key = exchange.getRequestURI.getPath.stripPrefix("/naip/")
+          val body = Fetcher.simulatedGet(s"https://tiles.invalid/naip/$key")
+          exchange.sendResponseHeaders(200, body.length)
+          exchange.getResponseBody.write(body)
+          exchange.close()
+        })
+        // pooled dispatch: 32 executor threads fetch concurrently and the
+        // default httpserver executor is single-threaded
+        s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+        s.start()
+        Some(s)
+      } catch { case _: java.io.IOException => None }
+    val (fetchCatalog, get) = server match {
+      case Some(srv) =>
+        val port = srv.getAddress.getPort
+        // same rows, transport url pointed at the loopback fixture
+        (catalog.withColumn("url",
+            concat(lit(s"http://127.0.0.1:$port/naip/"),
+              regexp_extract(col("url"), "([0-9]+)$", 1))),
+          (u: String) => Fetcher.httpGet(u))
+      case None => (catalog, (u: String) => Fetcher.simulatedGet(u))
+    }
+    try {
+      val first =
+        Fetcher.fetchMissing(spark, fetchCatalog, "file_name", "url", store.toString, get)
+      val second =
+        Fetcher.fetchMissing(spark, fetchCatalog, "file_name", "url", store.toString, get)
+      // when the loopback fixture is up, every first-round fetch must have
+      // gone through the REAL transport, and the memoized second round
+      // must not have touched it at all
+      server.foreach { _ =>
+        require(hits.get() == first,
+          s"expected $first real HTTP fetches, server saw ${hits.get()}")
+      }
+      Sinks.scanBinaryDir(spark, store.toString, "*.bin")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length").as("size"))
+        .withColumn("second_run_new_files", lit(second))
+        .orderBy("file_name")
+    } finally server.foreach { s =>
+      s.stop(0)
+      s.getExecutor match {
+        case e: java.util.concurrent.ExecutorService => e.shutdown()
+        case _ => ()
+      }
+    }
   }
 
   private val s9FetchRoundtripSql =

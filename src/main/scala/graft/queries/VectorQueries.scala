@@ -541,15 +541,20 @@ object VectorQueries {
     * centroids broadcast to a narrow assignment pass (integer zip_with
     * inside codegen), then ONE keyed agg on (centroid, dim) — k*d cells —
     * with map-side partial aggregation; no shuffle grows with corpus size. */
-  private val v10KmeansStep: Q = (spark, dir) => {
-    val qvecs = Tables.embeddings(spark, dir)
-      .withColumn("dvec", transform(col("embedding"), x => x.cast("double")))
+  /** v8-convention int8 quantization: per-vector scale 127/max|x|, exact
+    * round-half-up — shared by the one-step gate (v10), the Lloyd trainer
+    * gate (v15b) and the trained index build (v15). */
+  private def quantizedVecs(df: DataFrame): DataFrame =
+    df.withColumn("dvec", transform(col("embedding"), x => x.cast("double")))
       .withColumn("maxabs", array_max(transform(col("dvec"), x => abs(x))))
       .withColumn("scale",
         when(col("maxabs") === lit(0.0), lit(0.0))
           .otherwise(lit(127.0) / col("maxabs")))
       .select(col("vec_id"), transform(col("dvec"),
         x => floor(x * col("scale") + lit(0.5)).cast("int")).as("qvec"))
+
+  private val v10KmeansStep: Q = (spark, dir) => {
+    val qvecs = quantizedVecs(Tables.embeddings(spark, dir))
     val centroids = qvecs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("qvec").as("cvec"))
     val dist = qvecs.crossJoin(broadcast(centroids))
@@ -598,6 +603,90 @@ object VectorQueries {
       |  CAST(sum(q.qx) AS DOUBLE) / count(*) AS mean_q
       |FROM assign a JOIN q ON q.vec_id = a.vec_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------ v15b: Lloyd-trained centroids
+  /** The CTE chain replaying [[graft.operators.Lloyd.train]] in SQL:
+    * quantization (v8 convention), milli-scaled seeds, then `iters`
+    * UNROLLED assign→update→recenter rounds. The trainer stops early at a
+    * fixpoint; because a fixpoint repeats verbatim, surplus unrolled
+    * rounds are no-ops and the fixed-depth oracle equals the
+    * convergence-stopped run at ANY scale factor. All arithmetic is
+    * exact: integer distances, integer sums, and a centroid update whose
+    * floor-of-exact-rational is safe in double (numerator ≤ 2^31, so the
+    * true fractional part, when nonzero, is ≥ 1/2n — orders of magnitude
+    * above one ulp of the quotient). */
+  private def lloydChainSql(k: Int, iters: Int, feed: String): String = {
+    val quant =
+      s"""lq_m AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         |  FROM $feed),
+         |lq_s AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN maxabs = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+         |         ELSE CAST(127 AS DOUBLE) / maxabs END AS scale
+         |  FROM lq_m),
+         |lq AS (
+         |  SELECT vec_id, CAST(i.i AS INTEGER) - 1 AS dim,
+         |    CAST(floor(CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE) * scale
+         |      + CAST(0.5 AS DOUBLE)) AS INTEGER) AS qx
+         |  FROM lq_s, generate_series(1, 64) i(i)),
+         |cent_0 AS (
+         |  SELECT vec_id AS centroid_id, dim, CAST(qx AS BIGINT) * 1000 AS cm
+         |  FROM lq WHERE vec_id < $k)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""kdist_$i AS (
+         |  SELECT q.vec_id, c.centroid_id,
+         |    CAST(sum(CAST(1000 * q.qx - c.cm AS BIGINT) * (1000 * q.qx - c.cm)) AS BIGINT) AS dist
+         |  FROM lq q JOIN cent_${i - 1} c ON c.dim = q.dim
+         |  GROUP BY 1, 2),
+         |kasg_$i AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, centroid_id) AS rn FROM kdist_$i) WHERE rn = 1),
+         |kupd_$i AS (
+         |  SELECT a.centroid_id, q.dim,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(q.qx) AS BIGINT) AS s
+         |  FROM kasg_$i a JOIN lq q ON q.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |cent_$i AS (
+         |  SELECT c.centroid_id, c.dim,
+         |    COALESCE(CAST(floor((2000.0 * u.s + u.n) / (2.0 * u.n)) AS BIGINT), c.cm) AS cm
+         |  FROM cent_${i - 1} c LEFT JOIN kupd_$i u
+         |    ON u.centroid_id = c.centroid_id AND u.dim = c.dim)""".stripMargin
+    }
+    (quant +: rounds).mkString(",\n")
+  }
+
+  private val LloydIters = 8
+
+  /** v15b: the FULL k-means training loop behind the persisted index —
+    * [[graft.operators.Lloyd.train]] run to a fixpoint (or [[LloydIters]]
+    * rounds) with k = 8 over the quantized corpus. Output is the final
+    * centroid table with the last round's assignment mass; the oracle
+    * replays the identical loop as [[LloydIters]] unrolled SQL rounds
+    * (early convergence is a fixpoint, so the depths agree — see
+    * [[lloydChainSql]]). Hash-stability across parallelism comes from the
+    * all-integer loop; `LloydSpec` pins it explicitly. */
+  private val v15bLloydCentroids: Q = (spark, dir) => {
+    import spark.implicits._
+    val qvecs = quantizedVecs(Tables.embeddings(spark, dir)).cache()
+    try {
+      val trained = graft.operators.Lloyd.train(spark, qvecs, k = 8, maxIters = LloydIters)
+      trained.rows
+        .toDF("centroid_id", "dim", "cm", "n_assigned", "sum_q")
+        .orderBy("centroid_id", "dim")
+    } finally { qvecs.unpersist(); () }
+  }
+
+  private val v15bLloydCentroidsSql =
+    s"""WITH ${lloydChainSql(k = 8, iters = LloydIters, feed = "embeddings")}
+       |SELECT c.centroid_id, c.dim, c.cm,
+       |  CAST(COALESCE(u.n, 0) AS BIGINT) AS n_assigned,
+       |  CAST(COALESCE(u.s, 0) AS BIGINT) AS sum_q
+       |FROM cent_$LloydIters c LEFT JOIN kupd_$LloydIters u
+       |  ON u.centroid_id = c.centroid_id AND u.dim = c.dim
+       |ORDER BY c.centroid_id, c.dim""".stripMargin
 
   // ------------------------------------------------------------------ v11: ANN recall vs exact
   /** The ANN tuning loop's metric: recall@3 of the multi-probe LSH
@@ -1070,7 +1159,16 @@ object VectorQueries {
       emb: DataFrame, centroids: DataFrame, assigned: DataFrame,
       codebook: DataFrame, codes: DataFrame, dist: DataFrame, queries: DataFrame)
 
-  private def buildIvfPq(spark: SparkSession, dir: String): IvfPqIndex = {
+  /** `trainedCentroids = false` (v14/v16): sampled coarse quantizer, the
+    * 16 lowest-id feed vectors verbatim. `true` (v15): the coarse
+    * quantizer is LOOP-TRAINED — [[graft.operators.Lloyd.train]] to a
+    * fixpoint (≤ [[LloydIters]] rounds, integer-exact) over the quantized
+    * feed, served as exact `cm/1000` double arrays. The planted query
+    * copies keep landing in their query's best cell under ANY centroid
+    * set (identical vectors score identically), so the recall gate stays
+    * meaningful for both quantizers. */
+  private def buildIvfPq(spark: SparkSession, dir: String,
+                         trainedCentroids: Boolean = false): IvfPqIndex = {
     graft.plans.GraftFunctions.register(spark)
     val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     // planted true neighbors: 3 exact copies of each query (ids +10k/+20k/+30k)
@@ -1080,8 +1178,14 @@ object VectorQueries {
       .reduce(_ unionByName _)
     val emb = base.unionByName(planted)
     // IVF index build (v5/v7 semantics): best cell per vector
-    val centroids = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val centroids =
+      if (trainedCentroids) {
+        val qvecs = quantizedVecs(emb).cache()
+        try graft.operators.Lloyd.train(spark, qvecs, k = 16, maxIters = LloydIters)
+          .centroidFrame(spark)
+        finally { qvecs.unpersist(); () }
+      } else emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val assigned = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .withColumn("c_sim", round(expr("cosine_sim(embedding, c_emb)"), 4))
@@ -1179,15 +1283,18 @@ object VectorQueries {
     * committed to transactional commit-log tables and the v14 search runs
     * entirely FROM THE RELOADED copies (the query-side LUT is recomputed
     * against the loaded codebook, as a serving process that never saw the
-    * build would). Output schema and oracle are identical to v14:
-    * persistence must be bit-exact through parquet and the log, or the
-    * hash check fails. This is the production vector-store lifecycle — a
-    * nightly build job commits the index, serving jobs snapshot-read it,
-    * and the commit-log's atomicity means a rebuild lands as one version
-    * flip, never a half-updated index. */
+    * build would). Unlike v14's sampled quantizer, the PERSISTED centroids
+    * here are LOOP-TRAINED ([[graft.operators.Lloyd.train]] to a fixpoint,
+    * integer-exact) — the real nightly index build; the oracle replays the
+    * training loop unrolled plus the identical serve. Persistence must be
+    * bit-exact through parquet and the log, or the hash check fails. This
+    * is the production vector-store lifecycle — a nightly build job
+    * commits the index, serving jobs snapshot-read it, and the
+    * commit-log's atomicity means a rebuild lands as one version flip,
+    * never a half-updated index. */
   private val v15IndexPersist: Q = (spark, dir) => {
     import java.nio.file.{Files, Paths}
-    val ix = buildIvfPq(spark, dir)
+    val ix = buildIvfPq(spark, dir, trainedCentroids = true)
     val root = Paths.get(graft.io.Sinks.scratchDir("vector_index"))
     if (Files.exists(root)) {
       Files.walk(root).sorted(java.util.Comparator.reverseOrder())
@@ -1286,7 +1393,46 @@ object VectorQueries {
     serveIvfPq(embAll, centroids, assigned, codes, lut, ix.queries)
   }
 
-  private val v14IvfpqSearchSql =
+  /** v14's coarse quantizer in SQL: the 16 lowest-id feed vectors,
+    * cosine-scored against every feed vector. Must produce `cscored`
+    * (vec_id, centroid_id, c_sim) — the one CTE the serve tail consumes. */
+  private val sampledCentroidCtes =
+    """cdots AS (
+      |  SELECT b.vec_id, a.vec_id AS centroid_id, sum(a.x * b.x) AS dot
+      |  FROM un a JOIN un b ON a.i = b.i
+      |  WHERE a.vec_id < 16
+      |  GROUP BY 1, 2),
+      |cscored AS (
+      |  SELECT d.vec_id, d.centroid_id,
+      |    round(d.dot / (sqrt(nb.n2) * sqrt(na.n2)), 4) AS c_sim
+      |  FROM cdots d
+      |  JOIN norms na ON na.vec_id = d.centroid_id
+      |  JOIN norms nb ON nb.vec_id = d.vec_id)""".stripMargin
+
+  /** v15's coarse quantizer in SQL: the Lloyd chain over the feed, final
+    * centroids served as exact `cm/1000` doubles, cosine-scored against
+    * every feed vector — same `cscored` contract as the sampled form. */
+  private val trainedCentroidCtes =
+    s"""${lloydChainSql(k = 16, iters = LloydIters, feed = "feed")},
+       |cnorms AS (
+       |  SELECT centroid_id,
+       |    sum((CAST(cm AS DOUBLE) / 1000.0) * (CAST(cm AS DOUBLE) / 1000.0)) AS cn2
+       |  FROM cent_$LloydIters GROUP BY 1),
+       |cdots AS (
+       |  SELECT b.vec_id, c.centroid_id, sum(b.x * (CAST(c.cm AS DOUBLE) / 1000.0)) AS dot
+       |  FROM un b JOIN cent_$LloydIters c ON c.dim = b.i - 1
+       |  GROUP BY 1, 2),
+       |cscored AS (
+       |  SELECT d.vec_id, d.centroid_id,
+       |    round(d.dot / (sqrt(nb.n2) * sqrt(cn.cn2)), 4) AS c_sim
+       |  FROM cdots d
+       |  JOIN cnorms cn ON cn.centroid_id = d.centroid_id
+       |  JOIN norms nb ON nb.vec_id = d.vec_id)""".stripMargin
+
+  /** The IVF+PQ serve pipeline in SQL, parameterized by the coarse-
+    * quantizer CTEs (must define `cscored`): shared by v14 (sampled),
+    * v15 (Lloyd-trained) and v16 (sampled over the extended feed). */
+  private def ivfPqServeSql(centroidCtes: String) =
     s"""WITH feed AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
@@ -1297,17 +1443,7 @@ object VectorQueries {
        |  SELECT vec_id, CAST(i.i AS INTEGER) AS i, CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE) AS x
        |  FROM feed, generate_series(1, 64) i(i)),
        |norms AS (SELECT vec_id, sum(x * x) AS n2 FROM un GROUP BY 1),
-       |cdots AS (
-       |  SELECT b.vec_id, a.vec_id AS centroid_id, sum(a.x * b.x) AS dot
-       |  FROM un a JOIN un b ON a.i = b.i
-       |  WHERE a.vec_id < 16
-       |  GROUP BY 1, 2),
-       |cscored AS (
-       |  SELECT d.vec_id, d.centroid_id,
-       |    round(d.dot / (sqrt(nb.n2) * sqrt(na.n2)), 4) AS c_sim
-       |  FROM cdots d
-       |  JOIN norms na ON na.vec_id = d.centroid_id
-       |  JOIN norms nb ON nb.vec_id = d.vec_id),
+       |$centroidCtes,
        |assigned AS (
        |  SELECT vec_id, centroid_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1382,6 +1518,9 @@ object VectorQueries {
        |FROM rer r LEFT JOIN hits h ON h.q_id = r.q_id
        |WHERE r.rnk <= 3
        |ORDER BY r.q_id, r.rnk""".stripMargin
+
+  private val v14IvfpqSearchSql = ivfPqServeSql(sampledCentroidCtes)
+  private val v15IndexPersistSql = ivfPqServeSql(trainedCentroidCtes)
 
   // ------------------------------------------------------------------ audio energy / silence windows
   /** m5: the audio half of the multimodal surface — PCM16LE payloads as
@@ -1542,6 +1681,7 @@ object VectorQueries {
     "v13_pq_adc" -> v13PqAdc,
     "v14_ivfpq_search" -> v14IvfpqSearch,
     "v15_index_persist" -> v15IndexPersist,
+    "v15b_lloyd_centroids" -> v15bLloydCentroids,
     "v16_ivf_incremental" -> v16IvfIncremental
   )
 
@@ -1569,7 +1709,8 @@ object VectorQueries {
     "m6_vad_segments" -> m6VadSegmentsSql,
     "v13_pq_adc" -> v13PqAdcSql,
     "v14_ivfpq_search" -> v14IvfpqSearchSql,
-    "v15_index_persist" -> v14IvfpqSearchSql,
+    "v15_index_persist" -> v15IndexPersistSql,
+    "v15b_lloyd_centroids" -> v15bLloydCentroidsSql,
     // the v14 twin over the union feed: a from-scratch rebuild, which the
     // incrementally maintained index must equal exactly
     "v16_ivf_incremental" -> v14IvfpqSearchSql.replace(
