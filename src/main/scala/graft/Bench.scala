@@ -126,6 +126,10 @@ object Bench {
     // name -> (retrySec, retryMax, retryLoadBefore, retryLoadAfter)
     val requeued = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double, Double, Double)]
+    // threshold in loadavg units: quiet benching sits at 1-2 on this host;
+    // the documented burst signature is 4-16 (read here so the record
+    // writer can flag retries that were THEMSELVES burst-contaminated)
+    val requeueLoad = sys.env.getOrElse("SPARK_GRAFT_REQUEUE_LOAD", "3.0").toDouble
 
     def record(done: Seq[(String, Double, Double, Double, Double)], partial: Boolean): String = {
       // effective seconds: the retry replaces the original only when BOTH
@@ -142,9 +146,16 @@ object Bench {
         "\"" + n + "\":[" + lb + "," + la + "]"
       }.mkString("{", ",", "}")
       val origByName = done.map { case (n, lo, _, _, _) => n -> lo }.toMap
+      // burst_residual: this query's RETRY ran under load above the
+      // threshold too, so even min(orig, retry) may still be inflated —
+      // the record self-describes its residual contamination instead of
+      // passing a warm-min-looking number off as quiet (round-8 example:
+      // gr2b retried at loadavg 11-14)
       val requeuedJson = requeued.map { case (n, (r, rMax, lb, la)) =>
+        val residual = requeueLoad > 0 && math.max(lb, la) > requeueLoad
         "\"" + n + "\":{\"orig\":" + origByName.getOrElse(n, -1.0) +
-          ",\"sec\":" + r + ",\"max\":" + rMax + ",\"load\":[" + lb + "," + la + "]}"
+          ",\"sec\":" + r + ",\"max\":" + rMax + ",\"load\":[" + lb + "," + la + "]" +
+          (if (residual) ",\"burst_residual\":true" else "") + "}"
       }.mkString("{", ",", "}")
       val failed = results.collect { case (k, v) if v < 0 => k }
       // a failed query is a -1 sentinel in the per-query map; it must NOT
@@ -194,10 +205,7 @@ object Bench {
     }
     // -------------------------------------------------------------- burst re-queue
     // Re-measure queries whose load stamps flagged a co-tenant burst, once,
-    // at the end of the run (the burst has usually passed). The threshold
-    // is in loadavg units: quiet benching sits at 1-2 on this host; the
-    // documented burst signature is 4-16.
-    val requeueLoad = sys.env.getOrElse("SPARK_GRAFT_REQUEUE_LOAD", "3.0").toDouble
+    // at the end of the run (the burst has usually passed).
     if (requeueLoad > 0) {
       val flagged = done.toSeq.collect {
         case (n, _, _, lb, la) if math.max(lb, la) > requeueLoad => n

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Integer-exact Lloyd k-means trainer — the index-build loop behind the
@@ -84,6 +83,13 @@ object Lloyd {
     var lastUpd = Map.empty[(Long, Int), (Long, Long)]
     var it = 0
     var converged = false
+    // NOTE on parallelism: each round is one job — narrow broadcast
+    // crossJoin + two partial-aggregating shuffles whose post-shuffle
+    // volume is k·d cells (AQE coalesces those to a handful of tasks).
+    // The assignment pass parallelism follows the INPUT partitioning, so
+    // callers size it to the corpus: a 10⁹-vector corpus keeps its full
+    // partitioning; the gate-scale tables coalesce to one partition so a
+    // round costs ~3 tasks instead of ~70 (measured 2× on the loop).
     while (it < maxIters && !converged) {
       val centDf = ids.zip(cent)
         .map { case (id, c) => (id, c.toSeq) }.toSeq
@@ -93,9 +99,16 @@ object Lloyd {
           zip_with(col("qvec"), col("cvec"),
             (a, b) => (a.cast("long") * lit(1000L) - b) * (a.cast("long") * lit(1000L) - b)),
           lit(0L), (acc, x) => acc + x))
-      val aw = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
-      val upd = dist.withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
-        .select(col("centroid_id"), posexplode(col("qvec")).as(Seq("dim", "qx")))
+      // argmin as min(struct(dist, id, vec)) — (dist, centroid_id) is a
+      // unique key so the struct order IS the deterministic tie-break,
+      // and a partial-aggregating groupBy replaces a window sort-shuffle
+      // (one fewer stage per round; the map side collapses each vector's
+      // k candidate rows before anything crosses the wire)
+      val upd = dist
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("centroid_id"), col("qvec"))).as("b"))
+        .select(col("b.centroid_id").as("centroid_id"),
+          posexplode(col("b.qvec")).as(Seq("dim", "qx")))
         .groupBy("centroid_id", "dim")
         .agg(count(lit(1)).as("n"), sum(col("qx").cast("long")).as("s"))
         .as[(Long, Int, Long, Long)].collect()

@@ -670,7 +670,9 @@ object VectorQueries {
     * all-integer loop; `LloydSpec` pins it explicitly. */
   private val v15bLloydCentroids: Q = (spark, dir) => {
     import spark.implicits._
-    val qvecs = quantizedVecs(Tables.embeddings(spark, dir)).cache()
+    // gate-scale corpus is tiny: one partition makes each Lloyd round a
+    // ~3-task job (Lloyd.train's parallelism note)
+    val qvecs = quantizedVecs(Tables.embeddings(spark, dir)).coalesce(1).cache()
     try {
       val trained = graft.operators.Lloyd.train(spark, qvecs, k = 8, maxIters = LloydIters)
       trained.rows
@@ -1180,7 +1182,7 @@ object VectorQueries {
     // IVF index build (v5/v7 semantics): best cell per vector
     val centroids =
       if (trainedCentroids) {
-        val qvecs = quantizedVecs(emb).cache()
+        val qvecs = quantizedVecs(emb).coalesce(1).cache()
         try graft.operators.Lloyd.train(spark, qvecs, k = 16, maxIters = LloydIters)
           .centroidFrame(spark)
         finally { qvecs.unpersist(); () }
