@@ -68,8 +68,14 @@ object CommitLog {
   // batch can be recognized and skipped — exactly-once streaming ingest
   private val TxnRe = """"txn"\s*:\s*"([^"]+)"""".r
   // zone-map vocabulary: an add action MAY carry the file's [lo, hi] range
-  // on the table's clustering column — {"add":"f","lo":N,"hi":N}
+  // on the table's clustering column — {"add":"f","lo":N,"hi":N} — and MAY
+  // name that column ({"add":"f","lo":N,"hi":N,"col":"x"}), which is what
+  // lets a SQL reader that only sees pushed Filters match them to the
+  // recorded ranges safely (stats on an UNNAMED column are still served
+  // for the Scala API's explicit prunedFiles(column-known-to-caller) path,
+  // but never matched against a filter by name)
   private val AddStatsRe = """"add"\s*:\s*"([^"]+)"\s*,\s*"lo"\s*:\s*(-?\d+)\s*,\s*"hi"\s*:\s*(-?\d+)""".r
+  private val AddStatsColRe = """"add"\s*:\s*"([^"]+)"\s*,\s*"lo"\s*:\s*(-?\d+)\s*,\s*"hi"\s*:\s*(-?\d+)\s*,\s*"col"\s*:\s*"([^"]+)"""".r
 
   /** Committed versions with a RETAINED commit file, ascending; empty for
     * a fresh/absent table. After [[expireLog]] this lists only the tail —
@@ -115,6 +121,9 @@ object CommitLog {
     * zone-map stats) plus the set of committed transaction ids. */
   private final class LogState {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[(Long, Long)]]
+    // file -> the column its recorded [lo, hi] range describes (only for
+    // adds that NAMED it; pruning by filter-name requires this)
+    val statsCols = scala.collection.mutable.HashMap.empty[String, String]
     val txns = scala.collection.mutable.LinkedHashSet.empty[String]
   }
 
@@ -122,8 +131,18 @@ object CommitLog {
   private def applyActions(state: LogState, text: String): Unit = {
     val stats = AddStatsRe.findAllMatchIn(text)
       .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
-    AddRe.findAllMatchIn(text).map(_.group(1)).foreach(f => state.live(f) = stats.get(f))
-    RemoveRe.findAllMatchIn(text).map(_.group(1)).foreach(state.live.remove)
+    val cols = AddStatsColRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(4)).toMap
+    AddRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
+      state.live(f) = stats.get(f)
+      cols.get(f) match {
+        case Some(c) => state.statsCols(f) = c
+        case None    => state.statsCols.remove(f) // re-add without stats forgets the old claim
+      }
+    }
+    RemoveRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
+      state.live.remove(f); state.statsCols.remove(f)
+    }
     TxnRe.findAllMatchIn(text).map(_.group(1)).foreach(state.txns += _)
   }
 
@@ -475,9 +494,35 @@ object CommitLog {
       // an empty file (range partition with no rows) gets no stats — it
       // is then never skipped, the fail-safe default
       if (r.isNullAt(0)) s"""{"add":"$f"}"""
-      else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)}}"""
+      else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$statsCol"}"""
     }
     commitRaw(table, "append", lines)
+  }
+
+  /** Zone-map stats restricted to files whose recorded range is ON
+    * `column` (the add action named it) — the only stats a reader that
+    * discovered the predicate by name (the SQL pushdown path) may use.
+    * Files with stats on another column, an unnamed column, or no stats
+    * are absent, so they are read, never skipped. */
+  def fileStatsOn(table: String, column: String,
+                  asOf: Option[Long] = None): Map[String, (Long, Long)] = {
+    val state = replay(table, asOf)
+    // case-insensitive, matching Spark's default column resolution — the
+    // SQL path hands us the schema's casing, the writer the user's
+    state.live.collect {
+      case (f, Some(s)) if state.statsCols.get(f).exists(_.equalsIgnoreCase(column)) =>
+        f -> s
+    }.toMap
+  }
+
+  /** Reads an explicit subset of a snapshot's live files (the data-skipping
+    * read: caller pruned `files` by zone maps). `files` are table-relative
+    * names as served by [[snapshotFiles]]/[[fileStatsOn]]. */
+  private[graft] def readFiles(spark: SparkSession, table: String,
+                               files: Seq[String], mergeSchema: Boolean): DataFrame = {
+    require(files.nonEmpty, s"readFiles on $table: empty file list")
+    spark.read.option("mergeSchema", mergeSchema)
+      .parquet(files.map(f => Paths.get(table, f).toString): _*)
   }
 
   /** The files a predicate `statsCol BETWEEN lo AND hi` must read: live
@@ -559,7 +604,11 @@ object CommitLog {
     val state = replay(table, Some(v))
     val lines = (s"""{"op":"checkpoint","version":$v}""" +:
       (state.live.toSeq.map {
-        case (f, Some((lo, hi))) => s"""{"add":"$f","lo":$lo,"hi":$hi}"""
+        case (f, Some((lo, hi))) =>
+          state.statsCols.get(f) match {
+            case Some(c) => s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"}"""
+            case None    => s"""{"add":"$f","lo":$lo,"hi":$hi}"""
+          }
         case (f, None)           => s"""{"add":"$f"}"""
       } ++ state.txns.toSeq.map(t => s"""{"txn":"$t"}"""))
     ).mkString("", "\n", "\n")

@@ -83,32 +83,25 @@ object Lloyd {
     var lastUpd = Map.empty[(Long, Int), (Long, Long)]
     var it = 0
     var converged = false
-    // NOTE on parallelism: each round is one job — narrow broadcast
-    // crossJoin + two partial-aggregating shuffles whose post-shuffle
-    // volume is k·d cells (AQE coalesces those to a handful of tasks).
-    // The assignment pass parallelism follows the INPUT partitioning, so
-    // callers size it to the corpus: a 10⁹-vector corpus keeps its full
-    // partitioning; the gate-scale tables coalesce to one partition so a
-    // round costs ~3 tasks instead of ~70 (measured 2× on the loop).
+    // NOTE on shape: each round is ONE narrow pass — the per-row argmin
+    // runs inside whole-stage codegen via the native
+    // [[graft.plans.NearestCentroidMilli]] expression (the centroid table
+    // rides along as k·d longs of expression state), so nothing joins and
+    // the only shuffle is the k·d-cell centroid update with map-side
+    // partials. The earlier composed form (broadcast crossJoin +
+    // interpreted HOF distance + groupBy(vec_id) argmin) re-shuffled the
+    // WHOLE CORPUS once per round — vec_id is unique, so partial
+    // aggregation collapsed nothing — which is a per-round corpus-sized
+    // exchange at 10⁹ vectors and was 3× the gate cost at bench scale.
+    // Assignment parallelism follows the input partitioning: a 10⁹-vector
+    // corpus keeps its partitioning, gate-scale tables coalesce to one.
     while (it < maxIters && !converged) {
-      val centDf = ids.zip(cent)
-        .map { case (id, c) => (id, c.toSeq) }.toSeq
-        .toDF("centroid_id", "cvec")
-      val dist = qvecs.crossJoin(broadcast(centDf))
-        .withColumn("dist", aggregate(
-          zip_with(col("qvec"), col("cvec"),
-            (a, b) => (a.cast("long") * lit(1000L) - b) * (a.cast("long") * lit(1000L) - b)),
-          lit(0L), (acc, x) => acc + x))
-      // argmin as min(struct(dist, id, vec)) — (dist, centroid_id) is a
-      // unique key so the struct order IS the deterministic tie-break,
-      // and a partial-aggregating groupBy replaces a window sort-shuffle
-      // (one fewer stage per round; the map side collapses each vector's
-      // k candidate rows before anything crosses the wire)
-      val upd = dist
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("centroid_id"), col("qvec"))).as("b"))
-        .select(col("b.centroid_id").as("centroid_id"),
-          posexplode(col("b.qvec")).as(Seq("dim", "qx")))
+      val nearest = org.apache.spark.sql.GraftSqlShim.column(
+        graft.plans.NearestCentroidMilli(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("qvec"), ids, cent))
+      val upd = qvecs
+        .select(nearest.getField("centroid_id").as("centroid_id"),
+          posexplode(col("qvec")).as(Seq("dim", "qx")))
         .groupBy("centroid_id", "dim")
         .agg(count(lit(1)).as("n"), sum(col("qx").cast("long")).as("s"))
         .as[(Long, Int, Long, Long)].collect()

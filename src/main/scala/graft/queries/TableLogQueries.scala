@@ -380,7 +380,106 @@ object TableLogQueries {
        |FROM b2
        |ORDER BY version""".stripMargin
 
+  // ------------------------------------------------------------------ tl9: SQL data skipping
+  /** tl9: zone-map data skipping on the SQL read surface — tl5's pruning,
+    * but driven by a pushed `Filter` instead of a caller who knows the
+    * clustering column. `appendClustered` now records WHICH column each
+    * file's [lo, hi] range describes, and the `graftlog` scan builder
+    * matches pushed filters against those named ranges, so a plain
+    * `spark.read.format("graftlog")...WHERE id BETWEEN a AND b` reads 1
+    * of 4 files without the user ever mentioning zone maps. The gate
+    * REQUIREs the narrowed read (the exact DataFrame the V1 bridge
+    * executes) touched exactly one file, then serves the aggregate
+    * through the real SQL surface. */
+  private val tl9SqlSkipping: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_sqlskip"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val table = root.toString
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey").cast("long").as("id"),
+        round(col("o_totalprice").cast("double"), 2).as("price"))
+    CommitLog.appendClustered(spark, orders, table, "id", buckets = 4)
+    val all = CommitLog.snapshotFiles(table)
+    require(all.length == 4, s"expected 4 clustered files, got ${all.length}")
+    // the narrowed read the scan bridge executes for WHERE id BETWEEN 0 AND 300:
+    // zone maps must shrink it to the one file whose range covers the quartile
+    import org.apache.spark.sql.{sources => f}
+    val narrowed = graft.sources.GraftLogDataSource.narrowedRead(
+      spark, table, CommitLog.currentVersion(table), mergeSchema = false,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.DoubleType))),
+      Seq(f.GreaterThanOrEqual("id", 0L), f.LessThanOrEqual("id", 300L)))
+    require(narrowed.inputFiles.length == 1,
+      s"pushed-filter zone skipping should read 1 of 4 files, got ${narrowed.inputFiles.length}")
+    spark.read.format("graftlog").load(table)
+      .filter(col("id").between(0, 300))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("price")), 2).as("total"))
+      .withColumn("files_scanned", lit(narrowed.inputFiles.length))
+      .withColumn("files_total", lit(all.length))
+  }
+
+  private val tl9SqlSkippingSql =
+    """SELECT count(*) AS n_rows,
+      |  round(CAST(sum(round(o_totalprice, 2)) AS DOUBLE), 2) AS total,
+      |  1 AS files_scanned, 4 AS files_total
+      |FROM orders WHERE o_orderkey BETWEEN 0 AND 300""".stripMargin
+
+  // ------------------------------------------------------------------ tl10: streaming read
+  /** tl10: the commit log as a Structured-Streaming SOURCE
+    * ([[graft.sources.GraftLogStreamSource]]) — offsets are log versions,
+    * each micro-batch delivers exactly one commit's files
+    * (`maxVersionsPerTrigger=1`), compaction commits deliver nothing (the
+    * stream must not re-deliver rewritten rows), and `Trigger.AvailableNow`
+    * drains the log then stops. The memory-sink contents must equal the
+    * declarative union of both appended batches even though a compact
+    * commit rewrote the table between them and the stream — exactly-once
+    * end to end on the read side. */
+  private val tl10StreamRead: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_streamread"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val table = root.resolve("table").toString
+    // two append-only batches with DISJOINT keys (an append stream carries
+    // no upsert semantics; tl3/tl8 cover those surfaces)
+    CommitLog.append(batch1(spark, dir), table)                       // v0: %3 == 0
+    CommitLog.append(batch2(spark, dir)
+      .withColumn("id", col("id") + 1), table)                        // v1: %6 == 1 — disjoint
+    CommitLog.compact(spark, table, targetFiles = 1)                  // v2: content no-op
+    spark.catalog.dropTempView("tl10_stream_sink")
+    val q = spark.readStream.format("graftlog")
+      .option("maxVersionsPerTrigger", 1)
+      .load(table)
+      .writeStream.format("memory").queryName("tl10_stream_sink")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // bounded wait: a broken source must fail the gate, not hang the suite
+    val drained = q.awaitTermination(180000L)
+    if (!drained) { q.stop(); sys.error("tl10: AvailableNow drain did not terminate in 180s") }
+    spark.table("tl10_stream_sink")
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("batch")
+  }
+
+  private val tl10StreamReadSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT id, status, price, batch FROM b1
+       |      UNION ALL SELECT id + 1 AS id, status, price, batch FROM b2)
+       |GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl9_sql_skipping" -> tl9SqlSkipping,
+    "tl10_stream_read" -> tl10StreamRead,
     "tl8_sql_write" -> tl8SqlWrite,
     "tl7_zorder_box" -> tl7ZorderBox,
     "tl6_log_checkpoint" -> tl6LogCheckpoint,
@@ -392,6 +491,8 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl9_sql_skipping" -> tl9SqlSkippingSql,
+    "tl10_stream_read" -> tl10StreamReadSql,
     "tl8_sql_write" -> tl8SqlWriteSql,
     "tl7_zorder_box" -> tl7ZorderBoxSql,
     "tl6_log_checkpoint" -> tl6LogCheckpointSql,

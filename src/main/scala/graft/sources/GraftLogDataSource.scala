@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -66,7 +66,8 @@ import graft.io.CommitLog
   * just inferred (the TOCTOU a commit landing between the two calls
   * would otherwise open).
   */
-class GraftLogDataSource extends TableProvider with DataSourceRegister {
+class GraftLogDataSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graftlog"
 
@@ -78,6 +79,44 @@ class GraftLogDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     GraftLogDataSource.consumeCached(properties)
+
+  // ------------------------------------------------------------------ streaming read
+  // `spark.readStream.format("graftlog")` reaches these through Spark's V1
+  // streaming-source fallback (the V2 table above advertises no
+  // MICRO_BATCH_READ, so `DataStreamReader` routes to the V1 provider —
+  // the same dual-surface layout the built-in file sources use).
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      GraftLogDataSource.resolveForStream(parameters).schema0))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val t = GraftLogDataSource.resolveForStream(parameters)
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    new GraftLogStreamSource(
+      ctx.sparkSession, t.path,
+      schema.getOrElse(t.schema0),
+      mergeSchema = t.mergeSchema,
+      ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean),
+      startingVersion = opts.get("startingversion").map { v =>
+        try v.trim.toLong
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"graftlog: startingVersion must be a version number, got '$v'", e)
+        }
+      }.getOrElse(0L),
+      maxVersionsPerTrigger = opts.get("maxversionspertrigger").map { v =>
+        try v.trim.toLong
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"graftlog: maxVersionsPerTrigger must be a positive count, got '$v'", e)
+        }
+      })
+  }
 }
 
 object GraftLogDataSource {
@@ -188,13 +227,91 @@ object GraftLogDataSource {
     * zero columns — the `count(*)` scan). This is a real Catalyst plan, so
     * the filter and projection reach the underlying parquet file scan as
     * `PushedFilters` / `ReadSchema` — asserted by `GraftLogDataSourceSpec`
-    * against this exact method, which is also the one `buildScan` runs. */
+    * against this exact method, which is also the one `buildScan` runs.
+    *
+    * Before the parquet scan is even planned, the pushed filters are
+    * matched against the commit log's zone maps (file-level [lo, hi]
+    * ranges recorded by [[CommitLog.appendClustered]] with the column
+    * NAMED): files whose recorded range cannot overlap the filters'
+    * implied bounds are dropped from the read entirely — Delta/Iceberg
+    * data skipping, now on the SQL surface. At 100 TB this is the
+    * difference between listing every file of a clustered table and
+    * touching only the key ranges a `WHERE k BETWEEN ...` names. Skipping
+    * only ever acts on positive evidence (named-column stats that cannot
+    * match); stats-less files, foreign-column stats, and untranslatable
+    * filter shapes are always read, and every filter is still re-applied
+    * above the scan. */
   private[graft] def narrowedRead(spark: SparkSession, path: String, version: Long,
                                   mergeSchema: Boolean, required: StructType,
                                   filters: Seq[Filter]): DataFrame = {
-    val base = CommitLog.read(spark, path, Some(version), mergeSchema)
+    val base = zonePruned(spark, path, version, mergeSchema, filters)
     val filtered = filters.flatMap(translate).foldLeft(base)((df, c) => df.filter(c))
     filtered.select(required.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+  }
+
+  /** The snapshot read with zone-map file skipping applied (or the plain
+    * snapshot when no pushed filter matches a recorded stats column). */
+  private def zonePruned(spark: SparkSession, path: String, version: Long,
+                         mergeSchema: Boolean, filters: Seq[Filter]): DataFrame = {
+    val bounds = integralBounds(filters)
+    val pruned: Option[Seq[String]] =
+      if (bounds.isEmpty) None
+      else {
+        val all = CommitLog.snapshotFiles(path, Some(version))
+        val survivors = bounds.foldLeft(all) { case (files, (colName, (lo, hi))) =>
+          val stats = CommitLog.fileStatsOn(path, colName, Some(version))
+          if (stats.isEmpty) files
+          else files.filter(f => stats.get(f) match {
+            case Some((flo, fhi)) => fhi >= lo && flo <= hi
+            case None             => true // no recorded range: never skipped
+          })
+        }
+        if (survivors.size < all.size) Some(survivors) else None
+      }
+    pruned match {
+      case Some(Nil) =>
+        // every file skipped: serve the snapshot's schema with zero rows
+        // (limit 0 folds to an empty relation — no scan is planned)
+        CommitLog.read(spark, path, Some(version), mergeSchema).limit(0)
+      case Some(fs) => CommitLog.readFiles(spark, path, fs, mergeSchema)
+      case None     => CommitLog.read(spark, path, Some(version), mergeSchema)
+    }
+  }
+
+  /** Conservative per-column [lo, hi] bounds implied by the pushed-filter
+    * conjunction, from integral literals only — the shape the zone-map
+    * vocabulary records. Any filter shape not understood contributes
+    * nothing, so unknown predicates can only cause reads, never skips.
+    * Strict comparisons keep the closed bound (`>` x prunes as `>=` x):
+    * marginally weaker pruning, no ±1 overflow edge. An impossible
+    * conjunction (lo > hi) is legitimate — no file range overlaps it. */
+  private[graft] def integralBounds(filters: Seq[Filter]): Map[String, (Long, Long)] = {
+    def lit(v: Any): Option[Long] = v match {
+      case l: java.lang.Long    => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case s: java.lang.Short   => Some(s.toLong)
+      case b: java.lang.Byte    => Some(b.toLong)
+      case _                    => None
+    }
+    def one(f: Filter): Seq[(String, (Long, Long))] = f match {
+      case sources.EqualTo(a, v)            => lit(v).map(x => a -> (x, x)).toSeq
+      case sources.GreaterThan(a, v)        => lit(v).map(x => a -> (x, Long.MaxValue)).toSeq
+      case sources.GreaterThanOrEqual(a, v) => lit(v).map(x => a -> (x, Long.MaxValue)).toSeq
+      case sources.LessThan(a, v)           => lit(v).map(x => a -> (Long.MinValue, x)).toSeq
+      case sources.LessThanOrEqual(a, v)    => lit(v).map(x => a -> (Long.MinValue, x)).toSeq
+      case sources.In(a, vs) =>
+        val ls = vs.toSeq.map(lit)
+        if (ls.nonEmpty && ls.forall(_.isDefined)) {
+          val xs = ls.flatten
+          Seq(a -> (xs.min, xs.max))
+        } else Seq.empty
+      case sources.And(l, r) => one(l) ++ one(r)
+      case _                 => Seq.empty
+    }
+    // the top-level filter array is a conjunction: intersect per column
+    filters.flatMap(one).groupBy(_._1).map { case (c, bs) =>
+      c -> bs.map(_._2).reduce((x, y) => (math.max(x._1, y._1), math.min(x._2, y._2)))
+    }
   }
 
   /** Best-effort source-filter → Column translation for parquet pushdown.
@@ -266,6 +383,22 @@ object GraftLogDataSource {
 
   def resolve(properties: util.Map[String, String]): GraftLogTable =
     resolve(optKey(properties))
+
+  /** Resolution for the STREAMING read path: the table must exist (a
+    * stream needs a schema before any data arrives — create the table
+    * with one batch write first, as with Delta), and time travel is a
+    * batch-only concept (`startingVersion` is the streaming analogue). */
+  private[sources] def resolveForStream(parameters: Map[String, String]): GraftLogTable = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    require(!opts.contains("versionasof") && !opts.contains("timestampasof"),
+      "graftlog: versionAsOf/timestampAsOf are batch read options; for a " +
+        "stream use startingVersion to choose where to begin")
+    val t = resolve(opts)
+    require(t.snapshotVersion >= 0,
+      s"graftlog: cannot stream from ${t.path} — the table has no commits " +
+        "yet (write one batch first so the stream has a schema)")
+    t
+  }
 
   /** Epoch millis, an ISO-8601 instant, or an ISO local date-time/date
     * (interpreted as UTC, the engine's session zone). */

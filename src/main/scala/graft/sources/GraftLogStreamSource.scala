@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.nio.file.NoSuchFileException
+
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.types.StructType
+
+import graft.io.CommitLog
+
+/** A commit-log version as a streaming offset. Serialized as the bare
+  * version number, so a checkpoint written by one engine build replays in
+  * any other ({{"0"}} in the offset log means "everything through commit
+  * v0 has been delivered"). */
+final case class GraftLogOffset(version: Long) extends Offset {
+  override def json: String = version.toString
+}
+
+object GraftLogOffset {
+  /** Offsets come back from the checkpoint log as `SerializedOffset`
+    * wrappers; the version is whatever `json` says either way. */
+  def versionOf(o: Offset): Long = o match {
+    case GraftLogOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+}
+
+/** Structured-Streaming SOURCE over the transactional commit log — the
+  * read-side counterpart of [[graft.io.CommitLog.streamingBatchWriter]]'s
+  * exactly-once sink, completing the log's streaming story:
+  *
+  * {{{
+  *   spark.readStream.format("graftlog").load(table)        // follow the log
+  *     .writeStream...                                      // downstream
+  * }}}
+  *
+  * Offsets ARE log versions: micro-batch N delivers exactly the files
+  * ADDED by commits in `(lastVersion, thisVersion]`, so recovery from a
+  * streaming checkpoint is replay-exact — a restarted query re-reads
+  * precisely the commits the offset log says were in flight, never a
+  * file-listing diff (the public Delta streaming-source design; contrast
+  * `FileStreamSource`, which must remember every seen FILE because a
+  * directory has no versions). At 100 TB the per-trigger driver work is
+  * O(commits in the batch), independent of table size.
+  *
+  * Commit-type semantics (mirrors the public Delta source contract):
+  *   - `append` / `txn-append` commits stream their added files.
+  *   - `compact` commits are SKIPPED entirely: a compaction rewrites
+  *     identical content into fewer files; replaying its adds would
+  *     duplicate every compacted row downstream.
+  *   - `overwrite` / `upsert` commits REMOVE files — an append-only
+  *     stream cannot express that, so the source fails loudly unless
+  *     `ignoreChanges=true`, which (as in Delta) streams just the added
+  *     files and documents that updated rows arrive again.
+  *
+  * Options: `startingVersion` (first commit to deliver; default 0 — the
+  * whole table), `maxVersionsPerTrigger` (rate limit: at most N commits
+  * per micro-batch), `ignoreChanges`, `mergeSchema`. The schema is pinned
+  * at stream start (parquet serves nulls for columns a file predates).
+  */
+final class GraftLogStreamSource(
+    spark: SparkSession,
+    path: String,
+    schema0: StructType,
+    mergeSchema: Boolean,
+    ignoreChanges: Boolean,
+    startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  require(startingVersion >= 0,
+    s"graftlog: startingVersion must be >= 0, got $startingVersion")
+  maxVersionsPerTrigger.foreach(m => require(m > 0,
+    s"graftlog: maxVersionsPerTrigger must be positive, got $m"))
+
+  override def schema: StructType = schema0
+
+  // Rate-limit cursor: the highest version this source has OFFERED as a
+  // batch end. Driver-local; after a restart it re-seeds from the first
+  // getBatch's start offset (the engine always replays the in-flight
+  // batch before asking for new offsets).
+  private var offered: Long = startingVersion - 1
+
+  // Trigger.AvailableNow contract: pin the log head ONCE at query start;
+  // the engine then keeps triggering until getOffset stops advancing, so
+  // a drain still honors maxVersionsPerTrigger batch by batch (without
+  // this trait a V1 source falls back to one giant unlimited batch).
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(CommitLog.currentVersion(path))
+
+  override def getOffset: Option[Offset] = {
+    val head = availableNowCap
+      .fold(CommitLog.currentVersion(path))(math.min(_, CommitLog.currentVersion(path)))
+    val target = maxVersionsPerTrigger match {
+      case Some(m) => math.min(head, offered + m)
+      case None    => head
+    }
+    if (target > offered) { offered = target; Some(GraftLogOffset(offered)) }
+    // nothing new: repeat the last offered version (a stable offset means
+    // an empty trigger), or None before the first deliverable commit
+    else if (offered >= startingVersion) Some(GraftLogOffset(offered))
+    else None
+  }
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): the engine
+  // calls THIS instead of getOffset for sources that declare it. The read
+  // pacing is this source's own maxVersionsPerTrigger option, so the
+  // engine-side limit stays allAvailable and `getOffset` does the work.
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    // re-seed the pacing cursor from the engine's committed offset (this
+    // is what makes restart-with-rate-limit resume from the checkpoint,
+    // not from startingVersion)
+    if (start != null) offered = math.max(offered, start.json.trim.toLong)
+    getOffset.orNull
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = GraftLogOffset.versionOf(end)
+    val startV = start.map(GraftLogOffset.versionOf).getOrElse(startingVersion - 1L)
+    offered = math.max(offered, endV) // restart re-seed (start==checkpointed offset)
+    val files = Seq.newBuilder[String]
+    var v = startV + 1
+    while (v <= endV) {
+      val c =
+        try CommitLog.readCommit(path, v)
+        catch {
+          case e: NoSuchFileException => throw new IllegalStateException(
+            s"graftlog stream on $path needs commit v$v, but it was expired " +
+              "from the retained log (expireLog ran past this stream's " +
+              "offset) — restart the stream from a fresh checkpoint", e)
+        }
+      c.op match {
+        case "compact" => // content-identical rewrite: nothing new to deliver
+        case op =>
+          if (c.remove.nonEmpty && !ignoreChanges) throw new IllegalStateException(
+            s"graftlog stream on $path hit a '$op' commit at v$v that removes " +
+              s"${c.remove.size} file(s); an append-only stream cannot express " +
+              "updates. Set option(\"ignoreChanges\", true) to stream the " +
+              "commit's added files anyway (rewritten rows will be delivered " +
+              "again, as in the public Delta source).")
+          files ++= c.add
+      }
+      v += 1
+    }
+    val batch = files.result() match {
+      case Nil => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
+      case fs =>
+        // pin the stream schema: parquet fills columns a file lacks with
+        // nulls and prunes extras, so early files read under late schemas
+        spark.read.option("mergeSchema", mergeSchema).schema(schema0)
+          .parquet(fs.map(f => java.nio.file.Paths.get(path, f).toString): _*)
+    }
+    GraftSqlShim.asStreamingBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftLogStreamSource[$path @ >=v$startingVersion]"
+}

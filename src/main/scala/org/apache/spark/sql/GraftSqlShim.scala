@@ -14,6 +14,13 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
 
+  /** Column from a custom Expression — the scalar sibling of [[ofRows]]
+    * (needed when an expression carries non-Literal state, e.g. a
+    * per-iteration centroid table, that no FunctionRegistry signature can
+    * express). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** Re-bind a materialized (localCheckpoint'd) DataFrame to its RDD through
     * a fresh LogicalRDD that carries NO inherited statistics or constraints.
     *
@@ -29,5 +36,16 @@ object GraftSqlShim {
     val session = ds.sparkSession
     ofRows(session, org.apache.spark.sql.execution.LogicalRDD(
       ds.queryExecution.analyzed.output, ds.queryExecution.toRdd)(session))
+  }
+
+  /** Re-flag a batch DataFrame as a STREAMING one — what a V1
+    * `Source.getBatch` must return (`MicroBatchExecution` asserts
+    * `isStreaming`; Spark's own `FileStreamSource` builds its batches with
+    * exactly this `internalCreateDataFrame(rdd, schema, isStreaming =
+    * true)` call, which is `private[sql]` and hence lives in this shim). */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[ClassicDataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
 }

@@ -26,9 +26,7 @@ class AqeSkewJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    withConf(confs: _*) {
       val pad = "x" * 120
       // one hot key (0) carrying ~20k padded rows >> threshold; a tail of
       // 50 cold keys; the dim side is uniform
@@ -48,9 +46,6 @@ class AqeSkewJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(smj.nonEmpty, s"expected a SortMergeJoin, got:\n${joined.queryExecution.executedPlan}")
       assert(smj.exists(_.isSkewJoin),
         s"AQE should have marked the join skew-split (isSkewJoin), got:\n${joined.queryExecution.executedPlan}")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 }

@@ -10,7 +10,7 @@ class BucketingSpec extends SparkSpec {
 
   test("bucketed join avoids shuffle exchanges on both sides") {
     // AQE rewrites small joins to broadcast, which would hide the point
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> -1) {
     try {
       val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
@@ -44,7 +44,7 @@ class BucketingSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    }
     }
   }
 }

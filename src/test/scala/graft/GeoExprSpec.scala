@@ -55,9 +55,7 @@ class GeoExprSpec extends SparkSpec {
     // factoryMode=CODEGEN_ONLY makes a compile failure throw instead.
     // Four stacked calls in one projection mirrors d4_image_chars' shape.
     GeoFunctions.register(spark)
-    val orig = spark.conf.get("spark.sql.codegen.factoryMode")
-    try {
-      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    withConf("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
       import spark.implicits._
       val out = Seq((300000.0, 3600000.0, 305000.0, 3595000.0))
         .toDF("e1", "n1", "e2", "n2")
@@ -67,7 +65,7 @@ class GeoExprSpec extends SparkSpec {
         .collect().head
       val (lat1, lon1) = GeoPortable.inverse(300000.0, 3600000.0, 16)
       assert(out.getDouble(0) == lat1 && out.getDouble(1) == lon1)
-    } finally spark.conf.set("spark.sql.codegen.factoryMode", orig)
+    }
   }
 
   test("udf path and native path agree bit-for-bit") {

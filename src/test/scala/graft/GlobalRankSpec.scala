@@ -60,18 +60,13 @@ class GlobalRankSpec extends SparkSpec {
   test("ranks are identical across shuffle partition counts") {
     // a cluster resize must not change any rank: boundaries move, the
     // offsets move with them, the global order does not
-    val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def ranked(): Seq[(Long, Long)] =
       GlobalRank.withGlobalRowNumber(orders, Seq(col("o_orderdate"), col("o_orderkey")), "rn")
         .select("o_orderkey", "rn").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "3")
-      val a = ranked()
-      spark.conf.set("spark.sql.shuffle.partitions", "13")
-      val b = ranked()
-      assert(a == b)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+    val a = withConf("spark.sql.shuffle.partitions" -> 3)(ranked())
+    val b = withConf("spark.sql.shuffle.partitions" -> 13)(ranked())
+    assert(a == b)
   }
 
   test("offsets and data branches share one range exchange at runtime") {

@@ -140,6 +140,68 @@ class GraftLogDataSourceSpec extends SparkSpec {
     assert(spark.read.format("graftlog").load(t).count() == 100L)
   }
 
+  test("zone maps skip files for pushed range filters; only on positive evidence") {
+    val t = freshTable("zoneskip")
+    // 4 clustered files over k = 0..99, each covering one quartile, with
+    // the clustering column NAMED in the add actions
+    CommitLog.appendClustered(spark,
+      (0L to 99L).map(i => (i, s"v$i")).toDF("k", "v"), t, "k", buckets = 4)
+    assert(CommitLog.snapshotFiles(t).length == 4)
+
+    def narrowed(filters: org.apache.spark.sql.sources.Filter*) =
+      graft.sources.GraftLogDataSource.narrowedRead(
+        spark, t, CommitLog.currentVersion(t), mergeSchema = false,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))),
+        filters.toIndexedSeq)
+
+    import org.apache.spark.sql.{sources => f}
+    // a one-quartile range reads one file; the result is still exact
+    val oneQ = narrowed(f.GreaterThanOrEqual("k", 10L), f.LessThanOrEqual("k", 20L))
+    assert(oneQ.inputFiles.length == 1,
+      s"BETWEEN inside one quartile must read 1 of 4 files, got ${oneQ.inputFiles.length}")
+    assert(oneQ.filter($"k".between(10, 20)).count() == 11L)
+
+    // equality hits one file; an impossible conjunction reads none
+    assert(narrowed(f.EqualTo("k", 50L)).inputFiles.length == 1)
+    val none = narrowed(f.GreaterThanOrEqual("k", 60L), f.LessThanOrEqual("k", 10L))
+    assert(none.inputFiles.isEmpty && none.count() == 0L,
+      "lo > hi overlaps no file range: empty relation, zero files")
+
+    // the END-TO-END SQL surface prunes too, and answers exactly
+    val viaSql = spark.read.format("graftlog").load(t).filter($"k".between(10, 20))
+    assert(viaSql.count() == 11L)
+    assert(viaSql.orderBy("k").collect().map(_.getLong(0)).toSeq == (10L to 20L))
+
+    // NEGATIVE evidence is never acted on: filters on a column with no
+    // recorded stats read everything
+    assert(narrowed(f.EqualTo("v", "v5")).inputFiles.length == 4,
+      "stats are on k; a filter on v must not skip files")
+    // a case difference in the filter name still matches (Spark default
+    // resolution is case-insensitive)
+    assert(narrowed(f.EqualTo("K", 50L)).inputFiles.length == 1)
+
+    // a checkpoint preserves the named-column stats (the summary re-emits
+    // the col vocabulary)
+    CommitLog.checkpoint(t)
+    assert(narrowed(f.EqualTo("k", 50L)).inputFiles.length == 1,
+      "zone-map column names must survive a log checkpoint")
+
+    // a plain append (no stats) adds a file that is ALWAYS read
+    CommitLog.append(Seq((200L, "x")).toDF("k", "v"), t)
+    val after = narrowed(f.EqualTo("k", 50L))
+    assert(after.inputFiles.length == 2,
+      s"stats-less files must never be skipped, got ${after.inputFiles.length}")
+    // and time travel back to the pre-append version prunes as before
+    val back = graft.sources.GraftLogDataSource.narrowedRead(
+      spark, t, 0L, mergeSchema = false,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))),
+      Seq(f.EqualTo("k", 50L)))
+    assert(back.inputFiles.length == 1)
+  }
+
   test("write path: append and overwrite land as commit-log transactions") {
     import org.apache.spark.sql.SaveMode
     val t = freshTable("write")
@@ -201,5 +263,28 @@ class GraftLogDataSourceSpec extends SparkSpec {
       spark.read.format("graftlog").option("versionAsOf", 99).load(t)
     }
     assert(gone.getMessage.contains("does not exist"))
+
+    // unparseable time-travel options must name the option and accepted
+    // forms, not leak a raw NumberFormatException/DateTimeParseException
+    val badTs = intercept[IllegalArgumentException] {
+      spark.read.format("graftlog").option("timestampAsOf", "not-a-time").load(t)
+    }
+    assert(badTs.getMessage.contains("timestampAsOf"), badTs.getMessage)
+    val emptyTs = intercept[IllegalArgumentException] {
+      spark.read.format("graftlog").option("timestampAsOf", "").load(t)
+    }
+    assert(emptyTs.getMessage.contains("timestampAsOf"), emptyTs.getMessage)
+    val badV = intercept[IllegalArgumentException] {
+      spark.read.format("graftlog").option("versionAsOf", "one").load(t)
+    }
+    assert(badV.getMessage.contains("versionAsOf"), badV.getMessage)
+
+    // reading a table that has never been written fails at analysis, and
+    // names the missing commits rather than an NPE/empty scan
+    val empty = freshTable("nevercommitted")
+    val noTable = intercept[Exception] {
+      spark.read.format("graftlog").load(empty).collect()
+    }
+    assert(noTable.getMessage.contains("no"), noTable.getMessage)
   }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.io.CommitLog
+
+/** The commit log as a Structured-Streaming SOURCE
+  * ([[graft.sources.GraftLogStreamSource]]): offsets are log versions,
+  * batches deliver exactly the committed files, compactions deliver
+  * nothing, update commits fail loudly without `ignoreChanges`, rate
+  * limiting bounds commits per trigger, and a checkpointed restart
+  * resumes exactly where the offset log says — never re-delivering. */
+class GraftLogStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): java.nio.file.Path = {
+    val root = Paths.get(graft.io.Sinks.scratchDir(s"graftlog_stream_$name"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(root)
+    root
+  }
+
+  /** Drains the table through an AvailableNow query into a memory sink;
+    * returns the collected (id, v) rows. */
+  private def drain(table: String, sink: String, ckpt: String,
+                    extraOpts: Map[String, String] = Map.empty): Seq[(Long, String)] = {
+    spark.catalog.dropTempView(sink)
+    val reader = spark.readStream.format("graftlog")
+    extraOpts.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(table)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000L), "AvailableNow drain timed out")
+    spark.table(sink).collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+  }
+
+  test("appends stream in; compaction delivers nothing; offsets are versions") {
+    val root = freshDir("basic")
+    val t = root.resolve("t").toString
+    CommitLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)   // v0
+    CommitLog.append(Seq((3L, "c")).toDF("id", "v"), t)              // v1
+    assert(CommitLog.compact(spark, t, targetFiles = 1).nonEmpty)    // v2: no-op content
+
+    val got = drain(t, "gl_stream_basic", root.resolve("ckpt").toString)
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"compaction must not re-deliver rewritten rows, got $got")
+  }
+
+  test("maxVersionsPerTrigger rate-limits to one commit per batch") {
+    val root = freshDir("rate")
+    val t = root.resolve("t").toString
+    (0 until 3).foreach(i => CommitLog.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), t))
+
+    spark.catalog.dropTempView("gl_stream_rate")
+    val q = spark.readStream.format("graftlog")
+      .option("maxVersionsPerTrigger", 1)
+      .load(t)
+      .writeStream.format("memory").queryName("gl_stream_rate")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000L))
+    assert(spark.table("gl_stream_rate").count() == 3L)
+    // one commit (one row) per non-empty batch — visible in the progress log
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3,
+      s"3 commits at 1/trigger should be 3 batches, got ${batches.map(_.numInputRows).mkString(",")}")
+    assert(batches.forall(_.numInputRows == 1L))
+  }
+
+  test("checkpointed restart resumes at the committed offset, exactly once") {
+    val root = freshDir("restart")
+    val t = root.resolve("t").toString
+    val ckpt = root.resolve("ckpt").toString
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recovery-capable sink a real pipeline restart uses
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def drainForeach(): Seq[(Long, String)] = {
+      delivered.clear()
+      val q = spark.readStream.format("graftlog").load(t)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => delivered.add((r.getLong(0), r.getString(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000L), "AvailableNow drain timed out")
+      delivered.iterator().asScala.toSeq.sorted
+    }
+
+    CommitLog.append(Seq((1L, "a")).toDF("id", "v"), t)
+    assert(drainForeach() == Seq((1L, "a")))
+
+    // more commits AFTER the first drain; the restarted query (same
+    // checkpoint) must deliver ONLY them
+    CommitLog.append(Seq((2L, "b")).toDF("id", "v"), t)
+    CommitLog.append(Seq((3L, "c")).toDF("id", "v"), t)
+    val second = drainForeach()
+    assert(second == Seq((2L, "b"), (3L, "c")),
+      s"restart must resume at the checkpointed offset, never re-deliver: $second")
+  }
+
+  test("startingVersion begins mid-log") {
+    val root = freshDir("startv")
+    val t = root.resolve("t").toString
+    CommitLog.append(Seq((1L, "old")).toDF("id", "v"), t)   // v0
+    CommitLog.append(Seq((2L, "new")).toDF("id", "v"), t)   // v1
+    val got = drain(t, "gl_stream_sv", root.resolve("ckpt").toString,
+      Map("startingVersion" -> "1"))
+    assert(got == Seq((2L, "new")), s"startingVersion=1 must skip v0, got $got")
+  }
+
+  test("update commits fail loudly; ignoreChanges streams their adds") {
+    val root = freshDir("changes")
+    val t = root.resolve("t").toString
+    CommitLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)        // v0
+    CommitLog.upsert(spark, Seq((2L, "B")).toDF("id", "v"), t, Seq("id")) // v1: removes
+
+    spark.catalog.dropTempView("gl_stream_ch")
+    val q = spark.readStream.format("graftlog").load(t)
+      .writeStream.format("memory").queryName("gl_stream_ch")
+      .option("checkpointLocation", root.resolve("ckpt1").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000L); ()
+    }
+    assert(failed.getMessage.contains("ignoreChanges"),
+      s"an upsert commit must name the escape hatch: ${failed.getMessage}")
+
+    // with ignoreChanges the stream delivers the rewritten file's rows
+    val got = drain(t, "gl_stream_ch2", root.resolve("ckpt2").toString,
+      Map("ignoreChanges" -> "true"))
+    assert(got.contains((2L, "B")), s"ignoreChanges must stream the upsert's adds: $got")
+  }
+
+  test("streaming misuse fails at analysis") {
+    val root = freshDir("errs")
+    val t = root.resolve("t").toString
+
+    // a never-written table has no schema to stream
+    val noTable = intercept[Exception] {
+      spark.readStream.format("graftlog").load(t)
+    }
+    assert(noTable.getMessage.contains("no commits"), noTable.getMessage)
+
+    CommitLog.append(Seq((1L, "a")).toDF("id", "v"), t)
+    // time travel is a batch concept
+    val tt = intercept[Exception] {
+      spark.readStream.format("graftlog").option("versionAsOf", 0).load(t)
+    }
+    assert(tt.getMessage.contains("startingVersion"), tt.getMessage)
+  }
+}

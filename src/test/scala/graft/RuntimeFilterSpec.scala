@@ -8,18 +8,12 @@ import org.apache.spark.sql.functions._
 class RuntimeFilterSpec extends SparkSpec {
 
   test("selective dim join injects a runtime bloom filter on the fact side") {
-    val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.autoBroadcastJoinThreshold"
-    ).map(k => k -> conf.getOption(k))
-    try {
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  // force shuffle join
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"  // force shuffle join
+    ) {
       val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
       val orders = spark.read.parquet(s"$sf0001/orders.parquet")
         .filter(col("o_orderpriority") === "1-URGENT")
@@ -29,8 +23,6 @@ class RuntimeFilterSpec extends SparkSpec {
       assert(plan.contains("bloom_filter") || plan.contains("might_contain"),
         s"no runtime bloom filter injected:\n$plan")
       assert(joined.count() > 0)
-    } finally saved.foreach { case (k, v) =>
-      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
     }
   }
 }

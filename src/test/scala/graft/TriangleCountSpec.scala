@@ -67,15 +67,13 @@ class TriangleCountSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // 19 edges * 48 B/edge = 912 B estimate
       assert(TriangleCount.adjacencyBytesEstimate(e) == 48L * e)
 
-      val wide = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      try {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1 << 20).toString)
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> (1 << 20)) {
         val under = TriangleCount.sizeGatedCount(spark, edges)
         assert(under.queryExecution.executedPlan.toString.contains("Broadcast"),
           "under the threshold the gate must pick the broadcast form")
         assert(under.as[Long].head() == expected)
-
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "128")
+      }
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> 128) {
         val over = TriangleCount.sizeGatedCount(spark, edges)
         over.collect()
         val bc = collectWithSubqueries(over.queryExecution.executedPlan) {
@@ -83,7 +81,7 @@ class TriangleCountSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         }
         assert(bc.isEmpty, "beyond the threshold the gate must pick the shuffled form")
         assert(over.as[Long].head() == expected)
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", wide)
+      }
     } finally edges.unpersist()
   }
 }
