@@ -76,6 +76,11 @@ object CommitLog {
   // but never matched against a filter by name)
   private val AddStatsRe = """"add"\s*:\s*"([^"]+)"\s*,\s*"lo"\s*:\s*(-?\d+)\s*,\s*"hi"\s*:\s*(-?\d+)""".r
   private val AddStatsColRe = """"add"\s*:\s*"([^"]+)"\s*,\s*"lo"\s*:\s*(-?\d+)\s*,\s*"hi"\s*:\s*(-?\d+)\s*,\s*"col"\s*:\s*"([^"]+)"""".r
+  // row-count vocabulary: an add MAY record its file's footer row count
+  // (trailing, after any zone-map fields) — what makes count(*) a
+  // metadata-only answer. One action per line, so [^\n]*? cannot leak
+  // a neighbor's fields into the match.
+  private val AddRowsRe = """"add"\s*:\s*"([^"]+)"[^\n]*?"rows"\s*:\s*(\d+)""".r
 
   /** Committed versions with a RETAINED commit file, ascending; empty for
     * a fresh/absent table. After [[expireLog]] this lists only the tail —
@@ -124,6 +129,8 @@ object CommitLog {
     // file -> the column its recorded [lo, hi] range describes (only for
     // adds that NAMED it; pruning by filter-name requires this)
     val statsCols = scala.collection.mutable.HashMap.empty[String, String]
+    // file -> footer row count, when the add recorded it
+    val rowCounts = scala.collection.mutable.HashMap.empty[String, Long]
     val txns = scala.collection.mutable.LinkedHashSet.empty[String]
   }
 
@@ -133,15 +140,21 @@ object CommitLog {
       .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
     val cols = AddStatsColRe.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(4)).toMap
+    val rows = AddRowsRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
     AddRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
       state.live(f) = stats.get(f)
       cols.get(f) match {
         case Some(c) => state.statsCols(f) = c
         case None    => state.statsCols.remove(f) // re-add without stats forgets the old claim
       }
+      rows.get(f) match {
+        case Some(n) => state.rowCounts(f) = n
+        case None    => state.rowCounts.remove(f)
+      }
     }
     RemoveRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
-      state.live.remove(f); state.statsCols.remove(f)
+      state.live.remove(f); state.statsCols.remove(f); state.rowCounts.remove(f)
     }
     TxnRe.findAllMatchIn(text).map(_.group(1)).foreach(state.txns += _)
   }
@@ -243,6 +256,26 @@ object CommitLog {
     named
   }
 
+  /** `{"add":f,"rows":N}` — every data commit records its file's footer
+    * row count (ONE driver-side footer read per added file, a few KB of
+    * IO), which is what makes [[snapshotRowCount]] a metadata-only
+    * answer at any table size. A failed footer read degrades to a
+    * count-less add — the metadata count is then undefined, never wrong. */
+  private def addAction(table: String, f: String): String =
+    footerRowCount(table, f) match {
+      case Some(n) => s"""{"add":"$f","rows":$n}"""
+      case None    => s"""{"add":"$f"}"""
+    }
+
+  /** Row count from the parquet footer alone (no data pages touched). */
+  def footerRowCount(table: String, f: String): Option[Long] =
+    try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        new org.apache.hadoop.conf.Configuration(),
+        new org.apache.hadoop.fs.Path(Paths.get(table, f).toUri))
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Claims the next version with an atomic no-overwrite rename; retries
     * on collision (another writer won that version). Returns the version
     * the commit landed at. */
@@ -250,7 +283,7 @@ object CommitLog {
                      add: Seq[String], remove: Seq[String],
                      expectedTip: Option[Long] = None): Long =
     commitRaw(table, op,
-      add.map(f => s"""{"add":"$f"}""") ++ remove.map(f => s"""{"remove":"$f"}"""),
+      add.map(f => addAction(table, f)) ++ remove.map(f => s"""{"remove":"$f"}"""),
       expectedTip)
 
   /** Lands the actions at the next version. `expectedTip`: the log tip the
@@ -369,7 +402,7 @@ object CommitLog {
       else {
         val added = stage(df, table)
         try Some(commitRaw(table, "txn-append",
-          added.map(f => s"""{"add":"$f"}""") :+ s"""{"txn":"$txnId"}""", Some(tip)))
+          added.map(f => addAction(table, f)) :+ s"""{"txn":"$txnId"}""", Some(tip)))
         catch {
           case e: java.util.ConcurrentModificationException =>
             unstage(table, added); throw e
@@ -493,8 +526,9 @@ object CommitLog {
         .agg(fmin(col(statsCol)), fmax(col(statsCol))).head()
       // an empty file (range partition with no rows) gets no stats — it
       // is then never skipped, the fail-safe default
-      if (r.isNullAt(0)) s"""{"add":"$f"}"""
-      else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$statsCol"}"""
+      val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""")
+      if (r.isNullAt(0)) s"""{"add":"$f"$rowsSuffix}"""
+      else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$statsCol"$rowsSuffix}"""
     }
     commitRaw(table, "append", lines)
   }
@@ -513,6 +547,43 @@ object CommitLog {
       case (f, Some(s)) if state.statsCols.get(f).exists(_.equalsIgnoreCase(column)) =>
         f -> s
     }.toMap
+  }
+
+  /** Metadata-only `count(*)`: the snapshot's total rows summed from the
+    * per-file footer counts the add actions recorded — `Some(total)` iff
+    * EVERY live file carries one (a single file without a count makes the
+    * answer undefined, never wrong). One driver-side log replay, zero data
+    * or footer reads: at 100 TB this answers in milliseconds what a scan
+    * answers in minutes (the public Delta/Iceberg metadata-count
+    * optimization). Counts survive checkpoints and are dropped with their
+    * file on remove/rewrite — a compaction's new files get fresh counts
+    * from their own footers, so the sum is invariant. */
+  def snapshotRowCount(table: String, asOf: Option[Long] = None): Option[Long] = {
+    val state = replay(table, asOf)
+    val files = state.live.keys.toSeq
+    if (files.forall(state.rowCounts.contains))
+      Some(files.map(state.rowCounts).sum)
+    else None
+  }
+
+  /** Metadata-only `min(col)`/`max(col)`: exact when EVERY live file
+    * recorded a zone range ON `column` and none of them is empty — the
+    * per-file [lo, hi] are true minima/maxima, so their fold is the
+    * table's. Undefined (None) otherwise: a stats-less or foreign-column
+    * file could hide the true extreme. Same replay cost as
+    * [[snapshotRowCount]] — milliseconds at any table size. */
+  def snapshotMinMax(table: String, column: String,
+                     asOf: Option[Long] = None): Option[(Long, Long)] = {
+    val state = replay(table, asOf)
+    val files = state.live.keys.toSeq
+    val covered = files.forall { f =>
+      state.live(f).isDefined && state.statsCols.get(f).exists(_.equalsIgnoreCase(column)) &&
+        state.rowCounts.get(f).forall(_ > 0L)
+    }
+    if (files.nonEmpty && covered) {
+      val ranges = files.map(f => state.live(f).get)
+      Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    } else None
   }
 
   /** Reads an explicit subset of a snapshot's live files (the data-skipping
@@ -603,13 +674,14 @@ object CommitLog {
     require(v >= 0, s"cannot checkpoint $table: no commits")
     val state = replay(table, Some(v))
     val lines = (s"""{"op":"checkpoint","version":$v}""" +:
-      (state.live.toSeq.map {
-        case (f, Some((lo, hi))) =>
-          state.statsCols.get(f) match {
-            case Some(c) => s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"}"""
-            case None    => s"""{"add":"$f","lo":$lo,"hi":$hi}"""
-          }
-        case (f, None)           => s"""{"add":"$f"}"""
+      (state.live.toSeq.map { case (f, stats) =>
+        val rows = state.rowCounts.get(f).fold("")(n => s""","rows":$n""")
+        (stats, state.statsCols.get(f)) match {
+          case (Some((lo, hi)), Some(c)) =>
+            s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"$rows}"""
+          case (Some((lo, hi)), None) => s"""{"add":"$f","lo":$lo,"hi":$hi$rows}"""
+          case _                      => s"""{"add":"$f"$rows}"""
+        }
       } ++ state.txns.toSeq.map(t => s"""{"txn":"$t"}"""))
     ).mkString("", "\n", "\n")
     val tmp = logDir(table).resolve(s".tmp-ckpt-${java.util.UUID.randomUUID()}")

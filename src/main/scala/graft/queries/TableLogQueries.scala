@@ -477,9 +477,54 @@ object TableLogQueries {
        |      UNION ALL SELECT id + 1 AS id, status, price, batch FROM b2)
        |GROUP BY batch ORDER BY batch""".stripMargin
 
+  // ------------------------------------------------------------------ tl11: metadata-only count
+  /** tl11: `count(*)` answered from the LOG, not the data — every add
+    * action records its file's parquet-footer row count, so the
+    * snapshot's total is one driver-side log replay
+    * ([[CommitLog.snapshotRowCount]]): milliseconds at any table size,
+    * where a scan is minutes at 100 TB (the public Delta/Iceberg
+    * metadata-count optimization). The gate builds a table through every
+    * add path that matters (append, rewriting upsert, compaction), takes
+    * the CURRENT and the TIME-TRAVELED metadata counts — REQUIREd to be
+    * defined, i.e. every path recorded counts — and serves them alongside
+    * the actual scan counts; the oracle recomputes both from the batch
+    * definitions, so a drifting metadata sum hash-fails. */
+  private val tl11MetadataCount: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_metacount"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val table = root.toString
+    CommitLog.append(batch1(spark, dir), table)                      // v0
+    CommitLog.upsert(spark, batch2(spark, dir), table, Seq("id"))    // v1: rewrite
+    CommitLog.compact(spark, table, targetFiles = 2)                 // v2: count-invariant
+    val metaNow = CommitLog.snapshotRowCount(table)
+    val metaV0 = CommitLog.snapshotRowCount(table, Some(0L))
+    require(metaNow.nonEmpty && metaV0.nonEmpty,
+      "append/upsert/compact must all record footer row counts")
+    def leg(version: Int, meta: Long, scanned: DataFrame): DataFrame =
+      scanned.agg(count(lit(1)).as("n_scan"))
+        .select(lit(version).as("version"), lit(meta).as("n_meta"), col("n_scan"))
+    leg(0, metaV0.get,
+        spark.read.format("graftlog").option("versionAsOf", 0).load(table))
+      .unionByName(leg(2, metaNow.get, spark.read.format("graftlog").load(table)))
+      .orderBy("version")
+  }
+
+  private val tl11MetadataCountSql =
+    s"""WITH $batchesSql
+       |SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_meta,
+       |  CAST(count(*) AS BIGINT) AS n_scan FROM b1
+       |UNION ALL
+       |SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n_meta,
+       |  CAST(count(*) AS BIGINT) AS n_scan FROM merged
+       |ORDER BY version""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tl9_sql_skipping" -> tl9SqlSkipping,
     "tl10_stream_read" -> tl10StreamRead,
+    "tl11_metadata_count" -> tl11MetadataCount,
     "tl8_sql_write" -> tl8SqlWrite,
     "tl7_zorder_box" -> tl7ZorderBox,
     "tl6_log_checkpoint" -> tl6LogCheckpoint,
@@ -493,6 +538,7 @@ object TableLogQueries {
   val oracle: Map[String, String] = Map(
     "tl9_sql_skipping" -> tl9SqlSkippingSql,
     "tl10_stream_read" -> tl10StreamReadSql,
+    "tl11_metadata_count" -> tl11MetadataCountSql,
     "tl8_sql_write" -> tl8SqlWriteSql,
     "tl7_zorder_box" -> tl7ZorderBoxSql,
     "tl6_log_checkpoint" -> tl6LogCheckpointSql,

@@ -3,6 +3,8 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.io.CommitLog
@@ -346,5 +348,64 @@ class CommitLogSpec extends SparkSpec {
     // the present still resolves
     assert(CommitLog.readAsOfTimestamp(spark, t, System.currentTimeMillis())
       .count() == 4L)
+  }
+
+  test("metadata-only count: every add path records footer rows; absence degrades to undefined") {
+    val t = freshTable("metacount")
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t)             // v0
+    assert(CommitLog.snapshotRowCount(t).contains(3L))
+
+    CommitLog.txnAppend(df(4L -> "d"), t, "mc-batch-1")                  // v1
+    assert(CommitLog.snapshotRowCount(t).contains(4L))
+
+    CommitLog.upsert(spark, df(2L -> "B", 5L -> "e"), t, Seq("id"))      // v2: rewrite
+    assert(CommitLog.snapshotRowCount(t).contains(5L),
+      "a rewriting upsert's new files must carry fresh counts")
+    // time travel: the metadata count is per-version
+    assert(CommitLog.snapshotRowCount(t, Some(0L)).contains(3L))
+
+    CommitLog.compact(spark, t, targetFiles = 1)                         // v3
+    assert(CommitLog.snapshotRowCount(t).contains(5L),
+      "compaction must leave the metadata count invariant")
+
+    CommitLog.checkpoint(t)
+    assert(CommitLog.snapshotRowCount(t).contains(5L),
+      "counts must survive the checkpoint summary")
+
+    // the metadata count always equals the scan
+    assert(CommitLog.read(spark, t).count() == 5L)
+
+    // a commit written by an older writer (no "rows" field) makes the
+    // count undefined — never wrong. Handcraft one exactly as the old
+    // vocabulary would: stage a real parquet file, add it count-less.
+    val staged = CommitLog.read(spark, t).limit(1)
+    staged.write.parquet(Paths.get(t, ".oldwriter").toString)
+    val part = Files.list(Paths.get(t, ".oldwriter")).iterator().asScala
+      .map(_.getFileName.toString).find(_.endsWith(".parquet")).get
+    Files.move(Paths.get(t, ".oldwriter", part), Paths.get(t, part))
+    val v = CommitLog.currentVersion(t) + 1
+    Files.write(Paths.get(t, "_log", f"$v%012d.json"),
+      s"""{"op":"append"}\n{"add":"$part"}\n""".getBytes("UTF-8"))
+    assert(CommitLog.snapshotRowCount(t).isEmpty,
+      "one count-less live file must make the metadata count undefined")
+    assert(CommitLog.read(spark, t).count() == 6L, "the scan still answers")
+    // and the PRE-mixed version still counts from metadata
+    assert(CommitLog.snapshotRowCount(t, Some(v - 1)).contains(5L))
+  }
+
+  test("metadata-only min/max: exact from full zone coverage, undefined otherwise") {
+    import spark.implicits._
+    val t = freshTable("metaminmax")
+    CommitLog.appendClustered(spark,
+      (5L to 104L).map(i => (i, s"v$i")).toDF("k", "v"), t, "k", buckets = 4)
+    assert(CommitLog.snapshotMinMax(t, "k").contains((5L, 104L)))
+    assert(CommitLog.snapshotMinMax(t, "K").contains((5L, 104L)), "case-insensitive")
+    assert(CommitLog.snapshotMinMax(t, "v").isEmpty, "stats are on k, not v")
+    // a stats-less append makes the answer undefined — never wrong
+    CommitLog.append(df(999L -> "x").select(col("id").as("k"), col("v")), t)
+    assert(CommitLog.snapshotMinMax(t, "k").isEmpty,
+      "a file without a recorded range could hide the true extreme")
+    // time travel back to full coverage still answers
+    assert(CommitLog.snapshotMinMax(t, "k", Some(0L)).contains((5L, 104L)))
   }
 }
