@@ -81,6 +81,11 @@ object CommitLog {
   // metadata-only answer. One action per line, so [^\n]*? cannot leak
   // a neighbor's fields into the match.
   private val AddRowsRe = """"add"\s*:\s*"([^"]+)"[^\n]*?"rows"\s*:\s*(\d+)""".r
+  // on-disk size vocabulary: an add MAY record its file's byte size —
+  // what lets a SQL reader's Scan report real table statistics to
+  // Catalyst (auto-broadcast of small snapshots) without touching the
+  // filesystem at planning time
+  private val AddBytesRe = """"add"\s*:\s*"([^"]+)"[^\n]*?"bytes"\s*:\s*(\d+)""".r
 
   /** Committed versions with a RETAINED commit file, ascending; empty for
     * a fresh/absent table. After [[expireLog]] this lists only the tail —
@@ -131,6 +136,8 @@ object CommitLog {
     val statsCols = scala.collection.mutable.HashMap.empty[String, String]
     // file -> footer row count, when the add recorded it
     val rowCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    // file -> on-disk byte size, when the add recorded it
+    val fileBytes = scala.collection.mutable.HashMap.empty[String, Long]
     val txns = scala.collection.mutable.LinkedHashSet.empty[String]
   }
 
@@ -142,6 +149,8 @@ object CommitLog {
       .map(m => m.group(1) -> m.group(4)).toMap
     val rows = AddRowsRe.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val bytes = AddBytesRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
     AddRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
       state.live(f) = stats.get(f)
       cols.get(f) match {
@@ -152,9 +161,14 @@ object CommitLog {
         case Some(n) => state.rowCounts(f) = n
         case None    => state.rowCounts.remove(f)
       }
+      bytes.get(f) match {
+        case Some(n) => state.fileBytes(f) = n
+        case None    => state.fileBytes.remove(f)
+      }
     }
     RemoveRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
-      state.live.remove(f); state.statsCols.remove(f); state.rowCounts.remove(f)
+      state.live.remove(f); state.statsCols.remove(f)
+      state.rowCounts.remove(f); state.fileBytes.remove(f)
     }
     TxnRe.findAllMatchIn(text).map(_.group(1)).foreach(state.txns += _)
   }
@@ -256,23 +270,32 @@ object CommitLog {
     named
   }
 
-  /** `{"add":f,"rows":N}` — every data commit records its file's footer
-    * row count (ONE driver-side footer read per added file, a few KB of
-    * IO), which is what makes [[snapshotRowCount]] a metadata-only
-    * answer at any table size. A failed footer read degrades to a
-    * count-less add — the metadata count is then undefined, never wrong. */
-  private def addAction(table: String, f: String): String =
+  /** `{"add":f,"rows":N,"bytes":M}` — every data commit records its
+    * file's footer row count (ONE driver-side footer read per added file,
+    * a few KB of IO) and on-disk byte size (one stat), which is what makes
+    * [[snapshotRowCount]] / [[snapshotSizeBytes]] metadata-only answers at
+    * any table size. A failed footer read degrades to a count-less add —
+    * the metadata count is then undefined, never wrong. */
+  private def addAction(table: String, f: String): String = {
+    val size = fileSizeSuffix(table, f)
     footerRowCount(table, f) match {
-      case Some(n) => s"""{"add":"$f","rows":$n}"""
-      case None    => s"""{"add":"$f"}"""
+      case Some(n) => s"""{"add":"$f","rows":$n$size}"""
+      case None    => s"""{"add":"$f"$size}"""
     }
+  }
+
+  private def fileSizeSuffix(table: String, f: String): String =
+    (try Some(Files.size(Paths.get(table, f)))
+     catch { case scala.util.control.NonFatal(_) => None })
+      .fold("")(n => s""","bytes":$n""")
 
   /** Row count from the parquet footer alone (no data pages touched). */
   def footerRowCount(table: String, f: String): Option[Long] =
     try {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        new org.apache.hadoop.conf.Configuration(),
-        new org.apache.hadoop.fs.Path(Paths.get(table, f).toUri))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(Paths.get(table, f).toUri),
+          new org.apache.hadoop.conf.Configuration()))
       try Some(r.getRecordCount) finally r.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -526,7 +549,8 @@ object CommitLog {
         .agg(fmin(col(statsCol)), fmax(col(statsCol))).head()
       // an empty file (range partition with no rows) gets no stats — it
       // is then never skipped, the fail-safe default
-      val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""")
+      val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""") +
+        fileSizeSuffix(table, f)
       if (r.isNullAt(0)) s"""{"add":"$f"$rowsSuffix}"""
       else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$statsCol"$rowsSuffix}"""
     }
@@ -565,6 +589,36 @@ object CommitLog {
       Some(files.map(state.rowCounts).sum)
     else None
   }
+
+  /** Per-file footer row counts the snapshot's add actions recorded
+    * (table-relative names, as [[snapshotFiles]] serves them). Files
+    * committed by an older writer vocabulary are absent — a pruned-scan
+    * row estimate is exact only when every file it reads is present. */
+  def fileRowCounts(table: String, asOf: Option[Long] = None): Map[String, Long] =
+    replay(table, asOf).rowCounts.toMap
+
+  /** Per-file on-disk byte sizes: the log's byte-size vocabulary with a
+    * filesystem stat as the fallback for legacy adds — exact either way
+    * (a live file always exists on disk). */
+  def fileSizeBytes(table: String, asOf: Option[Long] = None): Map[String, Long] = {
+    val state = replay(table, asOf)
+    state.live.keys.map { f =>
+      f -> state.fileBytes.getOrElse(f,
+        try Files.size(Paths.get(table, f))
+        catch { case scala.util.control.NonFatal(_) => 0L })
+    }.toMap
+  }
+
+  /** The snapshot's total on-disk bytes: per-file sizes from the log's
+    * byte-size vocabulary, with a filesystem stat as the fallback for
+    * files committed by an older writer (a live file always exists on
+    * disk, so the answer is exact either way — the fallback just costs
+    * one stat per legacy file instead of zero). This is what the SQL
+    * Scan reports to Catalyst as `sizeInBytes`, so join planning sees a
+    * real size instead of the "unknown = infinite" default that blocks
+    * every auto-broadcast. */
+  def snapshotSizeBytes(table: String, asOf: Option[Long] = None): Long =
+    fileSizeBytes(table, asOf).values.sum
 
   /** Metadata-only `min(col)`/`max(col)`: exact when EVERY live file
     * recorded a zone range ON `column` and none of them is empty — the
@@ -675,7 +729,8 @@ object CommitLog {
     val state = replay(table, Some(v))
     val lines = (s"""{"op":"checkpoint","version":$v}""" +:
       (state.live.toSeq.map { case (f, stats) =>
-        val rows = state.rowCounts.get(f).fold("")(n => s""","rows":$n""")
+        val rows = state.rowCounts.get(f).fold("")(n => s""","rows":$n""") +
+          state.fileBytes.get(f).fold("")(n => s""","bytes":$n""")
         (stats, state.statsCols.get(f)) match {
           case (Some((lo, hi)), Some(c)) =>
             s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"$rows}"""

@@ -521,7 +521,157 @@ object TableLogQueries {
        |  CAST(count(*) AS BIGINT) AS n_scan FROM merged
        |ORDER BY version""".stripMargin
 
+  // ------------------------------------------------------------------ tl12: stats-driven broadcast
+  /** tl12: the SQL scan reports REAL statistics from the commit log
+    * (footer row counts + on-disk byte sizes recorded in the add
+    * vocabulary), so Catalyst auto-broadcasts a small graftlog dimension
+    * with NO hint. A V2 scan without `SupportsReportStatistics` defaults
+    * to "unknown = spark.sql.defaultSizeInBytes", which suppresses every
+    * auto-broadcast — at 100 TB that turns each dim join against a
+    * graftlog table into a full sort-merge shuffle of the fact side. The
+    * gate REQUIREs a BroadcastHashJoin in the STATIC plan (AQE can also
+    * broadcast from runtime shuffle sizes; the static planner only
+    * broadcasts what the scan's reported statistics justify), then serves
+    * the join result against a plain-SQL oracle. */
+  private val tl12StatsBroadcast: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_statsdim"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val table = root.toString
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("nationkey"),
+        col("n_name").as("nation"))
+      .write.format("graftlog").mode("append").save(table)
+    // pin the default threshold for the plan check, restore after (gate
+    // order must never change another gate's plan)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val dim = spark.read.format("graftlog").load(table)
+      val agg = Tables.customer(spark, dir)
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          round(col("c_acctbal").cast("double"), 2).as("bal"))
+        .join(dim, "nationkey") // no hint: the broadcast comes from scan stats
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+        .orderBy("nation")
+      // the BUILD side must be the graftlog scan: the customer side is
+      // itself broadcast-small at gate scale, so requiring "some BHJ"
+      // would pass even with an unknown-size dim (the planner would
+      // broadcast the fact); choosing the dim requires its reported
+      // statistics to be the smaller KNOWN size
+      val dimBuilds = agg.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          val side = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case _                                                 => b.right
+          }
+          side.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+                if b.scan.isInstanceOf[graft.sources.GraftLogNativeScan] => b
+          }.nonEmpty
+      }.exists(identity)
+      require(dimBuilds,
+        "the graftlog dim must be the broadcast build side, from reported scan statistics")
+      agg
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private val tl12StatsBroadcastSql =
+    """SELECT n.n_name AS nation, count(*) AS n_customers,
+      |  CAST(sum(CAST(round(c.c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------ tl13: metadata-answered aggregates
+  /** tl13: `SELECT count(*), min(id), max(id)` over the SQL surface,
+    * answered entirely from commit-log metadata — the scan builder's
+    * `SupportsPushDownAggregates` serves footer row counts and named
+    * zone ranges as the aggregate result, and the Aggregate node
+    * disappears from the optimized plan (REQUIREd — without pushdown the
+    * same query still answers, through a scan, and the gate must not
+    * pass as that). At 100 TB this is the difference between
+    * milliseconds and a full-table scan for the most common
+    * "how big is this table" queries. */
+  private val tl13AggPushdown: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_aggpush"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val table = root.toString
+    // clustered on id with the column NAMED, so min/max have the full
+    // zone coverage the metadata answer requires
+    CommitLog.appendClustered(spark,
+      batch1(spark, dir).select("id", "status"), table, "id", buckets = 4)
+    val df = spark.read.format("graftlog").load(table)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    require(df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty,
+      "count/min/max over a covered snapshot must be answered from metadata")
+    df
+  }
+
+  private val tl13AggPushdownSql =
+    s"""WITH $batchesSql
+       |SELECT count(*) AS n_rows, min(id) AS min_id, max(id) AS max_id
+       |FROM b1""".stripMargin
+
+  // ------------------------------------------------------------------ tl14: log→log streaming pipeline
+  /** tl14: the full log → transform → log streaming pipeline through the
+    * NATIVE source and sink — `readStream.format("graftlog")` follows the
+    * upstream log, `writeStream.format("graftlog")` lands each
+    * micro-batch as one txn-marked commit, and a checkpointed re-run
+    * delivers nothing new (REQUIREd: the destination version must not
+    * advance — the exactly-once contract a 100 TB ingest DAG restarts
+    * on). The served snapshot is the destination table, hash-matched
+    * against the upstream batch definitions. */
+  private val tl14StreamPipeline: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_streampipe"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    val ckpt = root.resolve("ckpt").toString
+    CommitLog.append(batch1(spark, dir), src)   // v0 upstream
+    CommitLog.append(batch2(spark, dir), src)   // v1 upstream
+    def run(): Unit = {
+      val q = spark.readStream.format("graftlog").load(src)
+        .writeStream.format("graftlog")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      require(q.awaitTermination(300000L), "tl14: pipeline drain timed out")
+    }
+    run()
+    val v = CommitLog.currentVersion(dst)
+    run() // an already-drained pipeline must not commit again
+    require(CommitLog.currentVersion(dst) == v,
+      "tl14: a checkpointed re-run must deliver nothing new")
+    spark.read.format("graftlog").load(dst)
+      .groupBy("batch").agg(count(lit(1)).as("n_rows"),
+        sum(col("price").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("batch")
+  }
+
+  private val tl14StreamPipelineSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+       |GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl14_stream_pipeline" -> tl14StreamPipeline,
+    "tl13_agg_pushdown" -> tl13AggPushdown,
+    "tl12_stats_broadcast" -> tl12StatsBroadcast,
     "tl9_sql_skipping" -> tl9SqlSkipping,
     "tl10_stream_read" -> tl10StreamRead,
     "tl11_metadata_count" -> tl11MetadataCount,
@@ -536,6 +686,9 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl14_stream_pipeline" -> tl14StreamPipelineSql,
+    "tl13_agg_pushdown" -> tl13AggPushdownSql,
+    "tl12_stats_broadcast" -> tl12StatsBroadcastSql,
     "tl9_sql_skipping" -> tl9SqlSkippingSql,
     "tl10_stream_read" -> tl10StreamReadSql,
     "tl11_metadata_count" -> tl11MetadataCountSql,

@@ -8,12 +8,15 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, StreamSourceProvider, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.io.CommitLog
@@ -39,20 +42,23 @@ import graft.io.CommitLog
   * touching the Scala API (`CREATE TEMPORARY VIEW t USING graftlog
   * OPTIONS (path '...')` works through the same provider).
   *
-  * Implementation: a minimal DataSource **V2** `TableProvider` whose scan
-  * bridges through [[V1Scan]] — the connector API's sanctioned adapter
-  * (JDBC uses it). The scan builder implements the V2 pushdown
-  * interfaces (`SupportsPushDownRequiredColumns` / `SupportsPushDownFilters`),
-  * so a `SELECT two_cols ... WHERE pred` narrows the bridged relation to
-  * exactly those columns and applies the predicate INSIDE the bridged
-  * DataFrame — where Catalyst pushes both down to the underlying parquet
-  * scan (`ReadSchema` carries only requested columns, `PushedFilters` the
-  * translated predicates; spec-asserted in `GraftLogDataSourceSpec`). At
-  * 100 TB the SQL read path therefore prunes and row-group-skips exactly
-  * like the Scala `CommitLog.read(...).select(...)` path. Pushed filters
-  * are also all reported back as residuals, so Spark re-applies them
-  * above the scan — pushdown is a strict optimization, never a
-  * correctness dependency.
+  * Implementation: a DataSource **V2** `TableProvider` whose batch read
+  * is a NATIVE V2 scan ([[GraftLogNativeScan]]) delegating to Spark's own
+  * columnar parquet scan over the snapshot's zone-pruned live files —
+  * vectorized reading and whole-stage codegen end-to-end. The scan
+  * builder implements the V2 pushdown interfaces
+  * (`SupportsPushDownRequiredColumns` / `SupportsPushDownFilters` /
+  * `SupportsPushDownAggregates`), so a `SELECT two_cols ... WHERE pred`
+  * reads exactly those columns with the predicate compiled to parquet
+  * row-group/page skipping, zone maps drop whole files before the scan is
+  * planned, whole-snapshot `count(*)`/`min`/`max` are answered from log
+  * metadata without opening a file, and the scan reports real statistics
+  * (numRows + sizeInBytes from the commit vocabulary) so Catalyst
+  * auto-broadcasts small snapshots. Pushed filters are all reported back
+  * as residuals, so Spark re-applies them above the scan — every pushdown
+  * is a strict optimization, never a correctness dependency. Only the
+  * metadata-aggregate scan still rides the [[V1Scan]] bridge (a one-row
+  * constant needs no columnar path).
   *
   * Writes bridge through [[V1Write]]/[[InsertableRelation]] to
   * [[CommitLog.append]] / [[CommitLog.overwrite]]: staging is Spark's own
@@ -67,7 +73,7 @@ import graft.io.CommitLog
   * would otherwise open).
   */
 class GraftLogDataSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graftlog"
 
@@ -116,6 +122,79 @@ class GraftLogDataSource extends TableProvider with DataSourceRegister
             s"graftlog: maxVersionsPerTrigger must be a positive count, got '$v'", e)
         }
       })
+  }
+
+  // ------------------------------------------------------------------ streaming write
+  /** `df.writeStream.format("graftlog")` — exactly-once micro-batch
+    * appends (txn-marked, replay-skipped) or Complete-mode atomic
+    * replaces; see [[GraftLogStreamSink]]. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = opts.getOrElse("path", throw new IllegalArgumentException(
+      "graftlog sink requires a path: .writeStream.format(\"graftlog\").start(\"/table/dir\")"))
+    require(partitionColumns.isEmpty,
+      "graftlog sink does not support partitionBy — cluster with CommitLog.appendClustered instead")
+    val complete = outputMode == OutputMode.Complete()
+    require(complete || outputMode == OutputMode.Append(),
+      s"graftlog sink supports Append (txn-exact appends) and Complete " +
+        s"(atomic replace) output modes, got $outputMode")
+    // query identity for the txn markers: explicit txnAppId, else the
+    // checkpoint location (stable across restarts, distinct per query)
+    val txnPrefix = opts.get("txnappid")
+      .orElse(opts.get("checkpointlocation"))
+      .getOrElse(s"graftlog-sink:$path")
+    new GraftLogStreamSink(path, txnPrefix, complete)
+  }
+}
+
+/** The graftlog batch read: a NATIVE V2 scan that delegates execution to
+  * Spark's own columnar parquet scan over the snapshot's zone-pruned live
+  * files — whole-stage codegen and vectorized reading end-to-end, no
+  * per-row `Row` bridge — while reporting REAL table statistics from the
+  * commit log ([[org.apache.spark.sql.connector.read.SupportsReportStatistics]]):
+  * numRows from the footer-count vocabulary (only when every read file
+  * carries one), sizeInBytes from the byte-size vocabulary scaled by the
+  * pruned column fraction (FileScan's own convention). A V1Scan cannot
+  * report statistics at all — Spark wraps it in `V1ScanWrapper`, which
+  * hides the interface (why JDBC never auto-broadcasts); reporting them
+  * requires exactly this native form. */
+private[graft] final class GraftLogNativeScan(
+    path: String, version: Long, tableSchema: StructType,
+    req: StructType, filters: Array[Filter], fileNames: Seq[String])
+    extends Scan with SupportsReportStatistics {
+
+  /** Spark's own V2 parquet scan over the pruned file list; built lazily
+    * at first planning use (one driver-side file-status listing). */
+  private[graft] lazy val delegate
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+    org.apache.spark.sql.GraftSqlShim.parquetScan(
+      SparkSession.active,
+      fileNames.map(f => java.nio.file.Paths.get(path, f).toString),
+      tableSchema, req, filters)
+
+  override def readSchema(): StructType = req
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+  override def description(): String =
+    s"graftlog $path@v$version, ${fileNames.length} files, " +
+      s"PushedFilters: ${filters.mkString("[", ", ", "]")}"
+
+  override def estimateStatistics(): Statistics = {
+    val sizes = CommitLog.fileSizeBytes(path, Some(version))
+    val totalBytes = fileNames.map(f => sizes.getOrElse(f, 0L)).sum
+    val fullSize = math.max(1L, tableSchema.defaultSize.toLong)
+    val scaled = math.max(1L,
+      (totalBytes.toDouble * req.defaultSize / fullSize).toLong)
+    val counts = CommitLog.fileRowCounts(path, Some(version))
+    val rows: Option[Long] =
+      if (fileNames.forall(counts.contains)) Some(fileNames.map(counts).sum)
+      else None // a legacy count-less file: undefined, never wrong
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(scaled)
+      override def numRows(): util.OptionalLong =
+        rows.fold(util.OptionalLong.empty())(util.OptionalLong.of)
+    }
   }
 }
 
@@ -166,12 +245,79 @@ object GraftLogDataSource {
 
     // ------------------------------------------------------------------ read
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+      new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+          with SupportsPushDownAggregates {
         private var required: StructType = schema0
         private var pushed: Array[Filter] = Array.empty
+        // a pushed aggregation the LOG answers outright: output schema +
+        // the single result row (no data file is ever opened)
+        private var metaAgg: Option[(StructType, Seq[Any])] = None
 
         override def pruneColumns(requiredSchema: StructType): Unit =
           required = requiredSchema
+
+        // ---------------------------------------------------- aggregate pushdown
+        /** `count(*)` / `min(col)` / `max(col)` answered from commit-log
+          * metadata alone — footer row counts and named zone ranges (the
+          * Delta/Iceberg metadata-query shape, through the same
+          * `SupportsPushDownAggregates` surface Spark's JDBC source uses).
+          * Pushed ONLY on a whole-snapshot scan (no filters, no group-by)
+          * and only when the log's answer is exact ([[CommitLog
+          * .snapshotRowCount]] / [[CommitLog.snapshotMinMax]] defined);
+          * everything else declines, and Spark plans the ordinary
+          * scan + aggregate — pushdown is an optimization, never a
+          * correctness dependency. At 100 TB this answers `SELECT
+          * count(*)` in milliseconds where a scan is minutes. */
+        override def supportCompletePushDown(agg: Aggregation): Boolean =
+          metadataAnswer(agg).isDefined
+
+        override def pushAggregation(agg: Aggregation): Boolean =
+          metadataAnswer(agg) match {
+            case Some(ans) => metaAgg = Some(ans); true
+            case None      => false
+          }
+
+        private def metadataAnswer(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+          if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty ||
+              pushed.nonEmpty) return None
+          val answered = agg.aggregateExpressions.toSeq.map(answerOne)
+          if (answered.forall(_.isDefined)) {
+            val cols = answered.flatten
+            Some((StructType(cols.map(_._1)), cols.map(_._2)))
+          } else None
+        }
+
+        /** One aggregate function → (output field, metadata value), or
+          * None when the log cannot answer it exactly. Min/max are only
+          * served for integral columns with full named-zone coverage —
+          * the vocabulary the ranges are recorded in. */
+        private def answerOne(f: AggregateFunc): Option[(StructField, Any)] = f match {
+          case _: CountStar =>
+            CommitLog.snapshotRowCount(path, Some(snapshotVersion))
+              .map(n => (StructField("count(*)", LongType, nullable = false), n))
+          case m: Min => minMax(m.column, isMin = true)
+          case m: Max => minMax(m.column, isMin = false)
+          case _      => None
+        }
+
+        private def minMax(column: org.apache.spark.sql.connector.expressions.Expression,
+                           isMin: Boolean): Option[(StructField, Any)] = column match {
+          case nr: NamedReference if nr.fieldNames.length == 1 =>
+            val name = nr.fieldNames()(0)
+            schema0.find(_.name.equalsIgnoreCase(name)).flatMap { field =>
+              val cast: Long => Any = field.dataType match {
+                case LongType    => identity[Long]
+                case IntegerType => (v: Long) => v.toInt
+                case _           => return None // zone ranges are integral
+              }
+              CommitLog.snapshotMinMax(path, name, Some(snapshotVersion)).map { case (lo, hi) =>
+                val label = s"${if (isMin) "min" else "max"}(${field.name})"
+                (StructField(label, field.dataType, nullable = true),
+                  cast(if (isMin) lo else hi))
+              }
+            }
+          case _ => None
+        }
 
         /** Push what translates; report EVERYTHING as residual so Spark
           * re-applies above the scan — the pushed copy only exists to
@@ -182,21 +328,24 @@ object GraftLogDataSource {
         }
         override def pushedFilters(): Array[Filter] = pushed
 
-        override def build(): Scan = {
-          val req = required
-          val flt = pushed
-          new V1Scan {
-            override def readSchema(): StructType = req
+        override def build(): Scan = metaAgg match {
+          // a metadata-answered aggregation: one constant row, zero data
+          // reads — the snapshot's files are never opened (they don't
+          // even have to exist; spec-pinned by deleting them)
+          case Some((aggSchema, row)) => new V1Scan {
+            override def readSchema(): StructType = aggSchema
             override def toV1TableScan[T <: BaseRelation with TableScan](
                 context: SQLContext): T =
               new BaseRelation with TableScan {
                 override def sqlContext: SQLContext = context
-                override def schema: StructType = req
+                override def schema: StructType = aggSchema
                 override def buildScan(): RDD[Row] =
-                  narrowedRead(context.sparkSession, path, snapshotVersion,
-                    mergeSchema, req, flt.toIndexedSeq).rdd
+                  context.sparkContext.parallelize(Seq(Row(row: _*)), 1)
               }.asInstanceOf[T]
           }
+          case None =>
+            new GraftLogNativeScan(path, snapshotVersion, schema0, required,
+              pushed, prunedFileNames(path, snapshotVersion, pushed.toIndexedSeq))
         }
       }
 
@@ -222,60 +371,56 @@ object GraftLogDataSource {
     }
   }
 
-  /** The narrowed read the V1 bridge executes: the pinned snapshot with
-    * pushed filters applied and columns pruned to `required` (possibly
-    * zero columns — the `count(*)` scan). This is a real Catalyst plan, so
-    * the filter and projection reach the underlying parquet file scan as
-    * `PushedFilters` / `ReadSchema` — asserted by `GraftLogDataSourceSpec`
-    * against this exact method, which is also the one `buildScan` runs.
-    *
-    * Before the parquet scan is even planned, the pushed filters are
-    * matched against the commit log's zone maps (file-level [lo, hi]
-    * ranges recorded by [[CommitLog.appendClustered]] with the column
-    * NAMED): files whose recorded range cannot overlap the filters'
-    * implied bounds are dropped from the read entirely — Delta/Iceberg
-    * data skipping, now on the SQL surface. At 100 TB this is the
-    * difference between listing every file of a clustered table and
-    * touching only the key ranges a `WHERE k BETWEEN ...` names. Skipping
-    * only ever acts on positive evidence (named-column stats that cannot
-    * match); stats-less files, foreign-column stats, and untranslatable
-    * filter shapes are always read, and every filter is still re-applied
+  /** The snapshot's live files surviving zone-map pruning for a pushed
+    * filter conjunction (table-relative names, as [[CommitLog
+    * .snapshotFiles]] serves them) — THE file list both read surfaces
+    * consume: the native scan's parquet file index and the Scala-API
+    * [[narrowedRead]]. The pushed filters are matched against the commit
+    * log's zone maps (file-level [lo, hi] ranges recorded by
+    * [[CommitLog.appendClustered]] with the column NAMED): files whose
+    * recorded range cannot overlap the filters' implied bounds are
+    * dropped from the read entirely — Delta/Iceberg data skipping. At
+    * 100 TB this is the difference between listing every file of a
+    * clustered table and touching only the key ranges a `WHERE k BETWEEN
+    * ...` names. Skipping only ever acts on positive evidence
+    * (named-column stats that cannot match); stats-less files,
+    * foreign-column stats, and filter shapes [[integralBounds]] does not
+    * understand are always read, and every filter is still re-applied
     * above the scan. */
+  private[graft] def prunedFileNames(path: String, version: Long,
+                                     filters: Seq[Filter]): Seq[String] = {
+    val all = CommitLog.snapshotFiles(path, Some(version))
+    val bounds = integralBounds(filters)
+    if (bounds.isEmpty) all
+    else bounds.foldLeft(all) { case (files, (colName, (lo, hi))) =>
+      val stats = CommitLog.fileStatsOn(path, colName, Some(version))
+      if (stats.isEmpty) files
+      else files.filter(f => stats.get(f) match {
+        case Some((flo, fhi)) => fhi >= lo && flo <= hi
+        case None             => true // no recorded range: never skipped
+      })
+    }
+  }
+
+  /** The zone-pruned, filtered, column-pruned snapshot as a Catalyst
+    * DataFrame — the Scala-API twin of the native scan (same
+    * [[prunedFileNames]] decision, same residual filters), kept as the
+    * programmatic pruned-read surface and the probe the tl9 gate and
+    * specs REQUIRE file counts from. */
   private[graft] def narrowedRead(spark: SparkSession, path: String, version: Long,
                                   mergeSchema: Boolean, required: StructType,
                                   filters: Seq[Filter]): DataFrame = {
-    val base = zonePruned(spark, path, version, mergeSchema, filters)
-    val filtered = filters.flatMap(translate).foldLeft(base)((df, c) => df.filter(c))
-    filtered.select(required.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
-  }
-
-  /** The snapshot read with zone-map file skipping applied (or the plain
-    * snapshot when no pushed filter matches a recorded stats column). */
-  private def zonePruned(spark: SparkSession, path: String, version: Long,
-                         mergeSchema: Boolean, filters: Seq[Filter]): DataFrame = {
-    val bounds = integralBounds(filters)
-    val pruned: Option[Seq[String]] =
-      if (bounds.isEmpty) None
-      else {
-        val all = CommitLog.snapshotFiles(path, Some(version))
-        val survivors = bounds.foldLeft(all) { case (files, (colName, (lo, hi))) =>
-          val stats = CommitLog.fileStatsOn(path, colName, Some(version))
-          if (stats.isEmpty) files
-          else files.filter(f => stats.get(f) match {
-            case Some((flo, fhi)) => fhi >= lo && flo <= hi
-            case None             => true // no recorded range: never skipped
-          })
-        }
-        if (survivors.size < all.size) Some(survivors) else None
-      }
-    pruned match {
-      case Some(Nil) =>
+    val all = CommitLog.snapshotFiles(path, Some(version))
+    val fs = prunedFileNames(path, version, filters)
+    val base =
+      if (fs.isEmpty)
         // every file skipped: serve the snapshot's schema with zero rows
         // (limit 0 folds to an empty relation — no scan is planned)
         CommitLog.read(spark, path, Some(version), mergeSchema).limit(0)
-      case Some(fs) => CommitLog.readFiles(spark, path, fs, mergeSchema)
-      case None     => CommitLog.read(spark, path, Some(version), mergeSchema)
-    }
+      else if (fs.size < all.size) CommitLog.readFiles(spark, path, fs, mergeSchema)
+      else CommitLog.read(spark, path, Some(version), mergeSchema)
+    val filtered = filters.flatMap(translate).foldLeft(base)((df, c) => df.filter(c))
+    filtered.select(required.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
   }
 
   /** Conservative per-column [lo, hi] bounds implied by the pushed-filter

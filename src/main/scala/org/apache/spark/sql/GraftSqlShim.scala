@@ -48,4 +48,40 @@ object GraftSqlShim {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The inverse of [[asStreamingBatch]]: re-flag the micro-batch frame a
+    * V1 `Sink.addBatch` receives (still marked streaming, so batch writes
+    * refuse it) as a plain batch frame over the same rows — the sink-side
+    * idiom Spark's own sinks use before handing data to a batch writer. */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[ClassicDataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
+
+  /** Spark's own V2 parquet scan over an explicit file list — the native
+    * (columnar, whole-stage-codegen) batch read the graftlog DataSource
+    * delegates to. The session's internal state (`sessionState`,
+    * `InMemoryFileIndex`, `ParquetScan`) is `private[sql]`-adjacent, hence
+    * this shim. `files` are absolute paths (the snapshot's live files,
+    * already zone-pruned by the caller); `readSchema` is the pruned
+    * projection; `filters` reach parquet row-group/page skipping (shapes
+    * parquet cannot evaluate are simply not compiled — Spark re-applies
+    * every filter above the scan regardless). */
+  def parquetScan(spark: SparkSession, files: Seq[String],
+                  dataSchema: org.apache.spark.sql.types.StructType,
+                  readSchema: org.apache.spark.sql.types.StructType,
+                  filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    val cs = spark.asInstanceOf[ClassicSparkSession]
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      cs, files.map(f => new org.apache.hadoop.fs.Path(f)),
+      Map.empty[String, String], Some(dataSchema))
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      cs, cs.sessionState.newHadoopConf(), index,
+      dataSchema, readSchema,
+      new org.apache.spark.sql.types.StructType(), filters,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+  }
 }

@@ -393,6 +393,34 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.snapshotRowCount(t, Some(v - 1)).contains(5L))
   }
 
+  test("snapshot size: log byte-size vocabulary with stat fallback for legacy adds") {
+    val t = freshTable("metasize")
+    CommitLog.append(df(1L -> "a", 2L -> "b"), t)                        // v0
+    CommitLog.upsert(spark, df(2L -> "B", 3L -> "c"), t, Seq("id"))      // v1
+    def diskSum(asOf: Option[Long]): Long =
+      CommitLog.snapshotFiles(t, asOf).map(f => Files.size(Paths.get(t, f))).sum
+    assert(CommitLog.snapshotSizeBytes(t) == diskSum(None))
+    assert(CommitLog.snapshotSizeBytes(t, Some(0L)) == diskSum(Some(0L)),
+      "time travel must size the pinned snapshot, not the head")
+
+    // a legacy bytes-less add is sized by a filesystem stat — exact
+    // either way, the vocabulary just saves the stat
+    val staged = CommitLog.read(spark, t).limit(1)
+    staged.write.parquet(Paths.get(t, ".oldwriter2").toString)
+    val part = Files.list(Paths.get(t, ".oldwriter2")).iterator().asScala
+      .map(_.getFileName.toString).find(_.endsWith(".parquet")).get
+    Files.move(Paths.get(t, ".oldwriter2", part), Paths.get(t, part))
+    val v = CommitLog.currentVersion(t) + 1
+    Files.write(Paths.get(t, "_log", f"$v%012d.json"),
+      s"""{"op":"append"}\n{"add":"$part"}\n""".getBytes("UTF-8"))
+    assert(CommitLog.snapshotSizeBytes(t) == diskSum(None),
+      "stat fallback must keep the size exact for legacy commits")
+
+    // sizes survive the checkpoint summary
+    CommitLog.checkpoint(t)
+    assert(CommitLog.snapshotSizeBytes(t) == diskSum(None))
+  }
+
   test("metadata-only min/max: exact from full zone coverage, undefined otherwise") {
     import spark.implicits._
     val t = freshTable("metaminmax")

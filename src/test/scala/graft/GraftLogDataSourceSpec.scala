@@ -95,25 +95,28 @@ class GraftLogDataSourceSpec extends SparkSpec {
     CommitLog.append((1L to 100L).map(i => (i, s"v$i", i * 10, s"pad$i"))
       .toDF("id", "v", "score", "pad"), t)
 
-    // (a) wiring: the V2 scan builder hands the bridge ONLY the selected
-    // columns and the translated predicate — visible on the outer
-    // RowDataSourceScan (no full-width scan for a 2-column projection)
+    // (a) wiring: the NATIVE scan reads ONLY the selected+filter columns
+    // through Spark's own columnar parquet scan, with the predicate
+    // compiled for row-group skipping (no full-width scan, no Row bridge)
     val q = spark.read.format("graftlog").load(t)
       .filter($"score" > 500).select("id", "v")
     val scan = q.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
     }
-    assert(scan.nonEmpty, s"expected a RowDataSourceScan:\n${q.queryExecution.executedPlan}")
-    // Spark keeps the residual-filter column (`score`) in the bridge's
-    // required schema so it can re-apply the filter above the scan; the
-    // point of pruning is that the UNREFERENCED column never crosses
+    assert(scan.nonEmpty, s"expected a native BatchScan:\n${q.queryExecution.executedPlan}")
+    // Spark keeps the residual-filter column (`score`) in the scan's
+    // required schema so it can re-apply the filter above it; the point
+    // of pruning is that the UNREFERENCED column is never read
     val outCols = scan.head.output.map(_.name).toSet
     assert(outCols == Set("id", "v", "score"),
-      s"bridge scan must be pruned to selected+filter columns, got $outCols")
-    assert(!outCols.contains("pad"), "unreferenced columns must not cross the bridge")
-    val meta = scan.head.metadata.getOrElse("PushedFilters", "")
-    assert(meta.contains("GreaterThan(score,500)"),
-      s"predicate must be pushed into the bridge: PushedFilters=$meta")
+      s"scan must be pruned to selected+filter columns, got $outCols")
+    assert(!outCols.contains("pad"), "unreferenced columns must not be read")
+    val native = scan.head.scan.asInstanceOf[graft.sources.GraftLogNativeScan]
+    assert(native.delegate.pushedFilters.map(_.toString)
+      .exists(_.contains("GreaterThan(score,500)")),
+      s"predicate must reach the parquet scan: ${native.delegate.pushedFilters.mkString(", ")}")
+    assert(native.delegate.readDataSchema.fieldNames.toSet == Set("id", "v", "score"),
+      "the delegated parquet ReadSchema must be the pruned projection")
     assert(q.count() == 50L)
 
     // (b) mechanism: the narrowed inner plan (the exact DataFrame
@@ -169,8 +172,16 @@ class GraftLogDataSourceSpec extends SparkSpec {
     assert(none.inputFiles.isEmpty && none.count() == 0L,
       "lo > hi overlaps no file range: empty relation, zero files")
 
-    // the END-TO-END SQL surface prunes too, and answers exactly
+    // the END-TO-END SQL surface prunes too, and answers exactly: the
+    // native scan's parquet file index holds only the surviving file
     val viaSql = spark.read.format("graftlog").load(t).filter($"k".between(10, 20))
+    val sqlScans = viaSql.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(sqlScans.nonEmpty)
+    val sqlNative = sqlScans.head.scan.asInstanceOf[graft.sources.GraftLogNativeScan]
+    assert(sqlNative.delegate.fileIndex.inputFiles.length == 1,
+      s"the SQL scan must read 1 of 4 files, got ${sqlNative.delegate.fileIndex.inputFiles.length}")
     assert(viaSql.count() == 11L)
     assert(viaSql.orderBy("k").collect().map(_.getLong(0)).toSeq == (10L to 20L))
 
@@ -240,6 +251,155 @@ class GraftLogDataSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("time-travel"),
       s"time-travel write must be refused, got: ${e.getMessage}")
+  }
+
+  test("scan reports real log statistics: numRows, pruned sizeInBytes, auto-broadcast") {
+    val t = freshTable("stats")
+    CommitLog.append((1L to 25L).map(i => (i, s"name$i", "x" * 50)).toDF("id", "nm", "pad"), t)
+
+    // numRows and sizeInBytes flow from the commit log into the scan
+    // relation's statistics — not the unknown-size default that blocks
+    // every planner decision (read off the relation NODE: the size-only
+    // stats visitor drops rowCount above leaves when CBO is off)
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.stats
+      }.head
+    val full = spark.read.format("graftlog").load(t)
+    val st = scanStats(full)
+    assert(st.rowCount.contains(BigInt(25)),
+      s"numRows must come from the footer-count vocabulary, got ${st.rowCount}")
+    val defaultSize = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    assert(st.sizeInBytes > 0 && st.sizeInBytes < defaultSize / 1000,
+      s"sizeInBytes must be the real on-disk size, got ${st.sizeInBytes}")
+
+    // column pruning scales the size estimate (FileScan's own behavior):
+    // a one-narrow-column projection reports a fraction of the full width
+    val narrow = spark.read.format("graftlog").load(t).select("id")
+    val stNarrow = narrow.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.stats
+    }
+    assert(stNarrow.nonEmpty && stNarrow.head.sizeInBytes < st.sizeInBytes,
+      s"pruned scan must report a smaller size: ${stNarrow.map(_.sizeInBytes)} vs ${st.sizeInBytes}")
+
+    // the stats are what Catalyst plans with: a small graftlog dim joined
+    // to a fact frame auto-broadcasts with NO hint. Assert on the STATIC
+    // plan (sparkPlan) — AQE can also broadcast from runtime shuffle
+    // sizes, which would pass even without scan statistics
+    // the BUILD side must be the graftlog scan — the range fact side has
+    // known-small stats too, so "some BHJ exists" would pass even with an
+    // unknown-size graftlog relation (the planner would broadcast the
+    // fact instead); picking the graftlog side requires its reported
+    // size to be the smaller KNOWN one
+    def graftlogBuilds(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          val side = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case _                                                 => b.right
+          }
+          side.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+                if b.scan.isInstanceOf[graft.sources.GraftLogNativeScan] => b
+          }.nonEmpty
+      }.exists(identity)
+
+    val fact = spark.range(10000).selectExpr("id % 25 + 1 AS id", "id AS v")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "10MB") {
+      val joined = fact.join(spark.read.format("graftlog").load(t), "id")
+      assert(graftlogBuilds(joined),
+        s"the graftlog side must be the broadcast build side:\n${joined.queryExecution.sparkPlan}")
+      assert(joined.count() == 10000L)
+    }
+    // ...and broadcasting stays off when disabled (the stats inform the
+    // planner, they don't force a strategy)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = fact.join(spark.read.format("graftlog").load(t), "id")
+      val bhj = joined.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.isEmpty, "threshold -1 must suppress auto-broadcast")
+    }
+
+    // time travel reports the PINNED snapshot's stats, not the head's
+    CommitLog.append((26L to 100L).map(i => (i, s"name$i", "x" * 50)).toDF("id", "nm", "pad"), t)
+    val v0 = spark.read.format("graftlog").option("versionAsOf", 0).load(t)
+    val head = spark.read.format("graftlog").load(t)
+    assert(scanStats(v0).rowCount.contains(BigInt(25)))
+    assert(scanStats(head).rowCount.contains(BigInt(100)))
+    assert(scanStats(v0).sizeInBytes < scanStats(head).sizeInBytes)
+  }
+
+  test("aggregate pushdown: count/min/max answered from the log, zero data reads") {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val t = freshTable("aggpush")
+    CommitLog.appendClustered(spark,
+      (0L to 99L).map(i => (i, s"v$i")).toDF("k", "v"), t, "k", buckets = 4)
+
+    // complete pushdown: the Aggregate disappears from the optimized plan
+    // and the log's metadata row is the answer
+    val df = spark.read.format("graftlog").load(t)
+      .agg(count(lit(1)).as("n"), min("k").as("lo"), max("k").as("hi"))
+    val aggNodes = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggNodes.isEmpty,
+      s"count/min/max over a covered snapshot must push down completely:\n${df.queryExecution.optimizedPlan}")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((100L, 0L, 99L)))
+
+    // "metadata-only" is literal: plan the count, DELETE the data files,
+    // and the answer still serves — a real scan would throw
+    val planned = spark.read.format("graftlog").load(t).agg(count(lit(1)).as("n"))
+    CommitLog.snapshotFiles(t).foreach(f => Files.delete(Paths.get(t, f)))
+    assert(planned.collect().head.getLong(0) == 100L,
+      "a pushed count must not touch data files at execution")
+    // restore the table for the remaining assertions
+    val t2 = freshTable("aggpush_live")
+    CommitLog.appendClustered(spark,
+      (0L to 99L).map(i => (i, s"v$i")).toDF("k", "v"), t2, "k", buckets = 4)
+
+    // declines, never wrong: a WHERE keeps the ordinary scan + aggregate
+    val filtered = spark.read.format("graftlog").load(t2)
+      .filter($"k" > 50).agg(count(lit(1)).as("n"))
+    assert(filtered.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "a filtered aggregate must not be metadata-answered")
+    assert(filtered.collect().head.getLong(0) == 49L)
+
+    // min/max on the column WITHOUT recorded zone ranges declines
+    val noStats = spark.read.format("graftlog").load(t2).agg(max("v").as("m"))
+    assert(noStats.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "max on a stats-less column must scan")
+    assert(noStats.collect().head.getString(0) == "v99")
+
+    // a stats-less append breaks min/max coverage (declines) but count
+    // still pushes — each aggregate needs only its own vocabulary
+    CommitLog.append(Seq((200L, "x")).toDF("k", "v"), t2)
+    val mixed = spark.read.format("graftlog").load(t2).agg(min("k").as("lo"))
+    assert(mixed.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "broken zone coverage must fall back to the scan")
+    assert(mixed.collect().head.getLong(0) == 0L)
+    val cnt = spark.read.format("graftlog").load(t2).agg(count(lit(1)).as("n"))
+    assert(cnt.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty && cnt.collect().head.getLong(0) == 101L)
+
+    // group-by declines; time travel answers for the PINNED version
+    val grouped = spark.read.format("graftlog").load(t2)
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    assert(grouped.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty && grouped.count() == 101L)
+    val v0 = spark.read.format("graftlog").option("versionAsOf", 0).load(t2)
+      .agg(count(lit(1)).as("n"), max("k").as("hi"))
+    assert(v0.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, "the pre-append snapshot has full coverage: both must push")
+    val rv0 = v0.collect().head
+    assert((rv0.getLong(0), rv0.getLong(1)) == ((100L, 99L)))
   }
 
   test("misuse fails loudly at analysis time") {

@@ -146,6 +146,110 @@ class GraftLogStreamSpec extends SparkSpec {
     assert(got.contains((2L, "B")), s"ignoreChanges must stream the upsert's adds: $got")
   }
 
+  test("native sink: micro-batches land as txn commits; replays are skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshDir("sink")
+    val t = root.resolve("t").toString
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v").writeStream.format("graftlog")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .option("txnAppId", "sinktest")
+      .start(t)
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(CommitLog.currentVersion(t) == 1L, "two micro-batches = two commits")
+    assert(CommitLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // a crash-replayed batch carries the same txn marker and is skipped
+    val sink = new graft.sources.GraftLogStreamSink(t, "sinktest", complete = false)
+    sink.addBatch(1L, Seq((3L, "c")).toDF("id", "v"))
+    assert(CommitLog.read(spark, t).count() == 3L,
+      "a replayed batchId must be recognized and skipped")
+    // a NEW batch from the same query still lands
+    sink.addBatch(2L, Seq((4L, "d")).toDF("id", "v"))
+    assert(CommitLog.read(spark, t).count() == 4L)
+  }
+
+  test("native sink: Complete mode replaces the snapshot atomically per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count => fcount}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshDir("sinkc")
+    val t = root.resolve("t").toString
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v").groupBy("v").agg(fcount("*").as("n"))
+      .writeStream.format("graftlog")
+      .outputMode("complete")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start(t)
+    mem.addData((1L, "a"), (2L, "a"))
+    q.processAllAvailable()
+    mem.addData((3L, "b"))
+    q.processAllAvailable()
+    q.stop()
+
+    val now = CommitLog.read(spark, t).orderBy("v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(now == Seq(("a", 2L), ("b", 1L)),
+      s"the head must be the LATEST complete result, got $now")
+    // every prior result stays time-travelable
+    val v0 = CommitLog.read(spark, t, Some(0L)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v0 == Seq(("a", 2L)), s"the first complete result must remain at v0: $v0")
+
+    // update mode is refused
+    val mem2 = MemoryStream[(Long, String)]
+    val e = intercept[Exception] {
+      mem2.toDF().toDF("id", "v").groupBy("v").agg(fcount("*").as("n"))
+        .writeStream.format("graftlog")
+        .outputMode("update")
+        .option("checkpointLocation", root.resolve("ckpt2").toString)
+        .start(root.resolve("t2").toString)
+    }
+    assert(e.getMessage.toLowerCase.contains("output mode"), e.getMessage)
+  }
+
+  test("log→log pipeline: source to sink, exactly-once across re-runs") {
+    val root = freshDir("pipe")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    CommitLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    def run(): Unit = {
+      val q = spark.readStream.format("graftlog").load(src)
+        .writeStream.format("graftlog")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      assert(q.awaitTermination(120000L), "pipeline drain timed out")
+    }
+    run()
+    assert(CommitLog.read(spark, dst).count() == 2L)
+    val vAfterFirst = CommitLog.currentVersion(dst)
+
+    // re-running with the same checkpoint delivers nothing new
+    run()
+    assert(CommitLog.currentVersion(dst) == vAfterFirst,
+      "an already-drained pipeline must not commit again")
+
+    // new upstream commits flow through exactly once
+    CommitLog.append(Seq((3L, "c")).toDF("id", "v"), src)
+    run()
+    assert(CommitLog.read(spark, dst).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("streaming misuse fails at analysis") {
     val root = freshDir("errs")
     val t = root.resolve("t").toString
