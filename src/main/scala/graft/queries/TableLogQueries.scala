@@ -668,7 +668,46 @@ object TableLogQueries {
        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
        |GROUP BY batch ORDER BY batch""".stripMargin
 
+  // ------------------------------------------------------------------ tl15: SQL catalog
+  /** tl15: the full SQL identifier surface over commit-log tables via
+    * [[graft.sources.GraftCatalog]] — CREATE NAMESPACE, CTAS, INSERT
+    * INTO (one txn commit), `VERSION AS OF` time travel, and a final
+    * aggregate read, all through `graft.cur.tracker` with no path in
+    * sight. The gate REQUIREs the time-traveled pre-insert count to
+    * equal the first batch (proving `VERSION AS OF` pins the snapshot,
+    * not the head), then serves the head aggregate against the batch
+    * definitions' oracle. */
+  private val tl15SqlCatalog: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"))
+    Files.createDirectories(root)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", root.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cur")
+    spark.sql("DROP TABLE IF EXISTS graft.cur.tracker")
+    batch1(spark, dir).createOrReplaceTempView("tl15_b1")
+    batch2(spark, dir).createOrReplaceTempView("tl15_b2")
+    spark.sql("CREATE TABLE graft.cur.tracker AS SELECT * FROM tl15_b1")  // v0 schema + v1 data
+    spark.sql("INSERT INTO graft.cur.tracker SELECT * FROM tl15_b2")      // v2
+    val pre = spark.sql(
+      "SELECT count(*) AS n FROM graft.cur.tracker VERSION AS OF 1").head().getLong(0)
+    require(pre == batch1(spark, dir).count(),
+      s"VERSION AS OF 1 must serve the pre-insert snapshot, got $pre")
+    spark.sql(
+      """SELECT batch, count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft.cur.tracker GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl15SqlCatalogSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+       |GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl15_sql_catalog" -> tl15SqlCatalog,
     "tl14_stream_pipeline" -> tl14StreamPipeline,
     "tl13_agg_pushdown" -> tl13AggPushdown,
     "tl12_stats_broadcast" -> tl12StatsBroadcast,
@@ -686,6 +725,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl15_sql_catalog" -> tl15SqlCatalogSql,
     "tl14_stream_pipeline" -> tl14StreamPipelineSql,
     "tl13_agg_pushdown" -> tl13AggPushdownSql,
     "tl12_stats_broadcast" -> tl12StatsBroadcastSql,

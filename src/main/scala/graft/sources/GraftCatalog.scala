@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.CommitLog
+
+/** A Spark `TableCatalog` over a warehouse directory of commit-log
+  * tables, completing the SQL surface the path-based `USING graftlog`
+  * views can't reach:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  *
+  *   CREATE NAMESPACE graft.curation
+  *   CREATE TABLE graft.curation.docs AS SELECT ...        -- CTAS
+  *   INSERT INTO graft.curation.docs SELECT ...            -- txn append
+  *   INSERT OVERWRITE graft.curation.docs SELECT ...       -- atomic replace
+  *   SELECT * FROM graft.curation.docs VERSION AS OF 3     -- time travel
+  *   SELECT * FROM graft.curation.docs TIMESTAMP AS OF '...'
+  *   SHOW TABLES IN graft.curation; DROP TABLE graft.curation.docs
+  * }}}
+  *
+  * Identifiers map to directories (`warehouse/ns/.../name`); a table IS
+  * its commit log, so every catalog operation is the corresponding log
+  * operation and all ACID/time-travel semantics come from
+  * [[graft.io.CommitLog]] unchanged. `loadTable` resolves through
+  * [[GraftLogDataSource.resolve]], returning the same
+  * [[GraftLogDataSource.GraftLogTable]] the path surface serves —
+  * reads get the native columnar scan, reported statistics, zone-map
+  * skipping and metadata-answered aggregates; writes get transactional
+  * append/overwrite. The `VERSION AS OF` / `TIMESTAMP AS OF` overloads
+  * pin a snapshot exactly as the reader options do (timestamps arrive in
+  * MICROseconds per the connector contract).
+  *
+  * `CREATE TABLE` (no data) lands the declared schema as commit v0 with
+  * one empty data file — the table is immediately readable as empty, and
+  * the schema rides the log like any other commit (no side-channel
+  * metastore state). CTAS is the same create followed by the query's
+  * write, so a failed CTAS leaves an empty table, never a torn one.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: java.nio.file.Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"graft catalog '$name' needs a warehouse dir: set spark.sql.catalog.$name.warehouse")
+    warehouse = Paths.get(w)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): java.nio.file.Path =
+    ident.namespace().foldLeft(warehouse)(_.resolve(_)).resolve(ident.name())
+
+  private def dirOf(namespace: Array[String]): java.nio.file.Path =
+    namespace.foldLeft(warehouse)(_.resolve(_))
+
+  private def isTableDir(p: java.nio.file.Path): Boolean =
+    Files.isDirectory(p.resolve("_log"))
+
+  // ------------------------------------------------------------------ tables
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTableDir(dirOf(ident))
+
+  override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
+
+  /** `VERSION AS OF <v>` — the connector passes the version verbatim. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Map("versionasof" -> version))
+
+  /** `TIMESTAMP AS OF <t>` — the connector passes MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, Map("timestampasof" -> (timestamp / 1000L).toString))
+
+  private def load(ident: Identifier, extra: Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    GraftLogDataSource.resolve(Map("path" -> dir.toString) ++ extra)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables do not support partition transforms — cluster " +
+        "with CommitLog.appendClustered for zone-map file skipping instead")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = dirOf(ident)
+    Files.createDirectories(dir)
+    // the declared schema becomes commit v0 (one empty data file): the
+    // table is immediately readable as empty and the schema needs no
+    // side-channel state — it rides the log
+    val spark = SparkSession.active
+    CommitLog.append(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .coalesce(1),
+      dir.toString)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — additive schema " +
+        "evolution happens by appending wider batches (mergeSchema reads)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) false
+    else {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(dirOf(newIdent).getParent)
+    Files.move(dirOf(oldIdent), dirOf(newIdent))
+  }
+
+  // ------------------------------------------------------------------ namespaces
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(warehouse).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = dirOf(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = dirOf(namespace)
+    namespace.isEmpty || (Files.isDirectory(dir) && !isTableDir(dir))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(dirOf(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = dirOf(namespace)
+    if (!namespaceExists(namespace) || namespace.isEmpty) false
+    else {
+      val hasChildren = Files.list(dir).iterator().asScala.nonEmpty
+      if (hasChildren && !cascade)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      true
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.io.CommitLog
+
+/** The graft `TableCatalog` ([[graft.sources.GraftCatalog]]): commit-log
+  * tables addressed by SQL identifiers — CTAS, INSERT INTO/OVERWRITE,
+  * VERSION/TIMESTAMP AS OF, SHOW/DROP/RENAME — with every semantic
+  * delegated to the same CommitLog the path surface uses. */
+class GraftCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val root = Paths.get(graft.io.Sinks.scratchDir("graft_catalog_wh"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(root)
+    // the catalog is instantiated lazily on first reference; the conf
+    // must be in place before any `gcat.` identifier resolves
+    spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", root.toString)
+    root.toString
+  }
+
+  test("CTAS, SELECT, SHOW TABLES, INSERT INTO/OVERWRITE") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.cur")
+    spark.sql("DROP TABLE IF EXISTS gcat.cur.docs")
+    spark.sql(
+      "CREATE TABLE gcat.cur.docs AS SELECT id, concat('d', id) AS v FROM range(5)")
+
+    // the table is a real commit-log table in the warehouse
+    val dir = Paths.get(wh, "cur", "docs").toString
+    assert(CommitLog.currentVersion(dir) >= 0L)
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.cur.docs").head.getLong(0) == 5L)
+
+    val shown = spark.sql("SHOW TABLES IN gcat.cur").collect().map(_.getString(1)).toSet
+    assert(shown.contains("docs"), s"SHOW TABLES must list docs, got $shown")
+
+    // INSERT INTO = one txn append commit
+    val vBefore = CommitLog.currentVersion(dir)
+    spark.sql("INSERT INTO gcat.cur.docs SELECT id + 10, concat('x', id) FROM range(3)")
+    assert(CommitLog.currentVersion(dir) == vBefore + 1, "INSERT INTO must be one commit")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.cur.docs").head.getLong(0) == 8L)
+
+    // INSERT OVERWRITE = one atomic replace; history stays addressable
+    spark.sql("INSERT OVERWRITE gcat.cur.docs SELECT id, concat('z', id) FROM range(2)")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.cur.docs").head.getLong(0) == 2L)
+    assert(CommitLog.read(spark, dir, Some(vBefore + 1)).count() == 8L,
+      "pre-overwrite snapshot must still time-travel")
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF through SQL identifiers") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.tt")
+    spark.sql("DROP TABLE IF EXISTS gcat.tt.t")
+    spark.sql("CREATE TABLE gcat.tt.t AS SELECT id FROM range(3)")     // v0+v1 (create+CTAS write)
+    spark.sql("INSERT INTO gcat.tt.t SELECT id + 100 FROM range(2)")   // +1
+
+    val head = spark.sql("SELECT count(*) AS n FROM gcat.tt.t").head.getLong(0)
+    assert(head == 5L)
+    // the pre-insert version still serves 3 rows
+    val pre = spark.sql("SELECT count(*) AS n FROM gcat.tt.t VERSION AS OF 1").head.getLong(0)
+    assert(pre == 3L, s"VERSION AS OF 1 must pre-date the insert, got $pre")
+
+    // a timestamp far in the future resolves to the head
+    val ts = java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 60000)
+      .toString.replace("T", " ").stripSuffix("Z")
+    val atNow = spark.sql(
+      s"SELECT count(*) AS n FROM gcat.tt.t TIMESTAMP AS OF '$ts'").head.getLong(0)
+    assert(atNow == 5L)
+  }
+
+  test("plain CREATE TABLE is readable-empty; schema rides the log; DROP/RENAME") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
+    spark.sql("DROP TABLE IF EXISTS gcat.ddl.t")
+    spark.sql("DROP TABLE IF EXISTS gcat.ddl.t2")
+    spark.sql("CREATE TABLE gcat.ddl.t (id BIGINT, v STRING)")
+    assert(spark.sql("SELECT * FROM gcat.ddl.t").collect().isEmpty,
+      "a created table must be immediately readable as empty")
+    assert(spark.sql("SELECT * FROM gcat.ddl.t").schema.fieldNames.toSeq == Seq("id", "v"))
+
+    spark.sql("INSERT INTO gcat.ddl.t VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.ddl.t").head.getLong(0) == 2L)
+
+    // the RENAME target is catalog-relative (Spark refuses cross-catalog
+    // renames, so the new name carries no catalog prefix)
+    spark.sql("ALTER TABLE gcat.ddl.t RENAME TO ddl.t2")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.ddl.t2").head.getLong(0) == 2L)
+    assert(!Files.isDirectory(Paths.get(wh, "ddl", "t", "_log")))
+
+    assert(spark.sql("DROP TABLE gcat.ddl.t2").collect().isEmpty)
+    assert(!Files.isDirectory(Paths.get(wh, "ddl", "t2")))
+    val gone = intercept[Exception] { spark.sql("SELECT * FROM gcat.ddl.t2").collect() }
+    assert(gone.getMessage.toLowerCase.contains("t2"), gone.getMessage)
+  }
+
+  test("catalog reads keep the native scan perks: metadata count, reported stats") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.perf")
+    spark.sql("DROP TABLE IF EXISTS gcat.perf.t")
+    spark.sql("CREATE TABLE gcat.perf.t AS SELECT id AS k FROM range(100)")
+
+    // count(*) through the catalog identifier is metadata-answered: the
+    // Aggregate disappears from the optimized plan
+    val cnt = spark.sql("SELECT count(*) AS n FROM gcat.perf.t")
+    assert(cnt.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, s"catalog count(*) must push down:\n${cnt.queryExecution.optimizedPlan}")
+    assert(cnt.head.getLong(0) == 100L)
+
+    // the scan relation reports real statistics
+    val st = spark.sql("SELECT * FROM gcat.perf.t").queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.stats
+    }.head
+    assert(st.rowCount.contains(BigInt(100)), s"stats must flow through the catalog: $st")
+  }
+}
