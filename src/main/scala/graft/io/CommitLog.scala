@@ -289,6 +289,94 @@ object CommitLog {
      catch { case scala.util.control.NonFatal(_) => None })
       .fold("")(n => s""","bytes":$n""")
 
+  /** Null count of `column` from the parquet footer alone — `Some(n)` only
+    * when EVERY row group's column chunk recorded one (else undefined,
+    * never wrong). This is the proof obligation of a metadata-only DELETE:
+    * a file whose zone range lies entirely inside the deleted region still
+    * cannot be dropped if it might hold NULLs in the bounded column (a
+    * NULL row never matches a comparison predicate, so dropping it would
+    * delete a row the predicate did not select). */
+  def footerNullCount(table: String, f: String, column: String): Option[Long] =
+    try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(Paths.get(table, f).toUri),
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        val chunks = r.getFooter.getBlocks.asScala.flatMap(
+          _.getColumns.asScala.filter(_.getPath.toDotString.equalsIgnoreCase(column)))
+        if (chunks.isEmpty) None
+        else {
+          val counts = chunks.map(c => Option(c.getStatistics).filter(_.isNumNullsSet)
+            .map(_.getNumNulls))
+          if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+        }
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [min, max] of an integral `column` from the parquet footer's column
+    * statistics (no data pages touched) — what lets a rewrite commit
+    * re-record zone ranges for its replacement files so data skipping
+    * survives DML. Defined only when every row group has non-empty stats
+    * on an INT32/INT64 physical column. */
+  def footerMinMax(table: String, f: String, column: String): Option[(Long, Long)] =
+    try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(Paths.get(table, f).toUri),
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        val chunks = r.getFooter.getBlocks.asScala.flatMap(
+          _.getColumns.asScala.filter(_.getPath.toDotString.equalsIgnoreCase(column)))
+        val ranges = chunks.map { c =>
+          val integral = c.getPrimitiveType.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32 => true
+            case _ => false
+          }
+          Option(c.getStatistics)
+            .filter(s => integral && s.hasNonNullValue)
+            .map { s =>
+              (s.genericGetMin, s.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long)       => (lo.toLong, hi.toLong)
+                case (lo: java.lang.Integer, hi: java.lang.Integer) => (lo.toLong, hi.toLong)
+                case _ => return None
+              }
+            }
+        }
+        if (ranges.nonEmpty && ranges.forall(_.isDefined))
+          Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+        else None
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One atomic commit that removes `remove` and adds `add` — the rewrite
+    * primitive behind SQL row-level operations (DELETE/UPDATE/MERGE
+    * copy-on-write and metadata-only deletes): readers see the snapshot
+    * before or after, never a mix, and the pre-DML version stays
+    * time-travelable until vacuum. The added files must already sit in the
+    * table dir (executor write tasks land them there, invisible until this
+    * commit names them). `expectedTip` MUST be the version the remove set
+    * (and the rewritten rows) were derived from — a concurrent commit
+    * aborts this one with `ConcurrentModificationException` instead of
+    * resurrecting rows someone else rewrote (the Delta write-conflict
+    * rule). When `statsCol` is set, each added file's zone range is
+    * re-recorded from its parquet footer (min/max column statistics, no
+    * data pages), so data skipping on a clustered table SURVIVES row-level
+    * rewrites instead of decaying with every DML commit. */
+  private[graft] def replaceFiles(table: String, remove: Seq[String], add: Seq[String],
+                                  expectedTip: Option[Long], op: String = "rewrite",
+                                  statsCol: Option[String] = None): Long = {
+    val addActions = add.map { f =>
+      val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""") +
+        fileSizeSuffix(table, f)
+      (for (c <- statsCol; (lo, hi) <- footerMinMax(table, f, c))
+        yield s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"$rowsSuffix}""")
+        .getOrElse(s"""{"add":"$f"$rowsSuffix}""")
+    }
+    commitRaw(table, op, addActions ++ remove.map(f => s"""{"remove":"$f"}"""), expectedTip)
+  }
+
   /** Row count from the parquet footer alone (no data pages touched). */
   def footerRowCount(table: String, f: String): Option[Long] =
     try {
@@ -571,6 +659,14 @@ object CommitLog {
       case (f, Some(s)) if state.statsCols.get(f).exists(_.equalsIgnoreCase(column)) =>
         f -> s
     }.toMap
+  }
+
+  /** file → the named column its recorded zone range describes, for every
+    * live file whose add action NAMED one — one log replay, bulk (callers
+    * classifying many files must not replay per file). */
+  def fileStatsColumns(table: String, asOf: Option[Long] = None): Map[String, String] = {
+    val state = replay(table, asOf)
+    state.statsCols.filter { case (f, _) => state.live.contains(f) }.toMap
   }
 
   /** Metadata-only `count(*)`: the snapshot's total rows summed from the

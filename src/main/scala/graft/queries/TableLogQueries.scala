@@ -706,7 +706,138 @@ object TableLogQueries {
        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
        |GROUP BY batch ORDER BY batch""".stripMargin
 
+  // ------------------------------------------------------------------ tl16-18: SQL DML
+  /** Registers the `graft` catalog and rebuilds `graft.dml.<name>` fresh
+    * from a CTAS of `selectSql` over the batch temp views. */
+  private def dmlTable(spark: SparkSession, dir: String, name: String,
+                       selectSql: String): String = {
+    val root = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"))
+    Files.createDirectories(root)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", root.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql(s"DROP TABLE IF EXISTS graft.dml.$name")
+    batch1(spark, dir).createOrReplaceTempView(s"${name}_b1")
+    batch2(spark, dir).createOrReplaceTempView(s"${name}_b2")
+    spark.sql(s"CREATE TABLE graft.dml.$name AS $selectSql")
+    s"graft.dml.$name"
+  }
+
+  /** tl16: `DELETE FROM` through the SQL catalog — group-based
+    * copy-on-write planned by Spark over the table's
+    * [[graft.sources.GraftRowLevelOperation]] (one atomic rewrite commit;
+    * the pre-delete snapshot stays time-travelable). The table starts as
+    * b1 ∪ b2 (both generations of every corrected order) and the DELETE
+    * removes the superseded batch-1 rows — arriving at exactly the
+    * upsert-merge semantic (`j_upsert`/tl1) by subtraction instead of
+    * merge, which the `merged` oracle CTE already describes. */
+  private val tl16SqlDelete: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t16",
+      "SELECT * FROM t16_b1 UNION ALL SELECT * FROM t16_b2")
+    spark.sql(s"DELETE FROM $t WHERE batch = 1 AND id % 6 = 0")
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl16SqlDeleteSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM merged GROUP BY batch ORDER BY batch""".stripMargin
+
+  /** tl17: `UPDATE` through the SQL catalog — the correction pass as an
+    * in-place SQL statement: batch-1 rows whose orders verified are
+    * promoted where they sit. Same copy-on-write machinery as tl16;
+    * result equals the merged tracker grouped by status. */
+  private val tl17SqlUpdate: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t17", "SELECT * FROM t17_b1")
+    spark.sql(
+      s"UPDATE $t SET status = 'verified', batch = 2 WHERE id % 6 = 0")
+    spark.sql(
+      s"""SELECT status, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY status ORDER BY status""".stripMargin)
+  }
+
+  private val tl17SqlUpdateSql =
+    s"""WITH $batchesSql
+       |SELECT status, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM merged GROUP BY status ORDER BY status""".stripMargin
+
+  /** tl18: `MERGE INTO` through the SQL catalog — the full upsert as ONE
+    * SQL statement: matched target rows take the source's correction
+    * (batch 2), unmatched source rows insert (a batch-3 generation with
+    * negated ids, so the not-matched arm provably fires). One commit;
+    * equals merged ∪ inserted. */
+  private val tl18SqlMerge: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t18", "SELECT * FROM t18_b1")
+    spark.sql(
+      s"""MERGE INTO $t t USING (
+         |  SELECT id, status, price, batch FROM t18_b2
+         |  UNION ALL
+         |  SELECT -(id + 1) AS id, 'inserted' AS status, price, 3 AS batch FROM t18_b2
+         |) s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET
+         |  status = s.status, price = s.price, batch = s.batch
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl18SqlMergeSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT * FROM merged
+       |      UNION ALL
+       |      SELECT -(id + 1) AS id, 'inserted' AS status, price, 3 AS batch FROM b2)
+       |GROUP BY batch ORDER BY batch""".stripMargin
+
+  /** tl19: `CALL` table maintenance through the catalog
+    * ([[graft.sources.GraftProcedures]]) — the full lifecycle in SQL:
+    * compact (bin-pack, REQUIREd to hit the 2-file target in one commit),
+    * vacuum (REQUIREd to reclaim the compacted-away files), checkpoint
+    * (REQUIREd to expire the log prefix), history (the retained tail as
+    * rows). The served aggregate proves content is INVARIANT under all
+    * of it — maintenance moves bytes, never rows. */
+  private val tl19SqlMaintenance: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t19",
+      "SELECT /*+ REPARTITION(4) */ * FROM t19_b1")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(4) */ * FROM t19_b2")
+    val compacted = spark.sql(
+      "CALL graft.system.compact(`table` => 'dml.t19', target_files => 2)").head()
+    require(!compacted.isNullAt(0), "compact must land a commit")
+    require(compacted.getInt(1) <= 2, s"compact must hit the target, ${compacted.getInt(1)} files live")
+    val reclaimed = spark.sql("CALL graft.system.vacuum('dml.t19')").count()
+    require(reclaimed > 0, "vacuum must reclaim the compacted-away files")
+    val ckpt = spark.sql("CALL graft.system.checkpoint('dml.t19')").head()
+    require(ckpt.getInt(1) > 0, "checkpoint must expire the pre-checkpoint log")
+    require(spark.sql("CALL graft.system.history('dml.t19')").count() >= 1,
+      "history must serve the retained tail")
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl19SqlMaintenanceSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+       |GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl19_sql_maintenance" -> tl19SqlMaintenance,
+    "tl18_sql_merge" -> tl18SqlMerge,
+    "tl17_sql_update" -> tl17SqlUpdate,
+    "tl16_sql_delete" -> tl16SqlDelete,
     "tl15_sql_catalog" -> tl15SqlCatalog,
     "tl14_stream_pipeline" -> tl14StreamPipeline,
     "tl13_agg_pushdown" -> tl13AggPushdown,
@@ -725,6 +856,10 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl19_sql_maintenance" -> tl19SqlMaintenanceSql,
+    "tl18_sql_merge" -> tl18SqlMergeSql,
+    "tl17_sql_update" -> tl17SqlUpdateSql,
+    "tl16_sql_delete" -> tl16SqlDeleteSql,
     "tl15_sql_catalog" -> tl15SqlCatalogSql,
     "tl14_stream_pipeline" -> tl14StreamPipelineSql,
     "tl13_agg_pushdown" -> tl13AggPushdownSql,

@@ -49,7 +49,8 @@ import graft.io.CommitLog
   * metastore state). CTAS is the same create followed by the query's
   * write, so a failed CTAS leaves an empty table, never a torn one.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _
@@ -142,6 +143,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     Files.createDirectories(dirOf(newIdent).getParent)
     Files.move(dirOf(oldIdent), dirOf(newIdent))
+  }
+
+  // ------------------------------------------------------------------ procedures
+  /** `CALL <catalog>.system.<proc>(...)` — table maintenance from SQL
+    * ([[GraftProcedures]]: compact, vacuum, checkpoint, history). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val known = ident.namespace().sameElements(GraftProcedures.Namespace)
+    (if (known) GraftProcedures.load(this, ident.name()) else None).getOrElse {
+      throw new RuntimeException(
+        s"graft catalog: no procedure $ident — the system namespace offers " +
+          GraftProcedures.names.mkString("system.", ", system.", ""))
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.names.map(Identifier.of(GraftProcedures.Namespace, _)).toArray
+    else Array.empty
+
+  /** Resolves a procedure's catalog-relative `'ns.t'` table argument to
+    * the table's directory (the procedures' path into [[CommitLog]]). */
+  private[sources] def resolveTableDir(name: String): String = {
+    val parts = name.split('.')
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"graft catalog: '$name' is not a table identifier (expected 'ns.table')")
+    val ident = Identifier.of(parts.init, parts.last)
+    require(tableExists(ident),
+      s"graft catalog: table $name does not exist under $warehouse")
+    dirOf(ident).toString
   }
 
   // ------------------------------------------------------------------ namespaces

@@ -228,7 +228,9 @@ object GraftLogDataSource {
   final case class GraftLogTable(path: String, snapshotVersion: Long,
                                  mergeSchema: Boolean, timeTravel: Boolean,
                                  schema0: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
     private def exists: Boolean = snapshotVersion >= 0
 
@@ -348,6 +350,64 @@ object GraftLogDataSource {
               pushed, prunedFileNames(path, snapshotVersion, pushed.toIndexedSeq))
         }
       }
+
+    // ------------------------------------------------------------------ row-level DML
+    /** `DELETE FROM` / `UPDATE` / `MERGE INTO` — group-based copy-on-write
+      * rewrites planned by Spark over [[GraftRowLevelOperation]]; the
+      * operation scans the zone-pruned affected files, and its write swaps
+      * them for the recomputed replacements in one conflict-checked
+      * commit. */
+    override def newRowLevelOperationBuilder(
+        info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+      require(!timeTravel,
+        s"graftlog: cannot ${info.command.name.toLowerCase} rows of a time-travel " +
+          s"snapshot of $path (drop versionAsOf/timestampAsOf to modify the head)")
+      require(exists, s"graftlog: $path has no commits — nothing to ${info.command}")
+      () => new GraftRowLevelOperation(path, snapshotVersion, schema0, info.command)
+    }
+
+    /** Metadata-only DELETE: when the zone maps prove every live file is
+      * either fully inside the deleted region (null-free on the bounded
+      * column) or fully outside it, the delete is ONE log commit dropping
+      * whole files — zero data IO ([[MetadataDelete]]). Spark's
+      * `OptimizeMetadataOnlyDeleteFromTable` asks here first and falls
+      * back to the copy-on-write rewrite when the proof declines. */
+    override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+      !timeTravel && exists &&
+        MetadataDelete.plan(path, snapshotVersion, filters.toIndexedSeq).isDefined
+
+    override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+      require(!timeTravel,
+        s"graftlog: cannot DELETE from a time-travel snapshot of $path")
+      var attempt = 0
+      while (attempt < 100) {
+        // re-derive against the CURRENT tip: the proof was planned on this
+        // table's pinned snapshot, but the delete must apply serializably
+        // to the head (a racing commit aborts the attempt and re-proves)
+        val tip = CommitLog.currentVersion(path)
+        MetadataDelete.plan(path, tip, filters.toIndexedSeq) match {
+          case None => throw new IllegalStateException(
+            s"graftlog: metadata DELETE on $path is no longer provable at " +
+              s"v$tip (the table changed since planning) — re-run the DELETE")
+          case Some(drops) if drops.isEmpty => return // provably matches nothing
+          case Some(drops) =>
+            // dropping every live file (TRUNCATE / delete-all) must leave a
+            // schema source: one empty parquet file, as CREATE TABLE does
+            val emptyGuard =
+              if (CommitLog.snapshotFiles(path, Some(tip)).forall(drops.contains))
+                Seq(MetadataDelete.writeEmptyFile(path, schema0))
+              else Seq.empty
+            try {
+              CommitLog.replaceFiles(path, drops, emptyGuard, Some(tip), op = "delete")
+              return
+            } catch {
+              case _: java.util.ConcurrentModificationException => attempt += 1
+            }
+        }
+      }
+      sys.error(s"metadata DELETE on $path lost 100 consecutive version races — aborting")
+    }
 
     // ------------------------------------------------------------------ write
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

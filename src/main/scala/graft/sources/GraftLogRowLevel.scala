@@ -1,0 +1,365 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.CommitLog
+
+/** Group-based (copy-on-write) SQL row-level operations over a commit-log
+  * table — what `DELETE FROM` / `UPDATE` / `MERGE INTO` on a `graftlog`
+  * catalog identifier plan through (`SupportsRowLevelOperations`, the
+  * connector surface Iceberg's copy-on-write mode uses):
+  *
+  *  - Spark rewrites the command into a [[org.apache.spark.sql.catalyst
+  *    .plans.logical.ReplaceData]] plan: scan the AFFECTED groups (files),
+  *    recompute their surviving/updated rows, write replacements, swap.
+  *  - The scan here is the table's native columnar parquet scan over the
+  *    snapshot's live files, GROUP-pruned by the command's condition
+  *    against the log's zone maps. Per the `RowLevelOperation` contract
+  *    the pushed condition selects *groups* only — it is NEVER compiled
+  *    into the parquet reader (a row dropped by the scan would be a row
+  *    silently deleted by the rewrite), so the scan returns every row of
+  *    every possibly-matching file and files the zone maps prove
+  *    untouched stay out of the rewrite entirely. At 100 TB a keyed
+  *    `DELETE WHERE k BETWEEN ...` on a clustered table rewrites the few
+  *    files covering the key range, not the table.
+  *  - The write stages replacement parquet files into the table directory
+  *    (invisible until committed — commit-log visibility, no rename
+  *    dance), then lands ONE atomic commit removing exactly the scanned
+  *    files and adding the replacements, conflict-checked against the
+  *    snapshot version the rewrite read ([[CommitLog.replaceFiles]]).
+  *    Readers see the table before or after the DML, never a mix, and the
+  *    pre-DML snapshot stays time-travelable. When the rewritten files
+  *    carried zone ranges on a named cluster column, the replacements'
+  *    ranges are re-recorded from their parquet footers — data skipping
+  *    survives DML instead of decaying with every rewrite.
+  *
+  * Reference behavior: the reference pipeline's tracker updates
+  * (`az_proc.py:617-622`) are whole-file rewrites guarded by nothing; this
+  * gives the same update semantics transactionally, addressable from SQL.
+  */
+private[sources] final class GraftRowLevelOperation(
+    path: String, version: Long, tableSchema: StructType, cmd: Command)
+    extends RowLevelOperation {
+
+  /** Files the planned scan covers — the groups the replacement commit
+    * removes. Until the scan is built (it always is before the write
+    * executes), the safe default is every live file: a full rewrite is
+    * correct, just not minimal. */
+  @volatile private[sources] var affected: Seq[String] =
+    CommitLog.snapshotFiles(path, Some(version))
+
+  override def command(): Command = cmd
+
+  override def description(): String =
+    s"graftlog ${cmd.name.toLowerCase} $path@v$version (copy-on-write)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      private var pushed: Array[Filter] = Array.empty
+
+      /** The command's condition arrives here for GROUP pruning only
+        * (`GroupBasedRowLevelOperationScanPlanning`); every filter is
+        * reported back as residual and none reaches the parquet reader —
+        * the scan must surface every row of each affected file, matching
+        * or not, or the rewrite would drop rows it never saw. */
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val files = GraftLogDataSource.prunedFileNames(path, version, pushed.toIndexedSeq)
+        affected = files
+        new GraftLogNativeScan(path, version, tableSchema, required,
+          Array.empty, files)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val schema = info.schema()
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def description(): String = GraftRowLevelOperation.this.description()
+        override def toBatch: BatchWrite = {
+          // the writer kit captures the session's parquet write conf on
+          // the driver; tasks open one writer per non-empty partition
+          val kit = org.apache.spark.sql.GraftSqlShim.parquetWriteKit(
+            SparkSession.active, schema)
+          new BatchWrite {
+            override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+              new GraftParquetWriterFactory(path, kit)
+
+            override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              val added = messages.toSeq.collect {
+                case GraftFilesMessage(fs) => fs
+              }.flatten
+              val removed = affected
+              if (added.isEmpty && removed.isEmpty) return // zone maps proved a no-op
+              // replacements inherit zone ranges when every rewritten file
+              // had them on one named column (footer min/max re-read)
+              val colsMap = CommitLog.fileStatsColumns(path, Some(version))
+              val statsCol = removed.flatMap(colsMap.get).distinct match {
+                case Seq(c) if removed.forall(f => colsMap.get(f).contains(c)) => Some(c)
+                case _ => None
+              }
+              // a rewrite that empties the table must still leave a schema
+              // source: one empty parquet file, as the catalog's CREATE does
+              val emptyGuard =
+                if (added.isEmpty &&
+                    CommitLog.snapshotFiles(path, Some(version)).forall(removed.contains))
+                  Seq(MetadataDelete.writeEmptyFile(path, schema))
+                else Seq.empty
+              try CommitLog.replaceFiles(path, removed, added ++ emptyGuard, Some(version),
+                op = cmd.name.toLowerCase, statsCol = statsCol)
+              catch {
+                case e: java.util.ConcurrentModificationException =>
+                  (added ++ emptyGuard).foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+                  throw e
+              }
+            }
+
+            override def abort(messages: Array[WriterCommitMessage]): Unit =
+              messages.toSeq.collect { case GraftFilesMessage(fs) => fs }.flatten
+                .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Per-task parquet writer for commit-log writes: each non-empty partition
+  * lands ONE uniquely-named file directly in the table directory, where it
+  * stays invisible until a log commit references it (the commit-log
+  * visibility model — no temp-dir rename protocol needed, and an aborted
+  * or speculative attempt's file is deleted on abort or reclaimed by
+  * vacuum as an unreferenced orphan). */
+private[sources] final class GraftParquetWriterFactory(
+    table: String, kit: org.apache.spark.sql.ParquetWriteKit)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftParquetDataWriter(table, kit, partitionId, taskId)
+}
+
+private[sources] final case class GraftFilesMessage(files: Seq[String])
+    extends WriterCommitMessage
+
+private final class GraftParquetDataWriter(
+    table: String, kit: org.apache.spark.sql.ParquetWriteKit,
+    partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+  private var name: String = _
+  // set on the first row: Spark's row-level rewrites prefix each row with
+  // the int `__row_operation` protocol column (RowDeltaUtils), which the
+  // runtime only strips for operations that declared metadata attributes —
+  // a plain group-replacing write receives the raw [op | data...] rows and
+  // must skip field 0 itself (a reusable shifted view, no copy per row)
+  private var shifted: ShiftedInternalRow = _
+  private var direct: Boolean = false
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      // unique per attempt (taskId differs across retries/speculation), so
+      // two attempts never collide on a file name
+      name = f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.parquet"
+      writer = kit.open(Paths.get(table, name).toString, partitionId, 0)
+      direct = row.numFields == kit.schemaLength
+      if (!direct) {
+        require(row.numFields == kit.schemaLength + 1,
+          s"row-level write rows must be [${kit.schemaLength}] data fields or " +
+            s"[1 + ${kit.schemaLength}] with the __row_operation prefix, " +
+            s"got ${row.numFields}")
+        shifted = new ShiftedInternalRow
+      }
+    }
+    if (direct) writer.write(row)
+    else { shifted.underlying = row; writer.write(shifted) }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    GraftFilesMessage(Option(name).toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) {
+      try writer.close() catch { case scala.util.control.NonFatal(_) => () }
+      Files.deleteIfExists(Paths.get(table, name))
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** A zero-copy view of an [[InternalRow]] with its first field hidden —
+  * how the writer consumes Spark's `[__row_operation | data...]` row-level
+  * protocol rows without per-row allocation (one mutable instance per
+  * writer, re-pointed at each incoming row). Read-only. */
+private final class ShiftedInternalRow extends InternalRow {
+  var underlying: InternalRow = _
+
+  override def numFields: Int = underlying.numFields - 1
+  override def setNullAt(i: Int): Unit =
+    throw new UnsupportedOperationException("read-only row view")
+  override def update(i: Int, value: Any): Unit =
+    throw new UnsupportedOperationException("read-only row view")
+  override def copy(): InternalRow = {
+    val c = new ShiftedInternalRow
+    c.underlying = underlying.copy()
+    c
+  }
+  override def isNullAt(i: Int): Boolean = underlying.isNullAt(i + 1)
+  override def getBoolean(i: Int): Boolean = underlying.getBoolean(i + 1)
+  override def getByte(i: Int): Byte = underlying.getByte(i + 1)
+  override def getShort(i: Int): Short = underlying.getShort(i + 1)
+  override def getInt(i: Int): Int = underlying.getInt(i + 1)
+  override def getLong(i: Int): Long = underlying.getLong(i + 1)
+  override def getFloat(i: Int): Float = underlying.getFloat(i + 1)
+  override def getDouble(i: Int): Double = underlying.getDouble(i + 1)
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    underlying.getDecimal(i + 1, precision, scale)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    underlying.getUTF8String(i + 1)
+  override def getBinary(i: Int): Array[Byte] = underlying.getBinary(i + 1)
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    underlying.getInterval(i + 1)
+  override def getStruct(i: Int, numFields: Int): InternalRow =
+    underlying.getStruct(i + 1, numFields)
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    underlying.getArray(i + 1)
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    underlying.getMap(i + 1)
+  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+    underlying.getVariant(i + 1)
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    underlying.getGeography(i + 1)
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    underlying.getGeometry(i + 1)
+  override def get(i: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
+    underlying.get(i + 1, dataType)
+}
+
+/** The metadata-only DELETE planner behind `SupportsDelete.canDeleteWhere`
+  * / `deleteWhere`: prove from the log's zone maps (plus a footer
+  * null-count check on files about to be dropped) that every live file
+  * either matches the predicate COMPLETELY (drop it from the log — no data
+  * is read or written) or provably contains NO matching row (leave it).
+  * Any file the proof can't classify makes the answer None and Spark falls
+  * back to the copy-on-write rewrite — the proof is exact or it is not
+  * used. This is the Delta "metadata delete" fast path: dropping a
+  * partition's worth of keys from a 100 TB clustered table is one log
+  * commit, zero data IO. */
+private[sources] object MetadataDelete {
+
+  /** One zero-row parquet file carrying `schema`, landed (uncommitted) in
+    * the table dir — the schema source a table emptied by DML must keep so
+    * the snapshot stays readable (the same shape the catalog's plain
+    * `CREATE TABLE` commits as v0). Driver-side, a few hundred bytes. */
+  private[sources] def writeEmptyFile(table: String,
+                                      schema: StructType): String = {
+    val name = s"empty-${java.util.UUID.randomUUID()}.parquet"
+    org.apache.spark.sql.GraftSqlShim.parquetWriteKit(SparkSession.active, schema)
+      .open(Paths.get(table, name).toString, 0, 0).close()
+    name
+  }
+
+  /** Files to drop so that exactly the predicate-matching rows disappear,
+    * or None when the filters/zone maps can't prove file-exact coverage. */
+  def plan(path: String, version: Long, filters: Seq[Filter]): Option[Seq[String]] = {
+    if (filters.exists(_.isInstanceOf[sources.AlwaysFalse]))
+      return Some(Seq.empty) // matches nothing: a provable no-op
+    exactRegion(filters).flatMap { region =>
+      val live = CommitLog.snapshotFiles(path, Some(version))
+      if (region.isEmpty) return Some(live) // TRUNCATE / DELETE without WHERE
+      val colsMap = CommitLog.fileStatsColumns(path, Some(version))
+      val statsByCol = colsMap.values.toSet.iterator
+        .map((c: String) => c -> CommitLog.fileStatsOn(path, c, Some(version))).toMap
+      val classified = live.map { f =>
+        val range = colsMap.get(f).flatMap(c =>
+          statsByCol(c).get(f).map(c -> _))
+        range match {
+          case Some((c, (flo, fhi))) =>
+            region.find(_._1.equalsIgnoreCase(c)).map(_._2) match {
+              case Some((lo, hi)) if fhi < lo || flo > hi =>
+                Some(false) // provably disjoint: untouched
+              case Some((lo, hi)) if flo >= lo && fhi <= hi &&
+                  region.size == 1 &&
+                  CommitLog.footerNullCount(path, f, c).contains(0L) =>
+                Some(true) // provably all-matching, null-free: drop whole file
+              case _ => None
+            }
+          case None => None // no named zone range: nothing provable
+        }
+      }
+      if (classified.forall(_.isDefined))
+        Some(live.zip(classified).collect { case (f, Some(true)) => f })
+      else None
+    }
+  }
+
+  /** The EXACT region (per-column closed integral [lo, hi] boxes) described
+    * by a v1 filter conjunction, or None if any filter falls outside the
+    * vocabulary — unlike [[GraftLogDataSource.integralBounds]] (which may
+    * under-approximate, safe for pruning), deletion needs equivalence:
+    * strict bounds become ±1 on the integral domain, and any shape that
+    * can't be represented rejects the whole proof. */
+  private[sources] def exactRegion(filters: Seq[Filter]): Option[Map[String, (Long, Long)]] = {
+    val empty = (1L, 0L) // lo > hi: matches nothing
+    def lit(v: Any): Option[Long] = v match {
+      case l: java.lang.Long    => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case s: java.lang.Short   => Some(s.toLong)
+      case b: java.lang.Byte    => Some(b.toLong)
+      case _                    => None
+    }
+    def one(f: Filter): Option[Seq[(String, (Long, Long))]] = f match {
+      case sources.AlwaysTrue() => Some(Seq.empty)
+      case sources.EqualTo(a, v) => lit(v).map(x => Seq(a -> (x, x)))
+      case sources.GreaterThan(a, v) => lit(v).map(x =>
+        Seq(a -> (if (x == Long.MaxValue) empty else (x + 1, Long.MaxValue))))
+      case sources.GreaterThanOrEqual(a, v) => lit(v).map(x => Seq(a -> (x, Long.MaxValue)))
+      case sources.LessThan(a, v) => lit(v).map(x =>
+        Seq(a -> (if (x == Long.MinValue) empty else (Long.MinValue, x - 1))))
+      case sources.LessThanOrEqual(a, v) => lit(v).map(x => Seq(a -> (Long.MinValue, x)))
+      case sources.And(l, r) => for (ls <- one(l); rs <- one(r)) yield ls ++ rs
+      // IsNotNull often rides along with comparisons on the same column; on
+      // an integral column it is implied by any satisfied comparison, so it
+      // adds no constraint — but ONLY if that column is otherwise bounded
+      // (checked below); alone it would assert "delete all non-null rows",
+      // which zone maps cannot prove.
+      case sources.IsNotNull(a) => Some(Seq(a -> (Long.MinValue, Long.MaxValue)))
+      case _ => None
+    }
+    filters.map(one).foldLeft(Option(Seq.empty[(String, (Long, Long))])) {
+      (acc, cur) => for (a <- acc; c <- cur) yield a ++ c
+    }.flatMap { bounds =>
+      val region = bounds.groupBy(_._1.toLowerCase).map { case (_, bs) =>
+        bs.head._1 -> bs.map(_._2).reduce((x, y) =>
+          (math.max(x._1, y._1), math.min(x._2, y._2)))
+      }
+      // a column bounded ONLY by the degenerate full range came from a bare
+      // IsNotNull — "all non-null rows of a column" is not a provable
+      // file-drop region (a drop would also delete that file's null rows)
+      if (region.values.exists(r => r == (Long.MinValue, Long.MaxValue))) None
+      else Some(region)
+    }
+  }
+}

@@ -1,0 +1,151 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.CommitLog
+
+/** Table-maintenance stored procedures for the `graft` catalog — the
+  * lifecycle operations every long-lived table format needs, reachable
+  * from SQL (`ProcedureCatalog`, the connector surface behind Iceberg's
+  * `CALL` procedures; the Delta analogues are OPTIMIZE / VACUUM /
+  * DESCRIBE HISTORY):
+  *
+  * {{{
+  *   CALL graft.system.compact(`table` => 'ns.t', target_files => 2)
+  *   CALL graft.system.vacuum('ns.t')      -- reclaim unreferenced files
+  *   CALL graft.system.checkpoint('ns.t')  -- roll a log checkpoint + expire
+  *   CALL graft.system.history('ns.t')     -- the commit log as a result set
+  * }}}
+  *
+  * Each is a thin SQL binding over the corresponding transactional
+  * [[graft.io.CommitLog]] operation, so the ACID/time-travel contract is
+  * unchanged: compaction is one conflict-checked rewrite commit readers
+  * never see half of; vacuum deletes only files no retained version
+  * references; checkpoint + expire keeps snapshot reads O(tail) on a
+  * months-running ingest table. Results come back as rows (a driver-side
+  * `LocalScan`): the landed version, counts, or the history itself. */
+private[sources] object GraftProcedures {
+
+  /** All procedures live in the `system` namespace. */
+  val Namespace: Array[String] = Array("system")
+
+  def names: Seq[String] = Seq("compact", "vacuum", "checkpoint", "history")
+
+  def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "compact"    => Some(new CompactProc(catalog))
+      case "vacuum"     => Some(new VacuumProc(catalog))
+      case "checkpoint" => Some(new CheckpointProc(catalog))
+      case "history"    => Some(new HistoryProc(catalog))
+      case _            => None
+    }
+
+  private def str(v: Any): UTF8String = UTF8String.fromString(v.toString)
+
+  private def result(schema: StructType, resultRows: Seq[InternalRow]): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      private val arr = resultRows.toArray
+      override def rows(): Array[InternalRow] = arr
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  private abstract class TableProc(catalog: GraftCatalog, procName: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    protected def tableParam: ProcedureParameter =
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog-relative table identifier, e.g. 'ns.t'").build()
+    /** Resolves the `table` argument (always parameter 0) to its dir. */
+    protected def dirOf(input: InternalRow): String =
+      catalog.resolveTableDir(input.getUTF8String(0).toString)
+  }
+
+  /** `compact(table, target_files)` — bin-pack the live snapshot into at
+    * most `target_files` files in one rewrite commit ([[CommitLog
+    * .compact]]); returns the landed version (NULL when the table was
+    * already at or below the target — a no-op writes no commit). */
+  private final class CompactProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "compact") {
+    override def description(): String =
+      "bin-pack the live snapshot into at most target_files files (one commit)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam, ProcedureParameter.in("target_files", IntegerType)
+        .comment("max live data files after compaction").build())
+    private val schema = new StructType()
+      .add("version", LongType).add("live_files", IntegerType, nullable = false)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirOf(input)
+      val v = CommitLog.compact(SparkSession.active, dir, input.getInt(1))
+      result(schema, Seq(new GenericInternalRow(Array[Any](
+        v.map(Long.box).orNull, CommitLog.snapshotFiles(dir).size))))
+    }
+  }
+
+  /** `vacuum(table)` — delete files no retained version references
+    * (aborted stages, overwritten/compacted/DML-removed data past their
+    * history); returns the reclaimed file names. */
+  private final class VacuumProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "vacuum") {
+    override def description(): String =
+      "delete unreferenced files (aborted stages, rewritten history)"
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+    private val schema = new StructType().add("removed_file", StringType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val removed = CommitLog.vacuum(dirOf(input))
+      result(schema, removed.sorted.map(f =>
+        new GenericInternalRow(Array[Any](str(f)))))
+    }
+  }
+
+  /** `checkpoint(table)` — roll a log checkpoint at the tip and expire the
+    * pre-checkpoint commit files (Delta's every-N-commits maintenance, on
+    * demand); returns the checkpointed version and how many log files the
+    * expiry reclaimed. */
+  private final class CheckpointProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "checkpoint") {
+    override def description(): String =
+      "roll a log checkpoint at the tip and expire pre-checkpoint commits"
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+    private val schema = new StructType()
+      .add("version", LongType, nullable = false)
+      .add("expired_commits", IntegerType, nullable = false)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirOf(input)
+      val v = CommitLog.checkpoint(dir)
+      val expired = CommitLog.expireLog(dir)
+      result(schema, Seq(new GenericInternalRow(Array[Any](v, expired.size))))
+    }
+  }
+
+  /** `history(table)` — the retained commit log as a result set, newest
+    * first (the DESCRIBE HISTORY analogue): version, operation, files
+    * added/removed. */
+  private final class HistoryProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "history") {
+    override def description(): String =
+      "the retained commit history, newest first"
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+    private val schema = new StructType()
+      .add("version", LongType, nullable = false)
+      .add("operation", StringType, nullable = false)
+      .add("n_added", IntegerType, nullable = false)
+      .add("n_removed", IntegerType, nullable = false)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirOf(input)
+      val rows = CommitLog.versions(dir).sorted.reverse.map { v =>
+        val c = CommitLog.readCommit(dir, v)
+        new GenericInternalRow(Array[Any](
+          v, str(c.op), c.add.size, c.remove.size))
+      }
+      result(schema, rows)
+    }
+  }
+}

@@ -84,4 +84,51 @@ object GraftSqlShim {
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Collections.emptyMap()))
   }
+
+  /** The write-side sibling of [[parquetScan]]: Spark's own parquet
+    * `OutputWriterFactory` (with the session's parquet write configuration
+    * baked into a serializable Hadoop conf), packaged so a V2
+    * `DataWriter[InternalRow]` on an EXECUTOR can open a writer for one
+    * file. This is exactly the kit `FileFormatWriter` assembles internally
+    * — `ParquetFileFormat.prepareWrite` mutates the job conf
+    * (`ParquetWriteSupport` schema, compression, legacy-format flags) and
+    * the per-task writer needs that conf back in a `TaskAttemptContext` —
+    * all of it `private[sql]`-adjacent, hence the shim. */
+  def parquetWriteKit(spark: SparkSession,
+                      schema: org.apache.spark.sql.types.StructType): ParquetWriteKit = {
+    val cs = spark.asInstanceOf[ClassicSparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(cs.sessionState.newHadoopConf())
+    val factory = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(cs, job, Map.empty, schema)
+    new ParquetWriteKit(factory,
+      new org.apache.spark.util.SerializableConfiguration(job.getConfiguration), schema)
+  }
+}
+
+/** Serializable bundle of (parquet writer factory, prepared Hadoop conf,
+  * row schema) built on the driver by [[GraftSqlShim.parquetWriteKit]] and
+  * shipped to write tasks; [[open]] is called executor-side, once per
+  * output file. */
+final class ParquetWriteKit(
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    schema: org.apache.spark.sql.types.StructType) extends Serializable {
+
+  /** Width of the row schema the writers expect. */
+  def schemaLength: Int = schema.length
+
+  /** Opens Spark's parquet `OutputWriter` on `path` (absolute file path on
+    * the table's filesystem). The task-attempt identity only names the
+    * Hadoop context — file uniqueness is the caller's job (unique file
+    * names per attempt), matching the commit-log model where a file is
+    * invisible until a log commit references it. */
+  def open(path: String, partitionId: Int, attemptNumber: Int)
+      : org.apache.spark.sql.execution.datasources.OutputWriter = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    val attemptId = new TaskAttemptID(
+      new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), attemptNumber)
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      new org.apache.hadoop.conf.Configuration(conf.value), attemptId)
+    factory.newInstance(path, schema, ctx)
+  }
 }

@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.io.CommitLog
+
+/** SQL row-level DML on commit-log tables ([[graft.sources
+  * .GraftRowLevelOperation]] / [[graft.sources.MetadataDelete]]):
+  * copy-on-write DELETE/UPDATE/MERGE through catalog identifiers, the
+  * metadata-only DELETE fast path (whole zone-covered files dropped with
+  * zero data IO), zone-pruned rewrites that leave disjoint files
+  * untouched, null-safety of the file-drop proof, and TRUNCATE. */
+class GraftLogRowLevelSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val root = Paths.get(graft.io.Sinks.scratchDir("graft_rowlevel_wh"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(root)
+    spark.conf.set("spark.sql.catalog.rlcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rlcat.warehouse", root.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rlcat.dml")
+    root.toString
+  }
+
+  private def tableDir(name: String): String =
+    Paths.get(warehouse, "dml", name).toString
+
+  test("copy-on-write DELETE: arbitrary predicate, history preserved") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.d")
+    spark.sql("CREATE TABLE rlcat.dml.d AS SELECT id, concat('v', id) AS v FROM range(10)")
+    val dir = tableDir("d")
+    val vBefore = CommitLog.currentVersion(dir)
+
+    // id % 2 = 0 does not translate to a v1 filter: forces the rewrite path
+    spark.sql("DELETE FROM rlcat.dml.d WHERE id % 2 = 0")
+
+    val left = spark.sql("SELECT id FROM rlcat.dml.d ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(1L, 3L, 5L, 7L, 9L))
+    assert(CommitLog.currentVersion(dir) == vBefore + 1, "DELETE must be ONE commit")
+    assert(CommitLog.read(spark, dir, Some(vBefore)).count() == 10L,
+      "the pre-DELETE snapshot must still time-travel")
+  }
+
+  test("copy-on-write UPDATE: matched rows rewritten, others intact") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.u")
+    spark.sql("CREATE TABLE rlcat.dml.u AS SELECT id, concat('v', id) AS v FROM range(6)")
+
+    spark.sql("UPDATE rlcat.dml.u SET v = concat(v, '!') WHERE id >= 4")
+
+    val got = spark.sql("SELECT id, v FROM rlcat.dml.u ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(0L -> "v0", 1L -> "v1", 2L -> "v2", 3L -> "v3",
+      4L -> "v4!", 5L -> "v5!"))
+  }
+
+  test("MERGE INTO: matched update + not-matched insert, one commit") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.m")
+    spark.sql("CREATE TABLE rlcat.dml.m AS SELECT id, CAST(0 AS INT) AS gen FROM range(5)")
+    val dir = tableDir("m")
+    val vBefore = CommitLog.currentVersion(dir)
+    spark.sql("SELECT id, CAST(1 AS INT) AS gen FROM range(3, 8)")
+      .createOrReplaceTempView("rl_src")
+
+    spark.sql(
+      """MERGE INTO rlcat.dml.m t USING rl_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET gen = s.gen
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val got = spark.sql("SELECT id, gen FROM rlcat.dml.m ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1, 6L -> 1, 7L -> 1))
+    assert(CommitLog.currentVersion(dir) == vBefore + 1, "MERGE must be ONE commit")
+  }
+
+  /** A 100-row table clustered on k into 4 zone-mapped files; returns
+    * (dir, files-with-ranges in first-added order). */
+  private def clustered(name: String): (String, Seq[(String, (Long, Long))]) = {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS rlcat.dml.$name")
+    val dir = tableDir(name)
+    import spark.implicits._
+    CommitLog.appendClustered(spark,
+      (0L until 100L).toDF("k").withColumn("tag",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("t"), $"k")),
+      dir, "k", 4)
+    val stats = CommitLog.fileStatsOn(dir, "k")
+    (dir, CommitLog.snapshotFiles(dir).map(f => f -> stats(f)))
+  }
+
+  test("metadata-only DELETE: zone-covered files dropped, zero data IO") {
+    val (dir, files) = clustered("md")
+    val (f0, (lo0, hi0)) = files.minBy(_._2._1)
+    assert(lo0 == 0L)
+    val before = CommitLog.snapshotFiles(dir)
+    val vBefore = CommitLog.currentVersion(dir)
+
+    spark.sql(s"DELETE FROM rlcat.dml.md WHERE k <= $hi0")
+
+    val after = CommitLog.snapshotFiles(dir)
+    assert(after == before.filterNot(_ == f0),
+      s"metadata delete must DROP $f0 and touch nothing else: $before -> $after")
+    assert(CommitLog.currentVersion(dir) == vBefore + 1)
+    assert(spark.sql("SELECT count(*) AS n FROM rlcat.dml.md").head.getLong(0) ==
+      100L - (hi0 + 1))
+    // no replacement file was ever written: survivors are the original files
+    assert(after.forall(before.contains))
+  }
+
+  test("zone-pruned copy-on-write: only the overlapping file is rewritten") {
+    val (dir, files) = clustered("zp")
+    val (f0, (_, hi0)) = files.minBy(_._2._1)
+    val before = CommitLog.snapshotFiles(dir)
+
+    // strictly inside file 0's range: not file-exact, so the metadata proof
+    // declines and the rewrite runs — but only over file 0
+    spark.sql(s"DELETE FROM rlcat.dml.zp WHERE k < $hi0")
+
+    val after = CommitLog.snapshotFiles(dir)
+    assert(!after.contains(f0), "the overlapping file must be replaced")
+    assert(before.filterNot(_ == f0).forall(after.contains),
+      s"zone-disjoint files must NOT be rewritten: $before -> $after")
+    val fresh = after.filterNot(before.contains)
+    assert(fresh.size == 1, s"one replacement file expected, got $fresh")
+    assert(spark.sql("SELECT count(*) AS n FROM rlcat.dml.zp").head.getLong(0) ==
+      100L - hi0)
+    // the replacement re-recorded its zone range: skipping survives DML
+    assert(CommitLog.fileStatsColumns(dir).get(fresh.head).contains("k"),
+      "rewritten file must carry a re-recorded zone range on k")
+    assert(CommitLog.fileStatsOn(dir, "k")(fresh.head) == (hi0, hi0))
+  }
+
+  test("zone-pruned UPDATE: disjoint files untouched, matched file rewritten") {
+    val (dir, files) = clustered("zu")
+    val (f0, (_, hi0)) = files.minBy(_._2._1)
+    val before = CommitLog.snapshotFiles(dir)
+
+    spark.sql(s"UPDATE rlcat.dml.zu SET tag = 'updated' WHERE k < $hi0")
+
+    val after = CommitLog.snapshotFiles(dir)
+    assert(!after.contains(f0), "the overlapping file must be replaced")
+    assert(before.filterNot(_ == f0).forall(after.contains),
+      s"zone-disjoint files must NOT be rewritten by UPDATE: $before -> $after")
+    assert(spark.sql("SELECT count(*) AS n FROM rlcat.dml.zu WHERE tag = 'updated'")
+      .head.getLong(0) == hi0)
+    assert(spark.sql("SELECT count(*) AS n FROM rlcat.dml.zu").head.getLong(0) == 100L)
+    // the k = hi0 row lived in the rewritten file but did not match: carried
+    assert(spark.sql(s"SELECT tag FROM rlcat.dml.zu WHERE k = $hi0")
+      .head.getString(0) == s"t$hi0")
+  }
+
+  test("metadata-delete proof is null-safe: a covered file with NULLs falls back") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.nn")
+    val dir = tableDir("nn")
+    import spark.implicits._
+    // one clustered file spanning [0, 9] that ALSO holds two NULL-k rows
+    CommitLog.appendClustered(spark,
+      ((0L until 10L).map(k => (Some(k), s"t$k")) ++
+        Seq((None, "null1"), (None, "null2"))).toDF("k", "tag"),
+      dir, "k", 1)
+    val before = CommitLog.snapshotFiles(dir)
+
+    // range-covers the file's [0, 9] zone — but dropping the file would
+    // also delete the NULL rows, which `k <= 9` does not match
+    spark.sql("DELETE FROM rlcat.dml.nn WHERE k <= 9")
+
+    assert(spark.sql("SELECT count(*) AS n FROM rlcat.dml.nn").head.getLong(0) == 2L,
+      "NULL-k rows must survive the delete")
+    val after = CommitLog.snapshotFiles(dir)
+    assert(after.forall(f => !before.contains(f)),
+      "the fallback must have REWRITTEN the file (copy-on-write), not dropped it")
+  }
+
+  test("TRUNCATE TABLE: one metadata commit, history time-travelable") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.tr")
+    spark.sql("CREATE TABLE rlcat.dml.tr AS SELECT id FROM range(7)")
+    val dir = tableDir("tr")
+    val vBefore = CommitLog.currentVersion(dir)
+
+    spark.sql("TRUNCATE TABLE rlcat.dml.tr")
+
+    assert(spark.sql("SELECT count(*) AS n FROM rlcat.dml.tr").head.getLong(0) == 0L)
+    assert(CommitLog.currentVersion(dir) == vBefore + 1)
+    assert(CommitLog.read(spark, dir, Some(vBefore)).count() == 7L)
+  }
+}
