@@ -86,6 +86,12 @@ object CommitLog {
   // Catalyst (auto-broadcast of small snapshots) without touching the
   // filesystem at planning time
   private val AddBytesRe = """"add"\s*:\s*"([^"]+)"[^\n]*?"bytes"\s*:\s*(\d+)""".r
+  // schema vocabulary (the Delta `metaData` analogue): an `alter` commit
+  // MAY declare the table schema — the StructType JSON, base64-encoded so
+  // the line-oriented action grammar never has to parse nested quoting.
+  // The LAST declaration at or below the read version wins; tables that
+  // never declared one keep deriving their schema from the data files.
+  private val SchemaRe = """"schema64"\s*:\s*"([A-Za-z0-9+/=]+)"""".r
 
   /** Committed versions with a RETAINED commit file, ascending; empty for
     * a fresh/absent table. After [[expireLog]] this lists only the tail —
@@ -139,6 +145,8 @@ object CommitLog {
     // file -> on-disk byte size, when the add recorded it
     val fileBytes = scala.collection.mutable.HashMap.empty[String, Long]
     val txns = scala.collection.mutable.LinkedHashSet.empty[String]
+    // the declared table schema (StructType JSON), when an alter committed one
+    var schemaJson: Option[String] = None
   }
 
   /** Applies one log file's add/remove/txn actions to the state. */
@@ -171,6 +179,10 @@ object CommitLog {
       state.rowCounts.remove(f); state.fileBytes.remove(f)
     }
     TxnRe.findAllMatchIn(text).map(_.group(1)).foreach(state.txns += _)
+    SchemaRe.findAllMatchIn(text).foreach { m =>
+      state.schemaJson = Some(new String(
+        java.util.Base64.getDecoder.decode(m.group(1)), StandardCharsets.UTF_8))
+    }
   }
 
   /** The live file → stats state at `asOf` (default: latest). Checkpoint-
@@ -219,12 +231,48 @@ object CommitLog {
     * the footer merge off the hot path. */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None,
            mergeSchema: Boolean = false): DataFrame = {
-    val files = snapshotFiles(table, asOf)
+    val state = replay(table, asOf)
+    val files = state.live.keys.toSeq
     require(files.nonEmpty,
       s"commit-log table $table has no live files at version ${asOf.getOrElse(currentVersion(table))}")
-    spark.read.option("mergeSchema", mergeSchema)
-      .parquet(files.map(f => Paths.get(table, f).toString): _*)
+    val rdr = state.schemaJson match {
+      case Some(j) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read.option("mergeSchema", mergeSchema)
+    }
+    rdr.parquet(files.map(f => Paths.get(table, f).toString): _*)
   }
+
+  /** The snapshot's reader: when the log DECLARES a schema (an `alter`
+    * commit at or below `asOf`), reads serve exactly it — files written
+    * before a column existed serve NULLs for it, no footer merge, no
+    * mergeSchema needed; otherwise the classic file-derived read. */
+  private def reader(spark: SparkSession, table: String, asOf: Option[Long],
+                     mergeSchema: Boolean): org.apache.spark.sql.DataFrameReader =
+    declaredSchema(table, asOf) match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read.option("mergeSchema", mergeSchema)
+    }
+
+  /** The schema the log declares for the snapshot at `asOf`, if an
+    * `alter` commit ever declared one (the Delta `metaData` shape —
+    * schema changes ride the log like data changes, version by version). */
+  def declaredSchema(table: String, asOf: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] =
+    replay(table, asOf).schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Commits a schema declaration — ADDITIVE evolution only is enforced by
+    * the catalog caller; the log records whatever schema arrives as one
+    * `alter` commit (no data files move). `expectedTip` makes concurrent
+    * alters serializable: derived from a stale schema → conflict-abort. */
+  def evolveSchema(table: String, newSchema: org.apache.spark.sql.types.StructType,
+                   expectedTip: Long): Long =
+    commitRaw(table, "alter", Seq(s"""{"schema64":"${java.util.Base64.getEncoder
+      .encodeToString(newSchema.json.getBytes(StandardCharsets.UTF_8))}"}"""),
+      Some(expectedTip))
 
   /** Timestamp-based time travel: the version that was current at
     * wall-clock `tsMillis`, resolved from commit-file modification times
@@ -566,9 +614,12 @@ object CommitLog {
             unstage(table, added); throw e
         }
       } else {
-        val current = spark.read.parquet(old.map(f => Paths.get(table, f).toString): _*)
+        // the declared-schema reader, so an upsert after column evolution
+        // carries NULL-padded old rows instead of failing the union
+        val current = reader(spark, table, Some(tip), mergeSchema = false)
+          .parquet(old.map(f => Paths.get(table, f).toString): _*)
         val merged = current.join(updates, keys, "left_anti")
-          .unionByName(updates)
+          .unionByName(updates, allowMissingColumns = true)
         val added = stage(merged, table)
         try commit(table, "upsert", added, old, Some(tip))
         catch {
@@ -740,9 +791,10 @@ object CommitLog {
     * read: caller pruned `files` by zone maps). `files` are table-relative
     * names as served by [[snapshotFiles]]/[[fileStatsOn]]. */
   private[graft] def readFiles(spark: SparkSession, table: String,
-                               files: Seq[String], mergeSchema: Boolean): DataFrame = {
+                               files: Seq[String], mergeSchema: Boolean,
+                               asOf: Option[Long] = None): DataFrame = {
     require(files.nonEmpty, s"readFiles on $table: empty file list")
-    spark.read.option("mergeSchema", mergeSchema)
+    reader(spark, table, asOf, mergeSchema)
       .parquet(files.map(f => Paths.get(table, f).toString): _*)
   }
 
@@ -777,7 +829,7 @@ object CommitLog {
       val old = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
       if (old.length <= targetFiles) None
       else {
-        val rewritten = spark.read
+        val rewritten = reader(spark, table, Some(tip), mergeSchema = false)
           .parquet(old.map(f => Paths.get(table, f).toString): _*)
           .repartition(targetFiles)
         val added = stage(rewritten, table)
@@ -823,8 +875,12 @@ object CommitLog {
     val v = currentVersion(table)
     require(v >= 0, s"cannot checkpoint $table: no commits")
     val state = replay(table, Some(v))
-    val lines = (s"""{"op":"checkpoint","version":$v}""" +:
-      (state.live.toSeq.map { case (f, stats) =>
+    // the declared schema must survive the roll like txn markers do
+    val schemaLine = state.schemaJson.map(j =>
+      s"""{"schema64":"${java.util.Base64.getEncoder
+        .encodeToString(j.getBytes(StandardCharsets.UTF_8))}"}""").toSeq
+    val lines = (s"""{"op":"checkpoint","version":$v}""" +: (schemaLine ++
+      state.live.toSeq.map { case (f, stats) =>
         val rows = state.rowCounts.get(f).fold("")(n => s""","rows":$n""") +
           state.fileBytes.get(f).fold("")(n => s""","bytes":$n""")
         (stats, state.statsCols.get(f)) match {

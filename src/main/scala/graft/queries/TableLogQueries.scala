@@ -833,7 +833,35 @@ object TableLogQueries {
        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
        |GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** tl20: `ALTER TABLE ... ADD COLUMNS` — additive schema evolution as a
+    * log commit (the Delta `metaData` shape: one `alter` action declares
+    * the widened schema; no data file moves). Old rows serve NULL for the
+    * new column, the next INSERT writes it, and the aggregate proves
+    * exactly that split (`n_note` = 0 for the pre-evolution batch). */
+  private val tl20SchemaEvolution: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t20", "SELECT * FROM t20_b1")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING)")
+    spark.sql(
+      s"""INSERT INTO $t
+         |SELECT id, status, price, batch,
+         |  concat('n', CAST(id AS STRING)) AS note FROM t20_b2""".stripMargin)
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows, count(note) AS n_note,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl20SchemaEvolutionSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows, count(note) AS n_note,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT b1.*, CAST(NULL AS VARCHAR) AS note FROM b1
+       |      UNION ALL
+       |      SELECT b2.*, 'n' || CAST(id AS VARCHAR) AS note FROM b2)
+       |GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl20_schema_evolution" -> tl20SchemaEvolution,
     "tl19_sql_maintenance" -> tl19SqlMaintenance,
     "tl18_sql_merge" -> tl18SqlMerge,
     "tl17_sql_update" -> tl17SqlUpdate,
@@ -856,6 +884,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl20_schema_evolution" -> tl20SchemaEvolutionSql,
     "tl19_sql_maintenance" -> tl19SqlMaintenanceSql,
     "tl18_sql_merge" -> tl18SqlMergeSql,
     "tl17_sql_update" -> tl17SqlUpdateSql,

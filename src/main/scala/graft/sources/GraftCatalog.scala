@@ -123,10 +123,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — additive schema " +
-        "evolution happens by appending wider batches (mergeSchema reads)")
+  /** `ALTER TABLE ... ADD COLUMNS (...)` — additive schema evolution as a
+    * log commit: one `alter` action declares the widened schema (the Delta
+    * `metaData` shape), no data file moves, and every read at or past the
+    * commit serves the new columns with NULLs for pre-evolution files.
+    * Only top-level nullable additions are accepted; anything that would
+    * rewrite or reinterpret existing data (drop/rename/retype/position)
+    * is refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident).toString
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft catalog: only top-level ADD COLUMNS is supported, got " +
+            a.fieldNames().mkString("."))
+        require(a.isNullable,
+          s"graft catalog: added column ${a.fieldNames()(0)} must be nullable — " +
+            "existing rows have no value for it")
+        a
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other — only " +
+          "additive column evolution (ADD COLUMNS, nullable, top-level) " +
+          "rides the log; drops/renames/retypes would reinterpret " +
+          "committed data files")
+    }
+    var attempt = 0
+    while (attempt < 100) {
+      val tip = CommitLog.currentVersion(dir)
+      val cur = CommitLog.read(SparkSession.active, dir, Some(tip)).schema
+      adds.foreach { a =>
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames()(0))),
+          s"graft catalog: column ${a.fieldNames()(0)} already exists in $ident")
+      }
+      val widened = adds.foldLeft(cur) { (s, a) =>
+        val field = org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType, nullable = true)
+        s.add(Option(a.comment).fold(field)(field.withComment))
+      }
+      try {
+        CommitLog.evolveSchema(dir, widened, tip)
+        return loadTable(ident)
+      } catch {
+        case _: java.util.ConcurrentModificationException => attempt += 1
+      }
+    }
+    sys.error(s"ALTER TABLE on $ident lost 100 consecutive version races — aborting")
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

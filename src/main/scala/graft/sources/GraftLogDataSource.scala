@@ -477,7 +477,8 @@ object GraftLogDataSource {
         // every file skipped: serve the snapshot's schema with zero rows
         // (limit 0 folds to an empty relation — no scan is planned)
         CommitLog.read(spark, path, Some(version), mergeSchema).limit(0)
-      else if (fs.size < all.size) CommitLog.readFiles(spark, path, fs, mergeSchema)
+      else if (fs.size < all.size)
+        CommitLog.readFiles(spark, path, fs, mergeSchema, Some(version))
       else CommitLog.read(spark, path, Some(version), mergeSchema)
     val filtered = filters.flatMap(translate).foldLeft(base)((df, c) => df.filter(c))
     filtered.select(required.fieldNames.map(n => col(s"`$n`")).toSeq: _*)

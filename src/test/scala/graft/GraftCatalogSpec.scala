@@ -100,6 +100,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(gone.getMessage.toLowerCase.contains("t2"), gone.getMessage)
   }
 
+  test("ALTER TABLE ADD COLUMNS: schema rides the log, old rows NULL-padded") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ev")
+    spark.sql("DROP TABLE IF EXISTS gcat.ev.t")
+    spark.sql("CREATE TABLE gcat.ev.t AS SELECT id, concat('v', id) AS v FROM range(4)")
+    val dir = Paths.get(wh, "ev", "t").toString
+    val vPre = CommitLog.currentVersion(dir)
+
+    spark.sql("ALTER TABLE gcat.ev.t ADD COLUMNS (score DOUBLE COMMENT 'quality')")
+
+    // one alter commit; new column visible, NULL for every existing row
+    assert(CommitLog.currentVersion(dir) == vPre + 1)
+    assert(spark.table("gcat.ev.t").schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(spark.sql("SELECT count(score) AS n FROM gcat.ev.t").head.getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.ev.t").head.getLong(0) == 4L)
+
+    // the next insert writes it; old rows stay NULL
+    spark.sql("INSERT INTO gcat.ev.t SELECT id, concat('w', id), CAST(id AS DOUBLE) FROM range(10, 12)")
+    assert(spark.sql("SELECT count(score) AS n FROM gcat.ev.t").head.getLong(0) == 2L)
+
+    // DML sees the evolved schema even over pre-evolution files
+    spark.sql("UPDATE gcat.ev.t SET score = 0.5 WHERE id = 1")
+    assert(spark.sql("SELECT score FROM gcat.ev.t WHERE id = 1").head.getDouble(0) == 0.5)
+
+    // time travel BELOW the alter serves the pre-evolution schema
+    assert(spark.sql(s"SELECT * FROM gcat.ev.t VERSION AS OF $vPre")
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+
+    // the declared schema survives a checkpoint roll + log expiry
+    CommitLog.checkpoint(dir)
+    CommitLog.expireLog(dir)
+    assert(spark.table("gcat.ev.t").schema.fieldNames.toSeq == Seq("id", "v", "score"))
+
+    // refusals: duplicate add, non-nullable add, anything non-additive
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.ev.t ADD COLUMNS (score INT)")
+    }.getMessage.contains("already exists"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.ev.t ADD COLUMNS (req INT NOT NULL)")
+    }.getMessage.contains("nullable"))
+    intercept[Exception] { spark.sql("ALTER TABLE gcat.ev.t DROP COLUMN v") }
+  }
+
   test("catalog reads keep the native scan perks: metadata count, reported stats") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.perf")
