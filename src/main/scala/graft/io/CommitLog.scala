@@ -570,6 +570,33 @@ object CommitLog {
     }
   }
 
+  /** Exactly-once streaming commit of PRE-STAGED files (the V2
+    * `StreamingWrite` primitive — executor tasks already landed the
+    * epoch's parquet files in the table dir, invisible until this names
+    * them): the `txnId` marker lands in the SAME atomic commit as the
+    * adds, so a crash-replayed epoch is recognized and commits nothing —
+    * the caller then deletes its re-staged files as garbage. `replace`
+    * maps `OutputMode.Complete`: the commit also removes every file live
+    * at the writer's snapshot (atomic whole-result replacement, history
+    * time-travelable). Returns the landed version, or None for a
+    * recognized replay. */
+  def txnCommitFiles(table: String, files: Seq[String], txnId: String,
+                     replace: Boolean = false): Option[Long] = {
+    require(txnId.nonEmpty && !txnId.exists(c => c == '"' || c == '\n'),
+      s"txnId must be non-empty without quotes/newlines: '$txnId'")
+    Files.createDirectories(Paths.get(table))
+    serializably(table) { tip =>
+      if (tip >= 0 && replay(table, Some(tip)).txns.contains(txnId)) None
+      else {
+        val removes = if (replace && tip >= 0) snapshotFiles(table, Some(tip)) else Seq.empty
+        val actions = files.map(f => addAction(table, f)) ++
+          removes.map(f => s"""{"remove":"$f"}""") :+ s"""{"txn":"$txnId"}"""
+        Some(commitRaw(table, if (replace) "txn-overwrite" else "txn-append",
+          actions, Some(tip)))
+      }
+    }
+  }
+
   /** `foreachBatch` body for exactly-once streaming ingest into a
     * commit-log table: {{{
     *   events.writeStream.foreachBatch(CommitLog.streamingBatchWriter(table, "ingest"))

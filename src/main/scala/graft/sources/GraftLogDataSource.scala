@@ -240,10 +240,12 @@ object GraftLogDataSource {
     override def capabilities(): util.Set[TableCapability] =
       if (exists)
         util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-          TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+          TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+          TableCapability.STREAMING_WRITE)
       else // no snapshot to read or to check schemas against yet
         util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-          TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+          TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA,
+          TableCapability.STREAMING_WRITE)
 
     // ------------------------------------------------------------------ read
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -426,6 +428,18 @@ object GraftLogDataSource {
                 ()
               }
             }
+          /** `df.writeStream.toTable(...)` and every STREAMING_WRITE
+            * route: exactly-once txn-marked epoch commits, identity
+            * convention shared with the V1 sink (txnAppId, else the
+            * checkpoint location) so both surfaces' markers interop;
+            * Complete mode (truncate) = atomic replacement per epoch. */
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            val txnPrefix = Option(info.options().get("txnAppId"))
+              .orElse(Option(info.options().get("checkpointLocation")))
+              .getOrElse(s"graftlog-sink:$path")
+            new GraftLogStreamingWrite(path, txnPrefix, replace, info.schema())
+          }
         }
       }
     }

@@ -51,3 +51,64 @@ class GraftLogStreamSink(path: String, txnPrefix: String, complete: Boolean)
   override def toString: String =
     s"GraftLogSink[$path, ${if (complete) "complete" else "append"}]"
 }
+
+/** The V2 form of the sink — what `df.writeStream.toTable("graft.ns.t")`
+  * (and any `STREAMING_WRITE`-capable route) plans: executor tasks write
+  * each epoch's parquet files straight into the table dir through the
+  * same per-task writer the row-level DML path uses (invisible until
+  * committed), and the driver lands ONE txn-marked commit per epoch
+  * ([[CommitLog.txnCommitFiles]]). The transaction identity follows the
+  * V1 sink's convention exactly — `txnAppId` option, else the
+  * `checkpointLocation` (stable across restarts of one query, distinct
+  * between queries), marker `<identity>:<epochId>` — so V1- and
+  * V2-written logs are mutually replay-safe. A crash-replayed epoch is
+  * recognized in the log, commits nothing, and its re-staged files are
+  * deleted as garbage: exactly-once, end to end, with no rows moving
+  * through the driver. `OutputMode.Complete` maps to an atomic
+  * whole-snapshot replacement in the same commit (and, unlike the V1
+  * path's plain overwrite, is ALSO replay-skipped via the marker). */
+private[sources] final class GraftLogStreamingWrite(
+    table: String, txnPrefix: String, complete: Boolean,
+    schema: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val kit = org.apache.spark.sql.GraftSqlShim.parquetWriteKit(
+    org.apache.spark.sql.SparkSession.active, schema)
+
+  private def txnId(epochId: Long) = s"$txnPrefix:$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftLogStreamingWriterFactory(new GraftParquetWriterFactory(table, kit))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.toSeq.collect { case GraftFilesMessage(fs) => fs }.flatten
+    if (CommitLog.txnCommitFiles(table, added, txnId(epochId), replace = complete).isEmpty) {
+      // a recognized replay: the epoch already committed, so this
+      // attempt's re-staged files are unreferenced garbage — reclaim now
+      added.foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(table, f)))
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.toSeq.collect { case GraftFilesMessage(fs) => fs }.flatten
+      .foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(table, f)))
+
+  override def toString: String =
+    s"GraftLogStreamingWrite[$table, ${if (complete) "complete" else "append"}]"
+}
+
+/** Ships to executors (must not capture the driver-side write object):
+  * epoch-agnostic — file uniqueness comes from the per-attempt names, and
+  * epoch identity lives in the driver's txn-marked commit. */
+private[sources] final case class GraftLogStreamingWriterFactory(
+    delegate: GraftParquetWriterFactory)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    delegate.createWriter(partitionId, taskId)
+}

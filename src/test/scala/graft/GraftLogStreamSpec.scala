@@ -146,6 +146,44 @@ class GraftLogStreamSpec extends SparkSpec {
     assert(got.contains((2L, "B")), s"ignoreChanges must stream the upsert's adds: $got")
   }
 
+  test("writeStream.toTable: exactly-once txn epochs through catalog identifiers") {
+    val root = freshDir("totable")
+    spark.conf.set("spark.sql.catalog.scat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.scat.warehouse", root.resolve("wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS scat.s")
+    spark.sql("DROP TABLE IF EXISTS scat.s.t")
+    spark.sql("CREATE TABLE scat.s.t (id BIGINT, v STRING)")
+    val dst = root.resolve("wh").resolve("s").resolve("t").toString
+    val src = root.resolve("src").toString
+    val ckpt = root.resolve("ckpt").toString
+    CommitLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graftlog").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable("scat.s.t")
+      assert(q.awaitTermination(120000L), "toTable drain timed out")
+    }
+    run()
+    assert(spark.sql("SELECT count(*) AS n FROM scat.s.t").head.getLong(0) == 2L)
+    // the epoch landed as ONE txn-marked commit (V1-convention identity:
+    // the checkpoint location)
+    assert(CommitLog.transactions(dst).exists(t => t.startsWith(ckpt) && t.endsWith(":0")),
+      s"epoch 0 must carry a checkpoint-keyed txn marker: ${CommitLog.transactions(dst)}")
+
+    // restart from the same checkpoint with new upstream data: exactly it
+    CommitLog.append(Seq((3L, "c")).toDF("id", "v"), src)
+    val vBefore = CommitLog.currentVersion(dst)
+    run()
+    assert(CommitLog.currentVersion(dst) == vBefore + 1, "one epoch = one commit")
+    assert(spark.sql("SELECT id FROM scat.s.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+
+    // a crash-replay of a committed epoch is recognized and lands nothing
+    assert(CommitLog.txnCommitFiles(dst, Seq.empty, s"$ckpt:1").isEmpty,
+      "a replayed epoch txn must be recognized")
+  }
+
   test("native sink: micro-batches land as txn commits; replays are skipped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -206,16 +244,20 @@ class GraftLogStreamSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(v0 == Seq(("a", 2L)), s"the first complete result must remain at v0: $v0")
 
-    // update mode is refused
+    // update mode is refused (the V2 route raises it on the stream
+    // thread, so it surfaces when the query is driven, not at start())
     val mem2 = MemoryStream[(Long, String)]
     val e = intercept[Exception] {
-      mem2.toDF().toDF("id", "v").groupBy("v").agg(fcount("*").as("n"))
+      val q2 = mem2.toDF().toDF("id", "v").groupBy("v").agg(fcount("*").as("n"))
         .writeStream.format("graftlog")
         .outputMode("update")
         .option("checkpointLocation", root.resolve("ckpt2").toString)
         .start(root.resolve("t2").toString)
+      mem2.addData((9L, "z"))
+      q2.processAllAvailable()
+      q2.stop()
     }
-    assert(e.getMessage.toLowerCase.contains("output mode"), e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("update"), e.getMessage)
   }
 
   test("log→log pipeline: source to sink, exactly-once across re-runs") {
