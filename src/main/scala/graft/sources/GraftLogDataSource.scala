@@ -162,8 +162,30 @@ class GraftLogDataSource extends TableProvider with DataSourceRegister
   * requires exactly this native form. */
 private[graft] final class GraftLogNativeScan(
     path: String, version: Long, tableSchema: StructType,
-    req: StructType, filters: Array[Filter], fileNames: Seq[String])
+    req: StructType, filters: Array[Filter], fileNames: Seq[String],
+    streamOpts: Map[String, String] = Map.empty)
     extends Scan with SupportsReportStatistics {
+
+  /** `spark.readStream.table(...)` / any MICRO_BATCH_READ route — the
+    * native streaming read ([[GraftLogMicroBatchStream]]); reader options
+    * (`startingVersion`, `maxVersionsPerTrigger`, `ignoreChanges`) arrive
+    * through the scan builder's option map. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    def longOpt(key: String, what: String): Option[Long] =
+      streamOpts.get(key).map { v =>
+        try v.trim.toLong
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"graftlog: $what must be a number, got '$v'", e)
+        }
+      }
+    new GraftLogMicroBatchStream(
+      SparkSession.active, path, tableSchema, req, filters,
+      ignoreChanges = streamOpts.get("ignorechanges").exists(_.toBoolean),
+      startingVersion = longOpt("startingversion", "startingVersion").getOrElse(0L),
+      maxVersionsPerTrigger = longOpt("maxversionspertrigger", "maxVersionsPerTrigger"))
+  }
 
   /** Spark's own V2 parquet scan over the pruned file list; built lazily
     * at first planning use (one driver-side file-status listing). */
@@ -238,7 +260,13 @@ object GraftLogDataSource {
       if (exists) s"graftlog.`$path`@v$snapshotVersion" else s"graftlog.`$path`@new"
     override def schema(): StructType = schema0
     override def capabilities(): util.Set[TableCapability] =
-      if (exists)
+      if (exists && !timeTravel)
+        util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+          TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+          TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
+      else if (exists) // a pinned snapshot: batch surfaces only (a stream
+        // follows the LIVE log; startingVersion is the streaming analogue,
+        // and the V1 fallback's resolveForStream names it)
         util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
           TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
           TableCapability.STREAMING_WRITE)
@@ -253,6 +281,10 @@ object GraftLogDataSource {
           with SupportsPushDownAggregates {
         private var required: StructType = schema0
         private var pushed: Array[Filter] = Array.empty
+        // reader options, kept for the streaming form of the scan
+        private val streamOpts: Map[String, String] =
+          options.asCaseSensitiveMap().asScala
+            .map { case (k, v) => k.toLowerCase -> v }.toMap
         // a pushed aggregation the LOG answers outright: output schema +
         // the single result row (no data file is ever opened)
         private var metaAgg: Option[(StructType, Seq[Any])] = None
@@ -349,7 +381,8 @@ object GraftLogDataSource {
           }
           case None =>
             new GraftLogNativeScan(path, snapshotVersion, schema0, required,
-              pushed, prunedFileNames(path, snapshotVersion, pushed.toIndexedSeq))
+              pushed, prunedFileNames(path, snapshotVersion, pushed.toIndexedSeq),
+              streamOpts)
         }
       }
 

@@ -126,6 +126,32 @@ final class GraftLogStreamSource(
     val endV = GraftLogOffset.versionOf(end)
     val startV = start.map(GraftLogOffset.versionOf).getOrElse(startingVersion - 1L)
     offered = math.max(offered, endV) // restart re-seed (start==checkpointed offset)
+    val batch = GraftLogStreamSource.deltaFiles(path, startV, endV, ignoreChanges) match {
+      case Nil => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
+      case fs =>
+        // pin the stream schema: parquet fills columns a file lacks with
+        // nulls and prunes extras, so early files read under late schemas
+        spark.read.option("mergeSchema", mergeSchema).schema(schema0)
+          .parquet(fs.map(f => java.nio.file.Paths.get(path, f).toString): _*)
+    }
+    GraftSqlShim.asStreamingBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftLogStreamSource[$path @ >=v$startingVersion]"
+}
+
+object GraftLogStreamSource {
+
+  /** Files ADDED by commits in `(startV, endV]` — the delta one
+    * micro-batch delivers, shared by the V1 source and the V2
+    * [[GraftLogMicroBatchStream]] so both surfaces have identical
+    * commit-type semantics: compactions deliver nothing, remove-carrying
+    * commits fail loudly unless `ignoreChanges`. */
+  private[sources] def deltaFiles(path: String, startV: Long, endV: Long,
+                                  ignoreChanges: Boolean): Seq[String] = {
     val files = Seq.newBuilder[String]
     var v = startV + 1
     while (v <= endV) {
@@ -150,19 +176,89 @@ final class GraftLogStreamSource(
       }
       v += 1
     }
-    val batch = files.result() match {
-      case Nil => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
-      case fs =>
-        // pin the stream schema: parquet fills columns a file lacks with
-        // nulls and prunes extras, so early files read under late schemas
-        spark.read.option("mergeSchema", mergeSchema).schema(schema0)
-          .parquet(fs.map(f => java.nio.file.Paths.get(path, f).toString): _*)
-    }
-    GraftSqlShim.asStreamingBatch(batch)
+    files.result()
   }
+}
 
+/** The V2 form of the source — what `spark.readStream.table("graft.ns.t")`
+  * (and any MICRO_BATCH_READ route) plans. Same design as the V1 source —
+  * offsets ARE log versions, each micro-batch reads exactly the files its
+  * commits added, admission control honors `maxVersionsPerTrigger`,
+  * `Trigger.AvailableNow` pins the head once and drains batch by batch —
+  * but the per-batch read is a native columnar parquet scan (the same
+  * delegate the batch surface uses), so streamed rows never bridge
+  * through driver-side `Row`s. Column pruning from the streaming query
+  * reaches the scan (`readSchema`); commit-type semantics are shared with
+  * the V1 source via [[GraftLogStreamSource.deltaFiles]]. */
+final class GraftLogMicroBatchStream(
+    spark: SparkSession,
+    path: String,
+    tableSchema: StructType,
+    readSchema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    ignoreChanges: Boolean,
+    startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => COffset, ReadLimit}
+
+  require(startingVersion >= 0,
+    s"graftlog: startingVersion must be >= 0, got $startingVersion")
+  maxVersionsPerTrigger.foreach(m => require(m > 0,
+    s"graftlog: maxVersionsPerTrigger must be positive, got $m"))
+
+  // rate-limit cursor + AvailableNow head pin — same protocol as the V1
+  // source (re-seeded from the engine's start offset on restart)
+  private var offered: Long = startingVersion - 1
+  private var availableNowCap: Option[Long] = None
+
+  override def initialOffset(): COffset = GraftLogOffset(startingVersion - 1)
+  override def deserializeOffset(json: String): COffset =
+    GraftLogOffset(json.trim.toLong)
+  override def commit(end: COffset): Unit = ()
   override def stop(): Unit = ()
 
-  override def toString: String = s"GraftLogStreamSource[$path @ >=v$startingVersion]"
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(CommitLog.currentVersion(path))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): COffset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) is the admission-controlled form")
+
+  override def latestOffset(start: COffset, limit: ReadLimit): COffset = {
+    if (start != null) offered = math.max(offered, start.json.trim.toLong)
+    val head = availableNowCap
+      .fold(CommitLog.currentVersion(path))(math.min(_, CommitLog.currentVersion(path)))
+    val target = maxVersionsPerTrigger.fold(head)(m => math.min(head, offered + m))
+    if (target > offered) offered = target
+    GraftLogOffset(offered)
+  }
+
+  override def planInputPartitions(start: COffset, end: COffset)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val startV = start.json.trim.toLong
+    val endV = end.json.trim.toLong
+    offered = math.max(offered, endV)
+    GraftLogStreamSource.deltaFiles(path, startV, endV, ignoreChanges) match {
+      case Nil => Array.empty
+      case fs => GraftSqlShim.parquetScan(spark,
+        fs.map(f => java.nio.file.Paths.get(path, f).toString),
+        tableSchema, readSchema, pushed).toBatch.planInputPartitions()
+    }
+  }
+
+  /** One factory serves every batch's partitions: a `FilePartition`
+    * reader is parameterized by schemas/conf, not by a file list, so the
+    * zero-file template scan builds the same factory the per-batch scans
+    * would. */
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    GraftSqlShim.parquetScan(spark, Seq.empty, tableSchema, readSchema, pushed)
+      .toBatch.createReaderFactory()
+
+  override def toString: String =
+    s"GraftLogMicroBatchStream[$path @ >=v$startingVersion]"
 }

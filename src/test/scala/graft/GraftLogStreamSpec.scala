@@ -146,6 +146,44 @@ class GraftLogStreamSpec extends SparkSpec {
     assert(got.contains((2L, "B")), s"ignoreChanges must stream the upsert's adds: $got")
   }
 
+  test("readStream.table: the native V2 micro-batch stream through identifiers") {
+    val root = freshDir("readtable")
+    spark.conf.set("spark.sql.catalog.rcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rcat.warehouse", root.resolve("wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rcat.r")
+    spark.sql("DROP TABLE IF EXISTS rcat.r.src")
+    spark.sql("CREATE TABLE rcat.r.src AS SELECT id, concat('v', id) AS v FROM range(2)")
+    val ckpt = root.resolve("ckpt").toString
+
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    var sourceDesc = ""
+    def drainTable(): Seq[(Long, String)] = {
+      delivered.clear()
+      val q = spark.readStream.table("rcat.r.src")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => delivered.add((r.getLong(0), r.getString(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000L), "readStream.table drain timed out")
+      q.recentProgress.lastOption.foreach(p =>
+        sourceDesc = p.sources.headOption.fold("")(_.description))
+      delivered.iterator().asScala.toSeq.sorted
+    }
+
+    assert(drainTable() == Seq(0L -> "v0", 1L -> "v1"))
+    assert(sourceDesc.contains("GraftLogMicroBatchStream"),
+      s"identifier streaming must ride the native V2 stream, got: $sourceDesc")
+
+    // new commits through SQL; the same checkpoint resumes at the offset
+    spark.sql("INSERT INTO rcat.r.src SELECT id, concat('v', id) FROM range(2, 4)")
+    assert(drainTable() == Seq(2L -> "v2", 3L -> "v3"),
+      "restart must deliver exactly the new commit")
+  }
+
   test("writeStream.toTable: exactly-once txn epochs through catalog identifiers") {
     val root = freshDir("totable")
     spark.conf.set("spark.sql.catalog.scat", classOf[graft.sources.GraftCatalog].getName)
