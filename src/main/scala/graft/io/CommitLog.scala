@@ -723,6 +723,43 @@ object CommitLog {
     commitRaw(table, "append", lines)
   }
 
+  /** Transactional RE-clustering (the OPTIMIZE ZORDER/cluster-by
+    * maintenance analogue): rewrites the live snapshot range-partitioned
+    * on `statsCol` into `buckets` files, each covering a disjoint key
+    * range with its [min, max] recorded in the SAME commit — one
+    * conflict-checked rewrite, readers see the old layout or the new one.
+    * This is what restores (or first establishes) zone-map data skipping
+    * on a table whose layout decayed: plain [[compact]] bin-packs but
+    * records no ranges, appends interleave key ranges across files; after
+    * this commit a `WHERE k BETWEEN ...` scan prunes to the few files
+    * covering the range. Returns the landed version. */
+  def compactClustered(spark: SparkSession, table: String,
+                       statsCol: String, buckets: Int): Long = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    serializably(table) { tip =>
+      require(tip >= 0, s"cannot cluster $table: no commits")
+      val old = snapshotFiles(table, Some(tip))
+      val clustered = reader(spark, table, Some(tip), mergeSchema = false)
+        .parquet(old.map(f => Paths.get(table, f).toString): _*)
+        .repartitionByRange(buckets, col(statsCol))
+      val added = stage(clustered, table)
+      val lines = added.map { f =>
+        val r = spark.read.parquet(Paths.get(table, f).toString)
+          .agg(fmin(col(statsCol)), fmax(col(statsCol))).head()
+        val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""") +
+          fileSizeSuffix(table, f)
+        if (r.isNullAt(0)) s"""{"add":"$f"$rowsSuffix}"""
+        else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$statsCol"$rowsSuffix}"""
+      } ++ old.map(f => s"""{"remove":"$f"}""")
+      try commitRaw(table, "cluster", lines, Some(tip))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          unstage(table, added); throw e
+      }
+    }
+  }
+
   /** Zone-map stats restricted to files whose recorded range is ON
     * `column` (the add action named it) — the only stats a reader that
     * discovered the predicate by name (the SQL pushdown path) may use.

@@ -860,7 +860,40 @@ object TableLogQueries {
        |      SELECT b2.*, 'n' || CAST(id AS VARCHAR) AS note FROM b2)
        |GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** tl21: `CALL graft.system.cluster` — the OPTIMIZE-ZORDER-style
+    * maintenance that RESTORES data skipping: the CTAS layout carries no
+    * zone maps (REQUIREd), one cluster commit range-partitions the table
+    * and records per-file [min, max] (REQUIREd: every file covered,
+    * first-bucket range query prunes to ONE file), and the served
+    * aggregate proves content is invariant under the relayout. */
+  private val tl21SqlCluster: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t21",
+      "SELECT /*+ REPARTITION(4) */ * FROM t21_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t21").toString
+    require(CommitLog.fileStatsOn(tdir, "id").isEmpty,
+      "pre-cluster layout must carry no zone maps")
+    val row = spark.sql(
+      "CALL graft.system.cluster(`table` => 'dml.t21', `column` => 'id', buckets => 3)").head()
+    require(row.getInt(1) == 3, s"cluster must land 3 files, got ${row.getInt(1)}")
+    val stats = CommitLog.fileStatsOn(tdir, "id")
+    require(stats.size == 3, s"all 3 files must carry zone ranges, got ${stats.size}")
+    val (lo, hi) = stats.values.minBy(_._1)
+    require(CommitLog.prunedFiles(tdir, lo, hi).size == 1,
+      "a first-bucket range query must prune to ONE file")
+    spark.sql(
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t""".stripMargin)
+  }
+
+  private val tl21SqlClusterSql =
+    s"""WITH $batchesSql
+       |SELECT count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM b1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl21_sql_cluster" -> tl21SqlCluster,
     "tl20_schema_evolution" -> tl20SchemaEvolution,
     "tl19_sql_maintenance" -> tl19SqlMaintenance,
     "tl18_sql_merge" -> tl18SqlMerge,
@@ -884,6 +917,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl21_sql_cluster" -> tl21SqlClusterSql,
     "tl20_schema_evolution" -> tl20SchemaEvolutionSql,
     "tl19_sql_maintenance" -> tl19SqlMaintenanceSql,
     "tl18_sql_merge" -> tl18SqlMergeSql,

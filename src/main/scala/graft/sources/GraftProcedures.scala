@@ -35,10 +35,11 @@ private[sources] object GraftProcedures {
   /** All procedures live in the `system` namespace. */
   val Namespace: Array[String] = Array("system")
 
-  def names: Seq[String] = Seq("compact", "vacuum", "checkpoint", "history")
+  def names: Seq[String] = Seq("cluster", "compact", "vacuum", "checkpoint", "history")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
+      case "cluster"    => Some(new ClusterProc(catalog))
       case "compact"    => Some(new CompactProc(catalog))
       case "vacuum"     => Some(new VacuumProc(catalog))
       case "checkpoint" => Some(new CheckpointProc(catalog))
@@ -86,6 +87,34 @@ private[sources] object GraftProcedures {
       val v = CommitLog.compact(SparkSession.active, dir, input.getInt(1))
       result(schema, Seq(new GenericInternalRow(Array[Any](
         v.map(Long.box).orNull, CommitLog.snapshotFiles(dir).size))))
+    }
+  }
+
+  /** `cluster(table, column, buckets)` — re-cluster the live snapshot on
+    * an integral column ([[CommitLog.compactClustered]]): one rewrite
+    * commit range-partitions the data into `buckets` files and records
+    * each file's [min, max] zone range, restoring (or establishing)
+    * data skipping on a table whose layout decayed through appends,
+    * DML, or plain compaction — the OPTIMIZE ZORDER analogue. */
+  private final class ClusterProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "cluster") {
+    override def description(): String =
+      "re-cluster the snapshot on a column, re-recording zone ranges (one commit)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("column", StringType)
+        .comment("integral clustering column for the zone maps").build(),
+      ProcedureParameter.in("buckets", IntegerType)
+        .comment("range-partition bucket count = resulting data files").build())
+    private val schema = new StructType()
+      .add("version", LongType, nullable = false)
+      .add("live_files", IntegerType, nullable = false)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirOf(input)
+      val v = CommitLog.compactClustered(SparkSession.active, dir,
+        input.getUTF8String(1).toString, input.getInt(2))
+      result(schema, Seq(new GenericInternalRow(Array[Any](
+        v, CommitLog.snapshotFiles(dir).size))))
     }
   }
 

@@ -51,6 +51,33 @@ class GraftProceduresSpec extends SparkSpec {
     assert(CommitLog.currentVersion(dir) == vBefore + 1)
   }
 
+  test("CALL cluster re-establishes zone maps; pruned reads follow") {
+    val dir = build("z")
+    assert(CommitLog.fileStatsOn(dir, "id").isEmpty, "CTAS layout carries no zone maps")
+
+    val row = spark.sql(
+      "CALL pcat.system.cluster(`table` => 'm.z', `column` => 'id', buckets => 3)").head
+    assert(row.getInt(1) == 3, s"3 buckets = 3 live files, got ${row.getInt(1)}")
+
+    val stats = CommitLog.fileStatsOn(dir, "id")
+    assert(stats.size == 3, s"every file must carry a zone range: $stats")
+    val ranges = stats.values.toSeq.sortBy(_._1)
+    assert(ranges.head._1 == 0L && ranges.last._2 == 59L)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, h1), (l2, _)) => l2 > h1
+      case _ => true
+    }, s"ranges must be disjoint: $ranges")
+
+    // data skipping is live again: a first-bucket query reads one file
+    val (lo, hi) = ranges.head
+    assert(CommitLog.prunedFiles(dir, lo, hi).size == 1)
+    // metadata min/max is exact again too
+    assert(CommitLog.snapshotMinMax(dir, "id").contains((0L, 59L)))
+    // content invariant
+    assert(spark.sql("SELECT sum(id) AS s FROM pcat.m.z").head.getLong(0) ==
+      (0L until 60L).sum)
+  }
+
   test("CALL vacuum reclaims unreferenced files and nothing else") {
     val dir = build("v")
     spark.sql("CALL pcat.system.compact('m.v', 1)")
