@@ -92,6 +92,11 @@ object CommitLog {
   // The LAST declaration at or below the read version wins; tables that
   // never declared one keep deriving their schema from the data files.
   private val SchemaRe = """"schema64"\s*:\s*"([A-Za-z0-9+/=]+)"""".r
+  // clustering vocabulary: a commit MAY declare the table's clustering
+  // spec — writes then range-partition on the column and record zone
+  // ranges without the writer having to know (`CREATE TABLE ...
+  // PARTITIONED BY (bucket(n, col))`). Last declaration wins.
+  private val ClusterRe = """"clusterby"\s*:\s*"([^"]+)"\s*,\s*"buckets"\s*:\s*(\d+)""".r
 
   /** Committed versions with a RETAINED commit file, ascending; empty for
     * a fresh/absent table. After [[expireLog]] this lists only the tail —
@@ -147,6 +152,8 @@ object CommitLog {
     val txns = scala.collection.mutable.LinkedHashSet.empty[String]
     // the declared table schema (StructType JSON), when an alter committed one
     var schemaJson: Option[String] = None
+    // the declared clustering spec (column, buckets), when a commit set one
+    var clusterSpec: Option[(String, Int)] = None
   }
 
   /** Applies one log file's add/remove/txn actions to the state. */
@@ -182,6 +189,9 @@ object CommitLog {
     SchemaRe.findAllMatchIn(text).foreach { m =>
       state.schemaJson = Some(new String(
         java.util.Base64.getDecoder.decode(m.group(1)), StandardCharsets.UTF_8))
+    }
+    ClusterRe.findAllMatchIn(text).foreach { m =>
+      state.clusterSpec = Some((m.group(1), m.group(2).toInt))
     }
   }
 
@@ -706,21 +716,75 @@ object CommitLog {
     * path untouched. Returns the committed version. */
   def appendClustered(spark: SparkSession, df: DataFrame, table: String,
                       statsCol: String, buckets: Int): Long = {
-    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
     Files.createDirectories(Paths.get(table))
-    val clustered = df.repartitionByRange(buckets, col(statsCol))
-    val files = stage(clustered, table)
+    val (_, lines) = stageClustered(spark, df, table, statsCol, buckets)
+    commitRaw(table, "append", lines)
+  }
+
+  /** Stages `df` range-partitioned on `statsCol` into `buckets` files and
+    * returns (staged file names, add-action lines carrying each file's
+    * [min, max] zone range) — the shared write half of every clustered
+    * commit (append / overwrite / re-cluster). An empty file (a range
+    * partition with no rows) gets no stats and is then never skipped —
+    * the fail-safe default. */
+  private def stageClustered(spark: SparkSession, df: DataFrame, table: String,
+                             statsCol: String, buckets: Int): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    val files = stage(df.repartitionByRange(buckets, col(statsCol)), table)
     val lines = files.map { f =>
       val r = spark.read.parquet(Paths.get(table, f).toString)
         .agg(fmin(col(statsCol)), fmax(col(statsCol))).head()
-      // an empty file (range partition with no rows) gets no stats — it
-      // is then never skipped, the fail-safe default
       val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""") +
         fileSizeSuffix(table, f)
       if (r.isNullAt(0)) s"""{"add":"$f"$rowsSuffix}"""
       else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$statsCol"$rowsSuffix}"""
     }
-    commitRaw(table, "append", lines)
+    (files, lines)
+  }
+
+  /** The table's declared clustering spec (column, buckets), when a
+    * commit set one (`{"clusterby":...,"buckets":...}` — what `CREATE
+    * TABLE ... PARTITIONED BY (bucket(n, col))` records): writers consult
+    * it so every INSERT lands range-clustered with zone ranges, without
+    * the writing code knowing the layout policy. */
+  def declaredClustering(table: String, asOf: Option[Long] = None): Option[(String, Int)] =
+    replay(table, asOf).clusterSpec
+
+  private[graft] def clusteringAction(statsCol: String, buckets: Int): String =
+    s"""{"clusterby":"$statsCol","buckets":$buckets}"""
+
+  /** Creates an empty table at commit v0: one zero-row data file carrying
+    * `schema` (the table is immediately readable as empty, the schema
+    * rides the log), plus the clustering declaration when given — the
+    * `CREATE TABLE` primitive. */
+  def createEmpty(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+                  table: String, clustering: Option[(String, Int)] = None): Long = {
+    Files.createDirectories(Paths.get(table))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).coalesce(1)
+    val files = stage(empty, table)
+    commitRaw(table, "create", files.map(f => addAction(table, f)) ++
+      clustering.map { case (c, b) => clusteringAction(c, b) })
+  }
+
+  /** Transactional clustered overwrite: one commit replaces the snapshot
+    * with `df` range-partitioned on `statsCol`, zone ranges recorded —
+    * the overwrite form a clustering-declared table's INSERT OVERWRITE
+    * routes through (a plain [[overwrite]] would silently drop the
+    * layout the table declared). */
+  def overwriteClustered(spark: SparkSession, df: DataFrame, table: String,
+                         statsCol: String, buckets: Int): Long = {
+    Files.createDirectories(Paths.get(table))
+    serializably(table) { tip =>
+      val old = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
+      val (added, lines) = stageClustered(spark, df, table, statsCol, buckets)
+      try commitRaw(table, "overwrite",
+        lines ++ old.map(f => s"""{"remove":"$f"}"""), Some(tip))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          unstage(table, added); throw e
+      }
+    }
   }
 
   /** Transactional RE-clustering (the OPTIMIZE ZORDER/cluster-by
@@ -735,24 +799,18 @@ object CommitLog {
     * covering the range. Returns the landed version. */
   def compactClustered(spark: SparkSession, table: String,
                        statsCol: String, buckets: Int): Long = {
-    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
     require(buckets > 0, s"buckets must be positive, got $buckets")
     serializably(table) { tip =>
       require(tip >= 0, s"cannot cluster $table: no commits")
       val old = snapshotFiles(table, Some(tip))
-      val clustered = reader(spark, table, Some(tip), mergeSchema = false)
+      val current = reader(spark, table, Some(tip), mergeSchema = false)
         .parquet(old.map(f => Paths.get(table, f).toString): _*)
-        .repartitionByRange(buckets, col(statsCol))
-      val added = stage(clustered, table)
-      val lines = added.map { f =>
-        val r = spark.read.parquet(Paths.get(table, f).toString)
-          .agg(fmin(col(statsCol)), fmax(col(statsCol))).head()
-        val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""") +
-          fileSizeSuffix(table, f)
-        if (r.isNullAt(0)) s"""{"add":"$f"$rowsSuffix}"""
-        else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$statsCol"$rowsSuffix}"""
-      } ++ old.map(f => s"""{"remove":"$f"}""")
-      try commitRaw(table, "cluster", lines, Some(tip))
+      val (added, lines) = stageClustered(spark, current, table, statsCol, buckets)
+      // a re-cluster also (re)declares the spec, so future INSERTs keep
+      // the layout the operator just paid to establish
+      try commitRaw(table, "cluster",
+        lines ++ old.map(f => s"""{"remove":"$f"}""") :+
+          clusteringAction(statsCol, buckets), Some(tip))
       catch {
         case e: java.util.ConcurrentModificationException =>
           unstage(table, added); throw e
@@ -939,10 +997,11 @@ object CommitLog {
     val v = currentVersion(table)
     require(v >= 0, s"cannot checkpoint $table: no commits")
     val state = replay(table, Some(v))
-    // the declared schema must survive the roll like txn markers do
+    // declared schema + clustering spec must survive the roll like txn markers
     val schemaLine = state.schemaJson.map(j =>
       s"""{"schema64":"${java.util.Base64.getEncoder
-        .encodeToString(j.getBytes(StandardCharsets.UTF_8))}"}""").toSeq
+        .encodeToString(j.getBytes(StandardCharsets.UTF_8))}"}""").toSeq ++
+      state.clusterSpec.map { case (c, b) => clusteringAction(c, b) }.toSeq
     val lines = (s"""{"op":"checkpoint","version":$v}""" +: (schemaLine ++
       state.live.toSeq.map { case (f, stats) =>
         val rows = state.rowCounts.get(f).fold("")(n => s""","rows":$n""") +

@@ -892,7 +892,50 @@ object TableLogQueries {
        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        |FROM b1""".stripMargin
 
+  /** tl22: declarative clustering — `CREATE TABLE ... PARTITIONED BY
+    * (bucket(3, id)) AS SELECT ...` records the spec in the log, and
+    * every subsequent write (the CTAS data, a later INSERT) lands
+    * range-clustered with per-file zone ranges WITHOUT any writer-side
+    * knob. REQUIREs: both writes produced zone-mapped files (6 total), a
+    * point query prunes to at most 3 of the 7 live files (one bucket per
+    * generation + the stats-less v0 create file, which is never
+    * skipped). Content equals b1 ∪ b2 — layout policy, same rows. */
+  private val tl22SqlClusteredCreate: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"))
+    Files.createDirectories(root)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", root.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("DROP TABLE IF EXISTS graft.dml.t22")
+    batch1(spark, dir).createOrReplaceTempView("t22_b1")
+    batch2(spark, dir).createOrReplaceTempView("t22_b2")
+    spark.sql(
+      "CREATE TABLE graft.dml.t22 PARTITIONED BY (bucket(3, id)) AS SELECT * FROM t22_b1")
+    spark.sql("INSERT INTO graft.dml.t22 SELECT * FROM t22_b2")
+    val tdir = Paths.get(root.toString, "dml", "t22").toString
+    require(CommitLog.declaredClustering(tdir).contains(("id", 3)),
+      "the clustering spec must ride the log")
+    val stats = CommitLog.fileStatsOn(tdir, "id")
+    require(stats.size == 6, s"both writes must land zone-mapped files, got ${stats.size}")
+    val someKey = stats.values.map(_._1).max
+    require(CommitLog.prunedFiles(tdir, someKey, someKey).size <= 3,
+      "a point query must prune to at most one bucket per generation + the v0 file")
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM graft.dml.t22 GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl22SqlClusteredCreateSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+       |GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl22_sql_clustered_create" -> tl22SqlClusteredCreate,
     "tl21_sql_cluster" -> tl21SqlCluster,
     "tl20_schema_evolution" -> tl20SchemaEvolution,
     "tl19_sql_maintenance" -> tl19SqlMaintenance,
@@ -917,6 +960,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl22_sql_clustered_create" -> tl22SqlClusteredCreateSql,
     "tl21_sql_cluster" -> tl21SqlClusterSql,
     "tl20_schema_evolution" -> tl20SchemaEvolutionSql,
     "tl19_sql_maintenance" -> tl19SqlMaintenanceSql,

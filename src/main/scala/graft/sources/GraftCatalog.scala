@@ -106,20 +106,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables do not support partition transforms — cluster " +
-        "with CommitLog.appendClustered for zone-map file skipping instead")
+    // `PARTITIONED BY (bucket(n, col))` declares the table's clustering:
+    // the spec rides the log and every subsequent write range-clusters on
+    // the column with zone ranges recorded — declarative data skipping.
+    // Identity/other transforms are refused: directory-style partitioning
+    // is a layout this format expresses through clustering instead.
+    val clustering: Option[(String, Int)] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" =>
+        import org.apache.spark.sql.connector.expressions.{Literal => CLit, NamedReference}
+        val lits = t.arguments.collect { case l: CLit[_] => l.value }
+        val refs = t.arguments.collect { case r: NamedReference => r }
+        require(lits.length == 1 && refs.length == 1 && refs.head.fieldNames().length == 1,
+          s"graft catalog: clustering must be bucket(n, col) on ONE top-level " +
+            s"column, got ${t.describe}")
+        val n = lits.head match {
+          case i: java.lang.Integer => i.toInt
+          case l: java.lang.Long    => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft catalog: bucket count must be an integer literal, got $other")
+        }
+        val field = schema.find(_.name.equalsIgnoreCase(refs.head.fieldNames()(0)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft catalog: bucket column ${refs.head.describe} is not in the schema"))
+        require(field.dataType == org.apache.spark.sql.types.LongType ||
+            field.dataType == org.apache.spark.sql.types.IntegerType,
+          s"graft catalog: clustering column ${field.name} must be integral " +
+            s"(the zone-map vocabulary), got ${field.dataType.simpleString}")
+        Some((field.name, n))
+      case other => throw new UnsupportedOperationException(
+        "graft catalog: the only supported partition transform is ONE " +
+          s"bucket(n, col) clustering spec, got ${other.map(_.describe).mkString(", ")}")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
     Files.createDirectories(dir)
     // the declared schema becomes commit v0 (one empty data file): the
     // table is immediately readable as empty and the schema needs no
-    // side-channel state — it rides the log
-    val spark = SparkSession.active
-    CommitLog.append(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .coalesce(1),
-      dir.toString)
+    // side-channel state — it (and the clustering spec) ride the log
+    CommitLog.createEmpty(SparkSession.active, schema, dir.toString, clustering)
     loadTable(ident)
   }
 

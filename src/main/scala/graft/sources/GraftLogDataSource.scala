@@ -259,6 +259,31 @@ object GraftLogDataSource {
     override def name(): String =
       if (exists) s"graftlog.`$path`@v$snapshotVersion" else s"graftlog.`$path`@new"
     override def schema(): StructType = schema0
+
+    /** DESCRIBE-visible facts: the pinned version and the declared
+      * clustering spec (driver-side log replay, DESCRIBE-frequency). */
+    override def properties(): util.Map[String, String] = {
+      val m = new util.HashMap[String, String]()
+      m.put("format", "graftlog")
+      if (exists) {
+        m.put("version", snapshotVersion.toString)
+        CommitLog.declaredClustering(path, Some(snapshotVersion)).foreach {
+          case (c, b) =>
+            m.put("cluster-by", c)
+            m.put("cluster-buckets", b.toString)
+        }
+      }
+      m
+    }
+
+    /** The declared clustering surfaces as the table's partitioning, so
+      * DESCRIBE/SHOW CREATE show `bucket(n, col)` back to the user. */
+    override def partitioning(): Array[Transform] =
+      if (!exists) Array.empty
+      else CommitLog.declaredClustering(path, Some(snapshotVersion)).map {
+        case (c, b) =>
+          org.apache.spark.sql.connector.expressions.Expressions.bucket(b, c)
+      }.toArray
     override def capabilities(): util.Set[TableCapability] =
       if (exists && !timeTravel)
         util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -456,8 +481,18 @@ object GraftLogDataSource {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-                if (replace || overwrite) CommitLog.overwrite(data, path)
-                else CommitLog.append(data, path)
+                // a table that DECLARED a clustering spec gets it applied
+                // to every write: range-partition on the column, zone
+                // ranges recorded — INSERTs keep the layout data skipping
+                // depends on without the writer knowing the policy
+                (CommitLog.declaredClustering(path), replace || overwrite) match {
+                  case (Some((c, b)), false) =>
+                    CommitLog.appendClustered(data.sparkSession, data, path, c, b)
+                  case (Some((c, b)), true) =>
+                    CommitLog.overwriteClustered(data.sparkSession, data, path, c, b)
+                  case (None, false) => CommitLog.append(data, path)
+                  case (None, true)  => CommitLog.overwrite(data, path)
+                }
                 ()
               }
             }

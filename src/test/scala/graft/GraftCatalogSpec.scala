@@ -100,6 +100,46 @@ class GraftCatalogSpec extends SparkSpec {
     assert(gone.getMessage.toLowerCase.contains("t2"), gone.getMessage)
   }
 
+  test("PARTITIONED BY bucket(n, col): declarative clustering rides the log") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.cl")
+    spark.sql("DROP TABLE IF EXISTS gcat.cl.t")
+    spark.sql("CREATE TABLE gcat.cl.t (k BIGINT, v STRING) PARTITIONED BY (bucket(3, k))")
+    val dir = Paths.get(wh, "cl", "t").toString
+    assert(CommitLog.declaredClustering(dir).contains(("k", 3)))
+
+    // every INSERT lands range-clustered with zone ranges, no writer knobs
+    spark.sql("INSERT INTO gcat.cl.t SELECT id, concat('v', id) FROM range(60)")
+    val stats = CommitLog.fileStatsOn(dir, "k")
+    assert(stats.size == 3, s"3 buckets = 3 zone-mapped files: $stats")
+    val ranges = stats.values.toSeq.sortBy(_._1)
+    assert(ranges.head._1 == 0L && ranges.last._2 == 59L)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, h1), (l2, _)) => l2 > h1
+      case _ => true
+    }, s"bucket ranges must be disjoint: $ranges")
+
+    // INSERT OVERWRITE keeps the declared layout
+    spark.sql("INSERT OVERWRITE gcat.cl.t SELECT id, concat('w', id) FROM range(30)")
+    assert(CommitLog.snapshotFiles(dir).size == 3)
+    assert(CommitLog.fileStatsOn(dir, "k").size == 3)
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.cl.t").head.getLong(0) == 30L)
+
+    // the spec surfaces as table partitioning (DESCRIBE shows it)
+    val desc = spark.sql("DESCRIBE EXTENDED gcat.cl.t").collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)}").mkString("\n")
+    assert(desc.contains("bucket(3, k)"), s"DESCRIBE must show the clustering:\n$desc")
+
+    // refusals: identity transforms and non-integral clustering columns
+    spark.sql("DROP TABLE IF EXISTS gcat.cl.bad")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.cl.bad (k BIGINT) PARTITIONED BY (k)")
+    }
+    assert(intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.cl.bad (v STRING) PARTITIONED BY (bucket(3, v))")
+    }.getMessage.contains("integral"))
+  }
+
   test("ALTER TABLE ADD COLUMNS: schema rides the log, old rows NULL-padded") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ev")
