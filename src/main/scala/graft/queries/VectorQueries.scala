@@ -615,41 +615,47 @@ object VectorQueries {
     * floor-of-exact-rational is safe in double (numerator ≤ 2^31, so the
     * true fractional part, when nonzero, is ≥ 1/2n — orders of magnitude
     * above one ulp of the quotient). */
+  /** The Lloyd-loop oracle as a chained-CTE pipeline. Every CTE is
+    * `MATERIALIZED`: each round references its predecessor ~3 times, and
+    * DuckDB's default CTE inlining would re-evaluate the whole prefix per
+    * reference — 3^iters blowup that turned the 8-round v15 oracle into a
+    * 10-minute query. Materialization is a pure planner hint: same rows
+    * (equality-checked when introduced), 0.6 s instead. */
   private def lloydChainSql(k: Int, iters: Int, feed: String): String = {
     val quant =
-      s"""lq_m AS (
+      s"""lq_m AS MATERIALIZED (
          |  SELECT vec_id, embedding,
          |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
          |  FROM $feed),
-         |lq_s AS (
+         |lq_s AS MATERIALIZED (
          |  SELECT vec_id, embedding,
          |    CASE WHEN maxabs = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
          |         ELSE CAST(127 AS DOUBLE) / maxabs END AS scale
          |  FROM lq_m),
-         |lq AS (
+         |lq AS MATERIALIZED (
          |  SELECT vec_id, CAST(i.i AS INTEGER) - 1 AS dim,
          |    CAST(floor(CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE) * scale
          |      + CAST(0.5 AS DOUBLE)) AS INTEGER) AS qx
          |  FROM lq_s, generate_series(1, 64) i(i)),
-         |cent_0 AS (
+         |cent_0 AS MATERIALIZED (
          |  SELECT vec_id AS centroid_id, dim, CAST(qx AS BIGINT) * 1000 AS cm
          |  FROM lq WHERE vec_id < $k)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""kdist_$i AS (
+      s"""kdist_$i AS MATERIALIZED (
          |  SELECT q.vec_id, c.centroid_id,
          |    CAST(sum(CAST(1000 * q.qx - c.cm AS BIGINT) * (1000 * q.qx - c.cm)) AS BIGINT) AS dist
          |  FROM lq q JOIN cent_${i - 1} c ON c.dim = q.dim
          |  GROUP BY 1, 2),
-         |kasg_$i AS (
+         |kasg_$i AS MATERIALIZED (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY dist, centroid_id) AS rn FROM kdist_$i) WHERE rn = 1),
-         |kupd_$i AS (
+         |kupd_$i AS MATERIALIZED (
          |  SELECT a.centroid_id, q.dim,
          |    CAST(count(*) AS BIGINT) AS n, CAST(sum(q.qx) AS BIGINT) AS s
          |  FROM kasg_$i a JOIN lq q ON q.vec_id = a.vec_id
          |  GROUP BY 1, 2),
-         |cent_$i AS (
+         |cent_$i AS MATERIALIZED (
          |  SELECT c.centroid_id, c.dim,
          |    COALESCE(CAST(floor((2000.0 * u.s + u.n) / (2.0 * u.n)) AS BIGINT), c.cm) AS cm
          |  FROM cent_${i - 1} c LEFT JOIN kupd_$i u
