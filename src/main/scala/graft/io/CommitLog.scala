@@ -818,6 +818,68 @@ object CommitLog {
     }
   }
 
+  /** Row-level CHANGES between versions — the change-data-feed analogue,
+    * computed entirely from the log's add/remove sets (no change files
+    * are ever written): for each commit v in `(fromV, toV]`,
+    *
+    *   - layout-only commits (`compact`, `cluster`, `checkpoint`) emit
+    *     nothing — they move bytes, never rows;
+    *   - pure appends emit their added files' rows as `insert`;
+    *   - rewrite commits (upsert/overwrite/DML) emit the MULTISET diff of
+    *     the removed files' rows vs the added files' rows: rows only in
+    *     the old set are `delete`, only in the new set `insert` — rows a
+    *     rewrite merely carried cancel out and never appear. Without
+    *     per-row identity an UPDATE therefore reads as delete+insert,
+    *     exactly like a snapshot diff on Delta tables without CDC files.
+    *
+    * Output schema: the table columns plus `_change_type` and
+    * `_commit_version`. Needs the touched versions' files on disk, so it
+    * reaches only as far back as vacuum has not reclaimed (same horizon
+    * as time travel; missing files fail loudly at read). Each commit's
+    * diff is one distributed `exceptAll` over exactly the files that
+    * commit touched — at 100 TB the cost is proportional to the data the
+    * DML moved, never to the table. */
+  def changes(spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV <= toV,
+      s"changes($table): fromV $fromV must be <= toV $toV")
+    require(toV <= currentVersion(table),
+      s"changes($table): toV $toV is past the log head ${currentVersion(table)}")
+    val layoutOps = Set("compact", "cluster", "checkpoint")
+    def readNamed(files: Seq[String], asOf: Long): DataFrame =
+      reader(spark, table, Some(asOf), mergeSchema = false)
+        .parquet(files.map(f => Paths.get(table, f).toString): _*)
+    val perCommit = ((fromV + 1) to toV).flatMap { v =>
+      val c = readCommit(table, v)
+      if (layoutOps.contains(c.op)) None
+      else {
+        val stamp = (df: DataFrame, kind: String) => df
+          .withColumn("_change_type", lit(kind))
+          .withColumn("_commit_version", lit(v))
+        (c.add.nonEmpty, c.remove.nonEmpty) match {
+          case (true, false) => Some(stamp(readNamed(c.add, v), "insert"))
+          case (false, true) => Some(stamp(readNamed(c.remove, v - 1), "delete"))
+          case (true, true) =>
+            // schemas may differ across an evolution boundary: align the
+            // old rows to the commit's (wider) schema before the diff
+            val newDf = readNamed(c.add, v)
+            val oldDf = readNamed(c.remove, v - 1)
+            val oldAligned = newDf.limit(0).unionByName(oldDf, allowMissingColumns = true)
+            Some(stamp(newDf.exceptAll(oldAligned), "insert")
+              .unionByName(stamp(oldAligned.exceptAll(newDf), "delete")))
+          case (false, false) => None // txn-marker-only / schema-only commit
+        }
+      }
+    }
+    if (perCommit.isEmpty)
+      // only layout/marker commits in the window: zero changes, full schema
+      read(spark, table, Some(toV)).limit(0)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0L))
+        .limit(0)
+    else perCommit.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Zone-map stats restricted to files whose recorded range is ON
     * `column` (the add action named it) — the only stats a reader that
     * discovered the predicate by name (the SQL pushdown path) may use.

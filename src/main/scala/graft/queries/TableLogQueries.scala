@@ -934,7 +934,33 @@ object TableLogQueries {
        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
        |GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** tl23: the change data feed — row-level changes between versions
+    * computed from the log's add/remove sets ([[CommitLog.changes]], the
+    * Delta CDF analogue with no change files): v0's append reads as pure
+    * inserts; v1's upsert rewrite diffs to exactly the corrected rows as
+    * inserts plus their superseded originals as deletes — the thousands
+    * of rows the rewrite merely carried cancel out and never appear. */
+  private val tl23ChangeFeed: Q = (spark, dir) => {
+    val table = buildTable(spark, dir) // v0 append b1, v1 upsert b2
+    CommitLog.changes(spark, table, -1L, CommitLog.currentVersion(table))
+      .select(col("_commit_version").cast("int").as("commit_version"),
+        col("_change_type").as("change_type"),
+        col("id"), col("status"), col("price"), col("batch"))
+      .orderBy("commit_version", "change_type", "id")
+  }
+
+  private val tl23ChangeFeedSql =
+    s"""WITH $batchesSql
+       |SELECT 0 AS commit_version, 'insert' AS change_type,
+       |  id, status, price, batch FROM b1
+       |UNION ALL
+       |SELECT 1, 'insert', id, status, price, batch FROM b2
+       |UNION ALL
+       |SELECT 1, 'delete', id, status, price, batch FROM b1 WHERE id % 6 = 0
+       |ORDER BY commit_version, change_type, id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl23_change_feed" -> tl23ChangeFeed,
     "tl22_sql_clustered_create" -> tl22SqlClusteredCreate,
     "tl21_sql_cluster" -> tl21SqlCluster,
     "tl20_schema_evolution" -> tl20SchemaEvolution,
@@ -960,6 +986,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl23_change_feed" -> tl23ChangeFeedSql,
     "tl22_sql_clustered_create" -> tl22SqlClusteredCreateSql,
     "tl21_sql_cluster" -> tl21SqlClusterSql,
     "tl20_schema_evolution" -> tl20SchemaEvolutionSql,

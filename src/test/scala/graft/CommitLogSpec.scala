@@ -421,6 +421,30 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.snapshotSizeBytes(t) == diskSum(None))
   }
 
+  test("change data feed: appends are inserts, rewrites diff, layout is silent") {
+    val t = freshTable("cdf")
+    CommitLog.append(df(1L -> "a", 2L -> "b"), t)                      // v0
+    CommitLog.upsert(spark, df(2L -> "B"), t, Seq("id"))               // v1
+    assert(CommitLog.compact(spark, t, targetFiles = 1).contains(2L))  // v2: layout
+
+    def rows(from: Long, to: Long): Set[(String, Long, Long, String)] =
+      CommitLog.changes(spark, t, from, to)
+        .select("_change_type", "_commit_version", "id", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+
+    assert(rows(-1L, 0L) == Set(("insert", 0L, 1L, "a"), ("insert", 0L, 2L, "b")))
+    // the upsert carried (1, a) untouched: it cancels out of the diff
+    assert(rows(0L, 1L) == Set(("insert", 1L, 2L, "B"), ("delete", 1L, 2L, "b")))
+    // a compaction moves bytes, never rows
+    assert(CommitLog.changes(spark, t, 1L, 2L).count() == 0L)
+    // the full window composes
+    assert(rows(-1L, 2L).size == 4)
+    // past the vacuum horizon the old files are gone: loud, not wrong
+    CommitLog.vacuum(t)
+    intercept[Exception] { rows(0L, 1L) }
+  }
+
   test("metadata-only min/max: exact from full zone coverage, undefined otherwise") {
     import spark.implicits._
     val t = freshTable("metaminmax")
