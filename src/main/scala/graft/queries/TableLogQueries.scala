@@ -959,7 +959,34 @@ object TableLogQueries {
        |SELECT 1, 'delete', id, status, price, batch FROM b1 WHERE id % 6 = 0
        |ORDER BY commit_version, change_type, id""".stripMargin
 
+  /** tl24: the change feed's SQL surface — `USING graftlog OPTIONS
+    * (readChangeFeed 'true')` serves the same derived relation tl23
+    * reaches through the Scala API, queryable like any view (the final
+    * SELECT filters and re-orders it in SQL). Same oracle shape. */
+  private val tl24CdfSql: Q = (spark, dir) => {
+    val table = buildTable(spark, dir)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW tl24_cdf
+         |USING graftlog OPTIONS (path '$table', readChangeFeed 'true')""".stripMargin)
+    spark.sql(
+      """SELECT CAST(_commit_version AS INT) AS commit_version,
+        |  _change_type AS change_type, id, status, price, batch
+        |FROM tl24_cdf
+        |ORDER BY commit_version, change_type, id""".stripMargin)
+  }
+
+  private val tl24CdfSqlSql =
+    s"""WITH $batchesSql
+       |SELECT 0 AS commit_version, 'insert' AS change_type,
+       |  id, status, price, batch FROM b1
+       |UNION ALL
+       |SELECT 1, 'insert', id, status, price, batch FROM b2
+       |UNION ALL
+       |SELECT 1, 'delete', id, status, price, batch FROM b1 WHERE id % 6 = 0
+       |ORDER BY commit_version, change_type, id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl24_cdf_sql" -> tl24CdfSql,
     "tl23_change_feed" -> tl23ChangeFeed,
     "tl22_sql_clustered_create" -> tl22SqlClusteredCreate,
     "tl21_sql_cluster" -> tl21SqlCluster,
@@ -986,6 +1013,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl24_cdf_sql" -> tl24CdfSqlSql,
     "tl23_change_feed" -> tl23ChangeFeedSql,
     "tl22_sql_clustered_create" -> tl22SqlClusteredCreateSql,
     "tl21_sql_cluster" -> tl21SqlClusterSql,

@@ -249,15 +249,19 @@ object GraftLogDataSource {
     * (the first append/overwrite creates it), accepting any schema. */
   final case class GraftLogTable(path: String, snapshotVersion: Long,
                                  mergeSchema: Boolean, timeTravel: Boolean,
-                                 schema0: StructType)
+                                 schema0: StructType,
+                                 changeFeed: Option[(Long, Long)] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
     private def exists: Boolean = snapshotVersion >= 0
+    private def isCdf: Boolean = changeFeed.isDefined
 
     override def name(): String =
-      if (exists) s"graftlog.`$path`@v$snapshotVersion" else s"graftlog.`$path`@new"
+      if (isCdf) s"graftlog.`$path`@changes${changeFeed.get}"
+      else if (exists) s"graftlog.`$path`@v$snapshotVersion"
+      else s"graftlog.`$path`@new"
     override def schema(): StructType = schema0
 
     /** DESCRIBE-visible facts: the pinned version and the declared
@@ -285,7 +289,9 @@ object GraftLogDataSource {
           org.apache.spark.sql.connector.expressions.Expressions.bucket(b, c)
       }.toArray
     override def capabilities(): util.Set[TableCapability] =
-      if (exists && !timeTravel)
+      if (isCdf) // a change feed is a derived, read-only relation
+        util.EnumSet.of(TableCapability.BATCH_READ)
+      else if (exists && !timeTravel)
         util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
           TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
           TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
@@ -301,7 +307,27 @@ object GraftLogDataSource {
           TableCapability.STREAMING_WRITE)
 
     // ------------------------------------------------------------------ read
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      // the change-feed relation: a derived computation (per-commit
+      // multiset diffs), served through the V1 bridge — the diff itself
+      // is a full distributed Catalyst plan; only the hand-off is V1
+      changeFeed.foreach { case (fromV, toV) =>
+        return new ScanBuilder {
+          override def build(): Scan = new V1Scan {
+            override def readSchema(): StructType = schema0
+            override def toV1TableScan[T <: BaseRelation with TableScan](
+                context: SQLContext): T =
+              new BaseRelation with TableScan {
+                override def sqlContext: SQLContext = context
+                override def schema: StructType = schema0
+                override def buildScan(): RDD[Row] =
+                  CommitLog.changes(context.sparkSession, path, fromV, toV)
+                    .select(schema0.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+                    .rdd
+              }.asInstanceOf[T]
+          }
+        }
+      }
       new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
           with SupportsPushDownAggregates {
         private var required: StructType = schema0
@@ -410,6 +436,7 @@ object GraftLogDataSource {
               streamOpts)
         }
       }
+    }
 
     // ------------------------------------------------------------------ row-level DML
     /** `DELETE FROM` / `UPDATE` / `MERGE INTO` — group-based copy-on-write
@@ -420,6 +447,8 @@ object GraftLogDataSource {
     override def newRowLevelOperationBuilder(
         info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
         : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+      require(!isCdf,
+        s"graftlog: a change-feed relation of $path is read-only")
       require(!timeTravel,
         s"graftlog: cannot ${info.command.name.toLowerCase} rows of a time-travel " +
           s"snapshot of $path (drop versionAsOf/timestampAsOf to modify the head)")
@@ -434,10 +463,11 @@ object GraftLogDataSource {
       * `OptimizeMetadataOnlyDeleteFromTable` asks here first and falls
       * back to the copy-on-write rewrite when the proof declines. */
     override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-      !timeTravel && exists &&
+      !timeTravel && !isCdf && exists &&
         MetadataDelete.plan(path, snapshotVersion, filters.toIndexedSeq).isDefined
 
     override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+      require(!isCdf, s"graftlog: a change-feed relation of $path is read-only")
       require(!timeTravel,
         s"graftlog: cannot DELETE from a time-travel snapshot of $path")
       var attempt = 0
@@ -471,6 +501,8 @@ object GraftLogDataSource {
 
     // ------------------------------------------------------------------ write
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      require(!isCdf,
+        s"graftlog: a change-feed relation of $path is read-only")
       require(!timeTravel,
         s"graftlog: cannot write to a time-travel snapshot of $path " +
           "(drop versionAsOf/timestampAsOf to write to the table head)")
@@ -651,7 +683,33 @@ object GraftLogDataSource {
     if (head < 0) {
       require(!timeTravel,
         s"commit-log table $path has no commits — nothing to time-travel to")
+      require(!opts.get("readchangefeed").exists(_.toBoolean),
+        s"commit-log table $path has no commits — no changes to read")
       return GraftLogTable(path, -1L, mergeSchema, timeTravel = false, new StructType())
+    }
+    // readChangeFeed: the relation serves row-level changes over an
+    // INCLUSIVE [startingVersion, endingVersion] window (Delta's CDF
+    // option shape) instead of a snapshot — read-only, derived
+    if (opts.get("readchangefeed").exists(_.toBoolean)) {
+      require(!timeTravel,
+        "graftlog: readChangeFeed and versionAsOf/timestampAsOf are mutually exclusive")
+      def longOpt(key: String, name: String): Option[Long] = opts.get(key).map { v =>
+        try v.trim.toLong
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"graftlog: $name must be a version number, got '$v'", e)
+        }
+      }
+      val startV = longOpt("startingversion", "startingVersion").getOrElse(0L)
+      val endV = longOpt("endingversion", "endingVersion").getOrElse(head)
+      require(startV >= 0 && startV <= endV && endV <= head,
+        s"graftlog: change-feed window [$startV, $endV] must lie within [0, $head]")
+      val dataSchema = CommitLog.read(SparkSession.active, path, Some(endV), mergeSchema).schema
+      val cdfSchema = dataSchema
+        .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("_commit_version", LongType, nullable = false)
+      return GraftLogTable(path, endV, mergeSchema, timeTravel = false,
+        cdfSchema, changeFeed = Some((startV - 1, endV)))
     }
     val version = versionAsOf
       .orElse(tsAsOf.map(ts => CommitLog.versionAt(path, ts)))
@@ -681,6 +739,9 @@ object GraftLogDataSource {
     require(!opts.contains("versionasof") && !opts.contains("timestampasof"),
       "graftlog: versionAsOf/timestampAsOf are batch read options; for a " +
         "stream use startingVersion to choose where to begin")
+    require(!opts.get("readchangefeed").exists(_.toBoolean),
+      "graftlog: readChangeFeed is a batch read option — a stream already " +
+        "delivers per-commit changes (ignoreChanges for rewrite commits)")
     val t = resolve(opts)
     require(t.snapshotVersion >= 0,
       s"graftlog: cannot stream from ${t.path} — the table has no commits " +

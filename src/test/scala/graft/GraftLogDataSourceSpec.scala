@@ -402,6 +402,43 @@ class GraftLogDataSourceSpec extends SparkSpec {
     assert((rv0.getLong(0), rv0.getLong(1)) == ((100L, 99L)))
   }
 
+  test("readChangeFeed option serves the change relation, batch and SQL") {
+    val t = freshTable("cdf")
+    CommitLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)   // v0
+    CommitLog.upsert(spark, Seq((2L, "B")).toDF("id", "v"), t, Seq("id")) // v1
+
+    val cdf = spark.read.format("graftlog").option("readChangeFeed", true).load(t)
+    assert(cdf.schema.fieldNames.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+    val got = cdf.collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("insert", 0L, 1L, "a"), ("insert", 0L, 2L, "b"),
+      ("insert", 1L, 2L, "B"), ("delete", 1L, 2L, "b")))
+
+    // an inclusive window pins a sub-range
+    val windowed = spark.read.format("graftlog")
+      .option("readChangeFeed", true)
+      .option("startingVersion", 1).option("endingVersion", 1).load(t)
+    assert(windowed.count() == 2L)
+
+    // the SQL view form
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ds_cdf
+      USING graftlog OPTIONS (path '$t', readChangeFeed 'true')""")
+    assert(spark.sql("SELECT count(*) AS n FROM ds_cdf").head.getLong(0) == 4L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM ds_cdf WHERE _change_type = 'delete'").head.getLong(0) == 1L)
+
+    // read-only and window-validated
+    intercept[Exception] {
+      spark.read.format("graftlog").option("readChangeFeed", true)
+        .option("startingVersion", 5).load(t).collect()
+    }
+    intercept[Exception] {
+      Seq((9L, "z")).toDF("id", "v").write.format("graftlog")
+        .option("readChangeFeed", true).mode("append").save(t)
+    }
+  }
+
   test("misuse fails loudly at analysis time") {
     val t = freshTable("errs")
     CommitLog.append(Seq((1L, "a")).toDF("id", "v"), t)
