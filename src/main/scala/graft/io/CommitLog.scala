@@ -347,6 +347,13 @@ object CommitLog {
      catch { case scala.util.control.NonFatal(_) => None })
       .fold("")(n => s""","bytes":$n""")
 
+  // One shared Hadoop conf for driver-side footer reads: `new
+  // Configuration()` re-parses the XML defaults on EVERY call (~20 ms),
+  // and a commit reads one footer per added file — on a 4-append+compact
+  // lifecycle that was ~0.4 s of pure conf parsing (caught by the tl4
+  // bench adjudication). Read-only use; parquet never mutates it.
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
   /** Null count of `column` from the parquet footer alone — `Some(n)` only
     * when EVERY row group's column chunk recorded one (else undefined,
     * never wrong). This is the proof obligation of a metadata-only DELETE:
@@ -359,7 +366,7 @@ object CommitLog {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(Paths.get(table, f).toUri),
-          new org.apache.hadoop.conf.Configuration()))
+          footerConf))
       try {
         val chunks = r.getFooter.getBlocks.asScala.flatMap(
           _.getColumns.asScala.filter(_.getPath.toDotString.equalsIgnoreCase(column)))
@@ -382,7 +389,7 @@ object CommitLog {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(Paths.get(table, f).toUri),
-          new org.apache.hadoop.conf.Configuration()))
+          footerConf))
       try {
         import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
         val chunks = r.getFooter.getBlocks.asScala.flatMap(
@@ -441,7 +448,7 @@ object CommitLog {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(Paths.get(table, f).toUri),
-          new org.apache.hadoop.conf.Configuration()))
+          footerConf))
       try Some(r.getRecordCount) finally r.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
