@@ -305,6 +305,13 @@ object CommitLog {
     times.takeWhile(_._2 <= tsMillis).last._1
   }
 
+  /** Wall-clock commit time of version `v` (the log file's mtime — what
+    * [[versionAt]] resolves timestamp time travel against), if the commit
+    * file is still retained. */
+  def commitTimeMillis(table: String, v: Long): Option[Long] =
+    try Some(Files.getLastModifiedTime(commitPath(table, v)).toMillis)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** `read` at the snapshot that was current at wall-clock `tsMillis`. */
   def readAsOfTimestamp(spark: SparkSession, table: String, tsMillis: Long,
                         mergeSchema: Boolean = false): DataFrame =

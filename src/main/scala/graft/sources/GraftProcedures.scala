@@ -167,12 +167,17 @@ private[sources] object GraftProcedures {
       .add("operation", StringType, nullable = false)
       .add("n_added", IntegerType, nullable = false)
       .add("n_removed", IntegerType, nullable = false)
+      .add("commit_time", org.apache.spark.sql.types.TimestampType)
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = dirOf(input)
       val rows = CommitLog.versions(dir).sorted.reverse.map { v =>
         val c = CommitLog.readCommit(dir, v)
+        // commit time = the log file's mtime (what timestamp time travel
+        // resolves against); micros, the Catalyst timestamp unit
+        val ts: Any = CommitLog.commitTimeMillis(dir, v)
+          .map(ms => ms * 1000L).map(Long.box).orNull
         new GenericInternalRow(Array[Any](
-          v, str(c.op), c.add.size, c.remove.size))
+          v, str(c.op), c.add.size, c.remove.size, ts))
       }
       result(schema, rows)
     }

@@ -112,11 +112,15 @@ class GraftProceduresSpec extends SparkSpec {
   test("CALL history serves the retained commit log, newest first") {
     build("h")
     val rows = spark.sql("CALL pcat.system.history('m.h')")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getTimestamp(4)))
     assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.reverse.toSeq)
     assert(rows.length == 4) // create(v0) + CTAS insert + 2 inserts
     assert(rows.forall(_._4 == 0))
     assert(rows.last._1 == 0L)
+    // commit times come from the log files and are monotone with versions
+    assert(rows.forall(_._5 != null))
+    assert(rows.map(_._5.getTime).toSeq == rows.map(_._5.getTime).sorted.reverse.toSeq)
   }
 
   test("an unknown procedure names the offerings") {
