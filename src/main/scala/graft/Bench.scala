@@ -247,12 +247,17 @@ object Bench {
     // (BENCH_r02.json parsed:null). Print a compact headline line that always
     // fits; the complete per-query map is persisted to BENCH_FULL.json.
     val headlineRs = results.filter { case (k, _) => headline.contains(k) }
-    println(
+    val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         (if (fast) """"mode":"fast",""" else "") +
         s""""n_failed":${failed.size},"failed":$failedJson,""" +
         s""""n_requeued":${requeued.size},""" +
         s""""queries":${jsonMap(if (only.isEmpty) headlineRs else results)},""" +
-        s""""sf":"$sfDir"}""")
+        s""""sf":"$sfDir"}"""
+    // Sentinel-prefixed copy FIRST (a wrapper can grep ^GRAFT_BENCH_RESULT
+    // and can never land on a mid-run requeue/progress line), then the bare
+    // JSON as the very last stdout write for any naive last-line parser.
+    println(s"GRAFT_BENCH_RESULT $summary")
+    println(summary)
   }
 }

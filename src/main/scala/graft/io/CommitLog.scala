@@ -245,13 +245,7 @@ object CommitLog {
     val files = state.live.keys.toSeq
     require(files.nonEmpty,
       s"commit-log table $table has no live files at version ${asOf.getOrElse(currentVersion(table))}")
-    val rdr = state.schemaJson match {
-      case Some(j) => spark.read.schema(
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      case None => spark.read.option("mergeSchema", mergeSchema)
-    }
-    rdr.parquet(files.map(f => Paths.get(table, f).toString): _*)
+    readFiles(spark, table, files, mergeSchema, asOf)
   }
 
   /** The snapshot's reader: when the log DECLARES a schema (an `alter`
@@ -261,9 +255,109 @@ object CommitLog {
   private def reader(spark: SparkSession, table: String, asOf: Option[Long],
                      mergeSchema: Boolean): org.apache.spark.sql.DataFrameReader =
     declaredSchema(table, asOf) match {
-      case Some(s) => spark.read.schema(s)
+      case Some(s) => spark.read.schema(toPhysical(s))
       case None    => spark.read.option("mergeSchema", mergeSchema)
     }
+
+  // ------------------------------------------------------------------ column mapping
+  /** Field-metadata key carrying a column's PHYSICAL name — the name its
+    * bytes wear in every parquet file, fixed at first write and never
+    * changed. `RENAME COLUMN` changes only the declared (logical) name and
+    * records the physical one here, so a rename is one metadata commit
+    * that reinterprets zero data files — the public Delta Lake column
+    * mapping design (`name` mode), reduced to this log's declared-schema
+    * vocabulary. Absent metadata means physical == logical (every table
+    * that never renamed). */
+  val PhysicalNameKey = "graft.physical"
+
+  /** The parquet-side name of a declared field. */
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** The declared schema with every field under its physical name — what
+    * parquet readers/writers must use. Types stay DECLARED: a widened
+    * column (int→long) reads old INT32 pages through the parquet reader's
+    * widening promotion, new files are written wide. */
+  def toPhysical(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(f => f.copy(name = physicalName(f))))
+
+  /** True when any field's physical name differs from its logical one. */
+  def hasNameMapping(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => physicalName(f) != f.name)
+
+  /** logical → physical for one column (case-insensitive, Spark's
+    * resolution); a name the schema doesn't declare maps to itself. */
+  def physicalFor(table: String, column: String, asOf: Option[Long] = None): String =
+    physicalForIn(declaredSchema(table, asOf), column)
+
+  /** [[physicalFor]] against an already-resolved declared schema — for
+    * callers translating many names (one log replay, not one per name). */
+  def physicalForIn(declared: Option[org.apache.spark.sql.types.StructType],
+                    column: String): String =
+    declared
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(column)))
+      .map(physicalName)
+      .getOrElse(column)
+
+  /** physical-named scan → logical-named frame (positional: [[toPhysical]]
+    * preserves field order). No-op select when the table never renamed. */
+  private def toLogical(df: DataFrame,
+                        declared: org.apache.spark.sql.types.StructType): DataFrame =
+    if (hasNameMapping(declared)) df.toDF(declared.fieldNames.toIndexedSeq: _*) else df
+
+  /** Rewrites an arbitrary write schema's LOGICAL field names to the
+    * table's PHYSICAL ones, matched by name against the declared schema
+    * (case-insensitive; undeclared fields keep their own name). For
+    * executor-side parquet writers (row-level DML, streaming epochs) whose
+    * schema arrives from Spark rather than from [[stage]] — matching by
+    * name against the LOG, not by trusting upstream field metadata, so a
+    * surface that drops metadata cannot silently write logical names into
+    * files the read path will NULL out. */
+  def physicalizeNames(table: String,
+                       s: org.apache.spark.sql.types.StructType,
+                       asOf: Option[Long] = None): org.apache.spark.sql.types.StructType =
+    declaredSchema(table, asOf) match {
+      case Some(d) if hasNameMapping(d) =>
+        val by = d.fields.map(f => f.name.toLowerCase -> physicalName(f)).toMap
+        org.apache.spark.sql.types.StructType(s.fields.map(f =>
+          f.copy(name = by.getOrElse(f.name.toLowerCase, f.name))))
+      case _ => s
+    }
+
+  /** Rewrites a pushed filter's attribute names logical → physical for
+    * the parquet delegate (row-group/page skipping). Returns None for any
+    * shape it doesn't know — ALWAYS safe to drop here, because the scan
+    * builder reports every filter back as post-scan (Spark re-applies
+    * them above the scan); an untranslated filter only loses skipping,
+    * never rows. */
+  def physicalizeFilter(declared: Option[org.apache.spark.sql.types.StructType],
+                        f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def nm(a: String): String = physicalForIn(declared, a)
+    def go(f: Filter): Option[Filter] = f match {
+      case EqualTo(a, v)            => Some(EqualTo(nm(a), v))
+      case EqualNullSafe(a, v)      => Some(EqualNullSafe(nm(a), v))
+      case GreaterThan(a, v)        => Some(GreaterThan(nm(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(nm(a), v))
+      case LessThan(a, v)           => Some(LessThan(nm(a), v))
+      case LessThanOrEqual(a, v)    => Some(LessThanOrEqual(nm(a), v))
+      case In(a, vs)                => Some(In(nm(a), vs))
+      case IsNull(a)                => Some(IsNull(nm(a)))
+      case IsNotNull(a)             => Some(IsNotNull(nm(a)))
+      case StringStartsWith(a, v)   => Some(StringStartsWith(nm(a), v))
+      case StringEndsWith(a, v)     => Some(StringEndsWith(nm(a), v))
+      case StringContains(a, v)     => Some(StringContains(nm(a), v))
+      case And(l, r)                => for (a <- go(l); b <- go(r)) yield And(a, b)
+      case Or(l, r)                 => for (a <- go(l); b <- go(r)) yield Or(a, b)
+      case Not(c)                   => go(c).map(Not)
+      case _: AlwaysTrue            => Some(f)
+      case _: AlwaysFalse           => Some(f)
+      case _                        => None
+    }
+    go(f)
+  }
 
   /** The schema the log declares for the snapshot at `asOf`, if an
     * `alter` commit ever declared one (the Delta `metaData` shape —
@@ -318,10 +412,27 @@ object CommitLog {
     read(spark, table, Some(versionAt(table, tsMillis)), mergeSchema)
 
   /** Stages `df` as parquet files inside the table dir; returns their
-    * table-relative names. Staged files are invisible until committed. */
+    * table-relative names. Staged files are invisible until committed.
+    * When the declared schema maps renamed columns, the frame's LOGICAL
+    * names are swapped to their PHYSICAL ones here — every parquet file
+    * wears physical names, whatever era wrote it (Delta column mapping's
+    * write-side half). Columns the schema doesn't declare pass through
+    * under their own name. */
   private def stage(df: DataFrame, table: String): Seq[String] = {
+    val physDf = declaredSchema(table, None) match {
+      case Some(s) if hasNameMapping(s) =>
+        val byLogical = s.fields.map(f => f.name.toLowerCase -> f).toMap
+        df.select(df.columns.map { c =>
+          byLogical.get(c.toLowerCase) match {
+            case Some(f) if physicalName(f) != f.name =>
+              org.apache.spark.sql.functions.col(s"`$c`").as(physicalName(f))
+            case _ => org.apache.spark.sql.functions.col(s"`$c`")
+          }
+        }.toIndexedSeq: _*)
+      case _ => df
+    }
     val staging = Paths.get(table, s".staging-${java.util.UUID.randomUUID()}")
-    df.write.parquet(staging.toString)
+    physDf.write.parquet(staging.toString)
     val parts = Files.list(staging).iterator.asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
     val named = parts.map { p =>
@@ -667,8 +778,7 @@ object CommitLog {
       } else {
         // the declared-schema reader, so an upsert after column evolution
         // carries NULL-padded old rows instead of failing the union
-        val current = reader(spark, table, Some(tip), mergeSchema = false)
-          .parquet(old.map(f => Paths.get(table, f).toString): _*)
+        val current = readFiles(spark, table, old, mergeSchema = false, Some(tip))
         val merged = current.join(updates, keys, "left_anti")
           .unionByName(updates, allowMissingColumns = true)
         val added = stage(merged, table)
@@ -745,13 +855,17 @@ object CommitLog {
                              statsCol: String, buckets: Int): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
     val files = stage(df.repartitionByRange(buckets, col(statsCol)), table)
+    // zone actions name the PHYSICAL column: staged files wear physical
+    // names, and [[fileStatsOn]] translates the query side to match — so
+    // a rename never strands (or worse, mis-assigns) recorded ranges
+    val physCol = physicalFor(table, statsCol)
     val lines = files.map { f =>
       val r = spark.read.parquet(Paths.get(table, f).toString)
-        .agg(fmin(col(statsCol)), fmax(col(statsCol))).head()
+        .agg(fmin(col(s"`$physCol`")), fmax(col(s"`$physCol`"))).head()
       val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""") +
         fileSizeSuffix(table, f)
       if (r.isNullAt(0)) s"""{"add":"$f"$rowsSuffix}"""
-      else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$statsCol"$rowsSuffix}"""
+      else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$physCol"$rowsSuffix}"""
     }
     (files, lines)
   }
@@ -817,8 +931,7 @@ object CommitLog {
     serializably(table) { tip =>
       require(tip >= 0, s"cannot cluster $table: no commits")
       val old = snapshotFiles(table, Some(tip))
-      val current = reader(spark, table, Some(tip), mergeSchema = false)
-        .parquet(old.map(f => Paths.get(table, f).toString): _*)
+      val current = readFiles(spark, table, old, mergeSchema = false, Some(tip))
       val (added, lines) = stageClustered(spark, current, table, statsCol, buckets)
       // a re-cluster also (re)declares the spec, so future INSERTs keep
       // the layout the operator just paid to establish
@@ -849,49 +962,80 @@ object CommitLog {
     * Output schema: the table columns plus `_change_type` and
     * `_commit_version`. Needs the touched versions' files on disk, so it
     * reaches only as far back as vacuum has not reclaimed (same horizon
-    * as time travel; missing files fail loudly at read). Each commit's
-    * diff is one distributed `exceptAll` over exactly the files that
-    * commit touched — at 100 TB the cost is proportional to the data the
-    * DML moved, never to the table. */
+    * as time travel; missing files fail loudly at read).
+    *
+    * Plan shape is CONSTANT-WIDTH however many commits the window holds —
+    * a months-long window over a busy table (thousands of commits inside
+    * the vacuum horizon) must not build a thousand-way nested union
+    * (driver-side analysis cost, not data cost). All touched files are
+    * read in ONE scan at the window head's declared schema (additive
+    * evolution NULL-fills older eras, exactly what the per-commit
+    * alignment did), a broadcast file→(version, side) manifest stamps each
+    * row — a file added in one commit and removed in a later one
+    * contributes to both — and then:
+    *   - commits touching ONE side (pure appends / pure removes) pass
+    *     through stamped, no shuffle;
+    *   - rewrite commits (add + remove) take a sign-sum multiset diff:
+    *     group by (version, row), `sum(±1) = n_new − n_old`, emit |n|
+    *     copies — identical semantics to per-commit `exceptAll` pairs
+    *     (rows a rewrite merely carried cancel to 0 and never appear).
+    * At 100 TB the cost stays proportional to the data the DML moved,
+    * never to the table, and the diff shuffle covers only rewrite commits. */
   def changes(spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions._
     require(fromV <= toV,
       s"changes($table): fromV $fromV must be <= toV $toV")
     require(toV <= currentVersion(table),
       s"changes($table): toV $toV is past the log head ${currentVersion(table)}")
     val layoutOps = Set("compact", "cluster", "checkpoint")
-    def readNamed(files: Seq[String], asOf: Long): DataFrame =
-      reader(spark, table, Some(asOf), mergeSchema = false)
-        .parquet(files.map(f => Paths.get(table, f).toString): _*)
-    val perCommit = ((fromV + 1) to toV).flatMap { v =>
+    // (file, version, +1 added / -1 removed, commit needs a multiset diff)
+    val entries = ((fromV + 1) to toV).flatMap { v =>
       val c = readCommit(table, v)
-      if (layoutOps.contains(c.op)) None
+      if (layoutOps.contains(c.op)) Nil
       else {
-        val stamp = (df: DataFrame, kind: String) => df
-          .withColumn("_change_type", lit(kind))
-          .withColumn("_commit_version", lit(v))
-        (c.add.nonEmpty, c.remove.nonEmpty) match {
-          case (true, false) => Some(stamp(readNamed(c.add, v), "insert"))
-          case (false, true) => Some(stamp(readNamed(c.remove, v - 1), "delete"))
-          case (true, true) =>
-            // schemas may differ across an evolution boundary: align the
-            // old rows to the commit's (wider) schema before the diff
-            val newDf = readNamed(c.add, v)
-            val oldDf = readNamed(c.remove, v - 1)
-            val oldAligned = newDf.limit(0).unionByName(oldDf, allowMissingColumns = true)
-            Some(stamp(newDf.exceptAll(oldAligned), "insert")
-              .unionByName(stamp(oldAligned.exceptAll(newDf), "delete")))
-          case (false, false) => None // txn-marker-only / schema-only commit
-        }
+        val diff = c.add.nonEmpty && c.remove.nonEmpty
+        c.add.map(f => (f, v, 1, diff)) ++ c.remove.map(f => (f, v, -1, diff))
       }
     }
-    if (perCommit.isEmpty)
+    if (entries.isEmpty)
       // only layout/marker commits in the window: zero changes, full schema
-      read(spark, table, Some(toV)).limit(0)
+      return read(spark, table, Some(toV)).limit(0)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(0L))
         .limit(0)
-    else perCommit.reduce(_.unionByName(_, allowMissingColumns = true))
+
+    import spark.implicits._
+    val scan = readFiles(spark, table, entries.map(_._1).distinct,
+        mergeSchema = false, Some(toV))
+      .withColumn("_graft_cdf_file", element_at(split(input_file_name(), "/"), -1))
+    val dataCols = scan.columns.filterNot(_ == "_graft_cdf_file").toSeq
+    require(!dataCols.exists(c => c.startsWith("_graft_cdf_") || c == "_n"),
+      s"changes($table): table columns collide with CDF internals: $dataCols")
+    val manifest = broadcast(entries.toDF(
+      "_graft_cdf_file", "_graft_cdf_v", "_graft_cdf_sign", "_graft_cdf_diff"))
+    val stamped = scan.join(manifest, "_graft_cdf_file")
+    val outCols = dataCols.map(col) :+ col("_change_type") :+ col("_commit_version")
+
+    // single-sided commits: rows pass through stamped — no shuffle
+    val direct = stamped.filter(!col("_graft_cdf_diff"))
+      .withColumn("_change_type",
+        when(col("_graft_cdf_sign") > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn("_commit_version", col("_graft_cdf_v").cast("long"))
+      .select(outCols: _*)
+    // rewrite commits: sign-sum multiset diff per (version, row). The |n|
+    // re-expansion assumes no single commit rewrites millions of copies of
+    // ONE identical row (the sequence() array would be that long) — the
+    // same pathology exceptAll would have materialized as a hash bucket.
+    val diffed = stamped.filter(col("_graft_cdf_diff"))
+      .groupBy(col("_graft_cdf_v") +: dataCols.map(col): _*)
+      .agg(sum(col("_graft_cdf_sign")).as("_n"))
+      .filter(col("_n") =!= 0)
+      .withColumn("_change_type",
+        when(col("_n") > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn("_commit_version", col("_graft_cdf_v").cast("long"))
+      .withColumn("_graft_cdf_dup", explode(sequence(lit(1L), abs(col("_n")))))
+      .select(outCols: _*)
+    direct.unionByName(diffed)
   }
 
   /** Zone-map stats restricted to files whose recorded range is ON
@@ -902,10 +1046,15 @@ object CommitLog {
   def fileStatsOn(table: String, column: String,
                   asOf: Option[Long] = None): Map[String, (Long, Long)] = {
     val state = replay(table, asOf)
+    // zone actions store PHYSICAL names (legacy tables: physical ==
+    // logical); the query side arrives LOGICAL — translate before
+    // matching, or a rename would strand recorded ranges (and reusing a
+    // freed name could mis-assign them)
+    val phys = physicalFor(table, column, asOf)
     // case-insensitive, matching Spark's default column resolution — the
     // SQL path hands us the schema's casing, the writer the user's
     state.live.collect {
-      case (f, Some(s)) if state.statsCols.get(f).exists(_.equalsIgnoreCase(column)) =>
+      case (f, Some(s)) if state.statsCols.get(f).exists(_.equalsIgnoreCase(phys)) =>
         f -> s
     }.toMap
   }
@@ -974,9 +1123,10 @@ object CommitLog {
   def snapshotMinMax(table: String, column: String,
                      asOf: Option[Long] = None): Option[(Long, Long)] = {
     val state = replay(table, asOf)
+    val phys = physicalFor(table, column, asOf) // zone actions store physical names
     val files = state.live.keys.toSeq
     val covered = files.forall { f =>
-      state.live(f).isDefined && state.statsCols.get(f).exists(_.equalsIgnoreCase(column)) &&
+      state.live(f).isDefined && state.statsCols.get(f).exists(_.equalsIgnoreCase(phys)) &&
         state.rowCounts.get(f).forall(_ > 0L)
     }
     if (files.nonEmpty && covered) {
@@ -992,8 +1142,9 @@ object CommitLog {
                                files: Seq[String], mergeSchema: Boolean,
                                asOf: Option[Long] = None): DataFrame = {
     require(files.nonEmpty, s"readFiles on $table: empty file list")
-    reader(spark, table, asOf, mergeSchema)
+    val df = reader(spark, table, asOf, mergeSchema)
       .parquet(files.map(f => Paths.get(table, f).toString): _*)
+    declaredSchema(table, asOf).fold(df)(toLogical(df, _))
   }
 
   /** The files a predicate `statsCol BETWEEN lo AND hi` must read: live
@@ -1027,8 +1178,7 @@ object CommitLog {
       val old = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
       if (old.length <= targetFiles) None
       else {
-        val rewritten = reader(spark, table, Some(tip), mergeSchema = false)
-          .parquet(old.map(f => Paths.get(table, f).toString): _*)
+        val rewritten = readFiles(spark, table, old, mergeSchema = false, Some(tip))
           .repartition(targetFiles)
         val added = stage(rewritten, table)
         try Some(commit(table, "compact", added, old, Some(tip)))
@@ -1040,14 +1190,32 @@ object CommitLog {
     }
   }
 
+  /** Default vacuum retention: 7 days, Delta Lake's own default
+    * (`delta.deletedFileRetentionDuration`). Files younger than this are
+    * never reclaimed, so an IN-FLIGHT writer's staged-but-uncommitted
+    * parquet (row-level DML, streaming epochs — staged for the duration of
+    * whole Spark jobs) survives a concurrent vacuum; without the window, a
+    * vacuum racing a write deletes its staged files and the subsequent
+    * commit lands referencing files that no longer exist. */
+  val DefaultVacuumRetainMillis: Long = 7L * 24 * 3600 * 1000
+
   /** Deletes data files no longer referenced by the LATEST snapshot —
-    * superseded rewrites and crashed stagings. Time travel to versions
-    * whose files were vacuumed stops working, exactly like Delta's vacuum
-    * horizon. Returns the deleted names. */
-  def vacuum(table: String): Seq[String] = {
+    * superseded rewrites and crashed stagings — but only those whose mtime
+    * is older than `retainMillis` (default 7 days, Delta's convention).
+    * The age threshold is the concurrency guard: staged files of an
+    * in-flight write are unreferenced but NEW, so they survive. Pass
+    * `retainMillis = 0` to reclaim immediately (Delta's `RETAIN 0 HOURS`
+    * escape hatch) — only safe when no write can be in flight. Time travel
+    * to versions whose files were vacuumed stops working, exactly like
+    * Delta's vacuum horizon. Returns the deleted names. */
+  def vacuum(table: String,
+             retainMillis: Long = DefaultVacuumRetainMillis): Seq[String] = {
+    require(retainMillis >= 0, s"vacuum: retainMillis must be >= 0, got $retainMillis")
     val live = snapshotFiles(table).toSet
+    val cutoff = System.currentTimeMillis() - retainMillis
     val onDisk = Files.list(Paths.get(table)).iterator.asScala
       .filter(p => Files.isRegularFile(p))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !live.contains(n))
       .toSeq

@@ -4,8 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Integer-exact Lloyd k-means trainer — the index-build loop behind the
-  * persisted IVF index (reference `src/embed_index.py` builds its coarse
-  * quantizer the same way; here it is the distributed, engine-exact form).
+  * persisted IVF index. North-star training-data-pipeline surface (SURVEY
+  * §7 step 8's ANN scale path), not reference surface: the standard coarse
+  * quantizer build (Lloyd 1982; Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011, §III), distributed and
+  * engine-exact.
   *
   * The `v10_kmeans_step` gate verifies ONE update step; this runs the real
   * loop: assign every quantized vector to its nearest centroid, recompute

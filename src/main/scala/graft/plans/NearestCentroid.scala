@@ -60,7 +60,11 @@ case class NearestCentroidMilli(
     var c = 0
     while (c < centroidsMilli.length) {
       val cm = centroidsMilli(c)
-      val n = math.min(q.numElements(), cm.length)
+      // fail loudly on dimensionality mismatch — a truncated-distance argmin
+      // would silently mis-assign a malformed corpus row
+      if (q.numElements() != cm.length) throw new IllegalArgumentException(
+        s"nearest_centroid: vector has ${q.numElements()} dims, centroids have ${cm.length}")
+      val n = cm.length
       var d = 0L
       var i = 0
       while (i < n) {
@@ -91,7 +95,12 @@ case class NearestCentroidMilli(
          |long $bestD = Long.MAX_VALUE;
          |for (int $c = 0; $c < $centRef.length; $c++) {
          |  long[] $cm = $centRef[$c];
-         |  int $n = java.lang.Math.min($q.numElements(), $cm.length);
+         |  if ($q.numElements() != $cm.length) {
+         |    throw new IllegalArgumentException(
+         |      "nearest_centroid: vector has " + $q.numElements() +
+         |      " dims, centroids have " + $cm.length);
+         |  }
+         |  int $n = $cm.length;
          |  long $d = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    long $v = 1000L * $q.getInt($i) - $cm[$i];

@@ -1156,8 +1156,14 @@ object PipelineQueries {
   private val j8WktArgmax: Q = (spark, dir) => {
     // this gate hand-builds its prefilter; if j8_naive_argmax left the
     // SpatialJoinRewrite rule installed on the shared session, opt out so
-    // this plan stays the hand-optimized one whatever the suite order
+    // this plan stays the hand-optimized one whatever the suite order.
+    // The rule reads the flag at OPTIMIZE time, so the pin must cover plan
+    // materialization — the body eagerly localCheckpoints the (small,
+    // one-row-per-tank) result inside the pinned window, and the finally
+    // restores the session flag so no later consumer inherits it.
+    val prior = spark.conf.getOption(graft.plans.SpatialJoinRewrite.EnabledKey)
     spark.conf.set(graft.plans.SpatialJoinRewrite.EnabledKey, "false")
+    try {
     val tanks = Tables.customer(spark, dir).select(
       col("c_custkey"),
       (col("c_custkey") * 37 % 1000).cast("double").as("cx"),
@@ -1189,6 +1195,13 @@ object PipelineQueries {
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("c_custkey"), col("county_key"), col("overlap").cast("long").as("overlap"))
       .orderBy("c_custkey")
+      .localCheckpoint(eager = true)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(graft.plans.SpatialJoinRewrite.EnabledKey, v)
+        case None    => spark.conf.unset(graft.plans.SpatialJoinRewrite.EnabledKey)
+      }
+    }
   }
 
   /** The NAIVE user form of the j8 spatial argmax — `join(st_intersects)`
@@ -1205,7 +1218,9 @@ object PipelineQueries {
     if (!spark.experimental.extraOptimizations.contains(SpatialJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SpatialJoinRewrite
+    val prior = spark.conf.getOption(SpatialJoinRewrite.EnabledKey)
     spark.conf.set(SpatialJoinRewrite.EnabledKey, "true")
+    try {
     val tanks = Tables.customer(spark, dir).select(
       col("c_custkey"),
       (col("c_custkey") * 37 % 1000).cast("double").as("cx"),
@@ -1233,17 +1248,21 @@ object PipelineQueries {
       .orderBy("c_custkey")
     require(SpatialJoinRewrite.rewritten(out.queryExecution.optimizedPlan),
       "SpatialJoinRewrite did not fire on the naive spatial join")
-    // The rule STAYS installed (flag on) so the caller's terminal action —
-    // which builds a fresh QueryExecution from the logical plan — also
-    // optimizes through it. Uninstall-after-require looks tidy but times a
-    // plan that never runs: round 7 benched 3.8s of unprefiltered JTS that
-    // way. Re-applying the already-optimized plan is NOT an option either —
-    // without the rule, re-optimization pushes the overlay back into the
-    // join condition and InferFiltersFromConstraints clones wkt_envelope
-    // into isnotnull filters (measured 4.3s). Gates that hand-build their
-    // own prefilter opt out via the flag (see j8_wkt above), which keeps
-    // every gate's executed plan deterministic whatever the suite order.
-    out
+    // Materialize INSIDE the pinned window: the caller's terminal action
+    // builds a fresh QueryExecution from the logical plan, so returning the
+    // lazy frame would either time an unprefiltered JTS plan (flag since
+    // restored — round 7 benched 3.8s that way) or force leaving the flag
+    // set on the shared session (the round-8 leak). localCheckpoint runs
+    // the rewritten physical plan here and hands back a LogicalRDD the
+    // terminal action cannot re-optimize; the finally then restores the
+    // session flag so no later gate inherits it.
+    out.localCheckpoint(eager = true)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(SpatialJoinRewrite.EnabledKey, v)
+        case None    => spark.conf.unset(SpatialJoinRewrite.EnabledKey)
+      }
+    }
   }
 
   // ------------------------------------------------------------------ registry

@@ -187,7 +187,7 @@ object TableLogQueries {
     require(CommitLog.compact(spark, table, targetFiles = 2).isEmpty,
       "compaction at an already-met target must be a no-op")
     val after = CommitLog.snapshotFiles(table).length
-    val reclaimed = CommitLog.vacuum(table).length
+    val reclaimed = CommitLog.vacuum(table, retainMillis = 0).length
     require(reclaimed == before,
       s"vacuum must reclaim all $before superseded files, got $reclaimed")
     CommitLog.read(spark, table)
@@ -814,7 +814,7 @@ object TableLogQueries {
       "CALL graft.system.compact(`table` => 'dml.t19', target_files => 2)").head()
     require(!compacted.isNullAt(0), "compact must land a commit")
     require(compacted.getInt(1) <= 2, s"compact must hit the target, ${compacted.getInt(1)} files live")
-    val reclaimed = spark.sql("CALL graft.system.vacuum('dml.t19')").count()
+    val reclaimed = spark.sql("CALL graft.system.vacuum('dml.t19', 0)").count()
     require(reclaimed > 0, "vacuum must reclaim the compacted-away files")
     val ckpt = spark.sql("CALL graft.system.checkpoint('dml.t19')").head()
     require(ckpt.getInt(1) > 0, "checkpoint must expire the pre-checkpoint log")
@@ -859,6 +859,67 @@ object TableLogQueries {
        |      UNION ALL
        |      SELECT b2.*, 'n' || CAST(id AS VARCHAR) AS note FROM b2)
        |GROUP BY batch ORDER BY batch""".stripMargin
+
+  /** tl20b: RENAME COLUMN — metadata-only column mapping (the public
+    * Delta column-mapping `name` mode): the physical parquet name is
+    * fixed at first write and recorded in field metadata, so the rename
+    * moves ZERO data files (REQUIREd), pre-rename files serve real values
+    * under the new logical name, and post-rename INSERTs land under the
+    * PHYSICAL name (REQUIREd against the new file's own footer) so one
+    * single-schema scan serves both eras. */
+  private val tl20bRename: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t20b", "SELECT * FROM t20b_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t20b").toString
+    val filesBefore = CommitLog.snapshotFiles(tdir).toSet
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN status TO state")
+    require(CommitLog.snapshotFiles(tdir).toSet == filesBefore,
+      "tl20b: a rename must move zero data files")
+    spark.sql(s"INSERT INTO $t SELECT id, status AS state, price, batch FROM t20b_b2")
+    val newFile = (CommitLog.snapshotFiles(tdir).toSet -- filesBefore).head
+    val phys = spark.read.parquet(Paths.get(tdir, newFile).toString).schema.fieldNames
+    require(phys.contains("status") && !phys.contains("state"),
+      s"tl20b: post-rename files must wear the physical name, got ${phys.toSeq}")
+    spark.sql(
+      s"""SELECT state, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY state ORDER BY state""".stripMargin)
+  }
+
+  private val tl20bRenameSql =
+    s"""WITH $batchesSql
+       |SELECT status AS state, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** tl20c: ALTER COLUMN TYPE widening — the declared type changes in one
+    * metadata commit (REQUIREd: zero files move); old INT32 pages read
+    * through the parquet reader's widening promotion, post-widen INSERTs
+    * land wide, and one scan aggregates across both eras. Narrowing
+    * refuses loudly (spec-pinned in SchemaEvolutionSpec). */
+  private val tl20cWiden: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t20c", "SELECT * FROM t20c_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t20c").toString
+    val filesBefore = CommitLog.snapshotFiles(tdir).toSet
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN batch TYPE BIGINT")
+    require(CommitLog.snapshotFiles(tdir).toSet == filesBefore,
+      "tl20c: widening must not rewrite data files")
+    require(spark.table(t).schema("batch").dataType ==
+        org.apache.spark.sql.types.LongType,
+      "tl20c: the declared type must be the widened one")
+    spark.sql(s"INSERT INTO $t SELECT id, status, price, CAST(batch AS BIGINT) FROM t20c_b2")
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl20cWidenSql =
+    s"""WITH $batchesSql
+       |SELECT CAST(batch AS BIGINT) AS batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** tl21: `CALL graft.system.cluster` — the OPTIMIZE-ZORDER-style
     * maintenance that RESTORES data skipping: the CTAS layout carries no
@@ -985,12 +1046,90 @@ object TableLogQueries {
        |SELECT 1, 'delete', id, status, price, batch FROM b1 WHERE id % 6 = 0
        |ORDER BY commit_version, change_type, id""".stripMargin
 
+  /** tl25: the STREAMING change data feed —
+    * `readStream.option("readChangeFeed", true)` follows the log and emits
+    * each commit's row-level changes (`_change_type`/`_commit_version`)
+    * per micro-batch. The gate runs DML while the stream is LIVE: drain
+    * the initial two commits, upsert a third batch mid-stream, drain
+    * again, and REQUIRE the second drain delivered exactly the new
+    * commit's changes (incremental, not a re-scan). The accumulated feed,
+    * landed exactly-once in a downstream graftlog table, must multiset-
+    * equal the batch `changes()` twin over the full window — the
+    * stream-the-CDF-into-a-derived-table pattern, gate-verified. */
+  private val tl25CdfStream: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_cdfstream"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    val ckpt = root.resolve("ckpt").toString
+    CommitLog.append(batch1(spark, dir), src)                  // v0: inserts
+    CommitLog.upsert(spark, batch2(spark, dir), src, Seq("id")) // v1: rewrite
+    val batch3 = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 9 === 0)
+      .select(col("o_orderkey").cast("long").as("id"),
+        lit("audited").as("status"),
+        round(col("o_totalprice").cast("double"), 2).as("price"),
+        lit(3).as("batch"))
+    val q = spark.readStream.format("graftlog")
+      .option("readChangeFeed", "true").load(src)
+      .writeStream.format("graftlog")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      q.processAllAvailable()                                  // drain v0..v1
+      val afterFirst = spark.read.format("graftlog").load(dst).count()
+      val expectFirst = CommitLog.changes(spark, src, -1L, 1L).count()
+      require(afterFirst == expectFirst,
+        s"tl25: first drain must deliver the v0..v1 feed, got $afterFirst vs $expectFirst")
+      CommitLog.upsert(spark, batch3, src, Seq("id"))          // v2, mid-stream
+      q.processAllAvailable()                                  // drain v2 only
+      val afterSecond = spark.read.format("graftlog").load(dst).count()
+      val expectDelta = CommitLog.changes(spark, src, 1L, 2L).count()
+      require(afterSecond - afterFirst == expectDelta,
+        s"tl25: mid-stream DML must arrive incrementally, got ${afterSecond - afterFirst} vs $expectDelta")
+    } finally q.stop()
+    val streamed = spark.read.format("graftlog").load(dst)
+    val twin = CommitLog.changes(spark, src, -1L, CommitLog.currentVersion(src))
+      .select(streamed.columns.map(col(_)): _*)
+    require(streamed.exceptAll(twin).isEmpty && twin.exceptAll(streamed).isEmpty,
+      "tl25: accumulated stream feed must multiset-equal the batch changes() twin")
+    streamed
+      .select(col("_commit_version").cast("int").as("commit_version"),
+        col("_change_type").as("change_type"),
+        col("id"), col("status"), col("price"), col("batch"))
+      .orderBy("commit_version", "change_type", "id")
+  }
+
+  private val tl25CdfStreamSql =
+    s"""WITH $batchesSql,
+       |b3 AS (
+       |  SELECT o_orderkey AS id, 'audited' AS status,
+       |    round(o_totalprice, 2) AS price, 3 AS batch
+       |  FROM orders WHERE o_orderkey % 9 = 0)
+       |SELECT 0 AS commit_version, 'insert' AS change_type,
+       |  id, status, price, batch FROM b1
+       |UNION ALL
+       |SELECT 1, 'insert', id, status, price, batch FROM b2
+       |UNION ALL
+       |SELECT 1, 'delete', id, status, price, batch FROM b1 WHERE id % 6 = 0
+       |UNION ALL
+       |SELECT 2, 'insert', id, status, price, batch FROM b3
+       |UNION ALL
+       |SELECT 2, 'delete', id, status, price, batch FROM merged WHERE id % 9 = 0
+       |ORDER BY commit_version, change_type, id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl25_cdf_stream" -> tl25CdfStream,
     "tl24_cdf_sql" -> tl24CdfSql,
     "tl23_change_feed" -> tl23ChangeFeed,
     "tl22_sql_clustered_create" -> tl22SqlClusteredCreate,
     "tl21_sql_cluster" -> tl21SqlCluster,
     "tl20_schema_evolution" -> tl20SchemaEvolution,
+    "tl20b_rename" -> tl20bRename,
+    "tl20c_widen" -> tl20cWiden,
     "tl19_sql_maintenance" -> tl19SqlMaintenance,
     "tl18_sql_merge" -> tl18SqlMerge,
     "tl17_sql_update" -> tl17SqlUpdate,
@@ -1013,11 +1152,14 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl25_cdf_stream" -> tl25CdfStreamSql,
     "tl24_cdf_sql" -> tl24CdfSqlSql,
     "tl23_change_feed" -> tl23ChangeFeedSql,
     "tl22_sql_clustered_create" -> tl22SqlClusteredCreateSql,
     "tl21_sql_cluster" -> tl21SqlClusterSql,
     "tl20_schema_evolution" -> tl20SchemaEvolutionSql,
+    "tl20b_rename" -> tl20bRenameSql,
+    "tl20c_widen" -> tl20cWidenSql,
     "tl19_sql_maintenance" -> tl19SqlMaintenanceSql,
     "tl18_sql_merge" -> tl18SqlMergeSql,
     "tl17_sql_update" -> tl17SqlUpdateSql,

@@ -155,39 +155,109 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * Only top-level nullable additions are accepted; anything that would
     * rewrite or reinterpret existing data (drop/rename/retype/position)
     * is refused. */
+  /** Type promotions the parquet reader can serve over OLD files without
+    * rewriting them (widening reads narrow pages up; spec-verified against
+    * Spark's vectorized reader). Everything else — narrowing, string↔
+    * numeric, nested — is refused loudly: it would reinterpret committed
+    * bytes. */
+  private val widenOk: Set[(org.apache.spark.sql.types.DataType,
+                            org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Set(
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (IntegerType, LongType),
+      (FloatType, DoubleType))
+  }
+
+  /** ALTER TABLE: ADD COLUMNS (nullable, top-level), RENAME COLUMN
+    * (metadata-only — the physical parquet name is fixed at first write
+    * and recorded in field metadata, Delta column-mapping style, so zero
+    * data files move), and ALTER COLUMN TYPE widening (int→long,
+    * float→double, …: the declared type changes, old narrow pages read
+    * through the parquet reader's widening promotion). Drops, narrowing,
+    * and other retypes are refused loudly — they would reinterpret
+    * committed data files. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    changes.foreach {
+      case c: TableChange.ColumnChange =>
+        require(c.fieldNames().length == 1,
+          "graft catalog: only top-level column evolution is supported, " +
+            s"got ${c.fieldNames().mkString(".")}")
+      case _ => ()
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident).toString
-    val adds = changes.map {
+
+    def applyOne(s: StructType, change: TableChange): StructType = change match {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          "graft catalog: only top-level ADD COLUMNS is supported, got " +
-            a.fieldNames().mkString("."))
         require(a.isNullable,
           s"graft catalog: added column ${a.fieldNames()(0)} must be nullable — " +
             "existing rows have no value for it")
-        a
+        require(!s.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames()(0))),
+          s"graft catalog: column ${a.fieldNames()(0)} already exists in $ident")
+        val field = StructField(a.fieldNames()(0), a.dataType, nullable = true)
+        s.add(Option(a.comment).fold(field)(field.withComment))
+
+      case r: TableChange.RenameColumn =>
+        val from = r.fieldNames()(0)
+        val to = r.newName()
+        val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+        require(idx >= 0, s"graft catalog: no column $from in $ident")
+        require(!s.fieldNames.zipWithIndex.exists { case (n, i) =>
+          i != idx && n.equalsIgnoreCase(to) },
+          s"graft catalog: cannot rename $from to $to — the name is taken in $ident")
+        // the freed PHYSICAL names stay reserved: a logical name matching
+        // another column's physical name would make parquet reads ambiguous
+        require(!s.fields.zipWithIndex.exists { case (f, i) =>
+          i != idx && CommitLog.physicalName(f).equalsIgnoreCase(to) },
+          s"graft catalog: cannot rename $from to $to — a committed data " +
+            s"file already carries '$to' as another column's physical name")
+        require(!CommitLog.declaredClustering(dir).exists(_._1.equalsIgnoreCase(from)),
+          s"graft catalog: $from is $ident's declared clustering column — " +
+            "re-cluster (CALL graft.system.cluster) before renaming it")
+        val f = s.fields(idx)
+        val phys = CommitLog.physicalName(f)
+        // renaming BACK to the physical name drops the mapping entirely
+        val meta =
+          if (to == phys) {
+            val b = new MetadataBuilder().withMetadata(f.metadata)
+            b.remove(CommitLog.PhysicalNameKey); b.build()
+          } else new MetadataBuilder().withMetadata(f.metadata)
+            .putString(CommitLog.PhysicalNameKey, phys).build()
+        StructType(s.fields.updated(idx, f.copy(name = to, metadata = meta)))
+
+      case u: TableChange.UpdateColumnType =>
+        val name = u.fieldNames()(0)
+        val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(idx >= 0, s"graft catalog: no column $name in $ident")
+        val f = s.fields(idx)
+        require(widenOk.contains((f.dataType, u.newDataType())),
+          s"graft catalog: cannot change $name from ${f.dataType.simpleString} " +
+            s"to ${u.newDataType().simpleString} — only widening promotions " +
+            "(tinyint→smallint→int→bigint, float→double) read committed " +
+            "files without reinterpreting them; narrowing or cross-kind " +
+            "retypes need an explicit rewrite")
+        StructType(s.fields.updated(idx, f.copy(dataType = u.newDataType())))
+
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "additive column evolution (ADD COLUMNS, nullable, top-level) " +
-          "rides the log; drops/renames/retypes would reinterpret " +
-          "committed data files")
+        s"graft catalog: unsupported ALTER TABLE change $other — supported " +
+          "evolutions: ADD COLUMNS (nullable, top-level), RENAME COLUMN " +
+          "(metadata-only), ALTER COLUMN TYPE widening. Drops would " +
+          "reinterpret committed data files")
     }
+
     var attempt = 0
     while (attempt < 100) {
       val tip = CommitLog.currentVersion(dir)
-      val cur = CommitLog.read(SparkSession.active, dir, Some(tip)).schema
-      adds.foreach { a =>
-        require(!cur.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames()(0))),
-          s"graft catalog: column ${a.fieldNames()(0)} already exists in $ident")
-      }
-      val widened = adds.foldLeft(cur) { (s, a) =>
-        val field = org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType, nullable = true)
-        s.add(Option(a.comment).fold(field)(field.withComment))
-      }
+      // evolve the DECLARED schema when one exists (it carries the
+      // physical-name metadata); fall back to the file-derived one
+      val cur = CommitLog.declaredSchema(dir, Some(tip)).getOrElse(
+        CommitLog.read(SparkSession.active, dir, Some(tip)).schema)
+      val evolved = changes.foldLeft(cur)(applyOne)
       try {
-        CommitLog.evolveSchema(dir, widened, tip)
+        CommitLog.evolveSchema(dir, evolved, tip)
         return loadTable(ident)
       } catch {
         case _: java.util.ConcurrentModificationException => attempt += 1

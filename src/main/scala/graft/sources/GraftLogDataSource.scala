@@ -107,6 +107,7 @@ class GraftLogDataSource extends TableProvider with DataSourceRegister
       ctx.sparkSession, t.path,
       schema.getOrElse(t.schema0),
       mergeSchema = t.mergeSchema,
+      changeFeed = opts.get("readchangefeed").exists(_.toBoolean),
       ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean),
       startingVersion = opts.get("startingversion").map { v =>
         try v.trim.toLong
@@ -141,10 +142,19 @@ class GraftLogDataSource extends TableProvider with DataSourceRegister
       s"graftlog sink supports Append (txn-exact appends) and Complete " +
         s"(atomic replace) output modes, got $outputMode")
     // query identity for the txn markers: explicit txnAppId, else the
-    // checkpoint location (stable across restarts, distinct per query)
+    // checkpoint location (stable across restarts, distinct per query).
+    // A path-derived constant is REFUSED: two distinct queries (or a
+    // restart with a fresh temp checkpoint, whose batchIds restart at 0)
+    // would share one txn identity, and their batches 0..N would be
+    // silently skipped as replays of each other's — silent data loss.
     val txnPrefix = opts.get("txnappid")
       .orElse(opts.get("checkpointlocation"))
-      .getOrElse(s"graftlog-sink:$path")
+      .getOrElse(throw new IllegalArgumentException(
+        "graftlog sink needs a stable query identity for exactly-once txn " +
+          "markers: set option(\"txnAppId\", ...) or a durable " +
+          "option(\"checkpointLocation\", ...). A temp checkpoint restarts " +
+          "batchIds at 0, so a path-derived fallback would skip a fresh " +
+          "run's batches as replays of the previous run's."))
     new GraftLogStreamSink(path, txnPrefix, complete)
   }
 }
@@ -188,13 +198,24 @@ private[graft] final class GraftLogNativeScan(
   }
 
   /** Spark's own V2 parquet scan over the pruned file list; built lazily
-    * at first planning use (one driver-side file-status listing). */
+    * at first planning use (one driver-side file-status listing). The
+    * delegate runs under PHYSICAL column names (renamed columns keep the
+    * name their files wear; widened columns keep the declared wide type —
+    * the parquet reader promotes old narrow pages); `readSchema()` reports
+    * the LOGICAL projection, and the bridge is positional (columnar
+    * batches carry no names), so the planner binds correctly. Filters a
+    * rename makes untranslatable are dropped from the delegate only —
+    * every filter is re-applied above the scan regardless. */
   private[graft] lazy val delegate
-      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    val declared = CommitLog.declaredSchema(path, Some(version)) // ONE replay
     org.apache.spark.sql.GraftSqlShim.parquetScan(
       SparkSession.active,
       fileNames.map(f => java.nio.file.Paths.get(path, f).toString),
-      tableSchema, req, filters)
+      CommitLog.physicalizeNames(path, tableSchema, Some(version)),
+      CommitLog.physicalizeNames(path, req, Some(version)),
+      filters.flatMap(f => CommitLog.physicalizeFilter(declared, f)))
+  }
 
   override def readSchema(): StructType = req
   override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
@@ -222,12 +243,18 @@ private[graft] final class GraftLogNativeScan(
 
 object GraftLogDataSource {
 
-  /** One-shot handoff from `inferSchema` to `getTable`: the resolved table
-    * keyed by its option map. `getTable` consumes the entry, so a LATER
-    * `load()` of the same path re-resolves and sees new commits — the
-    * cache only pins version/schema agreement within a single load. */
+  /** One-shot handoff from `inferSchema` to `getTable`: Spark calls both
+    * on the SAME thread within one `load()`
+    * (`DataSourceV2Utils.getTableFromProvider`), so the handoff is a
+    * ThreadLocal — NOT a map keyed by the option map, where two concurrent
+    * `load()`s of the same table could swap entries (thread A consuming
+    * B's table resolved at a newer version than the schema A inferred —
+    * re-opening the version/schema TOCTOU the handoff exists to close).
+    * `getTable` consumes the entry, so a LATER `load()` of the same path
+    * re-resolves and sees new commits — the handoff only pins
+    * version/schema agreement within a single load. */
   private val pending =
-    new java.util.concurrent.ConcurrentHashMap[Map[String, String], GraftLogTable]
+    new ThreadLocal[(Map[String, String], GraftLogTable)]
 
   private def optKey(properties: util.Map[String, String]): Map[String, String] =
     properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
@@ -235,13 +262,18 @@ object GraftLogDataSource {
   private[sources] def resolveCached(properties: util.Map[String, String]): GraftLogTable = {
     val key = optKey(properties)
     val t = resolve(key)
-    pending.put(key, t)
+    pending.set(key -> t)
     t
   }
 
   private[sources] def consumeCached(properties: util.Map[String, String]): GraftLogTable = {
     val key = optKey(properties)
-    Option(pending.remove(key)).getOrElse(resolve(key))
+    val entry = pending.get()
+    pending.remove()
+    entry match {
+      case (k, t) if k == key => t
+      case _                  => resolve(key)
+    }
   }
 
   /** A resolved snapshot: table path + pinned version + read options.
@@ -535,9 +567,14 @@ object GraftLogDataSource {
             * Complete mode (truncate) = atomic replacement per epoch. */
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            // last resort is the streaming QUERY id — persisted in the
+            // checkpoint's metadata file, so stable across restarts of one
+            // query and distinct per query. Never a path constant: a fresh
+            // temp-checkpoint run restarts batchIds at 0 and a path-keyed
+            // identity would skip its batches as replays (data loss).
             val txnPrefix = Option(info.options().get("txnAppId"))
               .orElse(Option(info.options().get("checkpointLocation")))
-              .getOrElse(s"graftlog-sink:$path")
+              .getOrElse(s"graftlog-sink:query=${info.queryId()}")
             new GraftLogStreamingWrite(path, txnPrefix, replace, info.schema())
           }
         }
@@ -733,16 +770,39 @@ object GraftLogDataSource {
   /** Resolution for the STREAMING read path: the table must exist (a
     * stream needs a schema before any data arrives — create the table
     * with one batch write first, as with Delta), and time travel is a
-    * batch-only concept (`startingVersion` is the streaming analogue). */
+    * batch-only concept (`startingVersion` is the streaming analogue).
+    *
+    * `readChangeFeed=true` switches the stream to CHANGE rows: each
+    * micro-batch emits [[graft.io.CommitLog.changes]] over exactly the
+    * commit window its offsets span (`_change_type`/`_commit_version`
+    * columns appended) — the standard incremental-downstream pattern
+    * (stream the CDF into a derived table). Rewrite commits are then
+    * EXPRESSIBLE (delete+insert), so `ignoreChanges` is refused rather
+    * than silently ignored; `endingVersion` is batch-only (a stream
+    * follows the live log). */
   private[sources] def resolveForStream(parameters: Map[String, String]): GraftLogTable = {
     val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
     require(!opts.contains("versionasof") && !opts.contains("timestampasof"),
       "graftlog: versionAsOf/timestampAsOf are batch read options; for a " +
         "stream use startingVersion to choose where to begin")
-    require(!opts.get("readchangefeed").exists(_.toBoolean),
-      "graftlog: readChangeFeed is a batch read option — a stream already " +
-        "delivers per-commit changes (ignoreChanges for rewrite commits)")
-    val t = resolve(opts)
+    val cdf = opts.get("readchangefeed").exists(_.toBoolean)
+    if (cdf) {
+      require(!opts.contains("endingversion"),
+        "graftlog: endingVersion is a batch CDF option — a change-feed " +
+          "stream follows the live log (stop the query to bound it)")
+      require(!opts.get("ignorechanges").exists(_.toBoolean),
+        "graftlog: ignoreChanges does not apply to a change-feed stream — " +
+          "rewrite commits are delivered exactly, as delete+insert rows")
+    }
+    // resolve the LIVE snapshot (strip the CDF flag: resolve()'s batch CDF
+    // branch pins an [start, end] window, but a stream follows the head);
+    // the change columns ride on top of the pinned data schema
+    val t0 = resolve(opts - "readchangefeed")
+    val t =
+      if (cdf) t0.copy(schema0 = t0.schema0
+        .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("_commit_version", LongType, nullable = false))
+      else t0
     require(t.snapshotVersion >= 0,
       s"graftlog: cannot stream from ${t.path} — the table has no commits " +
         "yet (write one batch first so the stream has a schema)")

@@ -99,8 +99,10 @@ private[sources] final class GraftRowLevelOperation(
         override def toBatch: BatchWrite = {
           // the writer kit captures the session's parquet write conf on
           // the driver; tasks open one writer per non-empty partition
+          // physical field names (renamed columns write under the name
+          // the table's files have always worn — CommitLog column mapping)
           val kit = org.apache.spark.sql.GraftSqlShim.parquetWriteKit(
-            SparkSession.active, schema)
+            SparkSession.active, CommitLog.physicalizeNames(path, schema))
           new BatchWrite {
             override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
               new GraftParquetWriterFactory(path, kit)
@@ -276,7 +278,8 @@ private[sources] object MetadataDelete {
   private[sources] def writeEmptyFile(table: String,
                                       schema: StructType): String = {
     val name = s"empty-${java.util.UUID.randomUUID()}.parquet"
-    org.apache.spark.sql.GraftSqlShim.parquetWriteKit(SparkSession.active, schema)
+    org.apache.spark.sql.GraftSqlShim.parquetWriteKit(SparkSession.active,
+      CommitLog.physicalizeNames(table, schema))
       .open(Paths.get(table, name).toString, 0, 0).close()
     name
   }
@@ -292,12 +295,18 @@ private[sources] object MetadataDelete {
       val colsMap = CommitLog.fileStatsColumns(path, Some(version))
       val statsByCol = colsMap.values.toSet.iterator
         .map((c: String) => c -> CommitLog.fileStatsOn(path, c, Some(version))).toMap
+      // region keys are the command's LOGICAL column names; zone actions
+      // store PHYSICAL ones — translate before matching, so a renamed
+      // column still proves file coverage (and never mis-proves it)
+      val physRegion = region.map { case (n, b) =>
+        CommitLog.physicalFor(path, n, Some(version)) -> b
+      }
       val classified = live.map { f =>
         val range = colsMap.get(f).flatMap(c =>
           statsByCol(c).get(f).map(c -> _))
         range match {
           case Some((c, (flo, fhi))) =>
-            region.find(_._1.equalsIgnoreCase(c)).map(_._2) match {
+            physRegion.find(_._1.equalsIgnoreCase(c)).map(_._2) match {
               case Some((lo, hi)) if fhi < lo || flo > hi =>
                 Some(false) // provably disjoint: untouched
               case Some((lo, hi)) if flo >= lo && fhi <= hi &&

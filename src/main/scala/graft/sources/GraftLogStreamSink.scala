@@ -76,7 +76,8 @@ private[sources] final class GraftLogStreamingWrite(
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
   private val kit = org.apache.spark.sql.GraftSqlShim.parquetWriteKit(
-    org.apache.spark.sql.SparkSession.active, schema)
+    org.apache.spark.sql.SparkSession.active,
+    graft.io.CommitLog.physicalizeNames(table, schema)) // physical names for renamed columns
 
   private def txnId(epochId: Long) = s"$txnPrefix:$epochId"
 

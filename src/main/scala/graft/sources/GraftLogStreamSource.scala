@@ -57,6 +57,15 @@ object GraftLogOffset {
   * whole table), `maxVersionsPerTrigger` (rate limit: at most N commits
   * per micro-batch), `ignoreChanges`, `mergeSchema`. The schema is pinned
   * at stream start (parquet serves nulls for columns a file predates).
+  *
+  * `changeFeed = true` (the `readChangeFeed` option) streams CHANGE rows
+  * instead of snapshot rows: each micro-batch is
+  * [[graft.io.CommitLog.changes]] over exactly the commit window its
+  * offsets span, with `_change_type`/`_commit_version` appended — so the
+  * accumulated feed equals the batch `changes()` over the same window,
+  * and rewrite commits arrive as delete+insert rather than failing or
+  * duplicating. Offsets, admission control, and AvailableNow semantics
+  * are identical to the snapshot stream.
   */
 final class GraftLogStreamSource(
     spark: SparkSession,
@@ -65,7 +74,8 @@ final class GraftLogStreamSource(
     mergeSchema: Boolean,
     ignoreChanges: Boolean,
     startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long]) extends Source
+    maxVersionsPerTrigger: Option[Long],
+    changeFeed: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   require(startingVersion >= 0,
@@ -126,14 +136,30 @@ final class GraftLogStreamSource(
     val endV = GraftLogOffset.versionOf(end)
     val startV = start.map(GraftLogOffset.versionOf).getOrElse(startingVersion - 1L)
     offered = math.max(offered, endV) // restart re-seed (start==checkpointed offset)
+    if (changeFeed) {
+      // change-row mode: the batch IS the commit window's CDF. changes()
+      // skips layout-only commits and expresses rewrites as delete+insert,
+      // so no commit type needs refusing. Columns align to the pinned
+      // stream schema (additive evolution only widens; the select drops
+      // columns declared after stream start, matching snapshot-mode
+      // schema pinning).
+      val cdf = CommitLog.changes(spark, path, startV, endV)
+        .select(schema0.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
+      return GraftSqlShim.asStreamingBatch(cdf)
+    }
     val batch = GraftLogStreamSource.deltaFiles(path, startV, endV, ignoreChanges) match {
       case Nil => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
       case fs =>
         // pin the stream schema: parquet fills columns a file lacks with
-        // nulls and prunes extras, so early files read under late schemas
-        spark.read.option("mergeSchema", mergeSchema).schema(schema0)
+        // nulls and prunes extras, so early files read under late schemas.
+        // Physical names on the wire (renames are metadata-only; the
+        // physical name is fixed at first write, so the pinned mapping
+        // stays valid however the table evolves mid-stream).
+        spark.read.option("mergeSchema", mergeSchema)
+          .schema(CommitLog.toPhysical(schema0))
           .parquet(fs.map(f => java.nio.file.Paths.get(path, f).toString): _*)
+          .toDF(schema0.fieldNames.toIndexedSeq: _*)
     }
     GraftSqlShim.asStreamingBatch(batch)
   }
@@ -164,7 +190,11 @@ object GraftLogStreamSource {
               "offset) — restart the stream from a fresh checkpoint", e)
         }
       c.op match {
-        case "compact" => // content-identical rewrite: nothing new to deliver
+        // content-identical rewrites: nothing new to deliver. Must match
+        // CommitLog.changes's layoutOps set exactly — a 'cluster' commit
+        // (CALL graft.system.cluster / compactClustered) rewrites layout
+        // only, and delivering its adds would re-emit every row as a dup.
+        case "compact" | "cluster" | "checkpoint" =>
         case op =>
           if (c.remove.nonEmpty && !ignoreChanges) throw new IllegalStateException(
             s"graftlog stream on $path hit a '$op' commit at v$v that removes " +
@@ -244,9 +274,16 @@ final class GraftLogMicroBatchStream(
     offered = math.max(offered, endV)
     GraftLogStreamSource.deltaFiles(path, startV, endV, ignoreChanges) match {
       case Nil => Array.empty
-      case fs => GraftSqlShim.parquetScan(spark,
-        fs.map(f => java.nio.file.Paths.get(path, f).toString),
-        tableSchema, readSchema, pushed).toBatch.planInputPartitions()
+      case fs =>
+        // physical names for the parquet delegate (renamed columns keep
+        // the name the files wear; batches bridge positionally)
+        val declared = CommitLog.declaredSchema(path)
+        GraftSqlShim.parquetScan(spark,
+          fs.map(f => java.nio.file.Paths.get(path, f).toString),
+          CommitLog.physicalizeNames(path, tableSchema),
+          CommitLog.physicalizeNames(path, readSchema),
+          pushed.flatMap(f => CommitLog.physicalizeFilter(declared, f)))
+          .toBatch.planInputPartitions()
     }
   }
 
@@ -256,7 +293,11 @@ final class GraftLogMicroBatchStream(
     * would. */
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    GraftSqlShim.parquetScan(spark, Seq.empty, tableSchema, readSchema, pushed)
+    GraftSqlShim.parquetScan(spark, Seq.empty,
+        CommitLog.physicalizeNames(path, tableSchema),
+        CommitLog.physicalizeNames(path, readSchema),
+        pushed.flatMap(f =>
+          CommitLog.physicalizeFilter(CommitLog.declaredSchema(path), f)))
       .toBatch.createReaderFactory()
 
   override def toString: String =

@@ -118,17 +118,27 @@ private[sources] object GraftProcedures {
     }
   }
 
-  /** `vacuum(table)` — delete files no retained version references
-    * (aborted stages, overwritten/compacted/DML-removed data past their
-    * history); returns the reclaimed file names. */
+  /** `vacuum(table[, retain_hours])` — delete files no retained version
+    * references (aborted stages, overwritten/compacted/DML-removed data
+    * past their history), but only files OLDER than `retain_hours`
+    * (default 168 = 7 days, Delta's retention convention) so an in-flight
+    * write's staged files survive a concurrent vacuum. `retain_hours = 0`
+    * reclaims immediately — only safe with no write in flight. Returns
+    * the reclaimed file names. */
   private final class VacuumProc(catalog: GraftCatalog)
       extends TableProc(catalog, "vacuum") {
     override def description(): String =
-      "delete unreferenced files (aborted stages, rewritten history)"
-    override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+      "delete unreferenced files older than retain_hours (aborted stages, rewritten history)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("retain_hours", IntegerType)
+        .defaultValue("168")
+        .comment("minimum age in hours before an unreferenced file is reclaimed (0 = immediate)")
+        .build())
     private val schema = new StructType().add("removed_file", StringType)
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val removed = CommitLog.vacuum(dirOf(input))
+      val retainHours = if (input.isNullAt(1)) 168 else input.getInt(1)
+      val removed = CommitLog.vacuum(dirOf(input), retainHours * 3600L * 1000L)
       result(schema, removed.sorted.map(f =>
         new GenericInternalRow(Array[Any](str(f)))))
     }

@@ -136,7 +136,7 @@ class CommitLogSpec extends SparkSpec {
     assert(moved)
     assert(CommitLog.read(spark, t).count() == 1)   // orphan not served
     // vacuum reclaims it (not in the latest snapshot)
-    assert(CommitLog.vacuum(t).contains("orphan-crashed.parquet"))
+    assert(CommitLog.vacuum(t, retainMillis = 0).contains("orphan-crashed.parquet"))
     assert(!Files.exists(Paths.get(t, "orphan-crashed.parquet")))
   }
 
@@ -145,13 +145,71 @@ class CommitLogSpec extends SparkSpec {
     CommitLog.append(df(1L -> "a", 2L -> "b"), t)
     val oldFiles = CommitLog.snapshotFiles(t)
     CommitLog.upsert(spark, df(1L -> "A"), t, Seq("id"))
-    val deleted = CommitLog.vacuum(t)
+    val deleted = CommitLog.vacuum(t, retainMillis = 0)
     assert(oldFiles.forall(deleted.contains))       // rewrite superseded all v0 files
     val now = CommitLog.read(spark, t).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(now == Map(1L -> "A", 2L -> "b"))
     // time travel past the vacuum horizon now fails loudly at read time
     intercept[Exception] { CommitLog.read(spark, t, asOf = Some(0L)).collect() }
+  }
+
+  test("vacuum retention: a fresh unreferenced file (in-flight stage) survives; aged reclaims") {
+    val t = freshTable("vacret")
+    CommitLog.append(df(1L -> "a"), t)
+    // simulate an IN-FLIGHT writer's staged-but-uncommitted parquet: it is
+    // unreferenced but NEW — the default retention window must protect it,
+    // or a concurrent vacuum corrupts the write's upcoming commit
+    df(9L -> "x").coalesce(1).write.parquet(Paths.get(t, ".inflight").toString)
+    val part = Files.list(Paths.get(t, ".inflight")).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(t, "staged-inflight.parquet"))
+    assert(CommitLog.vacuum(t).isEmpty,
+      "default-retention vacuum must not touch a fresh unreferenced file")
+    assert(Files.exists(Paths.get(t, "staged-inflight.parquet")))
+    // age it past the horizon: now it is a crashed write's garbage
+    Files.setLastModifiedTime(Paths.get(t, "staged-inflight.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - CommitLog.DefaultVacuumRetainMillis - 60000L))
+    assert(CommitLog.vacuum(t).contains("staged-inflight.parquet"),
+      "an aged unreferenced file must reclaim under the default window")
+  }
+
+  test("changes() over a 500-commit window: constant-width plan, exact result") {
+    val t = freshTable("cdfwide")
+    // 500 one-commit files built in ONE spark job (a per-commit append
+    // loop would dominate the test's runtime), then committed one by one —
+    // a months-long busy-table history in miniature
+    val staging = Paths.get(t, ".bulk")
+    Files.createDirectories(Paths.get(t))
+    // partitionBy writes exactly one directory per distinct value (hash
+    // repartition leaves ~1/e of 500 buckets empty and empty tasks write
+    // no file); the duplicated pid column keeps id IN the data file
+    spark.range(500)
+      .select(col("id"), col("id").as("pid"), concat(lit("r"), col("id")).as("v"))
+      .write.partitionBy("pid").parquet(staging.toString)
+    val parts = (0 until 500).map { i =>
+      Files.list(staging.resolve(s"pid=$i")).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    }
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, Paths.get(t, f"bulk-$i%03d.parquet"))
+      CommitLog.replaceFiles(t, Seq.empty, Seq(f"bulk-$i%03d.parquet"), None, op = "append")
+    }
+    val head = CommitLog.currentVersion(t)
+    assert(head == 499L)
+    val t0 = System.nanoTime()
+    val feed = CommitLog.changes(spark, t, -1L, head)
+    val got = feed.select(col("id"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the old per-commit reduce built a 500-way nested union (driver-side
+    // analysis blow-up); the constant-width plan must stay comfortably fast
+    assert(secs < 60.0, s"500-commit changes() took $secs s — plan width regressed")
+    assert(got.length == 500)
+    assert(got.forall(_._2 == "insert"))
+    assert(got.forall(r => r._3 >= 0L && r._3 <= head), "versions stamp their commit")
+    assert(got.map(_._1).toSeq == (0L until 500L), "every row delivered exactly once")
   }
 
   test("dedupAppend: only unseen keys land; replay is a no-op with no empty commit") {
@@ -207,7 +265,7 @@ class CommitLogSpec extends SparkSpec {
 
     // time travel across the compaction boundary still works until vacuum
     assert(CommitLog.read(spark, t, asOf = Some(0L)).count() == 2)
-    val reclaimed = CommitLog.vacuum(t)
+    val reclaimed = CommitLog.vacuum(t, retainMillis = 0)
     assert(reclaimed.toSet == before.toSet,
       s"vacuum must drop exactly the superseded files: $reclaimed vs $before")
   }
@@ -441,7 +499,7 @@ class CommitLogSpec extends SparkSpec {
     // the full window composes
     assert(rows(-1L, 2L).size == 4)
     // past the vacuum horizon the old files are gone: loud, not wrong
-    CommitLog.vacuum(t)
+    CommitLog.vacuum(t, retainMillis = 0)
     intercept[Exception] { rows(0L, 1L) }
   }
 

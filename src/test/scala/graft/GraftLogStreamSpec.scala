@@ -56,6 +56,38 @@ class GraftLogStreamSpec extends SparkSpec {
       s"compaction must not re-deliver rewritten rows, got $got")
   }
 
+  test("a cluster maintenance commit mid-stream delivers nothing (layout-only)") {
+    val root = freshDir("cluster")
+    val t = root.resolve("t").toString
+    val ckpt = root.resolve("ckpt").toString
+    // foreachBatch: the recovery-capable sink (memory refuses checkpoints)
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def drainForeach(): Seq[(Long, String)] = {
+      delivered.clear()
+      val q = spark.readStream.format("graftlog").load(t)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => delivered.add((r.getLong(0), r.getString(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000L), "AvailableNow drain timed out")
+      delivered.iterator().asScala.toSeq.sorted
+    }
+    CommitLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t) // v0
+    assert(drainForeach() == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // CALL graft.system.cluster's engine primitive: a content-identical
+    // relayout. A resumed stream must treat it exactly like a compaction —
+    // deliver NOTHING (no IllegalStateException, no duplicate rows).
+    CommitLog.compactClustered(spark, t, "id", 2)                             // v1: layout-only
+    CommitLog.append(Seq((4L, "d")).toDF("id", "v"), t)                       // v2: real rows
+    val resumed = drainForeach()
+    assert(resumed == Seq((4L, "d")),
+      s"a cluster commit must deliver nothing; the next append streams, got $resumed")
+  }
+
   test("maxVersionsPerTrigger rate-limits to one commit per batch") {
     val root = freshDir("rate")
     val t = root.resolve("t").toString

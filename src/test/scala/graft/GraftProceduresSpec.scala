@@ -88,7 +88,7 @@ class GraftProceduresSpec extends SparkSpec {
       if (p.getFileName.toString.endsWith(".parquet")) parquets += 1)
     assert(parquets > live.size, "pre-vacuum: compacted-away files still on disk")
 
-    val removed = spark.sql("CALL pcat.system.vacuum('m.v')")
+    val removed = spark.sql("CALL pcat.system.vacuum('m.v', 0)")
       .collect().map(_.getString(0)).toSeq
     assert(removed.nonEmpty)
     assert(removed.toSet.intersect(live.toSet).isEmpty,

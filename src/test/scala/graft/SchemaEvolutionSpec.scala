@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.io.CommitLog
+
+/** Column-mapping schema evolution over commit-log tables: RENAME COLUMN
+  * (metadata-only — physical parquet names are fixed at first write,
+  * Delta column-mapping `name` mode) and ALTER COLUMN TYPE widening
+  * (declared type changes; the parquet reader promotes old narrow pages).
+  * Every test reads BOTH eras — files written before and after the
+  * evolution — through every surface it exercises, and the refusal tests
+  * pin the loud-failure contract for drops, narrowing, and collisions. */
+class SchemaEvolutionSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val root = Paths.get(graft.io.Sinks.scratchDir("graft_evo_wh"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(root)
+    spark.conf.set("spark.sql.catalog.evo", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evo.warehouse", root.toString)
+    root.toString
+  }
+
+  test("RENAME COLUMN is metadata-only: zero files move, both eras read") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.r")
+    spark.sql("DROP TABLE IF EXISTS evo.r.t")
+    spark.sql("CREATE TABLE evo.r.t AS SELECT id, concat('s', id) AS status FROM range(4)")
+    val dir = Paths.get(wh, "r", "t").toString
+    val filesBefore = CommitLog.snapshotFiles(dir).toSet
+
+    spark.sql("ALTER TABLE evo.r.t RENAME COLUMN status TO state")
+    assert(CommitLog.snapshotFiles(dir).toSet == filesBefore,
+      "a rename must not move a single data file")
+
+    // old files serve real values under the NEW logical name
+    val head = spark.sql("SELECT id, state FROM evo.r.t ORDER BY id").collect()
+    assert(head.map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+      (0L to 3L).map(i => i -> s"s$i"))
+
+    // writes after the rename land under the PHYSICAL name and read back
+    spark.sql("INSERT INTO evo.r.t SELECT id + 10, concat('n', id) FROM range(2)")
+    val all = spark.sql("SELECT id, state FROM evo.r.t ORDER BY id").collect()
+    assert(all.length == 6 && all.last.getString(1) == "n1")
+    // new files physically carry the ORIGINAL name (mapping is stable)
+    val newFile = (CommitLog.snapshotFiles(dir).toSet -- filesBefore).head
+    val physical = spark.read.parquet(Paths.get(dir, newFile).toString).schema.fieldNames
+    assert(physical.contains("status") && !physical.contains("state"),
+      s"post-rename files must wear the physical name, got ${physical.toSeq}")
+
+    // filters on the renamed column work across eras
+    assert(spark.sql("SELECT count(*) FROM evo.r.t WHERE state = 's2'").head.getLong(0) == 1L)
+
+    // rename BACK to the physical name drops the mapping
+    spark.sql("ALTER TABLE evo.r.t RENAME COLUMN state TO status")
+    val declared = CommitLog.declaredSchema(dir).get
+    assert(!CommitLog.hasNameMapping(declared),
+      "renaming back to the physical name must drop the mapping metadata")
+    assert(spark.sql("SELECT count(*) FROM evo.r.t WHERE status = 's2'").head.getLong(0) == 1L)
+  }
+
+  test("rename guards: collisions with logical AND physical names refuse loudly") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.g")
+    spark.sql("DROP TABLE IF EXISTS evo.g.t")
+    spark.sql("CREATE TABLE evo.g.t AS SELECT id, id * 2 AS a, id * 3 AS b FROM range(3)")
+    // logical collision (Spark's analyzer refuses before the catalog does —
+    // either layer failing loudly satisfies the contract)
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE evo.g.t RENAME COLUMN a TO b")
+    }
+    assert(e1.getMessage.contains("already exists") || e1.getMessage.contains("taken"),
+      e1.getMessage)
+    // physical collision: free 'a' by renaming it away, then try to grab it
+    spark.sql("ALTER TABLE evo.g.t RENAME COLUMN a TO a2")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE evo.g.t RENAME COLUMN b TO a")
+    }
+    assert(e2.getMessage.contains("physical"), e2.getMessage)
+  }
+
+  test("type widening: int→bigint and float→double read old narrow files") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.w")
+    spark.sql("DROP TABLE IF EXISTS evo.w.t")
+    spark.sql(
+      """CREATE TABLE evo.w.t AS
+        |SELECT CAST(id AS INT) AS n, CAST(id AS FLOAT) AS x FROM range(3)""".stripMargin)
+    val dir = Paths.get(wh, "w", "t").toString
+    val filesBefore = CommitLog.snapshotFiles(dir).toSet
+
+    spark.sql("ALTER TABLE evo.w.t ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE evo.w.t ALTER COLUMN x TYPE DOUBLE")
+    assert(CommitLog.snapshotFiles(dir).toSet == filesBefore,
+      "widening must not rewrite data files")
+
+    val schema = spark.table("evo.w.t").schema
+    assert(schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(schema("x").dataType == org.apache.spark.sql.types.DoubleType)
+
+    // old INT32/FLOAT pages read through the widening promotion
+    val rows = spark.sql("SELECT n, x FROM evo.w.t ORDER BY n").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(0.0, 1.0, 2.0))
+
+    // post-widen inserts land wide; mixed eras aggregate correctly
+    spark.sql("INSERT INTO evo.w.t SELECT CAST(1000000000000 AS BIGINT), 1.5D")
+    val agg = spark.sql("SELECT sum(n) AS s, sum(x) AS sx FROM evo.w.t").head()
+    assert(agg.getLong(0) == 1000000000003L)
+    assert(math.abs(agg.getDouble(1) - 4.5) < 1e-9)
+  }
+
+  test("narrowing and cross-kind retypes refuse loudly") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.n")
+    spark.sql("DROP TABLE IF EXISTS evo.n.t")
+    spark.sql("CREATE TABLE evo.n.t AS SELECT id AS n, CAST(id AS STRING) AS s FROM range(3)")
+    // Spark's analyzer (Cast.canUpCast) refuses narrowing before the
+    // catalog's own widenOk guard — both are loud; accept either message
+    def refusedRetype(m: String): Boolean =
+      m.contains("widening") || m.contains("NOT_SUPPORTED_CHANGE_COLUMN")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE evo.n.t ALTER COLUMN n TYPE INT") // bigint → int narrows
+    }
+    assert(refusedRetype(e1.getMessage), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE evo.n.t ALTER COLUMN s TYPE BIGINT") // string → bigint
+    }
+    assert(refusedRetype(e2.getMessage), e2.getMessage)
+    // the catalog's own guard (defense in depth below the analyzer): an
+    // up-castable-but-unreadable promotion the analyzer would allow must
+    // still refuse — int → double up-casts in Catalyst but is not in the
+    // parquet reader's widening set this engine verified
+    val cat = spark.sessionState.catalogManager.catalog("evo")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val e4 = intercept[Exception] {
+      cat.alterTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("n"), "t"),
+        org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+          Array("n"), org.apache.spark.sql.types.IntegerType))
+    }
+    assert(e4.getMessage.contains("widening"), e4.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE evo.n.t DROP COLUMN s")
+    }
+    assert(e3.getMessage.toLowerCase.contains("unsupported"), e3.getMessage)
+  }
+
+  test("rename composes with widening, DML, zone pruning, and time travel") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.c")
+    spark.sql("DROP TABLE IF EXISTS evo.c.t")
+    spark.sql(
+      """CREATE TABLE evo.c.t AS
+        |SELECT CAST(id AS INT) AS k, concat('v', id) AS v FROM range(6)""".stripMargin)
+    val dir = Paths.get(wh, "c", "t").toString
+    val preEvo = CommitLog.currentVersion(dir)
+
+    spark.sql("ALTER TABLE evo.c.t RENAME COLUMN k TO key")
+    spark.sql("ALTER TABLE evo.c.t ALTER COLUMN key TYPE BIGINT")
+
+    // DML through the renamed+widened column (copy-on-write rewrite)
+    spark.sql("DELETE FROM evo.c.t WHERE key = 2")
+    spark.sql("UPDATE evo.c.t SET v = 'patched' WHERE key = 4")
+    val got = spark.sql("SELECT key, v FROM evo.c.t ORDER BY key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(0L -> "v0", 1L -> "v1", 3L -> "v3", 4L -> "patched", 5L -> "v5"), got)
+
+    // clustering on the RENAMED column records zone maps that prune
+    CommitLog.compactClustered(spark, dir, "key", 3)
+    val stats = CommitLog.fileStatsOn(dir, "key")
+    assert(stats.size == 3, s"3 clustered files with ranges on key, got $stats")
+    assert(CommitLog.snapshotMinMax(dir, "key").contains((0L, 5L)))
+
+    // time travel BEFORE the evolution serves the old era's logical shape
+    val old = CommitLog.read(spark, dir, Some(preEvo))
+    assert(old.schema.fieldNames.toSeq == Seq("k", "v"),
+      s"pre-evolution snapshot must serve the era's names, got ${old.schema.fieldNames.toSeq}")
+    assert(old.count() == 6)
+  }
+}

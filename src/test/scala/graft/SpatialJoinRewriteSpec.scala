@@ -157,10 +157,13 @@ class SpatialJoinRewriteSpec extends SparkSpec {
     val wkt = SparkEntry.queries("j8_wkt_argmax")
     val nve = SparkEntry.queries("j8_naive_argmax")
 
-    // wkt first: leaves the flag false; the naive gate must still rewrite
+    // wkt first: since round 10 the gate materializes inside its pinned
+    // window and RESTORES the flag on exit (try/finally) — no later
+    // consumer inherits it; the naive gate must still rewrite
+    val before = spark.conf.getOption(SpatialJoinRewrite.EnabledKey)
     assert(wkt(spark, sf0001).count() > 0)
-    assert(spark.conf.get(SpatialJoinRewrite.EnabledKey) == "false",
-      "wkt gate should pin the flag false for its own deferred action")
+    assert(spark.conf.getOption(SpatialJoinRewrite.EnabledKey) == before,
+      "wkt gate must restore the session flag on exit, not leak its pin")
     assert(nve(spark, sf0001).count() > 0) // gate REQUIREs the rewrite fired
     // and this spec's own assertions must hold right after the wkt gate ran
     spark.conf.set(SpatialJoinRewrite.EnabledKey, "false") // simulate leak
