@@ -97,6 +97,11 @@ object CommitLog {
   // ranges without the writer having to know (`CREATE TABLE ...
   // PARTITIONED BY (bucket(n, col))`). Last declaration wins.
   private val ClusterRe = """"clusterby"\s*:\s*"([^"]+)"\s*,\s*"buckets"\s*:\s*(\d+)""".r
+  // tombstone vocabulary: a DROP COLUMN records the dropped column's
+  // PHYSICAL name so no later ADD/RENAME can reuse it — old data files
+  // still carry those bytes, and a reused name would silently resurrect
+  // stale values instead of serving NULLs. Tombstones accumulate.
+  private val TombstoneRe = """"tombstone"\s*:\s*"([^"]+)"""".r
 
   /** Committed versions with a RETAINED commit file, ascending; empty for
     * a fresh/absent table. After [[expireLog]] this lists only the tail —
@@ -154,6 +159,8 @@ object CommitLog {
     var schemaJson: Option[String] = None
     // the declared clustering spec (column, buckets), when a commit set one
     var clusterSpec: Option[(String, Int)] = None
+    // physical names of DROPPED columns — permanently reserved
+    val tombstones = scala.collection.mutable.LinkedHashSet.empty[String]
   }
 
   /** Applies one log file's add/remove/txn actions to the state. */
@@ -193,6 +200,7 @@ object CommitLog {
     ClusterRe.findAllMatchIn(text).foreach { m =>
       state.clusterSpec = Some((m.group(1), m.group(2).toInt))
     }
+    TombstoneRe.findAllMatchIn(text).map(_.group(1)).foreach(state.tombstones += _)
   }
 
   /** The live file → stats state at `asOf` (default: latest). Checkpoint-
@@ -373,10 +381,19 @@ object CommitLog {
     * `alter` commit (no data files move). `expectedTip` makes concurrent
     * alters serializable: derived from a stale schema → conflict-abort. */
   def evolveSchema(table: String, newSchema: org.apache.spark.sql.types.StructType,
-                   expectedTip: Long): Long =
-    commitRaw(table, "alter", Seq(s"""{"schema64":"${java.util.Base64.getEncoder
-      .encodeToString(newSchema.json.getBytes(StandardCharsets.UTF_8))}"}"""),
+                   expectedTip: Long,
+                   tombstones: Seq[String] = Seq.empty): Long =
+    commitRaw(table, "alter",
+      s"""{"schema64":"${java.util.Base64.getEncoder
+        .encodeToString(newSchema.json.getBytes(StandardCharsets.UTF_8))}"}""" +:
+        tombstones.map(t => s"""{"tombstone":"$t"}"""),
       Some(expectedTip))
+
+  /** Physical names of every column ever DROPPED — reserved forever: old
+    * data files still carry those bytes, so a later ADD/RENAME to such a
+    * name would resurrect stale values instead of serving NULLs. */
+  def droppedPhysicalNames(table: String, asOf: Option[Long] = None): Set[String] =
+    replay(table, asOf).tombstones.toSet
 
   /** Timestamp-based time travel: the version that was current at
     * wall-clock `tsMillis`, resolved from commit-file modification times
@@ -1245,7 +1262,8 @@ object CommitLog {
     val schemaLine = state.schemaJson.map(j =>
       s"""{"schema64":"${java.util.Base64.getEncoder
         .encodeToString(j.getBytes(StandardCharsets.UTF_8))}"}""").toSeq ++
-      state.clusterSpec.map { case (c, b) => clusteringAction(c, b) }.toSeq
+      state.clusterSpec.map { case (c, b) => clusteringAction(c, b) }.toSeq ++
+      state.tombstones.toSeq.map(t => s"""{"tombstone":"$t"}""")
     val lines = (s"""{"op":"checkpoint","version":$v}""" +: (schemaLine ++
       state.live.toSeq.map { case (f, stats) =>
         val rows = state.rowCounts.get(f).fold("")(n => s""","rows":$n""") +

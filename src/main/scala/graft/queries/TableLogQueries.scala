@@ -921,6 +921,43 @@ object TableLogQueries {
        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** tl20d: DROP COLUMN — metadata-only like the rename: the declared
+    * schema omits the field (REQUIREd: zero files move), every era's scan
+    * prunes the column, and the physical name is TOMBSTONED — re-adding
+    * it refuses loudly (REQUIREd), because old files still carry the
+    * stale bytes and a reused name would resurrect them as real values
+    * instead of NULLs. Time travel below the drop still serves the
+    * column (REQUIREd). */
+  private val tl20dDrop: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t20d", "SELECT * FROM t20d_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t20d").toString
+    val preDrop = CommitLog.currentVersion(tdir)
+    val filesBefore = CommitLog.snapshotFiles(tdir).toSet
+    spark.sql(s"ALTER TABLE $t DROP COLUMN status")
+    require(CommitLog.snapshotFiles(tdir).toSet == filesBefore,
+      "tl20d: a drop must move zero data files")
+    require(!spark.table(t).schema.fieldNames.contains("status"),
+      "tl20d: the dropped column must leave the served schema")
+    require(CommitLog.read(spark, tdir, Some(preDrop))
+        .schema.fieldNames.contains("status"),
+      "tl20d: time travel below the drop must still serve the column")
+    val refused = try { spark.sql(s"ALTER TABLE $t ADD COLUMNS (status STRING)"); false }
+      catch { case e: Exception => e.getMessage.contains("DROPPED") }
+    require(refused, "tl20d: re-adding a dropped column must refuse loudly (tombstone)")
+    spark.sql(s"INSERT INTO $t SELECT id, price, batch FROM t20d_b2")
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl20dDropSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+       |GROUP BY batch ORDER BY batch""".stripMargin
+
   /** tl21: `CALL graft.system.cluster` — the OPTIMIZE-ZORDER-style
     * maintenance that RESTORES data skipping: the CTAS layout carries no
     * zone maps (REQUIREd), one cluster commit range-partitions the table
@@ -1130,6 +1167,7 @@ object TableLogQueries {
     "tl20_schema_evolution" -> tl20SchemaEvolution,
     "tl20b_rename" -> tl20bRename,
     "tl20c_widen" -> tl20cWiden,
+    "tl20d_drop" -> tl20dDrop,
     "tl19_sql_maintenance" -> tl19SqlMaintenance,
     "tl18_sql_merge" -> tl18SqlMerge,
     "tl17_sql_update" -> tl17SqlUpdate,
@@ -1160,6 +1198,7 @@ object TableLogQueries {
     "tl20_schema_evolution" -> tl20SchemaEvolutionSql,
     "tl20b_rename" -> tl20bRenameSql,
     "tl20c_widen" -> tl20cWidenSql,
+    "tl20d_drop" -> tl20dDropSql,
     "tl19_sql_maintenance" -> tl19SqlMaintenanceSql,
     "tl18_sql_merge" -> tl18SqlMergeSql,
     "tl17_sql_update" -> tl17SqlUpdateSql,

@@ -173,10 +173,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** ALTER TABLE: ADD COLUMNS (nullable, top-level), RENAME COLUMN
     * (metadata-only — the physical parquet name is fixed at first write
     * and recorded in field metadata, Delta column-mapping style, so zero
-    * data files move), and ALTER COLUMN TYPE widening (int→long,
+    * data files move), ALTER COLUMN TYPE widening (int→long,
     * float→double, …: the declared type changes, old narrow pages read
-    * through the parquet reader's widening promotion). Drops, narrowing,
-    * and other retypes are refused loudly — they would reinterpret
+    * through the parquet reader's widening promotion), and DROP COLUMN
+    * (metadata-only: the declared schema omits the field, scans prune it
+    * from every era's files, and the physical name is TOMBSTONED so no
+    * later ADD/RENAME can resurrect the stale bytes). Narrowing and
+    * cross-kind retypes are refused loudly — they would reinterpret
     * committed data files. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
@@ -189,6 +192,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident).toString
+    // physical names freed by DROP COLUMN are reserved forever: old files
+    // still carry those bytes, so reusing the name would resurrect stale
+    // values instead of serving NULLs (Delta solves this with mapping ids;
+    // this log solves it with tombstones)
+    val dropped = CommitLog.droppedPhysicalNames(dir)
+    def requireNotTombstoned(name: String, what: String): Unit =
+      require(!dropped.exists(_.equalsIgnoreCase(name)),
+        s"graft catalog: cannot $what '$name' in $ident — a DROPPED column's " +
+          "data files still carry that physical name; pick another name")
+    // tombstones this ALTER creates (DROP COLUMN cases append here)
+    val newTombstones = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def applyOne(s: StructType, change: TableChange): StructType = change match {
       case a: TableChange.AddColumn =>
@@ -197,8 +211,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "existing rows have no value for it")
         require(!s.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames()(0))),
           s"graft catalog: column ${a.fieldNames()(0)} already exists in $ident")
+        requireNotTombstoned(a.fieldNames()(0), "re-add dropped column")
         val field = StructField(a.fieldNames()(0), a.dataType, nullable = true)
         s.add(Option(a.comment).fold(field)(field.withComment))
+
+      case d: TableChange.DeleteColumn =>
+        val name = d.fieldNames()(0)
+        val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(idx >= 0, s"graft catalog: no column $name in $ident")
+        require(s.length > 1,
+          s"graft catalog: cannot drop $name — it is $ident's only column")
+        require(!CommitLog.declaredClustering(dir).exists(_._1.equalsIgnoreCase(name)),
+          s"graft catalog: $name is $ident's declared clustering column — " +
+            "re-cluster (CALL graft.system.cluster) before dropping it")
+        newTombstones += CommitLog.physicalName(s.fields(idx))
+        StructType(s.fields.patch(idx, Nil, 1))
 
       case r: TableChange.RenameColumn =>
         val from = r.fieldNames()(0)
@@ -214,6 +241,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           i != idx && CommitLog.physicalName(f).equalsIgnoreCase(to) },
           s"graft catalog: cannot rename $from to $to — a committed data " +
             s"file already carries '$to' as another column's physical name")
+        requireNotTombstoned(to, "rename to dropped name")
         require(!CommitLog.declaredClustering(dir).exists(_._1.equalsIgnoreCase(from)),
           s"graft catalog: $from is $ident's declared clustering column — " +
             "re-cluster (CALL graft.system.cluster) before renaming it")
@@ -244,8 +272,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — supported " +
           "evolutions: ADD COLUMNS (nullable, top-level), RENAME COLUMN " +
-          "(metadata-only), ALTER COLUMN TYPE widening. Drops would " +
-          "reinterpret committed data files")
+          "(metadata-only), ALTER COLUMN TYPE widening, DROP COLUMN " +
+          "(metadata-only, physical name tombstoned)")
     }
 
     var attempt = 0
@@ -255,9 +283,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // physical-name metadata); fall back to the file-derived one
       val cur = CommitLog.declaredSchema(dir, Some(tip)).getOrElse(
         CommitLog.read(SparkSession.active, dir, Some(tip)).schema)
+      newTombstones.clear() // re-derived per race attempt
       val evolved = changes.foldLeft(cur)(applyOne)
       try {
-        CommitLog.evolveSchema(dir, evolved, tip)
+        CommitLog.evolveSchema(dir, evolved, tip, newTombstones.toSeq)
         return loadTable(ident)
       } catch {
         case _: java.util.ConcurrentModificationException => attempt += 1

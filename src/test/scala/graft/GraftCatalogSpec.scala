@@ -173,14 +173,14 @@ class GraftCatalogSpec extends SparkSpec {
     CommitLog.expireLog(dir)
     assert(spark.table("gcat.ev.t").schema.fieldNames.toSeq == Seq("id", "v", "score"))
 
-    // refusals: duplicate add, non-nullable add, anything non-additive
+    // refusals: duplicate add, non-nullable add (DROP COLUMN is supported
+    // since round 10 — tombstoned metadata-only; see SchemaEvolutionSpec)
     assert(intercept[Exception] {
       spark.sql("ALTER TABLE gcat.ev.t ADD COLUMNS (score INT)")
     }.getMessage.contains("already exists"))
     assert(intercept[Exception] {
       spark.sql("ALTER TABLE gcat.ev.t ADD COLUMNS (req INT NOT NULL)")
     }.getMessage.contains("nullable"))
-    intercept[Exception] { spark.sql("ALTER TABLE gcat.ev.t DROP COLUMN v") }
   }
 
   test("catalog reads keep the native scan perks: metadata count, reported stats") {

@@ -144,10 +144,54 @@ class SchemaEvolutionSpec extends SparkSpec {
           Array("n"), org.apache.spark.sql.types.IntegerType))
     }
     assert(e4.getMessage.contains("widening"), e4.getMessage)
-    val e3 = intercept[Exception] {
-      spark.sql("ALTER TABLE evo.n.t DROP COLUMN s")
+  }
+
+  test("DROP COLUMN is metadata-only; the physical name is tombstoned forever") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.d")
+    spark.sql("DROP TABLE IF EXISTS evo.d.t")
+    spark.sql("CREATE TABLE evo.d.t AS SELECT id, concat('s', id) AS s, id * 2 AS x FROM range(4)")
+    val dir = Paths.get(wh, "d", "t").toString
+    val preDrop = CommitLog.currentVersion(dir)
+    val filesBefore = CommitLog.snapshotFiles(dir).toSet
+
+    spark.sql("ALTER TABLE evo.d.t DROP COLUMN s")
+    assert(CommitLog.snapshotFiles(dir).toSet == filesBefore, "drop must move zero files")
+    assert(spark.table("evo.d.t").schema.fieldNames.toSeq == Seq("id", "x"))
+    assert(spark.sql("SELECT sum(x) FROM evo.d.t").head.getLong(0) == 12L)
+    // time travel below the drop serves the column
+    assert(CommitLog.read(spark, dir, Some(preDrop)).schema.fieldNames.contains("s"))
+
+    // tombstone: re-adding the name refuses (stale bytes would resurrect)
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE evo.d.t ADD COLUMNS (s STRING)")
     }
-    assert(e3.getMessage.toLowerCase.contains("unsupported"), e3.getMessage)
+    assert(e1.getMessage.contains("DROPPED"), e1.getMessage)
+    // ...and renaming onto it refuses the same way
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE evo.d.t RENAME COLUMN x TO s")
+    }
+    assert(e2.getMessage.contains("DROPPED"), e2.getMessage)
+    // a DIFFERENT new column is fine; post-drop inserts read back
+    spark.sql("ALTER TABLE evo.d.t ADD COLUMNS (note STRING)")
+    spark.sql("INSERT INTO evo.d.t SELECT 10, 20, 'n'")
+    assert(spark.sql("SELECT count(*) FROM evo.d.t WHERE note = 'n'").head.getLong(0) == 1L)
+    // tombstones survive a log checkpoint
+    CommitLog.checkpoint(dir)
+    assert(CommitLog.droppedPhysicalNames(dir).contains("s"),
+      "tombstones must survive the checkpoint roll")
+    // a dropped RENAMED column tombstones its PHYSICAL name
+    spark.sql("DROP TABLE IF EXISTS evo.d.t2")
+    spark.sql("CREATE TABLE evo.d.t2 AS SELECT id, concat('v', id) AS a, id * 3 AS b FROM range(3)")
+    spark.sql("ALTER TABLE evo.d.t2 RENAME COLUMN a TO a2")
+    spark.sql("ALTER TABLE evo.d.t2 DROP COLUMN a2")
+    val dir2 = Paths.get(wh, "d", "t2").toString
+    assert(CommitLog.droppedPhysicalNames(dir2).contains("a"),
+      s"the tombstone must be the PHYSICAL name, got ${CommitLog.droppedPhysicalNames(dir2)}")
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE evo.d.t2 ADD COLUMNS (a STRING)")
+    }
+    assert(e3.getMessage.contains("DROPPED"), e3.getMessage)
   }
 
   test("rename composes with widening, DML, zone pruning, and time travel") {
