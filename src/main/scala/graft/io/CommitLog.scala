@@ -808,6 +808,42 @@ object CommitLog {
     }
   }
 
+  /** Exactly-once UPSERT — the incremental-view-maintenance write: like
+    * [[upsert]], but the rewrite commits `txnId` atomically WITH the data
+    * (Delta SetTransaction shape), and a txnId already in the log makes
+    * the whole call a no-op (None). A `foreachBatch` body that derives a
+    * delta-merged state from a replayable stream (e.g. the change data
+    * feed) and applies it here survives batch replays without
+    * double-applying the delta. Single logical writer per txn namespace
+    * (the streaming query); a concurrent foreign writer conflict-aborts
+    * through the version claim as usual. */
+  def txnUpsert(spark: SparkSession, updates: DataFrame, table: String,
+                keys: Seq[String], txnId: String): Option[Long] = {
+    require(txnId.nonEmpty && !txnId.exists(c => c == '"' || c == '\n'),
+      s"txnId must be non-empty without quotes/newlines: '$txnId'")
+    Files.createDirectories(Paths.get(table))
+    serializably(table) { tip =>
+      if (tip >= 0 && replay(table, Some(tip)).txns.contains(txnId)) None
+      else {
+        val old = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
+        val merged =
+          if (old.isEmpty) updates
+          else readFiles(spark, table, old, mergeSchema = false, Some(tip))
+            .join(updates, keys, "left_anti")
+            .unionByName(updates, allowMissingColumns = true)
+        val added = stage(merged, table)
+        try Some(commitRaw(table, "upsert",
+          added.map(f => addAction(table, f)) ++
+            old.map(f => s"""{"remove":"$f"}""") :+ s"""{"txn":"$txnId"}""",
+          Some(tip)))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            unstage(table, added); throw e
+        }
+      }
+    }
+  }
+
   /** Idempotent ingest: appends only rows whose `keys` combination is not
     * already in the table (one left-anti join on the key — for a corpus
     * tracker keyed on a 16-byte content hash, the same single-shuffle

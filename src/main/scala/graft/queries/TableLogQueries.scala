@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.{CommitLog, Sinks, Tables}
@@ -1158,7 +1158,114 @@ object TableLogQueries {
        |SELECT 2, 'delete', id, status, price, batch FROM merged WHERE id % 9 = 0
        |ORDER BY commit_version, change_type, id""".stripMargin
 
+  /** tl26: INCREMENTAL VIEW MAINTENANCE from the change data feed — the
+    * pattern the CDF exists for, taken to its conclusion: a derived
+    * AGGREGATE table (rows + exact money sum per batch) is maintained by
+    * streaming the CDF and applying each micro-batch as a RETRACTABLE
+    * delta (insert rows add, delete rows subtract — an UPDATE's
+    * delete+insert pair nets to the correction), merged into the derived
+    * table with ONE exactly-once txn-marked upsert per micro-batch
+    * ([[CommitLog.txnUpsert]]). The gate runs DML mid-stream, REQUIREs a
+    * replayed txn is a no-op (the exactly-once layer under foreachBatch's
+    * at-least-once contract), and REQUIREs the maintained table
+    * multiset-equals a from-scratch recompute of the source snapshot —
+    * at 100 TB the maintained form costs per-batch work proportional to
+    * the DML moved, while the recompute form costs the whole table. */
+  private val tl26CdfMaterialize: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_ivm"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val src = root.resolve("src").toString
+    val agg = root.resolve("agg").toString
+    val ckpt = root.resolve("ckpt").toString
+    CommitLog.append(batch1(spark, dir), src)                   // v0
+    CommitLog.upsert(spark, batch2(spark, dir), src, Seq("id")) // v1
+    val batch3 = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 9 === 0)
+      .select(col("o_orderkey").cast("long").as("id"),
+        lit("audited").as("status"),
+        round(col("o_totalprice").cast("double"), 2).as("price"),
+        lit(3).as("batch"))
+    var lastTxn: String = null
+    val applyBatch: (org.apache.spark.sql.Dataset[Row], Long) => Unit = (df, batchId) => {
+      // retractable per-key delta: inserts add, deletes subtract; exact
+      // DECIMAL money so retraction is bit-exact
+      val delta = df.groupBy("batch").agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("d_rows"),
+        sum(when(col("_change_type") === "insert",
+            col("price")).otherwise(-col("price"))
+          .cast("decimal(18,2)")).as("d_price"))
+      val cur =
+        if (CommitLog.currentVersion(agg) >= 0) CommitLog.read(spark, agg)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("batch",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("n_rows",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_price",
+              org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)))))
+      val updated = cur.join(delta, Seq("batch"), "full_outer")
+        .select(col("batch"),
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L))).as("n_rows"),
+          (coalesce(col("sum_price"), lit(0).cast("decimal(18,2)")) +
+            coalesce(col("d_price"), lit(0).cast("decimal(18,2)")))
+            .cast("decimal(18,2)").as("sum_price"))
+        .filter(col("n_rows") > 0) // a fully-retracted group disappears
+      lastTxn = s"tl26#$batchId"
+      CommitLog.txnUpsert(spark, updated, agg, Seq("batch"), lastTxn)
+      ()
+    }
+    val q = spark.readStream.format("graftlog")
+      .option("readChangeFeed", "true").load(src)
+      .writeStream.foreachBatch(applyBatch)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()                                   // drain v0..v1
+      CommitLog.upsert(spark, batch3, src, Seq("id"))           // v2, mid-stream
+      q.processAllAvailable()                                   // drain v2
+    } finally q.stop()
+    // the exactly-once layer: replaying an applied txn must be a no-op
+    val vBefore = CommitLog.currentVersion(agg)
+    require(lastTxn != null &&
+        CommitLog.txnUpsert(spark,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            CommitLog.read(spark, agg).schema), agg, Seq("batch"), lastTxn).isEmpty &&
+        CommitLog.currentVersion(agg) == vBefore,
+      "tl26: a replayed txn must not re-apply or advance the derived table")
+    // the maintained table must equal a from-scratch recompute
+    val maintained = CommitLog.read(spark, agg)
+    val scratch = CommitLog.read(spark, src).groupBy("batch")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"))
+    require(maintained.exceptAll(scratch).isEmpty &&
+        scratch.exceptAll(maintained).isEmpty,
+      "tl26: incrementally maintained state must equal the from-scratch recompute")
+    maintained
+      .select(col("batch"), col("n_rows"),
+        col("sum_price").cast("double").as("sum_price"))
+      .orderBy("batch")
+  }
+
+  private val tl26CdfMaterializeSql =
+    s"""WITH $batchesSql,
+       |b3 AS (
+       |  SELECT o_orderkey AS id, 'audited' AS status,
+       |    round(o_totalprice, 2) AS price, 3 AS batch
+       |  FROM orders WHERE o_orderkey % 9 = 0),
+       |final AS (
+       |  SELECT * FROM merged WHERE id NOT IN (SELECT id FROM b3)
+       |  UNION ALL SELECT * FROM b3)
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM final GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl26_cdf_materialize" -> tl26CdfMaterialize,
     "tl25_cdf_stream" -> tl25CdfStream,
     "tl24_cdf_sql" -> tl24CdfSql,
     "tl23_change_feed" -> tl23ChangeFeed,
@@ -1190,6 +1297,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl26_cdf_materialize" -> tl26CdfMaterializeSql,
     "tl25_cdf_stream" -> tl25CdfStreamSql,
     "tl24_cdf_sql" -> tl24CdfSqlSql,
     "tl23_change_feed" -> tl23ChangeFeedSql,

@@ -212,6 +212,23 @@ class CommitLogSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == (0L until 500L), "every row delivered exactly once")
   }
 
+  test("txnUpsert: merges exactly once; a replayed txn is a no-op") {
+    val t = freshTable("txnupsert")
+    assert(CommitLog.txnUpsert(spark, df(1L -> "a", 2L -> "b"), t, Seq("id"), "q#0").contains(0L))
+    // replay of batch 0 must not re-apply (even with different content)
+    assert(CommitLog.txnUpsert(spark, df(1L -> "WRONG"), t, Seq("id"), "q#0").isEmpty)
+    assert(CommitLog.currentVersion(t) == 0L)
+    // batch 1 merges: matched key replaced, new key lands
+    assert(CommitLog.txnUpsert(spark, df(2L -> "B", 3L -> "c"), t, Seq("id"), "q#1").contains(1L))
+    val now = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // markers survive a checkpoint roll (restart-after-maintenance dedup)
+    CommitLog.checkpoint(t)
+    assert(CommitLog.txnUpsert(spark, df(9L -> "x"), t, Seq("id"), "q#1").isEmpty)
+    assert(CommitLog.read(spark, t).count() == 3)
+  }
+
   test("dedupAppend: only unseen keys land; replay is a no-op with no empty commit") {
     val t = freshTable("ingest")
     assert(CommitLog.dedupAppend(spark, df(1L -> "a", 2L -> "b"), t, Seq("id")).contains(0L))

@@ -194,6 +194,59 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(e3.getMessage.contains("DROPPED"), e3.getMessage)
   }
 
+  test("evolution gauntlet: adds/renames/widens/drops interleaved with writes, model-checked") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.m")
+    spark.sql("DROP TABLE IF EXISTS evo.m.t")
+    spark.sql("CREATE TABLE evo.m.t AS SELECT CAST(id AS INT) AS a, concat('x', id) AS b FROM range(2)")
+    val dir = Paths.get(wh, "m", "t").toString
+    // model: rows as Map(logicalName -> value); NULL for pre-add eras
+    var model = Seq(
+      Map("a" -> 0L, "b" -> "x0"),
+      Map("a" -> 1L, "b" -> "x1"))
+    def check(step: String): Unit = {
+      val cols = spark.table("evo.m.t").schema.fieldNames.toSeq
+      val got = spark.table("evo.m.t").collect().map { r =>
+        cols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) null else r.get(i) match {
+            case n: Number => n.longValue() // widenings normalize to Long
+            case v => v
+          })
+        }.toMap
+      }.toSeq
+      val want = model.map(m => cols.map(c => c -> m.getOrElse(c, null)).toMap)
+      assert(got.sortBy(_.toString) == want.sortBy(_.toString),
+        s"after $step: got ${got.sortBy(_.toString)} want ${want.sortBy(_.toString)}")
+    }
+    // 1. widen a, 2. rename b→c, 3. add d, 4. insert, 5. rename a→k,
+    // 6. drop c, 7. insert, 8. rename d→e, 9. widen e... (int d) 10. drop e
+    def renamed(from: String, to: String): Unit =
+      model = model.map(m => (m - from) ++ m.get(from).map(to -> _))
+    spark.sql("ALTER TABLE evo.m.t ALTER COLUMN a TYPE BIGINT"); check("widen a")
+    spark.sql("ALTER TABLE evo.m.t RENAME COLUMN b TO c")
+    renamed("b", "c"); check("rename b->c")
+    spark.sql("ALTER TABLE evo.m.t ADD COLUMNS (d INT)"); check("add d")
+    spark.sql("INSERT INTO evo.m.t SELECT 2L, 'x2', 20")
+    model :+= Map("k" -> 2L, "a" -> 2L, "c" -> "x2", "d" -> 20L); check("insert1")
+    spark.sql("ALTER TABLE evo.m.t RENAME COLUMN a TO k")
+    renamed("a", "k"); check("rename a->k")
+    spark.sql("ALTER TABLE evo.m.t DROP COLUMN c")
+    model = model.map(_ - "c"); check("drop c")
+    spark.sql("INSERT INTO evo.m.t SELECT 3L, 30")
+    model :+= Map("k" -> 3L, "d" -> 30L); check("insert2")
+    spark.sql("ALTER TABLE evo.m.t RENAME COLUMN d TO e")
+    model = model.map(m => (m - "d") ++ m.get("d").map("e" -> _)); check("rename d->e")
+    spark.sql("ALTER TABLE evo.m.t ALTER COLUMN e TYPE BIGINT"); check("widen e")
+    spark.sql("ALTER TABLE evo.m.t DROP COLUMN e")
+    model = model.map(_ - "e"); check("drop e")
+    // filters + aggregates still plan against the final era
+    assert(spark.sql("SELECT sum(k) FROM evo.m.t WHERE k >= 1").head.getLong(0) == 6L)
+    // every historical version still time-travels with its own era shape
+    (0L to CommitLog.currentVersion(dir)).foreach { v =>
+      CommitLog.read(spark, dir, Some(v)).collect() // loud if broken
+    }
+  }
+
   test("rename composes with widening, DML, zone pruning, and time travel") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.c")
