@@ -247,6 +247,34 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("concurrent ALTERs serialize: every change lands exactly once") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.r2")
+    spark.sql("DROP TABLE IF EXISTS evo.r2.t")
+    spark.sql("CREATE TABLE evo.r2.t AS SELECT id FROM range(2)")
+    val cat = spark.sessionState.catalogManager.catalog("evo")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("r2"), "t")
+    // 6 threads each ADD a distinct column at once: the alterTable retry
+    // loop must absorb the version races so ALL columns land (a lost
+    // update would silently drop a concurrent writer's evolution)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val adds = (1 to 6).map { i =>
+      Future {
+        cat.alterTable(ident,
+          org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+            Array(s"c$i"), org.apache.spark.sql.types.IntegerType, true))
+      }
+    }
+    Await.result(Future.sequence(adds), 120.seconds)
+    val cols = spark.table("evo.r2.t").schema.fieldNames.toSet
+    assert((1 to 6).forall(i => cols.contains(s"c$i")),
+      s"all six concurrent ADDs must land, got $cols")
+    assert(spark.table("evo.r2.t").count() == 2)
+  }
+
   test("rename composes with widening, DML, zone pruning, and time travel") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.c")
