@@ -44,11 +44,16 @@ object ScaleProbe {
     table match {
       case "documents" if i > 0 =>
         // per-copy alphabet rotation: every shingle differs from the
-        // original's, so copies are NOT near-duplicates of each other
+        // original's, so copies are NOT near-duplicates of each other.
+        // The rotation alphabet wraps at 25, so copies past it ALSO
+        // reverse the text (rotation+reversal = 50 distinct forms) —
+        // without this, copy 25 is byte-identical to the original and
+        // the probe would measure constructed duplicates, not scaling.
         val a = "abcdefghijklmnopqrstuvwxyz"
         val rot = (i % 25) + 1
         val to = a.substring(rot) + a.substring(0, rot)
-        shifted.withColumn("text", translate(col("text"), a, to))
+        val rotated = translate(col("text"), a, to)
+        shifted.withColumn("text", if (i >= 25) reverse(rotated) else rotated)
       case "embeddings" if i > 0 =>
         // deterministic per-copy/dim jitter keeps copies geometrically
         // distinct without reshaping the corpus's cluster structure
@@ -65,11 +70,18 @@ object ScaleProbe {
     val done = java.nio.file.Paths.get(dir, "_PROBE_READY")
     if (java.nio.file.Files.exists(done)) return dir
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // SPARK_GRAFT_PROBE_TABLES restricts WHICH tables expand (others are
+    // copied 1×) — the big-factor text/vector probe expands 5k-row
+    // documents 50× without paying a 30M-row lineitem expansion it
+    // never reads
+    val expandSet = sys.env.get("SPARK_GRAFT_PROBE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(keyShifts.keySet)
     val all = dims ++ keyShifts.keys.toSeq.sorted
     all.foreach { t =>
       val src = spark.read.parquet(s"$base/$t.parquet")
       val out =
-        if (dims.contains(t)) src
+        if (dims.contains(t) || !expandSet.contains(t)) src
         else (0 until k).map(i => copyOf(src, t, i)).reduce(_.unionByName(_))
       out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
