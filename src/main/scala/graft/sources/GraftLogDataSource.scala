@@ -182,6 +182,14 @@ private[graft] final class GraftLogNativeScan(
     * through the scan builder's option map. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // the V2 micro-batch form is a FILE stream (per-batch parquet scans);
+    // change-row streaming is served by the V1 source, which the
+    // path-based reader falls back to — refuse here rather than silently
+    // streaming snapshot rows to a caller who asked for changes
+    require(!streamOpts.get("readchangefeed").exists(_.toBoolean),
+      "graftlog: readChangeFeed streaming is served by the path form — " +
+        "spark.readStream.format(\"graftlog\").option(\"readChangeFeed\", true)" +
+        ".load(dir) — not by readStream.table identifiers")
     def longOpt(key: String, what: String): Option[Long] =
       streamOpts.get(key).map { v =>
         try v.trim.toLong

@@ -56,6 +56,29 @@ class GraftLogStreamSpec extends SparkSpec {
       s"compaction must not re-deliver rewritten rows, got $got")
   }
 
+  test("readChangeFeed via readStream.table refuses loudly (path form serves it)") {
+    val root = freshDir("cdfident")
+    val t = root.resolve("t").toString
+    CommitLog.append(Seq((1L, "a")).toDF("id", "v"), t)
+    spark.conf.set("spark.sql.catalog.cdfid", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdfid.warehouse", root.resolve("wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdfid.s")
+    spark.sql("DROP TABLE IF EXISTS cdfid.s.t")
+    spark.sql("CREATE TABLE cdfid.s.t AS SELECT 1L AS id")
+    // the V2 micro-batch stream is a file stream; asking it for change
+    // rows must refuse (silently streaming snapshot rows would be wrong)
+    val e = intercept[Exception] {
+      val q = spark.readStream.option("readChangeFeed", "true").table("cdfid.s.t")
+        .writeStream.format("memory").queryName("cdf_ident_refuse")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("readChangeFeed streaming is served by the path form")),
+      msgs(e).mkString(" | "))
+  }
+
   test("a cluster maintenance commit mid-stream delivers nothing (layout-only)") {
     val root = freshDir("cluster")
     val t = root.resolve("t").toString
