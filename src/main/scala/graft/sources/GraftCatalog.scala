@@ -196,7 +196,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // still carry those bytes, so reusing the name would resurrect stale
     // values instead of serving NULLs (Delta solves this with mapping ids;
     // this log solves it with tombstones)
-    val dropped = CommitLog.droppedPhysicalNames(dir)
+    // re-resolved per retry attempt: a CONCURRENT drop must be visible to
+    // a racing ADD/RENAME of the freed name, or the resurrection hazard
+    // the tombstone exists for re-opens through the race
+    var dropped: Set[String] = Set.empty
     def requireNotTombstoned(name: String, what: String): Unit =
       require(!dropped.exists(_.equalsIgnoreCase(name)),
         s"graft catalog: cannot $what '$name' in $ident — a DROPPED column's " +
@@ -279,6 +282,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var attempt = 0
     while (attempt < 100) {
       val tip = CommitLog.currentVersion(dir)
+      dropped = CommitLog.droppedPhysicalNames(dir, Some(tip))
       // evolve the DECLARED schema when one exists (it carries the
       // physical-name metadata); fall back to the file-derived one
       val cur = CommitLog.declaredSchema(dir, Some(tip)).getOrElse(
