@@ -1389,7 +1389,10 @@ object TextDedupQueries {
     * Output pins the full final segmentation per word, so a wrong merge
     * in ANY round breaks the hash. DuckDB twin: the same five rounds as
     * chained CTEs with LIMIT-1 argmax blocks. */
-  private val tBpeTrain: Q = (spark, dir) => {
+  /** The trained 5-round BPE vocabulary — (word, freq, syms) with syms
+    * the space-joined final segmentation. Shared by the train gate and
+    * the encode gate so both surface the SAME merges. */
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
     val wf = Tables.documents(spark, dir)
       .select(explode(TextPipeline.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -1416,9 +1419,41 @@ object TextDedupQueries {
       cur = cur.withColumn("syms",
         expr(s"trim(replace(' ' || syms || ' ', ' $best ', ' $merged '))"))
     }
-    cur.select(col("word"), col("freq"), col("syms"),
-      size(split(col("syms"), " ")).cast("long").as("n_pieces"))
+    cur
+  }
+
+  private val tBpeTrain: Q = (spark, dir) =>
+    bpeVocab(spark, dir)
+      .select(col("word"), col("freq"), col("syms"),
+        size(split(col("syms"), " ")).cast("long").as("n_pieces"))
       .orderBy("word")
+
+  /** t_bpe_encode: the trained tokenizer APPLIED to the corpus — the
+    * pass that turns documents into token ids, i.e. the "how many tokens
+    * is my corpus, really" question answered with the REAL tokenizer
+    * rather than the regex approximation (`t_token_count`). Pieces get
+    * deterministic ids (rank in piece order — vocabulary-bounded, so the
+    * single-partition window is a few hundred rows whatever the corpus);
+    * encoding is one corpus token pass joined to the BROADCAST vocab
+    * (word-bounded) and piece-id dictionary — no shuffle touches the
+    * corpus beyond the final per-doc aggregate. Output pins per-doc
+    * post-BPE token counts plus an id checksum, so a wrong merge, a
+    * wrong segmentation, or a wrong dictionary breaks the hash. */
+  private val tBpeEncode: Q = (spark, dir) => {
+    val vocab = bpeVocab(spark, dir)
+    val ids = vocab.select(explode(split(col("syms"), " ")).as("piece")).distinct()
+      .withColumn("piece_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("piece")).cast("long"))
+    val enc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextPipeline.tokens(col("text"))).as("word"))
+      .join(broadcast(vocab.select("word", "syms")), Seq("word"))
+      .select(col("doc_id"), explode(split(col("syms"), " ")).as("piece"))
+      .join(broadcast(ids), Seq("piece"))
+    enc.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("piece_id")).as("id_sum"),
+      max(col("piece_id")).as("max_id"))
+      .orderBy("doc_id")
   }
 
   private val tBpeTrainSql: String = {
@@ -1438,6 +1473,37 @@ object TextDedupQueries {
        |w0 AS (SELECT word, freq, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms FROM wf)$rounds
        |SELECT word, freq, syms, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_pieces
        |FROM w5 ORDER BY word""".stripMargin
+  }
+
+  /** The same five training rounds, then the corpus encoded with the
+    * trained vocabulary — mirrors [[tBpeEncode]] exactly. */
+  private val tBpeEncodeSql: String = {
+    val rounds = (1 to 5).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s""",
+         |p$r AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |   SELECT freq, sp[s.i] || ' ' || sp[s.i+1] AS pr
+         |   FROM (SELECT freq, string_split(syms, ' ') AS sp FROM $prev), s
+         |   WHERE s.i <= len(sp) - 1) GROUP BY 1),
+         |b$r AS (SELECT pr, replace(pr, ' ', '') AS m FROM p$r ORDER BY c DESC, pr LIMIT 1),
+         |w$r AS (SELECT word, freq, trim(replace(' '||syms||' ', ' '||b$r.pr||' ', ' '||b$r.m||' ')) AS syms FROM $prev, b$r)""".stripMargin
+    }.mkString
+    s"""WITH s AS (SELECT * FROM generate_series(1, 31) t(i)),
+       |tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+       |w0 AS (SELECT word, freq, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms FROM wf)$rounds,
+       |ids AS (
+       |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS piece_id
+       |  FROM (SELECT DISTINCT unnest(string_split(syms, ' ')) AS piece FROM w5)),
+       |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |enc AS (
+       |  SELECT doc_id, unnest(string_split(v.syms, ' ')) AS piece
+       |  FROM dtok JOIN w5 v USING (word))
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(piece_id) AS BIGINT) AS id_sum,
+       |  CAST(max(piece_id) AS BIGINT) AS max_id
+       |FROM enc JOIN ids USING (piece)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ------------------------------------------------------------------ w13: systematic PPS sample
@@ -2079,6 +2145,7 @@ object TextDedupQueries {
     "t_inverted_index" -> tInvertedIndex,
     "t_bm25" -> tBm25,
     "t_bpe_train" -> tBpeTrain,
+    "t_bpe_encode" -> tBpeEncode,
     "e6_mixture_weights" -> e6MixtureWeights,
     "t_quality_model" -> tQualityModel,
     "t_bpe_pairs" -> tBpePairs,
@@ -2131,6 +2198,7 @@ object TextDedupQueries {
     "t_inverted_index" -> tInvertedIndexSql,
     "t_bm25" -> tBm25Sql,
     "t_bpe_train" -> tBpeTrainSql,
+    "t_bpe_encode" -> tBpeEncodeSql,
     "e6_mixture_weights" -> e6MixtureWeightsSql,
     "t_quality_model" -> tQualityModelSql,
     "t_bpe_pairs" -> tBpePairsSql,
