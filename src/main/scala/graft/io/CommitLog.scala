@@ -102,6 +102,9 @@ object CommitLog {
   // still carry those bytes, and a reused name would silently resurrect
   // stale values instead of serving NULLs. Tombstones accumulate.
   private val TombstoneRe = """"tombstone"\s*:\s*"([^"]+)"""".r
+  // a purge commit lifts reservations: its rewrite removed the dead bytes
+  // from every live file, so the physical name is reusable again
+  private val UntombstoneRe = """"untombstone"\s*:\s*"([^"]+)"""".r
 
   /** Committed versions with a RETAINED commit file, ascending; empty for
     * a fresh/absent table. After [[expireLog]] this lists only the tail —
@@ -201,6 +204,7 @@ object CommitLog {
       state.clusterSpec = Some((m.group(1), m.group(2).toInt))
     }
     TombstoneRe.findAllMatchIn(text).map(_.group(1)).foreach(state.tombstones += _)
+    UntombstoneRe.findAllMatchIn(text).map(_.group(1)).foreach(state.tombstones -= _)
   }
 
   /** The live file → stats state at `asOf` (default: latest). Checkpoint-
@@ -382,12 +386,20 @@ object CommitLog {
     * alters serializable: derived from a stale schema → conflict-abort. */
   def evolveSchema(table: String, newSchema: org.apache.spark.sql.types.StructType,
                    expectedTip: Long,
-                   tombstones: Seq[String] = Seq.empty): Long =
+                   tombstones: Seq[String] = Seq.empty): Long = {
+    // tombstone names are interpolated into the log line raw — a quote or
+    // control char would corrupt the JSON and silently LOSE the
+    // reservation on replay (the same guard txnUpsert puts on txnId)
+    tombstones.foreach(t => require(
+      t.nonEmpty && !t.exists(c => c == '"' || c == '\\' || c < ' '),
+      s"tombstoned physical name must be non-empty without quotes, " +
+        s"backslashes, or control characters: '$t'"))
     commitRaw(table, "alter",
       s"""{"schema64":"${java.util.Base64.getEncoder
         .encodeToString(newSchema.json.getBytes(StandardCharsets.UTF_8))}"}""" +:
         tombstones.map(t => s"""{"tombstone":"$t"}"""),
       Some(expectedTip))
+  }
 
   /** Physical names of every column ever DROPPED — reserved forever: old
     * data files still carry those bytes, so a later ADD/RENAME to such a
@@ -773,37 +785,110 @@ object CommitLog {
       ()
     }
 
+  /** Key types zone pruning understands: the vocabulary zone ranges are
+    * recorded in ([lo, hi] as longs — [[stageClustered]]/[[replaceFiles]]
+    * record only integral columns). */
+  private val integralKeyTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(ByteType, ShortType, IntegerType, LongType)
+  }
+
+  /** The files a keyed merge must rewrite: live files whose zone range on
+    * a key column OVERLAPS the update batch's key range, plus every live
+    * file without a recorded range on that key (absence of stats fails
+    * SAFE — the file is rewritten, never skipped). A file whose range
+    * excludes [batchMin, batchMax] cannot contain any row equal to any
+    * update key, so carrying it forward untouched is exact, not
+    * approximate. Falls back to `old` (full rewrite, the pre-pruning
+    * behavior) when no key column has integral type + recorded stats.
+    * One driver-side log replay + one small aggregation over `updates` —
+    * at 100 TB an IVM micro-batch's rewrite cost becomes ∝ the files its
+    * keys touch, never ∝ the table (the same zone machinery the SQL
+    * MERGE path uses, [[graft.sources.GraftRowLevelOperation]]). */
+  private def upsertCandidates(table: String, tip: Long, updates: DataFrame,
+                               keys: Seq[String], old: Seq[String])
+      : (Seq[String], Option[String]) = {
+    if (old.isEmpty) return (old, None)
+    val pruneKey = keys.find { k =>
+      updates.schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(k) && integralKeyTypes.contains(f.dataType)) &&
+        fileStatsOn(table, k, Some(tip)).nonEmpty
+    }
+    pruneKey match {
+      case None => (old, None)
+      case Some(k) =>
+        import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+        val r = updates.agg(fmin(col(s"`$k`").cast("long")),
+          fmax(col(s"`$k`").cast("long"))).head()
+        if (r.isNullAt(0)) (Seq.empty, Some(k)) // empty/all-null batch: nothing can match
+        else {
+          val (blo, bhi) = (r.getLong(0), r.getLong(1))
+          val stats = fileStatsOn(table, k, Some(tip))
+          (old.filter { f =>
+            stats.get(f) match {
+              case Some((flo, fhi)) => fhi >= blo && flo <= bhi
+              case None => true // stats-less file: always a candidate
+            }
+          }, Some(k))
+        }
+    }
+  }
+
+  /** Shared rewrite half of [[upsert]]/[[txnUpsert]]: zone-prunes the
+    * candidate files, merges ONLY their rows with the batch, stages the
+    * replacements (range-clustered with zone ranges re-recorded, so data
+    * skipping — and future upsert pruning — survives the rewrite instead
+    * of decaying), and returns (staged names, add+remove action lines).
+    * Files outside the batch's key range are carried forward untouched:
+    * they appear in neither the removes nor the re-staged adds. */
+  private def upsertActions(spark: SparkSession, table: String, tip: Long,
+                            updates: DataFrame, keys: Seq[String])
+      : (Seq[String], Seq[String]) = {
+    val old = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
+    val (candidates, prunedOn) = upsertCandidates(table, tip, updates, keys, old)
+    // the declared-schema reader, so an upsert after column evolution
+    // carries NULL-padded old rows instead of failing the union
+    val merged =
+      if (candidates.isEmpty) updates
+      else readFiles(spark, table, candidates, mergeSchema = false, Some(tip))
+        .join(updates, keys, "left_anti")
+        .unionByName(updates, allowMissingColumns = true)
+    // replacement files re-record zone ranges: the declared clustering
+    // column when the table has one, else the key pruning ran on — a
+    // stats-less replacement would make every FUTURE upsert treat it as
+    // a candidate forever (pruning would decay to full rewrites)
+    val statsCol = declaredClustering(table, if (tip < 0) None else Some(tip))
+      .map(_._1).filter(c => merged.columns.exists(_.equalsIgnoreCase(c)))
+      .orElse(prunedOn)
+    val (added, addLines) = statsCol match {
+      case Some(c) =>
+        stageClustered(spark, merged, table, c,
+          math.max(1, math.min(candidates.length, 32)))
+      case None =>
+        val fs = stage(merged, table)
+        (fs, fs.map(f => addAction(table, f)))
+    }
+    (added, addLines ++ candidates.map(f => s"""{"remove":"$f"}"""))
+  }
+
   /** Transactional upsert: rows in `updates` replace current rows with the
     * same `keys` values; everything else is carried forward. One commit —
     * readers see the old snapshot or the new one, never a mix. On a fresh
-    * table this is just an append. */
+    * table this is just an append. When the table carries zone ranges on
+    * a key column (clustered writes, prior upserts), only the files whose
+    * range overlaps the batch's keys are rewritten — cost ∝ batch, not
+    * table. */
   def upsert(spark: SparkSession, updates: DataFrame, table: String,
              keys: Seq[String]): Long = {
     Files.createDirectories(Paths.get(table))
     serializably(table) { tip =>
-      val old = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
-      if (old.isEmpty) {
-        // a fresh/empty table can still lose the race to a first writer,
-        // and the merge decision ("nothing to merge") was derived from
-        // this tip — conflict-abort applies here too
-        val added = stage(updates, table)
-        try commit(table, "upsert", added, Seq.empty, Some(tip))
-        catch {
-          case e: java.util.ConcurrentModificationException =>
-            unstage(table, added); throw e
-        }
-      } else {
-        // the declared-schema reader, so an upsert after column evolution
-        // carries NULL-padded old rows instead of failing the union
-        val current = readFiles(spark, table, old, mergeSchema = false, Some(tip))
-        val merged = current.join(updates, keys, "left_anti")
-          .unionByName(updates, allowMissingColumns = true)
-        val added = stage(merged, table)
-        try commit(table, "upsert", added, old, Some(tip))
-        catch {
-          case e: java.util.ConcurrentModificationException =>
-            unstage(table, added); throw e
-        }
+      // even on a fresh/empty table the merge decision ("nothing to
+      // merge") was derived from this tip — conflict-abort applies
+      val (added, actions) = upsertActions(spark, table, tip, updates, keys)
+      try commitRaw(table, "upsert", actions, Some(tip))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          unstage(table, added); throw e
       }
     }
   }
@@ -825,17 +910,9 @@ object CommitLog {
     serializably(table) { tip =>
       if (tip >= 0 && replay(table, Some(tip)).txns.contains(txnId)) None
       else {
-        val old = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
-        val merged =
-          if (old.isEmpty) updates
-          else readFiles(spark, table, old, mergeSchema = false, Some(tip))
-            .join(updates, keys, "left_anti")
-            .unionByName(updates, allowMissingColumns = true)
-        val added = stage(merged, table)
+        val (added, actions) = upsertActions(spark, table, tip, updates, keys)
         try Some(commitRaw(table, "upsert",
-          added.map(f => addAction(table, f)) ++
-            old.map(f => s"""{"remove":"$f"}""") :+ s"""{"txn":"$txnId"}""",
-          Some(tip)))
+          actions :+ s"""{"txn":"$txnId"}""", Some(tip)))
         catch {
           case e: java.util.ConcurrentModificationException =>
             unstage(table, added); throw e
@@ -1040,10 +1117,28 @@ object CommitLog {
       s"changes($table): fromV $fromV must be <= toV $toV")
     require(toV <= currentVersion(table),
       s"changes($table): toV $toV is past the log head ${currentVersion(table)}")
-    val layoutOps = Set("compact", "cluster", "checkpoint")
+    // 'purge' rewrites identical LOGICAL rows (it only drops tombstoned
+    // physical bytes the declared schema already excluded) — layout-only
+    val layoutOps = Set("compact", "cluster", "checkpoint", "purge")
     // (file, version, +1 added / -1 removed, commit needs a multiset diff)
     val entries = ((fromV + 1) to toV).flatMap { v =>
       val c = readCommit(table, v)
+      // a window spanning a DROP COLUMN cannot be served at head schema:
+      // the dropped column would silently project out of every change row,
+      // and a rewrite whose rows differed only in it would sign-cancel to
+      // ZERO rows. Refuse loudly (Delta refuses CDF across non-additive
+      // schema changes the same way); RENAME is fine — values are
+      // untouched and the feed is served under head logical names.
+      if (c.op == "alter") {
+        val text = new String(Files.readAllBytes(commitPath(table, v)),
+          StandardCharsets.UTF_8)
+        val droppedHere = TombstoneRe.findAllMatchIn(text).map(_.group(1)).toSeq
+        require(droppedHere.isEmpty,
+          s"changes($table): the window ($fromV, $toV] spans commit v$v, " +
+            s"which DROPPED column(s) ${droppedHere.mkString(", ")} — change " +
+            "rows before the drop cannot be represented at the head schema. " +
+            "Read the feed in two windows split at the alter, or time-travel.")
+      }
       if (layoutOps.contains(c.op)) Nil
       else {
         val diff = c.add.nonEmpty && c.remove.nonEmpty
@@ -1242,6 +1337,54 @@ object CommitLog {
       }
     }
   }
+
+  /** Physically PURGES dropped columns (Delta's `REORG TABLE ... PURGE`):
+    * rewrites every live file through the declared (logical) schema — so
+    * the tombstoned physical columns' bytes are actually gone from the
+    * new files — and lifts the tombstones in the SAME commit, making the
+    * names reusable by later ADD/RENAME. One conflict-checked rewrite:
+    * readers see the pre-purge or post-purge snapshot, never a mix; time
+    * travel below the purge still serves the pre-drop eras (old files
+    * stay addressable until vacuum). Zone ranges are re-recorded when the
+    * table declares clustering, so data skipping survives the rewrite.
+    * Returns the landed version, or None when nothing is tombstoned.
+    * At 100 TB this is the deliberate pay-once space-reclaim pass — the
+    * drop itself stays metadata-only. */
+  def purgeDroppedColumns(spark: SparkSession, table: String): Option[Long] =
+    serializably(table) { tip =>
+      require(tip >= 0, s"cannot purge $table: no commits")
+      val tombs = replay(table, Some(tip)).tombstones.toSeq
+      if (tombs.isEmpty) None
+      else {
+        val old = snapshotFiles(table, Some(tip))
+        // the declared-schema read already excludes dropped columns; the
+        // re-stage writes only the surviving (physical-named) fields
+        val current = readFiles(spark, table, old, mergeSchema = false, Some(tip))
+        val clustering = declaredClustering(table, Some(tip))
+          .filter { case (c, _) => current.columns.exists(_.equalsIgnoreCase(c)) }
+        val (added, addLines) = clustering match {
+          case Some((c, b)) => stageClustered(spark, current, table, c, b)
+          case None =>
+            val fs = stage(current, table)
+            (fs, fs.map(f => addAction(table, f)))
+        }
+        // an empty table must keep one schema-bearing file or the
+        // snapshot becomes unreadable (same guard DML rewrites carry)
+        val emptyGuard =
+          if (added.nonEmpty) Seq.empty
+          else stage(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            current.schema).coalesce(1), table)
+        try Some(commitRaw(table, "purge",
+          addLines ++ emptyGuard.map(f => addAction(table, f)) ++
+            old.map(f => s"""{"remove":"$f"}""") ++
+            tombs.map(t => s"""{"untombstone":"$t"}"""), Some(tip)))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            unstage(table, added ++ emptyGuard); throw e
+        }
+      }
+    }
 
   /** Default vacuum retention: 7 days, Delta Lake's own default
     * (`delta.deletedFileRetentionDuration`). Files younger than this are

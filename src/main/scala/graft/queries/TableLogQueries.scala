@@ -958,6 +958,50 @@ object TableLogQueries {
        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
        |GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** tl20e: `CALL graft.system.purge` — the space-reclaim completion of
+    * tl20d's metadata-only DROP ([[CommitLog.purgeDroppedColumns]],
+    * Delta's REORG ... PURGE shape): one conflict-checked rewrite lands
+    * files WITHOUT the tombstoned physical column (REQUIREd: bytes gone
+    * from every live file) and lifts the tombstone in the same commit, so
+    * the name is reusable — and the re-added column serves NULL for
+    * purged rows, never the old stale bytes (REQUIREd). */
+  private val tl20ePurge: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t20e", "SELECT * FROM t20e_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t20e").toString
+    spark.sql(s"ALTER TABLE $t DROP COLUMN status")
+    require(CommitLog.snapshotFiles(tdir).exists(f =>
+        spark.read.parquet(Paths.get(tdir, f).toString)
+          .schema.fieldNames.contains("status")),
+      "tl20e: pre-purge files must still carry the dropped bytes")
+    val purged = spark.sql("CALL graft.system.purge('dml.t20e')").collect()
+    require(purged.map(_.getString(1)).toSeq == Seq("status"),
+      s"tl20e: purge must report the reclaimed physical name, got ${purged.toSeq}")
+    require(CommitLog.snapshotFiles(tdir).forall(f =>
+        !spark.read.parquet(Paths.get(tdir, f).toString)
+          .schema.fieldNames.contains("status")),
+      "tl20e: purge must physically remove the dropped column's bytes")
+    require(CommitLog.droppedPhysicalNames(tdir).isEmpty,
+      "tl20e: purge must lift the tombstone")
+    // the SAME name is reusable now, and serves NULL — never stale bytes
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (status STRING)")
+    require(spark.sql(s"SELECT count(status) FROM $t").head.getLong(0) == 0L,
+      "tl20e: the re-added column must be NULL — stale bytes must not resurrect")
+    spark.sql(s"INSERT INTO $t SELECT id, price, batch, status FROM t20e_b2")
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows, count(status) AS n_status,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl20ePurgeSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows, count(status) AS n_status,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (
+       |  SELECT id, CAST(NULL AS VARCHAR) AS status, price, 1 AS batch FROM b1
+       |  UNION ALL SELECT id, status, price, batch FROM b2)
+       |GROUP BY batch ORDER BY batch""".stripMargin
+
   /** tl21: `CALL graft.system.cluster` — the OPTIMIZE-ZORDER-style
     * maintenance that RESTORES data skipping: the CTAS layout carries no
     * zone maps (REQUIREd), one cluster commit range-partitions the table
@@ -1048,6 +1092,44 @@ object TableLogQueries {
   }
 
   private val tl23ChangeFeedSql =
+    s"""WITH $batchesSql
+       |SELECT 0 AS commit_version, 'insert' AS change_type,
+       |  id, status, price, batch FROM b1
+       |UNION ALL
+       |SELECT 1, 'insert', id, status, price, batch FROM b2
+       |UNION ALL
+       |SELECT 1, 'delete', id, status, price, batch FROM b1 WHERE id % 6 = 0
+       |ORDER BY commit_version, change_type, id""".stripMargin
+
+  /** tl27: the `table_changes(...)` SQL table-valued function
+    * ([[graft.sources.TableChanges]], the Delta-parity CDF entry point):
+    * the WINDOW rides in the SQL text itself — `FROM table_changes(t, 1,
+    * 1)` serves exactly commit v1's delete+insert (REQUIREd) — and the
+    * full-window call must match tl23's Scala-API feed. Both the path
+    * form and the `'graft.ns.t'` catalog-identifier form are exercised
+    * (REQUIREd equal). */
+  private val tl27TableChanges: Q = (spark, dir) => {
+    val table = buildTable(spark, dir) // v0 append b1, v1 upsert b2
+    graft.sources.TableChanges.register(spark)
+    val windowed = spark.sql(s"SELECT * FROM table_changes('$table', 1, 1)")
+    require(windowed.select("_change_type").distinct().count() == 2L,
+      "tl27: the v1 window must carry the upsert's delete AND insert rows")
+    // the catalog-identifier form resolves to the same relation
+    val t = dmlTable(spark, dir, "t27", "SELECT * FROM t27_b1")
+    spark.sql("INSERT INTO graft.dml.t27 SELECT * FROM t27_b2")
+    val byIdent = spark.sql("SELECT * FROM table_changes('graft.dml.t27', 0, 2)")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t27").toString
+    val byPath = spark.sql(s"SELECT * FROM table_changes('$tdir', 0, 2)")
+    require(byIdent.exceptAll(byPath).isEmpty && byPath.exceptAll(byIdent).isEmpty,
+      "tl27: identifier and path forms must serve the same feed")
+    spark.sql(
+      s"""SELECT CAST(_commit_version AS INT) AS commit_version,
+         |  _change_type AS change_type, id, status, price, batch
+         |FROM table_changes('$table', 0, ${CommitLog.currentVersion(table)})
+         |ORDER BY commit_version, change_type, id""".stripMargin)
+  }
+
+  private val tl27TableChangesSql =
     s"""WITH $batchesSql
        |SELECT 0 AS commit_version, 'insert' AS change_type,
        |  id, status, price, batch FROM b1
@@ -1158,6 +1240,70 @@ object TableLogQueries {
        |SELECT 2, 'delete', id, status, price, batch FROM merged WHERE id % 9 = 0
        |ORDER BY commit_version, change_type, id""".stripMargin
 
+  /** tl25b: identifier-surface CDF STREAMING — the `.changes` metadata
+    * table (`spark.readStream.table("graft.ns.t.changes")`, the
+    * Iceberg-metadata-table shape): the V2 micro-batch stream serves each
+    * offset window's [[CommitLog.changes]] as a native columnar scan of
+    * a per-window materialization under the checkpoint. Same protocol as
+    * tl25's path form: drain, run DML mid-stream (REQUIREd incremental),
+    * drain, and the accumulated feed must multiset-equal the batch
+    * `changes()` twin — plus the BATCH identifier surface (`spark.read
+    * .table(".changes")`) must serve the same full window. */
+  private val tl25bCdfIdentStream: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t25b", "SELECT * FROM t25b_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t25b").toString
+    val root = Paths.get(Sinks.scratchDir("commitlog_cdfident"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val dst = root.resolve("dst").toString
+    val ckpt = root.resolve("ckpt").toString
+    val q = spark.readStream.table(s"$t.changes")
+      .writeStream.format("graftlog")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      q.processAllAvailable()                                   // drain create+CTAS
+      val afterFirst = spark.read.format("graftlog").load(dst).count()
+      val head0 = CommitLog.currentVersion(tdir)
+      val expectFirst = CommitLog.changes(spark, tdir, -1L, head0).count()
+      require(afterFirst == expectFirst,
+        s"tl25b: first drain must deliver the full feed, got $afterFirst vs $expectFirst")
+      CommitLog.upsert(spark, batch2(spark, dir), tdir, Seq("id")) // mid-stream rewrite
+      q.processAllAvailable()
+      val afterSecond = spark.read.format("graftlog").load(dst).count()
+      val expectDelta = CommitLog.changes(spark, tdir, head0,
+        CommitLog.currentVersion(tdir)).count()
+      require(afterSecond - afterFirst == expectDelta,
+        s"tl25b: mid-stream DML must arrive incrementally, got " +
+          s"${afterSecond - afterFirst} vs $expectDelta")
+    } finally q.stop()
+    val streamed = spark.read.format("graftlog").load(dst)
+    val twin = CommitLog.changes(spark, tdir, -1L, CommitLog.currentVersion(tdir))
+      .select(streamed.columns.map(col(_)): _*)
+    require(streamed.exceptAll(twin).isEmpty && twin.exceptAll(streamed).isEmpty,
+      "tl25b: accumulated stream feed must multiset-equal the batch changes() twin")
+    // the BATCH identifier surface serves the same full window
+    val batchIdent = spark.read.table(s"$t.changes")
+      .select(streamed.columns.map(col(_)): _*)
+    require(batchIdent.exceptAll(twin).isEmpty && twin.exceptAll(batchIdent).isEmpty,
+      "tl25b: spark.read.table(.changes) must equal the batch changes() twin")
+    streamed
+      .select(col("_change_type").as("change_type"),
+        col("id"), col("status"), col("price"), col("batch"))
+      .orderBy("change_type", "id", "batch")
+  }
+
+  private val tl25bCdfIdentStreamSql =
+    s"""WITH $batchesSql
+       |SELECT 'insert' AS change_type, id, status, price, batch FROM b1
+       |UNION ALL
+       |SELECT 'insert', id, status, price, batch FROM b2
+       |UNION ALL
+       |SELECT 'delete', id, status, price, batch FROM b1 WHERE id % 6 = 0
+       |ORDER BY change_type, id, batch""".stripMargin
+
   /** tl26: INCREMENTAL VIEW MAINTENANCE from the change data feed — the
     * pattern the CDF exists for, taken to its conclusion: a derived
     * AGGREGATE table (rows + exact money sum per batch) is maintained by
@@ -1265,7 +1411,9 @@ object TableLogQueries {
        |FROM final GROUP BY batch ORDER BY batch""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "tl27_table_changes" -> tl27TableChanges,
     "tl26_cdf_materialize" -> tl26CdfMaterialize,
+    "tl25b_cdf_ident_stream" -> tl25bCdfIdentStream,
     "tl25_cdf_stream" -> tl25CdfStream,
     "tl24_cdf_sql" -> tl24CdfSql,
     "tl23_change_feed" -> tl23ChangeFeed,
@@ -1275,6 +1423,7 @@ object TableLogQueries {
     "tl20b_rename" -> tl20bRename,
     "tl20c_widen" -> tl20cWiden,
     "tl20d_drop" -> tl20dDrop,
+    "tl20e_purge" -> tl20ePurge,
     "tl19_sql_maintenance" -> tl19SqlMaintenance,
     "tl18_sql_merge" -> tl18SqlMerge,
     "tl17_sql_update" -> tl17SqlUpdate,
@@ -1297,7 +1446,9 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl27_table_changes" -> tl27TableChangesSql,
     "tl26_cdf_materialize" -> tl26CdfMaterializeSql,
+    "tl25b_cdf_ident_stream" -> tl25bCdfIdentStreamSql,
     "tl25_cdf_stream" -> tl25CdfStreamSql,
     "tl24_cdf_sql" -> tl24CdfSqlSql,
     "tl23_change_feed" -> tl23ChangeFeedSql,
@@ -1307,6 +1458,7 @@ object TableLogQueries {
     "tl20b_rename" -> tl20bRenameSql,
     "tl20c_widen" -> tl20cWidenSql,
     "tl20d_drop" -> tl20dDropSql,
+    "tl20e_purge" -> tl20ePurgeSql,
     "tl19_sql_maintenance" -> tl19SqlMaintenanceSql,
     "tl18_sql_merge" -> tl18SqlMergeSql,
     "tl17_sql_update" -> tl17SqlUpdateSql,

@@ -99,8 +99,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def load(ident: Identifier, extra: Map[String, String]): Table = {
     val dir = dirOf(ident)
-    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    GraftLogDataSource.resolve(Map("path" -> dir.toString) ++ extra)
+    if (isTableDir(dir))
+      return GraftLogDataSource.resolve(Map("path" -> dir.toString) ++ extra)
+    // Iceberg-style metadata table: `ns.t.changes` is the change data
+    // feed of table `ns.t` — batch + micro-batch streaming, read-only.
+    // A REAL table directory named 'changes' wins (checked above).
+    if (ident.name.equalsIgnoreCase("changes") && ident.namespace().nonEmpty) {
+      val base = Identifier.of(ident.namespace().init, ident.namespace().last)
+      val baseDir = dirOf(base)
+      if (isTableDir(baseDir)) {
+        require(extra.isEmpty,
+          s"graft catalog: VERSION/TIMESTAMP AS OF does not apply to the " +
+            ".changes metadata table — window the feed with the " +
+            "startingVersion/endingVersion reader options instead")
+        return GraftLogDataSource.resolveChanges(baseDir.toString)
+      }
+    }
+    throw new NoSuchTableException(ident)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -214,6 +229,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "existing rows have no value for it")
         require(!s.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames()(0))),
           s"graft catalog: column ${a.fieldNames()(0)} already exists in $ident")
+        // the PHYSICAL names of renamed columns stay reserved too: adding
+        // a logical column named like another column's physical name
+        // would collide in every data file (duplicate parquet fields) or
+        // bind old files' stale bytes to the new column — the same
+        // resurrection hazard the rename guard below prevents
+        require(!s.fields.exists(f =>
+          CommitLog.physicalName(f).equalsIgnoreCase(a.fieldNames()(0)) &&
+            !f.name.equalsIgnoreCase(a.fieldNames()(0))),
+          s"graft catalog: cannot add ${a.fieldNames()(0)} — a committed data " +
+            s"file already carries '${a.fieldNames()(0)}' as another column's " +
+            "physical name")
         requireNotTombstoned(a.fieldNames()(0), "re-add dropped column")
         val field = StructField(a.fieldNames()(0), a.dataType, nullable = true)
         s.add(Option(a.comment).fold(field)(field.withComment))

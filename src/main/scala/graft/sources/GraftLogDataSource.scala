@@ -182,14 +182,17 @@ private[graft] final class GraftLogNativeScan(
     * through the scan builder's option map. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    // the V2 micro-batch form is a FILE stream (per-batch parquet scans);
-    // change-row streaming is served by the V1 source, which the
-    // path-based reader falls back to — refuse here rather than silently
-    // streaming snapshot rows to a caller who asked for changes
+    // the snapshot table's V2 micro-batch form is a FILE stream (per-batch
+    // parquet scans), and a reader OPTION cannot add the CDF columns to a
+    // catalog table's analysis-time schema — refuse here rather than
+    // silently streaming snapshot rows to a caller who asked for changes,
+    // and point at the two surfaces that DO serve change-row streams
     require(!streamOpts.get("readchangefeed").exists(_.toBoolean),
-      "graftlog: readChangeFeed streaming is served by the path form — " +
-        "spark.readStream.format(\"graftlog\").option(\"readChangeFeed\", true)" +
-        ".load(dir) — not by readStream.table identifiers")
+      "graftlog: readChangeFeed does not apply to a snapshot-table stream " +
+        "— stream changes via the `.changes` metadata table " +
+        "(spark.readStream.table(\"<cat>.<ns>.<t>.changes\")) or the path " +
+        "form (spark.readStream.format(\"graftlog\")" +
+        ".option(\"readChangeFeed\", true).load(dir))")
     def longOpt(key: String, what: String): Option[Long] =
       streamOpts.get(key).map { v =>
         try v.trim.toLong
@@ -290,7 +293,8 @@ object GraftLogDataSource {
   final case class GraftLogTable(path: String, snapshotVersion: Long,
                                  mergeSchema: Boolean, timeTravel: Boolean,
                                  schema0: StructType,
-                                 changeFeed: Option[(Long, Long)] = None)
+                                 changeFeed: Option[(Long, Long)] = None,
+                                 cdfStream: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -329,7 +333,10 @@ object GraftLogDataSource {
           org.apache.spark.sql.connector.expressions.Expressions.bucket(b, c)
       }.toArray
     override def capabilities(): util.Set[TableCapability] =
-      if (isCdf) // a change feed is a derived, read-only relation
+      if (isCdf && cdfStream) // the `.changes` metadata table: batch +
+        // micro-batch change-row streaming, still read-only
+        util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+      else if (isCdf) // a change feed is a derived, read-only relation
         util.EnumSet.of(TableCapability.BATCH_READ)
       else if (exists && !timeTravel)
         util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -350,8 +357,28 @@ object GraftLogDataSource {
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       // the change-feed relation: a derived computation (per-commit
       // multiset diffs), served through the V1 bridge — the diff itself
-      // is a full distributed Catalyst plan; only the hand-off is V1
-      changeFeed.foreach { case (fromV, toV) =>
+      // is a full distributed Catalyst plan; only the hand-off is V1.
+      // The `.changes` metadata-table form ALSO serves micro-batch
+      // streaming ([[GraftLogCdfMicroBatchStream]]), and its batch window
+      // is re-pinned from reader options (the path form folded its
+      // options into the pinned window at resolve; re-deriving here from
+      // the same options is identical).
+      changeFeed.foreach { case (fromV0, toV0) =>
+        val opts = options.asCaseSensitiveMap().asScala
+          .map { case (k, v) => k.toLowerCase -> v }.toMap
+        def longOpt(key: String, name: String): Option[Long] = opts.get(key).map { v =>
+          try v.trim.toLong
+          catch {
+            case e: NumberFormatException => throw new IllegalArgumentException(
+              s"graftlog: $name must be a version number, got '$v'", e)
+          }
+        }
+        val fromV = longOpt("startingversion", "startingVersion")
+          .map(_ - 1L).getOrElse(fromV0)
+        val toV = longOpt("endingversion", "endingVersion").getOrElse(toV0)
+        require(fromV + 1 >= 0 && fromV <= toV && toV <= toV0,
+          s"graftlog: change-feed window [${fromV + 1}, $toV] must lie " +
+            s"within [0, $toV0]")
         return new ScanBuilder {
           override def build(): Scan = new V1Scan {
             override def readSchema(): StructType = schema0
@@ -361,10 +388,35 @@ object GraftLogDataSource {
                 override def sqlContext: SQLContext = context
                 override def schema: StructType = schema0
                 override def buildScan(): RDD[Row] =
-                  CommitLog.changes(context.sparkSession, path, fromV, toV)
-                    .select(schema0.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+                  GraftLogStreamSource.alignToPinned(path,
+                      CommitLog.changes(context.sparkSession, path, fromV, toV),
+                      schema0, Some(toV))
                     .rdd
               }.asInstanceOf[T]
+
+            /** `spark.readStream.table("graft.ns.t.changes")`: change-row
+              * micro-batch streaming through the catalog identifier — the
+              * stream follows the LIVE log from `startingVersion`
+              * (default 0, the whole history), so the pinned batch window
+              * does not apply and `endingVersion` is refused. */
+            override def toMicroBatchStream(checkpointLocation: String)
+                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+              require(cdfStream,
+                "graftlog: this change-feed relation is batch-only — " +
+                  "stream changes via readStream.table(\"<cat>.<ns>.<t>.changes\") " +
+                  "or the path form readStream.format(\"graftlog\")" +
+                  ".option(\"readChangeFeed\", true).load(dir)")
+              require(!opts.contains("endingversion"),
+                "graftlog: endingVersion is a batch CDF option — a " +
+                  "change-feed stream follows the live log (stop the query " +
+                  "to bound it)")
+              new GraftLogCdfMicroBatchStream(SparkSession.active, path,
+                schema0, checkpointLocation,
+                startingVersion =
+                  longOpt("startingversion", "startingVersion").getOrElse(0L),
+                maxVersionsPerTrigger =
+                  longOpt("maxversionspertrigger", "maxVersionsPerTrigger"))
+            }
           }
         }
       }
@@ -774,6 +826,28 @@ object GraftLogDataSource {
 
   def resolve(properties: util.Map[String, String]): GraftLogTable =
     resolve(optKey(properties))
+
+  /** The `.changes` METADATA TABLE (Iceberg-style `ns.t.changes`
+    * identifier): the table's change data feed as a read-only relation —
+    * batch (window re-pinned from `startingVersion`/`endingVersion`
+    * reader options; default the full history) AND micro-batch streaming
+    * (`spark.readStream.table("cat.ns.t.changes")`). The schema is the
+    * head snapshot's plus `_change_type`/`_commit_version`. This is the
+    * identifier-surface twin of the path form's `readChangeFeed` option —
+    * an OPTION cannot add columns to a catalog table's analysis-time
+    * schema, a metadata IDENTIFIER can. */
+  def resolveChanges(path: String): GraftLogTable = {
+    val head = CommitLog.currentVersion(path)
+    require(head >= 0,
+      s"graftlog: cannot read changes of $path — the table has no commits yet")
+    val dataSchema = CommitLog.read(SparkSession.active, path, Some(head),
+      mergeSchema = false).schema
+    val cdfSchema = dataSchema
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", LongType)
+    GraftLogTable(path, head, mergeSchema = false, timeTravel = false,
+      cdfSchema, changeFeed = Some((-1L, head)), cdfStream = true)
+  }
 
   /** Resolution for the STREAMING read path: the table must exist (a
     * stream needs a schema before any data arrives — create the table

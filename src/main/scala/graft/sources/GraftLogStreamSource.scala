@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.NoSuchFileException
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.types.StructType
@@ -142,9 +144,11 @@ final class GraftLogStreamSource(
       // so no commit type needs refusing. Columns align to the pinned
       // stream schema (additive evolution only widens; the select drops
       // columns declared after stream start, matching snapshot-mode
-      // schema pinning).
-      val cdf = CommitLog.changes(spark, path, startV, endV)
-        .select(schema0.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
+      // schema pinning) THROUGH the physical-name mapping, so a mid-stream
+      // RENAME doesn't kill the stream — physical names are fixed at first
+      // write, matching snapshot mode's rename survival.
+      val cdf = GraftLogStreamSource.alignToPinned(path,
+        CommitLog.changes(spark, path, startV, endV), schema0, Some(endV))
       return GraftSqlShim.asStreamingBatch(cdf)
     }
     val batch = GraftLogStreamSource.deltaFiles(path, startV, endV, ignoreChanges) match {
@@ -171,6 +175,43 @@ final class GraftLogStreamSource(
 
 object GraftLogStreamSource {
 
+  /** Projects a `changes()` frame (the WINDOW-END era's logical column
+    * names) onto the feed's PINNED schema. Pinned fields carry their
+    * physical names in metadata; the physical name is fixed at first
+    * write, so it survives any RENAME in either direction — each pinned
+    * field resolves to whatever logical name the window-end era maps to
+    * its physical one (or the physical name itself in eras that never
+    * declared a mapping), aliased back to the pinned name. A pinned
+    * column the window-end era doesn't have at all was ADDED after the
+    * window — served as NULL, exactly as a snapshot read serves it for
+    * pre-evolution files. (A DROP never reaches here silently: `changes()`
+    * refuses any window spanning a drop commit.) */
+  private[sources] def alignToPinned(path: String, cdf: DataFrame,
+                                     pinned: StructType,
+                                     asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // resolve against the schema AT THE WINDOW END — the era whose
+    // logical names the changes() frame wears (the live head may already
+    // carry a later rename)
+    val declared = CommitLog.declaredSchema(path, asOf)
+    val cols = pinned.fields.toSeq.map { f =>
+      if (f.name == "_change_type" || f.name == "_commit_version")
+        col(s"`${f.name}`")
+      else {
+        val ph = CommitLog.physicalName(f)
+        val eraName = declared.flatMap(_.fields.find(cf =>
+            CommitLog.physicalName(cf).equalsIgnoreCase(ph))).map(_.name)
+          .orElse(cdf.columns.find(_.equalsIgnoreCase(ph)))
+        eraName match {
+          case Some(n) if n != f.name => col(s"`$n`").as(f.name)
+          case Some(n)                => col(s"`$n`")
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+    }
+    cdf.select(cols: _*)
+  }
+
   /** Files ADDED by commits in `(startV, endV]` — the delta one
     * micro-batch delivers, shared by the V1 source and the V2
     * [[GraftLogMicroBatchStream]] so both surfaces have identical
@@ -193,8 +234,9 @@ object GraftLogStreamSource {
         // content-identical rewrites: nothing new to deliver. Must match
         // CommitLog.changes's layoutOps set exactly — a 'cluster' commit
         // (CALL graft.system.cluster / compactClustered) rewrites layout
-        // only, and delivering its adds would re-emit every row as a dup.
-        case "compact" | "cluster" | "checkpoint" =>
+        // only, and delivering its adds would re-emit every row as a dup;
+        // 'purge' rewrites identical logical rows minus tombstoned bytes.
+        case "compact" | "cluster" | "checkpoint" | "purge" =>
         case op =>
           if (c.remove.nonEmpty && !ignoreChanges) throw new IllegalStateException(
             s"graftlog stream on $path hit a '$op' commit at v$v that removes " +
@@ -302,4 +344,114 @@ final class GraftLogMicroBatchStream(
 
   override def toString: String =
     s"GraftLogMicroBatchStream[$path @ >=v$startingVersion]"
+}
+
+/** Change-feed MICRO-BATCH stream for the catalog-identifier surface —
+  * what `spark.readStream.table("graft.ns.t.changes")` (the `.changes`
+  * metadata table, Iceberg-style) plans. Offsets ARE log versions,
+  * identical to the snapshot streams; each micro-batch delivers
+  * [[graft.io.CommitLog.changes]] over exactly the commit window its
+  * offsets span, so the accumulated feed equals the batch `changes()`
+  * over the same window and rewrite commits arrive as delete+insert.
+  *
+  * The change rows are a DERIVED distributed computation (broadcast-
+  * manifest scan + sign-sum diff), not a file list — and a V2 micro-batch
+  * stream can only plan `InputPartition`s. So each batch MATERIALIZES its
+  * window's change rows once, as parquet under the stream's checkpoint
+  * directory, and serves the native columnar scan of that
+  * materialization — the read-time analogue of the public Delta design's
+  * write-time `_change_data` files. Per-batch cost ∝ data changed in the
+  * window, never table size; the materialization is deterministic per
+  * window (commits are immutable), so a crash-replayed batch rewrites
+  * identical content and checkpoint recovery stays exact. Columns align
+  * to the schema pinned at stream start through the physical-name
+  * mapping ([[GraftLogStreamSource.alignToPinned]]), so a mid-stream
+  * RENAME doesn't kill the stream; a mid-stream DROP fails loudly. */
+final class GraftLogCdfMicroBatchStream(
+    spark: SparkSession,
+    path: String,
+    pinned: StructType,
+    checkpointLocation: String,
+    startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => COffset, ReadLimit}
+
+  require(startingVersion >= 0,
+    s"graftlog: startingVersion must be >= 0, got $startingVersion")
+  maxVersionsPerTrigger.foreach(m => require(m > 0,
+    s"graftlog: maxVersionsPerTrigger must be positive, got $m"))
+
+  // parquet materializations are written/read under fully-nullable field
+  // flags (FileFormatWriter relaxes nullability on write anyway; claiming
+  // non-null on read would be an unverified promise to codegen)
+  private val scanSchema: StructType =
+    StructType(pinned.fields.map(_.copy(nullable = true)))
+
+  // the engine hands the checkpoint location as a Hadoop-style URI
+  // ("file:/..."); the local-listing side needs a filesystem path
+  private val ckptDir: java.nio.file.Path =
+    if (checkpointLocation.startsWith("file:"))
+      java.nio.file.Paths.get(new java.net.URI(checkpointLocation))
+    else java.nio.file.Paths.get(checkpointLocation)
+
+  private var offered: Long = startingVersion - 1
+  private var availableNowCap: Option[Long] = None
+
+  override def initialOffset(): COffset = GraftLogOffset(startingVersion - 1)
+  override def deserializeOffset(json: String): COffset =
+    GraftLogOffset(json.trim.toLong)
+  override def commit(end: COffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(CommitLog.currentVersion(path))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): COffset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) is the admission-controlled form")
+
+  override def latestOffset(start: COffset, limit: ReadLimit): COffset = {
+    if (start != null) offered = math.max(offered, start.json.trim.toLong)
+    val head = availableNowCap
+      .fold(CommitLog.currentVersion(path))(math.min(_, CommitLog.currentVersion(path)))
+    val target = maxVersionsPerTrigger.fold(head)(m => math.min(head, offered + m))
+    if (target > offered) offered = target
+    GraftLogOffset(offered)
+  }
+
+  override def planInputPartitions(start: COffset, end: COffset)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val startV = start.json.trim.toLong
+    val endV = end.json.trim.toLong
+    offered = math.max(offered, endV)
+    if (endV <= startV) return Array.empty
+    val dir = ckptDir.resolve("_graft_cdf").resolve(s"${startV + 1}_$endV")
+    // materialize ONCE per window: the engine plans the same batch several
+    // times (columnar probe, execution, recovery), so a finished
+    // materialization (_SUCCESS present) is reused as-is — rewriting would
+    // invalidate partitions planned from the previous file names. A
+    // crash-replayed HALF-write (no _SUCCESS) is overwritten; the window's
+    // CDF is deterministic (commits are immutable), so recovery is exact.
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+      GraftLogStreamSource.alignToPinned(path,
+          CommitLog.changes(spark, path, startV, endV), pinned, Some(endV))
+        .write.mode("overwrite").parquet(dir.toString)
+    val files = java.nio.file.Files.list(dir).iterator.asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    if (files.isEmpty) Array.empty
+    else GraftSqlShim.parquetScan(spark, files, scanSchema, scanSchema,
+      Array.empty).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    GraftSqlShim.parquetScan(spark, Seq.empty, scanSchema, scanSchema,
+      Array.empty).toBatch.createReaderFactory()
+
+  override def toString: String =
+    s"GraftLogCdfMicroBatchStream[$path @ >=v$startingVersion]"
 }

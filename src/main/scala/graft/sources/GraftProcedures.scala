@@ -35,7 +35,8 @@ private[sources] object GraftProcedures {
   /** All procedures live in the `system` namespace. */
   val Namespace: Array[String] = Array("system")
 
-  def names: Seq[String] = Seq("cluster", "compact", "vacuum", "checkpoint", "history")
+  def names: Seq[String] =
+    Seq("cluster", "compact", "vacuum", "checkpoint", "history", "purge")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -44,6 +45,7 @@ private[sources] object GraftProcedures {
       case "vacuum"     => Some(new VacuumProc(catalog))
       case "checkpoint" => Some(new CheckpointProc(catalog))
       case "history"    => Some(new HistoryProc(catalog))
+      case "purge"      => Some(new PurgeProc(catalog))
       case _            => None
     }
 
@@ -161,6 +163,31 @@ private[sources] object GraftProcedures {
       val v = CommitLog.checkpoint(dir)
       val expired = CommitLog.expireLog(dir)
       result(schema, Seq(new GenericInternalRow(Array[Any](v, expired.size))))
+    }
+  }
+
+  /** `purge(table)` — physically rewrite the live snapshot WITHOUT the
+    * tombstoned (dropped) physical columns and lift the tombstones in the
+    * same commit ([[CommitLog.purgeDroppedColumns]], Delta's `REORG TABLE
+    * ... APPLY (PURGE)` analogue): the dead bytes stop riding every scan
+    * and the names become reusable. Returns the landed version and the
+    * physical names reclaimed (zero rows = nothing was tombstoned). */
+  private final class PurgeProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "purge") {
+    override def description(): String =
+      "rewrite live files without dropped columns and lift their tombstones (one commit)"
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+    private val schema = new StructType()
+      .add("version", LongType, nullable = false)
+      .add("purged_physical_name", StringType, nullable = false)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirOf(input)
+      val tombs = CommitLog.droppedPhysicalNames(dir).toSeq.sorted
+      CommitLog.purgeDroppedColumns(SparkSession.active, dir) match {
+        case None => result(schema, Seq.empty)
+        case Some(v) => result(schema, tombs.map(t =>
+          new GenericInternalRow(Array[Any](v, str(t)))))
+      }
     }
   }
 

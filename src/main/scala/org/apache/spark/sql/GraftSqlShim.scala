@@ -14,6 +14,29 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
 
+  /** Registers a session-scoped SQL TABLE-VALUED function: the builder
+    * receives the call's argument expressions at analysis time and
+    * returns the LogicalPlan the reference resolves to (the registry
+    * Spark's own `range(...)` TVF lives in — `sessionState
+    * .tableFunctionRegistry` is `private[sql]`, hence the shim). */
+  def registerTableFunction(spark: SparkSession, name: String)
+      (builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => LogicalPlan)
+      : Unit =
+    spark.asInstanceOf[ClassicSparkSession].sessionState.tableFunctionRegistry
+      .registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), builder, "scala_udf")
+
+  /** A frame's analyzed plan — what a TVF builder returns so the call
+    * site resolves to an already-analyzed subtree. */
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** A registered catalog plugin by name (`catalogManager` is
+    * `private[sql]`). */
+  def catalogPlugin(spark: SparkSession,
+                    name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[ClassicSparkSession].sessionState.catalogManager.catalog(name)
+
   /** Column from a custom Expression — the scalar sibling of [[ofRows]]
     * (needed when an expression carries non-Literal state, e.g. a
     * per-iteration centroid table, that no FunctionRegistry signature can

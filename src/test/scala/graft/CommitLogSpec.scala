@@ -212,6 +212,66 @@ class CommitLogSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == (0L until 500L), "every row delivered exactly once")
   }
 
+  test("upsert on a clustered table rewrites ONLY key-overlapping files") {
+    import spark.implicits._
+    val t = freshTable("zupsert")
+    // 100 keys range-clustered into 4 files: [0,24] [25,49] [50,74] [75,99]
+    CommitLog.appendClustered(spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"), t, "id", 4)
+    val before = CommitLog.snapshotFiles(t)
+    assert(before.length == 4 && CommitLog.fileStatsOn(t, "id").size == 4)
+    // batch keys 10..15 overlap exactly one file's zone range
+    val v1 = CommitLog.upsert(spark,
+      (10L to 15L).map(i => (i, s"NEW$i")).toDF("id", "v"), t, Seq("id"))
+    assert(v1 == 1L)
+    val after = CommitLog.snapshotFiles(t)
+    val untouched = before.filter(after.contains)
+    assert(untouched.length == 3,
+      s"three non-overlapping files must survive BY NAME, got $untouched")
+    val removed = before.filterNot(after.contains)
+    assert(removed.length == 1, s"exactly one file rewritten, got $removed")
+    // content is the full merge
+    val now = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now.size == 100 && now(12L) == "NEW12" && now(50L) == "v50")
+    // replacements re-recorded zone ranges — pruning must not decay:
+    // a SECOND upsert in a different range still carries the first
+    // rewrite's files forward untouched
+    assert(after.forall(CommitLog.fileStatsOn(t, "id").contains),
+      "every live file must carry a zone range on the key after the upsert")
+    val afterV1 = CommitLog.snapshotFiles(t)
+    CommitLog.upsert(spark, Seq((80L, "X80")).toDF("id", "v"), t, Seq("id"))
+    val afterV2 = CommitLog.snapshotFiles(t)
+    assert(afterV1.count(afterV2.contains) == afterV1.length - 1,
+      "second upsert rewrites exactly the one file covering key 80")
+    // an all-new-keys batch past every range is a pure insert: no removes
+    val v3 = CommitLog.upsert(spark,
+      Seq((200L, "n200")).toDF("id", "v"), t, Seq("id"))
+    assert(CommitLog.readCommit(t, v3).remove.isEmpty,
+      "out-of-range batch must carry no file forward through a rewrite")
+    assert(CommitLog.read(spark, t).count() == 101)
+    // txnUpsert prunes identically (shared rewrite path) and stays exactly-once
+    val preTxn = CommitLog.snapshotFiles(t)
+    assert(CommitLog.txnUpsert(spark, Seq((12L, "T12")).toDF("id", "v"),
+      t, Seq("id"), "zq#1").isDefined)
+    val postTxn = CommitLog.snapshotFiles(t)
+    assert(preTxn.count(postTxn.contains) >= preTxn.length - 1,
+      "txnUpsert must rewrite at most the one overlapping file")
+    assert(CommitLog.txnUpsert(spark, Seq((12L, "WRONG")).toDF("id", "v"),
+      t, Seq("id"), "zq#1").isEmpty, "replayed txn is a no-op")
+    assert(CommitLog.read(spark, t).filter($"id" === 12L).head().getString(1) == "T12")
+  }
+
+  test("evolveSchema refuses tombstone names that would corrupt the log line") {
+    val t = freshTable("badtomb")
+    CommitLog.append(df(1L -> "a"), t)
+    val schema = CommitLog.read(spark, t).schema
+    val tip = CommitLog.currentVersion(t)
+    for (bad <- Seq("a\"b", "a\nb", "a\\b", ""))
+      assertThrows[IllegalArgumentException](
+        CommitLog.evolveSchema(t, schema, tip, Seq(bad)))
+  }
+
   test("txnUpsert: merges exactly once; a replayed txn is a no-op") {
     val t = freshTable("txnupsert")
     assert(CommitLog.txnUpsert(spark, df(1L -> "a", 2L -> "b"), t, Seq("id"), "q#0").contains(0L))

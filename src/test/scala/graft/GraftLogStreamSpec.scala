@@ -56,17 +56,16 @@ class GraftLogStreamSpec extends SparkSpec {
       s"compaction must not re-deliver rewritten rows, got $got")
   }
 
-  test("readChangeFeed via readStream.table refuses loudly (path form serves it)") {
+  test("readChangeFeed via readStream.table refuses; the .changes identifier serves it") {
     val root = freshDir("cdfident")
-    val t = root.resolve("t").toString
-    CommitLog.append(Seq((1L, "a")).toDF("id", "v"), t)
     spark.conf.set("spark.sql.catalog.cdfid", classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.cdfid.warehouse", root.resolve("wh").toString)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cdfid.s")
     spark.sql("DROP TABLE IF EXISTS cdfid.s.t")
     spark.sql("CREATE TABLE cdfid.s.t AS SELECT 1L AS id")
-    // the V2 micro-batch stream is a file stream; asking it for change
-    // rows must refuse (silently streaming snapshot rows would be wrong)
+    // an OPTION can't add the CDF columns to a catalog table's
+    // analysis-time schema; asking the snapshot stream for change rows
+    // must refuse (silently streaming snapshot rows would be wrong)
     val e = intercept[Exception] {
       val q = spark.readStream.option("readChangeFeed", "true").table("cdfid.s.t")
         .writeStream.format("memory").queryName("cdf_ident_refuse")
@@ -75,8 +74,71 @@ class GraftLogStreamSpec extends SparkSpec {
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("readChangeFeed streaming is served by the path form")),
-      msgs(e).mkString(" | "))
+    assert(msgs(e).exists(_.contains(".changes")), msgs(e).mkString(" | "))
+  }
+
+  test(".changes metadata table: identifier CDF streaming, mid-stream DML + rename") {
+    val root = freshDir("cdfmeta")
+    spark.conf.set("spark.sql.catalog.cdfm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdfm.warehouse", root.resolve("wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdfm.s")
+    spark.sql("DROP TABLE IF EXISTS cdfm.s.t")
+    spark.sql("CREATE TABLE cdfm.s.t AS SELECT id, concat('v', id) AS v FROM range(3)")
+    val dir = root.resolve("wh").resolve("s").resolve("t").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    val delivered =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    def drainChanges(): Seq[(Long, String, String, Long)] = {
+      delivered.clear()
+      val q = spark.readStream.table("cdfm.s.t.changes")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => delivered.add((r.getLong(0), r.getString(1),
+            r.getString(r.fieldIndex("_change_type")),
+            r.getLong(r.fieldIndex("_commit_version")))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000L), ".changes drain timed out")
+      delivered.iterator().asScala.toSeq.sorted
+    }
+
+    // first drain: the CTAS inserts
+    val first = drainChanges()
+    assert(first.map(t => (t._1, t._3)) == Seq((0L, "insert"), (1L, "insert"), (2L, "insert")),
+      s"first drain must deliver the CTAS inserts, got $first")
+
+    // mid-stream DML (an upsert rewrite) and a RENAME; the resumed stream
+    // must deliver the rewrite as delete+insert and survive the rename
+    val upsertV = CommitLog.upsert(spark, Seq((1L, "V1")).toDF("id", "v"), dir, Seq("id"))
+    spark.sql("ALTER TABLE cdfm.s.t RENAME COLUMN v TO w")
+    spark.sql("INSERT INTO cdfm.s.t SELECT 9, 'v9'")
+    val resumed = drainChanges()
+    assert(resumed.contains((1L, "v1", "delete", upsertV)) &&
+        resumed.contains((1L, "V1", "insert", upsertV)),
+      s"the upsert must arrive as delete+insert: $resumed")
+    assert(resumed.exists(t => t._1 == 9L && t._3 == "insert"),
+      s"the post-rename insert must stream: $resumed")
+    // accumulated feed == batch changes() over the same window (multiset)
+    val batchFeed = CommitLog.changes(spark, dir, -1L, CommitLog.currentVersion(dir))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(r.fieldIndex("_change_type")),
+        r.getLong(r.fieldIndex("_commit_version")))).toSeq.sorted
+    assert((first ++ resumed).sorted == batchFeed,
+      s"stream feed must equal batch changes(): ${(first ++ resumed).sorted} vs $batchFeed")
+
+    // batch identifier surface: full history + windowed via reader options
+    assert(spark.read.table("cdfm.s.t.changes").count() == batchFeed.length.toLong)
+    val windowed = spark.read.option("startingVersion", upsertV)
+      .option("endingVersion", upsertV).table("cdfm.s.t.changes")
+    assert(windowed.count() == 2L,
+      s"v$upsertV window = the upsert's delete+insert")
+    // SQL reaches it as an ordinary identifier
+    assert(spark.sql("SELECT count(*) FROM cdfm.s.t.changes").head.getLong(0) ==
+      batchFeed.length.toLong)
   }
 
   test("a cluster maintenance commit mid-stream delivers nothing (layout-only)") {

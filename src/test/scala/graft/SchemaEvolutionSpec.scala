@@ -194,6 +194,121 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(e3.getMessage.contains("DROPPED"), e3.getMessage)
   }
 
+  test("purge rewrites dropped-column bytes out of live files and lifts tombstones") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.pg")
+    spark.sql("DROP TABLE IF EXISTS evo.pg.t")
+    spark.sql("CREATE TABLE evo.pg.t AS SELECT id, concat('s', id) AS s, id * 2 AS x FROM range(4)")
+    val dir = Paths.get(wh, "pg", "t").toString
+    spark.sql("ALTER TABLE evo.pg.t DROP COLUMN s")
+    val preDrop = 0L // CTAS landed at v0
+    val prePurge = CommitLog.currentVersion(dir)
+
+    // dead bytes still ride the pre-purge files
+    assert(CommitLog.snapshotFiles(dir).exists(f =>
+      spark.read.parquet(Paths.get(dir, f).toString).schema.fieldNames.contains("s")))
+
+    val purged = spark.sql("CALL evo.system.purge('pg.t')").collect()
+    assert(purged.map(_.getString(1)).toSeq == Seq("s"), purged.mkString(","))
+
+    // bytes physically GONE from every live file
+    for (f <- CommitLog.snapshotFiles(dir)) {
+      val phys = spark.read.parquet(Paths.get(dir, f).toString).schema.fieldNames
+      assert(!phys.contains("s"), s"purge left dead column bytes in $f: ${phys.toSeq}")
+    }
+    // content identical; pre-purge eras still time travel (pre-drop serves s)
+    assert(spark.sql("SELECT sum(x) FROM evo.pg.t").head.getLong(0) == 12L)
+    assert(CommitLog.read(spark, dir, Some(prePurge)).count() == 4L)
+    assert(CommitLog.read(spark, dir, Some(preDrop)).schema.fieldNames.contains("s"))
+
+    // tombstone lifted: the name is reusable, and the re-added column is
+    // NULL for purged rows (never the stale resurrected bytes)
+    assert(CommitLog.droppedPhysicalNames(dir).isEmpty)
+    spark.sql("ALTER TABLE evo.pg.t ADD COLUMNS (s STRING)")
+    assert(spark.sql("SELECT count(*) FROM evo.pg.t WHERE s IS NULL").head.getLong(0) == 4L)
+    spark.sql("INSERT INTO evo.pg.t SELECT 9, 18, 'fresh'")
+    assert(spark.sql("SELECT s FROM evo.pg.t WHERE id = 9").head.getString(0) == "fresh")
+    // purge with nothing tombstoned is a no-op: zero rows, no commit
+    val tip = CommitLog.currentVersion(dir)
+    assert(spark.sql("CALL evo.system.purge('pg.t')").collect().isEmpty)
+    assert(CommitLog.currentVersion(dir) == tip)
+    // tombstone lift survives a checkpoint roll
+    spark.sql("DROP TABLE IF EXISTS evo.pg.t2")
+    spark.sql("CREATE TABLE evo.pg.t2 AS SELECT id, concat('a', id) AS a FROM range(3)")
+    spark.sql("ALTER TABLE evo.pg.t2 ADD COLUMNS (b INT)")
+    spark.sql("ALTER TABLE evo.pg.t2 DROP COLUMN b")
+    val dir2 = Paths.get(wh, "pg", "t2").toString
+    CommitLog.purgeDroppedColumns(spark, dir2)
+    CommitLog.checkpoint(dir2)
+    assert(CommitLog.droppedPhysicalNames(dir2).isEmpty,
+      "a lifted tombstone must stay lifted across the checkpoint roll")
+  }
+
+  test("ADD COLUMNS refuses a name already worn physically by a renamed column") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.ap")
+    spark.sql("DROP TABLE IF EXISTS evo.ap.t")
+    spark.sql("CREATE TABLE evo.ap.t AS SELECT id, concat('s', id) AS status FROM range(3)")
+    spark.sql("ALTER TABLE evo.ap.t RENAME COLUMN status TO state")
+    // 'state' still wears physical 'status' in every data file: adding a
+    // NEW logical 'status' would collide physically (duplicate parquet
+    // fields) or bind old files' stale bytes to the new column
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE evo.ap.t ADD COLUMNS (status STRING)")
+    }
+    assert(e.getMessage.contains("physical name"), e.getMessage)
+    // an unrelated name is fine, and the table stays fully readable
+    spark.sql("ALTER TABLE evo.ap.t ADD COLUMNS (note STRING)")
+    assert(spark.table("evo.ap.t").count() == 3L)
+  }
+
+  test("changes() refuses a window spanning a DROP COLUMN; split windows serve") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.cw")
+    spark.sql("DROP TABLE IF EXISTS evo.cw.t")
+    spark.sql("CREATE TABLE evo.cw.t AS SELECT id, concat('s', id) AS s, id * 2 AS x FROM range(3)")
+    val dir = Paths.get(wh, "cw", "t").toString
+    val v0 = CommitLog.currentVersion(dir)
+    spark.sql("INSERT INTO evo.cw.t SELECT 10, 's10', 20")          // v0+1
+    spark.sql("ALTER TABLE evo.cw.t DROP COLUMN s")                  // v0+2
+    spark.sql("INSERT INTO evo.cw.t SELECT 11, 22")                  // v0+3
+    val head = CommitLog.currentVersion(dir)
+    // spanning the drop: change rows before it cannot be represented at
+    // head schema — loud refusal, not a silent reinterpretation
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.changes(spark, dir, v0, head).collect()
+    }
+    assert(e.getMessage.contains("DROPPED"), e.getMessage)
+    // split at the alter, both halves serve exactly
+    assert(CommitLog.changes(spark, dir, v0, v0 + 1).count() == 1L)
+    assert(CommitLog.changes(spark, dir, v0 + 2, head).count() == 1L)
+    // a window that spans a RENAME (values untouched) still serves
+    spark.sql("ALTER TABLE evo.cw.t RENAME COLUMN x TO y")           // head+1
+    spark.sql("INSERT INTO evo.cw.t SELECT 12, 24")                  // head+2
+    val feed = CommitLog.changes(spark, dir, v0 + 2, head + 2)
+    assert(feed.columns.contains("y") && feed.count() == 2L,
+      "rename-spanning CDF serves under head logical names")
+  }
+
+  test("nested-field evolution is refused loudly (documented decision, SCALE.md)") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.nf")
+    spark.sql("DROP TABLE IF EXISTS evo.nf.t")
+    spark.sql("CREATE TABLE evo.nf.t AS " +
+      "SELECT id, named_struct('a', id, 'b', concat('s', id)) AS s FROM range(3)")
+    // struct-level column ops (add/rename a FIELD inside s) arrive as
+    // multi-part fieldNames; the catalog refuses them with a stable
+    // message rather than corrupting the column-mapping metadata
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE evo.nf.t ADD COLUMNS (s.c STRING)")
+    }
+    assert(e.getMessage.contains("only top-level column evolution"),
+      e.getMessage)
+    // whole-struct operations still work: the struct is itself top-level
+    spark.sql("ALTER TABLE evo.nf.t RENAME COLUMN s TO st")
+    assert(spark.sql("SELECT st.b FROM evo.nf.t WHERE id = 1").head.getString(0) == "s1")
+  }
+
   test("evolution gauntlet: adds/renames/widens/drops interleaved with writes, model-checked") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.m")
