@@ -1387,18 +1387,28 @@ object TextDedupQueries {
     * the merge application is a stateless string rewrite (left-to-right
     * non-overlapping replace, the same greediness both engines share).
     * Output pins the full final segmentation per word, so a wrong merge
-    * in ANY round breaks the hash. DuckDB twin: the same five rounds as
-    * chained CTEs with LIMIT-1 argmax blocks. */
-  /** The trained 5-round BPE vocabulary — (word, freq, syms) with syms
-    * the space-joined final segmentation. Shared by the train gate and
-    * the encode gate so both surface the SAME merges. */
-  private def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    * in ANY round breaks the hash. DuckDB twin: the same rounds as chained
+    * MATERIALIZED CTEs with LIMIT-1 argmax blocks. */
+  /** Merge rounds both BPE gates train for. 20 proves the loop scales in
+    * ROUNDS, not just rows: plan depth stays bounded however many merges
+    * run (the realistic regime is 1k–32k). */
+  private[graft] val BpeRounds = 20
+
+  /** The trained BPE vocabulary — (word, freq, syms) with syms the
+    * space-joined final segmentation after [[BpeRounds]] merges. Shared
+    * by the train gate and the encode gate so both surface the SAME
+    * merges. */
+  private[graft] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeVocab(spark, dir, BpeRounds)
+
+  private[graft] def bpeVocab(spark: SparkSession, dir: String,
+                              rounds: Int): DataFrame = {
     val wf = Tables.documents(spark, dir)
       .select(explode(TextPipeline.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .cache()
     var cur = wf.withColumn("syms", expr("rtrim(regexp_replace(word, '(.)', '$1 '))"))
-    for (_ <- 1 to 5) {
+    for (r <- 1 to rounds) {
       val best = cur
         .select(col("freq"), expr("split(syms, ' ')").as("sp"))
         // sequence(1, n) counts DOWN when n < 1 — guard 1-char words
@@ -1418,6 +1428,12 @@ object TextDedupQueries {
       val merged = best.replace(" ", "")
       cur = cur.withColumn("syms",
         expr(s"trim(replace(' ' || syms || ' ', ' $best ', ' $merged '))"))
+      // lineage truncation every few rounds: without it the plan chains
+      // one replace() per merge — linear depth, an analyzer/codegen cliff
+      // at realistic 1k–32k-merge vocabularies. The state is the
+      // VOCABULARY (words × segmentation), so a localCheckpoint is cheap
+      // at any corpus size, and plan depth stays bounded by the interval.
+      if (r % 8 == 0) cur = cur.localCheckpoint()
     }
     cur
   }
@@ -1456,49 +1472,46 @@ object TextDedupQueries {
       .orderBy("doc_id")
   }
 
-  private val tBpeTrainSql: String = {
-    val rounds = (1 to 5).map { r =>
+  /** The per-round CTE chain, MATERIALIZED: DuckDB inlines a CTE at every
+    * reference, so a non-materialized n-round chain re-evaluates 2^n
+    * times — fatal at 20 rounds. */
+  private def bpeRoundsSql: String =
+    (1 to BpeRounds).map { r =>
       val prev = if (r == 1) "w0" else s"w${r - 1}"
       s""",
-         |p$r AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |p$r AS MATERIALIZED (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM (
          |   SELECT freq, sp[s.i] || ' ' || sp[s.i+1] AS pr
          |   FROM (SELECT freq, string_split(syms, ' ') AS sp FROM $prev), s
          |   WHERE s.i <= len(sp) - 1) GROUP BY 1),
-         |b$r AS (SELECT pr, replace(pr, ' ', '') AS m FROM p$r ORDER BY c DESC, pr LIMIT 1),
-         |w$r AS (SELECT word, freq, trim(replace(' '||syms||' ', ' '||b$r.pr||' ', ' '||b$r.m||' ')) AS syms FROM $prev, b$r)""".stripMargin
+         |b$r AS MATERIALIZED (SELECT pr, replace(pr, ' ', '') AS m FROM p$r ORDER BY c DESC, pr LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT word, freq, trim(replace(' '||syms||' ', ' '||b$r.pr||' ', ' '||b$r.m||' ')) AS syms FROM $prev, b$r)""".stripMargin
     }.mkString
+
+  private val tBpeTrainSql: String = {
+    val rounds = bpeRoundsSql
     s"""WITH s AS (SELECT * FROM generate_series(1, 31) t(i)),
        |tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
        |wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
        |w0 AS (SELECT word, freq, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms FROM wf)$rounds
        |SELECT word, freq, syms, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_pieces
-       |FROM w5 ORDER BY word""".stripMargin
+       |FROM w20 ORDER BY word""".stripMargin
   }
 
-  /** The same five training rounds, then the corpus encoded with the
-    * trained vocabulary — mirrors [[tBpeEncode]] exactly. */
+  /** The same training rounds, then the corpus encoded with the trained
+    * vocabulary — mirrors [[tBpeEncode]] exactly. */
   private val tBpeEncodeSql: String = {
-    val rounds = (1 to 5).map { r =>
-      val prev = if (r == 1) "w0" else s"w${r - 1}"
-      s""",
-         |p$r AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM (
-         |   SELECT freq, sp[s.i] || ' ' || sp[s.i+1] AS pr
-         |   FROM (SELECT freq, string_split(syms, ' ') AS sp FROM $prev), s
-         |   WHERE s.i <= len(sp) - 1) GROUP BY 1),
-         |b$r AS (SELECT pr, replace(pr, ' ', '') AS m FROM p$r ORDER BY c DESC, pr LIMIT 1),
-         |w$r AS (SELECT word, freq, trim(replace(' '||syms||' ', ' '||b$r.pr||' ', ' '||b$r.m||' ')) AS syms FROM $prev, b$r)""".stripMargin
-    }.mkString
+    val rounds = bpeRoundsSql
     s"""WITH s AS (SELECT * FROM generate_series(1, 31) t(i)),
        |tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
        |wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
        |w0 AS (SELECT word, freq, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms FROM wf)$rounds,
        |ids AS (
        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS piece_id
-       |  FROM (SELECT DISTINCT unnest(string_split(syms, ' ')) AS piece FROM w5)),
+       |  FROM (SELECT DISTINCT unnest(string_split(syms, ' ')) AS piece FROM w20)),
        |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
        |enc AS (
        |  SELECT doc_id, unnest(string_split(v.syms, ' ')) AS piece
-       |  FROM dtok JOIN w5 v USING (word))
+       |  FROM dtok JOIN w20 v USING (word))
        |SELECT doc_id, count(*) AS n_tokens,
        |  CAST(sum(piece_id) AS BIGINT) AS id_sum,
        |  CAST(max(piece_id) AS BIGINT) AS max_id
