@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.io.CommitLog
+
+/** One-off METADATA-PLANE scale probe (NOT a gate) — the commit-log
+  * analogue of [[ScaleProbe]]'s data-plane tiers:
+  *
+  * Tier A — upsert ∝ batch: a clustered table grown 1×/4×/16× receives
+  * the SAME 200-row upsert; with zone pruning the rewrite cost (and the
+  * rewritten-file count) must stay flat while the table grows 16×.
+  *
+  * Tier B — log length: a table driven to N ∈ {100, 500, 2000} commits
+  * (one tiny add each, realistic ingest shape; checkpoint rolled every
+  * 500 like [[CommitLog.streamingBatchWriter]]'s cadence) measures
+  *   - pure log replay (`snapshotFiles` — checkpoint + tail probe),
+  *   - snapshot `read().count()` (replay + the N-small-files scan the
+  *     compact procedure exists to fix),
+  *   - full-window `changes().count()` (constant-width plan, N manifest
+  *     entries),
+  *   - one ALTER at the tip (replay + one log write),
+  *   - a cold CDF stream catching up over the whole history.
+  *
+  * Tier B builds its long histories by writing commit files DIRECTLY in
+  * the log's JSON vocabulary (one seed parquet copied per commit) — the
+  * plane being measured is replay/diff/planning cost per COMMIT, and
+  * paying a full Spark write job per tiny append would measure the
+  * staging path 2000 times instead. The files and actions are exactly
+  * what [[CommitLog.append]] lands.
+  *
+  * Run: `java ... graft.LogProbe`; prints one JSON line per cell and a
+  * final `GRAFT_LOGPROBE_RESULT` line. Results are recorded in SCALE.md
+  * ("log-length probe").
+  */
+object LogProbe {
+
+  private def freshDir(root: String, name: String): String = {
+    val p = Paths.get(root, name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private def timed[A](body: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = body
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  /** Best-of-2 wall time (a single co-tenant burst otherwise lands in
+    * exactly one cell and fabricates an exponent). */
+  private def best2(body: => Unit): Double =
+    (1 to 2).map(_ => timed(body)._1).min
+
+  def main(args: Array[String]): Unit = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROOT", "/tmp/graft_log_probe")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-log-probe")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+    // ---------------------------------------------------------- Tier A
+    // upsert cost ∝ batch: same 200-row batch into 1×/4×/16× tables
+    val baseRows = 250000L
+    for (k <- Seq(1, 4, 16)) {
+      val t = freshDir(root, s"upsert_x$k")
+      CommitLog.appendClustered(spark,
+        spark.range(k * baseRows).select(col("id"),
+          concat(lit("payload_"), col("id")).as("v")),
+        t, "id", buckets = 8 * k)
+      val batch = spark.range(200).select(col("id"), lit("UPDATED").as("v"))
+      // warm (JIT + first-call costs), then measure on fresh key ranges
+      CommitLog.upsert(spark, batch, t, Seq("id"))
+      val before = CommitLog.snapshotFiles(t).toSet
+      val sec = best2 {
+        CommitLog.upsert(spark, batch, t, Seq("id")); ()
+      }
+      val after = CommitLog.snapshotFiles(t).toSet
+      val rewritten = (before -- after).size.max((after -- before).size)
+      println(s"""{"probe":"upsert","factor":$k,"sec":$sec,""" +
+        s""""live_files":${after.size},"rewritten_files_last":$rewritten}""")
+      results += (s"upsert_x$k" -> sec)
+    }
+
+    // ---------------------------------------------------------- Tier B
+    val seedDf = Seq((1L, "seed")).toDF("id", "v")
+    for (n <- Seq(100, 500, 2000)) {
+      val t = freshDir(root, s"log_n$n")
+      CommitLog.append(seedDf, t) // v0: one real append lands the seed file
+      val seed = CommitLog.snapshotFiles(t).head
+      val bytes = Files.size(Paths.get(t, seed))
+      val logDir = Paths.get(t, "_log")
+      var v = CommitLog.currentVersion(t)
+      while (v < n - 1) {
+        v += 1
+        val f = s"probe_$v.parquet"
+        Files.copy(Paths.get(t, seed), Paths.get(t, f),
+          StandardCopyOption.COPY_ATTRIBUTES)
+        Files.write(logDir.resolve(f"$v%012d.json"),
+          s"""{"op":"append"}\n{"add":"$f","rows":1,"bytes":$bytes}\n"""
+            .getBytes(StandardCharsets.UTF_8))
+        if (v % 500 == 0) CommitLog.checkpoint(t)
+      }
+      val head = CommitLog.currentVersion(t)
+      val replaySec = best2 { CommitLog.snapshotFiles(t); () }
+      val readSec = best2 { CommitLog.read(spark, t).count(); () }
+      val cdfSec = best2 { CommitLog.changes(spark, t, -1L, head).count(); () }
+      // schema derivation is a READER concern (file-index + footer, costed
+      // in read_sec) — the ALTER cell times only what an ALTER does:
+      // replay-to-tip + one conflict-checked log write
+      val evolved = CommitLog.read(spark, t).schema.add(s"c$n",
+        org.apache.spark.sql.types.StringType)
+      val alterSec = timed {
+        CommitLog.evolveSchema(t, evolved, CommitLog.currentVersion(t))
+      }._1
+      val ckpt = freshDir(root, s"log_n${n}_ckpt")
+      val catchup = timed {
+        val q = spark.readStream.format("graftlog").load(t)
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(600000L), s"n=$n catch-up did not drain")
+      }._1
+      println(s"""{"probe":"log","commits":$n,"replay_sec":$replaySec,""" +
+        s""""read_sec":$readSec,"cdf_sec":$cdfSec,"alter_sec":$alterSec,""" +
+        s""""stream_catchup_sec":$catchup}""")
+      results += (s"log_n${n}_replay" -> replaySec)
+      results += (s"log_n${n}_cdf" -> cdfSec)
+      results += (s"log_n${n}_catchup" -> catchup)
+    }
+
+    spark.stop()
+    println("GRAFT_LOGPROBE_RESULT {" + results.map { case (k2, s) =>
+      "\"" + k2 + "\":" + f"$s%.3f" }.mkString(",") + "}")
+  }
+}
