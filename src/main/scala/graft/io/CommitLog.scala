@@ -933,20 +933,45 @@ object CommitLog {
     Files.createDirectories(Paths.get(table))
     serializably(table) { tip =>
       val files = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
+      // the index side is zone-pruned like an upsert's rewrite set: a
+      // file whose key range cannot intersect the batch cannot hold a
+      // duplicate, so its keys are never read. Pays off for range-
+      // localized ingest keys (event ids, timestamps — the common
+      // tracker shape); a UNIFORM hash key's batch range spans every
+      // file, and the honest base cost there stays one key-column-pruned
+      // scan per ingest (the single-shuffle exact-dedup shape).
+      // readFiles (not a raw parquet read) serves the DECLARED schema,
+      // so the key columns resolve by their logical names even after a
+      // RENAME.
+      val (candidates, prunedOn) = upsertCandidates(table, tip, df, keys, files)
       val fresh =
-        if (files.isEmpty) df
+        if (candidates.isEmpty) df
         else df.join(
-          spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
-            .select(keys.map(org.apache.spark.sql.functions.col): _*),
+          readFiles(spark, table, candidates, mergeSchema = false, Some(tip))
+            .select(keys.map(k => org.apache.spark.sql.functions.col(s"`$k`")): _*),
           keys, "left_anti")
       if (files.nonEmpty && fresh.isEmpty) None
       else {
         // the keys-not-present check was made against the snapshot at
         // `tip`; a concurrent ingest could have landed the same keys, so
         // this commit must conflict-abort and re-derive rather than
-        // double-ingest
-        val added = stage(fresh, table)
-        try Some(commit(table, "append", added, Seq.empty, Some(tip)))
+        // double-ingest. Landed batches record zone ranges on the key
+        // (declared clustering first, else the pruning key, else the
+        // first LONG key for a first-ever batch) — what makes the NEXT
+        // ingest's index prunable instead of decaying to full key scans.
+        val statsCol = declaredClustering(table, if (tip < 0) None else Some(tip))
+          .map(_._1).filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+          .orElse(prunedOn)
+          .orElse(keys.find(k => df.schema.fields.exists(f =>
+            f.name.equalsIgnoreCase(k) &&
+              f.dataType == org.apache.spark.sql.types.LongType)))
+        val (added, addLines) = statsCol match {
+          case Some(c) => stageClustered(spark, fresh, table, c, buckets = 8)
+          case None =>
+            val fs = stage(fresh, table)
+            (fs, fs.map(f => addAction(table, f)))
+        }
+        try Some(commitRaw(table, "append", addLines, Some(tip)))
         catch {
           case e: java.util.ConcurrentModificationException =>
             unstage(table, added); throw e
@@ -990,8 +1015,12 @@ object CommitLog {
     // a rename never strands (or worse, mis-assigns) recorded ranges
     val physCol = physicalFor(table, statsCol)
     val lines = files.map { f =>
+      // cast to long BEFORE the agg: the zone vocabulary is [lo, hi] as
+      // longs, and getLong on an IntegerType min/max would ClassCastException
+      // (int clustering columns are legal — createTable accepts them)
       val r = spark.read.parquet(Paths.get(table, f).toString)
-        .agg(fmin(col(s"`$physCol`")), fmax(col(s"`$physCol`"))).head()
+        .agg(fmin(col(s"`$physCol`").cast("long")),
+          fmax(col(s"`$physCol`").cast("long"))).head()
       val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""") +
         fileSizeSuffix(table, f)
       if (r.isNullAt(0)) s"""{"add":"$f"$rowsSuffix}"""

@@ -101,18 +101,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = dirOf(ident)
     if (isTableDir(dir))
       return GraftLogDataSource.resolve(Map("path" -> dir.toString) ++ extra)
-    // Iceberg-style metadata table: `ns.t.changes` is the change data
-    // feed of table `ns.t` — batch + micro-batch streaming, read-only.
-    // A REAL table directory named 'changes' wins (checked above).
-    if (ident.name.equalsIgnoreCase("changes") && ident.namespace().nonEmpty) {
+    // Iceberg-style metadata tables: `ns.t.changes` (the change data
+    // feed — batch + micro-batch streaming), `ns.t.history` (the retained
+    // commit log), `ns.t.files` (the live snapshot's file vocabulary).
+    // All read-only; a REAL table directory with the name wins (above).
+    val metaName = ident.name.toLowerCase
+    if (Seq("changes", "history", "files").contains(metaName) &&
+        ident.namespace().nonEmpty) {
       val base = Identifier.of(ident.namespace().init, ident.namespace().last)
       val baseDir = dirOf(base)
       if (isTableDir(baseDir)) {
         require(extra.isEmpty,
           s"graft catalog: VERSION/TIMESTAMP AS OF does not apply to the " +
-            ".changes metadata table — window the feed with the " +
-            "startingVersion/endingVersion reader options instead")
-        return GraftLogDataSource.resolveChanges(baseDir.toString)
+            s".$metaName metadata table" + (if (metaName == "changes")
+              " — window the feed with the startingVersion/endingVersion " +
+                "reader options instead" else ""))
+        return metaName match {
+          case "changes" => GraftLogDataSource.resolveChanges(baseDir.toString)
+          case "history" => GraftLocalTable(s"$ident",
+            GraftMetaTables.historySchema,
+            s => GraftMetaTables.history(s, baseDir.toString))
+          case _ => GraftLocalTable(s"$ident",
+            GraftMetaTables.filesSchema,
+            s => GraftMetaTables.files(s, baseDir.toString))
+        }
       }
     }
     throw new NoSuchTableException(ident)

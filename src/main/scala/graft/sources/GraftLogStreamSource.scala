@@ -403,7 +403,31 @@ final class GraftLogCdfMicroBatchStream(
   override def initialOffset(): COffset = GraftLogOffset(startingVersion - 1)
   override def deserializeOffset(json: String): COffset =
     GraftLogOffset(json.trim.toLong)
-  override def commit(end: COffset): Unit = ()
+
+  /** Reclaims materializations of windows ending BELOW `threshold` — a
+    * committed batch is never re-planned (restart replays only past the
+    * last COMMITTED offset), so those dirs are garbage; without this a
+    * months-running stream accumulates one dir per trigger forever. */
+  private def reclaimBelow(threshold: Long): Unit = {
+    val root = ckptDir.resolve("_graft_cdf")
+    if (java.nio.file.Files.isDirectory(root)) {
+      java.nio.file.Files.list(root).iterator.asScala.toList.foreach { d =>
+        val endV = d.getFileName.toString.split('_').lastOption
+          .flatMap(_.toLongOption)
+        if (endV.exists(_ < threshold)) {
+          java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
+  }
+
+  /** Long-running cleanup: the just-committed window itself is kept one
+    * cycle out of caution (the engine may re-inspect it). */
+  override def commit(end: COffset): Unit =
+    reclaimBelow(end.json.trim.toLong)
+
   override def stop(): Unit = ()
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -429,6 +453,12 @@ final class GraftLogCdfMicroBatchStream(
     val endV = end.json.trim.toLong
     offered = math.max(offered, endV)
     if (endV <= startV) return Array.empty
+    // a batch is only ever planned FROM the last committed offset, so
+    // every materialization ending at or below startV is committed —
+    // reclaim here too (the engine calls commit() lazily, at the START
+    // of the next batch, so a drain's final window would otherwise
+    // survive until the stream's next restart)
+    reclaimBelow(startV + 1)
     val dir = ckptDir.resolve("_graft_cdf").resolve(s"${startV + 1}_$endV")
     // materialize ONCE per window: the engine plans the same batch several
     // times (columnar probe, execution, recovery), so a finished

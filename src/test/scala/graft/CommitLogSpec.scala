@@ -262,6 +262,27 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).filter($"id" === 12L).head().getString(1) == "T12")
   }
 
+  test("dedupAppend on a clustered table: zone-pruned index, exact dedup") {
+    import spark.implicits._
+    val t = freshTable("zdedup")
+    CommitLog.appendClustered(spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"), t, "id", 4)
+    // batch keys 10..12 overlap one file's range: 10 and 11 are dups
+    // (dropped), 110 is out of every range (pure new)
+    val v = CommitLog.dedupAppend(spark,
+      Seq((10L, "DUP"), (11L, "DUP"), (110L, "new")).toDF("id", "v"), t, Seq("id"))
+    assert(v.nonEmpty)
+    val rows = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 101 && rows(10L) == "v10" && rows(110L) == "new",
+      "zone-pruned dedupAppend must drop in-range duplicates and land new keys")
+    // an all-duplicates batch is still a NO-OP (no empty commit)
+    val tip = CommitLog.currentVersion(t)
+    assert(CommitLog.dedupAppend(spark,
+      Seq((10L, "X"), (99L, "X")).toDF("id", "v"), t, Seq("id")).isEmpty)
+    assert(CommitLog.currentVersion(t) == tip)
+  }
+
   test("evolveSchema refuses tombstone names that would corrupt the log line") {
     val t = freshTable("badtomb")
     CommitLog.append(df(1L -> "a"), t)

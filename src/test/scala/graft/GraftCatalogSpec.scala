@@ -203,4 +203,55 @@ class GraftCatalogSpec extends SparkSpec {
     }.head
     assert(st.rowCount.contains(BigInt(100)), s"stats must flow through the catalog: $st")
   }
+
+  test(".history and .files metadata tables (Iceberg-style inspection identifiers)") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.meta")
+    spark.sql("DROP TABLE IF EXISTS gcat.meta.t")
+    spark.sql("CREATE TABLE gcat.meta.t " +
+      "PARTITIONED BY (bucket(3, id)) AS SELECT id, concat('v', id) AS v FROM range(30)")
+    spark.sql("INSERT INTO gcat.meta.t SELECT id + 100, concat('w', id) FROM range(5)")
+    val dir = Paths.get(wh, "meta", "t").toString
+
+    // .history == the retained commit log, newest first
+    val hist = spark.sql("SELECT version, operation FROM gcat.meta.t.history").collect()
+    assert(hist.map(_.getLong(0)).toSeq ==
+      CommitLog.versions(dir).sorted.reverse, s"history rows: ${hist.mkString(",")}")
+    assert(hist.last.getString(1) == "create")
+
+    // .files == the live snapshot's vocabulary: every live file listed,
+    // clustered files carry their zone ranges, and recorded row counts
+    // sum to the table's rows
+    val files = spark.sql(
+      "SELECT file, n_rows, stats_col, lo, hi FROM gcat.meta.t.files").collect()
+    assert(files.map(_.getString(0)).toSet == CommitLog.snapshotFiles(dir).toSet)
+    assert(files.map(_.getLong(1)).sum == 35L, "recorded footer rows must sum to the table")
+    val clustered = files.filter(!_.isNullAt(2))
+    assert(clustered.nonEmpty && clustered.forall(r =>
+      r.getString(2) == "id" && r.getLong(3) <= r.getLong(4)))
+
+    // a real table named like a metadata suffix SHADOWS the derived form
+    spark.sql("DROP TABLE IF EXISTS gcat.meta.history")
+    spark.sql("CREATE TABLE gcat.meta.history AS SELECT 1L AS real_col")
+    assert(spark.table("gcat.meta.history").columns.toSeq == Seq("real_col"))
+    // ...and the metadata identifiers refuse time travel
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.meta.t.files VERSION AS OF 0").collect()
+    }
+    assert(e.getMessage.contains("metadata table"), e.getMessage)
+  }
+
+  test("an IntegerType clustering column records zone ranges (no long-cast crash)") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ic")
+    spark.sql("DROP TABLE IF EXISTS gcat.ic.t")
+    spark.sql("CREATE TABLE gcat.ic.t (k INT, v STRING) PARTITIONED BY (bucket(3, k))")
+    spark.sql("INSERT INTO gcat.ic.t SELECT CAST(id AS INT), concat('v', id) FROM range(30)")
+    val dir = Paths.get(wh, "ic", "t").toString
+    val stats = CommitLog.fileStatsOn(dir, "k")
+    assert(stats.size == 3 && stats.values.forall { case (lo, hi) => lo <= hi },
+      s"int clustering column must record zone ranges, got $stats")
+    assert(spark.sql("SELECT count(*) FROM gcat.ic.t WHERE k BETWEEN 0 AND 5")
+      .head.getLong(0) == 6L)
+  }
 }

@@ -130,6 +130,14 @@ class GraftLogStreamSpec extends SparkSpec {
     assert((first ++ resumed).sorted == batchFeed,
       s"stream feed must equal batch changes(): ${(first ++ resumed).sorted} vs $batchFeed")
 
+    // committed windows' materializations are reclaimed (a months-running
+    // stream must not accumulate one cache dir per trigger)
+    val cacheRoot = root.resolve("ckpt").resolve("sources")
+      .resolve("0").resolve("_graft_cdf")
+    val remaining = java.nio.file.Files.list(cacheRoot).count()
+    assert(remaining == 1L,
+      s"only the last committed window's materialization may remain, found $remaining")
+
     // batch identifier surface: full history + windowed via reader options
     assert(spark.read.table("cdfm.s.t.changes").count() == batchFeed.length.toLong)
     val windowed = spark.read.option("startingVersion", upsertV)

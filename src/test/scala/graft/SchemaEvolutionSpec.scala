@@ -290,6 +290,26 @@ class SchemaEvolutionSpec extends SparkSpec {
       "rename-spanning CDF serves under head logical names")
   }
 
+  test("dedupAppend resolves keys through the declared schema after a rename") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.da")
+    spark.sql("DROP TABLE IF EXISTS evo.da.t")
+    spark.sql("CREATE TABLE evo.da.t AS SELECT id, concat('v', id) AS v FROM range(3)")
+    spark.sql("ALTER TABLE evo.da.t RENAME COLUMN id TO key")
+    val dir = Paths.get(wh, "da", "t").toString
+    // key 0 already present (under physical name 'id') → dropped;
+    // key 100 is new → lands. A raw-parquet index read would miss the
+    // mapping and either fail on the missing 'key' column or dedup wrong.
+    val v = CommitLog.dedupAppend(spark,
+      Seq((0L, "DUP"), (100L, "new")).toDF("key", "v"), dir, Seq("key"))
+    assert(v.nonEmpty)
+    val rows = spark.table("evo.da.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 4 && rows(0L) == "v0" && rows(100L) == "new",
+      s"dedupAppend after rename must drop the duplicate key, got $rows")
+  }
+
   test("nested-field evolution is refused loudly (documented decision, SCALE.md)") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.nf")
