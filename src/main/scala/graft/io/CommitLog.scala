@@ -1000,15 +1000,37 @@ object CommitLog {
     commitRaw(table, "append", lines)
   }
 
+  /** Composite Z-ORDER clustering spec: `z(px,py)` with PHYSICAL inner
+    * column names. Writers range-partition on `morton(px, py)` and record
+    * each file's [min, max] zkey as its zone range; the read side turns a
+    * 2-D box predicate into zkey intervals
+    * ([[graft.functions.ZOrder.zRangesForBox]], Tropf–Herzog) and skips
+    * files whose zkey range misses every interval — multi-dimensional
+    * data skipping through the SAME one-[lo,hi]-per-file zone vocabulary
+    * single-column clustering uses. */
+  private[graft] val ZSpec = """^z\(([^,()]+),([^,()]+)\)$""".r
+
+  /** Declared logical name for a physical one (identity when unmapped). */
+  private def logicalFor(table: String, phys: String): String =
+    declaredSchema(table, None)
+      .flatMap(_.fields.find(f => physicalName(f).equalsIgnoreCase(phys)))
+      .map(_.name).getOrElse(phys)
+
   /** Stages `df` range-partitioned on `statsCol` into `buckets` files and
     * returns (staged file names, add-action lines carrying each file's
     * [min, max] zone range) — the shared write half of every clustered
     * commit (append / overwrite / re-cluster). An empty file (a range
     * partition with no rows) gets no stats and is then never skipped —
-    * the fail-safe default. */
+    * the fail-safe default. A composite `z(px,py)` spec dispatches to the
+    * Z-ORDER form, so every caller (INSERT on a declared table, upsert,
+    * compaction) honors a z layout without knowing about it. */
   private def stageClustered(spark: SparkSession, df: DataFrame, table: String,
                              statsCol: String, buckets: Int): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    statsCol match {
+      case ZSpec(px, py) => return stageZOrdered(spark, df, table, px, py, buckets)
+      case _ => ()
+    }
     val files = stage(df.repartitionByRange(buckets, col(statsCol)), table)
     // zone actions name the PHYSICAL column: staged files wear physical
     // names, and [[fileStatsOn]] translates the query side to match — so
@@ -1027,6 +1049,85 @@ object CommitLog {
       else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$physCol"$rowsSuffix}"""
     }
     (files, lines)
+  }
+
+  /** Z-ORDER staging: range-partition on the Morton key of the two
+    * (16-bit-domain) coordinate columns and record each file's [min, max]
+    * ZKEY. Coordinates must be non-null and in [0, 65535] — morton masks
+    * to the low 16 bits, so an out-of-range value would WRAP and a null
+    * would vanish from the recorded range, both making skipping silently
+    * WRONG; the guard runs on the staged footers' own min/max (one extra
+    * tiny agg per staged file, no pre-pass over the data) and aborts the
+    * stage loudly on violation. */
+  private def stageZOrdered(spark: SparkSession, df: DataFrame, table: String,
+                            px: String, py: String, buckets: Int)
+      : (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, min => fmin}
+    val (lx, ly) = (logicalFor(table, px), logicalFor(table, py))
+    require(df.columns.exists(_.equalsIgnoreCase(lx)) &&
+        df.columns.exists(_.equalsIgnoreCase(ly)),
+      s"z-order clustering needs columns ($lx, $ly); frame has ${df.columns.toSeq}")
+    val zLogical = graft.functions.ZOrder.morton(
+      col(s"`$lx`").cast("long"), col(s"`$ly`").cast("long"))
+    val files = stage(df.repartitionByRange(buckets, zLogical), table)
+    def fail(msg: String): Nothing = { unstage(table, files); sys.error(msg) }
+    val zPhys = graft.functions.ZOrder.morton(
+      col(s"`$px`").cast("long"), col(s"`$py`").cast("long"))
+    val lines = files.map { f =>
+      val r = spark.read.parquet(Paths.get(table, f).toString)
+        .agg(fmin(zPhys), fmax(zPhys),
+          fmin(col(s"`$px`").cast("long")), fmax(col(s"`$px`").cast("long")),
+          fmin(col(s"`$py`").cast("long")), fmax(col(s"`$py`").cast("long")),
+          fcount(lit(1)), fcount(col(s"`$px`")), fcount(col(s"`$py`"))).head()
+      val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""") +
+        fileSizeSuffix(table, f)
+      // the null guard runs UNCONDITIONALLY on non-empty files: an
+      // all-null-coordinate file would land stats-less (min of nulls is
+      // null) and dodge a guard placed under the stats branch
+      val n = r.getLong(6)
+      if (n > 0 && (r.getLong(7) != n || r.getLong(8) != n))
+        fail(s"z-order clustering on ($lx, $ly) requires non-null " +
+          "coordinates — a null row would be invisible to the recorded " +
+          "zkey range and box queries would silently miss it")
+      if (r.isNullAt(0)) s"""{"add":"$f"$rowsSuffix}""" // empty range partition
+      else {
+        if (r.getLong(2) < 0 || r.getLong(3) > 65535L ||
+            r.getLong(4) < 0 || r.getLong(5) > 65535L)
+          fail(s"z-order clustering on ($lx, $ly) needs 16-bit coordinates " +
+            s"[0, 65535], got [${r.getLong(2)}, ${r.getLong(3)}] x " +
+            s"[${r.getLong(4)}, ${r.getLong(5)}] — quantize first")
+        s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"z($px,$py)"$rowsSuffix}"""
+      }
+    }
+    (files, lines)
+  }
+
+  /** Transactional Z-ORDER re-clustering (the OPTIMIZE ZORDER BY
+    * analogue): one conflict-checked commit rewrites the live snapshot
+    * range-partitioned on `morton(xCol, yCol)` with per-file zkey ranges
+    * recorded, and (re)declares the `z(px,py)` spec so every later INSERT
+    * keeps the layout. After it, a 2-D box predicate prunes to the few
+    * files whose zkey ranges the box's interval decomposition touches —
+    * what single-column clustering cannot express for two correlated
+    * dimensions. Coordinates must be pre-quantized to [0, 65535]. */
+  def compactZOrdered(spark: SparkSession, table: String,
+                      xCol: String, yCol: String, buckets: Int): Long = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    serializably(table) { tip =>
+      require(tip >= 0, s"cannot z-order $table: no commits")
+      val old = snapshotFiles(table, Some(tip))
+      val current = readFiles(spark, table, old, mergeSchema = false, Some(tip))
+      val spec = s"z(${physicalFor(table, xCol, Some(tip))}," +
+        s"${physicalFor(table, yCol, Some(tip))})"
+      val (added, lines) = stageClustered(spark, current, table, spec, buckets)
+      try commitRaw(table, "cluster",
+        lines ++ old.map(f => s"""{"remove":"$f"}""") :+
+          clusteringAction(spec, buckets), Some(tip))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          unstage(table, added); throw e
+      }
+    }
   }
 
   /** The table's declared clustering spec (column, buckets), when a

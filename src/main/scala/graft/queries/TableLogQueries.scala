@@ -1139,6 +1139,114 @@ object TableLogQueries {
        |SELECT 1, 'delete', id, status, price, batch FROM b1 WHERE id % 6 = 0
        |ORDER BY commit_version, change_type, id""".stripMargin
 
+  /** tl28: Z-ORDER clustering + 2-D file skipping — `CALL
+    * graft.system.zorder` rewrites the table range-partitioned on the
+    * Morton key of two quantized grid columns with per-file ZKEY ranges
+    * recorded ([[CommitLog.compactZOrdered]]); a 2-D box predicate then
+    * decomposes into zkey intervals (Tropf–Herzog) and prunes files
+    * whose range misses every interval. REQUIREd: every live file
+    * carries the z spec after the CALL and STILL does after a later
+    * INSERT (the declared layout rides the log), and the box query's
+    * pruned file set is a strict subset. The served aggregate pins
+    * correctness against the oracle — skipping is an optimization above
+    * a residual filter, never a correctness dependency. */
+  private val tl28ZOrder: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t28",
+      "SELECT id, id % 251 AS gx, (id * 7) % 241 AS gy, price FROM t28_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t28").toString
+    val row = spark.sql(
+      "CALL graft.system.zorder(`table` => 'dml.t28', x => 'gx', y => 'gy', buckets => 8)").head()
+    require(row.getInt(1) == 8, s"zorder must land 8 files, got ${row.getInt(1)}")
+    val specs = CommitLog.fileStatsColumns(tdir)
+    require(CommitLog.snapshotFiles(tdir).forall(specs.get(_).contains("z(gx,gy)")),
+      s"every z-ordered file must record a z(gx,gy) range, got $specs")
+    // a later INSERT honors the declared z layout (zone ranges recorded)
+    spark.sql(s"INSERT INTO $t SELECT id, id % 251, (id * 7) % 241, price FROM t28_b2")
+    require(CommitLog.snapshotFiles(tdir).forall(f =>
+        CommitLog.fileStatsColumns(tdir).get(f).contains("z(gx,gy)")),
+      "post-zorder INSERTs must keep recording zkey ranges")
+    // the 2-D box prunes files (strict subset — the feature is live)
+    val all = CommitLog.snapshotFiles(tdir)
+    val pruned = graft.sources.GraftLogDataSource.prunedFileNames(tdir,
+      CommitLog.currentVersion(tdir), Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("gx", 10L),
+        org.apache.spark.sql.sources.LessThanOrEqual("gx", 40L),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("gy", 50L),
+        org.apache.spark.sql.sources.LessThanOrEqual("gy", 90L)))
+    require(pruned.size < all.size,
+      s"the box query must skip files: ${pruned.size} of ${all.size} read")
+    spark.sql(
+      s"""SELECT count(*) AS n_rows, CAST(sum(gx * gy) AS BIGINT) AS xy_sum,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t WHERE gx BETWEEN 10 AND 40 AND gy BETWEEN 50 AND 90""".stripMargin)
+  }
+
+  private val tl28ZOrderSql =
+    s"""WITH $batchesSql,
+       |grid AS (
+       |  SELECT id % 251 AS gx, (id * 7) % 241 AS gy, price FROM b1
+       |  UNION ALL SELECT id % 251, (id * 7) % 241, price FROM b2)
+       |SELECT count(*) AS n_rows, CAST(sum(gx * gy) AS BIGINT) AS xy_sum,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM grid WHERE gx BETWEEN 10 AND 40 AND gy BETWEEN 50 AND 90""".stripMargin
+
+  /** tl29: `CALL graft.system.ingest` — idempotent COPY INTO from SQL
+    * ([[CommitLog.dedupAppend]] behind a procedure): only key-unseen rows
+    * land, a replayed source is a commit-less NO-OP (REQUIREd: empty
+    * result AND no version advance), and the duplicate check runs
+    * against the zone-pruned key index. The final state is b1 plus only
+    * the b5 rows whose keys b1 didn't already hold. */
+  private val tl29SqlIngest: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"))
+    Files.createDirectories(root)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", root.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("DROP TABLE IF EXISTS graft.dml.t29")
+    spark.sql("CREATE TABLE graft.dml.t29 (id BIGINT, status STRING, price DOUBLE, batch INT)")
+    val src = Paths.get(Sinks.scratchDir("commitlog_ingest_src"))
+    if (Files.exists(src)) {
+      Files.walk(src).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    batch1(spark, dir).write.mode("overwrite").parquet(s"$src/b1")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").cast("long").as("id"),
+        lit("fifth").as("status"),
+        round(col("o_totalprice").cast("double"), 2).as("price"),
+        lit(5).as("batch"))
+      .write.mode("overwrite").parquet(s"$src/b5")
+    def ingest(path: String): Array[Row] = spark.sql(
+      s"CALL graft.system.ingest(`table` => 'dml.t29', source => '$path', " +
+        "`keys` => 'id')").collect()
+    require(ingest(s"$src/b1").length == 1, "tl29: first batch must land")
+    require(ingest(s"$src/b5").length == 1, "tl29: new b5 keys must land")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t29").toString
+    val tip = CommitLog.currentVersion(tdir)
+    require(ingest(s"$src/b5").isEmpty,
+      "tl29: a replayed batch must be a commit-less no-op")
+    require(CommitLog.currentVersion(tdir) == tip,
+      "tl29: the replay must not advance the log")
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM graft.dml.t29 GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl29SqlIngestSql =
+    s"""WITH $batchesSql,
+       |b5 AS (
+       |  SELECT o_orderkey AS id, 'fifth' AS status,
+       |    round(o_totalprice, 2) AS price, 5 AS batch
+       |  FROM orders WHERE o_orderkey % 5 = 0)
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT * FROM b1
+       |      UNION ALL SELECT * FROM b5 WHERE id NOT IN (SELECT id FROM b1))
+       |GROUP BY batch ORDER BY batch""".stripMargin
+
   /** tl24: the change feed's SQL surface — `USING graftlog OPTIONS
     * (readChangeFeed 'true')` serves the same derived relation tl23
     * reaches through the Scala API, queryable like any view (the final
@@ -1411,6 +1519,8 @@ object TableLogQueries {
        |FROM final GROUP BY batch ORDER BY batch""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "tl29_sql_ingest" -> tl29SqlIngest,
+    "tl28_zorder_skipping" -> tl28ZOrder,
     "tl27_table_changes" -> tl27TableChanges,
     "tl26_cdf_materialize" -> tl26CdfMaterialize,
     "tl25b_cdf_ident_stream" -> tl25bCdfIdentStream,
@@ -1446,6 +1556,8 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl29_sql_ingest" -> tl29SqlIngestSql,
+    "tl28_zorder_skipping" -> tl28ZOrderSql,
     "tl27_table_changes" -> tl27TableChangesSql,
     "tl26_cdf_materialize" -> tl26CdfMaterializeSql,
     "tl25b_cdf_ident_stream" -> tl25bCdfIdentStreamSql,

@@ -325,11 +325,15 @@ object GraftLogDataSource {
     }
 
     /** The declared clustering surfaces as the table's partitioning, so
-      * DESCRIBE/SHOW CREATE show `bucket(n, col)` back to the user. */
+      * DESCRIBE/SHOW CREATE show `bucket(n, col)` back to the user. A
+      * composite `z(a,b)` spec is NOT a parseable column reference —
+      * Spark's write planning parses every transform's field names — so
+      * it rides the `cluster-by` table property instead (the layout
+      * itself is honored by every write through the log-declared spec). */
     override def partitioning(): Array[Transform] =
       if (!exists) Array.empty
-      else CommitLog.declaredClustering(path, Some(snapshotVersion)).map {
-        case (c, b) =>
+      else CommitLog.declaredClustering(path, Some(snapshotVersion)).collect {
+        case (c, b) if !CommitLog.ZSpec.matches(c) =>
           org.apache.spark.sql.connector.expressions.Expressions.bucket(b, c)
       }.toArray
     override def capabilities(): util.Set[TableCapability] =
@@ -373,9 +377,26 @@ object GraftLogDataSource {
               s"graftlog: $name must be a version number, got '$v'", e)
           }
         }
+        // timestamp windows resolve through the same commit-time source
+        // version time travel uses: startingTimestamp ts = changes SINCE
+        // that moment (commits strictly after the snapshot current at
+        // ts), endingTimestamp ts = changes THROUGH it
+        require(!(opts.contains("startingversion") && opts.contains("startingtimestamp")),
+          "graftlog: startingVersion and startingTimestamp are mutually exclusive")
+        require(!(opts.contains("endingversion") && opts.contains("endingtimestamp")),
+          "graftlog: endingVersion and endingTimestamp are mutually exclusive")
         val fromV = longOpt("startingversion", "startingVersion")
-          .map(_ - 1L).getOrElse(fromV0)
-        val toV = longOpt("endingversion", "endingVersion").getOrElse(toV0)
+          .map(_ - 1L)
+          .orElse(opts.get("startingtimestamp").map { ts =>
+            // a start before the retained history means "the whole feed"
+            try CommitLog.versionAt(path, parseTs(ts))
+            catch { case _: IllegalArgumentException => -1L }
+          })
+          .getOrElse(fromV0)
+        val toV = longOpt("endingversion", "endingVersion")
+          .orElse(opts.get("endingtimestamp")
+            .map(ts => CommitLog.versionAt(path, parseTs(ts))))
+          .getOrElse(toV0)
         require(fromV + 1 >= 0 && fromV <= toV && toV <= toV0,
           s"graftlog: change-feed window [${fromV + 1}, $toV] must lie " +
             s"within [0, $toV0]")
@@ -663,13 +684,63 @@ object GraftLogDataSource {
     val all = CommitLog.snapshotFiles(path, Some(version))
     val bounds = integralBounds(filters)
     if (bounds.isEmpty) all
-    else bounds.foldLeft(all) { case (files, (colName, (lo, hi))) =>
-      val stats = CommitLog.fileStatsOn(path, colName, Some(version))
-      if (stats.isEmpty) files
-      else files.filter(f => stats.get(f) match {
-        case Some((flo, fhi)) => fhi >= lo && flo <= hi
-        case None             => true // no recorded range: never skipped
-      })
+    else {
+      val byColumn = bounds.foldLeft(all) { case (files, (colName, (lo, hi))) =>
+        val stats = CommitLog.fileStatsOn(path, colName, Some(version))
+        if (stats.isEmpty) files
+        else files.filter(f => stats.get(f) match {
+          case Some((flo, fhi)) => fhi >= lo && flo <= hi
+          case None             => true // no recorded range: never skipped
+        })
+      }
+      zOrderPrune(path, version, bounds, byColumn)
+    }
+  }
+
+  /** Z-ORDER file skipping: files clustered under a composite `z(px,py)`
+    * spec record ZKEY ranges; a filter conjunction bounding the inner
+    * columns becomes a 16-bit box, decomposed into zkey intervals
+    * ([[graft.functions.ZOrder.zRangesForBox]] — a SUPERSET cover, so
+    * skipping stays conservative), and a file is read unless its range
+    * misses EVERY interval. An unbounded dimension defaults to the full
+    * 16-bit domain, so one-sided predicates still prune; predicate ranges
+    * are clamped to the domain the write side enforced, so an impossible
+    * box skips every z-covered file outright. Stats-less files are never
+    * skipped. */
+  private def zOrderPrune(path: String, version: Long,
+                          bounds: Map[String, (Long, Long)],
+                          files: Seq[String]): Seq[String] = {
+    val statsCols = CommitLog.fileStatsColumns(path, Some(version))
+    val zSpecs = statsCols.values.toSet.filter(CommitLog.ZSpec.matches)
+    if (zSpecs.isEmpty) return files
+    val physBounds = bounds.map { case (n, b) =>
+      CommitLog.physicalFor(path, n, Some(version)).toLowerCase -> b
+    }
+    val ranges = CommitLog.fileStats(path, Some(version))
+    zSpecs.foldLeft(files) { (fs, spec) =>
+      val (px, py) = spec match { case CommitLog.ZSpec(a, b) => (a, b) }
+      def dim(p: String): Option[(Long, Long)] =
+        physBounds.get(p.toLowerCase).map { case (lo, hi) =>
+          (math.max(lo, 0L), math.min(hi, 65535L))
+        }
+      (dim(px), dim(py)) match {
+        case (None, None) => fs // neither dimension constrained
+        case (xb, yb) =>
+          val (xlo, xhi) = xb.getOrElse((0L, 65535L))
+          val (ylo, yhi) = yb.getOrElse((0L, 65535L))
+          def covered(f: String): Boolean =
+            statsCols.get(f).contains(spec) && ranges.contains(f)
+          if (xlo > xhi || ylo > yhi) fs.filterNot(covered)
+          else {
+            val ivs = graft.functions.ZOrder.zRangesForBox(xlo, xhi, ylo, yhi)
+            fs.filter { f =>
+              !covered(f) || {
+                val (flo, fhi) = ranges(f)
+                ivs.exists { case (ilo, ihi) => ihi >= flo && ilo <= fhi }
+              }
+            }
+          }
+      }
     }
   }
 

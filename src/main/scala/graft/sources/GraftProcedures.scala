@@ -36,7 +36,8 @@ private[sources] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] =
-    Seq("cluster", "compact", "vacuum", "checkpoint", "history", "purge")
+    Seq("cluster", "compact", "vacuum", "checkpoint", "history", "purge",
+      "zorder", "ingest")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -46,6 +47,8 @@ private[sources] object GraftProcedures {
       case "checkpoint" => Some(new CheckpointProc(catalog))
       case "history"    => Some(new HistoryProc(catalog))
       case "purge"      => Some(new PurgeProc(catalog))
+      case "zorder"     => Some(new ZOrderProc(catalog))
+      case "ingest"     => Some(new IngestProc(catalog))
       case _            => None
     }
 
@@ -163,6 +166,75 @@ private[sources] object GraftProcedures {
       val v = CommitLog.checkpoint(dir)
       val expired = CommitLog.expireLog(dir)
       result(schema, Seq(new GenericInternalRow(Array[Any](v, expired.size))))
+    }
+  }
+
+  /** `ingest(table, source, keys[, format])` — idempotent SQL ingest, the
+    * COPY-INTO-with-dedup shape ([[CommitLog.dedupAppend]]): appends only
+    * rows whose `keys` combination is not already in the table, so
+    * re-running a batch (a retried job, a re-delivered drop) is a NO-OP
+    * that writes no commit. The duplicate check is one left-anti join
+    * against the zone-pruned key index; landed batches record zone
+    * ranges so the next ingest prunes too. Returns the landed version
+    * (zero rows = everything was already present). */
+  private final class IngestProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "ingest") {
+    override def description(): String =
+      "append only key-unseen rows from a source path (idempotent COPY INTO)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("source", StringType)
+        .comment("path of the batch to ingest").build(),
+      ProcedureParameter.in("keys", StringType)
+        .comment("comma-separated dedup key columns").build(),
+      ProcedureParameter.in("format", StringType)
+        .defaultValue("'parquet'")
+        .comment("source format (parquet, orc, json, graftlog, ...)").build())
+    private val schema = new StructType().add("version", LongType, nullable = false)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirOf(input)
+      val keys = input.getUTF8String(2).toString.split(',').map(_.trim).toSeq
+      require(keys.nonEmpty && keys.forall(_.nonEmpty),
+        "ingest: keys must be a comma-separated column list")
+      val fmt = if (input.isNullAt(3)) "parquet" else input.getUTF8String(3).toString
+      val batch = SparkSession.active.read.format(fmt)
+        .load(input.getUTF8String(1).toString)
+      CommitLog.dedupAppend(SparkSession.active, batch, dir, keys) match {
+        case None    => result(schema, Seq.empty)
+        case Some(v) => result(schema, Seq(new GenericInternalRow(Array[Any](v))))
+      }
+    }
+  }
+
+  /** `zorder(table, x, y, buckets)` — Z-ORDER the live snapshot on two
+    * 16-bit-quantized integral columns ([[CommitLog.compactZOrdered]],
+    * the OPTIMIZE ZORDER BY analogue): one conflict-checked rewrite
+    * range-partitions on the Morton key with per-file zkey ranges
+    * recorded and declares the layout for later INSERTs, after which 2-D
+    * box predicates prune files through the Tropf–Herzog interval
+    * decomposition. */
+  private final class ZOrderProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "zorder") {
+    override def description(): String =
+      "Z-order the snapshot on two columns, recording per-file zkey ranges (one commit)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("x", StringType)
+        .comment("first coordinate column (integral, values in [0, 65535])").build(),
+      ProcedureParameter.in("y", StringType)
+        .comment("second coordinate column (integral, values in [0, 65535])").build(),
+      ProcedureParameter.in("buckets", IntegerType)
+        .comment("range-partition bucket count = resulting data files").build())
+    private val schema = new StructType()
+      .add("version", LongType, nullable = false)
+      .add("live_files", IntegerType, nullable = false)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirOf(input)
+      val v = CommitLog.compactZOrdered(SparkSession.active, dir,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        input.getInt(3))
+      result(schema, Seq(new GenericInternalRow(Array[Any](
+        v, CommitLog.snapshotFiles(dir).size))))
     }
   }
 

@@ -484,4 +484,34 @@ class GraftLogDataSourceSpec extends SparkSpec {
     }
     assert(noTable.getMessage.contains("no"), noTable.getMessage)
   }
+
+  test("change-feed timestamp windows resolve through commit times") {
+    import spark.implicits._
+    val t = freshTable("cdfts")
+    val base = System.currentTimeMillis() - 1000000
+    CommitLog.append(Seq((1L, "a")).toDF("id", "v"), t)   // v0
+    CommitLog.append(Seq((2L, "b")).toDF("id", "v"), t)   // v1
+    CommitLog.append(Seq((3L, "c")).toDF("id", "v"), t)   // v2
+    stampCommit(t, 0L, base)
+    stampCommit(t, 1L, base + 10000)
+    stampCommit(t, 2L, base + 20000)
+    def feed(opts: (String, String)*): Seq[Long] = {
+      val r = opts.foldLeft(spark.read.format("graftlog")
+          .option("readChangeFeed", "true")) { case (rd, (k, v)) => rd.option(k, v) }
+      r.load(t).select("id").collect().map(_.getLong(0)).toSeq.sorted
+    }
+    // startingTimestamp ts = changes SINCE ts: commits after the snapshot
+    // current at ts (v0 at base+5000 -> v1, v2)
+    assert(feed("startingTimestamp" -> (base + 5000).toString) == Seq(2L, 3L))
+    // endingTimestamp bounds the window from above
+    assert(feed("startingTimestamp" -> (base + 5000).toString,
+      "endingTimestamp" -> (base + 15000).toString) == Seq(2L))
+    // a start before the retained history = the whole feed
+    assert(feed("startingTimestamp" -> "1") == Seq(1L, 2L, 3L))
+    // mixing version and timestamp forms refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      feed("startingVersion" -> "1", "startingTimestamp" -> (base + 5000).toString)
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
 }
