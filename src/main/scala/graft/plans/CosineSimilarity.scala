@@ -156,6 +156,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CmsEstimate].getCanonicalName, "cms_estimate"),
       (exprs: Seq[Expression]) => CountMinSketch.buildEstimate(exprs)))
+    // table-valued: the change data feed with its window in the SQL text
+    ext.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        graft.sources.TableChanges.getClass.getCanonicalName, "table_changes"),
+      graft.sources.TableChanges.builder))
     ext.injectPlannerStrategy(_ => MergeBoxesStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughMergeBoxes)
     ext.injectOptimizerRule(_ => SpatialJoinRewrite)

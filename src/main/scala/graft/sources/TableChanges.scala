@@ -26,8 +26,13 @@ import org.apache.spark.sql.{GraftSqlShim, SparkSession}
   */
 object TableChanges {
 
-  def register(spark: SparkSession): Unit =
-    GraftSqlShim.registerTableFunction(spark, "table_changes") { args =>
+  /** The TVF plan builder (runs at analysis; resolves against the ACTIVE
+    * session) — shared by [[register]] and the
+    * `graft.plans.GraftExtensions` install path. */
+  private[graft] val builder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { args =>
+      val spark = SparkSession.active
       require(args.length == 3,
         "table_changes(table, startingVersion, endingVersion) takes exactly 3 arguments")
       def lit(i: Int, what: String): Any = {
@@ -69,4 +74,7 @@ object TableChanges {
           .option("endingVersion", endV)
           .load(path))
     }
+
+  def register(spark: SparkSession): Unit =
+    GraftSqlShim.registerTableFunction(spark, "table_changes")(builder)
 }

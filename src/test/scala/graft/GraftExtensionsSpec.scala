@@ -76,6 +76,25 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("config-installed extensions register the table_changes TVF") {
+    withExtensionsSession { s =>
+      import s.implicits._
+      val t = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_ext_tvf").toString
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(t))) {
+        java.nio.file.Files.walk(java.nio.file.Paths.get(t))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      graft.io.CommitLog.append(Seq((1L, "a")).toDF("id", "v"), t)          // v0
+      graft.io.CommitLog.upsert(s, Seq((1L, "A")).toDF("id", "v"), t, Seq("id")) // v1
+      val rows = s.sql(s"SELECT _change_type FROM table_changes('$t', 1, 1)")
+        .collect().map(_.getString(0)).sorted
+      assert(rows.toSeq == Seq("delete", "insert"),
+        s"the injected TVF must serve the v1 window, got ${rows.toSeq}")
+    }
+  }
+
   test("config-installed extensions rewrite the naive spatial join") {
     withExtensionsSession { s =>
       import s.implicits._
