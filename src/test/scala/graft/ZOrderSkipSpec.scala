@@ -101,4 +101,27 @@ class ZOrderSkipSpec extends SparkSpec {
       Seq(GreaterThanOrEqual("x", 100L), LessThanOrEqual("x", 40L)))
     assert(pruned.isEmpty, s"an impossible conjunction must skip all files, got $pruned")
   }
+
+  test("upsert on a z-ordered table stays exact; re-zordering restores skipping") {
+    import spark.implicits._
+    val t = freshTable("zupsert")
+    CommitLog.append(grid(1024), t)
+    CommitLog.compactZOrdered(spark, t, "x", "y", 8)
+    // an upsert rewrite cannot preserve the z layout (its stats column is
+    // the composite spec, not a frame column) — content must stay exact,
+    // the replaced files simply lose their zkey ranges (fail-safe: they
+    // are read, never skipped)
+    CommitLog.upsert(spark, Seq((5L, 99L, 99L)).toDF("id", "x", "y"), t, Seq("id"))
+    val rows = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 1024 && rows(5L) == ((99L, 99L)))
+    // re-zorder re-establishes full coverage and pruning
+    CommitLog.compactZOrdered(spark, t, "x", "y", 8)
+    val specs = CommitLog.fileStatsColumns(t)
+    assert(CommitLog.snapshotFiles(t).forall(specs.get(_).contains("z(x,y)")))
+    val pruned = GraftLogDataSource.prunedFileNames(t, CommitLog.currentVersion(t),
+      Seq(GreaterThanOrEqual("x", 0L), LessThanOrEqual("x", 7L),
+        GreaterThanOrEqual("y", 0L), LessThanOrEqual("y", 7L)))
+    assert(pruned.size < 8, s"corner box must skip after re-zorder, read ${pruned.size}/8")
+  }
 }
