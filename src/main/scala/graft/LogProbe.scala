@@ -99,6 +99,32 @@ object LogProbe {
       results += (s"upsert_x$k" -> sec)
     }
 
+    // ---------------------------------------------------------- Tier A2
+    // idempotent ingest ∝ batch: dedupAppend's duplicate check against a
+    // monotonic-key table (the common tracker shape) must prune its key
+    // index to the overlapping tail, whatever the table size
+    for (k <- Seq(1, 4, 16)) {
+      val t = freshDir(root, s"ingest_x$k")
+      CommitLog.appendClustered(spark,
+        spark.range(k * baseRows).select(col("id"),
+          concat(lit("doc_"), col("id")).as("v")),
+        t, "id", buckets = 8 * k)
+      val hi = k * baseRows
+      // warm, then measure: a batch of NEW keys just past the tail plus a
+      // few duplicates inside the last file's range
+      CommitLog.dedupAppend(spark,
+        spark.range(hi, hi + 100).select(col("id"),
+          lit("w").as("v")), t, Seq("id"))
+      val sec = best2 {
+        CommitLog.dedupAppend(spark,
+          spark.range(hi - 100, hi + 200).select(col("id"),
+            lit("n").as("v")), t, Seq("id")); ()
+      }
+      println(s"""{"probe":"ingest","factor":$k,"sec":$sec,""" +
+        s""""live_files":${CommitLog.snapshotFiles(t).size}}""")
+      results += (s"ingest_x$k" -> sec)
+    }
+
     // ---------------------------------------------------------- Tier B
     val seedDf = Seq((1L, "seed")).toDF("id", "v")
     for (n <- Seq(100, 500, 2000)) {
