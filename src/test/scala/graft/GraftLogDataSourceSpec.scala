@@ -514,4 +514,24 @@ class GraftLogDataSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
   }
+
+  test("table_changes misuse fails at analysis with named causes") {
+    import spark.implicits._
+    val t = freshTable("tvferr")
+    CommitLog.append(Seq((1L, "a")).toDF("id", "v"), t)
+    graft.sources.TableChanges.register(spark)
+    def err(sql: String): String =
+      intercept[Exception] { spark.sql(sql).collect() }.getMessage
+    assert(err(s"SELECT * FROM table_changes('$t', 0)")
+      .contains("exactly 3 arguments"))
+    assert(err(s"SELECT * FROM table_changes('$t', 'zero', 0)")
+      .contains("integer version"))
+    assert(err("SELECT * FROM table_changes('not.a.graft.catalog', 0, 0)")
+      .contains("CATALOG_NOT_FOUND"))
+    assert(err(s"SELECT * FROM table_changes('$t', 5, 99)")
+      .contains("must lie within"))
+    // happy path still serves after the misuse attempts
+    assert(spark.sql(s"SELECT count(*) FROM table_changes('$t', 0, 0)")
+      .head.getLong(0) == 1L)
+  }
 }
