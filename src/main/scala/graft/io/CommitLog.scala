@@ -105,6 +105,13 @@ object CommitLog {
   // a purge commit lifts reservations: its rewrite removed the dead bytes
   // from every live file, so the physical name is reusable again
   private val UntombstoneRe = """"untombstone"\s*:\s*"([^"]+)"""".r
+  // multi-column zone stats: EVERY add records the file's per-column
+  // [lo, hi] for plain integral columns, harvested from the same footer
+  // the row count comes from — so filters on ANY integral column prune
+  // files, not just the declared clustering column (the Delta
+  // stats-for-first-N-columns design, in this log's compact vocabulary:
+  // "mstats":"a=1:9,b=-3:4")
+  private val MStatsRe = """"add"\s*:\s*"([^"]+)"[^\n]*?"mstats"\s*:\s*"([^"]*)"""".r
 
   /** Committed versions with a RETAINED commit file, ascending; empty for
     * a fresh/absent table. After [[expireLog]] this lists only the tail —
@@ -164,6 +171,10 @@ object CommitLog {
     var clusterSpec: Option[(String, Int)] = None
     // physical names of DROPPED columns — permanently reserved
     val tombstones = scala.collection.mutable.LinkedHashSet.empty[String]
+    // file -> per-column [lo, hi] multi-stats (PHYSICAL names), when the
+    // add recorded them
+    val multiStats =
+      scala.collection.mutable.HashMap.empty[String, Map[String, (Long, Long)]]
   }
 
   /** Applies one log file's add/remove/txn actions to the state. */
@@ -176,11 +187,17 @@ object CommitLog {
       .map(m => m.group(1) -> m.group(2).toLong).toMap
     val bytes = AddBytesRe.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val mstats = MStatsRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> decodeMStats(m.group(2))).toMap
     AddRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
       state.live(f) = stats.get(f)
       cols.get(f) match {
         case Some(c) => state.statsCols(f) = c
         case None    => state.statsCols.remove(f) // re-add without stats forgets the old claim
+      }
+      mstats.get(f).filter(_.nonEmpty) match {
+        case Some(m) => state.multiStats(f) = m
+        case None    => state.multiStats.remove(f)
       }
       rows.get(f) match {
         case Some(n) => state.rowCounts(f) = n
@@ -194,6 +211,7 @@ object CommitLog {
     RemoveRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
       state.live.remove(f); state.statsCols.remove(f)
       state.rowCounts.remove(f); state.fileBytes.remove(f)
+      state.multiStats.remove(f)
     }
     TxnRe.findAllMatchIn(text).map(_.group(1)).foreach(state.txns += _)
     SchemaRe.findAllMatchIn(text).foreach { m =>
@@ -481,13 +499,100 @@ object CommitLog {
     * [[snapshotRowCount]] / [[snapshotSizeBytes]] metadata-only answers at
     * any table size. A failed footer read degrades to a count-less add —
     * the metadata count is then undefined, never wrong. */
-  private def addAction(table: String, f: String): String = {
-    val size = fileSizeSuffix(table, f)
-    footerRowCount(table, f) match {
-      case Some(n) => s"""{"add":"$f","rows":$n$size}"""
-      case None    => s"""{"add":"$f"$size}"""
-    }
+  private def addAction(table: String, f: String): String =
+    s"""{"add":"$f"${addSuffix(table, f)}}"""
+
+  /** The trailing metadata every add action carries: footer row count,
+    * on-disk bytes, and the per-column multi-stats — ONE footer open
+    * serves all three. */
+  private def addSuffix(table: String, f: String): String = {
+    val (rows, mstats) = footerSummary(table, f)
+    rows.fold("")(n => s""","rows":$n""") + fileSizeSuffix(table, f) +
+      (if (mstats.isEmpty) ""
+       else s""","mstats":"${encodeMStats(mstats)}"""")
   }
+
+  /** `"a=1:9,b=-3:4"` — names sorted for deterministic log lines. Only
+    * `[A-Za-z0-9_]+` names are ever encoded ([[footerSummary]] filters),
+    * so the separators cannot collide with content. */
+  private def encodeMStats(m: Map[String, (Long, Long)]): String =
+    m.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(",")
+
+  private def decodeMStats(s: String): Map[String, (Long, Long)] =
+    if (s.isEmpty) Map.empty
+    else s.split(',').toSeq.flatMap { part =>
+      part.split('=') match {
+        case Array(c, r) => r.split(':') match {
+          case Array(lo, hi) =>
+            for (l <- lo.toLongOption; h <- hi.toLongOption) yield c -> (l, h)
+          case _ => None
+        }
+        case _ => None
+      }
+    }.toMap
+
+  /** Cap on harvested multi-stats columns per file (Delta records stats
+    * for its first 32 columns by the same reasoning: log lines must stay
+    * bounded however wide the table is). */
+  private val MaxMStatsColumns = 32
+
+  /** Footer row count + per-column [min, max] for plain integral columns,
+    * from ONE footer open (no data pages). A column is recorded only when
+    * EVERY row group carries non-null statistics for it (a single
+    * stats-less chunk makes the range undefined — absence must fail safe,
+    * so the column is simply not recorded and its files are never
+    * skipped), its name is `[A-Za-z0-9_]+` (the mstats vocabulary's safe
+    * charset), it is TOP-LEVEL, and its parquet type is an unannotated
+    * (or plain-int-annotated) INT32/INT64 — date/decimal-backed ints are
+    * excluded rather than risking a unit mismatch with filter literals.
+    * Files with NULLs in a recorded column still prune correctly: a NULL
+    * row can never match the comparison predicate that consulted the
+    * range. */
+  private def footerSummary(table: String, f: String)
+      : (Option[Long], Map[String, (Long, Long)]) =
+    try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(Paths.get(table, f).toUri),
+          footerConf))
+      try {
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val rows = Some(r.getRecordCount)
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+        val dead = scala.collection.mutable.HashSet.empty[String]
+        for (b <- r.getFooter.getBlocks.asScala; c <- b.getColumns.asScala) {
+          val name = c.getPath.toDotString
+          if (!dead(name)) {
+            val pt = c.getPrimitiveType
+            val plainInt = (pt.getPrimitiveTypeName == PrimitiveTypeName.INT32 ||
+                pt.getPrimitiveTypeName == PrimitiveTypeName.INT64) &&
+              (pt.getLogicalTypeAnnotation == null ||
+                pt.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+            val safe = c.getPath.size == 1 && name.matches("[A-Za-z0-9_]+")
+            val range = Option(c.getStatistics)
+              .filter(s => plainInt && safe && s.hasNonNullValue)
+              .flatMap { s =>
+                (s.genericGetMin, s.genericGetMax) match {
+                  case (lo: java.lang.Long, hi: java.lang.Long) =>
+                    Some((lo.toLong, hi.toLong))
+                  case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                    Some((lo.toLong, hi.toLong))
+                  case _ => None
+                }
+              }
+            range match {
+              case Some((lo, hi)) =>
+                acc(name) = acc.get(name)
+                  .fold((lo, hi)) { case (a, b) => (math.min(a, lo), math.max(b, hi)) }
+              case None => dead += name; acc.remove(name)
+            }
+          }
+        }
+        (rows, acc.toSeq.sortBy(_._1).take(MaxMStatsColumns).toMap)
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
 
   private def fileSizeSuffix(table: String, f: String): String =
     (try Some(Files.size(Paths.get(table, f)))
@@ -580,8 +685,7 @@ object CommitLog {
                                   expectedTip: Option[Long], op: String = "rewrite",
                                   statsCol: Option[String] = None): Long = {
     val addActions = add.map { f =>
-      val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""") +
-        fileSizeSuffix(table, f)
+      val rowsSuffix = addSuffix(table, f)
       (for (c <- statsCol; (lo, hi) <- footerMinMax(table, f, c))
         yield s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"$rowsSuffix}""")
         .getOrElse(s"""{"add":"$f"$rowsSuffix}""")
@@ -1043,8 +1147,7 @@ object CommitLog {
       val r = spark.read.parquet(Paths.get(table, f).toString)
         .agg(fmin(col(s"`$physCol`").cast("long")),
           fmax(col(s"`$physCol`").cast("long"))).head()
-      val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""") +
-        fileSizeSuffix(table, f)
+      val rowsSuffix = addSuffix(table, f)
       if (r.isNullAt(0)) s"""{"add":"$f"$rowsSuffix}"""
       else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$physCol"$rowsSuffix}"""
     }
@@ -1079,8 +1182,7 @@ object CommitLog {
           fmin(col(s"`$px`").cast("long")), fmax(col(s"`$px`").cast("long")),
           fmin(col(s"`$py`").cast("long")), fmax(col(s"`$py`").cast("long")),
           fcount(lit(1)), fcount(col(s"`$px`")), fcount(col(s"`$py`"))).head()
-      val rowsSuffix = footerRowCount(table, f).fold("")(n => s""","rows":$n""") +
-        fileSizeSuffix(table, f)
+      val rowsSuffix = addSuffix(table, f)
       // the null guard runs UNCONDITIONALLY on non-empty files: an
       // all-null-coordinate file would land stats-less (min of nulls is
       // null) and dodge a guard placed under the stats branch
@@ -1331,10 +1433,18 @@ object CommitLog {
     val phys = physicalFor(table, column, asOf)
     // case-insensitive, matching Spark's default column resolution — the
     // SQL path hands us the schema's casing, the writer the user's
-    state.live.collect {
+    val named = state.live.collect {
       case (f, Some(s)) if state.statsCols.get(f).exists(_.equalsIgnoreCase(phys)) =>
         f -> s
     }.toMap
+    // multi-stats extend the reach to every file whose footer recorded a
+    // range for the column — plain appends included; the NAMED clustering
+    // range wins on overlap (both describe the same bytes)
+    val multi = state.multiStats.toSeq.collect {
+      case (f, m) if state.live.contains(f) =>
+        m.collectFirst { case (c, r) if c.equalsIgnoreCase(phys) => f -> r }
+    }.flatten.toMap
+    multi ++ named
   }
 
   /** file → the named column its recorded zone range describes, for every
@@ -1576,7 +1686,9 @@ object CommitLog {
     val lines = (s"""{"op":"checkpoint","version":$v}""" +: (schemaLine ++
       state.live.toSeq.map { case (f, stats) =>
         val rows = state.rowCounts.get(f).fold("")(n => s""","rows":$n""") +
-          state.fileBytes.get(f).fold("")(n => s""","bytes":$n""")
+          state.fileBytes.get(f).fold("")(n => s""","bytes":$n""") +
+          state.multiStats.get(f).filter(_.nonEmpty)
+            .fold("")(m => s""","mstats":"${encodeMStats(m)}"""")
         (stats, state.statsCols.get(f)) match {
           case (Some((lo, hi)), Some(c)) =>
             s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"$rows}"""

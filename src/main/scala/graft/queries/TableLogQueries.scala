@@ -1012,8 +1012,11 @@ object TableLogQueries {
     val t = dmlTable(spark, dir, "t21",
       "SELECT /*+ REPARTITION(4) */ * FROM t21_b1")
     val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t21").toString
-    require(CommitLog.fileStatsOn(tdir, "id").isEmpty,
-      "pre-cluster layout must carry no zone maps")
+    // footer multi-stats give every file an id range even pre-cluster,
+    // but the hash layout's ranges INTERLEAVE (no declared clustering) —
+    // what CALL cluster fixes is the LAYOUT, proven by the 1-file prune
+    require(CommitLog.fileStats(tdir).isEmpty,
+      "pre-cluster layout must declare no clustered zone maps")
     val row = spark.sql(
       "CALL graft.system.cluster(`table` => 'dml.t21', `column` => 'id', buckets => 3)").head()
     require(row.getInt(1) == 3, s"cluster must land 3 files, got ${row.getInt(1)}")
@@ -1246,6 +1249,56 @@ object TableLogQueries {
        |FROM (SELECT * FROM b1
        |      UNION ALL SELECT * FROM b5 WHERE id NOT IN (SELECT id FROM b1))
        |GROUP BY batch ORDER BY batch""".stripMargin
+
+  /** tl30: multi-column footer stats — PLAIN appends (no clustering
+    * declared, REQUIREd) record per-column [lo, hi] harvested from the
+    * parquet footers their add actions already open, so a range filter on
+    * ANY integral column prunes files immediately (REQUIREd: a
+    * first-eighth key query reads a strict subset of a table built from
+    * four range-sliced plain appends). This is what makes data skipping a
+    * property of EVERY table, not only the explicitly clustered ones —
+    * the Delta stats-per-add design in the log's compact vocabulary. */
+  private val tl30AppendSkipping: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_mstats"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val t = root.toString
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey").cast("long").as("id"),
+        round(col("o_totalprice").cast("double"), 2).as("price"))
+    val maxKey = orders.agg(max("id")).head().getLong(0)
+    // four PLAIN appends, one per key quartile (an ingest arriving in
+    // rough key order — the common tracker shape)
+    for (q <- 0 until 4) {
+      val (lo, hi) = (q * (maxKey / 4) + 1, if (q == 3) maxKey else (q + 1) * (maxKey / 4))
+      CommitLog.append(orders.filter(col("id").between(lo, hi)), t)
+    }
+    require(CommitLog.fileStats(t).isEmpty && CommitLog.declaredClustering(t).isEmpty,
+      "tl30: the table must carry NO declared clustering — the skip must " +
+        "come from the footer multi-stats alone")
+    val bound = maxKey / 8
+    val all = CommitLog.snapshotFiles(t)
+    val pruned = graft.sources.GraftLogDataSource.prunedFileNames(t,
+      CommitLog.currentVersion(t), Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 1L),
+        org.apache.spark.sql.sources.LessThanOrEqual("id", bound)))
+    require(pruned.nonEmpty && pruned.size < all.size,
+      s"tl30: plain-append multi-stats must skip files, read ${pruned.size}/${all.size}")
+    spark.read.format("graftlog").load(t)
+      .filter(col("id").between(1L, bound))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+      .withColumn("skipped", lit(all.size > pruned.size))
+  }
+
+  private val tl30AppendSkippingSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  TRUE AS skipped
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 1 AND (SELECT max(o_orderkey) // 8 FROM orders)""".stripMargin
 
   /** tl24: the change feed's SQL surface — `USING graftlog OPTIONS
     * (readChangeFeed 'true')` serves the same derived relation tl23
@@ -1519,6 +1572,7 @@ object TableLogQueries {
        |FROM final GROUP BY batch ORDER BY batch""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "tl30_append_skipping" -> tl30AppendSkipping,
     "tl29_sql_ingest" -> tl29SqlIngest,
     "tl28_zorder_skipping" -> tl28ZOrder,
     "tl27_table_changes" -> tl27TableChanges,
@@ -1556,6 +1610,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl30_append_skipping" -> tl30AppendSkippingSql,
     "tl29_sql_ingest" -> tl29SqlIngestSql,
     "tl28_zorder_skipping" -> tl28ZOrderSql,
     "tl27_table_changes" -> tl27TableChangesSql,

@@ -143,10 +143,16 @@ class CommitLogSpec extends SparkSpec {
   test("vacuum keeps the latest snapshot intact and drops superseded files") {
     val t = freshTable("vacuum")
     CommitLog.append(df(1L -> "a", 2L -> "b"), t)
-    val oldFiles = CommitLog.snapshotFiles(t)
     CommitLog.upsert(spark, df(1L -> "A"), t, Seq("id"))
+    // the upsert's zone pruning rewrites only the files covering key 1
+    // (footer multi-stats make even plain appends prunable); vacuum owes
+    // exactly the files that rewrite REMOVED — nothing more, nothing less
+    val superseded = CommitLog.readCommit(t, 1L).remove
+    assert(superseded.nonEmpty, "the upsert must have rewritten something")
     val deleted = CommitLog.vacuum(t, retainMillis = 0)
-    assert(oldFiles.forall(deleted.contains))       // rewrite superseded all v0 files
+    assert(superseded.forall(deleted.contains))
+    assert(deleted.toSet == superseded.toSet,
+      s"vacuum must reclaim exactly the superseded files: $deleted vs $superseded")
     val now = CommitLog.read(spark, t).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(now == Map(1L -> "A", 2L -> "b"))
@@ -281,6 +287,52 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.dedupAppend(spark,
       Seq((10L, "X"), (99L, "X")).toDF("id", "v"), t, Seq("id")).isEmpty)
     assert(CommitLog.currentVersion(t) == tip)
+  }
+
+  test("multi-column footer stats: plain appends prune on any integral column") {
+    import spark.implicits._
+    val t = freshTable("mstats")
+    // two plain appends with disjoint ranges on BOTH integral columns;
+    // the string column and the partially/fully-null columns ride along
+    CommitLog.append(Seq((1L, 10L, "a", Some(5L), Option.empty[Long]),
+      (2L, 20L, "b", None, Option.empty[Long]))
+      .toDF("id", "x", "s", "part_null", "all_null"), t)
+    CommitLog.append(Seq((100L, 1000L, "c", Some(7L), Option.empty[Long]))
+      .toDF("id", "x", "s", "part_null", "all_null"), t)
+    val files = CommitLog.snapshotFiles(t)
+    // every file carries ranges on id AND x (no clustering declared)
+    assert(CommitLog.fileStats(t).isEmpty, "no NAMED zone maps on plain appends")
+    for (c <- Seq("id", "x")) {
+      val st = CommitLog.fileStatsOn(t, c)
+      assert(files.forall(st.contains), s"every file must carry a $c range, got $st")
+    }
+    // a column with SOME nulls is recorded (null rows can't match a
+    // comparison anyway); an ALL-null column is not
+    assert(CommitLog.fileStatsOn(t, "part_null").nonEmpty)
+    assert(CommitLog.fileStatsOn(t, "all_null").isEmpty)
+    // pruning: an id filter and an x filter each skip the other append
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    def pruned(c: String, lo: Long, hi: Long) =
+      graft.sources.GraftLogDataSource.prunedFileNames(t,
+        CommitLog.currentVersion(t),
+        Seq(GreaterThanOrEqual(c, lo), LessThanOrEqual(c, hi)))
+    assert(pruned("id", 1L, 2L).size < files.size, "id filter must skip")
+    assert(pruned("x", 900L, 2000L).size < files.size, "x filter must skip")
+    // stats survive a checkpoint roll
+    CommitLog.checkpoint(t)
+    assert(files.forall(CommitLog.fileStatsOn(t, "id").contains),
+      "multi-stats must survive the checkpoint")
+    assert(pruned("id", 1L, 2L).size < files.size)
+    // and correctness is never a function of pruning: the narrowed read
+    // equals the brute filter
+    val got = graft.sources.GraftLogDataSource.narrowedRead(spark, t,
+      CommitLog.currentVersion(t), mergeSchema = false,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))),
+      Seq(GreaterThanOrEqual("x", 900L), LessThanOrEqual("x", 2000L)))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(100L), s"got ${got.toSeq}")
   }
 
   test("purge racing concurrent appends: serializable, nothing lost, tombstones lifted") {

@@ -199,11 +199,24 @@ class GraftLogDataSourceSpec extends SparkSpec {
     assert(narrowed(f.EqualTo("k", 50L)).inputFiles.length == 1,
       "zone-map column names must survive a log checkpoint")
 
-    // a plain append (no stats) adds a file that is ALWAYS read
+    // a plain append carries footer MULTI-stats now: the k=50 scan still
+    // reads 1 file (the new file's k range [200, 200] skips it), and a
+    // k=200 probe reads exactly the new file
     CommitLog.append(Seq((200L, "x")).toDF("k", "v"), t)
-    val after = narrowed(f.EqualTo("k", 50L))
-    assert(after.inputFiles.length == 2,
-      s"stats-less files must never be skipped, got ${after.inputFiles.length}")
+    assert(narrowed(f.EqualTo("k", 50L)).inputFiles.length == 1,
+      "a plain append's footer stats must skip it for out-of-range keys")
+    assert(narrowed(f.EqualTo("k", 200L)).inputFiles.length == 1,
+      "the k=200 probe must prune to the appended file alone")
+    // a LEGACY add (older writer vocabulary: no rows/mstats recorded) is
+    // ALWAYS read — absence of stats fails safe
+    val donor = CommitLog.snapshotFiles(t).head
+    Files.copy(Paths.get(t, donor), Paths.get(t, "legacy.parquet"))
+    val v = CommitLog.currentVersion(t) + 1
+    Files.write(Paths.get(t, "_log", f"$v%012d.json"),
+      "{\"op\":\"append\"}\n{\"add\":\"legacy.parquet\"}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(narrowed(f.EqualTo("k", 50L)).inputFiles.length == 2,
+      "stats-less files must never be skipped")
     // and time travel back to the pre-append version prunes as before
     val back = graft.sources.GraftLogDataSource.narrowedRead(
       spark, t, 0L, mergeSchema = false,

@@ -53,7 +53,9 @@ class GraftProceduresSpec extends SparkSpec {
 
   test("CALL cluster re-establishes zone maps; pruned reads follow") {
     val dir = build("z")
-    assert(CommitLog.fileStatsOn(dir, "id").isEmpty, "CTAS layout carries no zone maps")
+    assert(CommitLog.fileStats(dir).isEmpty,
+      "CTAS layout declares no clustered zone maps (footer multi-stats " +
+        "exist but interleave — the relayout is what establishes pruning)")
 
     val row = spark.sql(
       "CALL pcat.system.cluster(`table` => 'm.z', `column` => 'id', buckets => 3)").head
