@@ -949,7 +949,7 @@ object CommitLog {
                             updates: DataFrame, keys: Seq[String])
       : (Seq[String], Seq[String]) = {
     val old = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
-    val (candidates, prunedOn) = upsertCandidates(table, tip, updates, keys, old)
+    val (candidates, _) = upsertCandidates(table, tip, updates, keys, old)
     // the declared-schema reader, so an upsert after column evolution
     // carries NULL-padded old rows instead of failing the union
     val merged =
@@ -957,17 +957,18 @@ object CommitLog {
       else readFiles(spark, table, candidates, mergeSchema = false, Some(tip))
         .join(updates, keys, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
-    // replacement files re-record zone ranges: the declared clustering
-    // column when the table has one, else the key pruning ran on — a
-    // stats-less replacement would make every FUTURE upsert treat it as
-    // a candidate forever (pruning would decay to full rewrites)
+    // replacement files keep pruning alive WITHOUT a re-clustering pass:
+    // a plain stage's add actions carry footer multi-stats on every
+    // integral column (the key included), so future upserts prune
+    // against the replacements for free — no repartitionByRange sampling
+    // job, no per-file min/max agg jobs per call. Only a DECLARED
+    // clustering layout is actively maintained (the user asked for it).
     val statsCol = declaredClustering(table, if (tip < 0) None else Some(tip))
       .map(_._1).filter(c => merged.columns.exists(_.equalsIgnoreCase(c)))
-      .orElse(prunedOn)
     val (added, addLines) = statsCol match {
       case Some(c) =>
         stageClustered(spark, merged, table, c,
-          math.max(1, math.min(candidates.length, 32)))
+          math.max(1, math.min(math.max(candidates.length, 1), 32)))
       case None =>
         val fs = stage(merged, table)
         (fs, fs.map(f => addAction(table, f)))
@@ -1047,7 +1048,7 @@ object CommitLog {
       // readFiles (not a raw parquet read) serves the DECLARED schema,
       // so the key columns resolve by their logical names even after a
       // RENAME.
-      val (candidates, prunedOn) = upsertCandidates(table, tip, df, keys, files)
+      val (candidates, _) = upsertCandidates(table, tip, df, keys, files)
       val fresh =
         if (candidates.isEmpty) df
         else df.join(
@@ -1059,16 +1060,12 @@ object CommitLog {
         // the keys-not-present check was made against the snapshot at
         // `tip`; a concurrent ingest could have landed the same keys, so
         // this commit must conflict-abort and re-derive rather than
-        // double-ingest. Landed batches record zone ranges on the key
-        // (declared clustering first, else the pruning key, else the
-        // first LONG key for a first-ever batch) — what makes the NEXT
-        // ingest's index prunable instead of decaying to full key scans.
+        // double-ingest. Landed batches' add actions carry footer
+        // multi-stats on every integral column (the keys included), so
+        // the NEXT ingest's index prunes without any re-clustering pass;
+        // only a DECLARED clustering layout is actively maintained.
         val statsCol = declaredClustering(table, if (tip < 0) None else Some(tip))
           .map(_._1).filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
-          .orElse(prunedOn)
-          .orElse(keys.find(k => df.schema.fields.exists(f =>
-            f.name.equalsIgnoreCase(k) &&
-              f.dataType == org.apache.spark.sql.types.LongType)))
         val (added, addLines) = statsCol match {
           case Some(c) => stageClustered(spark, fresh, table, c, buckets = 8)
           case None =>

@@ -256,13 +256,20 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readCommit(t, v3).remove.isEmpty,
       "out-of-range batch must carry no file forward through a rewrite")
     assert(CommitLog.read(spark, t).count() == 101)
-    // txnUpsert prunes identically (shared rewrite path) and stays exactly-once
+    // txnUpsert prunes identically (shared rewrite path) and stays
+    // exactly-once. Plain-staged replacements may OVERLAP in range (hash
+    // partitions interleave keys), so the invariant is: every file whose
+    // recorded range provably excludes the key survives BY NAME
     val preTxn = CommitLog.snapshotFiles(t)
+    val preStats = CommitLog.fileStatsOn(t, "id")
+    val mustSurvive = preTxn.filter(f =>
+      preStats.get(f).exists { case (lo, hi) => 12L < lo || 12L > hi })
+    assert(mustSurvive.nonEmpty, "the fixture must have provably-disjoint files")
     assert(CommitLog.txnUpsert(spark, Seq((12L, "T12")).toDF("id", "v"),
       t, Seq("id"), "zq#1").isDefined)
     val postTxn = CommitLog.snapshotFiles(t)
-    assert(preTxn.count(postTxn.contains) >= preTxn.length - 1,
-      "txnUpsert must rewrite at most the one overlapping file")
+    assert(mustSurvive.forall(postTxn.contains),
+      "files provably not covering key 12 must survive the txnUpsert by name")
     assert(CommitLog.txnUpsert(spark, Seq((12L, "WRONG")).toDF("id", "v"),
       t, Seq("id"), "zq#1").isEmpty, "replayed txn is a no-op")
     assert(CommitLog.read(spark, t).filter($"id" === 12L).head().getString(1) == "T12")
