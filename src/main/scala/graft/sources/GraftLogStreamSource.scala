@@ -404,20 +404,31 @@ final class GraftLogCdfMicroBatchStream(
   override def deserializeOffset(json: String): COffset =
     GraftLogOffset(json.trim.toLong)
 
+  /** NIO directory streams must be CLOSED — this path runs every trigger
+    * of a deliberately months-running stream, and an unclosed
+    * `Files.list`/`Files.walk` leaks a directory handle until GC. */
+  private def useStream[A](s: java.util.stream.Stream[java.nio.file.Path])
+                          (body: java.util.stream.Stream[java.nio.file.Path] => A): A =
+    try body(s) finally s.close()
+
   /** Reclaims materializations of windows ending BELOW `threshold` — a
     * committed batch is never re-planned (restart replays only past the
     * last COMMITTED offset), so those dirs are garbage; without this a
-    * months-running stream accumulates one dir per trigger forever. */
+    * months-running stream accumulates one dir per trigger forever.
+    * Window end is field 1 of the `<start>_<end>_h<schemaHash>` dir name
+    * (with a last-field fallback for dirs an older build named
+    * `<start>_<end>`, so an in-flight checkpoint upgrades cleanly). */
   private def reclaimBelow(threshold: Long): Unit = {
     val root = ckptDir.resolve("_graft_cdf")
     if (java.nio.file.Files.isDirectory(root)) {
-      java.nio.file.Files.list(root).iterator.asScala.toList.foreach { d =>
-        val endV = d.getFileName.toString.split('_').lastOption
-          .flatMap(_.toLongOption)
+      useStream(java.nio.file.Files.list(root))(_.iterator.asScala.toList).foreach { d =>
+        val parts = d.getFileName.toString.split('_')
+        val endV = parts.lift(1).flatMap(_.toLongOption)
+          .orElse(parts.lastOption.flatMap(_.toLongOption))
         if (endV.exists(_ < threshold)) {
-          java.nio.file.Files.walk(d)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          useStream(java.nio.file.Files.walk(d))(
+            _.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p)))
         }
       }
     }
@@ -459,7 +470,22 @@ final class GraftLogCdfMicroBatchStream(
     // of the next batch, so a drain's final window would otherwise
     // survive until the stream's next restart)
     reclaimBelow(startV + 1)
-    val dir = ckptDir.resolve("_graft_cdf").resolve(s"${startV + 1}_$endV")
+    // the schema hash in the dir name is the REUSE GUARD: the files are
+    // written under this run's pinned logical names, and a materialization
+    // left by a crash could otherwise be replayed after the table was
+    // RENAMEd and the stream restarted with a different pinned schema —
+    // the old-named files would silently serve NULLs for the renamed
+    // column. A different pinned schema hashes to a different dir, so the
+    // stale materialization is never matched (and is reclaimed by name
+    // once its window commits).
+    val schemaHash = {
+      val canonical = pinned.fields.map(f =>
+        s"${f.name}|${CommitLog.physicalName(f)}|${f.dataType.catalogString}")
+        .mkString(";")
+      f"${scala.util.hashing.MurmurHash3.stringHash(canonical)}%08x"
+    }
+    val dir = ckptDir.resolve("_graft_cdf")
+      .resolve(s"${startV + 1}_${endV}_h$schemaHash")
     // materialize ONCE per window: the engine plans the same batch several
     // times (columnar probe, execution, recovery), so a finished
     // materialization (_SUCCESS present) is reused as-is — rewriting would
@@ -470,8 +496,8 @@ final class GraftLogCdfMicroBatchStream(
       GraftLogStreamSource.alignToPinned(path,
           CommitLog.changes(spark, path, startV, endV), pinned, Some(endV))
         .write.mode("overwrite").parquet(dir.toString)
-    val files = java.nio.file.Files.list(dir).iterator.asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val files = useStream(java.nio.file.Files.list(dir))(_.iterator.asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq)
     if (files.isEmpty) Array.empty
     else GraftSqlShim.parquetScan(spark, files, scanSchema, scanSchema,
       Array.empty).toBatch.planInputPartitions()
