@@ -125,6 +125,34 @@ object LogProbe {
       results += (s"ingest_x$k" -> sec)
     }
 
+    // ---------------------------------------------------------- Tier A3
+    // HASH-keyed ingest ∝ batch: a uniform content-hash key spans every
+    // file's zone range (round 11's honest gap — the duplicate check
+    // read the whole key column). With the declared per-file blooms the
+    // check must stay FLAT as the table grows 16×: a fresh batch's keys
+    // miss almost every bloom, so almost no key file is read.
+    for (k <- Seq(1, 4, 16)) {
+      val t = freshDir(root, s"bloom_x$k")
+      CommitLog.declareBloom(spark, t, "key")
+      CommitLog.append(
+        spark.range(k * baseRows).select(md5(col("id").cast("string")).as("key"),
+          concat(lit("doc_"), col("id")).as("v")).repartition(8 * k), t)
+      def freshBatch(off: Long) =
+        spark.range(off, off + 300).select(
+          md5(concat(lit("fresh_"), col("id").cast("string"))).as("key"),
+          lit("n").as("v"))
+      val files = CommitLog.snapshotFiles(t)
+      val cands = CommitLog.ingestCandidates(spark, t,
+        CommitLog.currentVersion(t), freshBatch(0), Seq("key"), files)
+      CommitLog.dedupAppend(spark, freshBatch(1000000), t, Seq("key")) // warm
+      val sec = best2 {
+        CommitLog.dedupAppend(spark, freshBatch(2000000), t, Seq("key")); ()
+      }
+      println(s"""{"probe":"bloom_ingest","factor":$k,"sec":$sec,""" +
+        s""""live_files":${files.size},"bloom_candidates":${cands.size}}""")
+      results += (s"bloom_ingest_x$k" -> sec)
+    }
+
     // ---------------------------------------------------------- Tier B
     val seedDf = Seq((1L, "seed")).toDF("id", "v")
     for (n <- Seq(100, 500, 2000)) {

@@ -44,6 +44,52 @@ object ZOrder {
   def mortonScalar(x: Long, y: Long): Long =
     spreadScalar(x) | (spreadScalar(y) << 1)
 
+  // ---------------------------------------------------------------- n-dim
+  /** 3-way bit spread (bit i → position 3i) for 16-bit inputs — the
+    * standard 64-bit masked-shift sequence (valid through 21-bit
+    * inputs). */
+  private val Masks3 = Seq(
+    (32, 0x1F00000000FFFFL),
+    (16, 0x1F0000FF0000FFL),
+    (8, 0x100F00F00F00F00FL),
+    (4, 0x10C30C30C30C30C3L),
+    (2, 0x1249249249249249L))
+
+  private def steps(dims: Int): Seq[(Int, Long)] = dims match {
+    case 2 => Masks
+    case 3 => Masks3
+    case d => sys.error(s"z-order supports 2 or 3 dimensions, got $d: at 16 " +
+      "bits per coordinate a 4th dimension would need the sign bit of the " +
+      "64-bit zkey (zone ranges compare SIGNED) — reduce dimensions or " +
+      "quantize coarser")
+  }
+
+  /** Spreads the low 16 bits of `c` so bit i lands at position `dims`*i. */
+  def spreadN(c: Column, dims: Int): Column =
+    steps(dims).foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) {
+      case (s, (sh, mask)) => (s.bitwiseOR(shiftleft(s, sh))).bitwiseAND(lit(mask))
+    }
+
+  private def spreadScalarN(v: Long, dims: Int): Long =
+    steps(dims).foldLeft(v & 0xFFFFL) { case (s, (sh, mask)) => (s | (s << sh)) & mask }
+
+  /** n-dimensional Morton key: dimension d's bits land at positions
+    * d, d+n, d+2n, … — 2-D is bit-identical to [[morton]]. */
+  def mortonN(cols: Seq[Column]): Column = {
+    val n = cols.length
+    steps(n) // validates the dimension count loudly
+    cols.zipWithIndex.map { case (c, d) => shiftleft(spreadN(c, n), d) }
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Scalar mirror of [[mortonN]]; agreement is spec-pinned. */
+  def mortonScalarN(coords: Seq[Long]): Long = {
+    val n = coords.length
+    steps(n)
+    coords.zipWithIndex.map { case (v, d) => spreadScalarN(v, n) << d }
+      .reduce(_ | _)
+  }
+
   /** Z-order range decomposition: the set of zkey intervals covering the
     * axis-aligned box `[xmin..xmax] x [ymin..ymax]` (inclusive, 16-bit
     * coords) — the missing half of Z-ORDER clustering. The layout makes
@@ -60,27 +106,63 @@ object ZOrder {
     * superset, so pruning stays CORRECT and the residual row filter does
     * the rest — the same contract as every other prefilter here). */
   def zRangesForBox(xmin: Long, xmax: Long, ymin: Long, ymax: Long,
-                    maxRanges: Int = 64): Seq[(Long, Long)] = {
-    require(0 <= xmin && xmin <= xmax && xmax < 65536 &&
-      0 <= ymin && ymin <= ymax && ymax < 65536, "16-bit box required")
+                    maxRanges: Int = 64): Seq[(Long, Long)] =
+    zRangesForBoxN(Seq((xmin, xmax), (ymin, ymax)), maxRanges)
+
+  /** n-dimensional form of [[zRangesForBox]]: the zkey intervals covering
+    * an axis-aligned box in 2 or 3 (16-bit) dimensions — the same
+    * 2^n-tree descent (emit fully-covered cells, split partial ones),
+    * children visited in ascending-zkey order, merged and coarsened to
+    * `maxRanges` by bridging the smallest gaps (always a SUPERSET, so
+    * pruning stays correct). */
+  def zRangesForBoxN(bounds: Seq[(Long, Long)],
+                     maxRanges: Int = 64): Seq[(Long, Long)] = {
+    val n = bounds.length
+    steps(n) // validates the dimension count loudly
+    bounds.foreach { case (lo, hi) =>
+      require(0 <= lo && lo <= hi && hi < 65536, s"16-bit box required: [$lo, $hi]")
+    }
     require(maxRanges >= 1, "need at least one range")
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    // children visited in (x, y) bit order = ascending zkey, so `out`
-    // is emitted sorted
-    def go(cx: Long, cy: Long, level: Int): Unit = {
-      val x0 = cx << level; val x1 = x0 + (1L << level) - 1
-      val y0 = cy << level; val y1 = y0 + (1L << level) - 1
-      if (x1 < xmin || x0 > xmax || y1 < ymin || y0 > ymax) ()
-      else if (x0 >= xmin && x1 <= xmax && y0 >= ymin && y1 <= ymax) {
-        val z0 = mortonScalar(x0, y0)
-        out += ((z0, z0 + (1L << (2 * level)) - 1))
+    // Descent floor: partially-covered cells live on the box SURFACE, and
+    // in 3-D a full-depth descent of a large box would emit O(side²)
+    // intervals before coarsening could act. Stop splitting at the
+    // smallest level whose estimated boundary-cell count fits the budget
+    // and emit those partial cells WHOLE — an over-approximation, so the
+    // cover stays a superset (pruning stays correct) and the interval
+    // count stays bounded at any box size. Small boxes get level 0 =
+    // the exact decomposition.
+    val budget = math.max(4096.0, 4.0 * maxRanges)
+    def boundaryEstimate(level: Int): Double = {
+      val sides = bounds.map { case (lo, hi) =>
+        math.max(1.0, (hi - lo + 1).toDouble / (1L << level)) }
+      2.0 * sides.indices.map(d =>
+        sides.indices.filterNot(_ == d).map(sides).product).sum + (1 << n)
+    }
+    val stopLevel = (0 to 16).find(l => boundaryEstimate(l) <= budget).getOrElse(16)
+    // children visited in ascending child-index order c, where dimension
+    // d contributes bit d of c — exactly ascending zkey (dimension d's
+    // bits sit at positions d, d+n, …), so `out` is emitted sorted
+    def go(cell: Array[Long], level: Int): Unit = {
+      val lo = cell.map(_ << level)
+      val hi = lo.map(_ + (1L << level) - 1)
+      val disjoint = bounds.indices.exists(d =>
+        hi(d) < bounds(d)._1 || lo(d) > bounds(d)._2)
+      if (disjoint) ()
+      else if (level <= stopLevel || bounds.indices.forall(d =>
+          lo(d) >= bounds(d)._1 && hi(d) <= bounds(d)._2)) {
+        val z0 = mortonScalarN(lo.toIndexedSeq)
+        out += ((z0, z0 + (1L << (n * level)) - 1))
       } else {
         val l = level - 1
-        go(cx * 2, cy * 2, l); go(cx * 2 + 1, cy * 2, l)
-        go(cx * 2, cy * 2 + 1, l); go(cx * 2 + 1, cy * 2 + 1, l)
+        var c = 0
+        while (c < (1 << n)) {
+          go(Array.tabulate(n)(d => cell(d) * 2 + ((c >> d) & 1)), l)
+          c += 1
+        }
       }
     }
-    go(0, 0, 16)
+    go(Array.fill(n)(0L), 16)
     // merge zkey-adjacent intervals (free: no over-coverage added)
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     out.foreach { iv =>

@@ -110,8 +110,44 @@ object CommitLog {
   // the row count comes from — so filters on ANY integral column prune
   // files, not just the declared clustering column (the Delta
   // stats-for-first-N-columns design, in this log's compact vocabulary:
-  // "mstats":"a=1:9,b=-3:4")
+  // "mstats":"a=1:9,b=-3:4"). Annotated-int columns carry a UNIT-FAITHFUL
+  // type tag so a range on them prunes too, with no unit mismatch
+  // possible: "d=d19000:19400" (DateType, epoch DAYS — the exact INT32
+  // value parquet stores), "ts=t1700000000000000:..." (timestamps, epoch
+  // MICROS — parquet's physical unit, MILLIS/NANOS normalized on
+  // harvest), "p=c2.100:999" (decimal, UNSCALED value at the annotated
+  // scale). A bare range stays a plain signed int — old logs decode
+  // unchanged.
   private val MStatsRe = """"add"\s*:\s*"([^"]+)"[^\n]*?"mstats"\s*:\s*"([^"]*)"""".r
+  // string zone stats, kept out of mstats because the values are byte
+  // bounds, not longs: "sstats":"col=<b64lo>:<b64hi>" with URL-safe
+  // unpadded base64 (alphabet disjoint from the , : = separators). lo is
+  // the column's UTF-8 min truncated to 32 bytes (a prefix is always <=
+  // the full value in unsigned byte order); hi is the max truncated with
+  // the last byte INCREMENTED when truncation dropped anything (Delta's
+  // 32-char prefix convention — a safe upper bound, never an exact max).
+  private val SStatsRe = """"add"\s*:\s*"([^"]+)"[^\n]*?"sstats"\s*:\s*"([^"]*)"""".r
+
+  /** One column's typed zone range. `kind`: 'i' plain signed int, 'd'
+    * date as epoch days, 't' timestamp as epoch micros (LTZ and NTZ alike
+    * — a column is only ever one of them, and the filter literal's Java
+    * type picks the same conversion), 'c' decimal as the unscaled value
+    * at `scale`. Comparisons are only ever made KIND-AGAINST-SAME-KIND
+    * with the filter literal converted to the kind's unit — a kind
+    * mismatch reads the file (fail-safe), never guesses. */
+  final case class ColStat(kind: Char, lo: Long, hi: Long, scale: Int = 0)
+
+  // per-file key bloom filter, for tables that DECLARED one
+  // ({"bloomon":"<physCol>"}, [[declareBloom]]): each add MAY carry
+  // "bloom":"<b64bits>" — an m-bit filter over the declared column's
+  // values, sized from the file's row count. This is what makes
+  // hash-keyed ingest dedup ∝ batch instead of ∝ table: a UNIFORM
+  // content-hash key spans every file's zone range, but a fresh batch's
+  // keys miss almost every per-file bloom, so the duplicate check reads
+  // almost nothing (the Delta/Iceberg bloom-index idea, carried in the
+  // log line instead of a sidecar file).
+  private val BloomOnRe = """"bloomon"\s*:\s*"([^"]+)"""".r
+  private val BloomRe = """"add"\s*:\s*"([^"]+)"[^\n]*?"bloom"\s*:\s*"([^"]*)"""".r
 
   /** Committed versions with a RETAINED commit file, ascending; empty for
     * a fresh/absent table. After [[expireLog]] this lists only the tail —
@@ -119,11 +155,19 @@ object CommitLog {
     * listing exists for history inspection. */
   def versions(table: String): Seq[Long] =
     if (!Files.isDirectory(logDir(table))) Seq.empty
-    else Files.list(logDir(table)).iterator.asScala
+    else listDir(logDir(table))
       .map(_.getFileName.toString)
       .filter(_.endsWith(".json"))
       .flatMap(n => n.stripSuffix(".json").toLongOption)
-      .toSeq.sorted
+      .sorted
+
+  /** `Files.list` with the stream CLOSED (an unclosed NIO stream leaks a
+    * directory handle until GC — and several callers here run per commit
+    * or per vacuum on long-lived tables). */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator.asScala.toSeq finally s.close()
+  }
 
   /** The log tip, found WITHOUT a directory listing: versions are dense
     * (every commit claims tip+1 by atomic no-overwrite rename), so probing
@@ -171,10 +215,17 @@ object CommitLog {
     var clusterSpec: Option[(String, Int)] = None
     // physical names of DROPPED columns — permanently reserved
     val tombstones = scala.collection.mutable.LinkedHashSet.empty[String]
-    // file -> per-column [lo, hi] multi-stats (PHYSICAL names), when the
-    // add recorded them
+    // file -> per-column typed [lo, hi] multi-stats (PHYSICAL names),
+    // when the add recorded them
     val multiStats =
-      scala.collection.mutable.HashMap.empty[String, Map[String, (Long, Long)]]
+      scala.collection.mutable.HashMap.empty[String, Map[String, ColStat]]
+    // file -> per-column string byte bounds (PHYSICAL names)
+    val stringStats =
+      scala.collection.mutable.HashMap.empty[String, Map[String, (Array[Byte], Array[Byte])]]
+    // the declared bloom column (PHYSICAL name), when a commit set one
+    var bloomCol: Option[String] = None
+    // file -> key bloom bits, when the add recorded one
+    val blooms = scala.collection.mutable.HashMap.empty[String, Array[Long]]
   }
 
   /** Applies one log file's add/remove/txn actions to the state. */
@@ -189,6 +240,10 @@ object CommitLog {
       .map(m => m.group(1) -> m.group(2).toLong).toMap
     val mstats = MStatsRe.findAllMatchIn(text)
       .map(m => m.group(1) -> decodeMStats(m.group(2))).toMap
+    val sstats = SStatsRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> decodeSStats(m.group(2))).toMap
+    val blooms = BloomRe.findAllMatchIn(text)
+      .flatMap(m => decodeBloom(m.group(2)).map(m.group(1) -> _)).toMap
     AddRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
       state.live(f) = stats.get(f)
       cols.get(f) match {
@@ -198,6 +253,14 @@ object CommitLog {
       mstats.get(f).filter(_.nonEmpty) match {
         case Some(m) => state.multiStats(f) = m
         case None    => state.multiStats.remove(f)
+      }
+      sstats.get(f).filter(_.nonEmpty) match {
+        case Some(m) => state.stringStats(f) = m
+        case None    => state.stringStats.remove(f)
+      }
+      blooms.get(f) match {
+        case Some(b) => state.blooms(f) = b
+        case None    => state.blooms.remove(f)
       }
       rows.get(f) match {
         case Some(n) => state.rowCounts(f) = n
@@ -211,8 +274,10 @@ object CommitLog {
     RemoveRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
       state.live.remove(f); state.statsCols.remove(f)
       state.rowCounts.remove(f); state.fileBytes.remove(f)
-      state.multiStats.remove(f)
+      state.multiStats.remove(f); state.stringStats.remove(f)
+      state.blooms.remove(f)
     }
+    BloomOnRe.findAllMatchIn(text).foreach(m => state.bloomCol = Some(m.group(1)))
     TxnRe.findAllMatchIn(text).map(_.group(1)).foreach(state.txns += _)
     SchemaRe.findAllMatchIn(text).foreach { m =>
       state.schemaJson = Some(new String(
@@ -479,15 +544,25 @@ object CommitLog {
       case _ => df
     }
     val staging = Paths.get(table, s".staging-${java.util.UUID.randomUUID()}")
-    physDf.write.parquet(staging.toString)
-    val parts = Files.list(staging).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    // table files carry INT64-micros timestamps, whatever the session
+    // default (Spark's INT96 default writes NO usable column statistics,
+    // which would silently disable the typed footer stats and every
+    // time-range prune with them). Scoped to the staging write — result
+    // parquet a USER writes keeps the session's own encoding.
+    val conf = df.sparkSession.conf
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = conf.get(tsKey)
+    conf.set(tsKey, "TIMESTAMP_MICROS")
+    try physDf.write.parquet(staging.toString)
+    finally conf.set(tsKey, prevTs)
+    val parts = listDir(staging)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
     val named = parts.map { p =>
       val name = p.getFileName.toString
       Files.move(p, Paths.get(table, name), StandardCopyOption.ATOMIC_MOVE)
       name
     }
-    val leftovers = Files.list(staging).iterator.asScala.toSeq // _SUCCESS, .crc
+    val leftovers = listDir(staging) // _SUCCESS, .crc
     leftovers.foreach(Files.delete)
     Files.delete(staging)
     named
@@ -500,56 +575,291 @@ object CommitLog {
     * any table size. A failed footer read degrades to a count-less add —
     * the metadata count is then undefined, never wrong. */
   private def addAction(table: String, f: String): String =
-    s"""{"add":"$f"${addSuffix(table, f)}}"""
+    addAction(table, f, declaredBloom(table))
+
+  /** Multi-file callers resolve `bloomCol` ONCE per commit
+    * ([[declaredBloom]] replays the log) and pass it down. */
+  private def addAction(table: String, f: String, bloomCol: Option[String]): String =
+    s"""{"add":"$f"${addSuffix(table, f, bloomCol)}}"""
 
   /** The trailing metadata every add action carries: footer row count,
-    * on-disk bytes, and the per-column multi-stats — ONE footer open
-    * serves all three. */
-  private def addSuffix(table: String, f: String): String = {
-    val (rows, mstats) = footerSummary(table, f)
-    rows.fold("")(n => s""","rows":$n""") + fileSizeSuffix(table, f) +
-      (if (mstats.isEmpty) ""
-       else s""","mstats":"${encodeMStats(mstats)}"""")
+    * on-disk bytes, the per-column multi-stats, the per-column string
+    * bounds — ONE footer open serves all four — plus, on bloom-declared
+    * tables, the file's key bloom (one narrow column scan). */
+  private def addSuffix(table: String, f: String,
+                        bloomCol: Option[String] = None): String = {
+    val fs = footerSummary(table, f)
+    val bloom = bloomCol.flatMap(bc =>
+      try fileBloom(SparkSession.active, table, f, bc)
+      catch { case scala.util.control.NonFatal(_) => None })
+    fs.rows.fold("")(n => s""","rows":$n""") + fileSizeSuffix(table, f) +
+      (if (fs.mstats.isEmpty) ""
+       else s""","mstats":"${encodeMStats(fs.mstats)}"""") +
+      (if (fs.sstats.isEmpty) ""
+       else s""","sstats":"${encodeSStats(fs.sstats)}"""") +
+      bloom.fold("")(b => s""","bloom":"${encodeBloom(b)}"""")
   }
 
-  /** `"a=1:9,b=-3:4"` — names sorted for deterministic log lines. Only
-    * `[A-Za-z0-9_]+` names are ever encoded ([[footerSummary]] filters),
-    * so the separators cannot collide with content. */
-  private def encodeMStats(m: Map[String, (Long, Long)]): String =
-    m.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(",")
+  /** `"a=1:9,d=d19000:19400,p=c2.100:999"` — names sorted for
+    * deterministic log lines. Only `[A-Za-z0-9_]+` names are ever encoded
+    * ([[footerSummary]] filters), so the separators cannot collide with
+    * content; a typed range leads with its kind tag (the bare form stays
+    * the plain-int encoding every older log already carries). */
+  private def encodeMStats(m: Map[String, ColStat]): String =
+    m.toSeq.sortBy(_._1).map {
+      case (c, ColStat('i', lo, hi, _)) => s"$c=$lo:$hi"
+      case (c, ColStat('c', lo, hi, sc)) => s"$c=c$sc.$lo:$hi"
+      case (c, ColStat(k, lo, hi, _)) => s"$c=$k$lo:$hi"
+    }.mkString(",")
 
-  private def decodeMStats(s: String): Map[String, (Long, Long)] =
+  private def decodeMStats(s: String): Map[String, ColStat] =
+    if (s.isEmpty) Map.empty
+    else s.split(',').toSeq.flatMap { part =>
+      part.split('=') match {
+        case Array(c, r) =>
+          val parsed: Option[(Char, Int, String)] = r.headOption match {
+            case Some('d') | Some('t') => Some((r.head, 0, r.tail))
+            case Some('c') =>
+              val dot = r.indexOf('.')
+              if (dot < 2) None // malformed typed range: drop the column
+              else r.substring(1, dot).toIntOption
+                .map(sc => ('c', sc, r.substring(dot + 1)))
+            case _ => Some(('i', 0, r))
+          }
+          parsed.flatMap { case (kind, scale, body) =>
+            body.split(':') match {
+              case Array(lo, hi) =>
+                for (l <- lo.toLongOption; h <- hi.toLongOption)
+                  yield c -> ColStat(kind, l, h, scale)
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+    }.toMap
+
+  // string bounds ride URL-safe unpadded base64 — no '=', ',' or ':' in
+  // the alphabet, so the separators cannot collide with content
+  private val B64E = java.util.Base64.getUrlEncoder.withoutPadding
+  private val B64D = java.util.Base64.getUrlDecoder
+
+  private def encodeSStats(m: Map[String, (Array[Byte], Array[Byte])]): String =
+    m.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s"$c=${B64E.encodeToString(lo)}:${B64E.encodeToString(hi)}"
+    }.mkString(",")
+
+  private def decodeSStats(s: String): Map[String, (Array[Byte], Array[Byte])] =
     if (s.isEmpty) Map.empty
     else s.split(',').toSeq.flatMap { part =>
       part.split('=') match {
         case Array(c, r) => r.split(':') match {
           case Array(lo, hi) =>
-            for (l <- lo.toLongOption; h <- hi.toLongOption) yield c -> (l, h)
+            try Some(c -> (B64D.decode(lo), B64D.decode(hi)))
+            catch { case _: IllegalArgumentException => None }
           case _ => None
         }
         case _ => None
       }
     }.toMap
 
-  /** Cap on harvested multi-stats columns per file (Delta records stats
-    * for its first 32 columns by the same reasoning: log lines must stay
-    * bounded however wide the table is). */
+  // ------------------------------------------------------------------ key blooms
+  /** 20 bits/key, k=14 probes: per-key false-positive rate ~7e-5. The
+    * budget that matters is PER BATCH PER FILE — a file survives the
+    * probe if ANY batch key false-positives, so P(extra file read) ≈
+    * batch × 7e-5 (~2% for a 300-key micro-batch). A false positive only
+    * costs reading one extra file's key column, never correctness; batches
+    * of 10k+ keys degrade the probe toward reading everything (documented
+    * — bulk loads are not the micro-batch-ingest shape blooms exist for). */
+  private val BloomBitsPerKey = 20L
+  private val BloomHashes = 14
+  private val MinBloomBits = 512L
+  private val MaxBloomBits = 1L << 21 // 256 KB of bits per file, log-line bounded
+
+  /** Sets/tests use double hashing from ONE xxhash64 value (Kirsch &
+    * Mitzenmacher: two derived hashes generate k without quality loss).
+    * Values are hashed as `xxhash64(CAST(key AS STRING))` on BOTH the
+    * build and probe sides — the string form normalizes away integer
+    * width differences (a batch INT 5 must hit a stored BIGINT 5's bits),
+    * which is also why [[declareBloom]] restricts the column to integral
+    * and string types, whose string forms are canonical. */
+  private def bloomIndices(h: Long, mBits: Long): Array[Long] = {
+    val h1 = h
+    val h2 = (h >>> 32) | (h << 32) | 1L // odd: full-period stepping
+    Array.tabulate(BloomHashes)(i => java.lang.Long.remainderUnsigned(h1 + i * h2, mBits))
+  }
+
+  private def bloomSet(bits: Array[Long], h: Long): Unit =
+    bloomIndices(h, bits.length * 64L).foreach { idx =>
+      bits((idx >>> 6).toInt) |= (1L << (idx & 63))
+    }
+
+  private def bloomMayContain(bits: Array[Long], h: Long): Boolean =
+    bloomIndices(h, bits.length * 64L).forall { idx =>
+      (bits((idx >>> 6).toInt) & (1L << (idx & 63))) != 0L
+    }
+
+  private def encodeBloom(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    B64E.encodeToString(bb.array)
+  }
+
+  private def decodeBloom(s: String): Option[Array[Long]] =
+    try {
+      val bytes = B64D.decode(s)
+      if (bytes.isEmpty || bytes.length % 8 != 0) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        Some(Array.fill(bytes.length / 8)(bb.getLong))
+      }
+    } catch { case _: IllegalArgumentException => None }
+
+  /** The column expression both bloom sides hash: canonical string form. */
+  private def bloomHashExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.xxhash64(c.cast("string"))
+
+  /** Builds the m-bit bloom of ONE staged file's declared key column —
+    * one narrow Spark job over just that column (m from the footer row
+    * count, so the job never guesses), per-partition local bitsets OR-ed
+    * on the driver (bounded: partitions × m/8 bytes — never the keys
+    * themselves). None (no bloom recorded, file always read — fail-safe)
+    * when the column is absent or the row count unknown. */
+  private def fileBloom(spark: SparkSession, table: String, f: String,
+                        physCol: String): Option[Array[Long]] =
+    try {
+      val rows = footerRowCount(table, f).getOrElse(return None)
+      val mBits = math.max(MinBloomBits,
+        math.min(rows * BloomBitsPerKey, MaxBloomBits)) / 64 * 64
+      val words = (mBits / 64).toInt
+      val df = spark.read.parquet(Paths.get(table, f).toString)
+      if (!df.columns.exists(_.equalsIgnoreCase(physCol))) return None
+      val hashes = df.select(bloomHashExpr(
+        org.apache.spark.sql.functions.col(s"`$physCol`")))
+      val kHashes = BloomHashes // locals only: the task closure must not
+      val w = words             // capture the enclosing module
+      val partials = hashes.queryExecution.toRdd.mapPartitions { it =>
+        val bits = new Array[Long](w)
+        val m = w * 64L
+        it.foreach { r =>
+          val h = r.getLong(0)
+          val h2 = (h >>> 32) | (h << 32) | 1L
+          var i = 0
+          while (i < kHashes) {
+            val idx = java.lang.Long.remainderUnsigned(h + i * h2, m)
+            bits((idx >>> 6).toInt) |= (1L << (idx & 63))
+            i += 1
+          }
+        }
+        Iterator.single(bits)
+      }.collect()
+      if (partials.isEmpty) Some(new Array[Long](words))
+      else Some(partials.reduce { (a, b) =>
+        var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Declares the table's bloom column: every LATER add records a per-file
+    * key bloom, and [[dedupAppend]]'s duplicate check first drops files
+    * whose bloom excludes every batch key. For a UNIFORM hash key (the
+    * exact-dedup tracker shape) zone ranges span every file and this is
+    * the only thing that keeps the ingest check ∝ batch. Integral and
+    * string columns only — the hash normalizes through the canonical
+    * string form, which those types share across widths; files added
+    * BEFORE the declaration carry no bloom and are always checked
+    * (fail-safe), until a compaction rewrites them. */
+  def declareBloom(spark: SparkSession, table: String, column: String): Long = {
+    val phys = physicalFor(table, column)
+    val ok = declaredSchema(table, None) match {
+      case Some(s) => s.fields.find(_.name.equalsIgnoreCase(column)).forall { f =>
+        import org.apache.spark.sql.types._
+        Set[DataType](ByteType, ShortType, IntegerType, LongType, StringType)
+          .contains(f.dataType)
+      }
+      case None => true // schema-less table: the harvest checks parquet types
+    }
+    require(ok, s"declareBloom($table, $column): bloom keys must be integral " +
+      "or string — other types have no canonical string form to hash")
+    commitRaw(table, "alter", Seq(s"""{"bloomon":"$phys"}"""))
+  }
+
+  /** The declared bloom column (PHYSICAL name), if any. */
+  def declaredBloom(table: String, asOf: Option[Long] = None): Option[String] =
+    replay(table, asOf).bloomCol
+
+  /** Per-file blooms of the live snapshot (files whose add recorded one). */
+  private[graft] def fileBlooms(table: String, asOf: Option[Long] = None)
+      : Map[String, Array[Long]] = {
+    val state = replay(table, asOf)
+    state.blooms.filter { case (f, _) => state.live.contains(f) }.toMap
+  }
+
+  /** Cap on harvested multi-stats columns per file, counted jointly over
+    * numeric and string stats in FOOTER (= schema) order — the Delta
+    * stats-for-the-first-32-SCHEMA-columns rule: which columns stay
+    * prunable on a wide table is the schema's leading columns, not
+    * alphabetical luck (log lines must stay bounded however wide the
+    * table is). */
   private val MaxMStatsColumns = 32
 
-  /** Footer row count + per-column [min, max] for plain integral columns,
-    * from ONE footer open (no data pages). A column is recorded only when
-    * EVERY row group carries non-null statistics for it (a single
-    * stats-less chunk makes the range undefined — absence must fail safe,
-    * so the column is simply not recorded and its files are never
-    * skipped), its name is `[A-Za-z0-9_]+` (the mstats vocabulary's safe
-    * charset), it is TOP-LEVEL, and its parquet type is an unannotated
-    * (or plain-int-annotated) INT32/INT64 — date/decimal-backed ints are
-    * excluded rather than risking a unit mismatch with filter literals.
+  /** Bytes kept of a string bound (Delta's 32-char prefix convention). */
+  private val MaxStringBoundBytes = 32
+
+  private final case class FooterStats(
+      rows: Option[Long],
+      mstats: Map[String, ColStat],
+      sstats: Map[String, (Array[Byte], Array[Byte])])
+
+  /** A safe string LOWER bound: the UTF-8 min truncated to
+    * [[MaxStringBoundBytes]] — a prefix is always <= the full value in
+    * unsigned byte order. */
+  private def truncLo(b: Array[Byte]): Array[Byte] =
+    if (b.length <= MaxStringBoundBytes) b else b.take(MaxStringBoundBytes)
+
+  /** A safe string UPPER bound: exact when it fits; otherwise the prefix
+    * with its last non-0xFF byte INCREMENTED and everything after it
+    * dropped (strictly greater than anything starting with the original
+    * prefix). None when every prefix byte is 0xFF — no bounded upper
+    * exists, so the column records nothing (fail-safe). */
+  private def truncHi(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= MaxStringBoundBytes) Some(b)
+    else {
+      val p = b.take(MaxStringBoundBytes)
+      var i = p.length - 1
+      while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+      if (i < 0) None
+      else {
+        val out = p.take(i + 1)
+        out(i) = (out(i) + 1).toByte
+        Some(out)
+      }
+    }
+
+  private def maxUnsigned(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (java.util.Arrays.compareUnsigned(a, b) >= 0) a else b
+  private def minUnsigned(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (java.util.Arrays.compareUnsigned(a, b) <= 0) a else b
+
+  /** Footer row count + per-column typed [min, max] stats, from ONE
+    * footer open (no data pages). A column is recorded only when EVERY
+    * row group carries non-null statistics for it (a single stats-less
+    * chunk makes the range undefined — absence must fail safe, so the
+    * column is simply not recorded and its files are never skipped), its
+    * name is `[A-Za-z0-9_]+` (the stats vocabulary's safe charset), it is
+    * TOP-LEVEL, and its parquet type is one the typed vocabulary can
+    * encode UNIT-FAITHFULLY:
+    *   - unannotated or SIGNED-int-annotated INT32/INT64 → plain 'i'
+    *     (unsigned ints would compare wrongly as signed longs — excluded);
+    *   - DATE INT32 → 'd' in epoch days (the stored value, verbatim);
+    *   - TIMESTAMP INT64 → 't' in epoch MICROS (MILLIS scaled up exactly,
+    *     NANOS floored/ceiled conservatively; INT96 carries no usable
+    *     stats and records nothing);
+    *   - DECIMAL INT32/INT64 → 'c', the unscaled value at the annotated
+    *     scale;
+    *   - STRING BINARY → byte bounds, truncated per [[truncLo]]/[[truncHi]].
     * Files with NULLs in a recorded column still prune correctly: a NULL
     * row can never match the comparison predicate that consulted the
     * range. */
-  private def footerSummary(table: String, f: String)
-      : (Option[Long], Map[String, (Long, Long)]) =
+  private def footerSummary(table: String, f: String): FooterStats =
     try {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -558,41 +868,90 @@ object CommitLog {
       try {
         import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
         import org.apache.parquet.schema.LogicalTypeAnnotation
+        import LogicalTypeAnnotation._
         val rows = Some(r.getRecordCount)
-        val acc = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+        // one INSERTION-ORDERED map over both stat kinds, so the 32-column
+        // cap below is the footer's (= schema's) leading columns
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[String, Either[ColStat, (Array[Byte], Array[Byte])]]
         val dead = scala.collection.mutable.HashSet.empty[String]
+        def longs(s: org.apache.parquet.column.statistics.Statistics[_])
+            : Option[(Long, Long)] =
+          (s.genericGetMin, s.genericGetMax) match {
+            case (lo: java.lang.Long, hi: java.lang.Long)       => Some((lo.toLong, hi.toLong))
+            case (lo: java.lang.Integer, hi: java.lang.Integer) => Some((lo.toLong, hi.toLong))
+            case _ => None
+          }
+        // timestamp units normalize to micros EXACTLY or not at all:
+        // millis scale up (overflow-checked); nanos floor the min and
+        // ceil the max so the recorded range only ever widens
+        def toMicros(unit: TimeUnit, lo: Long, hi: Long): Option[(Long, Long)] =
+          unit match {
+            case TimeUnit.MICROS => Some((lo, hi))
+            case TimeUnit.MILLIS =>
+              try Some((math.multiplyExact(lo, 1000L), math.multiplyExact(hi, 1000L)))
+              catch { case _: ArithmeticException => None }
+            case TimeUnit.NANOS =>
+              Some((math.floorDiv(lo, 1000L), math.floorDiv(hi, 1000L) +
+                (if (math.floorMod(hi, 1000L) == 0L) 0L else 1L)))
+            case _ => None
+          }
         for (b <- r.getFooter.getBlocks.asScala; c <- b.getColumns.asScala) {
           val name = c.getPath.toDotString
           if (!dead(name)) {
             val pt = c.getPrimitiveType
-            val plainInt = (pt.getPrimitiveTypeName == PrimitiveTypeName.INT32 ||
-                pt.getPrimitiveTypeName == PrimitiveTypeName.INT64) &&
-              (pt.getLogicalTypeAnnotation == null ||
-                pt.getLogicalTypeAnnotation
-                  .isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+            val tn = pt.getPrimitiveTypeName
+            val isInt = tn == PrimitiveTypeName.INT32 || tn == PrimitiveTypeName.INT64
             val safe = c.getPath.size == 1 && name.matches("[A-Za-z0-9_]+")
-            val range = Option(c.getStatistics)
-              .filter(s => plainInt && safe && s.hasNonNullValue)
-              .flatMap { s =>
-                (s.genericGetMin, s.genericGetMax) match {
-                  case (lo: java.lang.Long, hi: java.lang.Long) =>
-                    Some((lo.toLong, hi.toLong))
-                  case (lo: java.lang.Integer, hi: java.lang.Integer) =>
-                    Some((lo.toLong, hi.toLong))
+            val st = Option(c.getStatistics).filter(s => safe && s.hasNonNullValue)
+            val typed: Option[Either[ColStat, (Array[Byte], Array[Byte])]] =
+              st.flatMap { s =>
+                (pt.getLogicalTypeAnnotation, tn) match {
+                  case (null, _) if isInt =>
+                    longs(s).map(r => Left(ColStat('i', r._1, r._2)))
+                  case (a: IntLogicalTypeAnnotation, _) if isInt && a.isSigned =>
+                    longs(s).map(r => Left(ColStat('i', r._1, r._2)))
+                  case (_: DateLogicalTypeAnnotation, PrimitiveTypeName.INT32) =>
+                    longs(s).map(r => Left(ColStat('d', r._1, r._2)))
+                  case (a: TimestampLogicalTypeAnnotation, PrimitiveTypeName.INT64) =>
+                    longs(s).flatMap(r => toMicros(a.getUnit, r._1, r._2))
+                      .map(r => Left(ColStat('t', r._1, r._2)))
+                  case (a: DecimalLogicalTypeAnnotation, _) if isInt =>
+                    longs(s).map(r => Left(ColStat('c', r._1, r._2, a.getScale)))
+                  case (_: StringLogicalTypeAnnotation, PrimitiveTypeName.BINARY) =>
+                    (s.genericGetMin, s.genericGetMax) match {
+                      case (lo: org.apache.parquet.io.api.Binary,
+                            hi: org.apache.parquet.io.api.Binary) =>
+                        Some(Right((lo.getBytes, hi.getBytes)))
+                      case _ => None
+                    }
                   case _ => None
                 }
               }
-            range match {
-              case Some((lo, hi)) =>
-                acc(name) = acc.get(name)
-                  .fold((lo, hi)) { case (a, b) => (math.min(a, lo), math.max(b, hi)) }
-              case None => dead += name; acc.remove(name)
+            (typed, acc.get(name)) match {
+              case (Some(Left(cs)), Some(Left(prev)))
+                  if prev.kind == cs.kind && prev.scale == cs.scale =>
+                acc(name) = Left(cs.copy(lo = math.min(prev.lo, cs.lo),
+                  hi = math.max(prev.hi, cs.hi)))
+              case (Some(Right((lo, hi))), Some(Right((plo, phi)))) =>
+                acc(name) = Right((minUnsigned(plo, lo), maxUnsigned(phi, hi)))
+              case (Some(v), None) => acc(name) = v
+              case _ => dead += name; acc.remove(name) // stats-less or kind drift
             }
           }
         }
-        (rows, acc.toSeq.sortBy(_._1).take(MaxMStatsColumns).toMap)
+        // 32-column cap in FOOTER order (first block's column order =
+        // schema order); string bounds truncate at the very end, after
+        // the cross-row-group fold, and a hi with no bounded truncation
+        // drops its column
+        val capped = acc.toSeq.take(MaxMStatsColumns)
+        FooterStats(rows,
+          capped.collect { case (n, Left(cs)) => n -> cs }.toMap,
+          capped.collect { case (n, Right((lo, hi))) =>
+            truncHi(hi).map(h => n -> (truncLo(lo), h))
+          }.flatten.toMap)
       } finally r.close()
-    } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
+    } catch { case scala.util.control.NonFatal(_) => FooterStats(None, Map.empty, Map.empty) }
 
   private def fileSizeSuffix(table: String, f: String): String =
     (try Some(Files.size(Paths.get(table, f)))
@@ -684,8 +1043,9 @@ object CommitLog {
   private[graft] def replaceFiles(table: String, remove: Seq[String], add: Seq[String],
                                   expectedTip: Option[Long], op: String = "rewrite",
                                   statsCol: Option[String] = None): Long = {
+    val bloomCol = declaredBloom(table)
     val addActions = add.map { f =>
-      val rowsSuffix = addSuffix(table, f)
+      val rowsSuffix = addSuffix(table, f, bloomCol)
       (for (c <- statsCol; (lo, hi) <- footerMinMax(table, f, c))
         yield s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"$rowsSuffix}""")
         .getOrElse(s"""{"add":"$f"$rowsSuffix}""")
@@ -708,10 +1068,13 @@ object CommitLog {
     * the commit landed at. */
   private def commit(table: String, op: String,
                      add: Seq[String], remove: Seq[String],
-                     expectedTip: Option[Long] = None): Long =
+                     expectedTip: Option[Long] = None): Long = {
+    val bloomCol = declaredBloom(table)
     commitRaw(table, op,
-      add.map(f => addAction(table, f)) ++ remove.map(f => s"""{"remove":"$f"}"""),
+      add.map(f => addAction(table, f, bloomCol)) ++
+        remove.map(f => s"""{"remove":"$f"}"""),
       expectedTip)
+  }
 
   /** Lands the actions at the next version. `expectedTip`: the log tip the
     * WRITER's snapshot was computed against — a commit whose content
@@ -828,8 +1191,10 @@ object CommitLog {
       if (replay(table, Some(tip)).txns.contains(txnId)) None
       else {
         val added = stage(df, table)
+        val bloomCol = declaredBloom(table)
         try Some(commitRaw(table, "txn-append",
-          added.map(f => addAction(table, f)) :+ s"""{"txn":"$txnId"}""", Some(tip)))
+          added.map(f => addAction(table, f, bloomCol)) :+ s"""{"txn":"$txnId"}""",
+          Some(tip)))
         catch {
           case e: java.util.ConcurrentModificationException =>
             unstage(table, added); throw e
@@ -857,7 +1222,8 @@ object CommitLog {
       if (tip >= 0 && replay(table, Some(tip)).txns.contains(txnId)) None
       else {
         val removes = if (replace && tip >= 0) snapshotFiles(table, Some(tip)) else Seq.empty
-        val actions = files.map(f => addAction(table, f)) ++
+        val bloomCol = declaredBloom(table)
+        val actions = files.map(f => addAction(table, f, bloomCol)) ++
           removes.map(f => s"""{"remove":"$f"}""") :+ s"""{"txn":"$txnId"}"""
         Some(commitRaw(table, if (replace) "txn-overwrite" else "txn-append",
           actions, Some(tip)))
@@ -971,7 +1337,8 @@ object CommitLog {
           math.max(1, math.min(math.max(candidates.length, 1), 32)))
       case None =>
         val fs = stage(merged, table)
-        (fs, fs.map(f => addAction(table, f)))
+        val bloomCol = declaredBloom(table)
+        (fs, fs.map(f => addAction(table, f, bloomCol)))
     }
     (added, addLines ++ candidates.map(f => s"""{"remove":"$f"}"""))
   }
@@ -1033,22 +1400,84 @@ object CommitLog {
     * a NO-OP: no empty commit is written, so the version history records
     * real ingests only. Returns the committed version, or None if the
     * whole batch was already present. */
+  /** Files [[dedupAppend]]'s duplicate check must consult: zone pruning
+    * first (files whose recorded key range cannot intersect the batch's),
+    * then — on bloom-declared tables with a single-column key matching
+    * the declaration — the PER-FILE BLOOM PROBE: one distributed pass
+    * hashes every batch key against the broadcast blooms, and a file
+    * whose bloom excludes every key is dropped from the check. For a
+    * UNIFORM content-hash key (the exact-dedup tracker shape) the zone
+    * pass keeps everything — the batch range spans every file — and the
+    * bloom pass is what makes the check ∝ batch: a fresh batch's keys
+    * miss almost every file's bloom. Probe cost is |batch| × |candidate
+    * blooms| in-memory bit tests with per-file early-exit, no shuffle;
+    * files without a recorded bloom (pre-declaration adds) are always
+    * checked — fail-safe, a bloom miss is PROOF of absence but absence
+    * of a bloom proves nothing. */
+  private[graft] def ingestCandidates(spark: SparkSession, table: String, tip: Long,
+                                      df: DataFrame, keys: Seq[String],
+                                      files: Seq[String]): Seq[String] = {
+    val (zoneCands, _) = upsertCandidates(table, tip, df, keys, files)
+    val asOf = if (tip < 0) None else Some(tip)
+    declaredBloom(table, asOf) match {
+      case Some(bc) if keys.size == 1 &&
+          physicalForIn(declaredSchema(table, asOf), keys.head).equalsIgnoreCase(bc) =>
+        val blooms = fileBlooms(table, asOf)
+        val (withB, without) = zoneCands.partition(blooms.contains)
+        if (withB.isEmpty) zoneCands
+        else {
+          val names = withB.toArray
+          val bcast = spark.sparkContext.broadcast(names.map(blooms))
+          val k = BloomHashes
+          try {
+            val hitIdx = df.select(bloomHashExpr(
+                org.apache.spark.sql.functions.col(s"`${keys.head}`")))
+              .queryExecution.toRdd.mapPartitions { it =>
+                val arr = bcast.value
+                val hit = new Array[Boolean](arr.length)
+                var remaining = arr.length
+                while (it.hasNext && remaining > 0) {
+                  val h = it.next().getLong(0)
+                  val h2 = (h >>> 32) | (h << 32) | 1L
+                  var fi = 0
+                  while (fi < arr.length) {
+                    if (!hit(fi)) {
+                      val bits = arr(fi); val m = bits.length * 64L
+                      var i = 0; var all = true
+                      while (all && i < k) {
+                        val idx = java.lang.Long.remainderUnsigned(h + i * h2, m)
+                        if ((bits((idx >>> 6).toInt) & (1L << (idx & 63))) == 0L)
+                          all = false
+                        i += 1
+                      }
+                      if (all) { hit(fi) = true; remaining -= 1 }
+                    }
+                    fi += 1
+                  }
+                }
+                Iterator.range(0, hit.length).filter(hit(_))
+              }.distinct().collect()
+            without ++ hitIdx.sorted.map(names)
+          } finally bcast.destroy()
+        }
+      case _ => zoneCands
+    }
+  }
+
   def dedupAppend(spark: SparkSession, df: DataFrame, table: String,
                   keys: Seq[String]): Option[Long] = {
     Files.createDirectories(Paths.get(table))
     serializably(table) { tip =>
       val files = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
-      // the index side is zone-pruned like an upsert's rewrite set: a
+      // the index side is zone-pruned like an upsert's rewrite set (a
       // file whose key range cannot intersect the batch cannot hold a
-      // duplicate, so its keys are never read. Pays off for range-
-      // localized ingest keys (event ids, timestamps — the common
-      // tracker shape); a UNIFORM hash key's batch range spans every
-      // file, and the honest base cost there stays one key-column-pruned
-      // scan per ingest (the single-shuffle exact-dedup shape).
+      // duplicate), then bloom-pruned on bloom-declared tables — which
+      // is what keeps a UNIFORM hash key's check ∝ batch instead of one
+      // full key-column scan per ingest ([[ingestCandidates]]).
       // readFiles (not a raw parquet read) serves the DECLARED schema,
       // so the key columns resolve by their logical names even after a
       // RENAME.
-      val (candidates, _) = upsertCandidates(table, tip, df, keys, files)
+      val candidates = ingestCandidates(spark, table, tip, df, keys, files)
       val fresh =
         if (candidates.isEmpty) df
         else df.join(
@@ -1064,13 +1493,18 @@ object CommitLog {
         // multi-stats on every integral column (the keys included), so
         // the NEXT ingest's index prunes without any re-clustering pass;
         // only a DECLARED clustering layout is actively maintained.
-        val statsCol = declaredClustering(table, if (tip < 0) None else Some(tip))
-          .map(_._1).filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
-        val (added, addLines) = statsCol match {
-          case Some(c) => stageClustered(spark, fresh, table, c, buckets = 8)
+        // the batch is staged under the table's DECLARED bucket count, not
+        // a constant — repeated ingests must not drift the layout away
+        // from the spec the table declared (empty range partitions write
+        // no file, so a small batch lands fewer files automatically)
+        val clustering = declaredClustering(table, if (tip < 0) None else Some(tip))
+          .filter { case (c, _) => df.columns.exists(_.equalsIgnoreCase(c)) }
+        val (added, addLines) = clustering match {
+          case Some((c, b)) => stageClustered(spark, fresh, table, c, b)
           case None =>
             val fs = stage(fresh, table)
-            (fs, fs.map(f => addAction(table, f)))
+            val bloomCol = declaredBloom(table)
+            (fs, fs.map(f => addAction(table, f, bloomCol)))
         }
         try Some(commitRaw(table, "append", addLines, Some(tip)))
         catch {
@@ -1111,6 +1545,19 @@ object CommitLog {
     * single-column clustering uses. */
   private[graft] val ZSpec = """^z\(([^,()]+),([^,()]+)\)$""".r
 
+  /** Inner PHYSICAL column names of a composite `z(...)` spec with 2 or 3
+    * dimensions; None for plain single-column specs. (The 2-column
+    * [[ZSpec]] regex predates 3-D support and remains for callers that
+    * only ever see 2-D specs.) */
+  private[graft] def zSpecColumns(spec: String): Option[Seq[String]] =
+    if (spec.startsWith("z(") && spec.endsWith(")")) {
+      val inner = spec.substring(2, spec.length - 1).split(',').toSeq.map(_.trim)
+      if ((inner.size == 2 || inner.size == 3) &&
+          inner.forall(c => c.nonEmpty && !c.exists(ch => ch == '(' || ch == ')')))
+        Some(inner)
+      else None
+    } else None
+
   /** Declared logical name for a physical one (identity when unmapped). */
   private def logicalFor(table: String, phys: String): String =
     declaredSchema(table, None)
@@ -1128,15 +1575,16 @@ object CommitLog {
   private def stageClustered(spark: SparkSession, df: DataFrame, table: String,
                              statsCol: String, buckets: Int): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
-    statsCol match {
-      case ZSpec(px, py) => return stageZOrdered(spark, df, table, px, py, buckets)
-      case _ => ()
+    zSpecColumns(statsCol) match {
+      case Some(zc) => return stageZOrdered(spark, df, table, zc, buckets)
+      case None     => ()
     }
     val files = stage(df.repartitionByRange(buckets, col(statsCol)), table)
     // zone actions name the PHYSICAL column: staged files wear physical
     // names, and [[fileStatsOn]] translates the query side to match — so
     // a rename never strands (or worse, mis-assigns) recorded ranges
     val physCol = physicalFor(table, statsCol)
+    val bloomCol = declaredBloom(table)
     val lines = files.map { f =>
       // cast to long BEFORE the agg: the zone vocabulary is [lo, hi] as
       // longs, and getLong on an IntegerType min/max would ClassCastException
@@ -1144,14 +1592,14 @@ object CommitLog {
       val r = spark.read.parquet(Paths.get(table, f).toString)
         .agg(fmin(col(s"`$physCol`").cast("long")),
           fmax(col(s"`$physCol`").cast("long"))).head()
-      val rowsSuffix = addSuffix(table, f)
+      val rowsSuffix = addSuffix(table, f, bloomCol)
       if (r.isNullAt(0)) s"""{"add":"$f"$rowsSuffix}"""
       else s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$physCol"$rowsSuffix}"""
     }
     (files, lines)
   }
 
-  /** Z-ORDER staging: range-partition on the Morton key of the two
+  /** Z-ORDER staging: range-partition on the Morton key of the 2 or 3
     * (16-bit-domain) coordinate columns and record each file's [min, max]
     * ZKEY. Coordinates must be non-null and in [0, 65535] — morton masks
     * to the low 16 bits, so an out-of-range value would WRAP and a null
@@ -1160,42 +1608,46 @@ object CommitLog {
     * tiny agg per staged file, no pre-pass over the data) and aborts the
     * stage loudly on violation. */
   private def stageZOrdered(spark: SparkSession, df: DataFrame, table: String,
-                            px: String, py: String, buckets: Int)
+                            physCols: Seq[String], buckets: Int)
       : (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, min => fmin}
-    val (lx, ly) = (logicalFor(table, px), logicalFor(table, py))
-    require(df.columns.exists(_.equalsIgnoreCase(lx)) &&
-        df.columns.exists(_.equalsIgnoreCase(ly)),
-      s"z-order clustering needs columns ($lx, $ly); frame has ${df.columns.toSeq}")
-    val zLogical = graft.functions.ZOrder.morton(
-      col(s"`$lx`").cast("long"), col(s"`$ly`").cast("long"))
+    val logicals = physCols.map(logicalFor(table, _))
+    require(logicals.forall(l => df.columns.exists(_.equalsIgnoreCase(l))),
+      s"z-order clustering needs columns $logicals; frame has ${df.columns.toSeq}")
+    val zLogical = graft.functions.ZOrder.mortonN(
+      logicals.map(l => col(s"`$l`").cast("long")))
     val files = stage(df.repartitionByRange(buckets, zLogical), table)
     def fail(msg: String): Nothing = { unstage(table, files); sys.error(msg) }
-    val zPhys = graft.functions.ZOrder.morton(
-      col(s"`$px`").cast("long"), col(s"`$py`").cast("long"))
+    val zPhys = graft.functions.ZOrder.mortonN(
+      physCols.map(p => col(s"`$p`").cast("long")))
+    val bloomCol = declaredBloom(table)
+    val spec = s"z(${physCols.mkString(",")})"
     val lines = files.map { f =>
+      // one agg row: [zmin, zmax, (min_d, max_d)*, total, (cnt_d)*]
+      val aggs = Seq(fmin(zPhys), fmax(zPhys)) ++
+        physCols.flatMap(p => Seq(fmin(col(s"`$p`").cast("long")),
+          fmax(col(s"`$p`").cast("long")))) ++
+        (fcount(lit(1)) +: physCols.map(p => fcount(col(s"`$p`"))))
       val r = spark.read.parquet(Paths.get(table, f).toString)
-        .agg(fmin(zPhys), fmax(zPhys),
-          fmin(col(s"`$px`").cast("long")), fmax(col(s"`$px`").cast("long")),
-          fmin(col(s"`$py`").cast("long")), fmax(col(s"`$py`").cast("long")),
-          fcount(lit(1)), fcount(col(s"`$px`")), fcount(col(s"`$py`"))).head()
-      val rowsSuffix = addSuffix(table, f)
+        .agg(aggs.head, aggs.tail: _*).head()
+      val rowsSuffix = addSuffix(table, f, bloomCol)
+      val totalIdx = 2 + 2 * physCols.size
       // the null guard runs UNCONDITIONALLY on non-empty files: an
       // all-null-coordinate file would land stats-less (min of nulls is
       // null) and dodge a guard placed under the stats branch
-      val n = r.getLong(6)
-      if (n > 0 && (r.getLong(7) != n || r.getLong(8) != n))
-        fail(s"z-order clustering on ($lx, $ly) requires non-null " +
+      val n = r.getLong(totalIdx)
+      if (n > 0 && physCols.indices.exists(d => r.getLong(totalIdx + 1 + d) != n))
+        fail(s"z-order clustering on $logicals requires non-null " +
           "coordinates — a null row would be invisible to the recorded " +
           "zkey range and box queries would silently miss it")
       if (r.isNullAt(0)) s"""{"add":"$f"$rowsSuffix}""" // empty range partition
       else {
-        if (r.getLong(2) < 0 || r.getLong(3) > 65535L ||
-            r.getLong(4) < 0 || r.getLong(5) > 65535L)
-          fail(s"z-order clustering on ($lx, $ly) needs 16-bit coordinates " +
-            s"[0, 65535], got [${r.getLong(2)}, ${r.getLong(3)}] x " +
-            s"[${r.getLong(4)}, ${r.getLong(5)}] — quantize first")
-        s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"z($px,$py)"$rowsSuffix}"""
+        val ranges = physCols.indices.map(d =>
+          (r.getLong(2 + 2 * d), r.getLong(3 + 2 * d)))
+        if (ranges.exists { case (lo, hi) => lo < 0 || hi > 65535L })
+          fail(s"z-order clustering on $logicals needs 16-bit coordinates " +
+            s"[0, 65535], got ${ranges.mkString(" x ")} — quantize first")
+        s"""{"add":"$f","lo":${r.getLong(0)},"hi":${r.getLong(1)},"col":"$spec"$rowsSuffix}"""
       }
     }
     (files, lines)
@@ -1210,14 +1662,24 @@ object CommitLog {
     * what single-column clustering cannot express for two correlated
     * dimensions. Coordinates must be pre-quantized to [0, 65535]. */
   def compactZOrdered(spark: SparkSession, table: String,
-                      xCol: String, yCol: String, buckets: Int): Long = {
+                      xCol: String, yCol: String, buckets: Int): Long =
+    compactZOrdered(spark, table, Seq(xCol, yCol), buckets)
+
+  /** n-column form (2 or 3 dimensions — [[graft.functions.ZOrder]]
+    * refuses more: a 4th 16-bit dimension would need the 64-bit zkey's
+    * sign bit, and zone ranges compare signed). */
+  def compactZOrdered(spark: SparkSession, table: String,
+                      cols: Seq[String], buckets: Int): Long = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(cols.size == 2 || cols.size == 3,
+      s"z-order supports 2 or 3 columns, got ${cols.size} (${cols.mkString(", ")})" +
+        ": at 16 bits per coordinate a 4th dimension would need the sign " +
+        "bit of the 64-bit zkey — reduce dimensions or quantize coarser")
     serializably(table) { tip =>
       require(tip >= 0, s"cannot z-order $table: no commits")
       val old = snapshotFiles(table, Some(tip))
       val current = readFiles(spark, table, old, mergeSchema = false, Some(tip))
-      val spec = s"z(${physicalFor(table, xCol, Some(tip))}," +
-        s"${physicalFor(table, yCol, Some(tip))})"
+      val spec = s"z(${cols.map(physicalFor(table, _, Some(tip))).mkString(",")})"
       val (added, lines) = stageClustered(spark, current, table, spec, buckets)
       try commitRaw(table, "cluster",
         lines ++ old.map(f => s"""{"remove":"$f"}""") :+
@@ -1340,34 +1802,128 @@ object CommitLog {
     *     (rows a rewrite merely carried cancel to 0 and never appear).
     * At 100 TB the cost stays proportional to the data the DML moved,
     * never to the table, and the diff shuffle covers only rewrite commits. */
+  /** Versions in `(fromV, toV]` whose commit DROPPED a column (an alter
+    * carrying tombstones — drops ride pure schema commits, never data
+    * commits). These are the era boundaries change serving splits at. */
+  private def dropVersions(table: String, fromV: Long, toV: Long): Seq[Long] =
+    ((fromV + 1) to toV).filter { v =>
+      val text = new String(Files.readAllBytes(commitPath(table, v)),
+        StandardCharsets.UTF_8)
+      OpRe.findFirstMatchIn(text).exists(_.group(1) == "alter") &&
+        TombstoneRe.findFirstIn(text).nonEmpty
+    }
+
+  /** The schema-era sub-windows of `(fromV, toV]`: split just BELOW every
+    * DROP COLUMN alter, so each sub-window's data commits share one
+    * pre/post-drop era (the alter itself carries no rows and leads its
+    * sub-window). A window with no drops is itself. Callers serving a
+    * long CDF window across schema evolution compute each sub-window at
+    * its own era schema and align the results — [[changes]] does this for
+    * the batch surface; the streaming sources do it against their pinned
+    * stream schema so pre-drop rows keep their real values. */
+  def changeWindows(table: String, fromV: Long, toV: Long): Seq[(Long, Long)] = {
+    val drops = dropVersions(table, fromV, toV)
+    if (drops.isEmpty) Seq((fromV, toV))
+    else {
+      val ends = (drops.map(_ - 1) :+ toV).distinct.filter(_ >= fromV).sorted
+      val starts = fromV +: ends.init
+      starts.zip(ends).filter { case (s, e) => e > s }
+    }
+  }
+
+  /** The pinned CHANGE schema at `toV`'s era: the declared table columns
+    * (nullable — eras may NULL-fill) plus the two CDF columns. Defined
+    * only for tables with a declared schema, which every multi-era table
+    * has (drops require one). */
+  private def changeSchemaAt(table: String, toV: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    declaredSchema(table, Some(toV)).map { d =>
+      org.apache.spark.sql.types.StructType(
+        d.fields.map(_.copy(nullable = true)) ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType)))
+    }
+
+  /** Projects a change frame (some era's logical column names) onto a
+    * PINNED schema, matching by PHYSICAL name (fixed at first write, so
+    * it survives any RENAME in either direction): each pinned field
+    * resolves to whatever logical name the `asOf` era maps to its
+    * physical one, aliased back to the pinned name. A pinned column the
+    * era doesn't declare at all was ADDED after it (or DROPPED before
+    * it) — served as NULL, exactly as a snapshot read serves files that
+    * predate a column. Era columns the pinned schema lacks are projected
+    * away. Shared by the streaming CDF sources (pinned = stream-start
+    * schema) and [[changes]]'s own era stitching (pinned = window-end
+    * schema). */
+  def alignToPinned(table: String, cdf: DataFrame,
+                    pinned: org.apache.spark.sql.types.StructType,
+                    asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val declared = declaredSchema(table, asOf)
+    val cols = pinned.fields.toSeq.map { f =>
+      if (f.name == "_change_type" || f.name == "_commit_version")
+        col(s"`${f.name}`")
+      else {
+        val ph = physicalName(f)
+        val eraName = declared.flatMap(_.fields.find(cf =>
+            physicalName(cf).equalsIgnoreCase(ph))).map(_.name)
+          .orElse(cdf.columns.find(_.equalsIgnoreCase(ph)))
+        eraName match {
+          case Some(n) if n != f.name => col(s"`$n`").as(f.name)
+          case Some(n)                => col(s"`$n`")
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+    }
+    cdf.select(cols: _*)
+  }
+
+  /** Row-level changes over `(fromV, toV]`, era-aware: a window that
+    * spans no DROP COLUMN is served directly ([[changesRaw]]); a window
+    * that does is SPLIT at each drop ([[changeWindows]]), each sub-window
+    * computed at its own era schema (so a rewrite whose rows differ only
+    * in the dropped column still diffs correctly), then aligned to the
+    * WINDOW-END schema by physical name and unioned — the dropped
+    * column's pre-drop values are projected away, exactly as the
+    * window-end schema demands, and columns added mid-window NULL-fill
+    * backwards. (Round 11 refused these windows outright; era-faithful
+    * serving is the Delta-parity behavior — a long-running CDF consumer
+    * survives its table's column drops.) A consumer pinned to the
+    * PRE-drop schema streams through the CDF sources, which align each
+    * sub-window to their own pinned schema instead. */
   def changes(spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
-    import org.apache.spark.sql.functions._
     require(fromV <= toV,
       s"changes($table): fromV $fromV must be <= toV $toV")
     require(toV <= currentVersion(table),
       s"changes($table): toV $toV is past the log head ${currentVersion(table)}")
+    changeWindows(table, fromV, toV) match {
+      case Seq((s, e)) => changesRaw(spark, table, s, e)
+      case ws =>
+        val pinned = changeSchemaAt(table, toV).getOrElse(sys.error(
+          s"changes($table): window ($fromV, $toV] spans a DROP COLUMN but " +
+            "no schema is declared at the window end — corrupt log"))
+        ws.map { case (s, e) =>
+          alignToPinned(table, changesRaw(spark, table, s, e), pinned, Some(e))
+        }.reduce(_ unionByName _)
+    }
+  }
+
+  /** [[changes]] over one schema-era window (no DROP COLUMN between a
+    * data commit and the window end — [[changeWindows]] guarantees it;
+    * an alter LEADING the window is fine, it carries no rows). */
+  private def changesRaw(spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
     // 'purge' rewrites identical LOGICAL rows (it only drops tombstoned
     // physical bytes the declared schema already excluded) — layout-only
     val layoutOps = Set("compact", "cluster", "checkpoint", "purge")
     // (file, version, +1 added / -1 removed, commit needs a multiset diff)
     val entries = ((fromV + 1) to toV).flatMap { v =>
       val c = readCommit(table, v)
-      // a window spanning a DROP COLUMN cannot be served at head schema:
-      // the dropped column would silently project out of every change row,
-      // and a rewrite whose rows differed only in it would sign-cancel to
-      // ZERO rows. Refuse loudly (Delta refuses CDF across non-additive
-      // schema changes the same way); RENAME is fine — values are
-      // untouched and the feed is served under head logical names.
-      if (c.op == "alter") {
-        val text = new String(Files.readAllBytes(commitPath(table, v)),
-          StandardCharsets.UTF_8)
-        val droppedHere = TombstoneRe.findAllMatchIn(text).map(_.group(1)).toSeq
-        require(droppedHere.isEmpty,
-          s"changes($table): the window ($fromV, $toV] spans commit v$v, " +
-            s"which DROPPED column(s) ${droppedHere.mkString(", ")} — change " +
-            "rows before the drop cannot be represented at the head schema. " +
-            "Read the feed in two windows split at the alter, or time-travel.")
-      }
+      // alter commits carry no rows; a DROP COLUMN alter never has a
+      // data commit before it in this window ([[changeWindows]] split
+      // there), so serving at the window-end era schema is era-exact
       if (layoutOps.contains(c.op)) Nil
       else {
         val diff = c.add.nonEmpty && c.remove.nonEmpty
@@ -1436,12 +1992,50 @@ object CommitLog {
     }.toMap
     // multi-stats extend the reach to every file whose footer recorded a
     // range for the column — plain appends included; the NAMED clustering
-    // range wins on overlap (both describe the same bytes)
+    // range wins on overlap (both describe the same bytes). PLAIN-INT
+    // ranges only: this surface's contract is raw signed longs matched
+    // against raw long bounds, and a typed (date/timestamp/decimal) range
+    // served here could be compared in the wrong unit — typed callers go
+    // through [[typedStatsOn]], which keeps the kind attached.
     val multi = state.multiStats.toSeq.collect {
       case (f, m) if state.live.contains(f) =>
-        m.collectFirst { case (c, r) if c.equalsIgnoreCase(phys) => f -> r }
+        m.collectFirst {
+          case (c, cs) if cs.kind == 'i' && c.equalsIgnoreCase(phys) =>
+            f -> (cs.lo, cs.hi)
+        }
     }.flatten.toMap
     multi ++ named
+  }
+
+  /** TYPED multi-stats on `column` for the live snapshot: file → [lo, hi]
+    * WITH its kind ('i' int, 'd' epoch days, 't' epoch micros, 'c'
+    * unscaled decimal at `scale`) — the read side must convert its filter
+    * literal to the kind's unit before comparing, and must treat a kind
+    * it didn't expect as no-stats (read the file). Physical-name
+    * translated like [[fileStatsOn]]. */
+  def typedStatsOn(table: String, column: String,
+                   asOf: Option[Long] = None): Map[String, ColStat] = {
+    val state = replay(table, asOf)
+    val phys = physicalFor(table, column, asOf)
+    state.multiStats.toSeq.collect {
+      case (f, m) if state.live.contains(f) =>
+        m.collectFirst { case (c, cs) if c.equalsIgnoreCase(phys) => f -> cs }
+    }.flatten.toMap
+  }
+
+  /** String byte bounds on `column` for the live snapshot: file →
+    * (loBytes, hiBytes) in UNSIGNED lexicographic order (UTF-8), the
+    * truncated-prefix bounds [[footerSummary]] recorded. A filter literal
+    * compares via its UTF-8 bytes with `Arrays.compareUnsigned` — the
+    * same total order parquet's string min/max use. */
+  def stringStatsOn(table: String, column: String,
+                    asOf: Option[Long] = None): Map[String, (Array[Byte], Array[Byte])] = {
+    val state = replay(table, asOf)
+    val phys = physicalFor(table, column, asOf)
+    state.stringStats.toSeq.collect {
+      case (f, m) if state.live.contains(f) =>
+        m.collectFirst { case (c, b) if c.equalsIgnoreCase(phys) => f -> b }
+    }.flatten.toMap
   }
 
   /** file → the named column its recorded zone range describes, for every
@@ -1646,12 +2240,11 @@ object CommitLog {
     require(retainMillis >= 0, s"vacuum: retainMillis must be >= 0, got $retainMillis")
     val live = snapshotFiles(table).toSet
     val cutoff = System.currentTimeMillis() - retainMillis
-    val onDisk = Files.list(Paths.get(table)).iterator.asScala
+    val onDisk = listDir(Paths.get(table))
       .filter(p => Files.isRegularFile(p))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !live.contains(n))
-      .toSeq
     onDisk.foreach(n => Files.delete(Paths.get(table, n)))
     onDisk
   }
@@ -1679,13 +2272,17 @@ object CommitLog {
       s"""{"schema64":"${java.util.Base64.getEncoder
         .encodeToString(j.getBytes(StandardCharsets.UTF_8))}"}""").toSeq ++
       state.clusterSpec.map { case (c, b) => clusteringAction(c, b) }.toSeq ++
-      state.tombstones.toSeq.map(t => s"""{"tombstone":"$t"}""")
+      state.tombstones.toSeq.map(t => s"""{"tombstone":"$t"}""") ++
+      state.bloomCol.map(c => s"""{"bloomon":"$c"}""").toSeq
     val lines = (s"""{"op":"checkpoint","version":$v}""" +: (schemaLine ++
       state.live.toSeq.map { case (f, stats) =>
         val rows = state.rowCounts.get(f).fold("")(n => s""","rows":$n""") +
           state.fileBytes.get(f).fold("")(n => s""","bytes":$n""") +
           state.multiStats.get(f).filter(_.nonEmpty)
-            .fold("")(m => s""","mstats":"${encodeMStats(m)}"""")
+            .fold("")(m => s""","mstats":"${encodeMStats(m)}"""") +
+          state.stringStats.get(f).filter(_.nonEmpty)
+            .fold("")(m => s""","sstats":"${encodeSStats(m)}"""") +
+          state.blooms.get(f).fold("")(b => s""","bloom":"${encodeBloom(b)}"""")
         (stats, state.statsCols.get(f)) match {
           case (Some((lo, hi)), Some(c)) =>
             s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"$rows}"""
@@ -1714,12 +2311,12 @@ object CommitLog {
     lastCheckpoint(table) match {
       case None => Seq.empty
       case Some(cp) =>
-        val old = Files.list(logDir(table)).iterator.asScala
+        val old = listDir(logDir(table))
           .filter { p =>
             val n = p.getFileName.toString
             n.endsWith(".json") && !n.endsWith(".checkpoint.json") &&
               n.stripSuffix(".json").toLongOption.exists(_ < cp)
-          }.toSeq
+          }
         old.foreach(Files.delete)
         old.map(_.getFileName.toString).sorted
     }

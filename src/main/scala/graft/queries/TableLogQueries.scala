@@ -1300,6 +1300,229 @@ object TableLogQueries {
       |FROM orders
       |WHERE o_orderkey BETWEEN 1 AND (SELECT max(o_orderkey) // 8 FROM orders)""".stripMargin
 
+  /** tl31: TYPED footer stats — the round-11 mstats vocabulary excluded
+    * every annotated int (dates, timestamps, decimals) and all strings,
+    * so the commonest real-world prune (a time-range query over a
+    * plain-append event table) read every file. Now each add records
+    * UNIT-FAITHFUL ranges: timestamps as epoch micros, dates as epoch
+    * days (the exact parquet physical units — no mismatch with filter
+    * literals is possible), strings as truncated UTF-8 byte bounds.
+    * The gate builds a plain-append table in arrival (time) order and
+    * REQUIREs that a timestamp range, a date range, AND a string match
+    * each read a strict subset of the live files — then hash-checks the
+    * timestamp-range aggregate against the oracle. */
+  private val tl31TypedSkipping: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_tstats"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val t = root.toString
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("long").as("id"),
+      col("o_orderdate").cast("timestamp").as("ts"),
+      to_date(col("o_orderdate")).as("d"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+      round(col("o_totalprice").cast("double"), 2).as("price"))
+    val mm = orders.agg(
+      min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // four PLAIN appends, one per time quartile — an event table
+    // ingesting in arrival order (half-open slices, last one closed)
+    val span = hi - lo + 1
+    for (q <- 0 until 4) {
+      val (qlo, qhi) = (lo + q * (span / 4), if (q == 3) hi + 1 else lo + (q + 1) * (span / 4))
+      CommitLog.append(orders.filter(
+        unix_timestamp(col("ts")) >= qlo && unix_timestamp(col("ts")) < qhi), t)
+    }
+    require(CommitLog.fileStats(t).isEmpty && CommitLog.declaredClustering(t).isEmpty,
+      "tl31: the table must carry NO declared clustering — the skip must " +
+        "come from the typed footer stats alone")
+    require(CommitLog.typedStatsOn(t, "ts").values.forall(_.kind == 't') &&
+        CommitLog.typedStatsOn(t, "ts").nonEmpty,
+      "tl31: every add must record the timestamp column as kind 't' (epoch micros)")
+    require(CommitLog.typedStatsOn(t, "d").values.forall(_.kind == 'd') &&
+        CommitLog.typedStatsOn(t, "d").nonEmpty,
+      "tl31: every add must record the date column as kind 'd' (epoch days)")
+    require(CommitLog.stringStatsOn(t, "mon").nonEmpty,
+      "tl31: every add must record string byte bounds for mon")
+    val all = CommitLog.snapshotFiles(t)
+    val v = CommitLog.currentVersion(t)
+    val boundSec = lo + span / 8 // first eighth of the time range
+    val boundTs = new java.sql.Timestamp(boundSec * 1000L)
+    def prunedWith(f: org.apache.spark.sql.sources.Filter): Seq[String] =
+      graft.sources.GraftLogDataSource.prunedFileNames(t, v, Seq(f))
+    val tsPruned = prunedWith(org.apache.spark.sql.sources.LessThan("ts", boundTs))
+    require(tsPruned.nonEmpty && tsPruned.size < all.size,
+      s"tl31: a timestamp range must skip files, read ${tsPruned.size}/${all.size}")
+    val dPruned = prunedWith(org.apache.spark.sql.sources.LessThanOrEqual("d",
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        java.time.Instant.ofEpochSecond(boundSec).atOffset(java.time.ZoneOffset.UTC)
+          .toLocalDate.toEpochDay))))
+    require(dPruned.nonEmpty && dPruned.size < all.size,
+      s"tl31: a date range must skip files, read ${dPruned.size}/${all.size}")
+    val minMon = java.time.Instant.ofEpochSecond(lo).atOffset(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM"))
+    val monPruned = prunedWith(org.apache.spark.sql.sources.EqualTo("mon", minMon))
+    require(monPruned.nonEmpty && monPruned.size < all.size,
+      s"tl31: a string equality must skip files, read ${monPruned.size}/${all.size}")
+    spark.read.format("graftlog").load(t)
+      .filter(col("ts") < lit(boundTs))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+      .withColumn("ts_skipped", lit(tsPruned.size < all.size))
+      .withColumn("d_skipped", lit(dPruned.size < all.size))
+      .withColumn("mon_skipped", lit(monPruned.size < all.size))
+  }
+
+  private val tl31TypedSkippingSql =
+    """WITH b AS (SELECT CAST(min(epoch(o_orderdate)) AS BIGINT) AS lo,
+      |  CAST(max(epoch(o_orderdate)) AS BIGINT) AS hi FROM orders)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  TRUE AS ts_skipped, TRUE AS d_skipped, TRUE AS mon_skipped
+      |FROM orders, b
+      |WHERE CAST(epoch(o_orderdate) AS BIGINT) < b.lo + (b.hi - b.lo + 1) // 8""".stripMargin
+
+  /** tl33: CDF across a DROP COLUMN — round 11 refused any window
+    * spanning a drop (a long-running consumer had to restart after every
+    * one); now the window splits at the alter and serves era-faithfully
+    * ([[CommitLog.changeWindows]]/[[CommitLog.changes]]):
+    *   - BATCH: the spanning feed arrives at the WINDOW-END schema (the
+    *     dropped column gone), multiset-equal to the per-era halves
+    *     (REQUIREd);
+    *   - STREAMING: a feed whose schema was pinned BEFORE the drop keeps
+    *     the column — real values for pre-drop commits, NULL after
+    *     (REQUIREd on a stream that drains, survives the mid-stream
+    *     DROP, and drains again from its checkpoint). */
+  private val tl33CdfAcrossDrop: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t33", "SELECT * FROM t33_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t33").toString
+    val root = Paths.get(Sinks.scratchDir("commitlog_cdfdrop"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val dst = root.resolve("dst").toString
+    val ckpt = root.resolve("ckpt").toString
+    // ONE live query: its schema pins at start (pre-drop, `status`
+    // present) and must SURVIVE the mid-stream drop — a restarted query
+    // re-pins at the head schema, which is ordinary evolution, not the
+    // hard case
+    val q = spark.readStream.format("graftlog")
+      .option("readChangeFeed", "true").load(tdir)
+      .writeStream.format("graftlog")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    val halves =
+      try {
+        q.processAllAvailable()                            // drain pre-drop feed
+        val preDropDelivered = spark.read.format("graftlog").load(dst).count()
+        spark.sql(s"ALTER TABLE $t DROP COLUMN status")    // the mid-STREAM drop
+        spark.sql(s"INSERT INTO $t SELECT id, price, 3 AS batch FROM t33_b2")
+        q.processAllAvailable()                            // drain across the drop
+        val head = CommitLog.currentVersion(tdir)
+        val hs = CommitLog.changeWindows(tdir, -1L, head)
+        require(hs.size == 2, s"tl33: the window must split at the drop: $hs")
+        val streamed = spark.read.format("graftlog").load(dst)
+        require(streamed.columns.contains("status"),
+          "tl33: the pre-drop-pinned stream must keep serving the column")
+        val postDropRows = streamed.filter(col("_commit_version") > lit(hs.head._2))
+        require(postDropRows.count() > 0 &&
+            postDropRows.filter(col("status").isNotNull).count() == 0,
+          "tl33: post-drop change rows must serve NULL for the dropped column")
+        val preRows = streamed.filter(col("_commit_version") <= lit(hs.head._2))
+        require(preRows.count() == preDropDelivered &&
+            preRows.filter(col("status").isNull).count() == 0,
+          "tl33: pre-drop rows must keep their real values across the drop")
+        hs
+      } finally q.stop()
+    // batch feed across the drop: window-end schema, equals per-era halves
+    val head = CommitLog.currentVersion(tdir)
+    val feed = CommitLog.changes(spark, tdir, -1L, head)
+    require(!feed.columns.contains("status"),
+      s"tl33: the spanning batch feed must serve the window-end schema, " +
+        s"got ${feed.columns.toSeq}")
+    val stitched = halves.map { case (s, e) =>
+      CommitLog.changes(spark, tdir, s, e)
+        .drop("status") // pre-drop era serves it; window-end schema drops it
+        .select(feed.columns.map(col(_)): _*)
+    }.reduce(_ unionByName _)
+    require(feed.exceptAll(stitched).isEmpty && stitched.exceptAll(feed).isEmpty,
+      "tl33: the spanning feed must multiset-equal the per-era halves")
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl33CdfAcrossDropSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM (SELECT id, price, 1 AS batch FROM b1
+       |      UNION ALL SELECT id, price, 3 AS batch FROM b2)
+       |GROUP BY batch ORDER BY batch""".stripMargin
+
+  /** tl32: per-file key BLOOM filters for hash-keyed ingest dedup — the
+    * round-11 honest gap: a UNIFORM content-hash key's batch range spans
+    * every file, so zone pruning keeps everything and `dedupAppend` read
+    * the whole key column per ingest. With [[CommitLog.declareBloom]],
+    * every add records an m-bit bloom of its key column, and the
+    * duplicate check first drops files whose bloom excludes every batch
+    * key — REQUIREd: a fresh micro-batch consults (almost) no files while
+    * zone stats on the key are provably absent, and replaying an already-
+    * ingested batch is still a NO-OP (no false negatives end-to-end). */
+  private val tl32BloomIngest: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_bloom"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val t = root.toString
+    CommitLog.declareBloom(spark, t, "key")
+    val keyed = Tables.orders(spark, dir).select(
+      md5(col("o_orderkey").cast("string")).as("key"), // uniform: the content-hash shape
+      round(col("o_totalprice").cast("double"), 2).as("price"),
+      (col("o_orderkey") % 4).cast("int").as("batch"))
+    for (q <- 0 until 4)
+      require(CommitLog.dedupAppend(spark, keyed.filter(col("batch") === q), t,
+        Seq("key")).nonEmpty, s"tl32: batch $q must land")
+    val all = CommitLog.snapshotFiles(t)
+    val head = CommitLog.currentVersion(t)
+    require(CommitLog.fileBlooms(t).keySet == all.toSet,
+      "tl32: every add on the bloom-declared table must record a bloom")
+    require(CommitLog.fileStatsOn(t, "key").isEmpty,
+      "tl32: a uniform hash key must carry NO integral zone stats — only " +
+        "the bloom can prune here")
+    // a fresh 300-key micro-batch: the duplicate check consults almost
+    // no files (expected extra reads ≈ batch × 7e-5 per file)
+    val fresh = Tables.orders(spark, dir).limit(300).select(
+      md5(concat(lit("fresh_"), col("o_orderkey").cast("string"))).as("key"),
+      round(col("o_totalprice").cast("double"), 2).as("price"),
+      lit(9).as("batch"))
+    val cands = CommitLog.ingestCandidates(spark, t, head, fresh, Seq("key"), all)
+    require(cands.size <= math.max(1, all.size / 4),
+      s"tl32: a fresh batch must bloom-prune the check, kept ${cands.size}/${all.size}")
+    // no false negatives end-to-end: replaying batch 2 is a no-op, and
+    // its check consulted only the files its keys live in (plus FPs)
+    val replay = keyed.filter(col("batch") === 2)
+    require(CommitLog.dedupAppend(spark, replay, t, Seq("key")).isEmpty,
+      "tl32: replaying an ingested batch must be a NO-OP")
+    spark.read.format("graftlog").load(t)
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+      .withColumn("bloom_pruned", lit(cands.size <= math.max(1, all.size / 4)))
+      .orderBy("batch")
+  }
+
+  private val tl32BloomIngestSql =
+    """SELECT CAST(o_orderkey % 4 AS INT) AS batch, count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  TRUE AS bloom_pruned
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** tl24: the change feed's SQL surface — `USING graftlog OPTIONS
     * (readChangeFeed 'true')` serves the same derived relation tl23
     * reaches through the Scala API, queryable like any view (the final
@@ -1572,6 +1795,9 @@ object TableLogQueries {
        |FROM final GROUP BY batch ORDER BY batch""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "tl33_cdf_across_drop" -> tl33CdfAcrossDrop,
+    "tl32_bloom_ingest" -> tl32BloomIngest,
+    "tl31_typed_skipping" -> tl31TypedSkipping,
     "tl30_append_skipping" -> tl30AppendSkipping,
     "tl29_sql_ingest" -> tl29SqlIngest,
     "tl28_zorder_skipping" -> tl28ZOrder,
@@ -1610,6 +1836,9 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl33_cdf_across_drop" -> tl33CdfAcrossDropSql,
+    "tl32_bloom_ingest" -> tl32BloomIngestSql,
+    "tl31_typed_skipping" -> tl31TypedSkippingSql,
     "tl30_append_skipping" -> tl30AppendSkippingSql,
     "tl29_sql_ingest" -> tl29SqlIngestSql,
     "tl28_zorder_skipping" -> tl28ZOrderSql,

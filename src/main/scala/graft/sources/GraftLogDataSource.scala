@@ -333,7 +333,7 @@ object GraftLogDataSource {
     override def partitioning(): Array[Transform] =
       if (!exists) Array.empty
       else CommitLog.declaredClustering(path, Some(snapshotVersion)).collect {
-        case (c, b) if !CommitLog.ZSpec.matches(c) =>
+        case (c, b) if CommitLog.zSpecColumns(c).isEmpty =>
           org.apache.spark.sql.connector.expressions.Expressions.bucket(b, c)
       }.toArray
     override def capabilities(): util.Set[TableCapability] =
@@ -683,63 +683,247 @@ object GraftLogDataSource {
                                      filters: Seq[Filter]): Seq[String] = {
     val all = CommitLog.snapshotFiles(path, Some(version))
     val bounds = integralBounds(filters)
-    if (bounds.isEmpty) all
-    else {
-      val byColumn = bounds.foldLeft(all) { case (files, (colName, (lo, hi))) =>
-        val stats = CommitLog.fileStatsOn(path, colName, Some(version))
-        if (stats.isEmpty) files
-        else files.filter(f => stats.get(f) match {
-          case Some((flo, fhi)) => fhi >= lo && flo <= hi
-          case None             => true // no recorded range: never skipped
-        })
+    val intPruned =
+      if (bounds.isEmpty) all
+      else {
+        val byColumn = bounds.foldLeft(all) { case (files, (colName, (lo, hi))) =>
+          val stats = CommitLog.fileStatsOn(path, colName, Some(version))
+          if (stats.isEmpty) files
+          else files.filter(f => stats.get(f) match {
+            case Some((flo, fhi)) => fhi >= lo && flo <= hi
+            case None             => true // no recorded range: never skipped
+          })
+        }
+        zOrderPrune(path, version, bounds, byColumn)
       }
-      zOrderPrune(path, version, bounds, byColumn)
+    typedPrune(path, version, filters, intPruned)
+  }
+
+  /** TYPED file skipping — date/timestamp/decimal/string predicates
+    * matched against the typed footer stats every add records
+    * ([[CommitLog.footerSummary]]'s 'd'/'t'/'c' kinds and string byte
+    * bounds). The filter literal converts to the STAT's unit — epoch days
+    * for dates, epoch micros for timestamps (the exact parquet physical
+    * units, so no unit mismatch is possible), exact `BigDecimal`
+    * comparison at the annotated scale for decimals, UTF-8 unsigned byte
+    * order for strings (parquet's own string stat order). A stat whose
+    * kind differs from the literal's reads the file; stats-less files are
+    * never skipped; every filter is re-applied above the scan — same
+    * fail-safe contract as the integral pass. This is the commonest
+    * real-world prune (a time-range query over a plain-append event
+    * table), which before round 12 read every file. */
+  private def typedPrune(path: String, version: Long,
+                         filters: Seq[Filter], files: Seq[String]): Seq[String] = {
+    val afterUnit = unitBounds(filters).foldLeft(files) {
+      case (fs, (colName, (kind, lo, hi))) =>
+        val stats = CommitLog.typedStatsOn(path, colName, Some(version))
+        if (stats.isEmpty) fs
+        else fs.filter(f => stats.get(f) match {
+          case Some(cs) if cs.kind == kind => cs.hi >= lo && cs.lo <= hi
+          case _                           => true // absent or foreign kind: read
+        })
+    }
+    val afterDec = decimalBounds(filters).foldLeft(afterUnit) {
+      case (fs, (colName, (lo, hi))) =>
+        val stats = CommitLog.typedStatsOn(path, colName, Some(version))
+        if (stats.isEmpty) fs
+        else fs.filter(f => stats.get(f) match {
+          case Some(cs) if cs.kind == 'c' =>
+            // exact: the file range re-scaled to a real value, no rounding
+            java.math.BigDecimal.valueOf(cs.hi, cs.scale).compareTo(lo) >= 0 &&
+              java.math.BigDecimal.valueOf(cs.lo, cs.scale).compareTo(hi) <= 0
+          case _ => true
+        })
+    }
+    stringBounds(filters).foldLeft(afterDec) { case (fs, (colName, (plo, phi))) =>
+      val stats = CommitLog.stringStatsOn(path, colName, Some(version))
+      if (stats.isEmpty) fs
+      else fs.filter(f => stats.get(f) match {
+        case Some((flo, fhi)) =>
+          phi.forall(h => java.util.Arrays.compareUnsigned(flo, h) <= 0) &&
+            plo.forall(l => java.util.Arrays.compareUnsigned(fhi, l) >= 0)
+        case None => true
+      })
     }
   }
 
-  /** Z-ORDER file skipping: files clustered under a composite `z(px,py)`
-    * spec record ZKEY ranges; a filter conjunction bounding the inner
-    * columns becomes a 16-bit box, decomposed into zkey intervals
-    * ([[graft.functions.ZOrder.zRangesForBox]] — a SUPERSET cover, so
-    * skipping stays conservative), and a file is read unless its range
-    * misses EVERY interval. An unbounded dimension defaults to the full
-    * 16-bit domain, so one-sided predicates still prune; predicate ranges
-    * are clamped to the domain the write side enforced, so an impossible
-    * box skips every z-covered file outright. Stats-less files are never
-    * skipped. */
+  /** Per-column [lo, hi] bounds in the typed stats' own units, from
+    * date/timestamp literals: 'd' = epoch days, 't' = epoch micros. Both
+    * `java.time` and legacy `java.sql` literal classes are understood
+    * (Spark hands whichever `datetimeJava8ApiEnabled` selects);
+    * TimestampNTZ literals arrive as `LocalDateTime` and convert at UTC —
+    * exactly the micros parquet stores for NTZ columns. Same
+    * closed-bound/conjunction rules as [[integralBounds]]. */
+  private[graft] def unitBounds(filters: Seq[Filter]): Map[String, (Char, Long, Long)] = {
+    def lit(v: Any): Option[(Char, Long)] = v match {
+      case d: java.sql.Date       => Some(('d', d.toLocalDate.toEpochDay))
+      case d: java.time.LocalDate => Some(('d', d.toEpochDay))
+      case t: java.sql.Timestamp =>
+        try Some(('t', math.addExact(math.multiplyExact(t.getTime, 1000L),
+          ((t.getNanos / 1000) % 1000).toLong)))
+        catch { case _: ArithmeticException => None }
+      case i: java.time.Instant =>
+        try Some(('t', math.addExact(
+          math.multiplyExact(i.getEpochSecond, 1000000L), (i.getNano / 1000).toLong)))
+        catch { case _: ArithmeticException => None }
+      case l: java.time.LocalDateTime =>
+        try Some(('t', math.addExact(math.multiplyExact(
+          l.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+          (l.getNano / 1000).toLong)))
+        catch { case _: ArithmeticException => None }
+      case _ => None
+    }
+    def one(f: Filter): Seq[(String, (Char, Long, Long))] = f match {
+      case sources.EqualTo(a, v)            => lit(v).map { case (k, x) => a -> (k, x, x) }.toSeq
+      case sources.GreaterThan(a, v)        => lit(v).map { case (k, x) => a -> (k, x, Long.MaxValue) }.toSeq
+      case sources.GreaterThanOrEqual(a, v) => lit(v).map { case (k, x) => a -> (k, x, Long.MaxValue) }.toSeq
+      case sources.LessThan(a, v)           => lit(v).map { case (k, x) => a -> (k, Long.MinValue, x) }.toSeq
+      case sources.LessThanOrEqual(a, v)    => lit(v).map { case (k, x) => a -> (k, Long.MinValue, x) }.toSeq
+      case sources.In(a, vs) =>
+        val ls = vs.toSeq.map(lit)
+        if (ls.nonEmpty && ls.forall(_.isDefined) && ls.flatten.map(_._1).distinct.size == 1) {
+          val xs = ls.flatten
+          Seq(a -> (xs.head._1, xs.map(_._2).min, xs.map(_._2).max))
+        } else Seq.empty
+      case sources.And(l, r) => one(l) ++ one(r)
+      case _                 => Seq.empty
+    }
+    filters.flatMap(one).groupBy(_._1).flatMap { case (c, bs) =>
+      // a column is only ever one kind; mixed kinds would mean a broken
+      // plan — contribute nothing rather than guess
+      if (bs.map(_._2._1).distinct.size != 1) None
+      else Some(c -> bs.map(_._2).reduce[(Char, Long, Long)] {
+        case ((k, l1, h1), (_, l2, h2)) => (k, math.max(l1, l2), math.min(h1, h2))
+      })
+    }
+  }
+
+  /** Per-column exact decimal bounds from `BigDecimal` literals. */
+  private[graft] def decimalBounds(filters: Seq[Filter])
+      : Map[String, (java.math.BigDecimal, java.math.BigDecimal)] = {
+    val MaxDec = java.math.BigDecimal.valueOf(Long.MaxValue).scaleByPowerOfTen(18)
+    val MinDec = MaxDec.negate
+    def lit(v: Any): Option[java.math.BigDecimal] = v match {
+      case b: java.math.BigDecimal => Some(b)
+      case b: scala.math.BigDecimal => Some(b.bigDecimal)
+      case _ => None
+    }
+    def one(f: Filter): Seq[(String, (java.math.BigDecimal, java.math.BigDecimal))] = f match {
+      case sources.EqualTo(a, v)            => lit(v).map(x => a -> (x, x)).toSeq
+      case sources.GreaterThan(a, v)        => lit(v).map(x => a -> (x, MaxDec)).toSeq
+      case sources.GreaterThanOrEqual(a, v) => lit(v).map(x => a -> (x, MaxDec)).toSeq
+      case sources.LessThan(a, v)           => lit(v).map(x => a -> (MinDec, x)).toSeq
+      case sources.LessThanOrEqual(a, v)    => lit(v).map(x => a -> (MinDec, x)).toSeq
+      case sources.In(a, vs) =>
+        val ls = vs.toSeq.map(lit)
+        if (ls.nonEmpty && ls.forall(_.isDefined)) {
+          val xs = ls.flatten
+          Seq(a -> (xs.reduce(_ min _), xs.reduce(_ max _)))
+        } else Seq.empty
+      case sources.And(l, r) => one(l) ++ one(r)
+      case _                 => Seq.empty
+    }
+    filters.flatMap(one).groupBy(_._1).map { case (c, bs) =>
+      c -> bs.map(_._2).reduce[(java.math.BigDecimal, java.math.BigDecimal)] {
+        case ((l1, h1), (l2, h2)) => (l1.max(l2), h1.min(h2))
+      }
+    }
+  }
+
+  /** Per-column string bounds as UTF-8 byte arrays in unsigned order
+    * (None = unbounded on that side). `StringStartsWith` prunes too: the
+    * prefix is the lower bound and the prefix with its last non-0xFF byte
+    * incremented the upper. */
+  private[graft] def stringBounds(filters: Seq[Filter])
+      : Map[String, (Option[Array[Byte]], Option[Array[Byte]])] = {
+    def utf8(v: Any): Option[Array[Byte]] = v match {
+      case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _         => None
+    }
+    def inc(b: Array[Byte]): Option[Array[Byte]] = {
+      var i = b.length - 1
+      while (i >= 0 && b(i) == 0xFF.toByte) i -= 1
+      if (i < 0) None
+      else { val out = b.take(i + 1); out(i) = (out(i) + 1).toByte; Some(out) }
+    }
+    type B = (Option[Array[Byte]], Option[Array[Byte]])
+    def one(f: Filter): Seq[(String, B)] = f match {
+      case sources.EqualTo(a, v) => utf8(v).map(x => a -> (Some(x): Option[Array[Byte]], Some(x): Option[Array[Byte]])).toSeq
+      case sources.GreaterThan(a, v)        => utf8(v).map(x => a -> (Some(x): Option[Array[Byte]], None: Option[Array[Byte]])).toSeq
+      case sources.GreaterThanOrEqual(a, v) => utf8(v).map(x => a -> (Some(x): Option[Array[Byte]], None: Option[Array[Byte]])).toSeq
+      case sources.LessThan(a, v)           => utf8(v).map(x => a -> (None: Option[Array[Byte]], Some(x): Option[Array[Byte]])).toSeq
+      case sources.LessThanOrEqual(a, v)    => utf8(v).map(x => a -> (None: Option[Array[Byte]], Some(x): Option[Array[Byte]])).toSeq
+      case sources.StringStartsWith(a, v) =>
+        utf8(v).map(p => a -> (Some(p): Option[Array[Byte]], inc(p))).toSeq
+      case sources.In(a, vs) =>
+        val ls = vs.toSeq.map(utf8)
+        if (ls.nonEmpty && ls.forall(_.isDefined)) {
+          val xs = ls.flatten
+          val lo = xs.reduce((x, y) => if (java.util.Arrays.compareUnsigned(x, y) <= 0) x else y)
+          val hi = xs.reduce((x, y) => if (java.util.Arrays.compareUnsigned(x, y) >= 0) x else y)
+          Seq(a -> (Some(lo): Option[Array[Byte]], Some(hi): Option[Array[Byte]]))
+        } else Seq.empty
+      case sources.And(l, r) => one(l) ++ one(r)
+      case _                 => Seq.empty
+    }
+    def tighterLo(a: Option[Array[Byte]], b: Option[Array[Byte]]): Option[Array[Byte]] =
+      (a, b) match {
+        case (Some(x), Some(y)) => Some(if (java.util.Arrays.compareUnsigned(x, y) >= 0) x else y)
+        case (x, y)             => x.orElse(y)
+      }
+    def tighterHi(a: Option[Array[Byte]], b: Option[Array[Byte]]): Option[Array[Byte]] =
+      (a, b) match {
+        case (Some(x), Some(y)) => Some(if (java.util.Arrays.compareUnsigned(x, y) <= 0) x else y)
+        case (x, y)             => x.orElse(y)
+      }
+    filters.flatMap(one).groupBy(_._1).map { case (c, bs) =>
+      c -> bs.map(_._2).reduce[B] { case ((l1, h1), (l2, h2)) =>
+        (tighterLo(l1, l2), tighterHi(h1, h2))
+      }
+    }
+  }
+
+  /** Z-ORDER file skipping: files clustered under a composite
+    * `z(c1,c2[,c3])` spec record ZKEY ranges; a filter conjunction
+    * bounding the inner columns becomes a 16-bit box, decomposed into
+    * zkey intervals ([[graft.functions.ZOrder.zRangesForBoxN]] — a
+    * SUPERSET cover, so skipping stays conservative), and a file is read
+    * unless its range misses EVERY interval. An unbounded dimension
+    * defaults to the full 16-bit domain, so partial predicates still
+    * prune; predicate ranges are clamped to the domain the write side
+    * enforced, so an impossible box skips every z-covered file outright.
+    * Stats-less files are never skipped. */
   private def zOrderPrune(path: String, version: Long,
                           bounds: Map[String, (Long, Long)],
                           files: Seq[String]): Seq[String] = {
     val statsCols = CommitLog.fileStatsColumns(path, Some(version))
-    val zSpecs = statsCols.values.toSet.filter(CommitLog.ZSpec.matches)
+    val zSpecs = statsCols.values.toSet
+      .filter(s => CommitLog.zSpecColumns(s).nonEmpty)
     if (zSpecs.isEmpty) return files
     val physBounds = bounds.map { case (n, b) =>
       CommitLog.physicalFor(path, n, Some(version)).toLowerCase -> b
     }
     val ranges = CommitLog.fileStats(path, Some(version))
     zSpecs.foldLeft(files) { (fs, spec) =>
-      val (px, py) = spec match { case CommitLog.ZSpec(a, b) => (a, b) }
-      def dim(p: String): Option[(Long, Long)] =
-        physBounds.get(p.toLowerCase).map { case (lo, hi) =>
-          (math.max(lo, 0L), math.min(hi, 65535L))
-        }
-      (dim(px), dim(py)) match {
-        case (None, None) => fs // neither dimension constrained
-        case (xb, yb) =>
-          val (xlo, xhi) = xb.getOrElse((0L, 65535L))
-          val (ylo, yhi) = yb.getOrElse((0L, 65535L))
-          def covered(f: String): Boolean =
-            statsCols.get(f).contains(spec) && ranges.contains(f)
-          if (xlo > xhi || ylo > yhi) fs.filterNot(covered)
-          else {
-            val ivs = graft.functions.ZOrder.zRangesForBox(xlo, xhi, ylo, yhi)
-            fs.filter { f =>
-              !covered(f) || {
-                val (flo, fhi) = ranges(f)
-                ivs.exists { case (ilo, ihi) => ihi >= flo && ilo <= fhi }
-              }
+      val cols = CommitLog.zSpecColumns(spec).get
+      val dims = cols.map(p => physBounds.get(p.toLowerCase).map {
+        case (lo, hi) => (math.max(lo, 0L), math.min(hi, 65535L))
+      })
+      if (dims.forall(_.isEmpty)) fs // no dimension constrained
+      else {
+        val box = dims.map(_.getOrElse((0L, 65535L)))
+        def covered(f: String): Boolean =
+          statsCols.get(f).contains(spec) && ranges.contains(f)
+        if (box.exists { case (lo, hi) => lo > hi }) fs.filterNot(covered)
+        else {
+          val ivs = graft.functions.ZOrder.zRangesForBoxN(box)
+          fs.filter { f =>
+            !covered(f) || {
+              val (flo, fhi) = ranges(f)
+              ivs.exists { case (ilo, ihi) => ihi >= flo && ilo <= fhi }
             }
           }
+        }
       }
     }
   }

@@ -142,13 +142,12 @@ final class GraftLogStreamSource(
       // change-row mode: the batch IS the commit window's CDF. changes()
       // skips layout-only commits and expresses rewrites as delete+insert,
       // so no commit type needs refusing. Columns align to the pinned
-      // stream schema (additive evolution only widens; the select drops
-      // columns declared after stream start, matching snapshot-mode
-      // schema pinning) THROUGH the physical-name mapping, so a mid-stream
-      // RENAME doesn't kill the stream — physical names are fixed at first
-      // write, matching snapshot mode's rename survival.
-      val cdf = GraftLogStreamSource.alignToPinned(path,
-        CommitLog.changes(spark, path, startV, endV), schema0, Some(endV))
+      // stream schema PER SCHEMA ERA (split at drops) through the
+      // physical-name mapping, so neither a mid-stream RENAME nor a
+      // mid-stream DROP kills the stream — pre-drop commits keep their
+      // real values, post-drop ones serve NULL for the dropped column.
+      val cdf = GraftLogStreamSource.alignedWindowChanges(
+        spark, path, startV, endV, schema0)
       return GraftSqlShim.asStreamingBatch(cdf)
     }
     val batch = GraftLogStreamSource.deltaFiles(path, startV, endV, ignoreChanges) match {
@@ -175,42 +174,29 @@ final class GraftLogStreamSource(
 
 object GraftLogStreamSource {
 
-  /** Projects a `changes()` frame (the WINDOW-END era's logical column
-    * names) onto the feed's PINNED schema. Pinned fields carry their
-    * physical names in metadata; the physical name is fixed at first
-    * write, so it survives any RENAME in either direction — each pinned
-    * field resolves to whatever logical name the window-end era maps to
-    * its physical one (or the physical name itself in eras that never
-    * declared a mapping), aliased back to the pinned name. A pinned
-    * column the window-end era doesn't have at all was ADDED after the
-    * window — served as NULL, exactly as a snapshot read serves it for
-    * pre-evolution files. (A DROP never reaches here silently: `changes()`
-    * refuses any window spanning a drop commit.) */
+  /** Projects a `changes()` frame onto the feed's PINNED schema —
+    * delegates to [[CommitLog.alignToPinned]] (physical-name matching,
+    * NULL-fill for columns the era lacks). Kept as the streaming-side
+    * name both stream classes share. */
   private[sources] def alignToPinned(path: String, cdf: DataFrame,
                                      pinned: StructType,
-                                     asOf: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    // resolve against the schema AT THE WINDOW END — the era whose
-    // logical names the changes() frame wears (the live head may already
-    // carry a later rename)
-    val declared = CommitLog.declaredSchema(path, asOf)
-    val cols = pinned.fields.toSeq.map { f =>
-      if (f.name == "_change_type" || f.name == "_commit_version")
-        col(s"`${f.name}`")
-      else {
-        val ph = CommitLog.physicalName(f)
-        val eraName = declared.flatMap(_.fields.find(cf =>
-            CommitLog.physicalName(cf).equalsIgnoreCase(ph))).map(_.name)
-          .orElse(cdf.columns.find(_.equalsIgnoreCase(ph)))
-        eraName match {
-          case Some(n) if n != f.name => col(s"`$n`").as(f.name)
-          case Some(n)                => col(s"`$n`")
-          case None => lit(null).cast(f.dataType).as(f.name)
-        }
-      }
-    }
-    cdf.select(cols: _*)
-  }
+                                     asOf: Option[Long] = None): DataFrame =
+    CommitLog.alignToPinned(path, cdf, pinned, asOf)
+
+  /** The stream's change rows for `(startV, endV]`, aligned per SCHEMA
+    * ERA to the stream's pinned schema: the window splits at every DROP
+    * COLUMN ([[CommitLog.changeWindows]]), each sub-window computes at
+    * its own era and aligns by physical name — so a consumer pinned to
+    * the PRE-drop schema keeps receiving the dropped column's real values
+    * for pre-drop commits and NULLs after (a batch `changes()` over the
+    * same window serves the window-end schema instead, where the column
+    * is gone entirely). */
+  private[sources] def alignedWindowChanges(spark: SparkSession, path: String,
+                                            startV: Long, endV: Long,
+                                            pinned: StructType): DataFrame =
+    CommitLog.changeWindows(path, startV, endV).map { case (s, e) =>
+      alignToPinned(path, CommitLog.changes(spark, path, s, e), pinned, Some(e))
+    }.reduce(_ unionByName _)
 
   /** Files ADDED by commits in `(startV, endV]` — the delta one
     * micro-batch delivers, shared by the V1 source and the V2
@@ -365,8 +351,10 @@ final class GraftLogMicroBatchStream(
   * window (commits are immutable), so a crash-replayed batch rewrites
   * identical content and checkpoint recovery stays exact. Columns align
   * to the schema pinned at stream start through the physical-name
-  * mapping ([[GraftLogStreamSource.alignToPinned]]), so a mid-stream
-  * RENAME doesn't kill the stream; a mid-stream DROP fails loudly. */
+  * mapping, PER SCHEMA ERA ([[GraftLogStreamSource.alignedWindowChanges]]),
+  * so neither a mid-stream RENAME nor a mid-stream DROP kills the stream:
+  * pre-drop commits keep the dropped column's real values, post-drop
+  * ones serve NULL for it. */
 final class GraftLogCdfMicroBatchStream(
     spark: SparkSession,
     path: String,
@@ -493,8 +481,7 @@ final class GraftLogCdfMicroBatchStream(
     // crash-replayed HALF-write (no _SUCCESS) is overwritten; the window's
     // CDF is deterministic (commits are immutable), so recovery is exact.
     if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-      GraftLogStreamSource.alignToPinned(path,
-          CommitLog.changes(spark, path, startV, endV), pinned, Some(endV))
+      GraftLogStreamSource.alignedWindowChanges(spark, path, startV, endV, pinned)
         .write.mode("overwrite").parquet(dir.toString)
     val files = useStream(java.nio.file.Files.list(dir))(_.iterator.asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq)

@@ -185,10 +185,16 @@ class GraftLogDataSourceSpec extends SparkSpec {
     assert(viaSql.count() == 11L)
     assert(viaSql.orderBy("k").collect().map(_.getLong(0)).toSeq == (10L to 20L))
 
-    // NEGATIVE evidence is never acted on: filters on a column with no
-    // recorded stats read everything
-    assert(narrowed(f.EqualTo("v", "v5")).inputFiles.length == 4,
-      "stats are on k; a filter on v must not skip files")
+    // round 12: STRING footer bounds prune too — an equality on v reads
+    // only the file whose byte range covers it, and stays exact
+    val vEq = narrowed(f.EqualTo("v", "v5"))
+    assert(vEq.inputFiles.length == 1,
+      s"string bounds must prune the v filter, read ${vEq.inputFiles.length}")
+    assert(vEq.filter($"v" === "v5").count() == 1L)
+    // NEGATIVE evidence is never acted on: a filter SHAPE outside the
+    // bounds vocabulary (contains) reads everything
+    assert(narrowed(f.StringContains("v", "5")).inputFiles.length == 4,
+      "an unbounded filter shape must not skip files")
     // a case difference in the filter name still matches (Spark default
     // resolution is case-insensitive)
     assert(narrowed(f.EqualTo("K", 50L)).inputFiles.length == 1)

@@ -262,31 +262,48 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(spark.table("evo.ap.t").count() == 3L)
   }
 
-  test("changes() refuses a window spanning a DROP COLUMN; split windows serve") {
+  test("changes() serves a window spanning a DROP COLUMN era-faithfully") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.cw")
     spark.sql("DROP TABLE IF EXISTS evo.cw.t")
     spark.sql("CREATE TABLE evo.cw.t AS SELECT id, concat('s', id) AS s, id * 2 AS x FROM range(3)")
     val dir = Paths.get(wh, "cw", "t").toString
     val v0 = CommitLog.currentVersion(dir)
-    spark.sql("INSERT INTO evo.cw.t SELECT 10, 's10', 20")          // v0+1
-    spark.sql("ALTER TABLE evo.cw.t DROP COLUMN s")                  // v0+2
-    spark.sql("INSERT INTO evo.cw.t SELECT 11, 22")                  // v0+3
+    spark.sql("INSERT INTO evo.cw.t SELECT 10, 's10', 20")           // v0+1
+    // the case round-11's refusal feared: a rewrite whose rows differ
+    // ONLY in the column about to be dropped — at head schema alone the
+    // diff would sign-cancel to zero rows; era-split computes it at the
+    // pre-drop era, so the delete+insert pair survives
+    spark.sql("UPDATE evo.cw.t SET s = 'S0' WHERE id = 0")           // v0+2
+    val updV = CommitLog.currentVersion(dir)
+    spark.sql("ALTER TABLE evo.cw.t DROP COLUMN s")                  // v0+3
+    spark.sql("INSERT INTO evo.cw.t SELECT 11, 22")                  // v0+4
     val head = CommitLog.currentVersion(dir)
-    // spanning the drop: change rows before it cannot be represented at
-    // head schema — loud refusal, not a silent reinterpretation
-    val e = intercept[IllegalArgumentException] {
-      CommitLog.changes(spark, dir, v0, head).collect()
-    }
-    assert(e.getMessage.contains("DROPPED"), e.getMessage)
-    // split at the alter, both halves serve exactly
-    assert(CommitLog.changes(spark, dir, v0, v0 + 1).count() == 1L)
-    assert(CommitLog.changes(spark, dir, v0 + 2, head).count() == 1L)
+    // the window splits just below the drop alter
+    assert(CommitLog.changeWindows(dir, v0, head) ==
+      Seq((v0, updV), (updV, head)))
+    // spanning feed: WINDOW-END schema (s gone), rows from both eras
+    val feed = CommitLog.changes(spark, dir, v0, head)
+    assert(!feed.columns.contains("s") && feed.columns.contains("x"),
+      s"drop-spanning CDF serves the window-end schema: ${feed.columns.toSeq}")
+    val rows = feed.collect().map(r => (r.getLong(r.fieldIndex("id")),
+      r.getLong(r.fieldIndex("x")), r.getString(r.fieldIndex("_change_type")),
+      r.getLong(r.fieldIndex("_commit_version")))).toSeq
+    assert(rows.count(_ == ((10L, 20L, "insert", v0 + 1))) == 1, s"insert: $rows")
+    assert(rows.count(_ == ((11L, 22L, "insert", head))) == 1, s"post-drop insert: $rows")
+    // the s-only UPDATE survives as a delete+insert pair (identical in
+    // every SERVED column — the era diff saw the differing s values)
+    assert(rows.count(_ == ((0L, 0L, "delete", updV))) == 1, s"update delete: $rows")
+    assert(rows.count(_ == ((0L, 0L, "insert", updV))) == 1, s"update insert: $rows")
+    // and equals the per-era halves stitched at the window-end schema
+    assert(feed.count() ==
+      CommitLog.changes(spark, dir, v0, updV).count() +
+        CommitLog.changes(spark, dir, updV, head).count())
     // a window that spans a RENAME (values untouched) still serves
     spark.sql("ALTER TABLE evo.cw.t RENAME COLUMN x TO y")           // head+1
     spark.sql("INSERT INTO evo.cw.t SELECT 12, 24")                  // head+2
-    val feed = CommitLog.changes(spark, dir, v0 + 2, head + 2)
-    assert(feed.columns.contains("y") && feed.count() == 2L,
+    val feed2 = CommitLog.changes(spark, dir, updV, head + 2)
+    assert(feed2.columns.contains("y") && feed2.count() == 2L,
       "rename-spanning CDF serves under head logical names")
   }
 
