@@ -201,6 +201,25 @@ object LogProbe {
       results += (s"log_n${n}_catchup" -> catchup)
     }
 
+    // ---------------------------------------------------------- Tier C
+    // BPE round cost: per-round wall time must stay FLAT as the round
+    // count grows toward a realistic vocabulary (the per-round work is a
+    // vocabulary-bounded pair agg + a 1-row argmax; lineage is truncated
+    // every 8 rounds, so plan depth cannot grow). A super-linear shape
+    // here would mean driver orchestration or plan growth dominates and
+    // the 32k-merge regime is out of reach.
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_SF", "/root/testdata/sf0.001")
+    if (Files.isDirectory(Paths.get(sfDir))) {
+      for (rounds <- Seq(50, 100, 200)) {
+        val (sec, _) = timed {
+          graft.queries.TextDedupQueries.bpeVocab(spark, sfDir, rounds).count()
+        }
+        println(s"""{"probe":"bpe","rounds":$rounds,"sec":$sec,""" +
+          s""""sec_per_round":${sec / rounds}}""")
+        results += (s"bpe_r$rounds" -> sec)
+      }
+    }
+
     spark.stop()
     println("GRAFT_LOGPROBE_RESULT {" + results.map { case (k2, s) =>
       "\"" + k2 + "\":" + f"$s%.3f" }.mkString(",") + "}")

@@ -1193,6 +1193,123 @@ object TableLogQueries {
        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        |FROM grid WHERE gx BETWEEN 10 AND 40 AND gy BETWEEN 50 AND 90""".stripMargin
 
+  /** tl34: THREE-dimensional Z-ORDER — `CALL graft.system.zorder(...,
+    * z => 'gz')` clusters on the 3-way Morton interleave
+    * ([[graft.functions.ZOrder.mortonN]]) and a 3-D box predicate prunes
+    * through the n-dimensional Tropf–Herzog decomposition
+    * ([[graft.functions.ZOrder.zRangesForBoxN]]). REQUIREd: every file
+    * records the `z(gx,gy,gz)` range, the 3-D box reads a strict subset,
+    * a FOURTH dimension is refused loudly (at 16 bits/coord it would
+    * need the zkey's sign bit — spec-pinned message), and the served
+    * box aggregate hash-matches the oracle. */
+  private val tl34ZOrder3d: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t34",
+      "SELECT id, id % 251 AS gx, (id * 7) % 241 AS gy, (id * 13) % 239 AS gz, " +
+        "price FROM t34_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t34").toString
+    val row = spark.sql(
+      "CALL graft.system.zorder(`table` => 'dml.t34', x => 'gx', y => 'gy', " +
+        "z => 'gz', buckets => 8)").head()
+    require(row.getInt(1) == 8, s"tl34: zorder must land 8 files, got ${row.getInt(1)}")
+    require(CommitLog.snapshotFiles(tdir).forall(f =>
+        CommitLog.fileStatsColumns(tdir).get(f).contains("z(gx,gy,gz)")),
+      "tl34: every file must record a z(gx,gy,gz) zkey range")
+    // a later INSERT honors the declared 3-D layout
+    spark.sql(s"INSERT INTO $t SELECT id, id % 251, (id * 7) % 241, " +
+      "(id * 13) % 239, price FROM t34_b2")
+    require(CommitLog.snapshotFiles(tdir).forall(f =>
+        CommitLog.fileStatsColumns(tdir).get(f).contains("z(gx,gy,gz)")),
+      "tl34: post-zorder INSERTs must keep recording 3-D zkey ranges")
+    val all = CommitLog.snapshotFiles(tdir)
+    val pruned = graft.sources.GraftLogDataSource.prunedFileNames(tdir,
+      CommitLog.currentVersion(tdir), Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("gx", 10L),
+        org.apache.spark.sql.sources.LessThanOrEqual("gx", 60L),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("gy", 40L),
+        org.apache.spark.sql.sources.LessThanOrEqual("gy", 110L),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("gz", 20L),
+        org.apache.spark.sql.sources.LessThanOrEqual("gz", 100L)))
+    require(pruned.size < all.size,
+      s"tl34: the 3-D box must skip files: ${pruned.size} of ${all.size} read")
+    // a 4th dimension is refused loudly, with the documented reason
+    val refused = try {
+      CommitLog.compactZOrdered(spark, tdir, Seq("gx", "gy", "gz", "id"), 8); None
+    } catch { case e: Exception => Some(e.getMessage) }
+    require(refused.exists(_.contains("2 or 3")),
+      s"tl34: a 4-column z-order must refuse loudly, got $refused")
+    spark.sql(
+      s"""SELECT count(*) AS n_rows, CAST(sum(gx * gy * gz) AS BIGINT) AS xyz_sum,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t WHERE gx BETWEEN 10 AND 60 AND gy BETWEEN 40 AND 110
+         |  AND gz BETWEEN 20 AND 100""".stripMargin)
+  }
+
+  private val tl34ZOrder3dSql =
+    s"""WITH $batchesSql,
+       |grid AS (
+       |  SELECT id % 251 AS gx, (id * 7) % 241 AS gy, (id * 13) % 239 AS gz,
+       |    price FROM b1
+       |  UNION ALL SELECT id % 251, (id * 7) % 241, (id * 13) % 239, price FROM b2)
+       |SELECT count(*) AS n_rows, CAST(sum(gx * gy * gz) AS BIGINT) AS xyz_sum,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM grid WHERE gx BETWEEN 10 AND 60 AND gy BETWEEN 40 AND 110
+       |  AND gz BETWEEN 20 AND 100""".stripMargin
+
+  /** tl35: metadata-only DELETE on a PLAIN-APPEND table — round 11's
+    * proof required a NAMED clustering zone, so unclustered tables always
+    * paid the copy-on-write rewrite; the proof now reads the same
+    * fileStatsOn surface as skipping (named zones + footer multi-stats),
+    * so a range DELETE aligned with append slices is ONE log commit, zero
+    * data IO. REQUIREd: untouched files survive BY NAME, the delete
+    * commit ADDS nothing (pure removes — the metadata path, not a
+    * rewrite), and the served result hash-matches the oracle. */
+  private val tl35MetadataDelete: Q = (spark, dir) => {
+    val root = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"))
+    Files.createDirectories(root)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", root.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("DROP TABLE IF EXISTS graft.dml.t35")
+    spark.sql("CREATE TABLE graft.dml.t35 (id BIGINT, price DOUBLE)")
+    val tdir = Paths.get(root.toString, "dml", "t35").toString
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_t35")
+    val maxKey = Tables.orders(spark, dir).agg(max("o_orderkey")).head().getLong(0)
+    // four PLAIN range-sliced inserts (no clustering declared anywhere)
+    for (q <- 0 until 4) {
+      val (lo, hi) = (q * (maxKey / 4) + 1, if (q == 3) maxKey else (q + 1) * (maxKey / 4))
+      spark.sql(s"INSERT INTO graft.dml.t35 SELECT o_orderkey, round(o_totalprice, 2) " +
+        s"FROM orders_t35 WHERE o_orderkey BETWEEN $lo AND $hi")
+    }
+    require(CommitLog.fileStats(tdir).isEmpty && CommitLog.declaredClustering(tdir).isEmpty,
+      "tl35: the table must carry NO named zones — the proof must come " +
+        "from the footer multi-stats alone")
+    val before = CommitLog.snapshotFiles(tdir).toSet
+    val bound = maxKey / 4 // exactly the first slice's range
+    spark.sql(s"DELETE FROM graft.dml.t35 WHERE id <= $bound")
+    val after = CommitLog.snapshotFiles(tdir).toSet
+    require(after.subsetOf(before),
+      s"tl35: a metadata DELETE must drop files BY NAME, never rewrite: " +
+        s"new files ${after.diff(before)}")
+    val deleteCommit = CommitLog.readCommit(tdir, CommitLog.currentVersion(tdir))
+    require(deleteCommit.op == "delete" && deleteCommit.add.isEmpty &&
+        deleteCommit.remove.nonEmpty,
+      s"tl35: the delete must be pure removes, got op=${deleteCommit.op} " +
+        s"adds=${deleteCommit.add.size} removes=${deleteCommit.remove.size}")
+    spark.sql(
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft.dml.t35""".stripMargin)
+      .withColumn("metadata_only", lit(deleteCommit.add.isEmpty))
+  }
+
+  private val tl35MetadataDeleteSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  TRUE AS metadata_only
+      |FROM orders
+      |WHERE o_orderkey > (SELECT max(o_orderkey) // 4 FROM orders)""".stripMargin
+
   /** tl29: `CALL graft.system.ingest` — idempotent COPY INTO from SQL
     * ([[CommitLog.dedupAppend]] behind a procedure): only key-unseen rows
     * land, a replayed source is a commit-less NO-OP (REQUIREd: empty
@@ -1795,6 +1912,8 @@ object TableLogQueries {
        |FROM final GROUP BY batch ORDER BY batch""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "tl35_metadata_delete" -> tl35MetadataDelete,
+    "tl34_zorder_3d" -> tl34ZOrder3d,
     "tl33_cdf_across_drop" -> tl33CdfAcrossDrop,
     "tl32_bloom_ingest" -> tl32BloomIngest,
     "tl31_typed_skipping" -> tl31TypedSkipping,
@@ -1836,6 +1955,8 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl35_metadata_delete" -> tl35MetadataDeleteSql,
+    "tl34_zorder_3d" -> tl34ZOrder3dSql,
     "tl33_cdf_across_drop" -> tl33CdfAcrossDropSql,
     "tl32_bloom_ingest" -> tl32BloomIngestSql,
     "tl31_typed_skipping" -> tl31TypedSkippingSql,

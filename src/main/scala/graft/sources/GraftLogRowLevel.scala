@@ -285,38 +285,45 @@ private[sources] object MetadataDelete {
   }
 
   /** Files to drop so that exactly the predicate-matching rows disappear,
-    * or None when the filters/zone maps can't prove file-exact coverage. */
+    * or None when the filters/file stats can't prove file-exact coverage.
+    * Round 12: the proof reads [[CommitLog.fileStatsOn]] — NAMED
+    * clustering zones plus the plain-int footer MULTI-stats every add
+    * records — so plain-append tables (tl30's) qualify too, not only the
+    * explicitly clustered ones. The proof shape is unchanged: a file is
+    * untouched when its range on ANY region column is disjoint, dropped
+    * when the region bounds exactly ONE column, the file's range on it
+    * lies inside, and the footer proves zero NULLs (a NULL row never
+    * matches a comparison, so dropping it would over-delete); anything
+    * else falls back to the rewrite. */
   def plan(path: String, version: Long, filters: Seq[Filter]): Option[Seq[String]] = {
     if (filters.exists(_.isInstanceOf[sources.AlwaysFalse]))
       return Some(Seq.empty) // matches nothing: a provable no-op
     exactRegion(filters).flatMap { region =>
       val live = CommitLog.snapshotFiles(path, Some(version))
       if (region.isEmpty) return Some(live) // TRUNCATE / DELETE without WHERE
-      val colsMap = CommitLog.fileStatsColumns(path, Some(version))
-      val statsByCol = colsMap.values.toSet.iterator
-        .map((c: String) => c -> CommitLog.fileStatsOn(path, c, Some(version))).toMap
-      // region keys are the command's LOGICAL column names; zone actions
-      // store PHYSICAL ones — translate before matching, so a renamed
-      // column still proves file coverage (and never mis-proves it)
-      val physRegion = region.map { case (n, b) =>
-        CommitLog.physicalFor(path, n, Some(version)) -> b
+      // region keys are the command's LOGICAL column names; fileStatsOn
+      // translates to the PHYSICAL names stats are recorded under, and
+      // footerNullCount needs the physical name to find the chunk — so a
+      // renamed column still proves file coverage (never mis-proves it)
+      val declared = CommitLog.declaredSchema(path, Some(version))
+      val cols = region.toSeq.map { case (n, bounds) =>
+        (CommitLog.physicalForIn(declared, n), bounds,
+          CommitLog.fileStatsOn(path, n, Some(version)))
       }
       val classified = live.map { f =>
-        val range = colsMap.get(f).flatMap(c =>
-          statsByCol(c).get(f).map(c -> _))
-        range match {
-          case Some((c, (flo, fhi))) =>
-            physRegion.find(_._1.equalsIgnoreCase(c)).map(_._2) match {
-              case Some((lo, hi)) if fhi < lo || flo > hi =>
-                Some(false) // provably disjoint: untouched
-              case Some((lo, hi)) if flo >= lo && fhi <= hi &&
-                  region.size == 1 &&
-                  CommitLog.footerNullCount(path, f, c).contains(0L) =>
-                Some(true) // provably all-matching, null-free: drop whole file
-              case _ => None
-            }
-          case None => None // no named zone range: nothing provable
+        val known = cols.flatMap { case (p, bounds, stats) =>
+          stats.get(f).map(r => (p, bounds, r))
         }
+        if (known.isEmpty) None // no usable stats: nothing provable
+        else if (known.exists { case (_, (lo, hi), (flo, fhi)) =>
+            fhi < lo || flo > hi })
+          Some(false) // provably disjoint on some bounded column: untouched
+        else if (region.size == 1 &&
+            known.forall { case (_, (lo, hi), (flo, fhi)) =>
+              flo >= lo && fhi <= hi } &&
+            CommitLog.footerNullCount(path, f, known.head._1).contains(0L))
+          Some(true) // provably all-matching, null-free: drop whole file
+        else None
       }
       if (classified.forall(_.isDefined))
         Some(live.zip(classified).collect { case (f, Some(true)) => f })

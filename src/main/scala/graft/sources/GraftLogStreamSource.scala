@@ -150,7 +150,9 @@ final class GraftLogStreamSource(
         spark, path, startV, endV, schema0)
       return GraftSqlShim.asStreamingBatch(cdf)
     }
-    val batch = GraftLogStreamSource.deltaFiles(path, startV, endV, ignoreChanges) match {
+    val batch = GraftLogStreamSource
+      .initialSnapshotFiles(path, startV, startingVersion, endV)
+      .getOrElse(GraftLogStreamSource.deltaFiles(path, startV, endV, ignoreChanges)) match {
       case Nil => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
       case fs =>
@@ -197,6 +199,32 @@ object GraftLogStreamSource {
     CommitLog.changeWindows(path, startV, endV).map { case (s, e) =>
       alignToPinned(path, CommitLog.changes(spark, path, s, e), pinned, Some(e))
     }.reduce(_ unionByName _)
+
+  /** Initial-snapshot fast path (the Delta streaming-source semantics):
+    * a FRESH stream (no prior offset, default `startingVersion` 0) on a
+    * CHECKPOINTED table serves the live snapshot at its first offered
+    * version as batch 0 — one checkpoint read + the commit tail — instead
+    * of replaying every commit since v0. On a months-old table (10⁴+
+    * commits) that turns cold catch-up from ∝ commits into ∝ live data.
+    * Row-wise the snapshot equals the replay for append+layout histories;
+    * for rewrite histories it is strictly better — exactly the live rows,
+    * once, where the replay either refused (no `ignoreChanges`) or
+    * re-delivered superseded rows. Uncheckpointed tables keep the replay
+    * path and its spec-pinned refusal semantics (their whole history is
+    * necessarily still retained). An explicit `startingVersion` also
+    * keeps replay semantics — the caller asked for commits, not a
+    * snapshot. (Recovery nuance, documented not hidden: the choice is
+    * re-evaluated when an IN-FLIGHT first batch replays after a crash;
+    * it can only flip if a checkpoint landed at exactly the batch-end
+    * version inside the crash window, and only `ignoreChanges` consumers
+    * over rewrite histories could observe different rows.) */
+  private[sources] def initialSnapshotFiles(path: String, startV: Long,
+                                            startingVersion: Long,
+                                            endV: Long): Option[Seq[String]] =
+    if (startV == startingVersion - 1 && startingVersion == 0L && endV >= 0L &&
+        CommitLog.lastCheckpoint(path).exists(_ <= endV))
+      Some(CommitLog.snapshotFiles(path, Some(endV)))
+    else None
 
   /** Files ADDED by commits in `(startV, endV]` — the delta one
     * micro-batch delivers, shared by the V1 source and the V2
@@ -300,7 +328,9 @@ final class GraftLogMicroBatchStream(
     val startV = start.json.trim.toLong
     val endV = end.json.trim.toLong
     offered = math.max(offered, endV)
-    GraftLogStreamSource.deltaFiles(path, startV, endV, ignoreChanges) match {
+    GraftLogStreamSource
+      .initialSnapshotFiles(path, startV, startingVersion, endV)
+      .getOrElse(GraftLogStreamSource.deltaFiles(path, startV, endV, ignoreChanges)) match {
       case Nil => Array.empty
       case fs =>
         // physical names for the parquet delegate (renamed columns keep

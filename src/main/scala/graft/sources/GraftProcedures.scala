@@ -207,16 +207,20 @@ private[sources] object GraftProcedures {
   }
 
   /** `zorder(table, x, y, buckets)` — Z-ORDER the live snapshot on two
-    * 16-bit-quantized integral columns ([[CommitLog.compactZOrdered]],
-    * the OPTIMIZE ZORDER BY analogue): one conflict-checked rewrite
-    * range-partitions on the Morton key with per-file zkey ranges
-    * recorded and declares the layout for later INSERTs, after which 2-D
-    * box predicates prune files through the Tropf–Herzog interval
-    * decomposition. */
+    * or THREE 16-bit-quantized integral columns
+    * ([[CommitLog.compactZOrdered]], the OPTIMIZE ZORDER BY analogue):
+    * one conflict-checked rewrite range-partitions on the Morton key
+    * with per-file zkey ranges recorded and declares the layout for
+    * later INSERTs, after which box predicates prune files through the
+    * Tropf–Herzog interval decomposition. `x` and `y` are the first two
+    * coordinate columns; `z` (optional, empty string = absent) is the
+    * third. Four or more dimensions are refused loudly — at 16 bits per
+    * coordinate a 4th would need the 64-bit zkey's sign bit, and zone
+    * ranges compare signed. */
   private final class ZOrderProc(catalog: GraftCatalog)
       extends TableProc(catalog, "zorder") {
     override def description(): String =
-      "Z-order the snapshot on two columns, recording per-file zkey ranges (one commit)"
+      "Z-order the snapshot on 2-3 columns, recording per-file zkey ranges (one commit)"
     override def parameters(): Array[ProcedureParameter] = Array(
       tableParam,
       ProcedureParameter.in("x", StringType)
@@ -224,14 +228,20 @@ private[sources] object GraftProcedures {
       ProcedureParameter.in("y", StringType)
         .comment("second coordinate column (integral, values in [0, 65535])").build(),
       ProcedureParameter.in("buckets", IntegerType)
-        .comment("range-partition bucket count = resulting data files").build())
+        .comment("range-partition bucket count = resulting data files").build(),
+      ProcedureParameter.in("z", StringType)
+        .comment("optional third coordinate column ('' = 2-D)")
+        .defaultValue("''").build())
     private val schema = new StructType()
       .add("version", LongType, nullable = false)
       .add("live_files", IntegerType, nullable = false)
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = dirOf(input)
-      val v = CommitLog.compactZOrdered(SparkSession.active, dir,
-        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+      val third = if (input.numFields > 4 && !input.isNullAt(4))
+        Some(input.getUTF8String(4).toString.trim).filter(_.nonEmpty) else None
+      val cols = Seq(input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString) ++ third
+      val v = CommitLog.compactZOrdered(SparkSession.active, dir, cols,
         input.getInt(3))
       result(schema, Seq(new GenericInternalRow(Array[Any](
         v, CommitLog.snapshotFiles(dir).size))))

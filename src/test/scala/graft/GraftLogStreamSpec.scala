@@ -247,6 +247,59 @@ class GraftLogStreamSpec extends SparkSpec {
     assert(got == Seq((2L, "new")), s"startingVersion=1 must skip v0, got $got")
   }
 
+  test("initial-snapshot fast path: a fresh stream on a CHECKPOINTED table " +
+      "serves the live snapshot, then the tail incrementally") {
+    val root = freshDir("initsnap")
+    val t = root.resolve("t").toString
+    CommitLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)        // v0
+    CommitLog.upsert(spark, Seq((2L, "B")).toDF("id", "v"), t, Seq("id")) // v1: rewrite
+    CommitLog.append(Seq((3L, "c")).toDF("id", "v"), t)                   // v2
+    CommitLog.checkpoint(t)
+    // foreachBatch: the recovery-capable sink (memory refuses checkpoints)
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def drainForeach(): Seq[(Long, String)] = {
+      delivered.clear()
+      val q = spark.readStream.format("graftlog").load(t)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => delivered.add((r.getLong(0), r.getString(1)))); ()
+        }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000L), "drain timed out")
+      delivered.iterator().asScala.toSeq.sorted
+    }
+    // fresh stream, NO ignoreChanges: the rewrite history below the
+    // checkpoint is served as the live snapshot (exactly once, no
+    // refusal, no superseded rows) — the Delta initial-snapshot shape
+    val got = drainForeach()
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")),
+      s"the first batch must be the live snapshot, got $got")
+    // the tail stays incremental from the same checkpoint
+    CommitLog.append(Seq((4L, "d")).toDF("id", "v"), t)                   // v3
+    val resumed = drainForeach()
+    assert(resumed == Seq((4L, "d")),
+      s"the resumed stream must deliver only the tail, got $resumed")
+    // and a FUTURE rewrite still fails loudly without ignoreChanges —
+    // the snapshot semantics apply to the initial batch only
+    CommitLog.upsert(spark, Seq((4L, "D")).toDF("id", "v"), t, Seq("id")) // v4
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainForeach(); ()
+    }
+    assert(failed.getMessage.contains("ignoreChanges"), failed.getMessage)
+    // an EXPLICIT startingVersion keeps replay semantics on the same
+    // checkpointed table (the caller asked for commits, not a snapshot)
+    val explicit = drain(t, "gl_stream_init4",
+      root.resolve("ckpt_sv").toString,
+      Map("startingVersion" -> "2", "ignoreChanges" -> "true"))
+    // replay delivers v2's (3,c), v3's (4,d), AND v4's rewritten (4,D) —
+    // the superseded row arrives too, exactly the documented
+    // ignoreChanges replay semantics the snapshot path improves on
+    assert(explicit == Seq((3L, "c"), (4L, "D"), (4L, "d")),
+      s"startingVersion=2 must replay commits, got $explicit")
+  }
+
   test("update commits fail loudly; ignoreChanges streams their adds") {
     val root = freshDir("changes")
     val t = root.resolve("t").toString

@@ -143,4 +143,82 @@ class ZOrderSpec extends SparkSpec {
         s"exact interval $e escaped the coarse cover")
     }
   }
+
+  // ------------------------------------------------------------ 3-D (tl34)
+  test("3-D morton: Column and scalar forms agree; 2-D stays bit-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y", "w")
+      .select(ZOrder.mortonN(Seq(col("x"), col("y"), col("w"))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pts.map { case (x, y, w) => ZOrder.mortonScalarN(Seq(x, y, w)) })
+    // every 3-D zkey stays in the positive 48-bit range
+    assert(got.forall(z => z >= 0L && z < (1L << 48)))
+    // bit-by-bit reference: dimension d's bit b lands at position 3b+d
+    def slow(x: Long, y: Long, w: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, b) =>
+        acc | (((x >> b) & 1L) << (3 * b)) |
+          (((y >> b) & 1L) << (3 * b + 1)) | (((w >> b) & 1L) << (3 * b + 2))
+      }
+    pts.foreach { case (x, y, w) =>
+      assert(ZOrder.mortonScalarN(Seq(x, y, w)) == slow(x, y, w)) }
+    // 2-D through the N form == the classic pairwise form
+    pts.foreach { case (x, y, _) =>
+      assert(ZOrder.mortonScalarN(Seq(x, y)) == ZOrder.mortonScalar(x, y)) }
+  }
+
+  test("3-D box decomposition: cover is exact-or-superset, never misses") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 60) {
+      val lo = Seq.fill(3)(rnd.nextInt(200).toLong)
+      val box = lo.map(l => (l, l + rnd.nextInt(24).toLong))
+      val ivs = ZOrder.zRangesForBoxN(box, maxRanges = Int.MaxValue)
+      // sorted, disjoint
+      assert(ivs.sliding(2).forall {
+        case Seq(a, b) => a._2 < b._1
+        case _ => true
+      })
+      // brute force: every point's zkey is covered (no false skips), and
+      // for these small boxes the cover is EXACT (no point outside the
+      // box lands in any interval — full-depth descent)
+      val inside = for {
+        x <- box(0)._1 to box(0)._2
+        y <- box(1)._1 to box(1)._2
+        w <- box(2)._1 to box(2)._2
+      } yield ZOrder.mortonScalarN(Seq(x, y, w))
+      val insideSet = inside.toSet
+      assert(insideSet.forall(z => ivs.exists(iv => iv._1 <= z && z <= iv._2)),
+        s"a box point escaped the cover: $box")
+      val covered = ivs.map(iv => iv._2 - iv._1 + 1).sum
+      assert(covered == insideSet.size.toLong,
+        s"small-box cover must be exact: covered $covered vs ${insideSet.size}")
+    }
+  }
+
+  test("a huge 3-D box stays bounded (adaptive descent floor, still a superset)") {
+    val box = Seq((0L, 60000L), (0L, 60000L), (0L, 60000L))
+    val ivs = ZOrder.zRangesForBoxN(box, maxRanges = 64)
+    assert(ivs.length <= 64)
+    // spot-check coverage of random interior points
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 500) {
+      val p = Seq.fill(3)(rnd.nextInt(60001).toLong)
+      val z = ZOrder.mortonScalarN(p)
+      assert(ivs.exists(iv => iv._1 <= z && z <= iv._2), s"point $p escaped")
+    }
+  }
+
+  test("4+ dimensions refuse loudly with the documented reason") {
+    val e = intercept[RuntimeException] {
+      ZOrder.mortonScalarN(Seq(1L, 2L, 3L, 4L))
+    }
+    assert(e.getMessage.contains("2 or 3 dimensions") &&
+      e.getMessage.contains("sign bit"), e.getMessage)
+    val e2 = intercept[RuntimeException] {
+      ZOrder.zRangesForBoxN(Seq((0L, 1L), (0L, 1L), (0L, 1L), (0L, 1L)))
+    }
+    assert(e2.getMessage.contains("2 or 3 dimensions"), e2.getMessage)
+  }
 }
