@@ -199,6 +199,29 @@ object LogProbe {
       results += (s"log_n${n}_replay" -> replaySec)
       results += (s"log_n${n}_cdf" -> cdfSec)
       results += (s"log_n${n}_catchup" -> catchup)
+
+      // ------------------------------------------------------- Tier B2
+      // cold catch-up on a MAINTAINED table: after compaction (the
+      // documented answer to n small files) + a checkpoint, a FRESH
+      // stream's first batch is the live snapshot (initial-snapshot fast
+      // path) — catch-up must track the snapshot READ, not the commit
+      // count. Without the fast path this would still replay the n
+      // original files (compaction adds are skipped by design).
+      CommitLog.compact(spark, t, 8)
+      CommitLog.checkpoint(t)
+      val readSec2 = best2 { CommitLog.read(spark, t).count(); () }
+      val ckpt2 = freshDir(root, s"log_n${n}_ckpt2")
+      val catchup2 = timed {
+        val q = spark.readStream.format("graftlog").load(t)
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt2)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(600000L), s"n=$n compacted catch-up did not drain")
+      }._1
+      println(s"""{"probe":"log_compacted","commits":$n,"read_sec":$readSec2,""" +
+        s""""cold_catchup_sec":$catchup2}""")
+      results += (s"log_n${n}_catchup_compacted" -> catchup2)
     }
 
     // ---------------------------------------------------------- Tier C
@@ -208,9 +231,13 @@ object LogProbe {
     // every 8 rounds, so plan depth cannot grow). A super-linear shape
     // here would mean driver orchestration or plan growth dominates and
     // the 32k-merge regime is out of reach.
+    // 10/25/50: sf0.001's vocabulary CONVERGES between 50 and 100 merges
+    // (every word one symbol — the trainer now stops there instead of
+    // crashing, a robustness fix this tier's first run found), so the
+    // flat-shape evidence lives below the saturation point
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_SF", "/root/testdata/sf0.001")
     if (Files.isDirectory(Paths.get(sfDir))) {
-      for (rounds <- Seq(50, 100, 200)) {
+      for (rounds <- Seq(10, 25, 50)) {
         val (sec, _) = timed {
           graft.queries.TextDedupQueries.bpeVocab(spark, sfDir, rounds).count()
         }

@@ -139,15 +139,20 @@ object CommitLog {
 
   // per-file key bloom filter, for tables that DECLARED one
   // ({"bloomon":"<physCol>"}, [[declareBloom]]): each add MAY carry
-  // "bloom":"<b64bits>" — an m-bit filter over the declared column's
-  // values, sized from the file's row count. This is what makes
-  // hash-keyed ingest dedup ∝ batch instead of ∝ table: a UNIFORM
-  // content-hash key spans every file's zone range, but a fresh batch's
-  // keys miss almost every per-file bloom, so the duplicate check reads
-  // almost nothing (the Delta/Iceberg bloom-index idea, carried in the
-  // log line instead of a sidecar file).
+  // "bloomref":1, meaning an m-bit filter over the declared column's
+  // values sits in the SIDECAR file `<dataFile>.bloom` next to the data
+  // (the Delta/Iceberg bloom-index design). Sidecars, not inline bytes,
+  // on measured evidence: an inline bloom made EVERY log replay decode
+  // every live file's filter (~100 KB each), turning all metadata reads
+  // ∝ table — the first LogProbe tier A3 run showed exactly that
+  // (0.67/1.13/3.39 s at 1×/4×/16×). The log line carries one flag; the
+  // bits load lazily, per requested file, through an immutable-content
+  // cache. This is what makes hash-keyed ingest dedup ∝ batch instead
+  // of ∝ table: a UNIFORM content-hash key spans every file's zone
+  // range, but a fresh batch's keys miss almost every per-file bloom,
+  // so the duplicate check reads almost nothing.
   private val BloomOnRe = """"bloomon"\s*:\s*"([^"]+)"""".r
-  private val BloomRe = """"add"\s*:\s*"([^"]+)"[^\n]*?"bloom"\s*:\s*"([^"]*)"""".r
+  private val BloomRefRe = """"add"\s*:\s*"([^"]+)"[^\n]*?"bloomref"\s*:\s*1""".r
 
   /** Committed versions with a RETAINED commit file, ascending; empty for
     * a fresh/absent table. After [[expireLog]] this lists only the tail —
@@ -224,8 +229,8 @@ object CommitLog {
       scala.collection.mutable.HashMap.empty[String, Map[String, (Array[Byte], Array[Byte])]]
     // the declared bloom column (PHYSICAL name), when a commit set one
     var bloomCol: Option[String] = None
-    // file -> key bloom bits, when the add recorded one
-    val blooms = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+    // files whose add recorded a bloom SIDECAR (`<file>.bloom`)
+    val bloomed = scala.collection.mutable.HashSet.empty[String]
   }
 
   /** Applies one log file's add/remove/txn actions to the state. */
@@ -242,8 +247,7 @@ object CommitLog {
       .map(m => m.group(1) -> decodeMStats(m.group(2))).toMap
     val sstats = SStatsRe.findAllMatchIn(text)
       .map(m => m.group(1) -> decodeSStats(m.group(2))).toMap
-    val blooms = BloomRe.findAllMatchIn(text)
-      .flatMap(m => decodeBloom(m.group(2)).map(m.group(1) -> _)).toMap
+    val bloomed = BloomRefRe.findAllMatchIn(text).map(_.group(1)).toSet
     AddRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
       state.live(f) = stats.get(f)
       cols.get(f) match {
@@ -258,10 +262,7 @@ object CommitLog {
         case Some(m) => state.stringStats(f) = m
         case None    => state.stringStats.remove(f)
       }
-      blooms.get(f) match {
-        case Some(b) => state.blooms(f) = b
-        case None    => state.blooms.remove(f)
-      }
+      if (bloomed(f)) state.bloomed += f else state.bloomed -= f
       rows.get(f) match {
         case Some(n) => state.rowCounts(f) = n
         case None    => state.rowCounts.remove(f)
@@ -275,7 +276,7 @@ object CommitLog {
       state.live.remove(f); state.statsCols.remove(f)
       state.rowCounts.remove(f); state.fileBytes.remove(f)
       state.multiStats.remove(f); state.stringStats.remove(f)
-      state.blooms.remove(f)
+      state.bloomed -= f
     }
     BloomOnRe.findAllMatchIn(text).foreach(m => state.bloomCol = Some(m.group(1)))
     TxnRe.findAllMatchIn(text).map(_.group(1)).foreach(state.txns += _)
@@ -589,15 +590,22 @@ object CommitLog {
   private def addSuffix(table: String, f: String,
                         bloomCol: Option[String] = None): String = {
     val fs = footerSummary(table, f)
-    val bloom = bloomCol.flatMap(bc =>
+    // the bloom lands as a SIDECAR (`<f>.bloom`); the log line carries
+    // only the one-byte flag, so replays never pay bloom bytes
+    val bloomFlag = bloomCol.flatMap(bc =>
       try fileBloom(SparkSession.active, table, f, bc)
-      catch { case scala.util.control.NonFatal(_) => None })
+      catch { case scala.util.control.NonFatal(_) => None }) match {
+      case Some(bits) =>
+        try { writeBloomSidecar(table, f, bits); ""","bloomref":1""" }
+        catch { case scala.util.control.NonFatal(_) => "" }
+      case None => ""
+    }
     fs.rows.fold("")(n => s""","rows":$n""") + fileSizeSuffix(table, f) +
       (if (fs.mstats.isEmpty) ""
        else s""","mstats":"${encodeMStats(fs.mstats)}"""") +
       (if (fs.sstats.isEmpty) ""
        else s""","sstats":"${encodeSStats(fs.sstats)}"""") +
-      bloom.fold("")(b => s""","bloom":"${encodeBloom(b)}"""")
+      bloomFlag
   }
 
   /** `"a=1:9,d=d19000:19400,p=c2.100:999"` — names sorted for
@@ -698,21 +706,54 @@ object CommitLog {
       (bits((idx >>> 6).toInt) & (1L << (idx & 63))) != 0L
     }
 
-  private def encodeBloom(bits: Array[Long]): String = {
-    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+  private val BloomMagic = 0x47424C4D // "GBLM"
+
+  /** Writes the sidecar `<dataFile>.bloom`: magic, word count, raw longs.
+    * Lands BEFORE the commit that flags it, so it shares the data file's
+    * visibility (invisible until referenced; orphaned by a crash →
+    * vacuumed with its data file). */
+  private def writeBloomSidecar(table: String, f: String, bits: Array[Long]): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(8 + bits.length * 8)
+    bb.putInt(BloomMagic); bb.putInt(bits.length)
     bits.foreach(bb.putLong)
-    B64E.encodeToString(bb.array)
+    val tmp = Paths.get(table, s".tmp-bloom-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bb.array)
+    Files.move(tmp, Paths.get(table, f + ".bloom"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def decodeBloom(s: String): Option[Array[Long]] =
+  private def readBloomSidecar(table: String, f: String): Option[Array[Long]] =
     try {
-      val bytes = B64D.decode(s)
-      if (bytes.isEmpty || bytes.length % 8 != 0) None
+      val bytes = Files.readAllBytes(Paths.get(table, f + ".bloom"))
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      if (bytes.length < 8 || bb.getInt != BloomMagic) None
       else {
-        val bb = java.nio.ByteBuffer.wrap(bytes)
-        Some(Array.fill(bytes.length / 8)(bb.getLong))
+        val words = bb.getInt
+        if (words <= 0 || bytes.length != 8 + words * 8) None
+        else Some(Array.fill(words)(bb.getLong))
       }
-    } catch { case _: IllegalArgumentException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decoded-bloom cache keyed by `table/file` — a data file's bytes are
+    * immutable once committed, so its bloom is too; steady-state ingest
+    * loops then decode only NEW files' sidecars (cost ∝ batch). Bounded
+    * LRU (512 entries × ≤256 KB bits); access-ordered. */
+  private val bloomCache =
+    new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Long]]): Boolean = size > 512
+    }
+
+  private def cachedBloom(table: String, f: String): Option[Array[Long]] = {
+    val key = s"$table/$f"
+    bloomCache.synchronized(Option(bloomCache.get(key))) match {
+      case some @ Some(_) => some
+      case None =>
+        val loaded = readBloomSidecar(table, f)
+        loaded.foreach(b => bloomCache.synchronized { bloomCache.put(key, b); () })
+        loaded
+    }
+  }
 
   /** The column expression both bloom sides hash: canonical string form. */
   private def bloomHashExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -786,12 +827,22 @@ object CommitLog {
   def declaredBloom(table: String, asOf: Option[Long] = None): Option[String] =
     replay(table, asOf).bloomCol
 
-  /** Per-file blooms of the live snapshot (files whose add recorded one). */
+  /** Per-file blooms of the live snapshot — loaded from sidecars (via the
+    * immutable-content cache) for files whose add flagged one. A flagged
+    * file whose sidecar is missing or corrupt simply has no bloom — it is
+    * always checked, fail-safe. Callers with a candidate subset should
+    * use the restricted form; this one loads every live bloom. */
   private[graft] def fileBlooms(table: String, asOf: Option[Long] = None)
       : Map[String, Array[Long]] = {
     val state = replay(table, asOf)
-    state.blooms.filter { case (f, _) => state.live.contains(f) }.toMap
+    fileBloomsOf(table, state.bloomed.filter(state.live.contains).toSeq)
   }
+
+  /** Blooms for an explicit file subset (only sidecars of `files` are
+    * touched — the ingest probe's path, ∝ candidates not ∝ table). */
+  private[graft] def fileBloomsOf(table: String, files: Seq[String])
+      : Map[String, Array[Long]] =
+    files.flatMap(f => cachedBloom(table, f).map(f -> _)).toMap
 
   /** Cap on harvested multi-stats columns per file, counted jointly over
     * numeric and string stats in FOOTER (= schema) order — the Delta
@@ -1169,9 +1220,15 @@ object CommitLog {
   }
 
   /** Deletes files staged for a commit that aborted on conflict — they are
-    * invisible garbage either way, but eager reclaim keeps vacuum small. */
+    * invisible garbage either way, but eager reclaim keeps vacuum small.
+    * A staged file's bloom sidecar (written before the commit attempt)
+    * goes with it. */
   private def unstage(table: String, files: Seq[String]): Unit =
-    files.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+    files.foreach { f =>
+      Files.deleteIfExists(Paths.get(table, f))
+      Files.deleteIfExists(Paths.get(table, f + ".bloom"))
+      ()
+    }
 
   /** Idempotent transactional append: the `txnId` marker lands in the SAME
     * atomic commit as the data, so if this id has already committed the
@@ -1419,46 +1476,34 @@ object CommitLog {
                                       files: Seq[String]): Seq[String] = {
     val (zoneCands, _) = upsertCandidates(table, tip, df, keys, files)
     val asOf = if (tip < 0) None else Some(tip)
-    declaredBloom(table, asOf) match {
+    val state = replay(table, asOf)
+    val declared = state.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    state.bloomCol match {
       case Some(bc) if keys.size == 1 &&
-          physicalForIn(declaredSchema(table, asOf), keys.head).equalsIgnoreCase(bc) =>
-        val blooms = fileBlooms(table, asOf)
+          physicalForIn(declared, keys.head).equalsIgnoreCase(bc) =>
+        // only the CANDIDATES' flagged sidecars are touched — the probe's
+        // metadata cost is ∝ candidate files (cached: steady-state ∝ new
+        // files), never a decode of every live bloom per replay
+        val blooms = fileBloomsOf(table, zoneCands.filter(state.bloomed))
         val (withB, without) = zoneCands.partition(blooms.contains)
         if (withB.isEmpty) zoneCands
         else {
-          val names = withB.toArray
-          val bcast = spark.sparkContext.broadcast(names.map(blooms))
-          val k = BloomHashes
-          try {
-            val hitIdx = df.select(bloomHashExpr(
-                org.apache.spark.sql.functions.col(s"`${keys.head}`")))
-              .queryExecution.toRdd.mapPartitions { it =>
-                val arr = bcast.value
-                val hit = new Array[Boolean](arr.length)
-                var remaining = arr.length
-                while (it.hasNext && remaining > 0) {
-                  val h = it.next().getLong(0)
-                  val h2 = (h >>> 32) | (h << 32) | 1L
-                  var fi = 0
-                  while (fi < arr.length) {
-                    if (!hit(fi)) {
-                      val bits = arr(fi); val m = bits.length * 64L
-                      var i = 0; var all = true
-                      while (all && i < k) {
-                        val idx = java.lang.Long.remainderUnsigned(h + i * h2, m)
-                        if ((bits((idx >>> 6).toInt) & (1L << (idx & 63))) == 0L)
-                          all = false
-                        i += 1
-                      }
-                      if (all) { hit(fi) = true; remaining -= 1 }
-                    }
-                    fi += 1
-                  }
-                }
-                Iterator.range(0, hit.length).filter(hit(_))
-              }.distinct().collect()
-            without ++ hitIdx.sorted.map(names)
-          } finally bcast.destroy()
+          // DRIVER-side probe: one narrow job collects the batch's
+          // DISTINCT key hashes (8 bytes per unique key — bounded by the
+          // batch, the quantity this check is ALLOWED to be proportional
+          // to), tested against the candidate blooms in memory. No bloom
+          // broadcast: at 1000 candidate files that would ship ~100 MB to
+          // every executor for a micro-batch's worth of probes.
+          val hashes = df.select(bloomHashExpr(
+              org.apache.spark.sql.functions.col(s"`${keys.head}`")))
+            .distinct().collect().map(_.getLong(0))
+          val hits = withB.filter { f =>
+            val bits = blooms(f)
+            hashes.exists(h => bloomMayContain(bits, h))
+          }
+          without ++ hits
         }
       case _ => zoneCands
     }
@@ -2244,7 +2289,11 @@ object CommitLog {
       .filter(p => Files.isRegularFile(p))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !live.contains(n))
+      .filter(n =>
+        // bloom sidecars ride their data file's lifetime: reclaimable
+        // exactly when the data file they index is not live
+        (n.endsWith(".parquet") && !live.contains(n)) ||
+          (n.endsWith(".bloom") && !live.contains(n.stripSuffix(".bloom"))))
     onDisk.foreach(n => Files.delete(Paths.get(table, n)))
     onDisk
   }
@@ -2282,7 +2331,7 @@ object CommitLog {
             .fold("")(m => s""","mstats":"${encodeMStats(m)}"""") +
           state.stringStats.get(f).filter(_.nonEmpty)
             .fold("")(m => s""","sstats":"${encodeSStats(m)}"""") +
-          state.blooms.get(f).fold("")(b => s""","bloom":"${encodeBloom(b)}"""")
+          (if (state.bloomed(f)) ""","bloomref":1""" else "")
         (stats, state.statsCols.get(f)) match {
           case (Some((lo, hi)), Some(c)) =>
             s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"$rows}"""

@@ -1409,7 +1409,7 @@ object TextDedupQueries {
       .cache()
     var cur = wf.withColumn("syms", expr("rtrim(regexp_replace(word, '(.)', '$1 '))"))
     for (r <- 1 to rounds) {
-      val best = cur
+      val top = cur
         .select(col("freq"), expr("split(syms, ' ')").as("sp"))
         // sequence(1, n) counts DOWN when n < 1 — guard 1-char words
         .select(col("freq"), explode(expr(
@@ -1419,7 +1419,13 @@ object TextDedupQueries {
           .as("pr"))
         .groupBy("pr").agg(sum("freq").as("c"))
         .orderBy(col("c").desc, col("pr")).limit(1)
-        .collect()(0).getString(0)
+        .collect()
+      // vocabulary CONVERGED: every word is one symbol, no adjacent pairs
+      // remain — a real trainer stops here whatever the round budget (a
+      // small corpus saturates well before a 32k-merge budget; found by
+      // the LogProbe round-cost tier crashing at rounds > ~50 on sf0.001)
+      if (top.isEmpty) return cur
+      val best = top(0).getString(0)
       // the pair is spliced into SQL text: keep the embedding safe by
       // construction (symbols here are merges of corpus word characters;
       // anything outside the expected alphabet means a corrupted round)

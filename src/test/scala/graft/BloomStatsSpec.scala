@@ -94,6 +94,43 @@ class BloomStatsSpec extends SparkSpec {
         Seq("key")).isEmpty, s"post-compaction replay of batch $q must still no-op")
   }
 
+  test("blooms live in SIDECARS; vacuum reclaims them with their data file") {
+    val t = freshTable("sidecar")
+    CommitLog.declareBloom(spark, t, "key")
+    for (q <- 0 until 3)
+      CommitLog.dedupAppend(spark, keyed(q * 100L, (q + 1) * 100L).coalesce(1), t, Seq("key"))
+    val live = CommitLog.snapshotFiles(t)
+    // one sidecar per data file; the LOG LINE carries only a flag (a
+    // replay must never pay bloom bytes — the tier-A3 lesson)
+    live.foreach { f =>
+      assert(Files.exists(Paths.get(t, f + ".bloom")), s"missing sidecar for $f")
+    }
+    new java.io.File(t, "_log").listFiles().foreach { p =>
+      assert(p.length < 64 * 1024,
+        s"log files must stay small with blooms declared: $p ${p.length}")
+    }
+    // compaction supersedes the originals; vacuum reclaims data files AND
+    // their sidecars together
+    CommitLog.compact(spark, t, 1)
+    val reclaimed = CommitLog.vacuum(t, retainMillis = 0L)
+    live.foreach { f =>
+      assert(reclaimed.contains(f) && reclaimed.contains(f + ".bloom"),
+        s"vacuum must reclaim $f and its sidecar, got $reclaimed")
+      assert(!Files.exists(Paths.get(t, f + ".bloom")))
+    }
+    // the compacted survivor keeps its own live sidecar
+    val survivor = CommitLog.snapshotFiles(t)
+    assert(survivor.forall(f => Files.exists(Paths.get(t, f + ".bloom"))))
+    // a deleted sidecar degrades to always-checked, never an error
+    survivor.foreach(f => Files.delete(Paths.get(t, f + ".bloom")))
+    val fresh = spark.range(0, 20).select(
+      md5(concat(lit("q_"), col("id").cast("string"))).as("key"),
+      col("id").as("payload"))
+    val cands = CommitLog.ingestCandidates(spark, t,
+      CommitLog.currentVersion(t), fresh, Seq("key"), survivor)
+    assert(cands == survivor, "a flagged file with no readable sidecar is always checked")
+  }
+
   test("integer width normalizes: an INT batch hits a BIGINT file's bloom") {
     import spark.implicits._
     val t = freshTable("width")
