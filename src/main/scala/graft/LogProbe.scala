@@ -153,6 +153,41 @@ object LogProbe {
       results += (s"bloom_ingest_x$k" -> sec)
     }
 
+    // ---------------------------------------------------------- Tier A4
+    // merge-on-read DELETE ∝ rows deleted: the same narrow-range 100-row
+    // DELETE into 1×/4×/16× clustered tables. Zone pruning bounds the
+    // position scan to the files covering the key range, the commit
+    // writes one sidecar per touched file (∝ rows deleted) and moves
+    // ZERO data bytes — `rewrite_bytes_avoided` is what the copy-on-write
+    // path would have re-staged for the same delete.
+    for (k <- Seq(1, 4, 16)) {
+      val t = freshDir(root, s"dv_x$k")
+      CommitLog.appendClustered(spark,
+        spark.range(k * baseRows).select(col("id"),
+          concat(lit("payload_"), col("id")).as("v")),
+        t, "id", buckets = 8 * k)
+      CommitLog.enableDv(t)
+      val sizes = CommitLog.fileSizeBytes(t)
+      def del(lo: Long): Unit = {
+        CommitLog.dvDelete(spark, t,
+          col("id") >= lo && col("id") < lo + 100L,
+          Some(_ => CommitLog.prunedFiles(t, lo, lo + 99L)))
+        ()
+      }
+      del(1000L) // warm
+      // two fresh ranges (a repeat of the same range would find nothing
+      // on the second pass and under-time the sidecar write)
+      val lo2 = k * baseRows / 2
+      val lo3 = k * baseRows / 4
+      val avoided = CommitLog.prunedFiles(t, lo2, lo2 + 99L).map(sizes).sum
+      val sec = math.min(timed { del(lo2) }._1, timed { del(lo3) }._1)
+      println(s"""{"probe":"dv_delete","factor":$k,"sec":$sec,""" +
+        s""""live_files":${CommitLog.snapshotFiles(t).size},""" +
+        s""""rewrite_bytes_avoided":$avoided,""" +
+        s""""suppressed_rows":${CommitLog.dvRowCount(t)}}""")
+      results += (s"dv_delete_x$k" -> sec)
+    }
+
     // ---------------------------------------------------------- Tier B
     val seedDf = Seq((1L, "seed")).toDF("id", "v")
     for (n <- Seq(100, 500, 2000)) {

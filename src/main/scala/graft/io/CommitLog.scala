@@ -50,7 +50,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object CommitLog {
 
   final case class Commit(version: Long, op: String,
-                          add: Seq[String], remove: Seq[String])
+                          add: Seq[String], remove: Seq[String],
+                          dv: Seq[String] = Nil)
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private def commitPath(table: String, v: Long): Path =
@@ -154,6 +155,36 @@ object CommitLog {
   private val BloomOnRe = """"bloomon"\s*:\s*"([^"]+)"""".r
   private val BloomRefRe = """"add"\s*:\s*"([^"]+)"[^\n]*?"bloomref"\s*:\s*1""".r
 
+  // deletion-vector vocabulary (the public Delta deletion-vector /
+  // Iceberg position-delete design, reduced to this log's sidecar
+  // convention): a table OPTS IN with {"dvon":1} (an alter commit —
+  // default stays copy-on-write, so existing tables and gates are
+  // untouched); a 'delete' commit then MAY carry
+  // {"dv":"<dataFile>","dvfile":"<sidecar>","dvrows":N} — the sidecar
+  // file `<dataFile>.dv-<uuid>` holds the data file's SUPPRESSED row
+  // positions (sorted distinct longs), and every read of that file
+  // anti-joins them away. The vector REPLACES the file's previous one
+  // (each delete writes a merged sidecar under a NEW name — sidecars are
+  // immutable content, so time travel serves each version's own vector
+  // and the lazy per-file cache never invalidates). Removing or
+  // re-adding a file clears its vector. Why this beats copy-on-write at
+  // 100 TB: deleting 100 rows scattered across a million files rewrites
+  // ~0 bytes of data — the commit is ∝ rows deleted, not ∝ rows kept —
+  // and `compact` materializes vectors back into clean files when read
+  // amplification matters more than delete latency (the Delta
+  // OPTIMIZE trade, same knob).
+  private val DvOnRe = """"dvon"\s*:\s*1""".r
+  private val DvRe =
+    """"dv"\s*:\s*"([^"]+)"\s*,\s*"dvfile"\s*:\s*"([^"]+)"\s*,\s*"dvrows"\s*:\s*(\d+)""".r
+  // CHECK-constraint vocabulary (the public Delta table-constraint
+  // semantics): {"constraint":"<name>","expr64":"<b64 sql>"} declares,
+  // {"unconstraint":"<name>"} drops. The expression is base64-encoded so
+  // the line grammar never parses nested quoting; enforcement happens at
+  // the staging chokepoints ([[enforceConstraints]]).
+  private val ConstraintRe =
+    """"constraint"\s*:\s*"([^"]+)"\s*,\s*"expr64"\s*:\s*"([A-Za-z0-9+/=]+)"""".r
+  private val UnconstraintRe = """"unconstraint"\s*:\s*"([^"]+)"""".r
+
   /** Committed versions with a RETAINED commit file, ascending; empty for
     * a fresh/absent table. After [[expireLog]] this lists only the tail —
     * use [[currentVersion]]/[[lastCheckpoint]] for protocol decisions; this
@@ -199,7 +230,17 @@ object CommitLog {
     Commit(version,
       OpRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("unknown"),
       AddRe.findAllMatchIn(text).map(_.group(1)).toSeq,
-      RemoveRe.findAllMatchIn(text).map(_.group(1)).toSeq)
+      RemoveRe.findAllMatchIn(text).map(_.group(1)).toSeq,
+      DvRe.findAllMatchIn(text).map(_.group(1)).toSeq)
+  }
+
+  /** The deletion-vector actions of one commit: (dataFile, sidecar)
+    * pairs, in action order — what the CDF walk needs to replay each
+    * file's vector evolution through a window. */
+  private def dvActionsOf(table: String, version: Long): Seq[(String, String)] = {
+    val text = new String(Files.readAllBytes(
+      logDir(table).resolve(f"$version%012d.json")), StandardCharsets.UTF_8)
+    DvRe.findAllMatchIn(text).map(m => (m.group(1), m.group(2))).toSeq
   }
 
   /** Replayed log state: live files (first-added order, with optional
@@ -231,6 +272,13 @@ object CommitLog {
     var bloomCol: Option[String] = None
     // files whose add recorded a bloom SIDECAR (`<file>.bloom`)
     val bloomed = scala.collection.mutable.HashSet.empty[String]
+    // deletion vectors: file -> (sidecar name, suppressed row count);
+    // set by dv actions, cleared by the file's remove or re-add
+    val dvs = scala.collection.mutable.HashMap.empty[String, (String, Long)]
+    // whether the table opted into merge-on-read deletes ({"dvon":1})
+    var dvOn: Boolean = false
+    // live CHECK constraints: name -> SQL expression (logical names)
+    val constraints = scala.collection.mutable.LinkedHashMap.empty[String, String]
   }
 
   /** Applies one log file's add/remove/txn actions to the state. */
@@ -263,6 +311,8 @@ object CommitLog {
         case None    => state.stringStats.remove(f)
       }
       if (bloomed(f)) state.bloomed += f else state.bloomed -= f
+      state.dvs.remove(f) // an add is fresh content; the commit's own dv
+                          // actions (checkpoint summaries) re-apply below
       rows.get(f) match {
         case Some(n) => state.rowCounts(f) = n
         case None    => state.rowCounts.remove(f)
@@ -276,8 +326,21 @@ object CommitLog {
       state.live.remove(f); state.statsCols.remove(f)
       state.rowCounts.remove(f); state.fileBytes.remove(f)
       state.multiStats.remove(f); state.stringStats.remove(f)
-      state.bloomed -= f
+      state.bloomed -= f; state.dvs.remove(f)
     }
+    // dv actions AFTER adds/removes: a checkpoint summary re-declares a
+    // live file's vector on the line after its add, and a remove clears
+    // whatever vector the file carried
+    DvRe.findAllMatchIn(text).foreach { m =>
+      state.dvs(m.group(1)) = (m.group(2), m.group(3).toLong)
+    }
+    if (DvOnRe.findFirstIn(text).isDefined) state.dvOn = true
+    ConstraintRe.findAllMatchIn(text).foreach { m =>
+      state.constraints(m.group(1)) = new String(
+        java.util.Base64.getDecoder.decode(m.group(2)), StandardCharsets.UTF_8)
+    }
+    UnconstraintRe.findAllMatchIn(text).map(_.group(1))
+      .foreach(state.constraints.remove)
     BloomOnRe.findAllMatchIn(text).foreach(m => state.bloomCol = Some(m.group(1)))
     TxnRe.findAllMatchIn(text).map(_.group(1)).foreach(state.txns += _)
     SchemaRe.findAllMatchIn(text).foreach { m =>
@@ -531,7 +594,69 @@ object CommitLog {
     * wears physical names, whatever era wrote it (Delta column mapping's
     * write-side half). Columns the schema doesn't declare pass through
     * under their own name. */
+  // ------------------------------------------------------------------ CHECK constraints
+
+  /** Declares a CHECK constraint (the public Delta `ALTER TABLE ... ADD
+    * CONSTRAINT` semantics): every subsequent batch write through the
+    * staging chokepoints (append, upsert, ingest, overwrite, compaction)
+    * validates `exprSql` row-wise and REFUSES the whole write if any row
+    * evaluates to FALSE (SQL CHECK semantics: NULL passes). The existing
+    * snapshot is validated FIRST — a constraint the current data already
+    * violates is refused, exactly as in Delta. `exprSql` uses LOGICAL
+    * column names. Returns the alter commit's version. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+                    exprSql: String): Long = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be alphanumeric/underscore, got '$name'")
+    serializably(table) { tip =>
+      if (tip >= 0 && snapshotFiles(table, Some(tip)).nonEmpty) {
+        val bad = read(spark, table, Some(tip)).filter(
+          !org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(exprSql),
+            org.apache.spark.sql.functions.lit(true))).take(1)
+        require(bad.isEmpty,
+          s"cannot add CHECK constraint '$name' ($exprSql) to $table: " +
+            s"the current snapshot already violates it, e.g. ${bad.head}")
+      }
+      val b64 = java.util.Base64.getEncoder
+        .encodeToString(exprSql.getBytes(StandardCharsets.UTF_8))
+      Some(commitRaw(table, "alter",
+        Seq(s"""{"constraint":"$name","expr64":"$b64"}"""), Some(tip)))
+    }.get
+  }
+
+  /** Drops a CHECK constraint by name. Returns the commit version, or
+    * None when no such constraint exists. */
+  def dropConstraint(table: String, name: String): Option[Long] =
+    serializably(table) { tip =>
+      if (!constraintsOf(table, Some(tip)).contains(name)) None
+      else Some(commitRaw(table, "alter",
+        Seq(s"""{"unconstraint":"$name"}"""), Some(tip)))
+    }
+
+  /** The table's live CHECK constraints: name -> SQL expression. */
+  def constraintsOf(table: String, asOf: Option[Long] = None): Map[String, String] =
+    if (!Files.isDirectory(logDir(table))) Map.empty
+    else replay(table, asOf).constraints.toMap
+
+  /** Refuses `df` if any row violates a live constraint — called by the
+    * staging chokepoints, so every batch write (and every rewrite,
+    * Delta-style: OPTIMIZE revalidates too) enforces the declared
+    * invariants. Zero cost on unconstrained tables (no constraints → no
+    * job). A constraint referencing a column `df` lacks fails LOUDLY at
+    * analysis (e.g. after an unguarded RENAME) — never silently skipped. */
+  private def enforceConstraints(df: DataFrame, table: String): Unit =
+    constraintsOf(table, None).foreach { case (name, exprSql) =>
+      val bad = df.filter(!org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(exprSql),
+        org.apache.spark.sql.functions.lit(true))).take(1)
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"write to $table violates CHECK constraint '$name' ($exprSql): " +
+          s"e.g. ${bad.head}")
+    }
+
   private def stage(df: DataFrame, table: String): Seq[String] = {
+    enforceConstraints(df, table)
     val physDf = declaredSchema(table, None) match {
       case Some(s) if hasNameMapping(s) =>
         val byLogical = s.fields.map(f => f.name.toLowerCase -> f).toMap
@@ -843,6 +968,196 @@ object CommitLog {
   private[graft] def fileBloomsOf(table: String, files: Seq[String])
       : Map[String, Array[Long]] =
     files.flatMap(f => cachedBloom(table, f).map(f -> _)).toMap
+
+  // ------------------------------------------------------------------ deletion vectors
+
+  private val DvMagic = 0x47445631 // "GDV1"
+
+  /** Writes a deletion-vector sidecar `<name>`: magic, position count,
+    * the sorted distinct suppressed row positions as raw longs. Lands
+    * BEFORE the commit that references it (commit-log visibility — an
+    * orphan from a crashed or lost-race delete is vacuumed). */
+  private[graft] def writeDvSidecar(table: String, name: String,
+                                    positions: Array[Long]): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(12 + positions.length * 8)
+    bb.putInt(DvMagic); bb.putInt(positions.length)
+    positions.foreach(bb.putLong)
+    // the extra int keeps the header 12 bytes (magic, count, reserved)
+    bb.putInt(0)
+    val tmp = Paths.get(table, s".tmp-dv-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bb.array)
+    Files.move(tmp, Paths.get(table, name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readDvSidecar(table: String, name: String): Array[Long] = {
+    val bytes = Files.readAllBytes(Paths.get(table, name))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bytes.length >= 8 && bb.getInt == DvMagic,
+      s"$table/$name is not a deletion-vector sidecar")
+    val n = bb.getInt
+    require(n >= 0 && bytes.length >= 8 + n * 8,
+      s"$table/$name deletion-vector sidecar is truncated ($n positions)")
+    Array.fill(n)(bb.getLong)
+  }
+
+  /** Decoded-vector cache: sidecar content is immutable (every delete
+    * writes a NEW sidecar name), so entries never invalidate. Bounded
+    * access-ordered LRU, same shape as the bloom cache. */
+  private val dvCache =
+    new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Long]]): Boolean = size > 512
+    }
+
+  private[graft] def dvPositions(table: String, sidecar: String): Array[Long] = {
+    val key = s"$table/$sidecar"
+    dvCache.synchronized(Option(dvCache.get(key))) match {
+      case Some(p) => p
+      case None =>
+        val loaded = readDvSidecar(table, sidecar)
+        dvCache.synchronized { dvCache.put(key, loaded); () }
+        loaded
+    }
+  }
+
+  /** Whether the table opted into merge-on-read deletes ([[enableDv]]). */
+  def dvEnabled(table: String, asOf: Option[Long] = None): Boolean =
+    Files.isDirectory(logDir(table)) && replay(table, asOf).dvOn
+
+  /** Opts the table into merge-on-read deletes (the Delta
+    * `enableDeletionVectors` table-property analogue): SQL `DELETE`s whose
+    * predicate translates to source filters then land as one deletion-
+    * vector commit instead of a copy-on-write rewrite. Returns the
+    * committed version. Idempotent (re-enabling commits another alter). */
+  def enableDv(table: String): Long = {
+    Files.createDirectories(Paths.get(table))
+    commitRaw(table, "alter", Seq("""{"dvon":1}"""))
+  }
+
+  /** The snapshot's live deletion vectors: file -> (sidecar, rows). */
+  private[graft] def dvFor(table: String, asOf: Option[Long] = None)
+      : Map[String, (String, Long)] =
+    replay(table, asOf).dvs.toMap
+
+  /** Total suppressed rows across the snapshot's live vectors. */
+  def dvRowCount(table: String, asOf: Option[Long] = None): Long =
+    replay(table, asOf).dvs.values.map(_._2).sum
+
+  // helper-column names for position plumbing; the collision guard in
+  // [[changesRaw]] already reserves the `_graft_` prefix
+  private val DvFileCol = "_graft_dv_file"
+  private val DvPosCol = "_graft_dv_pos"
+
+  /** Suppresses each file's vectored positions from a raw scan of those
+    * files: tag every row with (file name, row position) from the parquet
+    * metadata columns, then broadcast anti-join the (file, position)
+    * pairs away — a codegen'd hash join ∝ suppressed rows, zero cost on
+    * rows that survive. At 100 TB the pairs are per-file compressed
+    * bitmaps (roaring) rather than a driver-expanded pair list; the join
+    * shape is the same. */
+  private def applyDv(df: DataFrame, table: String,
+                      dvs: Map[String, (String, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val pairs = dvs.toSeq.flatMap { case (f, (sc, _)) =>
+      dvPositions(table, sc).map(p => (f, p))
+    }
+    if (pairs.isEmpty) return df
+    val dvDf = broadcast(spark.createDataFrame(pairs).toDF(DvFileCol, DvPosCol))
+    df.withColumn(DvFileCol, element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+      .join(dvDf, Seq(DvFileCol, DvPosCol), "left_anti")
+      .drop(DvFileCol, DvPosCol)
+  }
+
+  /** Raw per-file read that KEEPS the (file, position) tag columns —
+    * the scan [[dvDelete]] finds matching positions with. Serves logical
+    * column names like [[readFiles]]; never applies vectors itself. */
+  private def readFilesWithPos(spark: SparkSession, table: String,
+                               files: Seq[String], asOf: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = reader(spark, table, asOf, mergeSchema = false)
+      .parquet(files.map(f => Paths.get(table, f).toString): _*)
+      .withColumn(DvFileCol, element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    declaredSchema(table, asOf).fold(df) { d =>
+      if (hasNameMapping(d))
+        df.toDF((d.fieldNames :+ DvFileCol :+ DvPosCol).toIndexedSeq: _*)
+      else df
+    }
+  }
+
+  /** Merge-on-read DELETE: finds the rows of `candidates` matching `cond`
+    * (already-suppressed positions excluded), writes each touched file's
+    * MERGED vector as a new sidecar (executor-side, like data files), and
+    * lands ONE 'delete' commit of dv actions — no data file is read back,
+    * rewritten, or moved. Cost ∝ candidate files scanned + rows deleted.
+    * `candidates(tip)` lets the SQL path re-prune per retry (zone/bloom
+    * maps at the CURRENT tip); `None` falls back to every live file.
+    * Returns the committed version, or None when nothing matched.
+    * Requires [[enableDv]] — the default table stays copy-on-write. */
+  def dvDelete(spark: SparkSession, table: String,
+               cond: org.apache.spark.sql.Column,
+               candidates: Option[Long => Seq[String]] = None): Option[Long] = {
+    import org.apache.spark.sql.functions._
+    serializably(table) { tip =>
+      require(tip >= 0, s"dvDelete on $table: no commits")
+      val state = replay(table, Some(tip))
+      require(state.dvOn,
+        s"deletion vectors are not enabled on $table — run " +
+          "CommitLog.enableDv / CALL graft.system.enable_dv first")
+      val live = state.live.keys.toSeq
+      val cands = candidates.fold(live)(f => f(tip).filter(live.contains))
+      if (cands.isEmpty) None
+      else {
+        val oldDvs = state.dvs.filter { case (f, _) => cands.contains(f) }.toMap
+        val scan0 = readFilesWithPos(spark, table, cands, Some(tip)).filter(cond)
+        val scan =
+          if (oldDvs.isEmpty) scan0
+          else {
+            val oldPairs = oldDvs.toSeq.flatMap { case (f, (sc, _)) =>
+              dvPositions(table, sc).map(p => (f, p))
+            }
+            scan0.join(broadcast(spark.createDataFrame(oldPairs)
+              .toDF(DvFileCol, DvPosCol)), Seq(DvFileCol, DvPosCol), "left_anti")
+          }
+        // merged vector per touched file, sidecars written EXECUTOR-side
+        // (one group per file; a lost speculative attempt's sidecar is an
+        // unreferenced orphan, vacuumed like a lost data file's bytes)
+        val oldPos: Map[String, Array[Long]] = oldDvs.map { case (f, (sc, _)) =>
+          f -> dvPositions(table, sc)
+        }
+        import spark.implicits._
+        val written: Array[(String, String, Long)] = scan
+          .groupBy(col(DvFileCol))
+          .agg(collect_list(col(DvPosCol)).as("_graft_dv_new"))
+          .as[(String, Seq[Long])]
+          .map { case (f, fresh) =>
+            val merged = (oldPos.getOrElse(f, Array.empty[Long]) ++ fresh)
+              .distinct.sorted
+            val name = s"$f.dv-${java.util.UUID.randomUUID()}"
+            writeDvSidecar(table, name, merged)
+            (f, name, merged.length.toLong)
+          }
+          .collect()
+        if (written.isEmpty) None
+        else {
+          val lines = written.toSeq.map { case (f, sc, n) =>
+            s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
+          }
+          try Some(commitRaw(table, "delete", lines, Some(tip)))
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              written.foreach { case (_, sc, _) =>
+                Files.deleteIfExists(Paths.get(table, sc))
+              }
+              throw e
+          }
+        }
+      }
+    }
+  }
 
   /** Cap on harvested multi-stats columns per file, counted jointly over
     * numeric and string stats in FOOTER (= schema) order — the Delta
@@ -1963,19 +2278,40 @@ object CommitLog {
     // 'purge' rewrites identical LOGICAL rows (it only drops tombstoned
     // physical bytes the declared schema already excluded) — layout-only
     val layoutOps = Set("compact", "cluster", "checkpoint", "purge")
-    // (file, version, +1 added / -1 removed, commit needs a multiset diff)
-    val entries = ((fromV + 1) to toV).flatMap { v =>
+    // One entry per (file CONTENT, version, sign). A file's content is the
+    // raw bytes MINUS its deletion vector at that point, so the entry key
+    // is (file, vector): a remove reads the vector in force BEFORE the
+    // commit, an add carries none (fresh bytes), and a dv commit is a
+    // logical rewrite — remove the file at its OLD vector, add it at the
+    // NEW one; the multiset diff below then emits exactly the newly
+    // suppressed rows as deletes. Vector state is replayed from the
+    // window start through EVERY commit, layout ones included.
+    final case class Entry(file: String, dv: Option[String], v: Long,
+                           sign: Int, diff: Boolean)
+    val dvState = scala.collection.mutable.HashMap.empty[String, String]
+    replay(table, Some(fromV)).dvs.foreach { case (f, (sc, _)) => dvState(f) = sc }
+    val entries = Seq.newBuilder[Entry]
+    for (v <- (fromV + 1) to toV) {
       val c = readCommit(table, v)
+      val dvActs = if (c.dv.isEmpty) Nil else dvActionsOf(table, v)
       // alter commits carry no rows; a DROP COLUMN alter never has a
       // data commit before it in this window ([[changeWindows]] split
       // there), so serving at the window-end era schema is era-exact
-      if (layoutOps.contains(c.op)) Nil
-      else {
-        val diff = c.add.nonEmpty && c.remove.nonEmpty
-        c.add.map(f => (f, v, 1, diff)) ++ c.remove.map(f => (f, v, -1, diff))
+      if (!layoutOps.contains(c.op)) {
+        val diff = (c.add.nonEmpty && c.remove.nonEmpty) || dvActs.nonEmpty
+        c.remove.foreach(f => entries += Entry(f, dvState.get(f), v, -1, diff))
+        c.add.foreach(f => entries += Entry(f, None, v, 1, diff))
+        dvActs.foreach { case (f, sc) =>
+          entries += Entry(f, dvState.get(f), v, -1, diff)
+          entries += Entry(f, Some(sc), v, 1, diff)
+        }
       }
+      c.remove.foreach(dvState.remove)
+      c.add.foreach(dvState.remove)
+      dvActs.foreach { case (f, sc) => dvState(f) = sc }
     }
-    if (entries.isEmpty)
+    val all = entries.result()
+    if (all.isEmpty)
       // only layout/marker commits in the window: zero changes, full schema
       return read(spark, table, Some(toV)).limit(0)
         .withColumn("_change_type", lit("insert"))
@@ -1983,14 +2319,34 @@ object CommitLog {
         .limit(0)
 
     import spark.implicits._
-    val scan = readFiles(spark, table, entries.map(_._1).distinct,
-        mergeSchema = false, Some(toV))
-      .withColumn("_graft_cdf_file", element_at(split(input_file_name(), "/"), -1))
+    def variantKey(f: String, dv: Option[String]): String = f + "#" + dv.getOrElse("")
+    // one scan per vector variant: the plain variant reads every no-vector
+    // file in ONE scan; each (file, vector) variant reads its file raw and
+    // anti-joins the vector's positions. A window rarely holds more than
+    // one vector state per file, so the union stays shallow.
+    val variants = all.map(e => (e.file, e.dv)).distinct
+    val plainFiles = variants.collect { case (f, None) => f }.distinct
+    val scans = Seq.newBuilder[DataFrame]
+    if (plainFiles.nonEmpty)
+      scans += readFiles(spark, table, plainFiles, mergeSchema = false,
+          Some(toV), suppressDv = false)
+        .withColumn("_graft_cdf_file",
+          concat(element_at(split(input_file_name(), "/"), -1), lit("#")))
+    variants.collect { case (f, Some(sc)) => (f, sc) }.foreach { case (f, sc) =>
+      val positions = dvPositions(table, sc)
+      scans += readFilesWithPos(spark, table, Seq(f), Some(toV))
+        .join(broadcast(positions.toSeq.map(p => (f, p))
+          .toDF(DvFileCol, DvPosCol)), Seq(DvFileCol, DvPosCol), "left_anti")
+        .drop(DvFileCol, DvPosCol)
+        .withColumn("_graft_cdf_file", lit(variantKey(f, Some(sc))))
+    }
+    val scan = scans.result().reduce(_.unionByName(_))
     val dataCols = scan.columns.filterNot(_ == "_graft_cdf_file").toSeq
     require(!dataCols.exists(c => c.startsWith("_graft_cdf_") || c == "_n"),
       s"changes($table): table columns collide with CDF internals: $dataCols")
-    val manifest = broadcast(entries.toDF(
-      "_graft_cdf_file", "_graft_cdf_v", "_graft_cdf_sign", "_graft_cdf_diff"))
+    val manifest = broadcast(all.map(e =>
+        (variantKey(e.file, e.dv), e.v, e.sign, e.diff))
+      .toDF("_graft_cdf_file", "_graft_cdf_v", "_graft_cdf_sign", "_graft_cdf_diff"))
     val stamped = scan.join(manifest, "_graft_cdf_file")
     val outCols = dataCols.map(col) :+ col("_change_type") :+ col("_commit_version")
 
@@ -2104,7 +2460,9 @@ object CommitLog {
     val state = replay(table, asOf)
     val files = state.live.keys.toSeq
     if (files.forall(state.rowCounts.contains))
-      Some(files.map(state.rowCounts).sum)
+      // vector counts are exact (sorted distinct positions), so the
+      // metadata answer stays exact on merge-on-read tables
+      Some(files.map(state.rowCounts).sum - state.dvs.values.map(_._2).sum)
     else None
   }
 
@@ -2147,6 +2505,9 @@ object CommitLog {
   def snapshotMinMax(table: String, column: String,
                      asOf: Option[Long] = None): Option[(Long, Long)] = {
     val state = replay(table, asOf)
+    // a deletion vector may have suppressed the extreme row, so the
+    // recorded ranges are only upper envelopes — decline, never guess
+    if (state.dvs.nonEmpty) return None
     val phys = physicalFor(table, column, asOf) // zone actions store physical names
     val files = state.live.keys.toSeq
     val covered = files.forall { f =>
@@ -2164,10 +2525,20 @@ object CommitLog {
     * names as served by [[snapshotFiles]]/[[fileStatsOn]]. */
   private[graft] def readFiles(spark: SparkSession, table: String,
                                files: Seq[String], mergeSchema: Boolean,
-                               asOf: Option[Long] = None): DataFrame = {
+                               asOf: Option[Long] = None,
+                               suppressDv: Boolean = true): DataFrame = {
     require(files.nonEmpty, s"readFiles on $table: empty file list")
-    val df = reader(spark, table, asOf, mergeSchema)
+    val raw = reader(spark, table, asOf, mergeSchema)
       .parquet(files.map(f => Paths.get(table, f).toString): _*)
+    // deletion vectors are part of the snapshot's MEANING: every consumer
+    // of this read (snapshots, upsert rewrites, ingest dedup key checks,
+    // compaction — which thereby MATERIALIZES vectors) sees suppressed
+    // rows gone. Only the CDF walk opts out: it replays each file's
+    // vector evolution itself, version by version.
+    val dvs =
+      if (suppressDv) replay(table, asOf).dvs.filter { case (f, _) => files.contains(f) }
+      else scala.collection.mutable.HashMap.empty[String, (String, Long)]
+    val df = if (dvs.isEmpty) raw else applyDv(raw, table, dvs.toMap)
     declaredSchema(table, asOf).fold(df)(toLogical(df, _))
   }
 
@@ -2200,10 +2571,16 @@ object CommitLog {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     serializably(table) { tip =>
       val old = if (tip < 0) Seq.empty else snapshotFiles(table, Some(tip))
-      if (old.length <= targetFiles) None
+      // live deletion vectors make compaction worthwhile at ANY file
+      // count: the rewrite reads through the vectors ([[readFiles]]), so
+      // the new files carry no suppressed rows and the read path drops
+      // back to the plain columnar scan — the Delta OPTIMIZE
+      // materialization semantics
+      val hasDv = tip >= 0 && dvFor(table, Some(tip)).nonEmpty
+      if (old.length <= targetFiles && !hasDv) None
       else {
         val rewritten = readFiles(spark, table, old, mergeSchema = false, Some(tip))
-          .repartition(targetFiles)
+          .repartition(math.min(targetFiles, old.length))
         val added = stage(rewritten, table)
         try Some(commit(table, "compact", added, old, Some(tip)))
         catch {
@@ -2283,7 +2660,13 @@ object CommitLog {
   def vacuum(table: String,
              retainMillis: Long = DefaultVacuumRetainMillis): Seq[String] = {
     require(retainMillis >= 0, s"vacuum: retainMillis must be >= 0, got $retainMillis")
-    val live = snapshotFiles(table).toSet
+    val state = replay(table, None)
+    val live = state.live.keySet
+    // dv sidecars are superseded by NAME (each delete writes a new one):
+    // reclaimable when no longer the live vector of a live file. Time
+    // travel below the cutoff loses its vectors exactly as it loses its
+    // data files — the same retention horizon, one knob.
+    val dvLive = state.dvs.values.map(_._1).toSet
     val cutoff = System.currentTimeMillis() - retainMillis
     val onDisk = listDir(Paths.get(table))
       .filter(p => Files.isRegularFile(p))
@@ -2293,7 +2676,8 @@ object CommitLog {
         // bloom sidecars ride their data file's lifetime: reclaimable
         // exactly when the data file they index is not live
         (n.endsWith(".parquet") && !live.contains(n)) ||
-          (n.endsWith(".bloom") && !live.contains(n.stripSuffix(".bloom"))))
+          (n.endsWith(".bloom") && !live.contains(n.stripSuffix(".bloom"))) ||
+          (n.contains(".dv-") && !dvLive.contains(n)))
     onDisk.foreach(n => Files.delete(Paths.get(table, n)))
     onDisk
   }
@@ -2322,7 +2706,19 @@ object CommitLog {
         .encodeToString(j.getBytes(StandardCharsets.UTF_8))}"}""").toSeq ++
       state.clusterSpec.map { case (c, b) => clusteringAction(c, b) }.toSeq ++
       state.tombstones.toSeq.map(t => s"""{"tombstone":"$t"}""") ++
-      state.bloomCol.map(c => s"""{"bloomon":"$c"}""").toSeq
+      state.bloomCol.map(c => s"""{"bloomon":"$c"}""").toSeq ++
+      (if (state.dvOn) Seq("""{"dvon":1}""") else Seq.empty) ++
+      state.constraints.toSeq.map { case (n, e) =>
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(e.getBytes(StandardCharsets.UTF_8))
+        s"""{"constraint":"$n","expr64":"$b64"}"""
+      } ++
+      // live deletion vectors roll into the summary too; [[applyActions]]
+      // is phase-ordered (all adds, then all dv actions) regardless of
+      // line order, so the summary replays to exactly this state
+      state.dvs.toSeq.map { case (f, (sc, n)) =>
+        s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
+      }
     val lines = (s"""{"op":"checkpoint","version":$v}""" +: (schemaLine ++
       state.live.toSeq.map { case (f, stats) =>
         val rows = state.rowCounts.get(f).fold("")(n => s""","rows":$n""") +

@@ -2,6 +2,8 @@ package graft.queries
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1911,7 +1913,168 @@ object TableLogQueries {
        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        |FROM final GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** tl36: merge-on-read DELETE (deletion vectors — the public Delta
+    * deletion-vector / Iceberg position-delete design). The table opts in
+    * (`CALL graft.system.enable_dv`); a SQL DELETE whose predicate is NOT
+    * file-aligned (so the metadata-only proof declines) then lands as ONE
+    * commit of per-file deletion-vector sidecars: zero data files added,
+    * removed, or rewritten — at 100 TB, deleting a sparse row set costs
+    * ∝ rows deleted, not ∝ rows kept. The gate REQUIREs the commit shape
+    * (dv actions only, file list unchanged), the read path (SQL aggregate
+    * over the vectored table == the same aggregate after `compact`
+    * materializes the vectors), metadata `count(*)` staying exact,
+    * time travel to the pre-delete snapshot, the CDF window emitting
+    * exactly the suppressed rows as deletes, the copy-on-write UPDATE
+    * refusing on vectored files with the materialization remedy, and
+    * vacuum reclaiming the spent sidecars. */
+  private val tl36DvDelete: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t36",
+      "SELECT * FROM t36_b1 UNION ALL SELECT * FROM t36_b2")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t36").toString
+    spark.sql("CALL graft.system.enable_dv(`table` => 'dml.t36')")
+    val before = CommitLog.snapshotFiles(tdir)
+    val preCnt = spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0)
+    val vPre = CommitLog.currentVersion(tdir)
+    spark.sql(
+      s"DELETE FROM $t WHERE status = 'pending_review' AND price < 50000.0")
+    val vDel = CommitLog.currentVersion(tdir)
+    require(vDel == vPre + 1, s"tl36: the DELETE must land one commit, tip $vPre -> $vDel")
+    val c = CommitLog.readCommit(tdir, vDel)
+    require(c.op == "delete" && c.add.isEmpty && c.remove.isEmpty && c.dv.nonEmpty,
+      s"tl36: the DELETE must land as deletion vectors only — got op=${c.op}, " +
+        s"${c.add.size} adds, ${c.remove.size} removes, ${c.dv.size} dv actions")
+    require(CommitLog.snapshotFiles(tdir) == before,
+      "tl36: a merge-on-read delete must not move a single data file")
+    val suppressed = CommitLog.dvRowCount(tdir)
+    require(suppressed > 0, "tl36: the predicate matches rows at every SF")
+    // metadata count(*) stays EXACT on a vectored table (vector counts
+    // are exact); time travel serves the pre-delete snapshot
+    require(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) ==
+      preCnt - suppressed, "tl36: count(*) must subtract suppressed rows")
+    require(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF $vPre")
+      .head().getLong(0) == preCnt, "tl36: pre-delete snapshot must still serve")
+    // the CDF window over the dv commit: exactly the suppressed rows, as
+    // deletes, nothing else
+    val cdf = CommitLog.changes(spark, tdir, vPre, vDel)
+    require(cdf.filter(col("_change_type") =!= "delete").isEmpty,
+      "tl36: a dv commit must emit deletes only")
+    require(cdf.count() == suppressed,
+      "tl36: the CDF must emit one delete per suppressed row")
+    require(cdf.filter(col("status") === "pending_review" && col("price") < 50000.0)
+      .count() == suppressed, "tl36: every emitted delete matches the predicate")
+    // a copy-on-write rewrite over vectored files would resurrect the
+    // deleted rows — it must refuse with the materialization remedy
+    val refused =
+      try { spark.sql(s"UPDATE $t SET batch = 9 WHERE price >= 0.0"); None }
+      catch { case e: Throwable =>
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+          .map(_.getMessage).find(m => m != null && m.contains("deletion vectors"))
+      }
+    require(refused.isDefined,
+      "tl36: UPDATE over vectored files must refuse, naming deletion vectors")
+    // the vectored read (post-delete) and the materialized read (post-
+    // compact) must agree bit-for-bit
+    val aggSql =
+      s"""SELECT status, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY status ORDER BY status""".stripMargin
+    val vectored = spark.sql(aggSql).collect().toSeq
+    spark.sql("CALL graft.system.compact(`table` => 'dml.t36', target_files => 2)")
+    require(CommitLog.dvRowCount(tdir) == 0L,
+      "tl36: compact must materialize the vectors away")
+    require(spark.sql(s"UPDATE $t SET batch = batch WHERE price >= 0.0") != null,
+      "tl36: after materialization the copy-on-write path must work again")
+    val removed = spark.sql(
+      "CALL graft.system.vacuum(`table` => 'dml.t36', retain_hours => 0)")
+      .collect().map(_.getString(0))
+    require(removed.exists(_.contains(".dv-")),
+      "tl36: vacuum must reclaim the spent dv sidecars")
+    val leftover = {
+      val s = Files.list(Paths.get(tdir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .exists(_.contains(".dv-"))
+      finally s.close()
+    }
+    require(!leftover, "tl36: no sidecar may survive materialization + vacuum")
+    val materialized = spark.sql(aggSql)
+    require(materialized.collect().toSeq == vectored,
+      "tl36: the vectored and materialized reads must agree bit-for-bit")
+    materialized
+  }
+
+  private val tl36DvDeleteSql =
+    s"""WITH $batchesSql,
+       |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+       |kept AS (
+       |  SELECT * FROM u WHERE NOT (status = 'pending_review' AND price < 50000.0))
+       |SELECT status, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM kept GROUP BY status ORDER BY status""".stripMargin
+
+  /** tl37: CHECK constraints enforced on write (the public Delta
+    * `ALTER TABLE ... ADD CONSTRAINT` semantics through a CALL
+    * procedure). REQUIREs: declaring over violating data refuses; a
+    * violating SQL INSERT refuses WHOLE naming the constraint (count
+    * unchanged — no partial batch); a valid INSERT lands; the
+    * declaration survives a checkpoint roll; `drop_constraint` lifts
+    * enforcement. The final aggregate (base data + the one valid insert)
+    * hash-matches the oracle. */
+  private val tl37Constraints: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t37", "SELECT * FROM t37_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t37").toString
+    // declaring over already-violating data must refuse (batch=1 everywhere)
+    val preRefused =
+      try { spark.sql(
+        "CALL graft.system.add_constraint(`table` => 'dml.t37', name => 'neg_batch', expr => 'batch < 0')"); false }
+      catch { case e: Throwable =>
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(x => x.getMessage != null && x.getMessage.contains("already violates")) }
+    require(preRefused, "tl37: a constraint the snapshot violates must refuse")
+    require(CommitLog.constraintsOf(tdir).isEmpty)
+    spark.sql(
+      "CALL graft.system.add_constraint(`table` => 'dml.t37', name => 'price_pos', expr => 'price >= 0')")
+    require(CommitLog.constraintsOf(tdir) == Map("price_pos" -> "price >= 0"))
+    val preCnt = spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0)
+    val refused =
+      try { spark.sql(
+        s"INSERT INTO $t VALUES (999999901, 'manual', -5.0, 7), (999999902, 'manual', 2.0, 7)"); false }
+      catch { case e: Throwable =>
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(x => x.getMessage != null && x.getMessage.contains("price_pos")) }
+    require(refused, "tl37: a violating INSERT must refuse, naming the constraint")
+    require(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == preCnt,
+      "tl37: the refused batch must not land even partially")
+    spark.sql(s"INSERT INTO $t VALUES (999999903, 'manual', 42.0, 7)")
+    // the declaration survives a checkpoint roll + expiry
+    spark.sql("CALL graft.system.checkpoint(`table` => 'dml.t37')")
+    require(CommitLog.constraintsOf(tdir) == Map("price_pos" -> "price >= 0"),
+      "tl37: constraints must roll into the checkpoint summary")
+    val stillRefused =
+      try { spark.sql(s"INSERT INTO $t VALUES (999999904, 'manual', -1.0, 7)"); false }
+      catch { case e: Throwable =>
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(x => x.getMessage != null && x.getMessage.contains("price_pos")) }
+    require(stillRefused, "tl37: enforcement must survive the checkpoint roll")
+    spark.sql(
+      "CALL graft.system.drop_constraint(`table` => 'dml.t37', name => 'price_pos')")
+    require(CommitLog.constraintsOf(tdir).isEmpty, "tl37: drop lifts the declaration")
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl37ConstraintsSql =
+    s"""WITH $batchesSql,
+       |t AS (SELECT * FROM b1
+       |  UNION ALL SELECT 999999903 AS id, 'manual' AS status, 42.0 AS price, 7 AS batch)
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM t GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl37_constraints" -> tl37Constraints,
+    "tl36_dv_delete" -> tl36DvDelete,
     "tl35_metadata_delete" -> tl35MetadataDelete,
     "tl34_zorder_3d" -> tl34ZOrder3d,
     "tl33_cdf_across_drop" -> tl33CdfAcrossDrop,
@@ -1955,6 +2118,8 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl37_constraints" -> tl37ConstraintsSql,
+    "tl36_dv_delete" -> tl36DvDeleteSql,
     "tl35_metadata_delete" -> tl35MetadataDeleteSql,
     "tl34_zorder_3d" -> tl34ZOrder3dSql,
     "tl33_cdf_across_drop" -> tl33CdfAcrossDropSql,

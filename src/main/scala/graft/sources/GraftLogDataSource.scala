@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
@@ -544,9 +544,39 @@ object GraftLogDataSource {
               }.asInstanceOf[T]
           }
           case None =>
-            new GraftLogNativeScan(path, snapshotVersion, schema0, required,
-              pushed, prunedFileNames(path, snapshotVersion, pushed.toIndexedSeq),
-              streamOpts)
+            val fs = prunedFileNames(path, snapshotVersion, pushed.toIndexedSeq)
+            val dvd = CommitLog.dvFor(path, Some(snapshotVersion))
+            if (fs.exists(dvd.contains)) {
+              // a live deletion vector means the raw columnar scan would
+              // serve suppressed rows — fall back to the Catalyst read
+              // that anti-joins them away ([[CommitLog.readFiles]] via
+              // [[narrowedRead]]: same pruned file list, same residual
+              // filters, vectors applied). The native scan returns as
+              // soon as `compact` materializes the vectors — the Delta
+              // merge-on-read read-amplification trade, documented, not
+              // hidden.
+              val reqF = required
+              new V1Scan {
+                override def readSchema(): StructType = reqF
+                override def toV1TableScan[T <: BaseRelation with TableScan](
+                    context: SQLContext): T =
+                  new BaseRelation with TableScan {
+                    override def sqlContext: SQLContext = context
+                    override def schema: StructType = reqF
+                    override def buildScan(): RDD[Row] =
+                      narrowedRead(context.sparkSession, path, snapshotVersion,
+                        mergeSchema = false, reqF, pushed.toIndexedSeq).rdd
+                  }.asInstanceOf[T]
+
+                override def toMicroBatchStream(checkpointLocation: String)
+                    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+                  throw new IllegalStateException(
+                    s"graftlog: cannot snapshot-stream $path while it has live " +
+                      "deletion vectors — CALL graft.system.compact(...) to " +
+                      "materialize them first")
+              }
+            } else new GraftLogNativeScan(path, snapshotVersion, schema0, required,
+              pushed, fs, streamOpts)
         }
       }
     }
@@ -575,9 +605,21 @@ object GraftLogDataSource {
       * whole files — zero data IO ([[MetadataDelete]]). Spark's
       * `OptimizeMetadataOnlyDeleteFromTable` asks here first and falls
       * back to the copy-on-write rewrite when the proof declines. */
+    /** A DELETE is served without a copy-on-write rewrite when either
+      * proof applies, tried cheapest-first:
+      *  1. metadata-only — zone maps prove file-exact coverage: one
+      *     commit of whole-file drops, zero data IO;
+      *  2. merge-on-read — the table opted in ([[CommitLog.enableDv]])
+      *     and every filter translates to a Catalyst predicate: the
+      *     matching positions land as deletion-vector sidecars, one
+      *     'delete' commit, no data file rewritten (cost ∝ candidate
+      *     files scanned + rows deleted, not ∝ rows kept).
+      * Anything else falls back to Spark's row-level rewrite. */
     override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
       !timeTravel && !isCdf && exists &&
-        MetadataDelete.plan(path, snapshotVersion, filters.toIndexedSeq).isDefined
+        (MetadataDelete.plan(path, snapshotVersion, filters.toIndexedSeq).isDefined ||
+          (CommitLog.dvEnabled(path, Some(snapshotVersion)) &&
+            filters.forall(translate(_).isDefined)))
 
     override def deleteWhere(filters: Array[sources.Filter]): Unit = {
       require(!isCdf, s"graftlog: a change-feed relation of $path is read-only")
@@ -590,6 +632,15 @@ object GraftLogDataSource {
         // to the head (a racing commit aborts the attempt and re-proves)
         val tip = CommitLog.currentVersion(path)
         MetadataDelete.plan(path, tip, filters.toIndexedSeq) match {
+          case None if CommitLog.dvEnabled(path, Some(tip)) &&
+              filters.forall(translate(_).isDefined) =>
+            // merge-on-read: suppress the matching positions, rewrite
+            // nothing. Candidates re-prune per retry at the current tip.
+            val cond = filters.toIndexedSeq.flatMap(translate)
+              .reduceOption(_ && _).getOrElse(lit(true))
+            CommitLog.dvDelete(SparkSession.active, path, cond,
+              Some(v => prunedFileNames(path, v, filters.toIndexedSeq)))
+            return
           case None => throw new IllegalStateException(
             s"graftlog: metadata DELETE on $path is no longer provable at " +
               s"v$tip (the table changed since planning) — re-run the DELETE")

@@ -113,6 +113,25 @@ private[sources] final class GraftRowLevelOperation(
               }.flatten
               val removed = affected
               if (added.isEmpty && removed.isEmpty) return // zone maps proved a no-op
+              // the rewrite's scan read RAW file bytes; on a file with a
+              // live deletion vector the recomputed survivors would
+              // RESURRECT the suppressed rows. Refuse loudly with the
+              // materialization remedy rather than silently un-delete.
+              // (Execution-time, not scan-planning-time: the group scan is
+              // also built for DELETEs that the metadata or merge-on-read
+              // paths end up serving without this rewrite.) Translatable
+              // DELETEs on a dv-enabled table never get here.
+              val dvHeld = removed.filter(
+                CommitLog.dvFor(path, Some(version)).contains)
+              if (dvHeld.nonEmpty) {
+                (added).foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+                throw new IllegalStateException(
+                  s"graftlog: cannot ${cmd.name.toLowerCase} $path by " +
+                    s"copy-on-write rewrite — ${dvHeld.size} affected file(s) " +
+                    "carry live deletion vectors and the rewrite would " +
+                    "resurrect the deleted rows. CALL graft.system.compact(...) " +
+                    "to materialize the vectors, then re-run the command")
+              }
               // replacements inherit zone ranges when every rewritten file
               // had them on one named column (footer min/max re-read)
               val colsMap = CommitLog.fileStatsColumns(path, Some(version))

@@ -222,7 +222,12 @@ object GraftLogStreamSource {
                                             startingVersion: Long,
                                             endV: Long): Option[Seq[String]] =
     if (startV == startingVersion - 1 && startingVersion == 0L && endV >= 0L &&
-        CommitLog.lastCheckpoint(path).exists(_ <= endV))
+        CommitLog.lastCheckpoint(path).exists(_ <= endV) &&
+        // a live deletion vector makes the raw snapshot files over-deliver
+        // suppressed rows — decline the fast path and let the replay route
+        // apply its spec-pinned semantics (refuse, or skip under
+        // ignoreChanges)
+        CommitLog.dvFor(path, Some(endV)).isEmpty)
       Some(CommitLog.snapshotFiles(path, Some(endV)))
     else None
 
@@ -258,6 +263,16 @@ object GraftLogStreamSource {
               "updates. Set option(\"ignoreChanges\", true) to stream the " +
               "commit's added files anyway (rewritten rows will be delivered " +
               "again, as in the public Delta source).")
+          // a deletion-vector commit suppresses already-delivered rows —
+          // exactly as inexpressible downstream as a remove; with
+          // ignoreChanges it delivers nothing (its adds are empty), the
+          // Delta ignoreDeletes behavior. Change-feed streams (CDF) carry
+          // the suppressed rows as explicit delete records instead.
+          if (c.dv.nonEmpty && !ignoreChanges) throw new IllegalStateException(
+            s"graftlog stream on $path hit a '$op' commit at v$v that adds " +
+              s"deletion vectors on ${c.dv.size} file(s); an append-only " +
+              "stream cannot express deletes. Set option(\"ignoreChanges\", " +
+              "true) to skip them, or stream the change feed instead.")
           files ++= c.add
       }
       v += 1

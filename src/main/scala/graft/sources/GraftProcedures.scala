@@ -37,7 +37,7 @@ private[sources] object GraftProcedures {
 
   def names: Seq[String] =
     Seq("cluster", "compact", "vacuum", "checkpoint", "history", "purge",
-      "zorder", "ingest")
+      "zorder", "ingest", "enable_dv", "add_constraint", "drop_constraint")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -49,6 +49,9 @@ private[sources] object GraftProcedures {
       case "purge"      => Some(new PurgeProc(catalog))
       case "zorder"     => Some(new ZOrderProc(catalog))
       case "ingest"     => Some(new IngestProc(catalog))
+      case "enable_dv"  => Some(new EnableDvProc(catalog))
+      case "add_constraint"  => Some(new AddConstraintProc(catalog))
+      case "drop_constraint" => Some(new DropConstraintProc(catalog))
       case _            => None
     }
 
@@ -166,6 +169,70 @@ private[sources] object GraftProcedures {
       val v = CommitLog.checkpoint(dir)
       val expired = CommitLog.expireLog(dir)
       result(schema, Seq(new GenericInternalRow(Array[Any](v, expired.size))))
+    }
+  }
+
+  /** `enable_dv(table)` — opt the table into merge-on-read DELETEs (the
+    * Delta `enableDeletionVectors` table-property analogue,
+    * [[CommitLog.enableDv]]): SQL `DELETE`s whose predicate translates to
+    * source filters then land as one deletion-vector commit — no data
+    * file is rewritten; cost ∝ files scanned + rows deleted, not ∝ rows
+    * kept. Reads anti-join the vectors away; `compact` materializes them
+    * back into clean files. Returns the alter commit's version. */
+  private final class EnableDvProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "enable_dv") {
+    override def description(): String =
+      "enable merge-on-read DELETE (deletion vectors) on the table"
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+    private val schema = new StructType()
+      .add("version", LongType, nullable = false)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = CommitLog.enableDv(dirOf(input))
+      result(schema, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `add_constraint(table, name, expr)` — declare a CHECK constraint
+    * (the Delta `ALTER TABLE ... ADD CONSTRAINT` semantics,
+    * [[CommitLog.addConstraint]]): refused if the CURRENT snapshot
+    * already violates `expr`; afterwards every batch write that stages
+    * a violating row is refused whole, naming the constraint. NULL
+    * passes (SQL CHECK semantics). Returns the alter version. */
+  private final class AddConstraintProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "add_constraint") {
+    override def description(): String =
+      "declare a CHECK constraint enforced on every write"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("name", StringType)
+        .comment("constraint name (alphanumeric/underscore)").build(),
+      ProcedureParameter.in("expr", StringType)
+        .comment("boolean SQL expression over the table's columns").build())
+    private val schema = new StructType()
+      .add("version", LongType, nullable = false)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = CommitLog.addConstraint(SparkSession.active, dirOf(input),
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      result(schema, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `drop_constraint(table, name)` — drop a CHECK constraint; returns
+    * the commit version (NULL when no such constraint existed). */
+  private final class DropConstraintProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "drop_constraint") {
+    override def description(): String = "drop a CHECK constraint by name"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("name", StringType)
+        .comment("constraint name").build())
+    private val schema = new StructType()
+      .add("version", LongType, nullable = true)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = CommitLog.dropConstraint(dirOf(input),
+        input.getUTF8String(1).toString)
+      result(schema, Seq(new GenericInternalRow(
+        Array[Any](v.map(Long.box).orNull))))
     }
   }
 

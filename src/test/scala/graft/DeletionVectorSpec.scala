@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.io.CommitLog
+
+/** Merge-on-read DELETE (deletion vectors): the sidecar protocol, the
+  * read/CDF/time-travel semantics, and the materialization + reclaim
+  * lifecycle the tl36 gate exercises end-to-end from SQL. Design source:
+  * the public Delta deletion-vector and Iceberg position-delete
+  * conventions (opt-in property, per-file suppressed-position sidecars,
+  * OPTIMIZE materializes). */
+class DeletionVectorSpec extends SparkSpec {
+
+  private def freshTable(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_dv_$name")
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    p.toString
+  }
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  test("dvDelete suppresses exactly the matching rows; no data file moves") {
+    val t = freshTable("basic")
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t)
+    CommitLog.append(df(4L -> "d", 5L -> "e"), t)
+    CommitLog.enableDv(t)
+    val filesBefore = CommitLog.snapshotFiles(t)
+    val v = CommitLog.dvDelete(spark, t, col("id") === 2L || col("id") === 5L)
+    assert(v.isDefined)
+    assert(CommitLog.snapshotFiles(t) == filesBefore,
+      "a dv delete must not add or remove data files")
+    val now = CommitLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(now == Set(1L, 3L, 4L))
+    assert(CommitLog.dvRowCount(t) == 2L)
+    // the commit is dv actions only
+    val c = CommitLog.readCommit(t, v.get)
+    assert(c.op == "delete" && c.add.isEmpty && c.remove.isEmpty && c.dv.size == 2)
+  }
+
+  test("dvDelete refuses without enableDv; matches-nothing commits nothing") {
+    val t = freshTable("refuse")
+    CommitLog.append(df(1L -> "a"), t)
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.dvDelete(spark, t, col("id") === 1L)
+    }
+    assert(e.getMessage.contains("deletion vectors are not enabled"))
+    CommitLog.enableDv(t)
+    val tip = CommitLog.currentVersion(t)
+    assert(CommitLog.dvDelete(spark, t, col("id") === 99L).isEmpty)
+    assert(CommitLog.currentVersion(t) == tip, "a no-match delete writes no commit")
+  }
+
+  test("successive deletes merge vectors; time travel serves each version") {
+    val t = freshTable("merge")
+    CommitLog.append(df((1L to 6L).map(i => i -> s"r$i"): _*), t) // v0
+    CommitLog.enableDv(t)                                         // v1
+    CommitLog.dvDelete(spark, t, col("id") === 2L)                // v2
+    CommitLog.dvDelete(spark, t, col("id").isin(3L, 4L))          // v3
+    assert(CommitLog.read(spark, t).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 5L, 6L))
+    assert(CommitLog.dvRowCount(t) == 3L, "the second vector must carry the first's positions")
+    assert(CommitLog.read(spark, t, Some(2L)).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L, 5L, 6L))
+    assert(CommitLog.read(spark, t, Some(1L)).count() == 6L)
+    assert(CommitLog.snapshotRowCount(t).contains(3L),
+      "metadata count(*) must subtract suppressed rows exactly")
+  }
+
+  test("random predicate sweep: dv read == filtered full read") {
+    val t = freshTable("sweep")
+    val n = 500
+    import spark.implicits._
+    val data = (1L to n).map(i => (i, i % 17, s"s${i % 7}")).toDF("id", "k", "s")
+    // three appends so vectors land per-file
+    CommitLog.append(data.filter(col("id") <= 150), t)
+    CommitLog.append(data.filter(col("id") > 150 && col("id") <= 350), t)
+    CommitLog.append(data.filter(col("id") > 350), t)
+    CommitLog.enableDv(t)
+    val rnd = new scala.util.Random(42)
+    var expectedGone = Set.empty[Long]
+    for (i <- 0 until 5) {
+      val m = rnd.nextInt(15) + 2
+      val r = rnd.nextInt(m)
+      CommitLog.dvDelete(spark, t, col("id") % m === r)
+      expectedGone ++= (1L to n).filter(x => x % m == r)
+      val got = CommitLog.read(spark, t).select("id").as[Long].collect().toSet
+      assert(got == (1L to n).toSet -- expectedGone, s"sweep $i: wrong survivors")
+      assert(CommitLog.snapshotRowCount(t).contains(n - expectedGone.size))
+    }
+  }
+
+  test("CDF: a dv commit emits exactly the newly suppressed rows as deletes") {
+    val t = freshTable("cdf")
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), t) // v0
+    CommitLog.enableDv(t)                                               // v1
+    CommitLog.dvDelete(spark, t, col("id").isin(2L, 3L))                // v2
+    CommitLog.dvDelete(spark, t, col("id") === 4L)                      // v3
+    val w = CommitLog.changes(spark, t, 1L, 3L)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(w == Set((2L, "delete", 2L), (3L, "delete", 2L), (4L, "delete", 3L)),
+      s"got $w")
+    // a window from v0 sees the inserts AND the later deletes
+    val full = CommitLog.changes(spark, t, -1L, 3L)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(full.count(_._2 == "insert") == 4 && full.count(_._2 == "delete") == 3)
+  }
+
+  test("compact materializes vectors: clean files, native reads return") {
+    val t = freshTable("mat")
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t)
+    CommitLog.enableDv(t)
+    CommitLog.dvDelete(spark, t, col("id") === 2L)
+    assert(CommitLog.dvRowCount(t) == 1L)
+    val v = CommitLog.compact(spark, t, 1)
+    assert(v.isDefined, "compact must trigger on live vectors even at one file")
+    assert(CommitLog.dvRowCount(t) == 0L)
+    assert(CommitLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // CDF over the compact commit: layout-only, zero change rows
+    assert(CommitLog.changes(spark, t, v.get - 1, v.get).count() == 0L)
+  }
+
+  test("vacuum reclaims superseded and orphaned dv sidecars, keeps the live one") {
+    val t = freshTable("vac")
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t)
+    CommitLog.enableDv(t)
+    CommitLog.dvDelete(spark, t, col("id") === 1L)
+    CommitLog.dvDelete(spark, t, col("id") === 2L) // supersedes the first sidecar
+    def sidecars: Set[String] = Files.list(Paths.get(t)).iterator.asScala
+      .map(_.getFileName.toString).filter(_.contains(".dv-")).toSet
+    assert(sidecars.size == 2)
+    val live = CommitLog.dvFor(t).values.map(_._1).toSet
+    val removed = CommitLog.vacuum(t, retainMillis = 0L)
+    assert(sidecars == live, s"only the live vector survives, removed=$removed")
+    assert(CommitLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("checkpoint rolls vectors into the summary; replay after expire serves them") {
+    val t = freshTable("ckpt")
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t)
+    CommitLog.enableDv(t)
+    CommitLog.dvDelete(spark, t, col("id") === 2L)
+    CommitLog.checkpoint(t)
+    CommitLog.expireLog(t)
+    assert(CommitLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(CommitLog.dvRowCount(t) == 1L)
+    assert(CommitLog.dvEnabled(t), "dvon must survive the checkpoint roll")
+    // and further deletes still merge on the rolled state
+    CommitLog.dvDelete(spark, t, col("id") === 3L)
+    assert(CommitLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("upsert rewrite on a vectored file does not resurrect suppressed rows") {
+    // ONE data file, so the upsert's zone pruning must pick the vectored
+    // file itself — the rewrite reads through the vector (no resurrection)
+    // and the remove clears it
+    val t = freshTable("upsert")
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c").coalesce(1), t)
+    CommitLog.enableDv(t)
+    CommitLog.dvDelete(spark, t, col("id") === 2L)
+    CommitLog.upsert(spark, df(3L -> "C"), t, Seq("id"))
+    val rows = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    assert(rows == Seq(1L -> "a", 3L -> "C"), s"got $rows")
+    assert(CommitLog.dvRowCount(t) == 0L,
+      "the rewrite replaced the file, so its vector must be gone")
+  }
+
+  test("upsert zone pruning carries an untouched vectored file forward, vector intact") {
+    val t = freshTable("carry")
+    // three single-row files: vectors and rewrites land per-file
+    for (i <- 1L to 3L) CommitLog.append(df(i -> s"r$i").coalesce(1), t)
+    CommitLog.enableDv(t)
+    CommitLog.dvDelete(spark, t, col("id") === 2L)
+    CommitLog.upsert(spark, df(3L -> "C"), t, Seq("id")) // prunes to file 3 only
+    val rows = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    assert(rows == Seq(1L -> "r1", 3L -> "C"), s"got $rows")
+    assert(CommitLog.dvRowCount(t) == 1L,
+      "the untouched file's vector must keep suppressing its row")
+  }
+}
