@@ -541,6 +541,22 @@ object CommitLog {
       t.nonEmpty && !t.exists(c => c == '"' || c == '\\' || c < ' '),
       s"tombstoned physical name must be non-empty without quotes, " +
         s"backslashes, or control characters: '$t'"))
+    // a RENAME or DROP of a column a CHECK constraint references would
+    // leave the constraint dangling — every later write would fail
+    // resolution with a confusing analysis error instead of this one.
+    // Refuse at the alter (the Delta behavior): drop the constraint first.
+    val newNames = newSchema.fieldNames.map(_.toLowerCase).toSet
+    constraintsOf(table, None).foreach { case (n, e) =>
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head.toLowerCase
+        }.toSet
+      val gone = refs -- newNames
+      require(gone.isEmpty,
+        s"cannot evolve schema of $table: CHECK constraint '$n' ($e) " +
+          s"references ${gone.mkString(", ")} — drop the constraint first")
+    }
     commitRaw(table, "alter",
       s"""{"schema64":"${java.util.Base64.getEncoder
         .encodeToString(newSchema.json.getBytes(StandardCharsets.UTF_8))}"}""" +:

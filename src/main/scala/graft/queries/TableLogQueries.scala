@@ -2055,6 +2055,17 @@ object TableLogQueries {
         Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
           .exists(x => x.getMessage != null && x.getMessage.contains("price_pos")) }
     require(stillRefused, "tl37: enforcement must survive the checkpoint roll")
+    // the executor-direct DML path: an UPDATE that SETs a violating value
+    // refuses too (per-row check in the replacement writer), and the
+    // failed rewrite leaves the table untouched
+    val updRefused =
+      try { spark.sql(s"UPDATE $t SET price = -7.0 WHERE id = 999999903"); false }
+      catch { case e: Throwable =>
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(x => x.getMessage != null && x.getMessage.contains("price_pos")) }
+    require(updRefused, "tl37: a violating UPDATE must refuse, naming the constraint")
+    require(spark.sql(s"SELECT price FROM $t WHERE id = 999999903")
+      .head().getDouble(0) == 42.0, "tl37: the refused UPDATE must not land")
     spark.sql(
       "CALL graft.system.drop_constraint(`table` => 'dml.t37', name => 'price_pos')")
     require(CommitLog.constraintsOf(tdir).isEmpty, "tl37: drop lifts the declaration")

@@ -103,9 +103,17 @@ private[sources] final class GraftRowLevelOperation(
           // the table's files have always worn — CommitLog column mapping)
           val kit = org.apache.spark.sql.GraftSqlShim.parquetWriteKit(
             SparkSession.active, CommitLog.physicalizeNames(path, schema))
+          // CHECK constraints, resolved against the LOGICAL write schema
+          // and bound by position (an UPDATE that SETs a violating value
+          // must refuse exactly like a violating append)
+          val checks = CommitLog.constraintsOf(path, Some(version)).toSeq
+            .map { case (n, e) =>
+              (n, org.apache.spark.sql.GraftSqlShim.rowCheck(
+                SparkSession.active, schema, e))
+            }
           new BatchWrite {
             override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-              new GraftParquetWriterFactory(path, kit)
+              new GraftParquetWriterFactory(path, kit, checks)
 
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
               val added = messages.toSeq.collect {
@@ -172,10 +180,11 @@ private[sources] final class GraftRowLevelOperation(
   * or speculative attempt's file is deleted on abort or reclaimed by
   * vacuum as an unreferenced orphan). */
 private[sources] final class GraftParquetWriterFactory(
-    table: String, kit: org.apache.spark.sql.ParquetWriteKit)
+    table: String, kit: org.apache.spark.sql.ParquetWriteKit,
+    checks: Seq[(String, org.apache.spark.sql.GraftRowCheck)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftParquetDataWriter(table, kit, partitionId, taskId)
+    new GraftParquetDataWriter(table, kit, checks, partitionId, taskId)
 }
 
 private[sources] final case class GraftFilesMessage(files: Seq[String])
@@ -183,6 +192,7 @@ private[sources] final case class GraftFilesMessage(files: Seq[String])
 
 private final class GraftParquetDataWriter(
     table: String, kit: org.apache.spark.sql.ParquetWriteKit,
+    checks: Seq[(String, org.apache.spark.sql.GraftRowCheck)],
     partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
@@ -211,8 +221,19 @@ private final class GraftParquetDataWriter(
         shifted = new ShiftedInternalRow
       }
     }
-    if (direct) writer.write(row)
-    else { shifted.underlying = row; writer.write(shifted) }
+    val out = if (direct) row else { shifted.underlying = row; shifted }
+    // CHECK constraints on the executor-direct paths (row-level DML
+    // replacements, streaming epochs) — the same SQL CHECK semantics the
+    // staging chokepoints enforce: a definite FALSE fails the task, which
+    // fails the job, which aborts the write; nothing lands
+    var i = 0
+    while (i < checks.length) {
+      val (cname, check) = checks(i)
+      if (!check.ok(out)) throw new IllegalStateException(
+        s"write to $table violates CHECK constraint '$cname'")
+      i += 1
+    }
+    writer.write(out)
   }
 
   override def commit(): WriterCommitMessage = {

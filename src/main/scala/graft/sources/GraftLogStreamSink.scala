@@ -79,10 +79,18 @@ private[sources] final class GraftLogStreamingWrite(
     org.apache.spark.sql.SparkSession.active,
     graft.io.CommitLog.physicalizeNames(table, schema)) // physical names for renamed columns
 
+  // CHECK constraints at stream START (logical names, bound by position):
+  // every epoch's rows validate executor-side, so a streaming ingest
+  // cannot land rows a batch append would refuse
+  private val checks = graft.io.CommitLog.constraintsOf(table).toSeq.map {
+    case (n, e) => (n, org.apache.spark.sql.GraftSqlShim.rowCheck(
+      org.apache.spark.sql.SparkSession.active, schema, e))
+  }
+
   private def txnId(epochId: Long) = s"$txnPrefix:$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftLogStreamingWriterFactory(new GraftParquetWriterFactory(table, kit))
+    GraftLogStreamingWriterFactory(new GraftParquetWriterFactory(table, kit, checks))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.toSeq.collect { case GraftFilesMessage(fs) => fs }.flatten

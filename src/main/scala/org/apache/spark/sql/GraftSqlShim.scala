@@ -117,6 +117,30 @@ object GraftSqlShim {
     * (`ParquetWriteSupport` schema, compression, legacy-format flags) and
     * the per-task writer needs that conf back in a `TaskAttemptContext` —
     * all of it `private[sql]`-adjacent, hence the shim. */
+  /** A serializable per-row CHECK evaluator: `exprSql` (LOGICAL column
+    * names) resolved against `schema` and BOUND BY POSITION — so it
+    * evaluates executor-side rows whose fields follow `schema`'s order
+    * whatever physical names they are written under. NULL passes (SQL
+    * CHECK semantics: the condition is wrapped in `coalesce(cond, true)`
+    * before binding, so only a definite FALSE is a violation). Built on
+    * the driver, shipped inside writer factories; the compiled predicate
+    * materializes lazily per executor. */
+  def rowCheck(spark: SparkSession,
+               schema: org.apache.spark.sql.types.StructType,
+               exprSql: String): GraftRowCheck = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, Coalesce, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val cs = spark.asInstanceOf[ClassicSparkSession]
+    val parsed = cs.sessionState.sqlParser.parseExpression(exprSql)
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val analyzed = cs.sessionState.analyzer.execute(Filter(parsed, LocalRelation(attrs)))
+    val cond = analyzed.collectFirst { case f: Filter => f.condition }
+      .getOrElse(sys.error(s"cannot resolve CHECK expression against $schema: $exprSql"))
+    new GraftRowCheck(BindReferences.bindReference(
+      Coalesce(Seq(cond, Literal.TrueLiteral)),
+      analyzed.collectFirst { case f: Filter => f.child.output }.get))
+  }
+
   def parquetWriteKit(spark: SparkSession,
                       schema: org.apache.spark.sql.types.StructType): ParquetWriteKit = {
     val cs = spark.asInstanceOf[ClassicSparkSession]
@@ -126,6 +150,19 @@ object GraftSqlShim {
     new ParquetWriteKit(factory,
       new org.apache.spark.util.SerializableConfiguration(job.getConfiguration), schema)
   }
+}
+
+/** Serializable row predicate built by [[GraftSqlShim.rowCheck]]; `ok`
+  * is called per row on executors (codegen'd predicate, interpreted
+  * fallback — Spark's own `Predicate.create`). */
+final class GraftRowCheck(bound: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends Serializable {
+  @transient private lazy val pred = {
+    val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(bound)
+    p.initialize(0)
+    p
+  }
+  def ok(row: org.apache.spark.sql.catalyst.InternalRow): Boolean = pred.eval(row)
 }
 
 /** Serializable bundle of (parquet writer factory, prepared Hadoop conf,

@@ -76,6 +76,60 @@ class ConstraintSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).collect().map(_.getLong(1)).toSeq == Seq(5L))
   }
 
+  test("a violating streaming epoch fails the write; nothing lands") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = Paths.get(freshTable("stream"))
+    Files.createDirectories(root)
+    spark.conf.set("spark.sql.catalog.ckcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ckcat.warehouse",
+      root.resolve("wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ckcat.s")
+    spark.sql("DROP TABLE IF EXISTS ckcat.s.t")
+    spark.sql("CREATE TABLE ckcat.s.t (id BIGINT, qty BIGINT)")
+    val dst = root.resolve("wh").resolve("s").resolve("t").toString
+    CommitLog.addConstraint(spark, dst, "qty_pos", "qty > 0")
+    val src = root.resolve("src").toString
+    CommitLog.append(Seq((1L, 5L), (2L, -3L)).toDF("id", "qty"), src)
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graftlog").load(src)
+        .writeStream.option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).toTable("ckcat.s.t")
+      q.awaitTermination(120000L)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("qty_pos")), msgs(e).mkString(" | "))
+    assert(CommitLog.snapshotFiles(dst).count(_.endsWith(".parquet")) >= 0)
+    assert(spark.sql("SELECT count(*) AS n FROM ckcat.s.t").head().getLong(0) == 0L,
+      "the violating epoch must not land even partially")
+  }
+
+  test("renaming or dropping a constrained column refuses at the alter") {
+    val t = freshTable("rename")
+    CommitLog.append(df(1L -> 5L), t)
+    CommitLog.addConstraint(spark, t, "qty_pos", "qty > 0")
+    val cur = CommitLog.read(spark, t).schema
+    val renamed = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
+      if (f.name == "qty") f.copy(name = "quantity") else f))
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.evolveSchema(t, renamed, CommitLog.currentVersion(t))
+    }
+    assert(e.getMessage.contains("qty_pos") &&
+      e.getMessage.contains("drop the constraint first"))
+    // renaming the UNconstrained column is fine; after dropping the
+    // constraint the rename lands too
+    val otherRenamed = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
+      if (f.name == "id") f.copy(name = "key") else f))
+    CommitLog.evolveSchema(t, otherRenamed, CommitLog.currentVersion(t))
+    CommitLog.dropConstraint(t, "qty_pos")
+    CommitLog.evolveSchema(t, org.apache.spark.sql.types.StructType(
+      CommitLog.declaredSchema(t).get.fields.map(f =>
+        if (f.name == "qty") f.copy(name = "quantity") else f)),
+      CommitLog.currentVersion(t))
+  }
+
   test("constraints survive a checkpoint roll + log expiry") {
     val t = freshTable("ckpt")
     CommitLog.append(df(1L -> 5L), t)
