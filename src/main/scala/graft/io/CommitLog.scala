@@ -1175,6 +1175,94 @@ object CommitLog {
     }
   }
 
+  /** Merge-on-read UPDATE (the deletion-vector sibling of [[dvDelete]]):
+    * rows of `candidates` matching `cond` are suppressed via merged
+    * per-file vectors and their UPDATED images are appended — ONE
+    * 'update' commit of dv actions + adds; no existing data file is
+    * read back into a rewrite. `sets` maps column name (logical) → new
+    * value; unmentioned columns carry forward. The appended images go
+    * through [[stage]], so CHECK constraints and declared blooms apply
+    * exactly as on an append. CDF serves the commit as delete(old) +
+    * insert(new) via the same multiset machinery (an identity update
+    * cancels to zero change rows). Cost ∝ candidate files scanned +
+    * rows updated — copy-on-write pays ∝ rows kept in every touched
+    * file. Returns the committed version, or None when nothing matched. */
+  def dvUpdate(spark: SparkSession, table: String,
+               cond: org.apache.spark.sql.Column,
+               sets: Map[String, org.apache.spark.sql.Column],
+               candidates: Option[Long => Seq[String]] = None): Option[Long] = {
+    import org.apache.spark.sql.functions._
+    require(sets.nonEmpty, s"dvUpdate on $table: no SET assignments")
+    serializably(table) { tip =>
+      require(tip >= 0, s"dvUpdate on $table: no commits")
+      val state = replay(table, Some(tip))
+      require(state.dvOn,
+        s"deletion vectors are not enabled on $table — run " +
+          "CommitLog.enableDv / CALL graft.system.enable_dv first")
+      val live = state.live.keys.toSeq
+      val cols = declaredSchema(table, Some(tip)).map(_.fieldNames.toSeq)
+        .getOrElse(read(spark, table, Some(tip)).columns.toSeq)
+      sets.keys.foreach(c => require(cols.exists(_.equalsIgnoreCase(c)),
+        s"dvUpdate on $table: SET column '$c' is not in the schema $cols"))
+      val cands = candidates.fold(live)(f => f(tip).filter(live.contains))
+      if (cands.isEmpty) None
+      else {
+        val oldDvs = state.dvs.filter { case (f, _) => cands.contains(f) }.toMap
+        val scan0 = readFilesWithPos(spark, table, cands, Some(tip)).filter(cond)
+        val matched0 =
+          if (oldDvs.isEmpty) scan0
+          else scan0.join(broadcast(spark.createDataFrame(
+            oldDvs.toSeq.flatMap { case (f, (sc, _)) =>
+              dvPositions(table, sc).map(p => (f, p))
+            }).toDF(DvFileCol, DvPosCol)), Seq(DvFileCol, DvPosCol), "left_anti")
+        // the same filtered scan feeds the sidecar write AND the updated
+        // images — persist so the predicate runs once (at 100 TB this is
+        // a checkpointed intermediate; matched rows ≪ candidates)
+        val matched = matched0.persist()
+        try {
+          val oldPos: Map[String, Array[Long]] = oldDvs.map { case (f, (sc, _)) =>
+            f -> dvPositions(table, sc)
+          }
+          import spark.implicits._
+          val written: Array[(String, String, Long)] = matched
+            .select(col(DvFileCol), col(DvPosCol))
+            .groupBy(col(DvFileCol))
+            .agg(collect_list(col(DvPosCol)).as("_graft_dv_new"))
+            .as[(String, Seq[Long])]
+            .map { case (f, fresh) =>
+              val merged = (oldPos.getOrElse(f, Array.empty[Long]) ++ fresh)
+                .distinct.sorted
+              val name = s"$f.dv-${java.util.UUID.randomUUID()}"
+              writeDvSidecar(table, name, merged)
+              (f, name, merged.length.toLong)
+            }
+            .collect()
+          if (written.isEmpty) None
+          else {
+            val images = sets.foldLeft(
+              matched.drop(DvFileCol, DvPosCol)) { case (d, (c, v)) =>
+              d.withColumn(c, v)
+            }
+            val added = stage(images, table)
+            val bloomCol = declaredBloom(table)
+            val lines = written.toSeq.map { case (f, sc, n) =>
+              s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
+            } ++ added.map(f => addAction(table, f, bloomCol))
+            try Some(commitRaw(table, "update", lines, Some(tip)))
+            catch {
+              case e: java.util.ConcurrentModificationException =>
+                unstage(table, added)
+                written.foreach { case (_, sc, _) =>
+                  Files.deleteIfExists(Paths.get(table, sc))
+                }
+                throw e
+            }
+          }
+        } finally { matched.unpersist(); () }
+      }
+    }
+  }
+
   /** Cap on harvested multi-stats columns per file, counted jointly over
     * numeric and string stats in FOOTER (= schema) order — the Delta
     * stats-for-the-first-32-SCHEMA-columns rule: which columns stay

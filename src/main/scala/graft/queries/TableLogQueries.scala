@@ -2083,7 +2083,76 @@ object TableLogQueries {
        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        |FROM t GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** tl38: merge-on-read UPDATE over a vectored table — `CALL
+    * graft.system.update_mor` suppresses the matching rows' old images
+    * via merged deletion vectors and appends the updated images in ONE
+    * 'update' commit (the copy-on-write `UPDATE` refuses on vectored
+    * files; this is the path that works WITHOUT materializing first).
+    * REQUIREs: one commit, zero removes, every pre-update file still
+    * live, CDF window = delete(old)+insert(new) pairs exactly, metadata
+    * count balanced, time travel to the pre-update image. Final
+    * aggregate hash-matches the oracle's CASE-rewritten data. */
+  private val tl38UpdateMor: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t38",
+      "SELECT * FROM t38_b1 UNION ALL SELECT * FROM t38_b2")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t38").toString
+    spark.sql("CALL graft.system.enable_dv(`table` => 'dml.t38')")
+    // a first DELETE lands vectors, so the update must MERGE them
+    spark.sql(s"DELETE FROM $t WHERE price < 20000.0")
+    val before = CommitLog.snapshotFiles(tdir)
+    val vPre = CommitLog.currentVersion(tdir)
+    val preCnt = spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0)
+    val res = spark.sql(
+      "CALL graft.system.update_mor(`table` => 'dml.t38', " +
+        "predicate => 'status = ''pending_review'' AND price >= 100000.0', " +
+        "assignments => 'status = ''expedited'', batch = batch + 10')").head()
+    val vUpd = CommitLog.currentVersion(tdir)
+    require(vUpd == vPre + 1 && !res.isNullAt(0) && res.getLong(0) == vUpd,
+      s"tl38: the update must land one commit, tip $vPre -> $vUpd, res $res")
+    val c = CommitLog.readCommit(tdir, vUpd)
+    require(c.op == "update" && c.remove.isEmpty && c.add.nonEmpty && c.dv.nonEmpty,
+      s"tl38: update commit must be dv+adds, got op=${c.op} adds=${c.add.size} " +
+        s"removes=${c.remove.size} dvs=${c.dv.size}")
+    require(before.forall(CommitLog.snapshotFiles(tdir).contains),
+      "tl38: no pre-update data file may be removed")
+    require(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == preCnt,
+      "tl38: an update must not change the row count")
+    val updated = res.getLong(1)
+    require(updated > 0, "tl38: the predicate matches rows at every SF")
+    // CDF: exactly `updated` delete+insert pairs, nothing else
+    val cdf = CommitLog.changes(spark, tdir, vPre, vUpd)
+    require(cdf.filter(col("_change_type") === "delete").count() == updated &&
+        cdf.filter(col("_change_type") === "insert").count() == updated,
+      "tl38: the CDF must pair one delete with one insert per updated row")
+    require(cdf.filter(col("_change_type") === "insert")
+        .filter(col("status") =!= "expedited").isEmpty,
+      "tl38: every inserted image carries the new value")
+    // time travel below the update serves the OLD images
+    require(spark.sql(
+        s"SELECT count(*) AS n FROM $t VERSION AS OF $vPre WHERE status = 'expedited'")
+      .head().getLong(0) == 0L, "tl38: pre-update snapshot must have no new images")
+    spark.sql(
+      s"""SELECT status, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY status ORDER BY status""".stripMargin)
+  }
+
+  private val tl38UpdateMorSql =
+    s"""WITH $batchesSql,
+       |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+       |kept AS (SELECT * FROM u WHERE price >= 20000.0),
+       |updated AS (
+       |  SELECT id,
+       |    CASE WHEN status = 'pending_review' AND price >= 100000.0
+       |      THEN 'expedited' ELSE status END AS status,
+       |    price, batch
+       |  FROM kept)
+       |SELECT status, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM updated GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl38_update_mor" -> tl38UpdateMor,
     "tl37_constraints" -> tl37Constraints,
     "tl36_dv_delete" -> tl36DvDelete,
     "tl35_metadata_delete" -> tl35MetadataDelete,
@@ -2129,6 +2198,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl38_update_mor" -> tl38UpdateMorSql,
     "tl37_constraints" -> tl37ConstraintsSql,
     "tl36_dv_delete" -> tl36DvDeleteSql,
     "tl35_metadata_delete" -> tl35MetadataDeleteSql,

@@ -37,7 +37,8 @@ private[sources] object GraftProcedures {
 
   def names: Seq[String] =
     Seq("cluster", "compact", "vacuum", "checkpoint", "history", "purge",
-      "zorder", "ingest", "enable_dv", "add_constraint", "drop_constraint")
+      "zorder", "ingest", "enable_dv", "add_constraint", "drop_constraint",
+      "update_mor")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -52,6 +53,7 @@ private[sources] object GraftProcedures {
       case "enable_dv"  => Some(new EnableDvProc(catalog))
       case "add_constraint"  => Some(new AddConstraintProc(catalog))
       case "drop_constraint" => Some(new DropConstraintProc(catalog))
+      case "update_mor" => Some(new UpdateMorProc(catalog))
       case _            => None
     }
 
@@ -233,6 +235,72 @@ private[sources] object GraftProcedures {
         input.getUTF8String(1).toString)
       result(schema, Seq(new GenericInternalRow(
         Array[Any](v.map(Long.box).orNull))))
+    }
+  }
+
+  /** `update_mor(table, predicate, assignments)` — merge-on-read UPDATE
+    * ([[CommitLog.dvUpdate]]): matching rows' old images are suppressed
+    * via deletion vectors and the updated images appended in ONE
+    * commit — no data file is rewritten (the copy-on-write `UPDATE`
+    * refuses on vectored files; this is the vectored-table path).
+    * `assignments` is `col = expr [, col = expr ...]` (top-level commas
+    * split, each side parsed as SQL). Returns the landed version (NULL
+    * when nothing matched). */
+  private final class UpdateMorProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "update_mor") {
+    override def description(): String =
+      "merge-on-read UPDATE: suppress old images via deletion vectors, append new"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("predicate", StringType)
+        .comment("boolean SQL expression selecting the rows to update").build(),
+      ProcedureParameter.in("assignments", StringType)
+        .comment("comma-separated `col = expr` SET list").build())
+    private val schema = new StructType()
+      .add("version", LongType, nullable = true)
+      .add("updated_rows", LongType, nullable = false)
+
+    /** Splits on commas at paren/quote depth zero. */
+    private def splitTop(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 0; var quote = ' '
+      s.foreach { ch =>
+        if (quote != ' ') { cur += ch; if (ch == quote) quote = ' ' }
+        else ch match {
+          case '\'' | '"' => quote = ch; cur += ch
+          case '(' => depth += 1; cur += ch
+          case ')' => depth -= 1; cur += ch
+          case ',' if depth == 0 => out += cur.result(); cur.clear()
+          case c => cur += c
+        }
+      }
+      if (cur.nonEmpty) out += cur.result()
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.EqualTo
+      import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      val spark = SparkSession.active
+      val dir = dirOf(input)
+      val pred = org.apache.spark.sql.functions.expr(
+        input.getUTF8String(1).toString)
+      val sets = splitTop(input.getUTF8String(2).toString).map { part =>
+        CatalystSqlParser.parseExpression(part) match {
+          case EqualTo(a: UnresolvedAttribute, v) =>
+            a.nameParts.mkString(".") ->
+              org.apache.spark.sql.GraftSqlShim.column(v)
+          case other => throw new IllegalArgumentException(
+            s"update_mor: assignment must be `col = expr`, got '$part' ($other)")
+        }
+      }.toMap
+      val before = CommitLog.dvRowCount(dir)
+      val v = CommitLog.dvUpdate(spark, dir, pred, sets)
+      val updated = if (v.isEmpty) 0L else CommitLog.dvRowCount(dir) - before
+      result(schema, Seq(new GenericInternalRow(
+        Array[Any](v.map(Long.box).orNull, updated))))
     }
   }
 

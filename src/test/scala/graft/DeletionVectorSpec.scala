@@ -118,6 +118,63 @@ class DeletionVectorSpec extends SparkSpec {
     assert(full.count(_._2 == "insert") == 4 && full.count(_._2 == "delete") == 3)
   }
 
+  test("a CDF stream delivers a dv commit as delete records") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = freshTable("cdfstream")
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t) // v0
+    CommitLog.enableDv(t)                                     // v1
+    CommitLog.dvDelete(spark, t, col("id") === 2L)            // v2
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graftlog")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getLong(0),
+          r.getString(r.fieldIndex("_change_type")),
+          r.getLong(r.fieldIndex("_commit_version")))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000L), "CDF stream drain timed out")
+    import scala.jdk.CollectionConverters._
+    val rows = got.iterator().asScala.toSeq.sorted
+    assert(rows.count(_._2 == "insert") == 3, s"got $rows")
+    assert(rows.filter(_._2 == "delete") == Seq((2L, "delete", 2L)),
+      s"the dv commit must stream as exactly its suppressed row: $rows")
+  }
+
+  test("dvUpdate: suppress old images, append new, one commit, CDF = delete+insert") {
+    val t = freshTable("update")
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t) // v0
+    CommitLog.enableDv(t)                                     // v1
+    val filesBefore = CommitLog.snapshotFiles(t)
+    val v = CommitLog.dvUpdate(spark, t, col("id") === 2L,
+      Map("v" -> upper(col("v"))))
+    assert(v.isDefined)
+    val c = CommitLog.readCommit(t, v.get)
+    assert(c.op == "update" && c.remove.isEmpty && c.add.nonEmpty && c.dv.nonEmpty)
+    assert(filesBefore.forall(CommitLog.snapshotFiles(t).contains),
+      "no pre-update file may be removed")
+    val now = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    assert(now == Seq(1L -> "a", 2L -> "B", 3L -> "c"), s"got $now")
+    assert(CommitLog.snapshotRowCount(t).contains(3L),
+      "metadata count must balance: one suppressed, one appended")
+    val w = CommitLog.changes(spark, t, v.get - 1, v.get)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(w == Set((2L, "b", "delete"), (2L, "B", "insert")), s"got $w")
+    // a violating image refuses through the staging chokepoint
+    CommitLog.addConstraint(spark, t, "v_nonempty", "length(v) > 0")
+    intercept[IllegalStateException] {
+      CommitLog.dvUpdate(spark, t, col("id") === 3L, Map("v" -> lit("")))
+    }
+    assert(CommitLog.read(spark, t).count() == 3L)
+    // time travel below the update still serves the old image
+    assert(CommitLog.read(spark, t, Some(v.get - 1)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap.apply(2L) == "b")
+  }
+
   test("compact materializes vectors: clean files, native reads return") {
     val t = freshTable("mat")
     CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t)
