@@ -2151,7 +2151,42 @@ object TableLogQueries {
        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        |FROM updated GROUP BY status ORDER BY status""".stripMargin
 
+  /** tl39: the `.detail` inspection table (Delta's DESCRIBE DETAIL
+    * shape) — one metadata-derived row summarizing the live table state.
+    * The gate drives the state it summarizes: enable merge-on-read,
+    * vector-delete a known subset, declare a constraint — then REQUIREs
+    * the summary's row count (vector-subtracted), suppressed-row count,
+    * and constraint inventory all hash-match the oracle's from-data
+    * derivation. num_files/size_bytes are REQUIREd sane (positive,
+    * non-oracle — file counts are layout, not content). */
+  private val tl39Detail: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t39", "SELECT * FROM t39_b1")
+    spark.sql("CALL graft.system.enable_dv(`table` => 'dml.t39')")
+    spark.sql(s"DELETE FROM $t WHERE price < 30000.0")
+    spark.sql(
+      "CALL graft.system.add_constraint(`table` => 'dml.t39', name => 'price_pos', expr => 'price >= 0')")
+    val d = spark.sql("SELECT * FROM graft.dml.t39.detail").head()
+    require(d.getAs[Int]("num_files") > 0 && d.getAs[Long]("size_bytes") > 0L,
+      "tl39: the summary must report live layout facts")
+    require(d.getAs[Boolean]("dv_enabled"), "tl39: dv_enabled must reflect the opt-in")
+    require(d.getAs[String]("constraints") == "price_pos: price >= 0",
+      s"tl39: constraint inventory wrong: ${d.getAs[String]("constraints")}")
+    require(d.getAs[Long]("version") == CommitLog.currentVersion(
+      Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t39").toString))
+    spark.sql(
+      """SELECT num_rows, dv_suppressed_rows, dv_enabled, num_constraints
+        |FROM graft.dml.t39.detail""".stripMargin)
+  }
+
+  private val tl39DetailSql =
+    s"""WITH $batchesSql
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM b1 WHERE price >= 30000.0) AS num_rows,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM b1 WHERE price < 30000.0) AS dv_suppressed_rows,
+       |  TRUE AS dv_enabled, 1 AS num_constraints""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl39_detail" -> tl39Detail,
     "tl38_update_mor" -> tl38UpdateMor,
     "tl37_constraints" -> tl37Constraints,
     "tl36_dv_delete" -> tl36DvDelete,
@@ -2198,6 +2233,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl39_detail" -> tl39DetailSql,
     "tl38_update_mor" -> tl38UpdateMorSql,
     "tl37_constraints" -> tl37ConstraintsSql,
     "tl36_dv_delete" -> tl36DvDeleteSql,

@@ -103,10 +103,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       return GraftLogDataSource.resolve(Map("path" -> dir.toString) ++ extra)
     // Iceberg-style metadata tables: `ns.t.changes` (the change data
     // feed — batch + micro-batch streaming), `ns.t.history` (the retained
-    // commit log), `ns.t.files` (the live snapshot's file vocabulary).
+    // commit log), `ns.t.files` (the live snapshot's file vocabulary),
+    // `ns.t.detail` (the one-row DESCRIBE DETAIL summary).
     // All read-only; a REAL table directory with the name wins (above).
     val metaName = ident.name.toLowerCase
-    if (Seq("changes", "history", "files").contains(metaName) &&
+    if (Seq("changes", "history", "files", "detail").contains(metaName) &&
         ident.namespace().nonEmpty) {
       val base = Identifier.of(ident.namespace().init, ident.namespace().last)
       val baseDir = dirOf(base)
@@ -121,6 +122,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "history" => GraftLocalTable(s"$ident",
             GraftMetaTables.historySchema,
             s => GraftMetaTables.history(s, baseDir.toString))
+          case "detail" => GraftLocalTable(s"$ident",
+            GraftMetaTables.detailSchema,
+            s => GraftMetaTables.detail(s, baseDir.toString))
           case _ => GraftLocalTable(s"$ident",
             GraftMetaTables.filesSchema,
             s => GraftMetaTables.files(s, baseDir.toString))

@@ -56,6 +56,46 @@ private[sources] object GraftMetaTables {
     .add("lo", LongType)
     .add("hi", LongType)
 
+  /** `ns.t.detail` — the one-row table-state summary (Delta's `DESCRIBE
+    * DETAIL` shape): tip version, live file count/bytes, the metadata
+    * row count (deletion-vector-suppressed rows already subtracted; NULL
+    * when a legacy add recorded no count), merge-on-read status, the
+    * declared clustering / bloom / constraints, and the checkpoint
+    * horizon. All log metadata — milliseconds at any table size. */
+  val detailSchema: StructType = new StructType()
+    .add("version", LongType, nullable = false)
+    .add("num_files", IntegerType, nullable = false)
+    .add("size_bytes", LongType, nullable = false)
+    .add("num_rows", LongType)
+    .add("dv_enabled", org.apache.spark.sql.types.BooleanType, nullable = false)
+    .add("dv_suppressed_rows", LongType, nullable = false)
+    .add("clustering", StringType)
+    .add("bloom_column", StringType)
+    .add("num_constraints", IntegerType, nullable = false)
+    .add("constraints", StringType)
+    .add("last_checkpoint", LongType)
+
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    val v = CommitLog.currentVersion(path)
+    val files = CommitLog.snapshotFiles(path)
+    val cons = CommitLog.constraintsOf(path)
+    val row = Row(
+      v,
+      files.size,
+      CommitLog.snapshotSizeBytes(path),
+      CommitLog.snapshotRowCount(path).map(Long.box).orNull,
+      CommitLog.dvEnabled(path),
+      CommitLog.dvRowCount(path),
+      CommitLog.declaredClustering(path)
+        .map { case (c, b) => s"$c ($b buckets)" }.orNull,
+      CommitLog.declaredBloom(path).orNull,
+      cons.size,
+      if (cons.isEmpty) null
+      else cons.map { case (n, e) => s"$n: $e" }.mkString("; "),
+      CommitLog.lastCheckpoint(path).map(Long.box).orNull)
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1), detailSchema)
+  }
+
   def files(spark: SparkSession, path: String): DataFrame = {
     val rowCounts = CommitLog.fileRowCounts(path)
     val bytes = CommitLog.fileSizeBytes(path)
