@@ -1263,6 +1263,77 @@ object CommitLog {
     }
   }
 
+  /** Merge-on-read MERGE/upsert (the deletion-vector form of [[upsert]]):
+    * current rows whose `keys` match a source row are suppressed via
+    * merged per-file vectors and EVERY source row is appended (matched =
+    * update, unmatched = insert) — ONE 'merge' commit of dv actions +
+    * adds, no current data file read back into a rewrite. The candidate
+    * set is zone-pruned by the source's key range exactly like upsert's
+    * rewrite set ([[upsertCandidates]]), then the position scan is one
+    * key semi-join per candidate file's rows. Appended rows pass
+    * [[stage]] (constraints, blooms, footer stats). CDF serves
+    * delete(old image) + insert(new) per matched key. Cost ∝ candidate
+    * files scanned + source rows — copy-on-write upsert pays ∝ rows
+    * kept in every touched file. Returns the committed version. */
+  def dvMerge(spark: SparkSession, source: DataFrame, table: String,
+              keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, s"dvMerge on $table: no keys")
+    serializably(table) { tip =>
+      require(tip >= 0, s"dvMerge on $table: no commits — append instead")
+      val state = replay(table, Some(tip))
+      require(state.dvOn,
+        s"deletion vectors are not enabled on $table — run " +
+          "CommitLog.enableDv / CALL graft.system.enable_dv first")
+      val live = state.live.keys.toSeq
+      val (cands, _) = upsertCandidates(table, tip, source, keys, live)
+      val written: Array[(String, String, Long)] =
+        if (cands.isEmpty) Array.empty
+        else {
+          val oldDvs = state.dvs.filter { case (f, _) => cands.contains(f) }.toMap
+          val keyCols = keys.map(k => col(s"`$k`"))
+          val matched0 = readFilesWithPos(spark, table, cands, Some(tip))
+            .join(source.select(keyCols: _*).distinct(), keys, "left_semi")
+          val matched =
+            if (oldDvs.isEmpty) matched0
+            else matched0.join(broadcast(spark.createDataFrame(
+              oldDvs.toSeq.flatMap { case (f, (sc, _)) =>
+                dvPositions(table, sc).map(p => (f, p))
+              }).toDF(DvFileCol, DvPosCol)), Seq(DvFileCol, DvPosCol), "left_anti")
+          val oldPos: Map[String, Array[Long]] = oldDvs.map { case (f, (sc, _)) =>
+            f -> dvPositions(table, sc)
+          }
+          import spark.implicits._
+          matched.select(col(DvFileCol), col(DvPosCol))
+            .groupBy(col(DvFileCol))
+            .agg(collect_list(col(DvPosCol)).as("_graft_dv_new"))
+            .as[(String, Seq[Long])]
+            .map { case (f, fresh) =>
+              val merged = (oldPos.getOrElse(f, Array.empty[Long]) ++ fresh)
+                .distinct.sorted
+              val name = s"$f.dv-${java.util.UUID.randomUUID()}"
+              writeDvSidecar(table, name, merged)
+              (f, name, merged.length.toLong)
+            }
+            .collect()
+        }
+      val added = stage(source, table)
+      val bloomCol = declaredBloom(table)
+      val lines = written.toSeq.map { case (f, sc, n) =>
+        s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
+      } ++ added.map(f => addAction(table, f, bloomCol))
+      try Some(commitRaw(table, "merge", lines, Some(tip)))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          unstage(table, added)
+          written.foreach { case (_, sc, _) =>
+            Files.deleteIfExists(Paths.get(table, sc))
+          }
+          throw e
+      }
+    }.get
+  }
+
   /** Cap on harvested multi-stats columns per file, counted jointly over
     * numeric and string stats in FOOTER (= schema) order — the Delta
     * stats-for-the-first-32-SCHEMA-columns rule: which columns stay

@@ -2185,7 +2185,62 @@ object TableLogQueries {
        |  (SELECT CAST(count(*) AS BIGINT) FROM b1 WHERE price < 30000.0) AS dv_suppressed_rows,
        |  TRUE AS dv_enabled, 1 AS num_constraints""".stripMargin
 
+  /** tl40: merge-on-read MERGE — `CALL graft.system.merge_mor` gives a
+    * vectored table the upsert semantic (matched keys replaced, unmatched
+    * inserted) without rewriting a single current file: matched images
+    * are suppressed via merged deletion vectors, the whole source batch
+    * is appended, one commit. REQUIREs: zero removes, every pre-merge
+    * file still live, CDF = delete(old image) + insert(source row) per
+    * matched key plus plain inserts for new keys, metadata count exact.
+    * The final table hash-matches the SAME `merged` oracle the
+    * copy-on-write upsert gates use — two physical strategies, one
+    * semantic. */
+  private val tl40MergeMor: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t40", "SELECT * FROM t40_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t40").toString
+    spark.sql("CALL graft.system.enable_dv(`table` => 'dml.t40')")
+    val src = Paths.get(Sinks.scratchDir("commitlog_merge_src"))
+    if (Files.exists(src)) {
+      Files.walk(src).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    batch2(spark, dir).write.mode("overwrite").parquet(s"$src/b2")
+    val before = CommitLog.snapshotFiles(tdir)
+    val vPre = CommitLog.currentVersion(tdir)
+    val b1Cnt = spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0)
+    val b2Cnt = batch2(spark, dir).count()
+    spark.sql(
+      s"CALL graft.system.merge_mor(`table` => 'dml.t40', source => '$src/b2', " +
+        "`keys` => 'id')")
+    val vM = CommitLog.currentVersion(tdir)
+    require(vM == vPre + 1, "tl40: the merge must land one commit")
+    val c = CommitLog.readCommit(tdir, vM)
+    require(c.op == "merge" && c.remove.isEmpty && c.add.nonEmpty && c.dv.nonEmpty,
+      s"tl40: merge commit must be dv+adds, got op=${c.op} removes=${c.remove.size}")
+    require(before.forall(CommitLog.snapshotFiles(tdir).contains),
+      "tl40: no pre-merge data file may be removed")
+    // every b2 key matched a b1 row (b2 = every 6th order ⊂ b1 = every
+    // 3rd), so the count is b1 + 0 new keys and the CDF pairs are exact
+    require(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == b1Cnt,
+      "tl40: b2's keys all match, so the count must not change")
+    val cdf = CommitLog.changes(spark, tdir, vPre, vM)
+    require(cdf.filter(col("_change_type") === "delete").count() == b2Cnt &&
+        cdf.filter(col("_change_type") === "insert").count() == b2Cnt,
+      "tl40: one delete + one insert per merged key")
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl40MergeMorSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM merged GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl40_merge_mor" -> tl40MergeMor,
     "tl39_detail" -> tl39Detail,
     "tl38_update_mor" -> tl38UpdateMor,
     "tl37_constraints" -> tl37Constraints,
@@ -2233,6 +2288,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl40_merge_mor" -> tl40MergeMorSql,
     "tl39_detail" -> tl39DetailSql,
     "tl38_update_mor" -> tl38UpdateMorSql,
     "tl37_constraints" -> tl37ConstraintsSql,

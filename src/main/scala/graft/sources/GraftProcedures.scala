@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
   def names: Seq[String] =
     Seq("cluster", "compact", "vacuum", "checkpoint", "history", "purge",
       "zorder", "ingest", "enable_dv", "add_constraint", "drop_constraint",
-      "update_mor")
+      "update_mor", "merge_mor")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -54,6 +54,7 @@ private[sources] object GraftProcedures {
       case "add_constraint"  => Some(new AddConstraintProc(catalog))
       case "drop_constraint" => Some(new DropConstraintProc(catalog))
       case "update_mor" => Some(new UpdateMorProc(catalog))
+      case "merge_mor"  => Some(new MergeMorProc(catalog))
       case _            => None
     }
 
@@ -301,6 +302,40 @@ private[sources] object GraftProcedures {
       val updated = if (v.isEmpty) 0L else CommitLog.dvRowCount(dir) - before
       result(schema, Seq(new GenericInternalRow(
         Array[Any](v.map(Long.box).orNull, updated))))
+    }
+  }
+
+  /** `merge_mor(table, source, keys[, format])` — merge-on-read MERGE
+    * ([[CommitLog.dvMerge]]): current rows whose keys match a source row
+    * are suppressed via merged deletion vectors and every source row is
+    * appended (matched = update, unmatched = insert), one commit, no
+    * current file rewritten. The vectored-table sibling of `MERGE INTO`
+    * (which refuses on vectored files — resurrection guard). Returns the
+    * landed version. */
+  private final class MergeMorProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "merge_mor") {
+    override def description(): String =
+      "merge-on-read MERGE: vector-suppress matched images, append the source"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("source", StringType)
+        .comment("path of the source batch").build(),
+      ProcedureParameter.in("keys", StringType)
+        .comment("comma-separated merge key columns").build(),
+      ProcedureParameter.in("format", StringType)
+        .defaultValue("'parquet'")
+        .comment("source format (parquet, orc, json, graftlog, ...)").build())
+    private val schema = new StructType().add("version", LongType, nullable = false)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirOf(input)
+      val keys = input.getUTF8String(2).toString.split(',').map(_.trim).toSeq
+      require(keys.nonEmpty && keys.forall(_.nonEmpty),
+        "merge_mor: keys must be a comma-separated column list")
+      val fmt = if (input.isNullAt(3)) "parquet" else input.getUTF8String(3).toString
+      val batch = SparkSession.active.read.format(fmt)
+        .load(input.getUTF8String(1).toString)
+      val v = CommitLog.dvMerge(SparkSession.active, batch, dir, keys)
+      result(schema, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }
 

@@ -175,6 +175,35 @@ class DeletionVectorSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap.apply(2L) == "b")
   }
 
+  test("dvMerge: matched keys replaced, unmatched inserted, no file rewritten") {
+    val t = freshTable("dvmerge")
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t) // v0
+    CommitLog.enableDv(t)                                     // v1
+    val before = CommitLog.snapshotFiles(t)
+    val v = CommitLog.dvMerge(spark, df(2L -> "B", 4L -> "D"), t, Seq("id"))
+    val c = CommitLog.readCommit(t, v)
+    assert(c.op == "merge" && c.remove.isEmpty && c.add.nonEmpty && c.dv.nonEmpty)
+    assert(before.forall(CommitLog.snapshotFiles(t).contains))
+    val now = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    assert(now == Seq(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"), s"got $now")
+    assert(CommitLog.snapshotRowCount(t).contains(4L))
+    // upsert-equivalent semantics: same result as CommitLog.upsert would give
+    val w = CommitLog.changes(spark, t, v - 1, v)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(w == Set((2L, "b", "delete"), (2L, "B", "insert"), (4L, "D", "insert")),
+      s"got $w")
+    // a second merge over the SAME key merges vectors (two suppressed
+    // images of id=2 across two files now)
+    CommitLog.dvMerge(spark, df(2L -> "B2"), t, Seq("id"))
+    val now2 = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    assert(now2 == Seq(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "D"), s"got $now2")
+    // time travel below both merges
+    assert(CommitLog.read(spark, t, Some(1L)).count() == 3L)
+  }
+
   test("compact materializes vectors: clean files, native reads return") {
     val t = freshTable("mat")
     CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t)
