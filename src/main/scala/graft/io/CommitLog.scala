@@ -2463,26 +2463,42 @@ object CommitLog {
     // window start through EVERY commit, layout ones included.
     final case class Entry(file: String, dv: Option[String], v: Long,
                            sign: Int, diff: Boolean)
+    val startState = replay(table, Some(fromV))
     val dvState = scala.collection.mutable.HashMap.empty[String, String]
-    replay(table, Some(fromV)).dvs.foreach { case (f, (sc, _)) => dvState(f) = sc }
+    startState.dvs.foreach { case (f, (sc, _)) => dvState(f) = sc }
+    // liveness tracked through the walk: an add of an ALREADY-live file
+    // (a 'restore' re-declaration) is an in-place supersede — the diff
+    // pairs the file's old state (-1, old vector) with its new (+1, the
+    // vector this commit declares), so identical states cancel and only
+    // real row changes surface
+    val liveSet = scala.collection.mutable.HashSet.empty[String]
+    startState.live.keys.foreach(liveSet += _)
     val entries = Seq.newBuilder[Entry]
     for (v <- (fromV + 1) to toV) {
       val c = readCommit(table, v)
       val dvActs = if (c.dv.isEmpty) Nil else dvActionsOf(table, v)
+      val dvOf = dvActs.toMap
       // alter commits carry no rows; a DROP COLUMN alter never has a
       // data commit before it in this window ([[changeWindows]] split
       // there), so serving at the window-end era schema is era-exact
       if (!layoutOps.contains(c.op)) {
-        val diff = (c.add.nonEmpty && c.remove.nonEmpty) || dvActs.nonEmpty
+        val diff = (c.add.nonEmpty && c.remove.nonEmpty) || dvActs.nonEmpty ||
+          c.add.exists(liveSet)
         c.remove.foreach(f => entries += Entry(f, dvState.get(f), v, -1, diff))
-        c.add.foreach(f => entries += Entry(f, None, v, 1, diff))
-        dvActs.foreach { case (f, sc) =>
-          entries += Entry(f, dvState.get(f), v, -1, diff)
-          entries += Entry(f, Some(sc), v, 1, diff)
+        c.add.foreach { f =>
+          if (liveSet(f)) entries += Entry(f, dvState.get(f), v, -1, diff)
+          entries += Entry(f, dvOf.get(f), v, 1, diff)
+        }
+        // vector transitions on files this commit did NOT re-add (the
+        // re-added ones carried their new vector in the +1 entry above)
+        dvActs.filterNot { case (f, _) => c.add.contains(f) }.foreach {
+          case (f, sc) =>
+            entries += Entry(f, dvState.get(f), v, -1, diff)
+            entries += Entry(f, Some(sc), v, 1, diff)
         }
       }
-      c.remove.foreach(dvState.remove)
-      c.add.foreach(dvState.remove)
+      c.remove.foreach { f => liveSet -= f; dvState.remove(f) }
+      c.add.foreach { f => liveSet += f; dvState.remove(f) }
       dvActs.foreach { case (f, sc) => dvState(f) = sc }
     }
     val all = entries.result()
@@ -2871,6 +2887,26 @@ object CommitLog {
     * Production writers call this every N commits (Delta's N=10); it is
     * explicit here so gates can pin the before/after behavior. Returns the
     * checkpointed version. */
+  /** Re-serializes one live file's FULL add action from a replayed state
+    * (stats, row/byte counts, typed multi-stats, string bounds, bloom
+    * flag) — what the checkpoint summary rolls per file, and what
+    * [[restore]] re-declares when it revives a historical snapshot. */
+  private def stateAddLine(state: LogState, f: String): String = {
+    val rows = state.rowCounts.get(f).fold("")(n => s""","rows":$n""") +
+      state.fileBytes.get(f).fold("")(n => s""","bytes":$n""") +
+      state.multiStats.get(f).filter(_.nonEmpty)
+        .fold("")(m => s""","mstats":"${encodeMStats(m)}"""") +
+      state.stringStats.get(f).filter(_.nonEmpty)
+        .fold("")(m => s""","sstats":"${encodeSStats(m)}"""") +
+      (if (state.bloomed(f)) ""","bloomref":1""" else "")
+    (state.live(f), state.statsCols.get(f)) match {
+      case (Some((lo, hi)), Some(c)) =>
+        s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"$rows}"""
+      case (Some((lo, hi)), None) => s"""{"add":"$f","lo":$lo,"hi":$hi$rows}"""
+      case _                      => s"""{"add":"$f"$rows}"""
+    }
+  }
+
   def checkpoint(table: String): Long = {
     val v = currentVersion(table)
     require(v >= 0, s"cannot checkpoint $table: no commits")
@@ -2895,21 +2931,8 @@ object CommitLog {
         s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
       }
     val lines = (s"""{"op":"checkpoint","version":$v}""" +: (schemaLine ++
-      state.live.toSeq.map { case (f, stats) =>
-        val rows = state.rowCounts.get(f).fold("")(n => s""","rows":$n""") +
-          state.fileBytes.get(f).fold("")(n => s""","bytes":$n""") +
-          state.multiStats.get(f).filter(_.nonEmpty)
-            .fold("")(m => s""","mstats":"${encodeMStats(m)}"""") +
-          state.stringStats.get(f).filter(_.nonEmpty)
-            .fold("")(m => s""","sstats":"${encodeSStats(m)}"""") +
-          (if (state.bloomed(f)) ""","bloomref":1""" else "")
-        (stats, state.statsCols.get(f)) match {
-          case (Some((lo, hi)), Some(c)) =>
-            s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"$rows}"""
-          case (Some((lo, hi)), None) => s"""{"add":"$f","lo":$lo,"hi":$hi$rows}"""
-          case _                      => s"""{"add":"$f"$rows}"""
-        }
-      } ++ state.txns.toSeq.map(t => s"""{"txn":"$t"}"""))
+      state.live.keys.toSeq.map(f => stateAddLine(state, f)) ++
+      state.txns.toSeq.map(t => s"""{"txn":"$t"}"""))
     ).mkString("", "\n", "\n")
     val tmp = logDir(table).resolve(s".tmp-ckpt-${java.util.UUID.randomUUID()}")
     Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
@@ -2921,6 +2944,65 @@ object CommitLog {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     v
   }
+
+  /** ROLLBACK to a historical snapshot (the public Delta `RESTORE TABLE
+    * ... TO VERSION AS OF` semantics): ONE metadata commit makes version
+    * `toVersion`'s file set (and its deletion-vector state) live again —
+    * zero data IO, because superseded files stay on disk until vacuum.
+    * The commit removes files added since, re-declares files removed
+    * since (with their full recorded stats, so data skipping survives
+    * the rollback), and re-declares changed vectors; files whose state
+    * is identical are untouched, so the CDF of the restore commit is
+    * exactly the NET row reversal (in-place re-adds pair old state with
+    * new in the multiset diff). History is preserved — the rollback is
+    * itself a commit; time travel between `toVersion` and the tip still
+    * serves. Refused loudly when: the target predates retained history,
+    * a needed file or sidecar was vacuumed, or the schema/tombstones
+    * changed since `toVersion` (a restore is a DATA rollback — reviving
+    * dropped-column bytes or un-declaring an ADD would corrupt the
+    * declared-schema contract; Delta restores metadata too, this engine
+    * refuses instead of guessing). Declarative state (clustering, bloom,
+    * constraints, dvon) keeps the CURRENT declarations. Constraints are
+    * NOT re-validated (the restored rows were once live; a constraint
+    * added since may be violated — same trade Delta makes). Returns the
+    * commit version, or None when the table is already at that state. */
+  def restore(table: String, toVersion: Long): Option[Long] =
+    serializably(table) { tip =>
+      require(toVersion >= 0 && toVersion <= tip,
+        s"restore $table to v$toVersion: version out of range (tip v$tip)")
+      val target = replay(table, Some(toVersion))
+      val cur = replay(table, Some(tip))
+      require(target.schemaJson == cur.schemaJson &&
+          target.tombstones == cur.tombstones,
+        s"restore $table to v$toVersion is refused: the declared schema " +
+          "changed since that version — a restore is a DATA rollback; " +
+          "evolve the schema explicitly instead")
+      val targetDv = target.dvs.toMap
+      val curDv = cur.dvs.toMap
+      val removes = cur.live.keys.toSeq.filterNot(target.live.contains)
+      // re-declare: files no longer live, plus files whose vector differs
+      val readds = target.live.keys.toSeq.filter(f =>
+        !cur.live.contains(f) || targetDv.get(f) != curDv.get(f))
+      if (removes.isEmpty && readds.isEmpty) None
+      else {
+        readds.foreach { f =>
+          require(Files.exists(Paths.get(table, f)),
+            s"restore $table to v$toVersion: data file $f was vacuumed " +
+              "past the restore horizon — that snapshot is gone")
+          targetDv.get(f).foreach { case (sc, _) =>
+            require(Files.exists(Paths.get(table, sc)),
+              s"restore $table to v$toVersion: deletion-vector sidecar $sc " +
+                "was vacuumed past the restore horizon")
+          }
+        }
+        val lines = readds.map(f => stateAddLine(target, f)) ++
+          readds.flatMap(f => targetDv.get(f).map { case (sc, n) =>
+            s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
+          }) ++
+          removes.map(f => s"""{"remove":"$f"}""")
+        Some(commitRaw(table, "restore", lines, Some(tip)))
+      }
+    }
 
   /** Reclaims commit files STRICTLY BELOW the last checkpoint (the
     * checkpointed version's own commit is kept as the dense-probe anchor).

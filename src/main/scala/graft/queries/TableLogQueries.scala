@@ -2239,7 +2239,60 @@ object TableLogQueries {
        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        |FROM merged GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** tl41: RESTORE — `CALL graft.system.restore(t, v)` rolls the table
+    * back to a historical snapshot in ONE metadata commit (the Delta
+    * `RESTORE TABLE ... TO VERSION AS OF` semantics): superseded files
+    * are re-declared with their full recorded stats, zero data bytes
+    * move, and history is PRESERVED (the rollback is itself a commit —
+    * the rolled-back states still time-travel). The gate damages the
+    * table twice (a DELETE and an overwrite-flavored INSERT batch),
+    * restores, and REQUIREs: one commit, zero new parquet on disk, the
+    * restored aggregate hash-matches the ORIGINAL data's oracle, the
+    * pre-restore states still serve, and restoring to the current state
+    * is a commit-less no-op. */
+  private val tl41Restore: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t41", "SELECT * FROM t41_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t41").toString
+    val vGood = CommitLog.currentVersion(tdir)
+    spark.sql(s"DELETE FROM $t WHERE id % 2 = 0")
+    spark.sql(s"INSERT INTO $t VALUES (999999905, 'stray', 1.0, 9)")
+    val vBad = CommitLog.currentVersion(tdir)
+    require(vBad > vGood, "tl41: the damage must land commits")
+    def parquetCount: Int = {
+      val s = Files.list(Paths.get(tdir))
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val diskBefore = parquetCount
+    val res = spark.sql(
+      s"CALL graft.system.restore(`table` => 'dml.t41', version => $vGood)").head()
+    val vR = CommitLog.currentVersion(tdir)
+    require(!res.isNullAt(0) && res.getLong(0) == vR && vR == vBad + 1,
+      s"tl41: restore must land exactly one commit, got $res at tip $vR")
+    require(parquetCount == diskBefore, "tl41: a restore writes no data file")
+    // the damage is still time-travelable (history preserved)
+    require(spark.sql(
+        s"SELECT count(*) AS n FROM $t VERSION AS OF $vBad WHERE status = 'stray'")
+      .head().getLong(0) == 1L, "tl41: pre-restore states must still serve")
+    // restoring to the state we are already at: a commit-less no-op
+    require(spark.sql(
+        s"CALL graft.system.restore(`table` => 'dml.t41', version => $vR)")
+      .head().isNullAt(0), "tl41: restoring to the current state is a no-op")
+    require(CommitLog.currentVersion(tdir) == vR)
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl41RestoreSql =
+    s"""WITH $batchesSql
+       |SELECT batch, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM b1 GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl41_restore" -> tl41Restore,
     "tl40_merge_mor" -> tl40MergeMor,
     "tl39_detail" -> tl39Detail,
     "tl38_update_mor" -> tl38UpdateMor,
@@ -2288,6 +2341,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl41_restore" -> tl41RestoreSql,
     "tl40_merge_mor" -> tl40MergeMorSql,
     "tl39_detail" -> tl39DetailSql,
     "tl38_update_mor" -> tl38UpdateMorSql,

@@ -257,6 +257,16 @@ object GraftLogStreamSource {
         // 'purge' rewrites identical logical rows minus tombstoned bytes.
         case "compact" | "cluster" | "checkpoint" | "purge" =>
         case op =>
+          // a restore re-declares already-delivered files as adds — an
+          // append-only stream would re-deliver every restored row; same
+          // contract as removes (with ignoreChanges, nothing is delivered:
+          // the adds are not NEW data). Checked FIRST so the refusal names
+          // the rollback, not the incidental removes it carries.
+          if (op == "restore" && !ignoreChanges) throw new IllegalStateException(
+            s"graftlog stream on $path hit a 'restore' commit at v$v; an " +
+              "append-only stream cannot express a rollback. Set " +
+              "option(\"ignoreChanges\", true) to skip it, or stream the " +
+              "change feed instead.")
           if (c.remove.nonEmpty && !ignoreChanges) throw new IllegalStateException(
             s"graftlog stream on $path hit a '$op' commit at v$v that removes " +
               s"${c.remove.size} file(s); an append-only stream cannot express " +
@@ -273,7 +283,7 @@ object GraftLogStreamSource {
               s"deletion vectors on ${c.dv.size} file(s); an append-only " +
               "stream cannot express deletes. Set option(\"ignoreChanges\", " +
               "true) to skip them, or stream the change feed instead.")
-          files ++= c.add
+          if (op != "restore") files ++= c.add
       }
       v += 1
     }

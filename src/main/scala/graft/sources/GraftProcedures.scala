@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
   def names: Seq[String] =
     Seq("cluster", "compact", "vacuum", "checkpoint", "history", "purge",
       "zorder", "ingest", "enable_dv", "add_constraint", "drop_constraint",
-      "update_mor", "merge_mor")
+      "update_mor", "merge_mor", "restore")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -55,6 +55,7 @@ private[sources] object GraftProcedures {
       case "drop_constraint" => Some(new DropConstraintProc(catalog))
       case "update_mor" => Some(new UpdateMorProc(catalog))
       case "merge_mor"  => Some(new MergeMorProc(catalog))
+      case "restore"    => Some(new RestoreProc(catalog))
       case _            => None
     }
 
@@ -302,6 +303,27 @@ private[sources] object GraftProcedures {
       val updated = if (v.isEmpty) 0L else CommitLog.dvRowCount(dir) - before
       result(schema, Seq(new GenericInternalRow(
         Array[Any](v.map(Long.box).orNull, updated))))
+    }
+  }
+
+  /** `restore(table, version)` — rollback to a historical snapshot (the
+    * Delta `RESTORE TABLE ... TO VERSION AS OF` shape,
+    * [[CommitLog.restore]]): one metadata commit, zero data IO, history
+    * preserved. Returns the landed version (NULL when the table is
+    * already at that state). */
+  private final class RestoreProc(catalog: GraftCatalog)
+      extends TableProc(catalog, "restore") {
+    override def description(): String =
+      "roll the table back to a historical version in one metadata commit"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("version", LongType)
+        .comment("target snapshot version").build())
+    private val schema = new StructType().add("version", LongType, nullable = true)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = CommitLog.restore(dirOf(input), input.getLong(1))
+      result(schema, Seq(new GenericInternalRow(
+        Array[Any](v.map(Long.box).orNull))))
     }
   }
 
