@@ -186,6 +186,22 @@ object LogProbe {
         s""""rewrite_bytes_avoided":$avoided,""" +
         s""""suppressed_rows":${CommitLog.dvRowCount(t)}}""")
       results += (s"dv_delete_x$k" -> sec)
+      // the same shape for merge-on-read MERGE: a 200-row upsert batch
+      // in a narrow key range — matched images vector-suppressed, the
+      // batch appended; must stay flat like the dv delete (one
+      // zone-pruned position scan + one small append per call)
+      def mrg(lo: Long): Unit = {
+        CommitLog.dvMerge(spark,
+          spark.range(lo, lo + 200).select(col("id"),
+            lit("MERGED").as("v")), t, Seq("id")); ()
+      }
+      mrg(2000L) // warm
+      val mSec = math.min(
+        timed { mrg(k * baseRows / 8) }._1,
+        timed { mrg(k * baseRows / 16) }._1)
+      println(s"""{"probe":"dv_merge","factor":$k,"sec":$mSec,""" +
+        s""""live_files":${CommitLog.snapshotFiles(t).size}}""")
+      results += (s"dv_merge_x$k" -> mSec)
     }
 
     // ---------------------------------------------------------- Tier B
