@@ -176,6 +176,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // table is immediately readable as empty and the schema needs no
     // side-channel state — it (and the clustering spec) ride the log
     CommitLog.createEmpty(SparkSession.active, schema, dir.toString, clustering)
+    // TBLPROPERTIES opt-ins ride CREATE (the Delta table-property shape):
+    //   'graft.dv.enabled' = 'true'   -> merge-on-read deletes from birth
+    //   'graft.bloom.column' = '<col>' -> per-file key blooms on every add
+    // Unknown graft.* properties refuse loudly (a typo would otherwise
+    // silently drop the requested behavior); Spark's own bookkeeping
+    // properties (provider, owner, ...) pass through untouched.
+    properties.asScala.keys.filter(_.startsWith("graft."))
+      .find(k => k != "graft.dv.enabled" && k != "graft.bloom.column")
+      .foreach(k => throw new IllegalArgumentException(
+        s"graft catalog: unknown table property '$k' — supported: " +
+          "graft.dv.enabled, graft.bloom.column"))
+    if (Option(properties.get("graft.dv.enabled")).exists(_.equalsIgnoreCase("true")))
+      CommitLog.enableDv(dir.toString)
+    Option(properties.get("graft.bloom.column")).foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"graft catalog: graft.bloom.column '$c' is not in the schema")
+      CommitLog.declareBloom(SparkSession.active, dir.toString, c)
+    }
     loadTable(ident)
   }
 

@@ -95,6 +95,32 @@ class RestoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("vacuumed past the restore horizon"))
   }
 
+  test("TBLPROPERTIES opt-ins at CREATE: dv from birth, unknown keys refuse") {
+    val root = Paths.get(freshTable("props"))
+    Files.createDirectories(root)
+    spark.conf.set("spark.sql.catalog.rprop",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rprop.warehouse", root.resolve("wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rprop.s")
+    spark.sql("DROP TABLE IF EXISTS rprop.s.t")
+    spark.sql(
+      """CREATE TABLE rprop.s.t (id BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.dv.enabled' = 'true')""".stripMargin)
+    val dst = root.resolve("wh").resolve("s").resolve("t").toString
+    assert(CommitLog.dvEnabled(dst), "dv must be on from birth")
+    spark.sql("INSERT INTO rprop.s.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("DELETE FROM rprop.s.t WHERE v = 'a'") // merge-on-read path
+    assert(CommitLog.dvRowCount(dst) == 1L)
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE rprop.s.bad (id BIGINT)
+          |TBLPROPERTIES ('graft.dv.enable' = 'true')""".stripMargin)
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("unknown table property")), msgs(e).mkString(" | "))
+  }
+
   test("snapshot streams refuse a restore commit unless ignoreChanges") {
     import org.apache.spark.sql.streaming.Trigger
     val t = freshTable("stream")
