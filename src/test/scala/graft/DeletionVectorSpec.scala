@@ -204,6 +204,28 @@ class DeletionVectorSpec extends SparkSpec {
     assert(CommitLog.read(spark, t, Some(1L)).count() == 3L)
   }
 
+  test("concurrent dvDeletes serialize: both land, vectors merge, no lost delete") {
+    val t = freshTable("race")
+    CommitLog.append(df((1L to 12L).map(i => i -> s"r$i"): _*).coalesce(2), t)
+    CommitLog.enableDv(t)
+    // two writers deleting disjoint row sets race on the same files; the
+    // loser's conflict-abort must re-derive against the winner's vector
+    // (serializably), so BOTH deletions survive in the merged vectors
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = Seq(Seq(2L, 5L, 8L), Seq(3L, 6L, 9L)).map { ids =>
+        pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+          override def call(): Option[Long] =
+            CommitLog.dvDelete(spark, t, col("id").isin(ids: _*))
+        })
+      }
+      assert(futures.forall(_.get(120, java.util.concurrent.TimeUnit.SECONDS).isDefined))
+    } finally pool.shutdown()
+    val got = CommitLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 12L).toSet -- Set(2L, 3L, 5L, 6L, 8L, 9L), s"got $got")
+    assert(CommitLog.dvRowCount(t) == 6L)
+  }
+
   test("compact materializes vectors: clean files, native reads return") {
     val t = freshTable("mat")
     CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t)
