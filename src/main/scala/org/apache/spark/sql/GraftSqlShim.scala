@@ -44,6 +44,12 @@ object GraftSqlShim {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** The inverse of [[column]]: a Column's Catalyst expression (Spark 4's
+    * Column is node-based and no longer exposes `.expr`) — for building a
+    * custom Expression whose children come from `functions._`. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Re-bind a materialized (localCheckpoint'd) DataFrame to its RDD through
     * a fresh LogicalRDD that carries NO inherited statistics or constraints.
     *
