@@ -204,6 +204,37 @@ object LogProbe {
       results += (s"dv_merge_x$k" -> mSec)
     }
 
+    // ---------------------------------------------------------- Tier A5
+    // per-task vector application: reading ONE key range of a vectored
+    // table must cost ∝ that range, FLAT in the OTHER files' suppressed
+    // rows. The pre-round-13 read broadcast every live vector's expanded
+    // positions to every executor (∝ total suppressed rows table-wide);
+    // the per-task sidecar probe loads only the scanned files' vectors.
+    for (k <- Seq(1, 4, 16)) {
+      val t = freshDir(root, s"dvread_x$k")
+      CommitLog.appendClustered(spark,
+        spark.range(4 * baseRows).select(col("id"),
+          concat(lit("payload_"), col("id")).as("v")),
+        t, "id", buckets = 32)
+      CommitLog.enableDv(t)
+      // suppress k*5000 rows in a range DISJOINT from the probed one
+      val delLo = 2 * baseRows
+      CommitLog.dvDelete(spark, t,
+        col("id") >= delLo && col("id") < delLo + k * 5000L,
+        Some(_ => CommitLog.prunedFiles(t, delLo, delLo + k * 5000L - 1)))
+      val suppressed = CommitLog.dvRowCount(t)
+      def probe(): Unit = {
+        CommitLog.read(spark, t)
+          .filter(col("id") >= 1000L && col("id") < 2000L).count()
+        ()
+      }
+      probe() // warm
+      val sec = best2 { probe() }
+      println(s"""{"probe":"dv_read","factor":$k,"sec":$sec,""" +
+        s""""suppressed_rows":$suppressed}""")
+      results += (s"dv_read_x$k" -> sec)
+    }
+
     // ---------------------------------------------------------- Tier B
     val seedDf = Seq((1L, "seed")).toDF("id", "v")
     for (n <- Seq(100, 500, 2000)) {
@@ -273,6 +304,28 @@ object LogProbe {
       println(s"""{"probe":"log_compacted","commits":$n,"read_sec":$readSec2,""" +
         s""""cold_catchup_sec":$catchup2}""")
       results += (s"log_n${n}_catchup_compacted" -> catchup2)
+
+      // ------------------------------------------------------- Tier B2v
+      // the SAME cold catch-up with LIVE deletion vectors: round 13 keeps
+      // the initial-snapshot fast path on vectored tables (batch 0 is the
+      // snapshot with vectors applied per-task) — before, a vectored
+      // table fell back to ∝-commits replay (which then REFUSED on the dv
+      // commit without ignoreChanges)
+      CommitLog.enableDv(t)
+      CommitLog.dvDelete(spark, t, col("id") === 1L)
+      CommitLog.checkpoint(t)
+      val ckpt3 = freshDir(root, s"log_n${n}_ckpt3")
+      val catchup3 = timed {
+        val q = spark.readStream.format("graftlog").load(t)
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt3)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(600000L), s"n=$n vectored catch-up did not drain")
+      }._1
+      println(s"""{"probe":"log_vectored","commits":$n,""" +
+        s""""cold_catchup_sec":$catchup3}""")
+      results += (s"log_n${n}_catchup_vectored" -> catchup3)
     }
 
     // ---------------------------------------------------------- Tier C

@@ -180,7 +180,7 @@ object CommitLog {
   // semantics): {"constraint":"<name>","expr64":"<b64 sql>"} declares,
   // {"unconstraint":"<name>"} drops. The expression is base64-encoded so
   // the line grammar never parses nested quoting; enforcement happens at
-  // the staging chokepoints ([[enforceConstraints]]).
+  // the staging chokepoints, per-row inside the write ([[withRowChecks]]).
   private val ConstraintRe =
     """"constraint"\s*:\s*"([^"]+)"\s*,\s*"expr64"\s*:\s*"([A-Za-z0-9+/=]+)"""".r
   private val UnconstraintRe = """"unconstraint"\s*:\s*"([^"]+)"""".r
@@ -641,6 +641,44 @@ object CommitLog {
     }.get
   }
 
+  /** Declares or lifts a column's NOT NULL (the Delta column constraint
+    * next to CHECK): one alter commit re-declaring the schema with the
+    * flipped nullability flag. SET (nullable=false) validates the CURRENT
+    * snapshot first — a column already holding NULLs refuses, exactly as
+    * [[addConstraint]] does. Enforcement afterwards is [[rowCheckSpecs]]'s:
+    * per-row in every staging write and executor-direct writer, refusing
+    * the whole batch and naming the column. Spark's own ALTER COLUMN
+    * analysis hard-blocks nullable→non-null for v2 catalogs (it cannot
+    * know the data was validated), so SET arrives via `CALL
+    * graft.system.set_not_null`; DROP NOT NULL works from plain SQL too.
+    * Requires a declared schema (every cataloged table has one). Returns
+    * the alter version. */
+  def setColumnNullability(spark: SparkSession, table: String,
+                           column: String, nullable: Boolean): Long =
+    serializably(table) { tip =>
+      // a CTAS/plain table has no declared schema yet: the alter declares
+      // the file-derived one, with the flag applied (same as the catalog's
+      // other first-alter paths)
+      val declared = declaredSchema(table, Some(tip))
+        .getOrElse(read(spark, table, Some(tip)).schema)
+      val idx = declared.fieldNames.indexWhere(_.equalsIgnoreCase(column))
+      require(idx >= 0, s"no column $column in $table")
+      val f = declared.fields(idx)
+      if (f.nullable == nullable) None // already there: commit-less no-op
+      else {
+        if (!nullable && snapshotFiles(table, Some(tip)).nonEmpty) {
+          val nulls = read(spark, table, Some(tip))
+            .filter(org.apache.spark.sql.functions.col(s"`${f.name}`").isNull)
+            .take(1)
+          require(nulls.isEmpty,
+            s"cannot SET NOT NULL on $column — $table already holds NULL " +
+              "values in that column")
+        }
+        Some(evolveSchema(table, org.apache.spark.sql.types.StructType(
+          declared.fields.updated(idx, f.copy(nullable = nullable))), tip))
+      }
+    }.getOrElse(currentVersion(table))
+
   /** Drops a CHECK constraint by name. Returns the commit version, or
     * None when no such constraint exists. */
   def dropConstraint(table: String, name: String): Option[Long] =
@@ -655,24 +693,59 @@ object CommitLog {
     if (!Files.isDirectory(logDir(table))) Map.empty
     else replay(table, asOf).constraints.toMap
 
-  /** Refuses `df` if any row violates a live constraint — called by the
-    * staging chokepoints, so every batch write (and every rewrite,
-    * Delta-style: OPTIMIZE revalidates too) enforces the declared
-    * invariants. Zero cost on unconstrained tables (no constraints → no
-    * job). A constraint referencing a column `df` lacks fails LOUDLY at
-    * analysis (e.g. after an unguarded RENAME) — never silently skipped. */
-  private def enforceConstraints(df: DataFrame, table: String): Unit =
-    constraintsOf(table, None).foreach { case (name, exprSql) =>
-      val bad = df.filter(!org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.expr(exprSql),
-        org.apache.spark.sql.functions.lit(true))).take(1)
-      if (bad.nonEmpty) throw new IllegalStateException(
-        s"write to $table violates CHECK constraint '$name' ($exprSql): " +
-          s"e.g. ${bad.head}")
-    }
+  /** The table's per-row write invariants as (label, SQL condition):
+    * every declared CHECK constraint, plus an `IS NOT NULL` check for
+    * each non-nullable DECLARED column (the Delta NOT NULL column
+    * constraint — declared via `ALTER TABLE ... ALTER COLUMN ... SET NOT
+    * NULL` or a non-nullable CREATE schema). One vocabulary for every
+    * enforcement point: the staging write ([[withRowChecks]]) and the
+    * executor-direct writers (row-level DML, streaming epochs) all
+    * enforce exactly this list. */
+  private[graft] def rowCheckSpecs(table: String,
+                                   asOf: Option[Long] = None): Seq[(String, String)] =
+    constraintsOf(table, asOf).toSeq.sortBy(_._1) ++
+      declaredSchema(table, asOf).toSeq.flatMap(_.fields.toSeq
+        .filterNot(_.nullable)
+        .map(f => s"NOT NULL ${f.name}" -> s"`${f.name}` IS NOT NULL"))
 
-  private def stage(df: DataFrame, table: String): Seq[String] = {
-    enforceConstraints(df, table)
+  /** Folds every per-row write invariant ([[rowCheckSpecs]]) into the
+    * frame itself, so the STAGING WRITE validates per-row as it writes —
+    * one job, and the rows validated are exactly the rows written (a
+    * separate probe job before the write could see different rows from a
+    * nondeterministic source — the same reason the executor-direct
+    * writers check per-row). The first column is wrapped in `CASE WHEN
+    * assert_true(...)`: a definite FALSE raises from the write task with
+    * a message naming the constraint, the task fails, the job aborts,
+    * nothing lands. NULL passes a CHECK (SQL semantics; `IS NOT NULL`
+    * itself never evaluates null). Zero plan change on unconstrained
+    * tables. A constraint referencing a column `df` lacks fails LOUDLY
+    * at analysis (e.g. after an unguarded RENAME) — never silently
+    * skipped. */
+  private def withRowChecks(df: DataFrame, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, coalesce, col, expr, lit, when}
+    val specs = rowCheckSpecs(table, None)
+    if (specs.isEmpty) return df
+    val failMsg = specs.foldRight(lit(null).cast("string")) {
+      case ((n, e), acc) =>
+        when(!coalesce(expr(e), lit(true)),
+          lit(s"write to $table violates constraint '$n' ($e)"))
+          .otherwise(acc)
+    }
+    val c0 = df.columns.head
+    df.withColumn(c0,
+      when(assert_true(failMsg.isNull, failMsg).isNull, col(s"`$c0`")))
+  }
+
+  /** The staging-contract violation message inside a failed write's cause
+    * chain, if the failure was a constraint refusal. */
+  private def constraintFailure(e: Throwable): Option[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .flatMap(t => Option(t.getMessage))
+      .find(_.contains("violates constraint"))
+      .map(m => m.substring(m.indexOf("write to ")))
+
+  private def stage(df0: DataFrame, table: String): Seq[String] = {
+    val df = withRowChecks(df0, table)
     val physDf = declaredSchema(table, None) match {
       case Some(s) if hasNameMapping(s) =>
         val byLogical = s.fields.map(f => f.name.toLowerCase -> f).toMap
@@ -696,6 +769,21 @@ object CommitLog {
     val prevTs = conf.get(tsKey)
     conf.set(tsKey, "TIMESTAMP_MICROS")
     try physDf.write.parquet(staging.toString)
+    catch {
+      case e: Throwable =>
+        // reclaim the partial staging dir, then surface a CHECK refusal
+        // under the staging contract's exception (the per-row raise
+        // arrives wrapped in the job failure)
+        try {
+          if (Files.exists(staging))
+            Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }
+        constraintFailure(e) match {
+          case Some(m) => throw new IllegalStateException(m)
+          case None    => throw e
+        }
+    }
     finally conf.set(tsKey, prevTs)
     val parts = listDir(staging)
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -1020,9 +1108,11 @@ object CommitLog {
     replay(table, asOf).dvs.values.map(_._2).sum
 
   // helper-column names for position plumbing; the collision guard in
-  // [[changesRaw]] already reserves the `_graft_` prefix
-  private val DvFileCol = "_graft_dv_file"
-  private val DvPosCol = "_graft_dv_pos"
+  // [[changesRaw]] already reserves the `_graft_` prefix. Also the names
+  // of the table's METADATA COLUMNS (SupportsMetadataColumns) — the row
+  // identity the delta-based SQL DML route addresses positions by.
+  private[graft] val DvFileCol = "_graft_dv_file"
+  private[graft] val DvPosCol = "_graft_dv_pos"
 
   /** Suppresses each file's vectored positions from a raw scan of those
     * files: tag every row with (file name, row position) from the parquet
@@ -1047,6 +1137,14 @@ object CommitLog {
         shim.expression(col("_metadata.row_index")), table, sidecarOf))
     df.filter(!suppressed)
   }
+
+  /** Applies the snapshot's live deletion vectors (if any) to a raw
+    * parquet frame of that snapshot's files — the per-task predicate
+    * form, for readers that assemble their own parquet scans (the
+    * streaming initial-snapshot batch). No-op on vector-less tables. */
+  private[graft] def suppressVectored(df: DataFrame, table: String,
+                                      asOf: Option[Long]): DataFrame =
+    applyDv(df, table, dvFor(table, asOf))
 
   /** Predicate over the [[DvFileCol]]/[[DvPosCol]] tag columns keeping
     * rows NOT suppressed by `dvs` — the per-task sidecar probe the MoR
@@ -1077,6 +1175,73 @@ object CommitLog {
       if (hasNameMapping(d))
         df.toDF((d.fieldNames :+ DvFileCol :+ DvPosCol).toIndexedSeq: _*)
       else df
+    }
+  }
+
+  /** Snapshot read of `files` that KEEPS the ([[DvFileCol]], [[DvPosCol]])
+    * row-identity columns and EXCLUDES vector-suppressed rows — the scan
+    * behind the table's metadata columns and the delta-based SQL DML
+    * route ([[graft.sources.GraftDvRowLevelOperation]]): every served row
+    * is addressable by (file, position) for a later vector suppress, and
+    * an already-deleted row can never be re-served (or resurrected by an
+    * UPDATE that would re-append its image). Empty `files` (every file
+    * pruned) serves the zero-row frame with the same shape. */
+  private[graft] def readSnapshotWithPos(spark: SparkSession, table: String,
+                                         files: Seq[String],
+                                         asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (files.isEmpty) {
+      val shape = read(spark, table, asOf).limit(0)
+        .withColumn(DvFileCol, lit(null).cast("string"))
+        .withColumn(DvPosCol, lit(null).cast("long"))
+      return shape.limit(0)
+    }
+    val raw = readFilesWithPos(spark, table, files, asOf)
+    val dvs = replay(table, asOf).dvs.filter { case (f, _) => files.contains(f) }.toMap
+    if (dvs.isEmpty) raw else raw.filter(notSuppressedBy(table, dvs))
+  }
+
+  /** Lands ONE delta-DML commit — the commit half of the SQL merge-on-read
+    * route: each touched file's fresh delete positions (gathered by the
+    * write tasks as PARTIAL sidecars, one per task × file) are merged with
+    * the file's existing vector into a new final sidecar, appended images
+    * arrive as ordinary adds (footer stats + declared blooms recorded),
+    * and the whole statement is one conflict-checked commit against the
+    * snapshot the scan read. Partials are deleted after the commit lands;
+    * on a version race the final sidecars are reclaimed and the conflict
+    * rethrown (the caller's abort cleans partials and data files — a
+    * statement-level retry must re-scan, exactly like the group-based
+    * rewrite). Returns None when the statement touched nothing. */
+  private[graft] def commitDeltaDml(table: String, op: String, expectedTip: Long,
+                                    partials: Seq[(String, String)],
+                                    added: Seq[String]): Option[Long] = {
+    if (partials.isEmpty && added.isEmpty) return None
+    val state = replay(table, Some(expectedTip))
+    val oldDvs = state.dvs.toMap
+    val finals = partials.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, ps) =>
+      require(state.live.contains(f),
+        s"delta $op on $table addresses non-live file $f — stale plan")
+      val fresh = ps.flatMap { case (_, part) => DvSidecars.read(table, part) }
+      val merged = (oldDvs.get(f).map { case (sc, _) => dvPositions(table, sc) }
+        .getOrElse(Array.empty[Long]) ++ fresh).distinct.sorted
+      val name = s"$f.dv-${java.util.UUID.randomUUID()}"
+      DvSidecars.write(table, name, merged)
+      (f, name, merged.length.toLong)
+    }
+    val bloomCol = declaredBloom(table)
+    val lines = finals.map { case (f, sc, n) =>
+      s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
+    } ++ added.map(f => addAction(table, f, bloomCol))
+    try {
+      val v = commitRaw(table, op, lines, Some(expectedTip))
+      partials.foreach { case (_, p) => Files.deleteIfExists(Paths.get(table, p)) }
+      Some(v)
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        finals.foreach { case (_, sc, _) =>
+          Files.deleteIfExists(Paths.get(table, sc))
+        }
+        throw e
     }
   }
 
@@ -2946,18 +3111,44 @@ object CommitLog {
         s"restore $table to v$toVersion: version out of range (tip v$tip)")
       val target = replay(table, Some(toVersion))
       val cur = replay(table, Some(tip))
-      require(target.schemaJson == cur.schemaJson &&
-          target.tombstones == cur.tombstones,
-        s"restore $table to v$toVersion is refused: the declared schema " +
-          "changed since that version — a restore is a DATA rollback; " +
-          "evolve the schema explicitly instead")
+      // schema-INCLUSIVE restore (Delta RESTORE parity, round 13): a
+      // schema that evolved since the target version is rolled back too —
+      // the restore commit re-declares the target's schema JSON and
+      // reconciles the constraint set, so a bad ALTER+write sequence
+      // recovers in one statement. Limits, chosen conservative:
+      //   - a target that PREDATES any declared schema cannot be restored
+      //     once one exists (the log cannot un-declare);
+      //   - tombstones are NOT rolled back — a dropped physical name
+      //     stays reserved forever (post-restore files on disk still
+      //     carry those bytes; the restored schema may re-DECLARE the
+      //     column directly, which needs no tombstone lift).
+      require(target.schemaJson.isDefined || cur.schemaJson.isEmpty,
+        s"restore $table to v$toVersion is refused: that version predates " +
+          "the table's declared schema and a declaration cannot be rolled " +
+          "back — evolve the schema explicitly instead")
+      val schemaLines =
+        if (target.schemaJson == cur.schemaJson) Seq.empty
+        else target.schemaJson.toSeq.map(j =>
+          s"""{"schema64":"${java.util.Base64.getEncoder
+            .encodeToString(j.getBytes(StandardCharsets.UTF_8))}"}""")
+      // constraint reconciliation: drop what the target lacked, re-declare
+      // what it had (possibly with a different expression)
+      val constraintLines =
+        cur.constraints.keys.filterNot(target.constraints.contains).toSeq
+          .map(n => s"""{"unconstraint":"$n"}""") ++
+          target.constraints.toSeq.collect {
+            case (n, e) if !cur.constraints.get(n).contains(e) =>
+              s"""{"constraint":"$n","expr64":"${java.util.Base64.getEncoder
+                .encodeToString(e.getBytes(StandardCharsets.UTF_8))}"}"""
+          }
       val targetDv = target.dvs.toMap
       val curDv = cur.dvs.toMap
       val removes = cur.live.keys.toSeq.filterNot(target.live.contains)
       // re-declare: files no longer live, plus files whose vector differs
       val readds = target.live.keys.toSeq.filter(f =>
         !cur.live.contains(f) || targetDv.get(f) != curDv.get(f))
-      if (removes.isEmpty && readds.isEmpty) None
+      if (removes.isEmpty && readds.isEmpty && schemaLines.isEmpty &&
+          constraintLines.isEmpty) None
       else {
         readds.foreach { f =>
           require(Files.exists(Paths.get(table, f)),
@@ -2969,7 +3160,8 @@ object CommitLog {
                 "was vacuumed past the restore horizon")
           }
         }
-        val lines = readds.map(f => stateAddLine(target, f)) ++
+        val lines = schemaLines ++ constraintLines ++
+          readds.map(f => stateAddLine(target, f)) ++
           readds.flatMap(f => targetDv.get(f).map { case (sc, n) =>
             s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
           }) ++

@@ -1924,9 +1924,9 @@ object TableLogQueries {
     * over the vectored table == the same aggregate after `compact`
     * materializes the vectors), metadata `count(*)` staying exact,
     * time travel to the pre-delete snapshot, the CDF window emitting
-    * exactly the suppressed rows as deletes, the copy-on-write UPDATE
-    * refusing on vectored files with the materialization remedy, and
-    * vacuum reclaiming the spent sidecars. */
+    * exactly the suppressed rows as deletes, SQL UPDATE auto-routing
+    * through merge-on-read on the vectored table (round 13 — tl42 pins
+    * the full statement shape), and vacuum reclaiming spent sidecars. */
   private val tl36DvDelete: Q = (spark, dir) => {
     val t = dmlTable(spark, dir, "t36",
       "SELECT * FROM t36_b1 UNION ALL SELECT * FROM t36_b2")
@@ -1962,16 +1962,22 @@ object TableLogQueries {
       "tl36: the CDF must emit one delete per suppressed row")
     require(cdf.filter(col("status") === "pending_review" && col("price") < 50000.0)
       .count() == suppressed, "tl36: every emitted delete matches the predicate")
-    // a copy-on-write rewrite over vectored files would resurrect the
-    // deleted rows — it must refuse with the materialization remedy
-    val refused =
-      try { spark.sql(s"UPDATE $t SET batch = 9 WHERE price >= 0.0"); None }
-      catch { case e: Throwable =>
-        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
-          .map(_.getMessage).find(m => m != null && m.contains("deletion vectors"))
-      }
-    require(refused.isDefined,
-      "tl36: UPDATE over vectored files must refuse, naming deletion vectors")
+    // round 13: UPDATE on a vectored table AUTO-ROUTES through
+    // merge-on-read (the delta-based row-level operation — tl42 pins the
+    // full statement shape): one vector+adds commit, zero files removed,
+    // no refusal and no resurrection
+    val vU0 = CommitLog.currentVersion(tdir)
+    spark.sql(s"UPDATE $t SET batch = batch + 100 " +
+      "WHERE status = 'pending_review' AND price >= 100000.0")
+    val vU = CommitLog.currentVersion(tdir)
+    val cu = CommitLog.readCommit(tdir, vU)
+    require(vU == vU0 + 1 && cu.op == "update" && cu.remove.isEmpty &&
+        cu.dv.nonEmpty && cu.add.nonEmpty,
+      s"tl36: UPDATE on a vectored table must auto-route merge-on-read, " +
+        s"got op=${cu.op} adds=${cu.add.size} removes=${cu.remove.size} " +
+        s"dvs=${cu.dv.size}")
+    require(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) ==
+      preCnt - suppressed, "tl36: the MoR update must not change the row count")
     // the vectored read (post-delete) and the materialized read (post-
     // compact) must agree bit-for-bit
     val aggSql =
@@ -1982,8 +1988,6 @@ object TableLogQueries {
     spark.sql("CALL graft.system.compact(`table` => 'dml.t36', target_files => 2)")
     require(CommitLog.dvRowCount(tdir) == 0L,
       "tl36: compact must materialize the vectors away")
-    require(spark.sql(s"UPDATE $t SET batch = batch WHERE price >= 0.0") != null,
-      "tl36: after materialization the copy-on-write path must work again")
     val removed = spark.sql(
       "CALL graft.system.vacuum(`table` => 'dml.t36', retain_hours => 0)")
       .collect().map(_.getString(0))
@@ -1996,6 +2000,10 @@ object TableLogQueries {
       finally s.close()
     }
     require(!leftover, "tl36: no sidecar may survive materialization + vacuum")
+    // DML keeps working after materialization (still merge-on-read — the
+    // opt-in is a table property, not a per-statement state)
+    require(spark.sql(s"UPDATE $t SET batch = batch WHERE price >= 0.0") != null,
+      "tl36: DML after materialization must work")
     val materialized = spark.sql(aggSql)
     require(materialized.collect().toSeq == vectored,
       "tl36: the vectored and materialized reads must agree bit-for-bit")
@@ -2291,7 +2299,164 @@ object TableLogQueries {
        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        |FROM b1 GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** tl42: SQL `UPDATE` and `MERGE INTO` auto-route through merge-on-read
+    * on a dv-enabled table — the delta-based row-level operation
+    * ([[graft.sources.GraftDvRowLevelOperation]], Spark's `SupportsDelta`
+    * surface; Delta's DML behavior when `enableDeletionVectors` is set).
+    * No CALL procedure: the STATEMENT itself lands as one vector-suppress
+    * + append commit. REQUIREs per statement: exactly one commit, op
+    * 'update'/'merge', ZERO data files removed, every pre-statement file
+    * still live BY NAME, CDF window = delete(old)+insert(new) pairs for
+    * updated rows (plus plain inserts for new keys in the merge), row
+    * count balanced. Final aggregate hash-matches the oracle's
+    * CASE-rewritten b1 merged with b2. */
+  private val tl42SqlMor: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t42", "SELECT * FROM t42_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t42").toString
+    spark.sql("CALL graft.system.enable_dv(`table` => 'dml.t42')")
+    val before = CommitLog.snapshotFiles(tdir).toSet
+    val vPre = CommitLog.currentVersion(tdir)
+    val preCnt = spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0)
+    // --- plain SQL UPDATE -> one MoR commit
+    spark.sql(s"UPDATE $t SET status = 'expedited', batch = batch + 10 " +
+      "WHERE status = 'pending_review' AND price >= 100000.0")
+    val vUpd = CommitLog.currentVersion(tdir)
+    require(vUpd == vPre + 1, s"tl42: UPDATE must land one commit, tip $vPre -> $vUpd")
+    val cu = CommitLog.readCommit(tdir, vUpd)
+    require(cu.op == "update" && cu.remove.isEmpty && cu.dv.nonEmpty && cu.add.nonEmpty,
+      s"tl42: UPDATE must land as vectors + image adds, got op=${cu.op} " +
+        s"adds=${cu.add.size} removes=${cu.remove.size} dvs=${cu.dv.size}")
+    require(before.subsetOf(CommitLog.snapshotFiles(tdir).toSet),
+      "tl42: no pre-update data file may be removed")
+    require(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == preCnt,
+      "tl42: an update must not change the row count")
+    // CDF twin: delete(old image) + insert(new image) per updated row
+    val cdfU = CommitLog.changes(spark, tdir, vPre, vUpd)
+    val updated = cdfU.filter(col("_change_type") === "insert").count()
+    require(updated > 0, "tl42: the update predicate matches rows at every SF")
+    require(cdfU.filter(col("_change_type") === "delete").count() == updated,
+      "tl42: the CDF must pair one delete with one insert per updated row")
+    require(cdfU.filter(col("_change_type") === "insert")
+        .filter(col("status") =!= "expedited").isEmpty,
+      "tl42: every inserted image carries the new values")
+    require(spark.sql(
+        s"SELECT count(*) AS n FROM $t VERSION AS OF $vPre WHERE status = 'expedited'")
+      .head().getLong(0) == 0L, "tl42: pre-update snapshot must have no new images")
+    // --- plain SQL MERGE INTO -> one MoR commit (upsert semantics).
+    // b2's keys all exist in b1 (%6 ⊂ %3), so the source adds a shifted
+    // copy (id+1 ≡ 1 mod 3 — never in b1) to exercise the insert clause
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW t42_src AS
+        |SELECT * FROM t42_b2
+        |UNION ALL
+        |SELECT id + 1 AS id, 'inserted' AS status, price, 3 AS batch
+        |FROM t42_b2""".stripMargin)
+    val vM0 = CommitLog.currentVersion(tdir)
+    val filesM0 = CommitLog.snapshotFiles(tdir).toSet
+    spark.sql(
+      s"""MERGE INTO $t t USING t42_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val vM = CommitLog.currentVersion(tdir)
+    require(vM == vM0 + 1, s"tl42: MERGE must land one commit, tip $vM0 -> $vM")
+    val cm = CommitLog.readCommit(tdir, vM)
+    require(cm.op == "merge" && cm.remove.isEmpty && cm.dv.nonEmpty && cm.add.nonEmpty,
+      s"tl42: MERGE must land as vectors + image adds, got op=${cm.op} " +
+        s"adds=${cm.add.size} removes=${cm.remove.size} dvs=${cm.dv.size}")
+    require(filesM0.subsetOf(CommitLog.snapshotFiles(tdir).toSet),
+      "tl42: no pre-merge data file may be removed")
+    // CDF twin: matched keys = delete+insert pairs; new keys = inserts
+    val cdfM = CommitLog.changes(spark, tdir, vM0, vM)
+    val mDel = cdfM.filter(col("_change_type") === "delete").count()
+    val mIns = cdfM.filter(col("_change_type") === "insert").count()
+    require(mDel > 0 && mIns > mDel,
+      s"tl42: merge CDF must hold matched pairs + plain inserts, got " +
+        s"$mDel deletes / $mIns inserts")
+    spark.sql(
+      s"""SELECT status, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY status ORDER BY status""".stripMargin)
+  }
+
+  private val tl42SqlMorSql =
+    s"""WITH $batchesSql,
+       |u AS (
+       |  SELECT id,
+       |    CASE WHEN status = 'pending_review' AND price >= 100000.0
+       |      THEN 'expedited' ELSE status END AS status,
+       |    price,
+       |    CASE WHEN status = 'pending_review' AND price >= 100000.0
+       |      THEN batch + 10 ELSE batch END AS batch
+       |  FROM b1),
+       |src AS (
+       |  SELECT * FROM b2
+       |  UNION ALL
+       |  SELECT id + 1 AS id, 'inserted' AS status, price, 3 AS batch
+       |  FROM b2),
+       |fin AS (
+       |  SELECT * FROM u WHERE id NOT IN (SELECT id FROM src)
+       |  UNION ALL SELECT * FROM src)
+       |SELECT status, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM fin GROUP BY status ORDER BY status""".stripMargin
+
+  /** tl43: NOT NULL column constraints (the Delta column-constraint next
+    * to CHECK): `ALTER TABLE ... ALTER COLUMN ... SET NOT NULL` declares
+    * (refused when existing data already holds NULLs — pinned in
+    * `ConstraintSpec`), the declared nullability rides the log schema,
+    * every write path refuses a NULL row naming the column (staging
+    * chokepoints per-row in-write; executor-direct writers per-row), the
+    * refused batch lands NOTHING, and `DROP NOT NULL` lifts enforcement.
+    * Final aggregate (base + one valid insert + one post-lift NULL row)
+    * hash-matches the oracle. */
+  private val tl43NotNull: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t43", "SELECT * FROM t43_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t43").toString
+    // SET via CALL (Spark's v2 ALTER analysis hard-blocks nullable→
+    // non-null for connectors); DROP NOT NULL below is plain SQL
+    spark.sql("CALL graft.system.set_not_null(`table` => 'dml.t43', column => 'status')")
+    require(CommitLog.declaredSchema(tdir).exists(
+      _.fields.exists(f => f.name == "status" && !f.nullable)),
+      "tl43: the declared schema must carry the NOT NULL")
+    val preCnt = spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0)
+    val refused =
+      try { spark.sql(
+        s"INSERT INTO $t VALUES (999999911, NULL, 1.0, 7), (999999912, 'ok', 2.0, 7)"); false }
+      catch { case e: Throwable =>
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(x => x.getMessage != null && (x.getMessage.contains("status") ||
+            x.getMessage.toUpperCase.contains("NULL"))) }
+    require(refused, "tl43: a NULL row must refuse, naming the violation")
+    require(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == preCnt,
+      "tl43: the refused batch must not land even partially")
+    spark.sql(s"INSERT INTO $t VALUES (999999912, 'manual', 42.0, 7)")
+    // the declaration survives a checkpoint roll
+    spark.sql("CALL graft.system.checkpoint(`table` => 'dml.t43')")
+    val stillRefused =
+      try { spark.sql(s"INSERT INTO $t VALUES (999999913, NULL, 3.0, 7)"); false }
+      catch { case _: Throwable => true }
+    require(stillRefused, "tl43: enforcement must survive the checkpoint roll")
+    // DROP NOT NULL lifts enforcement: the NULL row lands
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN status DROP NOT NULL")
+    spark.sql(s"INSERT INTO $t VALUES (999999913, NULL, 7.0, 7)")
+    spark.sql(
+      s"""SELECT batch, count(*) AS n_rows, count(status) AS n_status,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY batch ORDER BY batch""".stripMargin)
+  }
+
+  private val tl43NotNullSql =
+    s"""WITH $batchesSql,
+       |t AS (SELECT * FROM b1
+       |  UNION ALL SELECT 999999912 AS id, 'manual' AS status, 42.0 AS price, 7 AS batch
+       |  UNION ALL SELECT 999999913 AS id, NULL AS status, 7.0 AS price, 7 AS batch)
+       |SELECT batch, count(*) AS n_rows, count(status) AS n_status,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM t GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl43_not_null" -> tl43NotNull,
+    "tl42_sql_mor" -> tl42SqlMor,
     "tl41_restore" -> tl41Restore,
     "tl40_merge_mor" -> tl40MergeMor,
     "tl39_detail" -> tl39Detail,
@@ -2341,6 +2506,8 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl43_not_null" -> tl43NotNullSql,
+    "tl42_sql_mor" -> tl42SqlMorSql,
     "tl41_restore" -> tl41RestoreSql,
     "tl40_merge_mor" -> tl40MergeMorSql,
     "tl39_detail" -> tl39DetailSql,

@@ -170,30 +170,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"bucket(n, col) clustering spec, got ${other.map(_.describe).mkString(", ")}")
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // TBLPROPERTIES opt-ins ride CREATE (the Delta table-property shape):
+    //   'graft.dv.enabled' = 'true'   -> merge-on-read deletes from birth
+    //   'graft.bloom.column' = '<col>' -> per-file key blooms on every add
+    // Unknown graft.* properties refuse loudly (a typo would otherwise
+    // silently drop the requested behavior); Spark's own bookkeeping
+    // properties (provider, owner, ...) pass through untouched. Every
+    // property is validated BEFORE the table directory exists — a
+    // refused CREATE must leave nothing behind (a ghost table would make
+    // the retry fail with TableAlreadyExists).
+    properties.asScala.keys.filter(_.startsWith("graft."))
+      .find(k => k != "graft.dv.enabled" && k != "graft.bloom.column")
+      .foreach(k => throw new IllegalArgumentException(
+        s"graft catalog: unknown table property '$k' — supported: " +
+          "graft.dv.enabled, graft.bloom.column"))
+    val bloomCol = Option(properties.get("graft.bloom.column"))
+    bloomCol.foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"graft catalog: graft.bloom.column '$c' is not in the schema")
+    }
     val dir = dirOf(ident)
     Files.createDirectories(dir)
     // the declared schema becomes commit v0 (one empty data file): the
     // table is immediately readable as empty and the schema needs no
     // side-channel state — it (and the clustering spec) ride the log
     CommitLog.createEmpty(SparkSession.active, schema, dir.toString, clustering)
-    // TBLPROPERTIES opt-ins ride CREATE (the Delta table-property shape):
-    //   'graft.dv.enabled' = 'true'   -> merge-on-read deletes from birth
-    //   'graft.bloom.column' = '<col>' -> per-file key blooms on every add
-    // Unknown graft.* properties refuse loudly (a typo would otherwise
-    // silently drop the requested behavior); Spark's own bookkeeping
-    // properties (provider, owner, ...) pass through untouched.
-    properties.asScala.keys.filter(_.startsWith("graft."))
-      .find(k => k != "graft.dv.enabled" && k != "graft.bloom.column")
-      .foreach(k => throw new IllegalArgumentException(
-        s"graft catalog: unknown table property '$k' — supported: " +
-          "graft.dv.enabled, graft.bloom.column"))
     if (Option(properties.get("graft.dv.enabled")).exists(_.equalsIgnoreCase("true")))
       CommitLog.enableDv(dir.toString)
-    Option(properties.get("graft.bloom.column")).foreach { c =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-        s"graft catalog: graft.bloom.column '$c' is not in the schema")
-      CommitLog.declareBloom(SparkSession.active, dir.toString, c)
-    }
+    bloomCol.foreach(c => CommitLog.declareBloom(SparkSession.active, dir.toString, c))
     loadTable(ident)
   }
 
@@ -332,11 +336,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "retypes need an explicit rewrite")
         StructType(s.fields.updated(idx, f.copy(dataType = u.newDataType())))
 
+      case n: TableChange.UpdateColumnNullability =>
+        val name = n.fieldNames()(0)
+        val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(idx >= 0, s"graft catalog: no column $name in $ident")
+        val f = s.fields(idx)
+        if (!n.nullable && f.nullable &&
+            CommitLog.snapshotFiles(dir).nonEmpty) {
+          // SET NOT NULL: the current snapshot must already satisfy it
+          // (the Delta behavior — a constraint existing data violates is
+          // refused at the alter, not discovered at the next write)
+          val nulls = CommitLog.read(SparkSession.active, dir)
+            .filter(org.apache.spark.sql.functions.col(s"`${f.name}`").isNull)
+            .take(1)
+          require(nulls.isEmpty,
+            s"graft catalog: cannot SET NOT NULL on $name — $ident already " +
+              "holds NULL values in that column")
+        }
+        StructType(s.fields.updated(idx, f.copy(nullable = n.nullable)))
+
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — supported " +
           "evolutions: ADD COLUMNS (nullable, top-level), RENAME COLUMN " +
-          "(metadata-only), ALTER COLUMN TYPE widening, DROP COLUMN " +
-          "(metadata-only, physical name tombstoned)")
+          "(metadata-only), ALTER COLUMN TYPE widening, ALTER COLUMN " +
+          "SET/DROP NOT NULL, DROP COLUMN (metadata-only, physical name " +
+          "tombstoned)")
     }
 
     var attempt = 0

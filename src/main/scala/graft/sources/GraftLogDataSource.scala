@@ -297,10 +297,36 @@ object GraftLogDataSource {
                                  cdfStream: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
     private def exists: Boolean = snapshotVersion >= 0
     private def isCdf: Boolean = changeFeed.isDefined
+
+    /** The table's row identity as METADATA columns (Iceberg's `_file`/
+      * `_pos` shape): data file name + row position within it, straight
+      * from the parquet reader's own metadata — `SELECT _graft_dv_file,
+      * _graft_dv_pos FROM t` works, and the delta-based (merge-on-read)
+      * DML route resolves its [[GraftDvRowLevelOperation.rowId]] against
+      * them. Never part of `schema()`; Spark appends them only when
+      * referenced. */
+    override def metadataColumns()
+        : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+      if (!exists || isCdf) Array.empty
+      else Array(
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String = CommitLog.DvFileCol
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            org.apache.spark.sql.types.StringType
+          override def isNullable: Boolean = false
+          override def comment(): String = "data file serving this row"
+        },
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String = CommitLog.DvPosCol
+          override def dataType(): org.apache.spark.sql.types.DataType = LongType
+          override def isNullable: Boolean = false
+          override def comment(): String = "row position within its data file"
+        })
 
     override def name(): String =
       if (isCdf) s"graftlog.`$path`@changes${changeFeed.get}"
@@ -342,6 +368,17 @@ object GraftLogDataSource {
         util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
       else if (isCdf) // a change feed is a derived, read-only relation
         util.EnumSet.of(TableCapability.BATCH_READ)
+      else if (exists && !timeTravel &&
+          CommitLog.dvFor(path, Some(snapshotVersion)).nonEmpty)
+        // LIVE deletion vectors: the native micro-batch stream plans raw
+        // file partitions and would over-deliver suppressed rows, so the
+        // capability is withheld — `readStream.format("graftlog")` then
+        // routes to the V1 source, whose initial-snapshot batch applies
+        // the vectors per-task (a fresh stream on a checkpointed vectored
+        // table stays ∝ live data). Batch + write surfaces are unchanged.
+        util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+          TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+          TableCapability.STREAMING_WRITE)
       else if (exists && !timeTravel)
         util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
           TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
@@ -546,7 +583,32 @@ object GraftLogDataSource {
           case None =>
             val fs = prunedFileNames(path, snapshotVersion, pushed.toIndexedSeq)
             val dvd = CommitLog.dvFor(path, Some(snapshotVersion))
-            if (fs.exists(dvd.contains)) {
+            val wantsRowId = required.fieldNames.exists(n =>
+              n == CommitLog.DvFileCol || n == CommitLog.DvPosCol)
+            if (wantsRowId) {
+              // the (file, position) METADATA columns were referenced —
+              // serve them from the position-tagged Catalyst read
+              // (vectors applied; the native columnar scan has no way to
+              // surface the parquet reader's row index)
+              val reqF = required
+              val fseq = pushed.toIndexedSeq
+              new V1Scan {
+                override def readSchema(): StructType = reqF
+                override def toV1TableScan[T <: BaseRelation with TableScan](
+                    context: SQLContext): T =
+                  new BaseRelation with TableScan {
+                    override def sqlContext: SQLContext = context
+                    override def schema: StructType = reqF
+                    override def buildScan(): RDD[Row] = {
+                      val base = CommitLog.readSnapshotWithPos(
+                        context.sparkSession, path, fs, Some(snapshotVersion))
+                      fseq.flatMap(translate).foldLeft(base)((df, c) => df.filter(c))
+                        .select(reqF.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+                        .rdd
+                    }
+                  }.asInstanceOf[T]
+              }
+            } else if (fs.exists(dvd.contains)) {
               // a live deletion vector means the raw columnar scan would
               // serve suppressed rows — fall back to the Catalyst read
               // that anti-joins them away ([[CommitLog.readFiles]] via
@@ -582,11 +644,16 @@ object GraftLogDataSource {
     }
 
     // ------------------------------------------------------------------ row-level DML
-    /** `DELETE FROM` / `UPDATE` / `MERGE INTO` — group-based copy-on-write
-      * rewrites planned by Spark over [[GraftRowLevelOperation]]; the
-      * operation scans the zone-pruned affected files, and its write swaps
-      * them for the recomputed replacements in one conflict-checked
-      * commit. */
+    /** `DELETE FROM` / `UPDATE` / `MERGE INTO` — the strategy is the
+      * TABLE's: a table that opted into deletion vectors
+      * ([[CommitLog.enableDv]] / `TBLPROPERTIES ('graft.dv.enabled')`)
+      * plans the delta-based merge-on-read operation
+      * ([[GraftDvRowLevelOperation]]: matched rows suppressed via merged
+      * per-file vectors, images appended, ONE commit, zero files
+      * rewritten — Delta's behavior when `enableDeletionVectors` is set);
+      * everything else plans the group-based copy-on-write rewrite
+      * ([[GraftRowLevelOperation]]). Translatable DELETEs still
+      * short-circuit through `SupportsDelete` first on both. */
     override def newRowLevelOperationBuilder(
         info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
         : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -596,7 +663,11 @@ object GraftLogDataSource {
         s"graftlog: cannot ${info.command.name.toLowerCase} rows of a time-travel " +
           s"snapshot of $path (drop versionAsOf/timestampAsOf to modify the head)")
       require(exists, s"graftlog: $path has no commits — nothing to ${info.command}")
-      () => new GraftRowLevelOperation(path, snapshotVersion, schema0, info.command)
+      () =>
+        if (CommitLog.dvEnabled(path, Some(snapshotVersion)))
+          new GraftDvRowLevelOperation(path, snapshotVersion, schema0, info.command)
+        else
+          new GraftRowLevelOperation(path, snapshotVersion, schema0, info.command)
     }
 
     /** Metadata-only DELETE: when the zone maps prove every live file is

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.read.{SupportsPushDownFilters, SupportsPus
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -103,10 +103,11 @@ private[sources] final class GraftRowLevelOperation(
           // the table's files have always worn — CommitLog column mapping)
           val kit = org.apache.spark.sql.GraftSqlShim.parquetWriteKit(
             SparkSession.active, CommitLog.physicalizeNames(path, schema))
-          // CHECK constraints, resolved against the LOGICAL write schema
-          // and bound by position (an UPDATE that SETs a violating value
-          // must refuse exactly like a violating append)
-          val checks = CommitLog.constraintsOf(path, Some(version)).toSeq
+          // per-row write invariants (CHECK constraints + NOT NULL
+          // columns), resolved against the LOGICAL write schema and bound
+          // by position (an UPDATE that SETs a violating value must
+          // refuse exactly like a violating append)
+          val checks = CommitLog.rowCheckSpecs(path, Some(version))
             .map { case (n, e) =>
               (n, org.apache.spark.sql.GraftSqlShim.rowCheck(
                 SparkSession.active, schema, e))
@@ -230,7 +231,7 @@ private final class GraftParquetDataWriter(
     while (i < checks.length) {
       val (cname, check) = checks(i)
       if (!check.ok(out)) throw new IllegalStateException(
-        s"write to $table violates CHECK constraint '$cname'")
+        s"write to $table violates constraint '$cname'")
       i += 1
     }
     writer.write(out)
@@ -297,6 +298,246 @@ private final class ShiftedInternalRow extends InternalRow {
     underlying.getGeometry(i + 1)
   override def get(i: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
     underlying.get(i + 1, dataType)
+}
+
+/** Delta-based (merge-on-read) SQL row-level operations — what `DELETE
+  * FROM` / `UPDATE` / `MERGE INTO` plan through on a table that opted
+  * into deletion vectors ([[graft.io.CommitLog.enableDv]]). This is the
+  * `SupportsDelta` half of Spark's row-level connector API (the surface
+  * Iceberg's merge-on-read mode uses; Delta Lake's deletion-vector DML is
+  * the same design):
+  *
+  *  - [[rowId]] names the row identity: the table's (file, position)
+  *    METADATA columns ([[GraftLogDataSource.GraftLogTable]] implements
+  *    `SupportsMetadataColumns`), which the operation's scan serves from
+  *    the parquet reader's own file/row-index metadata — suppressed rows
+  *    excluded, so a statement can never re-serve or resurrect a deleted
+  *    row.
+  *  - Spark rewrites the command into a `WriteDelta` plan: only MATCHED
+  *    rows flow, each tagged delete/update/insert, with the row identity
+  *    projected alongside. No surviving row is recomputed or rewritten —
+  *    at 100 TB an UPDATE of a sparse row set costs ∝ rows updated, not
+  *    ∝ rows kept in every touched file (the group-based rewrite's bill).
+  *  - Write tasks gather each touched file's fresh delete positions and
+  *    land them as PARTIAL sidecars (executor-side, invisible until
+  *    committed), appended images go to ordinary uniquely-named parquet
+  *    files; the driver merges partials with each file's existing vector
+  *    into one final sidecar per file and lands ONE conflict-checked
+  *    commit ([[CommitLog.commitDeltaDml]]) — zero data files removed.
+  *
+  * The copy-on-write [[GraftRowLevelOperation]] remains the route for
+  * tables that never opted in; [[GraftLogDataSource.GraftLogTable
+  * .newRowLevelOperationBuilder]] picks per table, exactly as Delta picks
+  * DML strategy from `enableDeletionVectors`. Translatable DELETEs still
+  * short-circuit through `SupportsDelete` (metadata-only proof, then
+  * [[CommitLog.dvDelete]]) before any rewrite is planned.
+  */
+private[sources] final class GraftDvRowLevelOperation(
+    path: String, version: Long, tableSchema: StructType, cmd: Command)
+    extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): Command = cmd
+
+  override def description(): String =
+    s"graftlog ${cmd.name.toLowerCase} $path@v$version (merge-on-read)"
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(CommitLog.DvFileCol),
+      org.apache.spark.sql.connector.expressions.Expressions.column(CommitLog.DvPosCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      private var pushed: Array[Filter] = Array.empty
+
+      /** Unlike the group-based scan, row filtering here is SAFE (only
+        * matching rows become deltas; non-matching rows are simply not
+        * touched), so pushed filters both zone-prune the candidate files
+        * AND narrow the scanned rows. All reported residual — Spark
+        * re-applies the full condition above. */
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val reqF = required
+        val fseq = pushed.toIndexedSeq
+        new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = reqF
+          override def description(): String =
+            s"graftlog $path@v$version (merge-on-read scan), " +
+              s"PushedFilters: ${fseq.mkString("[", ", ", "]")}"
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: org.apache.spark.sql.SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = context
+              override def schema: StructType = reqF
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+                val spark = context.sparkSession
+                val files = GraftLogDataSource.prunedFileNames(path, version, fseq)
+                val base = CommitLog.readSnapshotWithPos(spark, path, files, Some(version))
+                val filtered = fseq.flatMap(GraftLogDataSource.translate)
+                  .foldLeft(base)((df, c) => df.filter(c))
+                filtered.select(reqF.fieldNames.map(n =>
+                  org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*).rdd
+              }
+            }.asInstanceOf[T]
+        }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
+    val rowSchema = info.schema()
+    val idSchema = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException(
+        s"graftlog: delta ${cmd.name.toLowerCase} on $path planned without a row-id schema"))
+    val fileIdx = idSchema.fieldIndex(CommitLog.DvFileCol)
+    val posIdx = idSchema.fieldIndex(CommitLog.DvPosCol)
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def description(): String = GraftDvRowLevelOperation.this.description()
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+            val kit = org.apache.spark.sql.GraftSqlShim.parquetWriteKit(
+              SparkSession.active, CommitLog.physicalizeNames(path, rowSchema))
+            // per-row write invariants (CHECK constraints + NOT NULL
+            // columns) on the inserted/updated images — resolved against
+            // the LOGICAL write schema, bound by position, per-row in the
+            // write task (the same semantics every staging chokepoint and
+            // the group-based writers enforce)
+            val checks = CommitLog.rowCheckSpecs(path, Some(version))
+              .map { case (n, e) =>
+                (n, org.apache.spark.sql.GraftSqlShim.rowCheck(
+                  SparkSession.active, rowSchema, e))
+              }
+            new org.apache.spark.sql.connector.write.DeltaBatchWrite {
+              override def createBatchWriterFactory(pi: PhysicalWriteInfo)
+                  : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+                new GraftDeltaWriterFactory(path, kit, checks, fileIdx, posIdx)
+
+              override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                val added = messages.toSeq.collect {
+                  case GraftDeltaMessage(fs, _) => fs
+                }.flatten
+                val partials = messages.toSeq.collect {
+                  case GraftDeltaMessage(_, ps) => ps
+                }.flatten
+                // one commit against the snapshot the scan read; a racing
+                // commit aborts the statement (abort() reclaims the
+                // partials and data files) — re-running re-scans, the
+                // same serializability contract as the group rewrite
+                CommitLog.commitDeltaDml(path, cmd.name.toLowerCase, version,
+                  partials, added)
+                ()
+              }
+
+              override def abort(messages: Array[WriterCommitMessage]): Unit =
+                messages.toSeq.collect { case GraftDeltaMessage(fs, ps) =>
+                  fs ++ ps.map(_._2)
+                }.flatten.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+            }
+          }
+        }
+    }
+  }
+}
+
+/** Per-task writer for delta-based DML: delete positions accumulate per
+  * touched file and land as PARTIAL sidecars at task commit (executor-
+  * side, invisible until the driver's log commit — a lost speculative
+  * attempt's partials are unreferenced orphans, vacuumed); inserted and
+  * updated images stream into one uniquely-named parquet file per
+  * non-empty task, exactly like the group-based writer's. */
+private[sources] final class GraftDeltaWriterFactory(
+    table: String, kit: org.apache.spark.sql.ParquetWriteKit,
+    checks: Seq[(String, org.apache.spark.sql.GraftRowCheck)],
+    fileIdx: Int, posIdx: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(table, kit, checks, fileIdx, posIdx, partitionId, taskId)
+}
+
+/** `files` = appended image parquet files; `partials` = (data file,
+  * partial dv sidecar) pairs gathered by one task. */
+private[sources] final case class GraftDeltaMessage(
+    files: Seq[String], partials: Seq[(String, String)])
+    extends WriterCommitMessage
+
+private final class GraftDeltaWriter(
+    table: String, kit: org.apache.spark.sql.ParquetWriteKit,
+    checks: Seq[(String, org.apache.spark.sql.GraftRowCheck)],
+    fileIdx: Int, posIdx: Int,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val deletes =
+    new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+  private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+  private var name: String = _
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    require(id != null && !id.isNullAt(fileIdx) && !id.isNullAt(posIdx),
+      s"delta delete on $table: null row identity — the scan must serve " +
+        "(file, position) for every row")
+    val f = id.getUTF8String(fileIdx).toString
+    var buf = deletes.get(f)
+    if (buf == null) {
+      buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      deletes.put(f, buf)
+    }
+    buf += id.getLong(posIdx)
+    ()
+  }
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (writer == null) {
+      name = f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.parquet"
+      writer = kit.open(Paths.get(table, name).toString, partitionId, 0)
+    }
+    var i = 0
+    while (i < checks.length) {
+      val (cname, check) = checks(i)
+      if (!check.ok(row)) throw new IllegalStateException(
+        s"write to $table violates constraint '$cname'")
+      i += 1
+    }
+    writer.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    val partials = Seq.newBuilder[(String, String)]
+    deletes.forEach { (f, buf) =>
+      val part = s"$f.dvpart-${java.util.UUID.randomUUID()}"
+      graft.io.DvSidecars.write(table, part, buf.distinct.sorted.toArray)
+      partials += (f -> part)
+    }
+    GraftDeltaMessage(Option(name).toSeq, partials.result())
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) {
+      try writer.close() catch { case scala.util.control.NonFatal(_) => () }
+      Files.deleteIfExists(Paths.get(table, name))
+      ()
+    }
+  }
+
+  override def close(): Unit = ()
 }
 
 /** The metadata-only DELETE planner behind `SupportsDelete.canDeleteWhere`

@@ -79,10 +79,11 @@ private[sources] final class GraftLogStreamingWrite(
     org.apache.spark.sql.SparkSession.active,
     graft.io.CommitLog.physicalizeNames(table, schema)) // physical names for renamed columns
 
-  // CHECK constraints at stream START (logical names, bound by position):
-  // every epoch's rows validate executor-side, so a streaming ingest
-  // cannot land rows a batch append would refuse
-  private val checks = graft.io.CommitLog.constraintsOf(table).toSeq.map {
+  // per-row write invariants at stream START (CHECK constraints + NOT
+  // NULL columns; logical names, bound by position): every epoch's rows
+  // validate executor-side, so a streaming ingest cannot land rows a
+  // batch append would refuse
+  private val checks = graft.io.CommitLog.rowCheckSpecs(table).map {
     case (n, e) => (n, org.apache.spark.sql.GraftSqlShim.rowCheck(
       org.apache.spark.sql.SparkSession.active, schema, e))
   }

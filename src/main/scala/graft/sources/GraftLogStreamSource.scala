@@ -150,21 +150,33 @@ final class GraftLogStreamSource(
         spark, path, startV, endV, schema0)
       return GraftSqlShim.asStreamingBatch(cdf)
     }
+    // pin the stream schema: parquet fills columns a file lacks with
+    // nulls and prunes extras, so early files read under late schemas.
+    // Physical names on the wire (renames are metadata-only; the
+    // physical name is fixed at first write, so the pinned mapping
+    // stays valid however the table evolves mid-stream).
+    def readRaw(fs: Seq[String]): DataFrame =
+      spark.read.option("mergeSchema", mergeSchema)
+        .schema(CommitLog.toPhysical(schema0))
+        .parquet(fs.map(f => java.nio.file.Paths.get(path, f).toString): _*)
+        .toDF(schema0.fieldNames.toIndexedSeq: _*)
     val batch = GraftLogStreamSource
-      .initialSnapshotFiles(path, startV, startingVersion, endV)
-      .getOrElse(GraftLogStreamSource.deltaFiles(path, startV, endV, ignoreChanges)) match {
-      case Nil => spark.createDataFrame(
+      .initialSnapshotFiles(path, startV, startingVersion, endV,
+        allowVectored = true) match {
+      case Some(Nil) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
-      case fs =>
-        // pin the stream schema: parquet fills columns a file lacks with
-        // nulls and prunes extras, so early files read under late schemas.
-        // Physical names on the wire (renames are metadata-only; the
-        // physical name is fixed at first write, so the pinned mapping
-        // stays valid however the table evolves mid-stream).
-        spark.read.option("mergeSchema", mergeSchema)
-          .schema(CommitLog.toPhysical(schema0))
-          .parquet(fs.map(f => java.nio.file.Paths.get(path, f).toString): _*)
-          .toDF(schema0.fieldNames.toIndexedSeq: _*)
+      case Some(fs) =>
+        // batch 0 is the SNAPSHOT: live deletion vectors are part of its
+        // meaning, applied per-task (each reader loads only its file's
+        // sidecar) — a months-old vectored table catches up ∝ live data,
+        // not ∝ commits, without waiting for a compact
+        CommitLog.suppressVectored(readRaw(fs), path, Some(endV))
+      case None =>
+        GraftLogStreamSource.deltaFiles(path, startV, endV, ignoreChanges) match {
+          case Nil => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
+          case fs => readRaw(fs)
+        }
     }
     GraftSqlShim.asStreamingBatch(batch)
   }
@@ -217,17 +229,21 @@ object GraftLogStreamSource {
     * re-evaluated when an IN-FLIGHT first batch replays after a crash;
     * it can only flip if a checkpoint landed at exactly the batch-end
     * version inside the crash window, and only `ignoreChanges` consumers
-    * over rewrite histories could observe different rows.) */
+    * over rewrite histories could observe different rows.)
+    *
+    * `allowVectored`: the V1 source applies live deletion vectors to its
+    * snapshot batch (per-task sidecar probe), so a vectored table keeps
+    * the fast path; the V2 micro-batch form plans raw file partitions
+    * and must decline instead (its vectored route is refused upstream
+    * anyway — the caller passes false). */
   private[sources] def initialSnapshotFiles(path: String, startV: Long,
                                             startingVersion: Long,
-                                            endV: Long): Option[Seq[String]] =
+                                            endV: Long,
+                                            allowVectored: Boolean = false)
+      : Option[Seq[String]] =
     if (startV == startingVersion - 1 && startingVersion == 0L && endV >= 0L &&
         CommitLog.lastCheckpoint(path).exists(_ <= endV) &&
-        // a live deletion vector makes the raw snapshot files over-deliver
-        // suppressed rows — decline the fast path and let the replay route
-        // apply its spec-pinned semantics (refuse, or skip under
-        // ignoreChanges)
-        CommitLog.dvFor(path, Some(endV)).isEmpty)
+        (allowVectored || CommitLog.dvFor(path, Some(endV)).isEmpty))
       Some(CommitLog.snapshotFiles(path, Some(endV)))
     else None
 

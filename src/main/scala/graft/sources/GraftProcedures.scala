@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
   def names: Seq[String] =
     Seq("cluster", "compact", "vacuum", "checkpoint", "history", "purge",
       "zorder", "ingest", "enable_dv", "add_constraint", "drop_constraint",
-      "update_mor", "merge_mor", "restore")
+      "set_not_null", "drop_not_null", "update_mor", "merge_mor", "restore")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -53,6 +53,8 @@ private[sources] object GraftProcedures {
       case "enable_dv"  => Some(new EnableDvProc(catalog))
       case "add_constraint"  => Some(new AddConstraintProc(catalog))
       case "drop_constraint" => Some(new DropConstraintProc(catalog))
+      case "set_not_null"    => Some(new SetNotNullProc(catalog, nullable = false))
+      case "drop_not_null"   => Some(new SetNotNullProc(catalog, nullable = true))
       case "update_mor" => Some(new UpdateMorProc(catalog))
       case "merge_mor"  => Some(new MergeMorProc(catalog))
       case "restore"    => Some(new RestoreProc(catalog))
@@ -237,6 +239,32 @@ private[sources] object GraftProcedures {
         input.getUTF8String(1).toString)
       result(schema, Seq(new GenericInternalRow(
         Array[Any](v.map(Long.box).orNull))))
+    }
+  }
+
+  /** `set_not_null(table, column)` / `drop_not_null(table, column)` —
+    * declare or lift a column's NOT NULL constraint
+    * ([[CommitLog.setColumnNullability]]). SET validates the current
+    * snapshot first (NULL-holding data refuses); enforcement is per-row
+    * on every write path, like CHECK. A CALL rather than `ALTER COLUMN
+    * ... SET NOT NULL` because Spark's v2 ALTER analysis hard-blocks
+    * nullable→non-null for connectors (`DROP NOT NULL` works as plain
+    * SQL too). Returns the alter version. */
+  private final class SetNotNullProc(catalog: GraftCatalog, nullable: Boolean)
+      extends TableProc(catalog, if (nullable) "drop_not_null" else "set_not_null") {
+    override def description(): String =
+      if (nullable) "lift a column's NOT NULL constraint"
+      else "declare a column NOT NULL (validates existing data first)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("column", StringType)
+        .comment("top-level column name").build())
+    private val schema = new StructType()
+      .add("version", LongType, nullable = false)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = CommitLog.setColumnNullability(SparkSession.active, dirOf(input),
+        input.getUTF8String(1).toString, nullable)
+      result(schema, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }
 

@@ -130,6 +130,111 @@ class ConstraintSpec extends SparkSpec {
       CommitLog.currentVersion(t))
   }
 
+  test("a constrained append is ONE job: validation rides the staging write") {
+    val plain = freshTable("onejob_plain")
+    val ck = freshTable("onejob_ck")
+    CommitLog.append(df(1L -> 5L), plain)
+    CommitLog.append(df(1L -> 5L), ck)
+    CommitLog.addConstraint(spark, ck, "qty_pos", "qty > 0")
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener delivery is async: wait until the count stabilizes
+        var last = -1
+        var same = 0
+        while (same < 3) {
+          Thread.sleep(100)
+          if (n.get == last) same += 1 else { last = n.get; same = 0 }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get
+    }
+    val plainJobs = jobsDuring(CommitLog.append(df(2L -> 3L), plain))
+    val checkedJobs = jobsDuring(CommitLog.append(df(2L -> 3L), ck))
+    assert(checkedJobs == plainJobs,
+      s"constraint validation must ride the staging write, not run its own " +
+        s"probe job: unconstrained=$plainJobs constrained=$checkedJobs")
+    assert(CommitLog.read(spark, ck).count() == 2)
+  }
+
+  test("validation sees the exact rows written: nondeterministic source refused") {
+    val t = freshTable("nondet")
+    CommitLog.append(df(1L -> 5L), t)
+    CommitLog.addConstraint(spark, t, "qty_pos", "qty > 0")
+    // rand()-derived qty: some rows violate on ANY evaluation — per-row
+    // in-write checking refuses regardless of which sample a probe saw
+    val nondet = spark.range(2000).selectExpr("id",
+      "CAST(CASE WHEN rand() < 0.5 THEN -1 ELSE 1 END AS BIGINT) AS qty")
+    val e = intercept[IllegalStateException] {
+      CommitLog.append(nondet, t)
+    }
+    assert(e.getMessage.contains("qty_pos"))
+    assert(CommitLog.read(spark, t).count() == 1, "nothing may land")
+  }
+
+  test("NOT NULL column: a staged NULL row refuses naming the column") {
+    import org.apache.spark.sql.types.StructType
+    val t = freshTable("notnull")
+    CommitLog.append(df(1L -> 5L), t)
+    val cur = CommitLog.read(spark, t).schema
+    CommitLog.evolveSchema(t, StructType(cur.fields.map(f =>
+      if (f.name == "qty") f.copy(nullable = false) else f)),
+      CommitLog.currentVersion(t))
+    val e = intercept[IllegalStateException] {
+      CommitLog.append(df(2L -> 3L, 3L -> null), t)
+    }
+    assert(e.getMessage.contains("NOT NULL qty"),
+      s"the refusal must name the column: ${e.getMessage}")
+    assert(CommitLog.read(spark, t).count() == 1, "nothing may land")
+    CommitLog.append(df(2L -> 3L), t) // non-null rows still land
+    assert(CommitLog.read(spark, t).count() == 2)
+  }
+
+  test("set_not_null via CALL, DROP NOT NULL via SQL, refused over NULL data") {
+    val root = Paths.get(freshTable("notnull_sql"))
+    Files.createDirectories(root)
+    spark.conf.set("spark.sql.catalog.nncat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.nncat.warehouse", root.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS nncat.s")
+    spark.sql("DROP TABLE IF EXISTS nncat.s.nn")
+    spark.sql("CREATE TABLE nncat.s.nn AS SELECT id, id * 2 AS qty FROM range(4)")
+    val dir = root.resolve("s").resolve("nn").toString
+    // Spark's v2 ALTER analysis hard-blocks nullable->non-null (it cannot
+    // know the data was validated) — the declaration is a CALL procedure
+    spark.sql("CALL nncat.system.set_not_null(`table` => 's.nn', column => 'qty')")
+    assert(CommitLog.declaredSchema(dir).exists(
+      _.fields.exists(f => f.name == "qty" && !f.nullable)))
+    // a NULL row refuses through the staging chokepoint
+    val e = intercept[Throwable] {
+      spark.sql("INSERT INTO nncat.s.nn VALUES (9, NULL)")
+    }
+    val named = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t2 => Option(t2.getMessage)).exists(m =>
+        m.contains("qty") && m.toUpperCase.contains("NULL"))
+    assert(named, s"the refusal must name the column: $e")
+    assert(spark.sql("SELECT count(*) AS n FROM nncat.s.nn").head.getLong(0) == 4L)
+    // DROP NOT NULL lifts enforcement
+    spark.sql("ALTER TABLE nncat.s.nn ALTER COLUMN qty DROP NOT NULL")
+    spark.sql("INSERT INTO nncat.s.nn VALUES (9, NULL)")
+    assert(spark.sql("SELECT count(*) AS n FROM nncat.s.nn").head.getLong(0) == 5L)
+    // and SET NOT NULL over the now-NULL-holding data refuses at the alter
+    val e2 = intercept[Throwable] {
+      spark.sql("CALL nncat.system.set_not_null(`table` => 's.nn', column => 'qty')")
+    }
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t2 => Option(t2.getMessage)).exists(_.contains("already holds NULL")),
+      s"SET NOT NULL over NULL data must refuse at the alter: $e2")
+  }
+
   test("constraints survive a checkpoint roll + log expiry") {
     val t = freshTable("ckpt")
     CommitLog.append(df(1L -> 5L), t)

@@ -254,4 +254,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gcat.ic.t WHERE k BETWEEN 0 AND 5")
       .head.getLong(0) == 6L)
   }
+
+  test("a refused CREATE (bad TBLPROPERTIES) leaves no ghost table behind") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ghost")
+    spark.sql("DROP TABLE IF EXISTS gcat.ghost.t")
+    // bloom column not in the schema: must refuse BEFORE anything lands
+    val e = intercept[Throwable] {
+      spark.sql("CREATE TABLE gcat.ghost.t (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('graft.bloom.column' = 'nope')")
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).exists(_.contains("not in the schema")))
+    // unknown graft.* property: same contract
+    intercept[Throwable] {
+      spark.sql("CREATE TABLE gcat.ghost.t (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('graft.dv.enable' = 'true')")
+    }
+    // the failed CREATEs left nothing — the retry with valid properties works
+    spark.sql("CREATE TABLE gcat.ghost.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.bloom.column' = 'v', 'graft.dv.enabled' = 'true')")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.ghost.t").head.getLong(0) == 0L)
+  }
 }

@@ -192,4 +192,130 @@ class GraftLogRowLevelSpec extends SparkSpec {
     assert(CommitLog.currentVersion(dir) == vBefore + 1)
     assert(CommitLog.read(spark, dir, Some(vBefore)).count() == 7L)
   }
+
+  // ---------------------------------------------------------------- merge-on-read (SupportsDelta)
+
+  test("merge-on-read UPDATE: one dv+adds commit, no rewrite, RHS reads the OLD row") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.mu")
+    spark.sql(
+      "CREATE TABLE rlcat.dml.mu AS SELECT id, id * 10 AS a, id * 100 AS b FROM range(8)")
+    val dir = tableDir("mu")
+    CommitLog.enableDv(dir)
+    val before = CommitLog.snapshotFiles(dir).toSet
+    val vPre = CommitLog.currentVersion(dir)
+
+    // the classic swap: both RHS must see the PRE-update row
+    spark.sql("UPDATE rlcat.dml.mu SET a = b, b = a WHERE id >= 6")
+
+    assert(CommitLog.currentVersion(dir) == vPre + 1, "UPDATE must be ONE commit")
+    val c = CommitLog.readCommit(dir, vPre + 1)
+    assert(c.op == "update" && c.remove.isEmpty && c.dv.nonEmpty && c.add.nonEmpty,
+      s"update must land as vectors + image adds, got op=${c.op} " +
+        s"adds=${c.add.size} removes=${c.remove.size} dvs=${c.dv.size}")
+    assert(before.subsetOf(CommitLog.snapshotFiles(dir).toSet),
+      "no pre-update data file may be removed")
+    val got = spark.sql("SELECT id, a, b FROM rlcat.dml.mu WHERE id >= 6 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((6L, 600L, 60L), (7L, 700L, 70L)),
+      s"swap semantics violated: $got")
+    assert(spark.sql("SELECT count(*) AS n FROM rlcat.dml.mu").head.getLong(0) == 8L)
+    // time travel below the update serves the unswapped rows
+    assert(CommitLog.read(spark, dir, Some(vPre))
+      .filter(org.apache.spark.sql.functions.col("a") > 100).count() == 0L)
+  }
+
+  test("merge-on-read DELETE with an untranslatable predicate: vectors, not rewrite") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.md")
+    spark.sql("CREATE TABLE rlcat.dml.md AS SELECT id, concat('v', id) AS v FROM range(10)")
+    val dir = tableDir("md")
+    CommitLog.enableDv(dir)
+    val before = CommitLog.snapshotFiles(dir)
+    val vPre = CommitLog.currentVersion(dir)
+
+    // id % 2 = 0 is not a v1 source filter: SupportsDelete declines, the
+    // delta-based WriteDelta plan must serve it as a vector commit
+    spark.sql("DELETE FROM rlcat.dml.md WHERE id % 2 = 0")
+
+    val c = CommitLog.readCommit(dir, vPre + 1)
+    assert(c.op == "delete" && c.add.isEmpty && c.remove.isEmpty && c.dv.nonEmpty,
+      s"delete must land as vectors only, got op=${c.op} adds=${c.add.size} " +
+        s"removes=${c.remove.size} dvs=${c.dv.size}")
+    assert(CommitLog.snapshotFiles(dir) == before)
+    val left = spark.sql("SELECT id FROM rlcat.dml.md ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(1L, 3L, 5L, 7L, 9L))
+    // a second delete over the SAME files must merge vectors, and the
+    // already-suppressed rows must not be re-servable
+    spark.sql("DELETE FROM rlcat.dml.md WHERE id % 3 = 0")
+    assert(spark.sql("SELECT id FROM rlcat.dml.md ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 5L, 7L))
+  }
+
+  test("merge-on-read MERGE INTO: matched suppressed + images appended, one commit") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.mm")
+    spark.sql("CREATE TABLE rlcat.dml.mm AS SELECT id, CAST(0 AS INT) AS gen FROM range(5)")
+    val dir = tableDir("mm")
+    CommitLog.enableDv(dir)
+    val before = CommitLog.snapshotFiles(dir).toSet
+    val vPre = CommitLog.currentVersion(dir)
+    spark.sql("SELECT id, CAST(1 AS INT) AS gen FROM range(3, 8)")
+      .createOrReplaceTempView("rl_dv_src")
+
+    spark.sql(
+      """MERGE INTO rlcat.dml.mm t USING rl_dv_src s ON t.id = s.id
+        |WHEN MATCHED AND s.id = 4 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET gen = s.gen
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    assert(CommitLog.currentVersion(dir) == vPre + 1, "MERGE must be ONE commit")
+    val c = CommitLog.readCommit(dir, vPre + 1)
+    assert(c.op == "merge" && c.remove.isEmpty && c.dv.nonEmpty && c.add.nonEmpty,
+      s"merge must land as vectors + image adds, got op=${c.op}")
+    assert(before.subsetOf(CommitLog.snapshotFiles(dir).toSet))
+    val got = spark.sql("SELECT id, gen FROM rlcat.dml.mm ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 5L -> 1, 6L -> 1, 7L -> 1),
+      s"got $got")
+  }
+
+  test("row-identity metadata columns: selectable, suppressed rows excluded") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.mc")
+    spark.sql("CREATE TABLE rlcat.dml.mc AS SELECT id FROM range(6)")
+    val dir = tableDir("mc")
+    CommitLog.enableDv(dir)
+    val tagged = spark.sql(
+      "SELECT id, _graft_dv_file AS f, _graft_dv_pos AS p FROM rlcat.dml.mc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(tagged.length == 6 && tagged.forall(t => t._2.endsWith(".parquet")),
+      s"every row must carry its (file, position) identity: ${tagged.toSeq}")
+    spark.sql("DELETE FROM rlcat.dml.mc WHERE id % 2 = 1")
+    val after = spark.sql("SELECT id, _graft_dv_pos AS p FROM rlcat.dml.mc")
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    assert(after == Seq(0L, 2L, 4L),
+      "the metadata-column read must apply live vectors")
+    // the schema itself never grows the identity columns
+    assert(!spark.table("rlcat.dml.mc").schema.fieldNames.exists(_.startsWith("_graft_")))
+  }
+
+  test("merge-on-read UPDATE refuses a CHECK-violating image, nothing lands") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.mk")
+    spark.sql("CREATE TABLE rlcat.dml.mk AS SELECT id, id * 10 AS a FROM range(5)")
+    val dir = tableDir("mk")
+    CommitLog.enableDv(dir)
+    CommitLog.addConstraint(spark, dir, "a_small", "a < 1000")
+    val vPre = CommitLog.currentVersion(dir)
+    val e = intercept[Throwable] {
+      spark.sql("UPDATE rlcat.dml.mk SET a = 5000 WHERE id = 2")
+    }
+    val named = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .map(_.getMessage).exists(m => m != null && m.contains("a_small"))
+    assert(named, s"the refusal must name the constraint: $e")
+    assert(CommitLog.currentVersion(dir) == vPre, "nothing may land")
+    assert(spark.sql("SELECT count(*) AS n FROM rlcat.dml.mk").head.getLong(0) == 5L)
+  }
 }

@@ -300,6 +300,92 @@ class GraftLogStreamSpec extends SparkSpec {
       s"startingVersion=2 must replay commits, got $explicit")
   }
 
+  test("initial-snapshot fast path on a VECTORED table: batch 0 is the " +
+      "snapshot minus suppressed rows (no compact needed)") {
+    val root = freshDir("initsnapdv")
+    val t = root.resolve("t").toString
+    CommitLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t) // v0
+    CommitLog.append(Seq((4L, "d")).toDF("id", "v"), t)                       // v1
+    CommitLog.enableDv(t)                                                     // v2
+    assert(CommitLog.dvDelete(spark, t,
+      org.apache.spark.sql.functions.col("id") === 2L).nonEmpty)              // v3
+    CommitLog.checkpoint(t)                                                   // v4
+    assert(CommitLog.dvRowCount(t) == 1L, "the vector must be live")
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def drainForeach(ckpt: String): Seq[(Long, String)] = {
+      delivered.clear()
+      val q = spark.readStream.format("graftlog").load(t)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => delivered.add((r.getLong(0), r.getString(1)))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000L), "drain timed out")
+      delivered.iterator().asScala.toSeq.sorted
+    }
+    // fresh stream on the vectored, checkpointed table: ONE snapshot
+    // batch, suppressed row absent, no refusal, no replay of v0..v3
+    val got = drainForeach(root.resolve("ckpt").toString)
+    assert(got == Seq((1L, "a"), (3L, "c"), (4L, "d")),
+      s"batch 0 must be the vector-applied snapshot, got $got")
+    // the tail stays incremental; a LATER dv commit still refuses
+    // without ignoreChanges (replay semantics unchanged past batch 0)
+    CommitLog.append(Seq((5L, "e")).toDF("id", "v"), t)
+    assert(drainForeach(root.resolve("ckpt").toString) == Seq((5L, "e")))
+    assert(CommitLog.dvDelete(spark, t,
+      org.apache.spark.sql.functions.col("id") === 1L).nonEmpty)
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainForeach(root.resolve("ckpt").toString); ()
+    }
+    assert(failed.getMessage.contains("ignoreChanges"), failed.getMessage)
+  }
+
+  test("CDF stream resume at a DROP COLUMN era boundary: no double- or " +
+      "skip-served window") {
+    val root = freshDir("cdfresume")
+    val t = root.resolve("t").toString
+    CommitLog.append(Seq((1L, "a", "x1"), (2L, "b", "x2"))
+      .toDF("id", "v", "extra"), t)                                   // v0
+    CommitLog.append(Seq((3L, "c", "x3")).toDF("id", "v", "extra"), t) // v1
+    val delivered =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def drainCdf(): Seq[(Long, String, Long)] = {
+      delivered.clear()
+      val q = spark.readStream.format("graftlog")
+        .option("readChangeFeed", "true")
+        .load(t)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => delivered.add((r.getLong(0),
+            r.getString(r.fieldIndex("_change_type")),
+            r.getLong(r.fieldIndex("_commit_version"))))); ()
+        }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000L), "CDF drain timed out")
+      delivered.iterator().asScala.toSeq.sorted
+    }
+    // drain #1 ends EXACTLY at the drop alter: the checkpoint lands on
+    // the era boundary (the alter carries no rows)
+    val cur = CommitLog.read(spark, t).schema
+    CommitLog.evolveSchema(t,
+      org.apache.spark.sql.types.StructType(cur.fields.filter(_.name != "extra")),
+      CommitLog.currentVersion(t), Seq("extra"))                       // v2: drop
+    val first = drainCdf()
+    assert(first.map(x => (x._1, x._3)).sorted ==
+      Seq((1L, 0L), (2L, 0L), (3L, 1L)),
+      s"the pre-boundary drain must serve v0+v1 inserts once, got $first")
+    // restart across the boundary: the next data commit (post-drop era)
+    // must arrive exactly once, at its own version
+    CommitLog.append(Seq((4L, "d")).toDF("id", "v"), t)                // v3
+    val resumed = drainCdf()
+    assert(resumed == Seq((4L, "insert", 3L)),
+      s"the boundary window must be served exactly once, got $resumed")
+  }
+
   test("update commits fail loudly; ignoreChanges streams their adds") {
     val root = freshDir("changes")
     val t = root.resolve("t").toString

@@ -78,14 +78,32 @@ class RestoreSpec extends SparkSpec {
     assert(CommitLog.dvRowCount(t) == 0L)
   }
 
-  test("schema drift since the target refuses; vacuumed horizon refuses") {
-    val t = freshTable("refuse")
+  test("restore rolls the declared schema and constraints back too " +
+      "(Delta RESTORE parity); pre-declaration targets refuse") {
+    val t = freshTable("schema")
     CommitLog.append(df(1L -> "a"), t)                       // v0
-    val cur = CommitLog.read(spark, t).schema
-    CommitLog.evolveSchema(t, cur.add("extra",
-      org.apache.spark.sql.types.LongType), CommitLog.currentVersion(t)) // v1
+    val base = CommitLog.read(spark, t).schema
+    CommitLog.evolveSchema(t, base, CommitLog.currentVersion(t)) // v1: declare
+    val vGood = CommitLog.currentVersion(t)
+    // the damage: widen the schema, add a constraint, write under both
+    CommitLog.evolveSchema(t, base.add("extra",
+      org.apache.spark.sql.types.LongType), CommitLog.currentVersion(t)) // v2
+    CommitLog.addConstraint(spark, t, "v_nonempty", "length(v) > 0")     // v3
+    import spark.implicits._
+    CommitLog.append(Seq((9L, "z", 7L)).toDF("id", "v", "extra"), t)     // v4
+    // one restore commit: data back, schema back, constraint gone
+    assert(CommitLog.restore(t, vGood).nonEmpty)
+    assert(content(t) == Seq(1L -> "a"))
+    assert(CommitLog.declaredSchema(t).exists(_.fieldNames.toSeq == Seq("id", "v")),
+      "the restored schema must be the target version's")
+    assert(CommitLog.constraintsOf(t).isEmpty,
+      "a constraint added after the target must be rolled back")
+    // the damaged era is still time-travelable, with ITS schema
+    assert(CommitLog.declaredSchema(t, Some(4L)).exists(
+      _.fieldNames.contains("extra")))
+    // a target PREDATING any declared schema refuses (cannot un-declare)
     val e = intercept[IllegalArgumentException] { CommitLog.restore(t, 0L) }
-    assert(e.getMessage.contains("DATA rollback"))
+    assert(e.getMessage.contains("predates the table's declared schema"))
 
     val t2 = freshTable("vacuumed")
     CommitLog.append(df(1L -> "a"), t2)                      // v0
