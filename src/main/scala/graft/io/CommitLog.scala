@@ -2001,11 +2001,20 @@ object CommitLog {
     val (candidates, _) = upsertCandidates(table, tip, updates, keys, old)
     // the declared-schema reader, so an upsert after column evolution
     // carries NULL-padded old rows instead of failing the union
+    // the batch side coalesces to ≤ the candidate count: the scan side
+    // stages one range-tight file per rewritten candidate (per-file
+    // partitions), and without the coalesce the batch's many tiny
+    // partitions would each write a full-batch-range file — a per-upsert
+    // small-file leak whose overlapping ranges also grow the NEXT
+    // upsert's candidate set (observed by LogProbe tier A after round
+    // 12 dropped the re-clustering pass). No extra job: coalesce is a
+    // partition merge on the small-by-contract batch side only.
     val merged =
       if (candidates.isEmpty) updates
       else readFiles(spark, table, candidates, mergeSchema = false, Some(tip))
         .join(updates, keys, "left_anti")
-        .unionByName(updates, allowMissingColumns = true)
+        .unionByName(updates.coalesce(math.max(1, candidates.length)),
+          allowMissingColumns = true)
     // replacement files keep pruning alive WITHOUT a re-clustering pass:
     // a plain stage's add actions carry footer multi-stats on every
     // integral column (the key included), so future upserts prune

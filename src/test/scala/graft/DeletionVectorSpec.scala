@@ -30,6 +30,46 @@ class DeletionVectorSpec extends SparkSpec {
     rows.toDF("id", "v")
   }
 
+  test("sidecar encodings: dense vectors drop to the range bitset, sparse " +
+      "stay raw positions, both roundtrip and merge") {
+    val t = freshTable("encoding")
+    Files.createDirectories(Paths.get(t))
+    // dense: 10k of 12k consecutive rows -> bitset (~1.5 KB vs 80 KB raw)
+    val dense = (0L until 12000L).filter(_ % 6 != 0).toArray
+    graft.io.DvSidecars.write(t, "dense.dv-x", dense)
+    val denseBytes = Files.size(Paths.get(t, "dense.dv-x"))
+    assert(denseBytes < 8L * dense.length / 10,
+      s"a dense vector must encode compactly, got $denseBytes bytes for " +
+        s"${dense.length} positions")
+    assert(graft.io.DvSidecars.read(t, "dense.dv-x").toSeq == dense.toSeq,
+      "the bitset must expand back to the exact sorted positions")
+    assert(graft.io.DvSidecars.suppressed(t, "dense.dv-x", 1L) &&
+      !graft.io.DvSidecars.suppressed(t, "dense.dv-x", 0L) &&
+      !graft.io.DvSidecars.suppressed(t, "dense.dv-x", 999999L))
+    // sparse: 3 positions across a wide span -> raw (a bitset would be MBs)
+    val sparse = Array(5L, 100000L, 90000000L)
+    graft.io.DvSidecars.write(t, "sparse.dv-x", sparse)
+    assert(Files.size(Paths.get(t, "sparse.dv-x")) == 12L + 8L * sparse.length,
+      "a sparse vector must stay raw sorted positions")
+    assert(graft.io.DvSidecars.read(t, "sparse.dv-x").toSeq == sparse.toSeq)
+    // a LIVE table whose successive deletes cross encodings still merges
+    // and reads exactly (dense first delete, sparse second)
+    import spark.implicits._
+    val t2 = freshTable("encoding_merge")
+    CommitLog.append(spark.range(20000).select(col("id"),
+      concat(lit("v"), col("id")).as("v")), t2)
+    CommitLog.enableDv(t2)
+    assert(CommitLog.dvDelete(spark, t2,
+      col("id") >= 1000L && col("id") < 9000L).nonEmpty) // dense
+    assert(CommitLog.dvDelete(spark, t2, col("id") === 19999L).nonEmpty) // sparse
+    val left = CommitLog.read(spark, t2).agg(
+      count(lit(1)), sum(col("id"))).head()
+    val expect = (0L until 20000L)
+      .filterNot(i => (i >= 1000L && i < 9000L) || i == 19999L)
+    assert(left.getLong(0) == expect.size && left.getLong(1) == expect.sum,
+      "cross-encoding merged vectors must suppress exactly the union")
+  }
+
   test("dvDelete suppresses exactly the matching rows; no data file moves") {
     val t = freshTable("basic")
     CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t)
