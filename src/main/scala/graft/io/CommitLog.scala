@@ -2668,18 +2668,30 @@ object CommitLog {
     // join by design — those are distinct logical contents.
     val variants = all.map(e => (e.file, e.dv)).distinct
     val varFiles = variants.map(_._1).distinct
-    val variantDf = broadcast(variants.map { case (f, dv) => (f, dv.orNull) }
-      .toDF(DvFileCol, "_graft_cdf_dv"))
-    val scan = readFilesWithPos(spark, table, varFiles, Some(toV))
-      .join(variantDf, Seq(DvFileCol))
-      .filter(!org.apache.spark.sql.GraftSqlShim.column(
-        graft.plans.DvPosSuppressed(
-          org.apache.spark.sql.GraftSqlShim.expression(col("_graft_cdf_dv")),
-          org.apache.spark.sql.GraftSqlShim.expression(col(DvPosCol)), table)))
-      .withColumn("_graft_cdf_file",
-        concat(col(DvFileCol), lit("#"),
-          coalesce(col("_graft_cdf_dv"), lit(""))))
-      .drop(DvFileCol, DvPosCol, "_graft_cdf_dv")
+    // the common window holds NO vector state at all (plain appends /
+    // rewrites): serve it without the row-index columns or the variant
+    // join — the per-micro-batch CDF streams pay this shape once per
+    // trigger, so the vector machinery must cost zero when unused
+    val scan =
+      if (variants.forall(_._2.isEmpty))
+        readFiles(spark, table, varFiles, mergeSchema = false,
+            Some(toV), suppressDv = false)
+          .withColumn("_graft_cdf_file",
+            concat(element_at(split(input_file_name(), "/"), -1), lit("#")))
+      else {
+        val variantDf = broadcast(variants.map { case (f, dv) => (f, dv.orNull) }
+          .toDF(DvFileCol, "_graft_cdf_dv"))
+        readFilesWithPos(spark, table, varFiles, Some(toV))
+          .join(variantDf, Seq(DvFileCol))
+          .filter(!org.apache.spark.sql.GraftSqlShim.column(
+            graft.plans.DvPosSuppressed(
+              org.apache.spark.sql.GraftSqlShim.expression(col("_graft_cdf_dv")),
+              org.apache.spark.sql.GraftSqlShim.expression(col(DvPosCol)), table)))
+          .withColumn("_graft_cdf_file",
+            concat(col(DvFileCol), lit("#"),
+              coalesce(col("_graft_cdf_dv"), lit(""))))
+          .drop(DvFileCol, DvPosCol, "_graft_cdf_dv")
+      }
     val dataCols = scan.columns.filterNot(_ == "_graft_cdf_file").toSeq
     require(!dataCols.exists(c => c.startsWith("_graft_cdf_") || c == "_n"),
       s"changes($table): table columns collide with CDF internals: $dataCols")
