@@ -235,6 +235,41 @@ object LogProbe {
       results += (s"dv_read_x$k" -> sec)
     }
 
+    // ---------------------------------------------------------- Tier A6
+    // MoR WRITE flat in the candidates' PRE-EXISTING vector size: a
+    // narrow dvDelete whose candidate set is every live file (uniform
+    // key — no zone prune possible) while those files carry increasingly
+    // dense vectors. The pre-round-14 writers expanded every candidate's
+    // old vector DRIVER-side into the task closure (∝ candidates'
+    // suppressed rows per statement — 62k/250k/1M longs here); the
+    // sidecar-NAME closure loads only each TOUCHED file's vector, inside
+    // its task, through the per-JVM DvSidecars LRU. The position scan is
+    // the same 2M rows at every factor, so any growth would be the
+    // closure expansion.
+    for (k <- Seq(1, 4, 16)) {
+      val t = freshDir(root, s"dvdense_x$k")
+      CommitLog.appendClustered(spark,
+        spark.range(8 * baseRows).select(col("id"),
+          concat(lit("payload_"), col("id")).as("v")),
+        t, "id", buckets = 32)
+      CommitLog.enableDv(t)
+      CommitLog.dvDelete(spark, t, col("id") % 32 < k) // dense vectors, every file
+      val dense = CommitLog.dvRowCount(t)
+      def denseDel(lo: Long): Unit = {
+        CommitLog.dvDelete(spark, t,
+          col("id") >= lo && col("id") < lo + 200L) // candidates: ALL live files
+        ()
+      }
+      denseDel(3000L) // warm
+      val sec = math.min(
+        timed { denseDel(8 * baseRows / 2) }._1,
+        timed { denseDel(8 * baseRows / 4) }._1)
+      println(s"""{"probe":"dv_write_dense","factor":$k,"sec":$sec,""" +
+        s""""preexisting_suppressed":$dense,""" +
+        s""""live_files":${CommitLog.snapshotFiles(t).size}}""")
+      results += (s"dv_write_dense_x$k" -> sec)
+    }
+
     // ---------------------------------------------------------- Tier B
     val seedDf = Seq((1L, "seed")).toDF("id", "v")
     for (n <- Seq(100, 500, 2000)) {

@@ -742,7 +742,10 @@ object CommitLog {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
       .flatMap(t => Option(t.getMessage))
       .find(_.contains("violates constraint"))
-      .map(m => m.substring(m.indexOf("write to ")))
+      // a wrapping layer may rephrase around the marker — fall back to
+      // the whole message rather than throwing on indexOf = -1
+      .map(m => if (m.indexOf("write to ") >= 0)
+        m.substring(m.indexOf("write to ")) else m)
 
   private def stage(df0: DataFrame, table: String): Seq[String] = {
     val df = withRowChecks(df0, table)
@@ -1197,7 +1200,8 @@ object CommitLog {
       return shape.limit(0)
     }
     val raw = readFilesWithPos(spark, table, files, asOf)
-    val dvs = replay(table, asOf).dvs.filter { case (f, _) => files.contains(f) }.toMap
+    val fileSet = files.toSet
+    val dvs = replay(table, asOf).dvs.filter { case (f, _) => fileSet(f) }.toMap
     if (dvs.isEmpty) raw else raw.filter(notSuppressedBy(table, dvs))
   }
 
@@ -1265,28 +1269,34 @@ object CommitLog {
         s"deletion vectors are not enabled on $table — run " +
           "CommitLog.enableDv / CALL graft.system.enable_dv first")
       val live = state.live.keys.toSeq
-      val cands = candidates.fold(live)(f => f(tip).filter(live.contains))
+      val liveSet = live.toSet
+      val cands = candidates.fold(live)(f => f(tip).filter(liveSet))
       if (cands.isEmpty) None
       else {
-        val oldDvs = state.dvs.filter { case (f, _) => cands.contains(f) }.toMap
+        val candSet = cands.toSet
+        val oldDvs = state.dvs.filter { case (f, _) => candSet(f) }.toMap
         val scan0 = readFilesWithPos(spark, table, cands, Some(tip)).filter(cond)
         val scan =
           if (oldDvs.isEmpty) scan0
           else scan0.filter(notSuppressedBy(table, oldDvs))
         // merged vector per touched file, sidecars written EXECUTOR-side
         // (one group per file; a lost speculative attempt's sidecar is an
-        // unreferenced orphan, vacuumed like a lost data file's bytes)
-        val oldPos: Map[String, Array[Long]] = oldDvs.map { case (f, (sc, _)) =>
-          f -> dvPositions(table, sc)
-        }
+        // unreferenced orphan, vacuumed like a lost data file's bytes).
+        // The task closure ships only the file→OLD-sidecar NAME map: each
+        // task loads just ITS file's existing vector through the per-JVM
+        // [[DvSidecars]] LRU — the read path's round-13 pattern. The
+        // replaced form expanded EVERY candidate's vector driver-side
+        // into the closure (∝ candidates' suppressed rows per statement,
+        // even for files the delete never touches).
+        val oldSc: Map[String, String] = oldDvs.map { case (f, (sc, _)) => f -> sc }
         import spark.implicits._
         val written: Array[(String, String, Long)] = scan
           .groupBy(col(DvFileCol))
           .agg(collect_list(col(DvPosCol)).as("_graft_dv_new"))
           .as[(String, Seq[Long])]
           .map { case (f, fresh) =>
-            val merged = (oldPos.getOrElse(f, Array.empty[Long]) ++ fresh)
-              .distinct.sorted
+            val merged = (oldSc.get(f).map(DvSidecars.positions(table, _))
+              .getOrElse(Array.empty[Long]) ++ fresh).distinct.sorted
             val name = s"$f.dv-${java.util.UUID.randomUUID()}"
             writeDvSidecar(table, name, merged)
             (f, name, merged.length.toLong)
@@ -1339,10 +1349,12 @@ object CommitLog {
         .getOrElse(read(spark, table, Some(tip)).columns.toSeq)
       sets.keys.foreach(c => require(cols.exists(_.equalsIgnoreCase(c)),
         s"dvUpdate on $table: SET column '$c' is not in the schema $cols"))
-      val cands = candidates.fold(live)(f => f(tip).filter(live.contains))
+      val liveSet = live.toSet
+      val cands = candidates.fold(live)(f => f(tip).filter(liveSet))
       if (cands.isEmpty) None
       else {
-        val oldDvs = state.dvs.filter { case (f, _) => cands.contains(f) }.toMap
+        val candSet = cands.toSet
+        val oldDvs = state.dvs.filter { case (f, _) => candSet(f) }.toMap
         val scan0 = readFilesWithPos(spark, table, cands, Some(tip)).filter(cond)
         val matched0 =
           if (oldDvs.isEmpty) scan0
@@ -1352,9 +1364,9 @@ object CommitLog {
         // a checkpointed intermediate; matched rows ≪ candidates)
         val matched = matched0.persist()
         try {
-          val oldPos: Map[String, Array[Long]] = oldDvs.map { case (f, (sc, _)) =>
-            f -> dvPositions(table, sc)
-          }
+          // sidecar NAMES in the closure, old vectors loaded per task
+          // through the [[DvSidecars]] LRU (see [[dvDelete]])
+          val oldSc: Map[String, String] = oldDvs.map { case (f, (sc, _)) => f -> sc }
           import spark.implicits._
           val written: Array[(String, String, Long)] = matched
             .select(col(DvFileCol), col(DvPosCol))
@@ -1362,8 +1374,8 @@ object CommitLog {
             .agg(collect_list(col(DvPosCol)).as("_graft_dv_new"))
             .as[(String, Seq[Long])]
             .map { case (f, fresh) =>
-              val merged = (oldPos.getOrElse(f, Array.empty[Long]) ++ fresh)
-                .distinct.sorted
+              val merged = (oldSc.get(f).map(DvSidecars.positions(table, _))
+                .getOrElse(Array.empty[Long]) ++ fresh).distinct.sorted
               val name = s"$f.dv-${java.util.UUID.randomUUID()}"
               writeDvSidecar(table, name, merged)
               (f, name, merged.length.toLong)
@@ -1429,24 +1441,25 @@ object CommitLog {
       val written: Array[(String, String, Long)] =
         if (cands.isEmpty) Array.empty
         else {
-          val oldDvs = state.dvs.filter { case (f, _) => cands.contains(f) }.toMap
+          val candSet = cands.toSet
+          val oldDvs = state.dvs.filter { case (f, _) => candSet(f) }.toMap
           val keyCols = keys.map(k => col(s"`$k`"))
           val matched0 = readFilesWithPos(spark, table, cands, Some(tip))
             .join(source.select(keyCols: _*).distinct(), keys, "left_semi")
           val matched =
             if (oldDvs.isEmpty) matched0
             else matched0.filter(notSuppressedBy(table, oldDvs))
-          val oldPos: Map[String, Array[Long]] = oldDvs.map { case (f, (sc, _)) =>
-            f -> dvPositions(table, sc)
-          }
+          // sidecar NAMES in the closure, old vectors loaded per task
+          // through the [[DvSidecars]] LRU (see [[dvDelete]])
+          val oldSc: Map[String, String] = oldDvs.map { case (f, (sc, _)) => f -> sc }
           import spark.implicits._
           matched.select(col(DvFileCol), col(DvPosCol))
             .groupBy(col(DvFileCol))
             .agg(collect_list(col(DvPosCol)).as("_graft_dv_new"))
             .as[(String, Seq[Long])]
             .map { case (f, fresh) =>
-              val merged = (oldPos.getOrElse(f, Array.empty[Long]) ++ fresh)
-                .distinct.sorted
+              val merged = (oldSc.get(f).map(DvSidecars.positions(table, _))
+                .getOrElse(Array.empty[Long]) ++ fresh).distinct.sorted
               val name = s"$f.dv-${java.util.UUID.randomUUID()}"
               writeDvSidecar(table, name, merged)
               (f, name, merged.length.toLong)
@@ -3028,7 +3041,12 @@ object CommitLog {
         // exactly when the data file they index is not live
         (n.endsWith(".parquet") && !live.contains(n)) ||
           (n.endsWith(".bloom") && !live.contains(n.stripSuffix(".bloom"))) ||
-          (n.contains(".dv-") && !dvLive.contains(n)))
+          (n.contains(".dv-") && !dvLive.contains(n)) ||
+          // PARTIAL dv sidecars (delta-DML task output, `<f>.dvpart-*` /
+          // `<f>.dvupart-*`) are never referenced by the log — deleted
+          // after a successful commit, orphaned by a crash between task
+          // and job commit. Any age-qualified one is reclaimable.
+          n.contains(".dvpart-") || n.contains(".dvupart-"))
     onDisk.foreach(n => Files.delete(Paths.get(table, n)))
     onDisk
   }

@@ -6,7 +6,16 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.io.DvSidecars
+import graft.io.{DvSidecars, DvVector}
+
+/** One file's lazily-resolved deletion vector ([[DvFileSuppressed]]'s
+  * per-instance cache slot). `v` is a benign-race cache of IMMUTABLE
+  * sidecar content — volatile for cross-task visibility when a plan's
+  * reference object is shared by partitions; a concurrent double-resolve
+  * loads identical bytes. */
+private[plans] final class DvVectorSlot(val sidecar: String) {
+  @volatile var v: DvVector = _
+}
 
 /** PER-TASK deletion-vector application: `dv_suppressed(file, pos)` is
   * TRUE when row `pos` of data file `file` is suppressed by the file's
@@ -49,10 +58,18 @@ case class DvFileSuppressed(left: Expression, right: Expression,
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   // UTF8String-keyed view of the map: the per-row probe compares the scan's
-  // raw file-name bytes with zero String decoding or allocation
-  @transient private lazy val byFile: java.util.HashMap[UTF8String, String] = {
-    val m = new java.util.HashMap[UTF8String, String](sidecarOf.size * 2)
-    sidecarOf.foreach { case (f, sc) => m.put(UTF8String.fromString(f), sc) }
+  // raw file-name bytes with zero String decoding or allocation. Each
+  // entry's slot caches the DECODED vector after its first probe, so the
+  // steady-state row path is one lock-free HashMap.get + contains() — the
+  // JVM-global [[DvSidecars]] cache (and its monitor) is touched once per
+  // (expression instance, sidecar), never per row. The slot write is a
+  // benign race: vectors are immutable, a concurrent double-resolve loads
+  // identical content.
+  @transient private lazy val byFile: java.util.HashMap[UTF8String, DvVectorSlot] = {
+    val m = new java.util.HashMap[UTF8String, DvVectorSlot](sidecarOf.size * 2)
+    sidecarOf.foreach { case (f, sc) =>
+      m.put(UTF8String.fromString(f), new DvVectorSlot(sc))
+    }
     m
   }
 
@@ -60,8 +77,11 @@ case class DvFileSuppressed(left: Expression, right: Expression,
     * matches a vector — the row is served. */
   def suppressed(file: UTF8String, pos: Long): Boolean = {
     if (file == null) return false
-    val sc = byFile.get(file)
-    sc != null && DvSidecars.suppressed(tableDir, sc, pos)
+    val slot = byFile.get(file)
+    if (slot == null) return false
+    var v = slot.v
+    if (v == null) { v = DvSidecars.vector(tableDir, slot.sidecar); slot.v = v }
+    v.contains(pos)
   }
 
   override def eval(input: InternalRow): Any = {
@@ -112,8 +132,25 @@ case class DvPosSuppressed(left: Expression, right: Expression,
       s"dv_pos_suppressed expects (string, bigint), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
-  def suppressed(sidecar: UTF8String, pos: Long): Boolean =
-    sidecar != null && DvSidecars.suppressed(tableDir, sidecar.toString, pos)
+  // per-instance memo of resolved vectors, keyed by the sidecar NAME bytes:
+  // the per-row path is a lock-free ConcurrentHashMap.get with zero String
+  // decoding — toString and the JVM-global [[DvSidecars]] monitor are paid
+  // once per (instance, sidecar), not per row (the variant walk probes this
+  // for every scanned row). Keys are COPIED on insert (the incoming
+  // UTF8String may alias a reused scan buffer); a handful of sidecars per
+  // window bounds the map.
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[UTF8String, DvVector]()
+
+  def suppressed(sidecar: UTF8String, pos: Long): Boolean = {
+    if (sidecar == null) return false
+    var v = memo.get(sidecar)
+    if (v == null) {
+      v = DvSidecars.vector(tableDir, sidecar.toString)
+      memo.put(sidecar.clone(), v)
+    }
+    v.contains(pos)
+  }
 
   override def eval(input: InternalRow): Any = {
     val sc = left.eval(input)

@@ -31,6 +31,12 @@ object GraftSqlShim {
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Drains the SparkContext listener bus (`listenerBus` is
+    * `private[spark]`) — deterministic listener-event delivery for
+    * job-count assertions, instead of sleep-polling. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** A registered catalog plugin by name (`catalogManager` is
     * `private[sql]`). */
   def catalogPlugin(spark: SparkSession,

@@ -137,23 +137,26 @@ class ConstraintSpec extends SparkSpec {
     CommitLog.append(df(1L -> 5L), ck)
     CommitLog.addConstraint(spark, ck, "qty_pos", "qty > 0")
     def jobsDuring(body: => Unit): Int = {
+      // count ONLY jobs tagged with this measurement's group id — a
+      // concurrent/background job (UI polling, another suite's leak)
+      // must never skew the comparison — and drain the listener bus
+      // instead of sleep-polling for delivery
+      val group = s"constraint-jobs-${java.util.UUID.randomUUID()}"
       val n = new java.util.concurrent.atomic.AtomicInteger
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          n.incrementAndGet(); ()
+          if (e.properties != null &&
+              group == e.properties.getProperty("spark.jobGroup.id"))
+            n.incrementAndGet()
+          ()
         }
       }
       spark.sparkContext.addSparkListener(l)
       try {
-        body
-        // listener delivery is async: wait until the count stabilizes
-        var last = -1
-        var same = 0
-        while (same < 3) {
-          Thread.sleep(100)
-          if (n.get == last) same += 1 else { last = n.get; same = 0 }
-        }
+        spark.sparkContext.setJobGroup(group, "constraint job-count probe")
+        try body finally spark.sparkContext.clearJobGroup()
+        org.apache.spark.sql.GraftSqlShim.drainListenerBus(spark)
       } finally spark.sparkContext.removeSparkListener(l)
       n.get
     }
