@@ -243,6 +243,35 @@ object CommitLog {
     DvRe.findAllMatchIn(text).map(m => (m.group(1), m.group(2))).toSeq
   }
 
+  // CDF update-classification vocabulary (the Delta `_change_type =
+  // 'update_preimage' / 'update_postimage'` parity): an 'update'/'merge'
+  // commit MAY annotate which of its changes are UPDATE images —
+  //   {"dvu":"<dataFile>","dvufile":"<sidecar>"}: THIS commit's update-
+  //     preimage positions in <dataFile> (a `.dvu-` sidecar holding just
+  //     the statement's update-suppressed positions — NOT the merged
+  //     vector, which keeps riding the "dv" action);
+  //   {"cdfpost":"<addedFile>"}: the added image file holds update-
+  //     POSTimages (matched-update rows), not plain inserts.
+  // Annotations are per-commit history, invisible to replay/snapshots:
+  // only the change-feed walk reads them, to label updated rows as
+  // paired update_preimage/update_postimage instead of delete/insert.
+  // They share the vacuum horizon — a reclaimed `.dvu-` sidecar degrades
+  // that commit's labels back to delete/insert, never the row set.
+  private val DvuRe =
+    """"dvu"\s*:\s*"([^"]+)"\s*,\s*"dvufile"\s*:\s*"([^"]+)"""".r
+  private val CdfPostRe = """"cdfpost"\s*:\s*"([^"]+)"""".r
+
+  /** One commit's CDF update annotations: (file → update-position
+    * sidecar, postimage-marked added files). Empty for commits that
+    * never recorded any (every pre-round-14 log). */
+  private def cdfAnnotationsOf(table: String, version: Long)
+      : (Map[String, String], Set[String]) = {
+    val text = new String(Files.readAllBytes(
+      logDir(table).resolve(f"$version%012d.json")), StandardCharsets.UTF_8)
+    (DvuRe.findAllMatchIn(text).map(m => (m.group(1), m.group(2))).toMap,
+      CdfPostRe.findAllMatchIn(text).map(_.group(1)).toSet)
+  }
+
   /** Replayed log state: live files (first-added order, with optional
     * zone-map stats) plus the set of committed transaction ids. */
   private final class LogState {
@@ -1218,8 +1247,10 @@ object CommitLog {
     * rewrite). Returns None when the statement touched nothing. */
   private[graft] def commitDeltaDml(table: String, op: String, expectedTip: Long,
                                     partials: Seq[(String, String)],
-                                    added: Seq[String]): Option[Long] = {
-    if (partials.isEmpty && added.isEmpty) return None
+                                    added: Seq[String],
+                                    updPartials: Seq[(String, String)] = Nil,
+                                    postAdded: Seq[String] = Nil): Option[Long] = {
+    if (partials.isEmpty && added.isEmpty && postAdded.isEmpty) return None
     val state = replay(table, Some(expectedTip))
     val oldDvs = state.dvs.toMap
     val finals = partials.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, ps) =>
@@ -1232,17 +1263,35 @@ object CommitLog {
       DvSidecars.write(table, name, merged)
       (f, name, merged.length.toLong)
     }
+    // CDF update classification: per touched file, the positions this
+    // statement suppressed via UPDATE (a `.dvu-` sidecar of JUST the
+    // statement's update positions — never merged with the vector), and
+    // the postimage-marked added files. Pure history — replay ignores it.
+    val updFinals = updPartials.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, ps) =>
+      val fresh = ps.flatMap { case (_, part) => DvSidecars.read(table, part) }
+        .distinct.sorted.toArray
+      val name = s"$f.dvu-${java.util.UUID.randomUUID()}"
+      DvSidecars.write(table, name, fresh)
+      (f, name)
+    }
     val bloomCol = declaredBloom(table)
     val lines = finals.map { case (f, sc, n) =>
       s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
-    } ++ added.map(f => addAction(table, f, bloomCol))
+    } ++ updFinals.map { case (f, sc) => s"""{"dvu":"$f","dvufile":"$sc"}""" } ++
+      (added ++ postAdded).map(f => addAction(table, f, bloomCol)) ++
+      postAdded.map(f => s"""{"cdfpost":"$f"}""")
     try {
       val v = commitRaw(table, op, lines, Some(expectedTip))
-      partials.foreach { case (_, p) => Files.deleteIfExists(Paths.get(table, p)) }
+      (partials ++ updPartials).foreach { case (_, p) =>
+        Files.deleteIfExists(Paths.get(table, p))
+      }
       Some(v)
     } catch {
       case e: java.util.ConcurrentModificationException =>
         finals.foreach { case (_, sc, _) =>
+          Files.deleteIfExists(Paths.get(table, sc))
+        }
+        updFinals.foreach { case (_, sc) =>
           Files.deleteIfExists(Paths.get(table, sc))
         }
         throw e
@@ -1327,8 +1376,9 @@ object CommitLog {
     * read back into a rewrite. `sets` maps column name (logical) → new
     * value; unmentioned columns carry forward. The appended images go
     * through [[stage]], so CHECK constraints and declared blooms apply
-    * exactly as on an append. CDF serves the commit as delete(old) +
-    * insert(new) via the same multiset machinery (an identity update
+    * exactly as on an append. CDF serves the commit as paired
+    * update_preimage(old) + update_postimage(new) — the 'update' op
+    * relabel over the same multiset machinery (an identity update still
     * cancels to zero change rows). Cost ∝ candidate files scanned +
     * rows updated — copy-on-write pays ∝ rows kept in every touched
     * file. Returns the committed version, or None when nothing matched. */
@@ -1422,10 +1472,17 @@ object CommitLog {
     * set is zone-pruned by the source's key range exactly like upsert's
     * rewrite set ([[upsertCandidates]]), then the position scan is one
     * key semi-join per candidate file's rows. Appended rows pass
-    * [[stage]] (constraints, blooms, footer stats). CDF serves
-    * delete(old image) + insert(new) per matched key. Cost ∝ candidate
-    * files scanned + source rows — copy-on-write upsert pays ∝ rows
-    * kept in every touched file. Returns the committed version. */
+    * [[stage]] (constraints, blooms, footer stats). CDF serves the
+    * Delta-parity update pair (`update_preimage` old image +
+    * `update_postimage` source row) per matched key and plain `insert`
+    * for new keys: every matched suppression is an update preimage (the
+    * statement's fresh positions land in a `.dvu-` annotation sidecar)
+    * and the source splits into matched/unmatched staged files so the
+    * commit can mark the matched images `cdfpost` — the split joins
+    * against the ALREADY-persisted matched frame's keys, no second
+    * candidate scan. Cost ∝ candidate files scanned + source rows —
+    * copy-on-write upsert pays ∝ rows kept in every touched file.
+    * Returns the committed version. */
   def dvMerge(spark: SparkSession, source: DataFrame, table: String,
               keys: Seq[String]): Long = {
     import org.apache.spark.sql.functions._
@@ -1438,47 +1495,74 @@ object CommitLog {
           "CommitLog.enableDv / CALL graft.system.enable_dv first")
       val live = state.live.keys.toSeq
       val (cands, _) = upsertCandidates(table, tip, source, keys, live)
-      val written: Array[(String, String, Long)] =
-        if (cands.isEmpty) Array.empty
-        else {
-          val candSet = cands.toSet
-          val oldDvs = state.dvs.filter { case (f, _) => candSet(f) }.toMap
-          val keyCols = keys.map(k => col(s"`$k`"))
-          val matched0 = readFilesWithPos(spark, table, cands, Some(tip))
-            .join(source.select(keyCols: _*).distinct(), keys, "left_semi")
-          val matched =
-            if (oldDvs.isEmpty) matched0
-            else matched0.filter(notSuppressedBy(table, oldDvs))
+      val bloomCol = declaredBloom(table)
+      if (cands.isEmpty) {
+        // zone maps prove nothing can match: the whole source is inserts
+        val added = stage(source, table)
+        try Some(commitRaw(table, "merge",
+          added.map(f => addAction(table, f, bloomCol)), Some(tip)))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            unstage(table, added); throw e
+        }
+      } else {
+        val candSet = cands.toSet
+        val oldDvs = state.dvs.filter { case (f, _) => candSet(f) }.toMap
+        val keyCols = keys.map(k => col(s"`$k`"))
+        val matched0 = readFilesWithPos(spark, table, cands, Some(tip))
+          .join(source.select(keyCols: _*).distinct(), keys, "left_semi")
+        // the matched frame feeds the vector write AND the source split —
+        // persist so the candidate scan runs once
+        val matched = (if (oldDvs.isEmpty) matched0
+          else matched0.filter(notSuppressedBy(table, oldDvs))).persist()
+        try {
           // sidecar NAMES in the closure, old vectors loaded per task
-          // through the [[DvSidecars]] LRU (see [[dvDelete]])
+          // through the [[DvSidecars]] LRU (see [[dvDelete]]); each task
+          // also lands the statement's FRESH positions as the `.dvu-`
+          // update-preimage annotation (every matched suppression in a
+          // merge is an update)
           val oldSc: Map[String, String] = oldDvs.map { case (f, (sc, _)) => f -> sc }
           import spark.implicits._
-          matched.select(col(DvFileCol), col(DvPosCol))
+          val written: Array[(String, String, Long, String)] = matched
+            .select(col(DvFileCol), col(DvPosCol))
             .groupBy(col(DvFileCol))
             .agg(collect_list(col(DvPosCol)).as("_graft_dv_new"))
             .as[(String, Seq[Long])]
             .map { case (f, fresh) =>
+              val freshArr = fresh.toArray.distinct.sorted
               val merged = (oldSc.get(f).map(DvSidecars.positions(table, _))
-                .getOrElse(Array.empty[Long]) ++ fresh).distinct.sorted
+                .getOrElse(Array.empty[Long]) ++ freshArr).distinct.sorted
               val name = s"$f.dv-${java.util.UUID.randomUUID()}"
               writeDvSidecar(table, name, merged)
-              (f, name, merged.length.toLong)
+              val dvuName = s"$f.dvu-${java.util.UUID.randomUUID()}"
+              writeDvSidecar(table, dvuName, freshArr)
+              (f, name, merged.length.toLong, dvuName)
             }
             .collect()
-        }
-      val added = stage(source, table)
-      val bloomCol = declaredBloom(table)
-      val lines = written.toSeq.map { case (f, sc, n) =>
-        s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
-      } ++ added.map(f => addAction(table, f, bloomCol))
-      try Some(commitRaw(table, "merge", lines, Some(tip)))
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          unstage(table, added)
-          written.foreach { case (_, sc, _) =>
-            Files.deleteIfExists(Paths.get(table, sc))
+          val (postAdded, insAdded) =
+            if (written.isEmpty) (Seq.empty[String], stage(source, table))
+            else {
+              val matchedKeys = matched.select(keyCols: _*).distinct()
+              (stage(source.join(matchedKeys, keys, "left_semi"), table),
+                stage(source.join(matchedKeys, keys, "left_anti"), table))
+            }
+          val lines = written.toSeq.map { case (f, sc, n, _) =>
+            s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
+          } ++ written.toSeq.map { case (f, _, _, du) =>
+            s"""{"dvu":"$f","dvufile":"$du"}"""
+          } ++ (insAdded ++ postAdded).map(f => addAction(table, f, bloomCol)) ++
+            postAdded.map(f => s"""{"cdfpost":"$f"}""")
+          try Some(commitRaw(table, "merge", lines, Some(tip)))
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              unstage(table, insAdded ++ postAdded)
+              written.foreach { case (_, sc, _, du) =>
+                Files.deleteIfExists(Paths.get(table, sc))
+                Files.deleteIfExists(Paths.get(table, du))
+              }
+              throw e
           }
-          throw e
+        } finally { matched.unpersist(); () }
       }
     }.get
   }
@@ -2632,10 +2716,32 @@ object CommitLog {
     val liveSet = scala.collection.mutable.HashSet.empty[String]
     startState.live.keys.foreach(liveSet += _)
     val entries = Seq.newBuilder[Entry]
+    // Delta-parity update labels: versions whose op is 'update' relabel
+    // their surviving delete/insert pairs update_preimage/update_postimage
+    // wholesale (every changed row in an UPDATE is an update — both the
+    // copy-on-write rewrite and the merge-on-read form); 'merge' commits
+    // carry per-row classification in their annotations (update-position
+    // `.dvu-` sidecars + `cdfpost`-marked image files), recorded by the
+    // writers that know which rows matched — without annotations a merge
+    // keeps plain delete/insert labels (pre-round-14 logs, the group-based
+    // SQL MERGE). A vacuumed `.dvu-` sidecar drops its annotation here
+    // (existence-checked), degrading labels, never rows.
+    val updateVersions = Seq.newBuilder[Long]
+    val annotRows = Seq.newBuilder[(String, Long, String, Boolean)]
     for (v <- (fromV + 1) to toV) {
       val c = readCommit(table, v)
       val dvActs = if (c.dv.isEmpty) Nil else dvActionsOf(table, v)
       val dvOf = dvActs.toMap
+      if (c.op == "update") updateVersions += v
+      if (c.op == "update" || c.op == "merge") {
+        val (dvuOf, postSet) = cdfAnnotationsOf(table, v)
+        val dvuOk = dvuOf.filter { case (_, sc) =>
+          Files.exists(Paths.get(table, sc))
+        }
+        (dvuOk.keySet ++ postSet).toSeq.sorted.foreach { f =>
+          annotRows += ((f, v, dvuOk.get(f).orNull, postSet(f)))
+        }
+      }
       // alter commits carry no rows; a DROP COLUMN alter never has a
       // data commit before it in this window ([[changeWindows]] split
       // there), so serving at the window-end era schema is era-exact
@@ -2692,6 +2798,8 @@ object CommitLog {
           .withColumn("_graft_cdf_file",
             concat(element_at(split(input_file_name(), "/"), -1), lit("#")))
       else {
+        // DvFileCol/DvPosCol stay attached through the manifest join: the
+        // update-kind classification below probes (file, version, pos)
         val variantDf = broadcast(variants.map { case (f, dv) => (f, dv.orNull) }
           .toDF(DvFileCol, "_graft_cdf_dv"))
         readFilesWithPos(spark, table, varFiles, Some(toV))
@@ -2703,15 +2811,43 @@ object CommitLog {
           .withColumn("_graft_cdf_file",
             concat(col(DvFileCol), lit("#"),
               coalesce(col("_graft_cdf_dv"), lit(""))))
-          .drop(DvFileCol, DvPosCol, "_graft_cdf_dv")
+          .drop("_graft_cdf_dv")
       }
-    val dataCols = scan.columns.filterNot(_ == "_graft_cdf_file").toSeq
+    val dataCols = scan.columns
+      .filterNot(c => c == "_graft_cdf_file" || c == DvFileCol || c == DvPosCol)
+      .toSeq
     require(!dataCols.exists(c => c.startsWith("_graft_cdf_") || c == "_n"),
       s"changes($table): table columns collide with CDF internals: $dataCols")
     val manifest = broadcast(all.map(e =>
         (variantKey(e.file, e.dv), e.v, e.sign, e.diff))
       .toDF("_graft_cdf_file", "_graft_cdf_v", "_graft_cdf_sign", "_graft_cdf_diff"))
-    val stamped = scan.join(manifest, "_graft_cdf_file")
+    val stamped0 = scan.join(manifest, "_graft_cdf_file")
+    // per-row update kind: "u" marks a row of an annotated 'update'/'merge'
+    // commit as an UPDATE image — a −1 row whose position is in that
+    // version's `.dvu-` update-position sidecar (probed per task, like the
+    // variant filter above), or a +1 row of a `cdfpost`-marked image file.
+    // The kind joins on (file, version) against a broadcast of the
+    // annotations (∝ annotated files, names only). Annotations imply dv
+    // actions, so the pos-tagged scan branch is guaranteed here.
+    val annots = annotRows.result()
+    val stamped =
+      if (annots.isEmpty)
+        stamped0.withColumn("_graft_cdf_kind", lit(null).cast("string"))
+      else {
+        val kindDf = broadcast(annots
+          .toDF(DvFileCol, "_graft_cdf_v", "_graft_cdf_dvu", "_graft_cdf_post"))
+        stamped0.join(kindDf, Seq(DvFileCol, "_graft_cdf_v"), "left")
+          .withColumn("_graft_cdf_kind",
+            when(col("_graft_cdf_sign") > 0 &&
+                coalesce(col("_graft_cdf_post"), lit(false)), lit("u"))
+              .when(col("_graft_cdf_sign") < 0 &&
+                org.apache.spark.sql.GraftSqlShim.column(
+                  graft.plans.DvPosSuppressed(
+                    org.apache.spark.sql.GraftSqlShim.expression(col("_graft_cdf_dvu")),
+                    org.apache.spark.sql.GraftSqlShim.expression(col(DvPosCol)),
+                    table)), lit("u")))
+          .drop("_graft_cdf_dvu", "_graft_cdf_post")
+      }
     val outCols = dataCols.map(col) :+ col("_change_type") :+ col("_commit_version")
 
     // single-sided commits: rows pass through stamped — no shuffle
@@ -2720,20 +2856,40 @@ object CommitLog {
         when(col("_graft_cdf_sign") > 0, lit("insert")).otherwise(lit("delete")))
       .withColumn("_commit_version", col("_graft_cdf_v").cast("long"))
       .select(outCols: _*)
-    // rewrite commits: sign-sum multiset diff per (version, row). The |n|
+    // rewrite commits: sign-sum multiset diff per (version, kind, row).
+    // Kind joins the key so an update image never cancels against an
+    // identical plain insert/delete of the same commit; an IDENTITY update
+    // (pre == post, both kind "u") still cancels to zero change rows — the
+    // engine's documented multiset semantics, unchanged. The |n|
     // re-expansion assumes no single commit rewrites millions of copies of
     // ONE identical row (the sequence() array would be that long) — the
     // same pathology exceptAll would have materialized as a hash bucket.
     val diffed = stamped.filter(col("_graft_cdf_diff"))
-      .groupBy(col("_graft_cdf_v") +: dataCols.map(col): _*)
+      .groupBy(col("_graft_cdf_v") +: col("_graft_cdf_kind") +: dataCols.map(col): _*)
       .agg(sum(col("_graft_cdf_sign")).as("_n"))
       .filter(col("_n") =!= 0)
       .withColumn("_change_type",
-        when(col("_n") > 0, lit("insert")).otherwise(lit("delete")))
+        when(col("_graft_cdf_kind") === "u",
+          when(col("_n") > 0, lit("update_postimage"))
+            .otherwise(lit("update_preimage")))
+          .otherwise(
+            when(col("_n") > 0, lit("insert")).otherwise(lit("delete"))))
       .withColumn("_commit_version", col("_graft_cdf_v").cast("long"))
       .withColumn("_graft_cdf_dup", explode(sequence(lit(1L), abs(col("_n")))))
       .select(outCols: _*)
-    direct.unionByName(diffed)
+    val unioned = direct.unionByName(diffed)
+    // 'update' commits: EVERY surviving change row is an update image —
+    // relabel wholesale (idempotent over rows the kind path already
+    // labeled; covers the copy-on-write rewrite and the Scala dvUpdate,
+    // which carry no annotations)
+    val updVs = updateVersions.result()
+    if (updVs.isEmpty) unioned
+    else unioned.withColumn("_change_type",
+      when(col("_commit_version").isin(updVs: _*),
+        when(col("_change_type") === "delete", lit("update_preimage"))
+          .when(col("_change_type") === "insert", lit("update_postimage"))
+          .otherwise(col("_change_type")))
+        .otherwise(col("_change_type")))
   }
 
   /** Zone-map stats restricted to files whose recorded range is ON
@@ -3046,7 +3202,13 @@ object CommitLog {
           // `<f>.dvupart-*`) are never referenced by the log — deleted
           // after a successful commit, orphaned by a crash between task
           // and job commit. Any age-qualified one is reclaimable.
-          n.contains(".dvpart-") || n.contains(".dvupart-"))
+          n.contains(".dvpart-") || n.contains(".dvupart-") ||
+          // `.dvu-` update-classification sidecars are pure per-commit
+          // history (never part of a snapshot): they share the vacuum
+          // horizon like every historical artifact — a CDF window over a
+          // commit whose `.dvu-` was reclaimed degrades its labels to
+          // delete/insert (the walk checks existence), never its rows
+          n.contains(".dvu-"))
     onDisk.foreach(n => Files.delete(Paths.get(table, n)))
     onDisk
   }

@@ -1841,10 +1841,13 @@ object TableLogQueries {
     val applyBatch: (org.apache.spark.sql.Dataset[Row], Long) => Unit = (df, batchId) => {
       // retractable per-key delta: inserts add, deletes subtract; exact
       // DECIMAL money so retraction is bit-exact
+      // additions are inserts AND update postimages; retractions are
+      // deletes AND update preimages (the Delta change-type vocabulary —
+      // an update nets to its correction exactly like a delete+insert)
+      val adds = col("_change_type").isin("insert", "update_postimage")
       val delta = df.groupBy("batch").agg(
-        sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("d_rows"),
-        sum(when(col("_change_type") === "insert",
-            col("price")).otherwise(-col("price"))
+        sum(when(adds, 1L).otherwise(-1L)).as("d_rows"),
+        sum(when(adds, col("price")).otherwise(-col("price"))
           .cast("decimal(18,2)")).as("d_price"))
       val cur =
         if (CommitLog.currentVersion(agg) >= 0) CommitLog.read(spark, agg)
@@ -2097,9 +2100,10 @@ object TableLogQueries {
     * 'update' commit (the copy-on-write `UPDATE` refuses on vectored
     * files; this is the path that works WITHOUT materializing first).
     * REQUIREs: one commit, zero removes, every pre-update file still
-    * live, CDF window = delete(old)+insert(new) pairs exactly, metadata
-    * count balanced, time travel to the pre-update image. Final
-    * aggregate hash-matches the oracle's CASE-rewritten data. */
+    * live, CDF window = update_preimage/update_postimage pairs exactly
+    * (Delta change-type parity), metadata count balanced, time travel to
+    * the pre-update image. Final aggregate hash-matches the oracle's
+    * CASE-rewritten data. */
   private val tl38UpdateMor: Q = (spark, dir) => {
     val t = dmlTable(spark, dir, "t38",
       "SELECT * FROM t38_b1 UNION ALL SELECT * FROM t38_b2")
@@ -2127,14 +2131,18 @@ object TableLogQueries {
       "tl38: an update must not change the row count")
     val updated = res.getLong(1)
     require(updated > 0, "tl38: the predicate matches rows at every SF")
-    // CDF: exactly `updated` delete+insert pairs, nothing else
+    // CDF: exactly `updated` update_preimage+update_postimage pairs
+    // sharing the commit version (Delta change-type parity), nothing else
     val cdf = CommitLog.changes(spark, tdir, vPre, vUpd)
-    require(cdf.filter(col("_change_type") === "delete").count() == updated &&
-        cdf.filter(col("_change_type") === "insert").count() == updated,
-      "tl38: the CDF must pair one delete with one insert per updated row")
-    require(cdf.filter(col("_change_type") === "insert")
+    require(cdf.filter(col("_change_type") === "update_preimage").count() == updated &&
+        cdf.filter(col("_change_type") === "update_postimage").count() == updated,
+      "tl38: the CDF must pair one update_preimage with one update_postimage " +
+        "per updated row")
+    require(cdf.filter(!col("_change_type").startsWith("update_")).isEmpty,
+      "tl38: an UPDATE commit carries update images only")
+    require(cdf.filter(col("_change_type") === "update_postimage")
         .filter(col("status") =!= "expedited").isEmpty,
-      "tl38: every inserted image carries the new value")
+      "tl38: every postimage carries the new value")
     // time travel below the update serves the OLD images
     require(spark.sql(
         s"SELECT count(*) AS n FROM $t VERSION AS OF $vPre WHERE status = 'expedited'")
@@ -2198,8 +2206,9 @@ object TableLogQueries {
     * inserted) without rewriting a single current file: matched images
     * are suppressed via merged deletion vectors, the whole source batch
     * is appended, one commit. REQUIREs: zero removes, every pre-merge
-    * file still live, CDF = delete(old image) + insert(source row) per
-    * matched key plus plain inserts for new keys, metadata count exact.
+    * file still live, CDF = update_preimage(old image) +
+    * update_postimage(source row) per matched key plus plain inserts
+    * for new keys (Delta change-type parity), metadata count exact.
     * The final table hash-matches the SAME `merged` oracle the
     * copy-on-write upsert gates use — two physical strategies, one
     * semantic. */
@@ -2232,9 +2241,12 @@ object TableLogQueries {
     require(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == b1Cnt,
       "tl40: b2's keys all match, so the count must not change")
     val cdf = CommitLog.changes(spark, tdir, vPre, vM)
-    require(cdf.filter(col("_change_type") === "delete").count() == b2Cnt &&
-        cdf.filter(col("_change_type") === "insert").count() == b2Cnt,
-      "tl40: one delete + one insert per merged key")
+    require(cdf.filter(col("_change_type") === "update_preimage").count() == b2Cnt &&
+        cdf.filter(col("_change_type") === "update_postimage").count() == b2Cnt,
+      "tl40: one update_preimage + one update_postimage per merged key " +
+        "(every b2 key matches — Delta change-type parity)")
+    require(cdf.filter(col("_change_type") === "insert").isEmpty,
+      "tl40: no new key in this source, so no plain insert")
     spark.sql(
       s"""SELECT batch, count(*) AS n_rows,
          |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -2306,8 +2318,9 @@ object TableLogQueries {
     * No CALL procedure: the STATEMENT itself lands as one vector-suppress
     * + append commit. REQUIREs per statement: exactly one commit, op
     * 'update'/'merge', ZERO data files removed, every pre-statement file
-    * still live BY NAME, CDF window = delete(old)+insert(new) pairs for
-    * updated rows (plus plain inserts for new keys in the merge), row
+    * still live BY NAME, CDF window = update_preimage/update_postimage
+    * pairs for updated rows (plus plain inserts for new keys in the
+    * merge — the delta writer tracked per-row which clause fired), row
     * count balanced. Final aggregate hash-matches the oracle's
     * CASE-rewritten b1 merged with b2. */
   private val tl42SqlMor: Q = (spark, dir) => {
@@ -2330,15 +2343,21 @@ object TableLogQueries {
       "tl42: no pre-update data file may be removed")
     require(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == preCnt,
       "tl42: an update must not change the row count")
-    // CDF twin: delete(old image) + insert(new image) per updated row
+    // CDF twin: update_preimage(old image) + update_postimage(new image)
+    // per updated row, sharing the statement's commit version
     val cdfU = CommitLog.changes(spark, tdir, vPre, vUpd)
-    val updated = cdfU.filter(col("_change_type") === "insert").count()
+    val updated = cdfU.filter(col("_change_type") === "update_postimage").count()
     require(updated > 0, "tl42: the update predicate matches rows at every SF")
-    require(cdfU.filter(col("_change_type") === "delete").count() == updated,
-      "tl42: the CDF must pair one delete with one insert per updated row")
-    require(cdfU.filter(col("_change_type") === "insert")
+    require(cdfU.filter(col("_change_type") === "update_preimage").count() == updated,
+      "tl42: the CDF must pair one update_preimage with one update_postimage " +
+        "per updated row")
+    require(cdfU.filter(!col("_change_type").startsWith("update_")).isEmpty,
+      "tl42: an UPDATE statement's window carries update images only")
+    require(cdfU.select("_commit_version").distinct().count() == 1L,
+      "tl42: the pair shares the statement's one commit version")
+    require(cdfU.filter(col("_change_type") === "update_postimage")
         .filter(col("status") =!= "expedited").isEmpty,
-      "tl42: every inserted image carries the new values")
+      "tl42: every postimage carries the new values")
     require(spark.sql(
         s"SELECT count(*) AS n FROM $t VERSION AS OF $vPre WHERE status = 'expedited'")
       .head().getLong(0) == 0L, "tl42: pre-update snapshot must have no new images")
@@ -2365,13 +2384,21 @@ object TableLogQueries {
         s"adds=${cm.add.size} removes=${cm.remove.size} dvs=${cm.dv.size}")
     require(filesM0.subsetOf(CommitLog.snapshotFiles(tdir).toSet),
       "tl42: no pre-merge data file may be removed")
-    // CDF twin: matched keys = delete+insert pairs; new keys = inserts
+    // CDF twin: matched keys = update_preimage/update_postimage pairs
+    // (the writer tracked WHICH rows matched — per-row, not by-key
+    // inference); new keys = plain inserts; zero plain deletes
     val cdfM = CommitLog.changes(spark, tdir, vM0, vM)
-    val mDel = cdfM.filter(col("_change_type") === "delete").count()
+    val mPre = cdfM.filter(col("_change_type") === "update_preimage").count()
+    val mPost = cdfM.filter(col("_change_type") === "update_postimage").count()
     val mIns = cdfM.filter(col("_change_type") === "insert").count()
-    require(mDel > 0 && mIns > mDel,
-      s"tl42: merge CDF must hold matched pairs + plain inserts, got " +
-        s"$mDel deletes / $mIns inserts")
+    require(mPre > 0 && mPre == mPost && mIns > 0,
+      s"tl42: merge CDF must hold matched update pairs + plain inserts, got " +
+        s"$mPre preimages / $mPost postimages / $mIns inserts")
+    require(cdfM.filter(col("_change_type") === "delete").isEmpty,
+      "tl42: this merge deletes nothing, so no plain delete may appear")
+    require(cdfM.filter(col("_change_type") === "insert")
+        .filter(col("status") =!= "inserted").isEmpty,
+      "tl42: plain inserts are exactly the shifted new-key rows")
     spark.sql(
       s"""SELECT status, count(*) AS n_rows,
          |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -2454,7 +2481,115 @@ object TableLogQueries {
        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        |FROM t GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** tl44: Delta-parity update change types END TO END — the batch
+    * window, the streaming change feed (including a RESUME whose
+    * checkpoint lands exactly below the UPDATE commit), and the
+    * `table_changes` TVF all serve an UPDATE's rows as PAIRED
+    * `update_preimage`/`update_postimage` sharing the statement's commit
+    * version, while a genuine DELETE in the same stream keeps its plain
+    * label. The stream drains once BEFORE the update (checkpointing at
+    * the pre-update tip), the UPDATE and a DELETE land mid-stream, and
+    * the resumed drain must multiset-equal the batch `changes()` twin
+    * over the same window — update types intact across the resume
+    * boundary. Final aggregate hash-matches the oracle's CASE-rewritten
+    * b1 minus the deleted band. */
+  private val tl44UpdateCdf: Q = (spark, dir) => {
+    import scala.jdk.CollectionConverters._
+    val t = dmlTable(spark, dir, "t44", "SELECT * FROM t44_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t44").toString
+    spark.sql("CALL graft.system.enable_dv(`table` => 'dml.t44')")
+    val ckpt = Paths.get(Sinks.scratchDir("commitlog_t44_ckpt"))
+    if (Files.exists(ckpt)) {
+      Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val delivered =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    def drain(): Seq[(Long, String, String, Long)] = {
+      delivered.clear()
+      val q = spark.readStream.format("graftlog")
+        .option("readChangeFeed", "true").load(tdir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => delivered.add((r.getLong(0),
+            r.getString(r.fieldIndex("status")),
+            r.getString(r.fieldIndex("_change_type")),
+            r.getLong(r.fieldIndex("_commit_version")))))
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(120000L), "tl44: CDF drain timed out")
+      delivered.iterator().asScala.toSeq.sorted
+    }
+    val first = drain() // CTAS inserts; checkpoint lands at the pre-update tip
+    require(first.nonEmpty && first.forall(_._3 == "insert"),
+      "tl44: the initial snapshot streams as plain inserts")
+    val vPre = CommitLog.currentVersion(tdir)
+    spark.sql(s"UPDATE $t SET status = 'expedited', batch = batch + 10 " +
+      "WHERE status = 'pending_review' AND price >= 100000.0")
+    val vUpd = CommitLog.currentVersion(tdir)
+    require(vUpd == vPre + 1, "tl44: the UPDATE lands one commit")
+    spark.sql(s"DELETE FROM $t WHERE price < 20000.0")
+    val vDel = CommitLog.currentVersion(tdir)
+    require(vDel == vUpd + 1, "tl44: the DELETE lands one commit")
+    // the RESUMED stream crosses the update commit at its checkpoint
+    // boundary: paired update types at vUpd, plain deletes at vDel
+    val resumed = drain()
+    val pre = resumed.filter(r => r._4 == vUpd && r._3 == "update_preimage")
+    val post = resumed.filter(r => r._4 == vUpd && r._3 == "update_postimage")
+    require(pre.nonEmpty && pre.size == post.size,
+      s"tl44: the stream must pair preimages with postimages, got " +
+        s"${pre.size}/${post.size}")
+    require(resumed.filter(_._4 == vUpd).forall(_._3.startsWith("update_")),
+      "tl44: the update commit streams update images only")
+    require(post.forall(_._2 == "expedited") && pre.forall(_._2 == "pending_review"),
+      "tl44: postimages carry the new value, preimages the old")
+    require(resumed.exists(r => r._4 == vDel && r._3 == "delete") &&
+        resumed.filter(_._4 == vDel).forall(_._3 == "delete"),
+      "tl44: the genuine DELETE keeps its plain label in the same stream")
+    // stream == batch multiset over the same window, types included
+    val batchTwin = CommitLog.changes(spark, tdir, vPre, vDel)
+      .select(col("id"), col("status"), col("_change_type"), col("_commit_version"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sorted
+    require(resumed == batchTwin,
+      "tl44: the streamed window must multiset-equal the batch changes()")
+    // the TVF serves the same vocabulary over the update window
+    graft.sources.TableChanges.register(spark)
+    val tvf = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM table_changes('$tdir', $vUpd, $vUpd) " +
+        "GROUP BY _change_type").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(tvf.keySet == Set("update_preimage", "update_postimage") &&
+        tvf("update_preimage") == pre.size.toLong &&
+        tvf("update_postimage") == post.size.toLong,
+      s"tl44: table_changes must serve the update pair, got $tvf")
+    spark.sql(
+      s"""SELECT status, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY status ORDER BY status""".stripMargin)
+  }
+
+  private val tl44UpdateCdfSql =
+    s"""WITH $batchesSql,
+       |u AS (
+       |  SELECT id,
+       |    CASE WHEN status = 'pending_review' AND price >= 100000.0
+       |      THEN 'expedited' ELSE status END AS status,
+       |    price,
+       |    CASE WHEN status = 'pending_review' AND price >= 100000.0
+       |      THEN batch + 10 ELSE batch END AS batch
+       |  FROM b1),
+       |kept AS (SELECT * FROM u WHERE price >= 20000.0)
+       |SELECT status, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM kept GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl44_update_cdf" -> tl44UpdateCdf,
     "tl43_not_null" -> tl43NotNull,
     "tl42_sql_mor" -> tl42SqlMor,
     "tl41_restore" -> tl41Restore,
@@ -2506,6 +2641,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl44_update_cdf" -> tl44UpdateCdfSql,
     "tl43_not_null" -> tl43NotNullSql,
     "tl42_sql_mor" -> tl42SqlMorSql,
     "tl41_restore" -> tl41RestoreSql,

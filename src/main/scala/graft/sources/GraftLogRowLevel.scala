@@ -424,24 +424,21 @@ private[sources] final class GraftDvRowLevelOperation(
                 new GraftDeltaWriterFactory(path, kit, checks, fileIdx, posIdx)
 
               override def commit(messages: Array[WriterCommitMessage]): Unit = {
-                val added = messages.toSeq.collect {
-                  case GraftDeltaMessage(fs, _) => fs
-                }.flatten
-                val partials = messages.toSeq.collect {
-                  case GraftDeltaMessage(_, ps) => ps
-                }.flatten
+                val ms = messages.toSeq.collect { case m: GraftDeltaMessage => m }
                 // one commit against the snapshot the scan read; a racing
                 // commit aborts the statement (abort() reclaims the
                 // partials and data files) — re-running re-scans, the
                 // same serializability contract as the group rewrite
                 CommitLog.commitDeltaDml(path, cmd.name.toLowerCase, version,
-                  partials, added)
+                  ms.flatMap(_.partials), ms.flatMap(_.files),
+                  updPartials = ms.flatMap(_.updPartials),
+                  postAdded = ms.flatMap(_.postFiles))
                 ()
               }
 
               override def abort(messages: Array[WriterCommitMessage]): Unit =
-                messages.toSeq.collect { case GraftDeltaMessage(fs, ps) =>
-                  fs ++ ps.map(_._2)
+                messages.toSeq.collect { case GraftDeltaMessage(fs, ps, parts, uparts) =>
+                  fs ++ ps ++ parts.map(_._2) ++ uparts.map(_._2)
                 }.flatten.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
             }
           }
@@ -466,10 +463,14 @@ private[sources] final class GraftDeltaWriterFactory(
     new GraftDeltaWriter(table, kit, checks, fileIdx, posIdx, partitionId, taskId)
 }
 
-/** `files` = appended image parquet files; `partials` = (data file,
-  * partial dv sidecar) pairs gathered by one task. */
+/** `files` = appended plain-INSERT image files; `postFiles` = appended
+  * update-POSTIMAGE files (CDF labels them `update_postimage`);
+  * `partials` = (data file, partial dv sidecar) pairs for EVERY fresh
+  * suppression; `updPartials` = the same shape restricted to positions
+  * suppressed by update() calls (CDF preimage classification). */
 private[sources] final case class GraftDeltaMessage(
-    files: Seq[String], partials: Seq[(String, String)])
+    files: Seq[String], postFiles: Seq[String],
+    partials: Seq[(String, String)], updPartials: Seq[(String, String)])
     extends WriterCommitMessage
 
 private final class GraftDeltaWriter(
@@ -481,33 +482,50 @@ private final class GraftDeltaWriter(
 
   private val deletes =
     new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+  // positions suppressed by update() specifically — a SUBSET of
+  // `deletes`, kept separately so the change feed can label them
+  // update_preimage while plain delete() positions stay deletes
+  private val updDeletes =
+    new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+  // two image writers: update() images and insert() images land in
+  // SEPARATE files so the commit can mark the update ones as
+  // postimages — per-row tagging without a tag column in the data
   private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
   private var name: String = _
+  private var writerU: org.apache.spark.sql.execution.datasources.OutputWriter = _
+  private var nameU: String = _
 
-  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+  private def recordDelete(
+      into: java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]],
+      id: InternalRow): Unit = {
     require(id != null && !id.isNullAt(fileIdx) && !id.isNullAt(posIdx),
       s"delta delete on $table: null row identity — the scan must serve " +
         "(file, position) for every row")
     val f = id.getUTF8String(fileIdx).toString
-    var buf = deletes.get(f)
+    var buf = into.get(f)
     if (buf == null) {
       buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-      deletes.put(f, buf)
+      into.put(f, buf)
     }
     buf += id.getLong(posIdx)
     ()
   }
 
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    recordDelete(deletes, id)
+
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
-    delete(meta, id)
-    insert(row)
+    recordDelete(deletes, id)
+    recordDelete(updDeletes, id)
+    checkRow(row)
+    if (writerU == null) {
+      nameU = f"part-$partitionId%05d-$taskId-u-${java.util.UUID.randomUUID()}.parquet"
+      writerU = kit.open(Paths.get(table, nameU).toString, partitionId, 0)
+    }
+    writerU.write(row)
   }
 
-  override def insert(row: InternalRow): Unit = {
-    if (writer == null) {
-      name = f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.parquet"
-      writer = kit.open(Paths.get(table, name).toString, partitionId, 0)
-    }
+  private def checkRow(row: InternalRow): Unit = {
     var i = 0
     while (i < checks.length) {
       val (cname, check) = checks(i)
@@ -515,24 +533,44 @@ private final class GraftDeltaWriter(
         s"write to $table violates constraint '$cname'")
       i += 1
     }
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    checkRow(row)
+    if (writer == null) {
+      name = f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.parquet"
+      writer = kit.open(Paths.get(table, name).toString, partitionId, 0)
+    }
     writer.write(row)
   }
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
-    val partials = Seq.newBuilder[(String, String)]
-    deletes.forEach { (f, buf) =>
-      val part = s"$f.dvpart-${java.util.UUID.randomUUID()}"
-      graft.io.DvSidecars.write(table, part, buf.distinct.sorted.toArray)
-      partials += (f -> part)
+    if (writerU != null) writerU.close()
+    def landed(
+        m: java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]],
+        tag: String): Seq[(String, String)] = {
+      val out = Seq.newBuilder[(String, String)]
+      m.forEach { (f, buf) =>
+        val part = s"$f.$tag-${java.util.UUID.randomUUID()}"
+        graft.io.DvSidecars.write(table, part, buf.distinct.sorted.toArray)
+        out += (f -> part)
+      }
+      out.result()
     }
-    GraftDeltaMessage(Option(name).toSeq, partials.result())
+    GraftDeltaMessage(Option(name).toSeq, Option(nameU).toSeq,
+      landed(deletes, "dvpart"), landed(updDeletes, "dvupart"))
   }
 
   override def abort(): Unit = {
     if (writer != null) {
       try writer.close() catch { case scala.util.control.NonFatal(_) => () }
       Files.deleteIfExists(Paths.get(table, name))
+      ()
+    }
+    if (writerU != null) {
+      try writerU.close() catch { case scala.util.control.NonFatal(_) => () }
+      Files.deleteIfExists(Paths.get(table, nameU))
       ()
     }
   }

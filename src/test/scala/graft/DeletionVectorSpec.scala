@@ -183,7 +183,7 @@ class DeletionVectorSpec extends SparkSpec {
       s"the dv commit must stream as exactly its suppressed row: $rows")
   }
 
-  test("dvUpdate: suppress old images, append new, one commit, CDF = delete+insert") {
+  test("dvUpdate: suppress old images, append new, one commit, CDF = update pair") {
     val t = freshTable("update")
     CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c"), t) // v0
     CommitLog.enableDv(t)                                     // v1
@@ -200,10 +200,13 @@ class DeletionVectorSpec extends SparkSpec {
     assert(now == Seq(1L -> "a", 2L -> "B", 3L -> "c"), s"got $now")
     assert(CommitLog.snapshotRowCount(t).contains(3L),
       "metadata count must balance: one suppressed, one appended")
+    // Delta-parity labels: an UPDATE's change rows are the paired
+    // update_preimage (old image) / update_postimage (new image)
     val w = CommitLog.changes(spark, t, v.get - 1, v.get)
       .select("id", "v", "_change_type").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
-    assert(w == Set((2L, "b", "delete"), (2L, "B", "insert")), s"got $w")
+    assert(w == Set((2L, "b", "update_preimage"), (2L, "B", "update_postimage")),
+      s"got $w")
     // a violating image refuses through the staging chokepoint
     CommitLog.addConstraint(spark, t, "v_nonempty", "length(v) > 0")
     intercept[IllegalStateException] {
@@ -228,12 +231,13 @@ class DeletionVectorSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
     assert(now == Seq(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"), s"got $now")
     assert(CommitLog.snapshotRowCount(t).contains(4L))
-    // upsert-equivalent semantics: same result as CommitLog.upsert would give
+    // upsert-equivalent semantics with Delta-parity labels: the matched
+    // key streams as an update pair, the new key as a plain insert
     val w = CommitLog.changes(spark, t, v - 1, v)
       .select("id", "v", "_change_type").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
-    assert(w == Set((2L, "b", "delete"), (2L, "B", "insert"), (4L, "D", "insert")),
-      s"got $w")
+    assert(w == Set((2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+      (4L, "D", "insert")), s"got $w")
     // a second merge over the SAME key merges vectors (two suppressed
     // images of id=2 across two files now)
     CommitLog.dvMerge(spark, df(2L -> "B2"), t, Seq("id"))

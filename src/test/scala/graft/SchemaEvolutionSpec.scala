@@ -291,10 +291,13 @@ class SchemaEvolutionSpec extends SparkSpec {
       r.getLong(r.fieldIndex("_commit_version")))).toSeq
     assert(rows.count(_ == ((10L, 20L, "insert", v0 + 1))) == 1, s"insert: $rows")
     assert(rows.count(_ == ((11L, 22L, "insert", head))) == 1, s"post-drop insert: $rows")
-    // the s-only UPDATE survives as a delete+insert pair (identical in
-    // every SERVED column — the era diff saw the differing s values)
-    assert(rows.count(_ == ((0L, 0L, "delete", updV))) == 1, s"update delete: $rows")
-    assert(rows.count(_ == ((0L, 0L, "insert", updV))) == 1, s"update insert: $rows")
+    // the s-only UPDATE survives as an update_preimage/update_postimage
+    // pair (identical in every SERVED column — the era diff saw the
+    // differing s values; the op-level relabel names the pair)
+    assert(rows.count(_ == ((0L, 0L, "update_preimage", updV))) == 1,
+      s"update preimage: $rows")
+    assert(rows.count(_ == ((0L, 0L, "update_postimage", updV))) == 1,
+      s"update postimage: $rows")
     // and equals the per-era halves stitched at the window-end schema
     assert(feed.count() ==
       CommitLog.changes(spark, dir, v0, updV).count() +
