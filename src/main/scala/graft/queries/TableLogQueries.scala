@@ -2588,7 +2588,89 @@ object TableLogQueries {
        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        |FROM kept GROUP BY status ORDER BY status""".stripMargin
 
+  /** tl45: `MERGE ... WHEN NOT MATCHED BY SOURCE` (the Spark 4 / Delta
+    * clause set beyond upsert): target rows ABSENT from the source must
+    * flow to the writer — a cheap-looking source-driven scan would
+    * silently skip them. One statement exercises all four clause kinds
+    * on the merge-on-read route: matched keys update from the source,
+    * new source keys insert, source-absent cheap rows DELETE, and
+    * source-absent expensive rows UPDATE to a flag — landing as ONE
+    * vectors+adds commit with zero files removed. The CDF twin REQUIREs
+    * the per-clause vocabulary: by-source deletes keep plain 'delete',
+    * every update clause (matched and by-source alike) pairs
+    * update_preimage/update_postimage, new keys are plain inserts.
+    * Final aggregate hash-matches the oracle's clause-ordered rewrite. */
+  private val tl45NotMatchedBySource: Q = (spark, dir) => {
+    val t = dmlTable(spark, dir, "t45", "SELECT * FROM t45_b1")
+    val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t45").toString
+    spark.sql("CALL graft.system.enable_dv(`table` => 'dml.t45')")
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW t45_src AS
+        |SELECT * FROM t45_b2
+        |UNION ALL
+        |SELECT id + 1 AS id, 'inserted' AS status, price, 3 AS batch
+        |FROM t45_b2""".stripMargin)
+    val before = CommitLog.snapshotFiles(tdir).toSet
+    val vPre = CommitLog.currentVersion(tdir)
+    spark.sql(
+      s"""MERGE INTO $t t USING t45_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.price < 30000.0 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.price >= 250000.0
+         |  THEN UPDATE SET status = 'flagged'""".stripMargin)
+    val vM = CommitLog.currentVersion(tdir)
+    require(vM == vPre + 1, s"tl45: the MERGE must land one commit, tip $vPre -> $vM")
+    val c = CommitLog.readCommit(tdir, vM)
+    require(c.op == "merge" && c.remove.isEmpty && c.dv.nonEmpty && c.add.nonEmpty,
+      s"tl45: the statement must land merge-on-read, got op=${c.op} " +
+        s"adds=${c.add.size} removes=${c.remove.size} dvs=${c.dv.size}")
+    require(before.subsetOf(CommitLog.snapshotFiles(tdir).toSet),
+      "tl45: no pre-merge data file may be removed")
+    val cdf = CommitLog.changes(spark, tdir, vPre, vM)
+    val nDel = cdf.filter(col("_change_type") === "delete").count()
+    val nPre = cdf.filter(col("_change_type") === "update_preimage").count()
+    val nPost = cdf.filter(col("_change_type") === "update_postimage").count()
+    val nIns = cdf.filter(col("_change_type") === "insert").count()
+    require(nDel > 0 && nPre > 0 && nPre == nPost && nIns > 0,
+      s"tl45: all four clause kinds must fire at every SF, got " +
+        s"$nDel deletes / $nPre pre / $nPost post / $nIns inserts")
+    require(cdf.filter(col("_change_type") === "delete")
+        .filter(col("price") >= 30000.0).isEmpty,
+      "tl45: only the cheap source-absent rows delete")
+    require(cdf.filter(col("_change_type") === "update_postimage")
+        .filter(!col("status").isin("verified", "flagged")).isEmpty,
+      "tl45: postimages come from the matched SET * or the by-source flag")
+    require(cdf.filter(col("_change_type") === "insert")
+        .filter(col("status") =!= "inserted").isEmpty,
+      "tl45: plain inserts are exactly the new-key rows")
+    spark.sql(
+      s"""SELECT status, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $t GROUP BY status ORDER BY status""".stripMargin)
+  }
+
+  private val tl45NotMatchedBySourceSql =
+    s"""WITH $batchesSql,
+       |src AS (
+       |  SELECT * FROM b2
+       |  UNION ALL
+       |  SELECT id + 1 AS id, 'inserted' AS status, price, 3 AS batch
+       |  FROM b2),
+       |rest AS (SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM src)),
+       |fin AS (
+       |  SELECT * FROM src
+       |  UNION ALL
+       |  SELECT id,
+       |    CASE WHEN price >= 250000.0 THEN 'flagged' ELSE status END AS status,
+       |    price, batch
+       |  FROM rest WHERE price >= 30000.0)
+       |SELECT status, count(*) AS n_rows,
+       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM fin GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tl45_nms_merge" -> tl45NotMatchedBySource,
     "tl44_update_cdf" -> tl44UpdateCdf,
     "tl43_not_null" -> tl43NotNull,
     "tl42_sql_mor" -> tl42SqlMor,
@@ -2641,6 +2723,7 @@ object TableLogQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tl45_nms_merge" -> tl45NotMatchedBySourceSql,
     "tl44_update_cdf" -> tl44UpdateCdfSql,
     "tl43_not_null" -> tl43NotNullSql,
     "tl42_sql_mor" -> tl42SqlMorSql,

@@ -318,4 +318,73 @@ class GraftLogRowLevelSpec extends SparkSpec {
     assert(CommitLog.currentVersion(dir) == vPre, "nothing may land")
     assert(spark.sql("SELECT count(*) AS n FROM rlcat.dml.mk").head.getLong(0) == 5L)
   }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: copy-on-write route") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.nbs")
+    spark.sql("CREATE TABLE rlcat.dml.nbs AS SELECT id, CAST(0 AS INT) AS gen FROM range(8)")
+    val dir = tableDir("nbs")
+    spark.sql("SELECT id, CAST(1 AS INT) AS gen FROM range(2, 5)")
+      .createOrReplaceTempView("rl_nbs_src")
+    val vPre = CommitLog.currentVersion(dir)
+    // source-absent target rows must FLOW to the writer: id 0/1 deleted,
+    // id >= 5 marked stale, id 2-4 updated from the source
+    spark.sql(
+      """MERGE INTO rlcat.dml.nbs t USING rl_nbs_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET gen = s.gen
+        |WHEN NOT MATCHED BY SOURCE AND t.id < 2 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET gen = -1""".stripMargin)
+    assert(CommitLog.currentVersion(dir) == vPre + 1, "one commit")
+    val got = spark.sql("SELECT id, gen FROM rlcat.dml.nbs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq(2L -> 1, 3L -> 1, 4L -> 1,
+      5L -> -1, 6L -> -1, 7L -> -1), s"got $got")
+    assert(CommitLog.read(spark, dir, Some(vPre)).count() == 8L,
+      "the pre-merge snapshot must still time-travel")
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: merge-on-read route + CDF labels") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.nbd")
+    spark.sql("CREATE TABLE rlcat.dml.nbd AS SELECT id, CAST(0 AS INT) AS gen FROM range(8)")
+    val dir = tableDir("nbd")
+    CommitLog.enableDv(dir)
+    spark.sql("SELECT id, CAST(1 AS INT) AS gen FROM range(2, 5)")
+      .createOrReplaceTempView("rl_nbd_src")
+    val before = CommitLog.snapshotFiles(dir).toSet
+    val vPre = CommitLog.currentVersion(dir)
+    spark.sql(
+      """MERGE INTO rlcat.dml.nbd t USING rl_nbd_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET gen = s.gen
+        |WHEN NOT MATCHED BY SOURCE AND t.id < 2 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET gen = -1""".stripMargin)
+    val vM = CommitLog.currentVersion(dir)
+    assert(vM == vPre + 1, "one commit")
+    val c = CommitLog.readCommit(dir, vM)
+    assert(c.op == "merge" && c.remove.isEmpty && c.dv.nonEmpty && c.add.nonEmpty,
+      s"the delta route must land vectors + image adds, got op=${c.op} " +
+        s"removes=${c.remove.size}")
+    assert(before.subsetOf(CommitLog.snapshotFiles(dir).toSet),
+      "no pre-merge data file may be removed")
+    val got = spark.sql("SELECT id, gen FROM rlcat.dml.nbd ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq(2L -> 1, 3L -> 1, 4L -> 1,
+      5L -> -1, 6L -> -1, 7L -> -1), s"got $got")
+    // CDF: by-source DELETEs keep plain labels; every UPDATE clause —
+    // matched AND not-matched-by-source — pairs update_pre/postimage
+    // (the writer saw which callback fired, per row)
+    val w = CommitLog.changes(spark, dir, vPre, vM)
+      .select("id", "gen", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(w == Set(
+      (0L, 0, "delete"), (1L, 0, "delete"),
+      (2L, 0, "update_preimage"), (3L, 0, "update_preimage"),
+      (4L, 0, "update_preimage"),
+      (5L, 0, "update_preimage"), (6L, 0, "update_preimage"),
+      (7L, 0, "update_preimage"),
+      (2L, 1, "update_postimage"), (3L, 1, "update_postimage"),
+      (4L, 1, "update_postimage"),
+      (5L, -1, "update_postimage"), (6L, -1, "update_postimage"),
+      (7L, -1, "update_postimage")), s"got $w")
+  }
 }
