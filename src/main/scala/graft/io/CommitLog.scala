@@ -176,6 +176,15 @@ object CommitLog {
   private val DvOnRe = """"dvon"\s*:\s*1""".r
   private val DvRe =
     """"dv"\s*:\s*"([^"]+)"\s*,\s*"dvfile"\s*:\s*"([^"]+)"\s*,\s*"dvrows"\s*:\s*(\d+)""".r
+  // automatic materialization policy ({"dvmaxratio":"0.5"}, an alter
+  // action like dvon; TBLPROPERTIES 'graft.dv.maxRatio' at CREATE): when
+  // a merge-on-read statement's merged vector would push a file's
+  // suppressed/total past the ratio, the COMMITTING statement rewrites
+  // that file (survivors staged fresh, remove+add in the same commit)
+  // instead of letting reads decay into suppression probes — the Delta
+  // deletion-vector rewrite-threshold trade, declared per table. Files
+  // below the ratio keep their vectors; last declaration wins.
+  private val DvMaxRatioRe = """"dvmaxratio"\s*:\s*"([0-9.eE+-]+)"""".r
   // CHECK-constraint vocabulary (the public Delta table-constraint
   // semantics): {"constraint":"<name>","expr64":"<b64 sql>"} declares,
   // {"unconstraint":"<name>"} drops. The expression is base64-encoded so
@@ -306,6 +315,8 @@ object CommitLog {
     val dvs = scala.collection.mutable.HashMap.empty[String, (String, Long)]
     // whether the table opted into merge-on-read deletes ({"dvon":1})
     var dvOn: Boolean = false
+    // automatic materialization threshold, when declared (last wins)
+    var dvMaxRatio: Option[Double] = None
     // live CHECK constraints: name -> SQL expression (logical names)
     val constraints = scala.collection.mutable.LinkedHashMap.empty[String, String]
   }
@@ -364,6 +375,8 @@ object CommitLog {
       state.dvs(m.group(1)) = (m.group(2), m.group(3).toLong)
     }
     if (DvOnRe.findFirstIn(text).isDefined) state.dvOn = true
+    DvMaxRatioRe.findAllMatchIn(text).foreach(m =>
+      state.dvMaxRatio = m.group(1).toDoubleOption)
     ConstraintRe.findAllMatchIn(text).foreach { m =>
       state.constraints(m.group(1)) = new String(
         java.util.Base64.getDecoder.decode(m.group(2)), StandardCharsets.UTF_8)
@@ -1130,6 +1143,68 @@ object CommitLog {
     commitRaw(table, "alter", Seq("""{"dvon":1}"""))
   }
 
+  /** The table's automatic dv-materialization threshold, if declared
+    * ([[setDvMaxRatio]] / TBLPROPERTIES 'graft.dv.maxRatio'). */
+  def dvMaxRatioOf(table: String, asOf: Option[Long] = None): Option[Double] =
+    if (!Files.isDirectory(logDir(table))) None
+    else replay(table, asOf).dvMaxRatio
+
+  /** Declares the automatic materialization policy: a merge-on-read
+    * statement whose merged vector pushes a file's suppressed/total PAST
+    * `ratio` rewrites that file in its own commit (survivors staged
+    * fresh) instead of committing the vector — reads of that file return
+    * to the plain columnar scan. Files below the ratio keep merge-on-read
+    * latency. `ratio` in (0, 1]; 1.0 still materializes fully-deleted
+    * files. One alter commit; last declaration wins. */
+  def setDvMaxRatio(table: String, ratio: Double): Long = {
+    require(ratio > 0.0 && ratio <= 1.0,
+      s"graft.dv.maxRatio must be in (0, 1], got $ratio")
+    Files.createDirectories(Paths.get(table))
+    commitRaw(table, "alter", Seq(s"""{"dvmaxratio":"$ratio"}"""))
+  }
+
+  /** Applies the table's automatic materialization policy to ONE
+    * statement's freshly merged vectors: files whose suppressed/total
+    * would cross `graft.dv.maxRatio` are rewritten (surviving rows read
+    * through the merged vector with the per-task probe, staged as fresh
+    * files) and expressed as remove+add actions; files at or below the
+    * ratio keep their `dv` action. Files without a recorded footer row
+    * count cannot evaluate the ratio and keep their vector (fail-safe).
+    * The rewritten files' now-unreferenced merged sidecars are reclaimed
+    * eagerly. Returns (action lines, staged replacements for the
+    * caller's conflict cleanup). CDF is unaffected either way: the
+    * remove-at-old-vector/add pair multiset-diffs to exactly the rows
+    * the vector would have suppressed. */
+  private def dvPolicyLines(spark: SparkSession, table: String, tip: Long,
+                            written: Seq[(String, String, Long)])
+      : (Seq[String], Seq[String]) = {
+    val state = replay(table, Some(tip))
+    val toMat = state.dvMaxRatio.fold(Seq.empty[(String, String, Long)]) { r =>
+      written.filter { case (f, _, n) =>
+        state.rowCounts.get(f).exists(total => total > 0 && n.toDouble / total > r)
+      }
+    }
+    val matSet = toMat.map(_._1).toSet
+    val dvLines = written.filterNot(w => matSet(w._1)).map { case (f, sc, n) =>
+      s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
+    }
+    if (toMat.isEmpty) (dvLines, Seq.empty)
+    else {
+      val files = toMat.map(_._1)
+      val survivors = readFilesWithPos(spark, table, files, Some(tip))
+        .filter(notSuppressedBy(table,
+          toMat.map { case (f, sc, n) => f -> (sc, n) }.toMap))
+        .drop(DvFileCol, DvPosCol)
+      val matAdds = stage(survivors.coalesce(files.length), table)
+      toMat.foreach { case (_, sc, _) =>
+        Files.deleteIfExists(Paths.get(table, sc))
+      }
+      val bloomCol = declaredBloom(table)
+      (dvLines ++ matAdds.map(f => addAction(table, f, bloomCol)) ++
+        files.map(f => s"""{"remove":"$f"}"""), matAdds)
+    }
+  }
+
   /** The snapshot's live deletion vectors: file -> (sidecar, rows). */
   private[graft] def dvFor(table: String, asOf: Option[Long] = None)
       : Map[String, (String, Long)] =
@@ -1275,19 +1350,24 @@ object CommitLog {
       (f, name)
     }
     val bloomCol = declaredBloom(table)
-    val lines = finals.map { case (f, sc, n) =>
-      s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
-    } ++ updFinals.map { case (f, sc) => s"""{"dvu":"$f","dvufile":"$sc"}""" } ++
+    // materialization policy (graft.dv.maxRatio): past-ratio files
+    // rewrite in this same commit; their `.dvu-` annotations stay valid
+    // (CDF's −1 entries scan the ORIGINAL file)
+    val (dvLines, matAdds) = dvPolicyLines(SparkSession.active, table,
+      expectedTip, finals)
+    val lines = dvLines ++
+      updFinals.map { case (f, sc) => s"""{"dvu":"$f","dvufile":"$sc"}""" } ++
       (added ++ postAdded).map(f => addAction(table, f, bloomCol)) ++
       postAdded.map(f => s"""{"cdfpost":"$f"}""")
     try {
-      val v = commitRaw(table, op, lines, Some(expectedTip))
+      val v = commitRaw(table, op, lines, Some(expectedTip), reconcile = true)
       (partials ++ updPartials).foreach { case (_, p) =>
         Files.deleteIfExists(Paths.get(table, p))
       }
       Some(v)
     } catch {
       case e: java.util.ConcurrentModificationException =>
+        unstage(table, matAdds)
         finals.foreach { case (_, sc, _) =>
           Files.deleteIfExists(Paths.get(table, sc))
         }
@@ -1353,12 +1433,11 @@ object CommitLog {
           .collect()
         if (written.isEmpty) None
         else {
-          val lines = written.toSeq.map { case (f, sc, n) =>
-            s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
-          }
-          try Some(commitRaw(table, "delete", lines, Some(tip)))
+          val (lines, matAdds) = dvPolicyLines(spark, table, tip, written.toSeq)
+          try Some(commitRaw(table, "delete", lines, Some(tip), reconcile = true))
           catch {
             case e: java.util.ConcurrentModificationException =>
+              unstage(table, matAdds)
               written.foreach { case (_, sc, _) =>
                 Files.deleteIfExists(Paths.get(table, sc))
               }
@@ -1446,13 +1525,12 @@ object CommitLog {
             }.toIndexedSeq: _*)
             val added = stage(images, table)
             val bloomCol = declaredBloom(table)
-            val lines = written.toSeq.map { case (f, sc, n) =>
-              s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
-            } ++ added.map(f => addAction(table, f, bloomCol))
-            try Some(commitRaw(table, "update", lines, Some(tip)))
+            val (dvLines, matAdds) = dvPolicyLines(spark, table, tip, written.toSeq)
+            val lines = dvLines ++ added.map(f => addAction(table, f, bloomCol))
+            try Some(commitRaw(table, "update", lines, Some(tip), reconcile = true))
             catch {
               case e: java.util.ConcurrentModificationException =>
-                unstage(table, added)
+                unstage(table, added ++ matAdds)
                 written.foreach { case (_, sc, _) =>
                   Files.deleteIfExists(Paths.get(table, sc))
                 }
@@ -1500,7 +1578,8 @@ object CommitLog {
         // zone maps prove nothing can match: the whole source is inserts
         val added = stage(source, table)
         try Some(commitRaw(table, "merge",
-          added.map(f => addAction(table, f, bloomCol)), Some(tip)))
+          added.map(f => addAction(table, f, bloomCol)), Some(tip),
+          reconcile = true))
         catch {
           case e: java.util.ConcurrentModificationException =>
             unstage(table, added); throw e
@@ -1546,16 +1625,20 @@ object CommitLog {
               (stage(source.join(matchedKeys, keys, "left_semi"), table),
                 stage(source.join(matchedKeys, keys, "left_anti"), table))
             }
-          val lines = written.toSeq.map { case (f, sc, n, _) =>
-            s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
-          } ++ written.toSeq.map { case (f, _, _, du) =>
+          // materialization policy: a past-ratio file rewrites instead of
+          // carrying the vector; its `.dvu-` annotation stays valid (the
+          // CDF's −1 entries scan the ORIGINAL file, where the update
+          // positions live)
+          val (dvLines, matAdds) = dvPolicyLines(spark, table, tip,
+            written.toSeq.map { case (f, sc, n, _) => (f, sc, n) })
+          val lines = dvLines ++ written.toSeq.map { case (f, _, _, du) =>
             s"""{"dvu":"$f","dvufile":"$du"}"""
           } ++ (insAdded ++ postAdded).map(f => addAction(table, f, bloomCol)) ++
             postAdded.map(f => s"""{"cdfpost":"$f"}""")
-          try Some(commitRaw(table, "merge", lines, Some(tip)))
+          try Some(commitRaw(table, "merge", lines, Some(tip), reconcile = true))
           catch {
             case e: java.util.ConcurrentModificationException =>
-              unstage(table, insAdded ++ postAdded)
+              unstage(table, insAdded ++ postAdded ++ matAdds)
               written.foreach { case (_, sc, _, du) =>
                 Files.deleteIfExists(Paths.get(table, sc))
                 Files.deleteIfExists(Paths.get(table, du))
@@ -1824,7 +1907,11 @@ object CommitLog {
         yield s"""{"add":"$f","lo":$lo,"hi":$hi,"col":"$c"$rowsSuffix}""")
         .getOrElse(s"""{"add":"$f"$rowsSuffix}""")
     }
-    commitRaw(table, op, addActions ++ remove.map(f => s"""{"remove":"$f"}"""), expectedTip)
+    // snapshot-derived rewrites reconcile past racing blind appends
+    // (the racer's fresh files intersect neither the remove set nor the
+    // rewritten rows); every other racer still aborts to a re-derive
+    commitRaw(table, op, addActions ++ remove.map(f => s"""{"remove":"$f"}"""),
+      expectedTip, reconcile = true)
   }
 
   /** Row count from the parquet footer alone (no data pages touched). */
@@ -1860,18 +1947,41 @@ object CommitLog {
     * detection of the public Delta protocol, §2.2 of the VLDB paper —
     * a lost-update/duplicate-rows corruption otherwise, caught by the
     * concurrent-upsert race in `CommitLogSpec`). Content-independent
-    * appends pass None and blind-retry at the next slot. */
+    * appends pass None and blind-retry at the next slot.
+    *
+    * `reconcile`: LOGICAL conflict resolution (Delta's conflict-detection
+    * shape, reduced to this log's strongest safe rule) — a snapshot-
+    * derived commit whose expectedTip was overtaken re-examines the
+    * racing commits and, when EVERY one is a blind add
+    * ([[isBlindAddCommit]]: fresh files only — no removes, no vector
+    * changes, no metadata declarations), lands at the new tip WITHOUT
+    * the caller re-running its scan: the racers touched nothing the
+    * statement read or writes, so serializing the statement BEFORE them
+    * is valid (Delta's WriteSerializable treatment of append-vs-DML).
+    * Any other racer — a rewrite, another DML's vectors, a restore, a
+    * schema/constraint change — still aborts to the caller's full
+    * re-derive. Callers whose semantics depend on the commit-time live
+    * set as a WHOLE (overwrite's remove-everything) must not opt in. */
   private def commitRaw(table: String, op: String, actions: Seq[String],
-                        expectedTip: Option[Long] = None): Long = {
+                        expectedTip: Option[Long] = None,
+                        reconcile: Boolean = false): Long = {
     Files.createDirectories(logDir(table))
     val lines = (s"""{"op":"$op"}""" +: actions).mkString("", "\n", "\n")
+    // a txn-marked commit must NOT reconcile past a racer carrying a txn
+    // marker: the marker's already-committed check ran at expectedTip,
+    // and a racing replay of the SAME id would double-apply
+    lazy val oursHasTxn = actions.exists(TxnRe.findFirstIn(_).isDefined)
     var attempt = 0
     while (attempt < 100) {
       val tip = currentVersion(table)
       expectedTip.foreach { e =>
-        if (tip != e) throw new java.util.ConcurrentModificationException(
-          s"$op on $table was computed against snapshot v$e but the log tip " +
-            s"is now v$tip — the caller must re-read and re-derive the commit")
+        if (tip != e) {
+          val safe = reconcile && tip > e &&
+            ((e + 1) to tip).forall(v => isBlindAddCommit(table, v, oursHasTxn))
+          if (!safe) throw new java.util.ConcurrentModificationException(
+            s"$op on $table was computed against snapshot v$e but the log tip " +
+              s"is now v$tip — the caller must re-read and re-derive the commit")
+        }
       }
       val v = tip + 1
       val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
@@ -1896,6 +2006,39 @@ object CommitLog {
       }
     }
     sys.error(s"commit on $table lost ${100} consecutive version races — aborting")
+  }
+
+  /** Ops that only ever land freshly-named staged files — the vocabulary
+    * [[commitRaw]]'s reconciliation may serialize a derived commit BEFORE.
+    * Restore/compact/overwrite re-declare or remove EXISTING names (they
+    * change liveness or vector state of files a racer may have read), so
+    * they are never blind, whatever their lines look like. */
+  private val BlindAddOps = Set("append", "txn-append")
+
+  /** TRUE iff commit `v` is a pure blind add: a whitelisted op carrying
+    * only fresh add actions — no removes, no deletion-vector changes, no
+    * schema/clustering/tombstone/constraint/bloom/dvon declarations, and
+    * (when the reconciling commit is itself txn-marked) no txn marker.
+    * One commit-file read, ∝ racing commits — never a replay. */
+  private def isBlindAddCommit(table: String, v: Long,
+                               oursHasTxn: Boolean): Boolean = {
+    val p = commitPath(table, v)
+    if (!Files.exists(p)) return false
+    val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    OpRe.findFirstMatchIn(text).map(_.group(1)).exists(BlindAddOps.contains) &&
+      RemoveRe.findFirstIn(text).isEmpty &&
+      DvRe.findFirstIn(text).isEmpty &&
+      DvuRe.findFirstIn(text).isEmpty &&
+      SchemaRe.findFirstIn(text).isEmpty &&
+      ClusterRe.findFirstIn(text).isEmpty &&
+      TombstoneRe.findFirstIn(text).isEmpty &&
+      UntombstoneRe.findFirstIn(text).isEmpty &&
+      ConstraintRe.findFirstIn(text).isEmpty &&
+      UnconstraintRe.findFirstIn(text).isEmpty &&
+      BloomOnRe.findFirstIn(text).isEmpty &&
+      DvOnRe.findFirstIn(text).isEmpty &&
+      DvMaxRatioRe.findFirstIn(text).isEmpty &&
+      (!oursHasTxn || TxnRe.findFirstIn(text).isEmpty)
   }
 
   /** Transactional append. Returns the committed version. Appends are
@@ -2146,7 +2289,7 @@ object CommitLog {
       // even on a fresh/empty table the merge decision ("nothing to
       // merge") was derived from this tip — conflict-abort applies
       val (added, actions) = upsertActions(spark, table, tip, updates, keys)
-      try commitRaw(table, "upsert", actions, Some(tip))
+      try commitRaw(table, "upsert", actions, Some(tip), reconcile = true)
       catch {
         case e: java.util.ConcurrentModificationException =>
           unstage(table, added); throw e
@@ -2173,7 +2316,7 @@ object CommitLog {
       else {
         val (added, actions) = upsertActions(spark, table, tip, updates, keys)
         try Some(commitRaw(table, "upsert",
-          actions :+ s"""{"txn":"$txnId"}""", Some(tip)))
+          actions :+ s"""{"txn":"$txnId"}""", Some(tip), reconcile = true))
         catch {
           case e: java.util.ConcurrentModificationException =>
             unstage(table, added); throw e
@@ -3259,6 +3402,7 @@ object CommitLog {
       state.tombstones.toSeq.map(t => s"""{"tombstone":"$t"}""") ++
       state.bloomCol.map(c => s"""{"bloomon":"$c"}""").toSeq ++
       (if (state.dvOn) Seq("""{"dvon":1}""") else Seq.empty) ++
+      state.dvMaxRatio.map(r => s"""{"dvmaxratio":"$r"}""").toSeq ++
       state.constraints.toSeq.map { case (n, e) =>
         val b64 = java.util.Base64.getEncoder
           .encodeToString(e.getBytes(StandardCharsets.UTF_8))

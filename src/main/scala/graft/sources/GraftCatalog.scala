@@ -180,14 +180,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // refused CREATE must leave nothing behind (a ghost table would make
     // the retry fail with TableAlreadyExists).
     properties.asScala.keys.filter(_.startsWith("graft."))
-      .find(k => k != "graft.dv.enabled" && k != "graft.bloom.column")
+      .find(k => k != "graft.dv.enabled" && k != "graft.bloom.column" &&
+        !k.equalsIgnoreCase("graft.dv.maxratio"))
       .foreach(k => throw new IllegalArgumentException(
         s"graft catalog: unknown table property '$k' — supported: " +
-          "graft.dv.enabled, graft.bloom.column"))
+          "graft.dv.enabled, graft.bloom.column, graft.dv.maxRatio"))
     val bloomCol = Option(properties.get("graft.bloom.column"))
     bloomCol.foreach { c =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"graft catalog: graft.bloom.column '$c' is not in the schema")
+    }
+    // automatic dv-materialization threshold: validated here, BEFORE the
+    // table directory exists (a refused CREATE leaves nothing behind)
+    val dvMaxRatio = properties.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.dv.maxratio") => v
+    }.map { v =>
+      val r = v.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: graft.dv.maxRatio must be a number in (0, 1], got '$v'"))
+      require(r > 0.0 && r <= 1.0,
+        s"graft catalog: graft.dv.maxRatio must be in (0, 1], got $v")
+      r
     }
     val dir = dirOf(ident)
     Files.createDirectories(dir)
@@ -197,6 +209,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     CommitLog.createEmpty(SparkSession.active, schema, dir.toString, clustering)
     if (Option(properties.get("graft.dv.enabled")).exists(_.equalsIgnoreCase("true")))
       CommitLog.enableDv(dir.toString)
+    dvMaxRatio.foreach(r => CommitLog.setDvMaxRatio(dir.toString, r))
     bloomCol.foreach(c => CommitLog.declareBloom(SparkSession.active, dir.toString, c))
     loadTable(ident)
   }

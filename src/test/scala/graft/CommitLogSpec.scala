@@ -715,4 +715,39 @@ class CommitLogSpec extends SparkSpec {
     // time travel back to full coverage still answers
     assert(CommitLog.snapshotMinMax(t, "k", Some(0L)).contains((5L, 104L)))
   }
+
+  test("logical conflict resolution: a blind append racing a dvDelete " +
+      "lands both WITHOUT a re-scan; overlap races still re-derive") {
+    val t = freshTable("reconcile")
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), t) // v0
+    CommitLog.enableDv(t)                                                // v1
+    // the candidates callback runs exactly once per body execution, so
+    // counting it counts the statement's scans — a blind append landed
+    // BETWEEN the scan and the commit must reconcile, not re-derive
+    var bodyRuns = 0
+    val v = CommitLog.dvDelete(spark, t, col("id") === 2L, Some { tip =>
+      bodyRuns += 1
+      if (bodyRuns == 1) { CommitLog.append(df(100L -> "x"), t); () }
+      CommitLog.snapshotFiles(t, Some(tip))
+    })
+    assert(bodyRuns == 1,
+      "the delete's scan must run ONCE — the blind append reconciles")
+    assert(v.isDefined && v.get == CommitLog.currentVersion(t),
+      "the reconciled delete lands above the racer")
+    val got = CommitLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L, 4L, 100L), s"both commits must land: $got")
+
+    // an overlapping racer (another statement's deletion vectors) is NOT
+    // blind: the statement must abort and re-derive at the fresh tip
+    var bodyRuns2 = 0
+    val v2 = CommitLog.dvDelete(spark, t, col("id") === 3L, Some { tip =>
+      bodyRuns2 += 1
+      if (bodyRuns2 == 1) { CommitLog.dvDelete(spark, t, col("id") === 4L); () }
+      CommitLog.snapshotFiles(t, Some(tip))
+    })
+    assert(bodyRuns2 == 2, "a vector-touching racer must force the re-derive")
+    assert(v2.isDefined)
+    val got2 = CommitLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == Seq(1L, 100L), s"all three deletes must land: $got2")
+  }
 }

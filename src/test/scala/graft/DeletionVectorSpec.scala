@@ -248,6 +248,48 @@ class DeletionVectorSpec extends SparkSpec {
     assert(CommitLog.read(spark, t, Some(1L)).count() == 3L)
   }
 
+  test("graft.dv.maxRatio: a past-ratio file materializes in the SAME " +
+      "commit; below-ratio vectors stay") {
+    val t = freshTable("maxratio")
+    CommitLog.append(
+      df(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e").coalesce(1), t) // v0: file A
+    CommitLog.append(
+      df(6L -> "f", 7L -> "g", 8L -> "h", 9L -> "i", 10L -> "j").coalesce(1), t) // v1: file B
+    CommitLog.enableDv(t)                                                        // v2
+    CommitLog.setDvMaxRatio(t, 0.5)                                              // v3
+    assert(CommitLog.dvMaxRatioOf(t).contains(0.5))
+    // below the ratio everywhere (1/5 per file): vectors land, no rewrite
+    val v4 = CommitLog.dvDelete(spark, t, col("id").isin(1L, 6L)).get
+    val c4 = CommitLog.readCommit(t, v4)
+    assert(c4.dv.size == 2 && c4.add.isEmpty && c4.remove.isEmpty,
+      s"below-ratio deletes stay merge-on-read: $c4")
+    // pushing file A past the ratio (merged 3/5 > 0.5) materializes it in
+    // the SAME commit; file B (2/5) keeps its vector
+    val v5 = CommitLog.dvDelete(spark, t, col("id").isin(2L, 3L, 7L)).get
+    val c5 = CommitLog.readCommit(t, v5)
+    assert(c5.remove.size == 1 && c5.add.nonEmpty && c5.dv.size == 1,
+      s"the past-ratio file must rewrite, the other keep its vector: $c5")
+    val dvs = CommitLog.dvFor(t)
+    assert(!dvs.contains(c5.remove.head) && dvs.size == 1 &&
+        dvs.values.head._2 == 2L,
+      s"only file B may still carry a vector: $dvs")
+    val now = CommitLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(now == Seq(4L, 5L, 8L, 9L, 10L), s"got $now")
+    assert(CommitLog.snapshotRowCount(t).contains(5L),
+      "metadata count stays exact through the materialization")
+    // CDF of the materialization commit: exactly the three deletes —
+    // the remove-at-old-vector/add pair diffs to the suppressed rows
+    val w = CommitLog.changes(spark, t, v5 - 1, v5)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(w == Set((2L, "delete"), (3L, "delete"), (7L, "delete")), s"got $w")
+    // time travel below the materialization still serves
+    assert(CommitLog.read(spark, t, Some(v4)).count() == 8L)
+    // the checkpoint rolls the declaration
+    CommitLog.checkpoint(t)
+    assert(CommitLog.dvMaxRatioOf(t).contains(0.5))
+  }
+
   test("concurrent dvDeletes serialize: both land, vectors merge, no lost delete") {
     val t = freshTable("race")
     CommitLog.append(df((1L to 12L).map(i => i -> s"r$i"): _*).coalesce(2), t)

@@ -271,9 +271,18 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("CREATE TABLE gcat.ghost.t (id BIGINT, v STRING) " +
         "TBLPROPERTIES ('graft.dv.enable' = 'true')")
     }
+    // out-of-range materialization ratio: same contract
+    intercept[Throwable] {
+      spark.sql("CREATE TABLE gcat.ghost.t (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('graft.dv.maxRatio' = '1.5')")
+    }
     // the failed CREATEs left nothing — the retry with valid properties works
     spark.sql("CREATE TABLE gcat.ghost.t (id BIGINT, v STRING) " +
-      "TBLPROPERTIES ('graft.bloom.column' = 'v', 'graft.dv.enabled' = 'true')")
+      "TBLPROPERTIES ('graft.bloom.column' = 'v', 'graft.dv.enabled' = 'true', " +
+      "'graft.dv.maxRatio' = '0.5')")
     assert(spark.sql("SELECT count(*) AS n FROM gcat.ghost.t").head.getLong(0) == 0L)
+    val dir = java.nio.file.Paths.get(warehouse, "ghost", "t").toString
+    assert(CommitLog.dvMaxRatioOf(dir).contains(0.5),
+      "the declared ratio must ride the log from CREATE")
   }
 }
