@@ -587,9 +587,13 @@ object GraftLogDataSource {
               n == CommitLog.DvFileCol || n == CommitLog.DvPosCol)
             if (wantsRowId) {
               // the (file, position) METADATA columns were referenced —
-              // serve them from the position-tagged Catalyst read
-              // (vectors applied; the native columnar scan has no way to
-              // surface the parquet reader's row index)
+              // vector-less files serve them NATIVELY (the parquet
+              // reader's own row index + a constant file vector,
+              // [[GraftDvNativeScan]]); files with a live vector keep the
+              // position-tagged Catalyst read, which must also suppress
+              if (!fs.exists(dvd.contains))
+                return new GraftDvNativeScan(path, snapshotVersion, schema0,
+                  required, pushed, fs)
               val reqF = required
               val fseq = pushed.toIndexedSeq
               new V1Scan {

@@ -369,6 +369,15 @@ private[sources] final class GraftDvRowLevelOperation(
       override def build(): org.apache.spark.sql.connector.read.Scan = {
         val reqF = required
         val fseq = pushed.toIndexedSeq
+        val files = GraftLogDataSource.prunedFileNames(path, version, fseq)
+        val dvs = CommitLog.dvFor(path, Some(version))
+        // vector-less scanned files: fully native columnar (row identity
+        // from the parquet reader's own row index + a constant file
+        // vector — no InternalRow→Row→InternalRow bridge). Files with a
+        // live vector keep the Catalyst read, which must also SUPPRESS.
+        if (!files.exists(dvs.contains))
+          return new GraftDvNativeScan(path, version, tableSchema, reqF,
+            fseq.toArray, files)
         new org.apache.spark.sql.connector.read.V1Scan {
           override def readSchema(): StructType = reqF
           override def description(): String =
@@ -576,6 +585,171 @@ private final class GraftDeltaWriter(
   }
 
   override def close(): Unit = ()
+}
+
+/** NATIVE columnar scan serving the table's data columns PLUS the
+  * (file, position) row-identity metadata columns — the read half of the
+  * delta-based DML route and of `SELECT _graft_dv_file, _graft_dv_pos`,
+  * for snapshots whose scanned files carry NO live deletion vector (the
+  * vectored case keeps the Catalyst fallback, which must also filter).
+  *
+  * Shape: the position column rides Spark's own parquet row-index
+  * machinery — the delegate's read schema appends
+  * `ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME`, which the
+  * vectorized reader fills with each row's index in its file (page/row-
+  * group skipping accounted, exactly what `_metadata.row_index` uses) —
+  * and the file column is a per-partition CONSTANT vector: the delegate's
+  * bin-packed partitions are split one-file-per-partition so each task
+  * knows its name. End-to-end columnar, no InternalRow→Row→InternalRow
+  * bridge (the previous V1Scan form paid that double conversion on every
+  * DML scan row). The row-based reader path (complex types) maps fields
+  * through one reused mutable view. */
+private[sources] final class GraftDvNativeScan(
+    path: String, version: Long, tableSchema: StructType,
+    required: StructType, filters: Array[Filter], fileNames: Seq[String])
+    extends org.apache.spark.sql.connector.read.Scan {
+
+  private val RowIdxCol = org.apache.spark.sql.execution.datasources.parquet
+    .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  private def isMeta(n: String): Boolean =
+    n == CommitLog.DvFileCol || n == CommitLog.DvPosCol
+
+  private val dataFields = required.fields.filter(f => !isMeta(f.name))
+
+  // output ordinal i comes from: -1 = the partition's constant file name;
+  // otherwise the delegate column at that index (data columns first, the
+  // generated row index last)
+  private val mapping: Array[Int] = {
+    var next = -1
+    required.fields.map { f =>
+      if (f.name == CommitLog.DvFileCol) -1
+      else if (f.name == CommitLog.DvPosCol) dataFields.length
+      else { next += 1; next }
+    }
+  }
+
+  private lazy val delegate
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    val declared = CommitLog.declaredSchema(path, Some(version))
+    val idxField = org.apache.spark.sql.types.StructField(
+      RowIdxCol, org.apache.spark.sql.types.LongType)
+    org.apache.spark.sql.GraftSqlShim.parquetScan(
+      SparkSession.active,
+      fileNames.map(f => Paths.get(path, f).toString),
+      StructType(CommitLog.physicalizeNames(path, tableSchema, Some(version))
+        .fields :+ idxField),
+      StructType(CommitLog.physicalizeNames(path, StructType(dataFields),
+        Some(version)).fields :+ idxField),
+      filters.flatMap(f => CommitLog.physicalizeFilter(declared, f)))
+  }
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graftlog $path@v$version (row-identity native scan), " +
+      s"${fileNames.length} files, PushedFilters: ${filters.mkString("[", ", ", "]")}"
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] =
+        if (fileNames.isEmpty) Array.empty
+        else {
+          // one FILE per partition, so the reader knows its constant name
+          // (the delegate may bin-pack splits of different files together)
+          val inner = delegate.toBatch.planInputPartitions()
+          inner.flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.map(pf =>
+                (pf, pf.filePath.toPath.getName): (
+                  org.apache.spark.sql.execution.datasources.PartitionedFile, String))
+            case other => sys.error(
+              s"graftlog: unexpected non-file partition ${other.getClass}")
+          }.zipWithIndex.map { case ((pf, name), i) =>
+            GraftDvInputPartition(
+              org.apache.spark.sql.execution.datasources.FilePartition(i, Array(pf)),
+              name)
+          }.toArray
+        }
+
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new GraftDvReaderFactory(delegate.toBatch.createReaderFactory(),
+          mapping, required)
+    }
+}
+
+private[sources] final case class GraftDvInputPartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    fileName: String)
+    extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Wraps the delegate's per-partition readers, splicing the constant file
+  * column and re-ordering (data..., rowIndex) into the required layout.
+  * Columnar batches reuse the delegate's vectors (zero copy); the
+  * row-based fallback maps through one mutable view per reader. */
+private[sources] final class GraftDvReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    mapping: Array[Int], required: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    inner.supportColumnarReads(p.asInstanceOf[GraftDvInputPartition].inner)
+
+  override def createColumnarReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val gp = p.asInstanceOf[GraftDvInputPartition]
+    val r = inner.createColumnarReader(gp.inner)
+    val const = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
+      1, org.apache.spark.sql.types.StringType)
+    const.setUtf8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(gp.fileName))
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = r.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = r.get()
+        val cols = mapping.map {
+          case -1 => const: org.apache.spark.sql.vectorized.ColumnVector
+          case j  => b.column(j)
+        }
+        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftDvInputPartition]
+    val r = inner.createReader(gp.inner)
+    val file = org.apache.spark.unsafe.types.UTF8String.fromString(gp.fileName)
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      mapping.length)
+    val types = required.fields.map(_.dataType)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = {
+        val in = r.get()
+        var i = 0
+        while (i < mapping.length) {
+          out.update(i,
+            if (mapping(i) == -1) file
+            else if (in.isNullAt(mapping(i))) null
+            else in.get(mapping(i), types(i)))
+          i += 1
+        }
+        out
+      }
+      override def close(): Unit = r.close()
+    }
+  }
 }
 
 /** The metadata-only DELETE planner behind `SupportsDelete.canDeleteWhere`

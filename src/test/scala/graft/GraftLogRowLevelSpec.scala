@@ -319,6 +319,38 @@ class GraftLogRowLevelSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM rlcat.dml.mk").head.getLong(0) == 5L)
   }
 
+  test("row-identity reads plan the NATIVE columnar scan on vector-less files") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.nv")
+    spark.sql("CREATE TABLE rlcat.dml.nv AS SELECT id, concat('v', id) AS v FROM range(6)")
+    val dir = tableDir("nv")
+    CommitLog.enableDv(dir)
+    val q = "SELECT id, _graft_dv_file AS f, _graft_dv_pos AS p FROM rlcat.dml.nv"
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("row-identity native scan"),
+      s"vector-less row-identity reads must plan the native scan:\n$plan")
+    val scans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "the native row-identity scan must serve columnar batches")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 6 && rows.forall(_._2.endsWith(".parquet")))
+    // positions are each file's own 0-based row index
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length.toLong),
+        s"per-file positions must be dense from 0: ${g.toSeq}")
+    }
+    // a live vector drops that read back to the suppressing Catalyst form
+    spark.sql("DELETE FROM rlcat.dml.nv WHERE id % 2 = 1")
+    val df2 = spark.sql(q)
+    assert(!df2.queryExecution.executedPlan.toString.contains(
+      "row-identity native scan"),
+      "vectored files must keep the suppressing fallback")
+    assert(df2.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 4L))
+  }
+
   test("MERGE WHEN NOT MATCHED BY SOURCE: copy-on-write route") {
     warehouse
     spark.sql("DROP TABLE IF EXISTS rlcat.dml.nbs")
