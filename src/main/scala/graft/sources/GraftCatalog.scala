@@ -258,6 +258,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident).toString
+    // `ALTER TABLE ... SET TBLPROPERTIES`: the same graft.* opt-ins CREATE
+    // accepts, declarable after the fact (each is one validated alter
+    // commit; unknown graft.* properties refuse loudly like at CREATE)
+    val (propChanges, colChanges) = changes.partition(
+      _.isInstanceOf[TableChange.SetProperty])
+    propChanges.foreach { case p: TableChange.SetProperty =>
+      p.property.toLowerCase match {
+        case "graft.dv.maxratio" =>
+          val r = p.value.toDoubleOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"graft catalog: graft.dv.maxRatio must be a number in (0, 1], " +
+                s"got '${p.value}'"))
+          CommitLog.setDvMaxRatio(dir, r)
+          ()
+        case "graft.dv.enabled" =>
+          require(p.value.equalsIgnoreCase("true"),
+            "graft catalog: graft.dv.enabled cannot be revoked — committed " +
+              "deletion vectors would resurface; CALL graft.system.compact " +
+              "to materialize instead")
+          CommitLog.enableDv(dir)
+          ()
+        case "graft.bloom.column" =>
+          CommitLog.declareBloom(SparkSession.active, dir, p.value)
+          ()
+        case other if other.startsWith("graft.") =>
+          throw new IllegalArgumentException(
+            s"graft catalog: unknown table property '${p.property}' — " +
+              "supported: graft.dv.enabled, graft.bloom.column, graft.dv.maxRatio")
+        case _ => () // Spark bookkeeping properties: accepted, not stored
+      }
+    }
+    if (colChanges.isEmpty && propChanges.nonEmpty) return loadTable(ident)
     // physical names freed by DROP COLUMN are reserved forever: old files
     // still carry those bytes, so reusing the name would resurrect stale
     // values instead of serving NULLs (Delta solves this with mapping ids;
@@ -385,7 +417,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val cur = CommitLog.declaredSchema(dir, Some(tip)).getOrElse(
         CommitLog.read(SparkSession.active, dir, Some(tip)).schema)
       newTombstones.clear() // re-derived per race attempt
-      val evolved = changes.foldLeft(cur)(applyOne)
+      val evolved = colChanges.foldLeft(cur)(applyOne)
       try {
         CommitLog.evolveSchema(dir, evolved, tip, newTombstones.toSeq)
         return loadTable(ident)

@@ -284,5 +284,16 @@ class GraftCatalogSpec extends SparkSpec {
     val dir = java.nio.file.Paths.get(warehouse, "ghost", "t").toString
     assert(CommitLog.dvMaxRatioOf(dir).contains(0.5),
       "the declared ratio must ride the log from CREATE")
+    // SET TBLPROPERTIES declares the same opt-ins after the fact
+    spark.sql("ALTER TABLE gcat.ghost.t SET TBLPROPERTIES ('graft.dv.maxRatio' = '0.25')")
+    assert(CommitLog.dvMaxRatioOf(dir).contains(0.25),
+      "ALTER ... SET TBLPROPERTIES must re-declare the ratio")
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE gcat.ghost.t SET TBLPROPERTIES ('graft.dv.maxRatio' = '7')")
+    }
+    assert(CommitLog.dvMaxRatioOf(dir).contains(0.25), "a refused ALTER changes nothing")
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE gcat.ghost.t SET TBLPROPERTIES ('graft.dv.enabled' = 'false')")
+    }
   }
 }
