@@ -1957,14 +1957,16 @@ object TableLogQueries {
     require(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF $vPre")
       .head().getLong(0) == preCnt, "tl36: pre-delete snapshot must still serve")
     // the CDF window over the dv commit: exactly the suppressed rows, as
-    // deletes, nothing else
-    val cdf = CommitLog.changes(spark, tdir, vPre, vDel)
-    require(cdf.filter(col("_change_type") =!= "delete").isEmpty,
+    // deletes, nothing else (ONE window computation, audited in memory)
+    val cdfRows = CommitLog.changes(spark, tdir, vPre, vDel)
+      .select(col("status"), col("price"), col("_change_type")).collect()
+    require(cdfRows.forall(_.getString(2) == "delete"),
       "tl36: a dv commit must emit deletes only")
-    require(cdf.count() == suppressed,
+    require(cdfRows.length.toLong == suppressed,
       "tl36: the CDF must emit one delete per suppressed row")
-    require(cdf.filter(col("status") === "pending_review" && col("price") < 50000.0)
-      .count() == suppressed, "tl36: every emitted delete matches the predicate")
+    require(cdfRows.count(r =>
+        r.getString(0) == "pending_review" && r.getDouble(1) < 50000.0)
+      .toLong == suppressed, "tl36: every emitted delete matches the predicate")
     // round 13: UPDATE on a vectored table AUTO-ROUTES through
     // merge-on-read (the delta-based row-level operation — tl42 pins the
     // full statement shape): one vector+adds commit, zero files removed,
@@ -2133,15 +2135,17 @@ object TableLogQueries {
     require(updated > 0, "tl38: the predicate matches rows at every SF")
     // CDF: exactly `updated` update_preimage+update_postimage pairs
     // sharing the commit version (Delta change-type parity), nothing else
-    val cdf = CommitLog.changes(spark, tdir, vPre, vUpd)
-    require(cdf.filter(col("_change_type") === "update_preimage").count() == updated &&
-        cdf.filter(col("_change_type") === "update_postimage").count() == updated,
+    // (ONE window computation, audited in memory)
+    val cdfRows = CommitLog.changes(spark, tdir, vPre, vUpd)
+      .select(col("status"), col("_change_type")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    require(cdfRows.count(_._2 == "update_preimage").toLong == updated &&
+        cdfRows.count(_._2 == "update_postimage").toLong == updated,
       "tl38: the CDF must pair one update_preimage with one update_postimage " +
         "per updated row")
-    require(cdf.filter(!col("_change_type").startsWith("update_")).isEmpty,
+    require(cdfRows.forall(_._2.startsWith("update_")),
       "tl38: an UPDATE commit carries update images only")
-    require(cdf.filter(col("_change_type") === "update_postimage")
-        .filter(col("status") =!= "expedited").isEmpty,
+    require(cdfRows.forall(r => r._2 != "update_postimage" || r._1 == "expedited"),
       "tl38: every postimage carries the new value")
     // time travel below the update serves the OLD images
     require(spark.sql(
@@ -2240,12 +2244,13 @@ object TableLogQueries {
     // 3rd), so the count is b1 + 0 new keys and the CDF pairs are exact
     require(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == b1Cnt,
       "tl40: b2's keys all match, so the count must not change")
-    val cdf = CommitLog.changes(spark, tdir, vPre, vM)
-    require(cdf.filter(col("_change_type") === "update_preimage").count() == b2Cnt &&
-        cdf.filter(col("_change_type") === "update_postimage").count() == b2Cnt,
+    val cdfTypes = CommitLog.changes(spark, tdir, vPre, vM)
+      .select(col("_change_type")).collect().map(_.getString(0))
+    require(cdfTypes.count(_ == "update_preimage").toLong == b2Cnt &&
+        cdfTypes.count(_ == "update_postimage").toLong == b2Cnt,
       "tl40: one update_preimage + one update_postimage per merged key " +
         "(every b2 key matches — Delta change-type parity)")
-    require(cdf.filter(col("_change_type") === "insert").isEmpty,
+    require(!cdfTypes.contains("insert"),
       "tl40: no new key in this source, so no plain insert")
     spark.sql(
       s"""SELECT batch, count(*) AS n_rows,
@@ -2344,19 +2349,21 @@ object TableLogQueries {
     require(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == preCnt,
       "tl42: an update must not change the row count")
     // CDF twin: update_preimage(old image) + update_postimage(new image)
-    // per updated row, sharing the statement's commit version
+    // per updated row, sharing the statement's commit version (ONE window
+    // computation, audited in memory)
     val cdfU = CommitLog.changes(spark, tdir, vPre, vUpd)
-    val updated = cdfU.filter(col("_change_type") === "update_postimage").count()
+      .select(col("status"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val updated = cdfU.count(_._2 == "update_postimage").toLong
     require(updated > 0, "tl42: the update predicate matches rows at every SF")
-    require(cdfU.filter(col("_change_type") === "update_preimage").count() == updated,
+    require(cdfU.count(_._2 == "update_preimage").toLong == updated,
       "tl42: the CDF must pair one update_preimage with one update_postimage " +
         "per updated row")
-    require(cdfU.filter(!col("_change_type").startsWith("update_")).isEmpty,
+    require(cdfU.forall(_._2.startsWith("update_")),
       "tl42: an UPDATE statement's window carries update images only")
-    require(cdfU.select("_commit_version").distinct().count() == 1L,
+    require(cdfU.map(_._3).distinct.length == 1,
       "tl42: the pair shares the statement's one commit version")
-    require(cdfU.filter(col("_change_type") === "update_postimage")
-        .filter(col("status") =!= "expedited").isEmpty,
+    require(cdfU.forall(r => r._2 != "update_postimage" || r._1 == "expedited"),
       "tl42: every postimage carries the new values")
     require(spark.sql(
         s"SELECT count(*) AS n FROM $t VERSION AS OF $vPre WHERE status = 'expedited'")
@@ -2386,18 +2393,20 @@ object TableLogQueries {
       "tl42: no pre-merge data file may be removed")
     // CDF twin: matched keys = update_preimage/update_postimage pairs
     // (the writer tracked WHICH rows matched — per-row, not by-key
-    // inference); new keys = plain inserts; zero plain deletes
+    // inference); new keys = plain inserts; zero plain deletes (ONE
+    // window computation, audited in memory)
     val cdfM = CommitLog.changes(spark, tdir, vM0, vM)
-    val mPre = cdfM.filter(col("_change_type") === "update_preimage").count()
-    val mPost = cdfM.filter(col("_change_type") === "update_postimage").count()
-    val mIns = cdfM.filter(col("_change_type") === "insert").count()
+      .select(col("status"), col("_change_type")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val mPre = cdfM.count(_._2 == "update_preimage")
+    val mPost = cdfM.count(_._2 == "update_postimage")
+    val mIns = cdfM.count(_._2 == "insert")
     require(mPre > 0 && mPre == mPost && mIns > 0,
       s"tl42: merge CDF must hold matched update pairs + plain inserts, got " +
         s"$mPre preimages / $mPost postimages / $mIns inserts")
-    require(cdfM.filter(col("_change_type") === "delete").isEmpty,
+    require(!cdfM.exists(_._2 == "delete"),
       "tl42: this merge deletes nothing, so no plain delete may appear")
-    require(cdfM.filter(col("_change_type") === "insert")
-        .filter(col("status") =!= "inserted").isEmpty,
+    require(cdfM.forall(r => r._2 != "insert" || r._1 == "inserted"),
       "tl42: plain inserts are exactly the shifted new-key rows")
     spark.sql(
       s"""SELECT status, count(*) AS n_rows,
@@ -2627,22 +2636,23 @@ object TableLogQueries {
         s"adds=${c.add.size} removes=${c.remove.size} dvs=${c.dv.size}")
     require(before.subsetOf(CommitLog.snapshotFiles(tdir).toSet),
       "tl45: no pre-merge data file may be removed")
+    // ONE window computation, audited in memory
     val cdf = CommitLog.changes(spark, tdir, vPre, vM)
-    val nDel = cdf.filter(col("_change_type") === "delete").count()
-    val nPre = cdf.filter(col("_change_type") === "update_preimage").count()
-    val nPost = cdf.filter(col("_change_type") === "update_postimage").count()
-    val nIns = cdf.filter(col("_change_type") === "insert").count()
+      .select(col("status"), col("price"), col("_change_type")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    val nDel = cdf.count(_._3 == "delete")
+    val nPre = cdf.count(_._3 == "update_preimage")
+    val nPost = cdf.count(_._3 == "update_postimage")
+    val nIns = cdf.count(_._3 == "insert")
     require(nDel > 0 && nPre > 0 && nPre == nPost && nIns > 0,
       s"tl45: all four clause kinds must fire at every SF, got " +
         s"$nDel deletes / $nPre pre / $nPost post / $nIns inserts")
-    require(cdf.filter(col("_change_type") === "delete")
-        .filter(col("price") >= 30000.0).isEmpty,
+    require(cdf.forall(r => r._3 != "delete" || r._2 < 30000.0),
       "tl45: only the cheap source-absent rows delete")
-    require(cdf.filter(col("_change_type") === "update_postimage")
-        .filter(!col("status").isin("verified", "flagged")).isEmpty,
+    require(cdf.forall(r => r._3 != "update_postimage" ||
+        r._1 == "verified" || r._1 == "flagged"),
       "tl45: postimages come from the matched SET * or the by-source flag")
-    require(cdf.filter(col("_change_type") === "insert")
-        .filter(col("status") =!= "inserted").isEmpty,
+    require(cdf.forall(r => r._3 != "insert" || r._1 == "inserted"),
       "tl45: plain inserts are exactly the new-key rows")
     spark.sql(
       s"""SELECT status, count(*) AS n_rows,
