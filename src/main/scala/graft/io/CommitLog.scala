@@ -1929,12 +1929,13 @@ object CommitLog {
     * the commit landed at. */
   private def commit(table: String, op: String,
                      add: Seq[String], remove: Seq[String],
-                     expectedTip: Option[Long] = None): Long = {
+                     expectedTip: Option[Long] = None,
+                     reconcile: Boolean = false): Long = {
     val bloomCol = declaredBloom(table)
     commitRaw(table, op,
       add.map(f => addAction(table, f, bloomCol)) ++
         remove.map(f => s"""{"remove":"$f"}"""),
-      expectedTip)
+      expectedTip, reconcile)
   }
 
   /** Lands the actions at the next version. `expectedTip`: the log tip the
@@ -3245,7 +3246,12 @@ object CommitLog {
         val rewritten = readFiles(spark, table, old, mergeSchema = false, Some(tip))
           .repartition(math.min(targetFiles, old.length))
         val added = stage(rewritten, table)
-        try Some(commit(table, "compact", added, old, Some(tip)))
+        // a compaction racing a blind append RECONCILES (the racer's
+        // fresh file is simply left uncompacted) instead of re-reading
+        // and re-staging the whole table — maintenance never loses its
+        // work to concurrent ingest; overwrite must NOT do this (its
+        // semantics is remove-everything-live-at-commit)
+        try Some(commit(table, "compact", added, old, Some(tip), reconcile = true))
         catch {
           case e: java.util.ConcurrentModificationException =>
             unstage(table, added); throw e

@@ -69,6 +69,7 @@ private[sources] object GraftMetaTables {
     .add("num_rows", LongType)
     .add("dv_enabled", org.apache.spark.sql.types.BooleanType, nullable = false)
     .add("dv_suppressed_rows", LongType, nullable = false)
+    .add("dv_max_ratio", org.apache.spark.sql.types.DoubleType)
     .add("clustering", StringType)
     .add("bloom_column", StringType)
     .add("num_constraints", IntegerType, nullable = false)
@@ -86,6 +87,7 @@ private[sources] object GraftMetaTables {
       CommitLog.snapshotRowCount(path).map(Long.box).orNull,
       CommitLog.dvEnabled(path),
       CommitLog.dvRowCount(path),
+      CommitLog.dvMaxRatioOf(path).map(Double.box).orNull,
       CommitLog.declaredClustering(path)
         .map { case (c, b) => s"$c ($b buckets)" }.orNull,
       CommitLog.declaredBloom(path).orNull,

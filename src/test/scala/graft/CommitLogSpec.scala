@@ -750,4 +750,28 @@ class CommitLogSpec extends SparkSpec {
     val got2 = CommitLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
     assert(got2 == Seq(1L, 100L), s"all three deletes must land: $got2")
   }
+
+  test("compaction racing concurrent ingest: every appended row survives") {
+    val t = freshTable("compactrace")
+    (1L to 4L).foreach(i => CommitLog.append(df(i -> s"base$i").coalesce(1), t))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      // maintenance and ingest fire together; compact's commit reconciles
+      // past any blind append that lands mid-rewrite (the racer's file is
+      // simply left uncompacted) instead of re-reading the table
+      val compactF = scala.concurrent.Future {
+        CommitLog.compact(spark, t, targetFiles = 1)
+      }
+      val ingestF = scala.concurrent.Future {
+        (10L to 14L).foreach(i => CommitLog.append(df(i -> s"live$i").coalesce(1), t))
+      }
+      scala.concurrent.Await.result(compactF, scala.concurrent.duration.Duration(120, "s"))
+      scala.concurrent.Await.result(ingestF, scala.concurrent.duration.Duration(120, "s"))
+    } finally pool.shutdown()
+    val got = CommitLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((1L to 4L) ++ (10L to 14L)).toSeq,
+      s"no appended or compacted row may be lost or duplicated: $got")
+  }
 }
