@@ -1196,6 +1196,16 @@ object CommitLog {
           toMat.map { case (f, sc, n) => f -> (sc, n) }.toMap))
         .drop(DvFileCol, DvPosCol)
       val matAdds = stage(survivors.coalesce(files.length), table)
+      // never materialize the table into FILELESSNESS: when every live
+      // file is fully suppressed and no survivor file was staged, keep
+      // the vectors — the snapshot needs a schema-bearing file source
+      // (the same invariant the CoW route's empty-file guard protects);
+      // `compact` materializes later, with its own guard
+      if (matAdds.isEmpty && state.live.keys.forall(matSet)) {
+        return (written.map { case (f, sc, n) =>
+          s"""{"dv":"$f","dvfile":"$sc","dvrows":$n}"""
+        }, Seq.empty)
+      }
       toMat.foreach { case (_, sc, _) =>
         Files.deleteIfExists(Paths.get(table, sc))
       }
@@ -3245,7 +3255,18 @@ object CommitLog {
       else {
         val rewritten = readFiles(spark, table, old, mergeSchema = false, Some(tip))
           .repartition(math.min(targetFiles, old.length))
-        val added = stage(rewritten, table)
+        val added0 = stage(rewritten, table)
+        // a fully-suppressed table compacts to ZERO survivor rows: empty
+        // write partitions stage no file, and removing every old file
+        // would leave the snapshot without a schema source — stage one
+        // explicitly-empty file (0-partition frame: the writer's
+        // zero-partition special case emits exactly one), the same guard
+        // the purge/DML-emptying paths keep
+        val added =
+          if (added0.nonEmpty) added0
+          else stage(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            rewritten.schema).coalesce(1), table)
         // a compaction racing a blind append RECONCILES (the racer's
         // fresh file is simply left uncompacted) instead of re-reading
         // and re-staging the whole table — maintenance never loses its

@@ -290,6 +290,31 @@ class DeletionVectorSpec extends SparkSpec {
     assert(CommitLog.dvMaxRatioOf(t).contains(0.5))
   }
 
+  test("a fully-suppressed table survives compact and the maxRatio policy: " +
+      "empty but readable, schema kept") {
+    val t = freshTable("fullsuppress")
+    CommitLog.append(df(1L -> "a", 2L -> "b").coalesce(1), t)
+    CommitLog.enableDv(t)
+    CommitLog.setDvMaxRatio(t, 0.5)
+    // every row of every live file suppressed: the policy must NOT
+    // materialize the table into filelessness — vectors stay
+    CommitLog.dvDelete(spark, t, col("id") > 0L)
+    assert(CommitLog.read(spark, t).count() == 0L, "empty but readable")
+    assert(CommitLog.snapshotFiles(t).nonEmpty, "a schema source must remain")
+    assert(CommitLog.snapshotRowCount(t).contains(0L))
+    // compact materializes the all-suppressed state: one explicit empty
+    // file keeps the snapshot readable, vectors gone
+    CommitLog.compact(spark, t, targetFiles = 1)
+    assert(CommitLog.dvRowCount(t) == 0L, "compact must clear the vectors")
+    assert(CommitLog.snapshotFiles(t).nonEmpty, "the empty guard file remains")
+    val empty = CommitLog.read(spark, t)
+    assert(empty.count() == 0L && empty.columns.toSeq == Seq("id", "v"),
+      "schema survives the emptying compact")
+    // the table keeps working
+    CommitLog.append(df(9L -> "z"), t)
+    assert(CommitLog.read(spark, t).count() == 1L)
+  }
+
   test("concurrent dvDeletes serialize: both land, vectors merge, no lost delete") {
     val t = freshTable("race")
     CommitLog.append(df((1L to 12L).map(i => i -> s"r$i"): _*).coalesce(2), t)

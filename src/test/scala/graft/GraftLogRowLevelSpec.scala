@@ -319,6 +319,40 @@ class GraftLogRowLevelSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM rlcat.dml.mk").head.getLong(0) == 5L)
   }
 
+  test("graft.dv.maxRatio fires on the SQL delta route: past-ratio file " +
+      "rewrites inside the statement's own commit") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.mr")
+    spark.sql("CREATE TABLE rlcat.dml.mr " +
+      "TBLPROPERTIES ('graft.dv.enabled' = 'true', 'graft.dv.maxRatio' = '0.5') " +
+      "AS SELECT id, concat('v', id) AS v FROM range(10)")
+    val dir = tableDir("mr")
+    // CTAS ignores properties? ensure both opt-ins landed
+    assert(CommitLog.dvEnabled(dir) && CommitLog.dvMaxRatioOf(dir).contains(0.5),
+      "both TBLPROPERTIES must ride CTAS")
+    val vPre = CommitLog.currentVersion(dir)
+    // a DELETE suppressing > half of some file must materialize THAT file
+    // in the same SQL statement's commit
+    spark.sql("DELETE FROM rlcat.dml.mr WHERE id % 10 < 6")
+    val vDel = CommitLog.currentVersion(dir)
+    assert(vDel == vPre + 1, "one commit")
+    val c = CommitLog.readCommit(dir, vDel)
+    assert(c.remove.nonEmpty,
+      s"at least one past-ratio file must rewrite inside the statement: $c")
+    // the policy is PER FILE: whatever vectors survive sit at or below
+    // the declared ratio
+    val counts = CommitLog.fileRowCounts(dir)
+    CommitLog.dvFor(dir).foreach { case (f, (_, n)) =>
+      assert(counts.get(f).exists(total => n.toDouble / total <= 0.5),
+        s"file $f keeps a vector past the ratio: $n of ${counts.get(f)}")
+    }
+    val got = spark.sql("SELECT id FROM rlcat.dml.mr ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(6L, 7L, 8L, 9L), s"got $got")
+    assert(CommitLog.read(spark, dir, Some(vPre)).count() == 10L,
+      "the pre-delete snapshot must still time-travel")
+  }
+
   test("row-identity reads plan the NATIVE columnar scan on vector-less files") {
     warehouse
     spark.sql("DROP TABLE IF EXISTS rlcat.dml.nv")
