@@ -1582,11 +1582,18 @@ object CommitLog {
         s"deletion vectors are not enabled on $table — run " +
           "CommitLog.enableDv / CALL graft.system.enable_dv first")
       val live = state.live.keys.toSeq
-      val (cands, _) = upsertCandidates(table, tip, source, keys, live)
+      // ONE evaluation of the source feeds candidate pruning, the matched
+      // semi-join, and the matched/unmatched split: a non-deterministic or
+      // changing source (a view over mutating data, rand(), a JDBC query)
+      // must not place a row in both or neither side of the split — Delta
+      // materializes the merge source for exactly this reason
+      val src = source.persist()
+      try {
+      val (cands, _) = upsertCandidates(table, tip, src, keys, live)
       val bloomCol = declaredBloom(table)
       if (cands.isEmpty) {
         // zone maps prove nothing can match: the whole source is inserts
-        val added = stage(source, table)
+        val added = stage(src, table)
         try Some(commitRaw(table, "merge",
           added.map(f => addAction(table, f, bloomCol)), Some(tip),
           reconcile = true))
@@ -1599,7 +1606,7 @@ object CommitLog {
         val oldDvs = state.dvs.filter { case (f, _) => candSet(f) }.toMap
         val keyCols = keys.map(k => col(s"`$k`"))
         val matched0 = readFilesWithPos(spark, table, cands, Some(tip))
-          .join(source.select(keyCols: _*).distinct(), keys, "left_semi")
+          .join(src.select(keyCols: _*).distinct(), keys, "left_semi")
         // the matched frame feeds the vector write AND the source split —
         // persist so the candidate scan runs once
         val matched = (if (oldDvs.isEmpty) matched0
@@ -1629,11 +1636,11 @@ object CommitLog {
             }
             .collect()
           val (postAdded, insAdded) =
-            if (written.isEmpty) (Seq.empty[String], stage(source, table))
+            if (written.isEmpty) (Seq.empty[String], stage(src, table))
             else {
               val matchedKeys = matched.select(keyCols: _*).distinct()
-              (stage(source.join(matchedKeys, keys, "left_semi"), table),
-                stage(source.join(matchedKeys, keys, "left_anti"), table))
+              (stage(src.join(matchedKeys, keys, "left_semi"), table),
+                stage(src.join(matchedKeys, keys, "left_anti"), table))
             }
           // materialization policy: a past-ratio file rewrites instead of
           // carrying the vector; its `.dvu-` annotation stays valid (the
@@ -1657,6 +1664,7 @@ object CommitLog {
           }
         } finally { matched.unpersist(); () }
       }
+      } finally { src.unpersist(); () }
     }.get
   }
 
@@ -2490,7 +2498,7 @@ object CommitLog {
     } else None
 
   /** Declared logical name for a physical one (identity when unmapped). */
-  private def logicalFor(table: String, phys: String): String =
+  private[graft] def logicalFor(table: String, phys: String): String =
     declaredSchema(table, None)
       .flatMap(_.fields.find(f => physicalName(f).equalsIgnoreCase(phys)))
       .map(_.name).getOrElse(phys)
@@ -2941,12 +2949,17 @@ object CommitLog {
     // join by design — those are distinct logical contents.
     val variants = all.map(e => (e.file, e.dv)).distinct
     val varFiles = variants.map(_._1).distinct
+    val annots = annotRows.result()
     // the common window holds NO vector state at all (plain appends /
     // rewrites): serve it without the row-index columns or the variant
     // join — the per-micro-batch CDF streams pay this shape once per
-    // trigger, so the vector machinery must cost zero when unused
+    // trigger, so the vector machinery must cost zero when unused.
+    // Annotations force the pos-tagged branch even with zero dv variants
+    // (a graft.dv.maxRatio commit that materializes EVERY touched file
+    // carries `.dvu-`/cdfpost annotations but no dv actions) — the kind
+    // join below needs DvFileCol/DvPosCol on the scan
     val scan =
-      if (variants.forall(_._2.isEmpty))
+      if (variants.forall(_._2.isEmpty) && annots.isEmpty)
         readFiles(spark, table, varFiles, mergeSchema = false,
             Some(toV), suppressDv = false)
           .withColumn("_graft_cdf_file",
@@ -2981,9 +2994,9 @@ object CommitLog {
     // version's `.dvu-` update-position sidecar (probed per task, like the
     // variant filter above), or a +1 row of a `cdfpost`-marked image file.
     // The kind joins on (file, version) against a broadcast of the
-    // annotations (∝ annotated files, names only). Annotations imply dv
-    // actions, so the pos-tagged scan branch is guaranteed here.
-    val annots = annotRows.result()
+    // annotations (∝ annotated files, names only). The scan branch above
+    // is forced pos-tagged whenever annotations exist, so
+    // DvFileCol/DvPosCol are guaranteed here.
     val stamped =
       if (annots.isEmpty)
         stamped0.withColumn("_graft_cdf_kind", lit(null).cast("string"))
@@ -3038,12 +3051,21 @@ object CommitLog {
     // which carry no annotations)
     val updVs = updateVersions.result()
     if (updVs.isEmpty) unioned
-    else unioned.withColumn("_change_type",
-      when(col("_commit_version").isin(updVs: _*),
-        when(col("_change_type") === "delete", lit("update_preimage"))
-          .when(col("_change_type") === "insert", lit("update_postimage"))
-          .otherwise(col("_change_type")))
-        .otherwise(col("_change_type")))
+    else {
+      // broadcast (version → is-update) join, not a literal isin list:
+      // a window spanning thousands of update commits keeps a
+      // constant-width plan (same shape as the annotation join above)
+      val updDf = broadcast(updVs.map(v => (v, true))
+        .toDF("_commit_version", "_graft_cdf_upd"))
+      unioned.join(updDf, Seq("_commit_version"), "left")
+        .withColumn("_change_type",
+          when(coalesce(col("_graft_cdf_upd"), lit(false)),
+            when(col("_change_type") === "delete", lit("update_preimage"))
+              .when(col("_change_type") === "insert", lit("update_postimage"))
+              .otherwise(col("_change_type")))
+            .otherwise(col("_change_type")))
+        .select(outCols: _*)
+    }
   }
 
   /** Zone-map stats restricted to files whose recorded range is ON
@@ -3210,8 +3232,10 @@ object CommitLog {
     // rows gone. Only the CDF walk opts out: it replays each file's
     // vector evolution itself, version by version.
     val dvs =
-      if (suppressDv) replay(table, asOf).dvs.filter { case (f, _) => files.contains(f) }
-      else scala.collection.mutable.HashMap.empty[String, (String, Long)]
+      if (suppressDv) {
+        val fileSet = files.toSet
+        replay(table, asOf).dvs.filter { case (f, _) => fileSet(f) }
+      } else scala.collection.mutable.HashMap.empty[String, (String, Long)]
     val df = if (dvs.isEmpty) raw else applyDv(raw, table, dvs.toMap)
     declaredSchema(table, asOf).fold(df)(toLogical(df, _))
   }

@@ -260,36 +260,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = dirOf(ident).toString
     // `ALTER TABLE ... SET TBLPROPERTIES`: the same graft.* opt-ins CREATE
     // accepts, declarable after the fact (each is one validated alter
-    // commit; unknown graft.* properties refuse loudly like at CREATE)
+    // commit). Every property is VALIDATED here but COMMITTED only after
+    // the column evolution below succeeds — a failed or race-lost column
+    // change must not leave half an ALTER durable. Unknown properties
+    // (graft.* typos AND non-graft keys alike) refuse loudly: this log
+    // has nowhere to persist arbitrary properties, and reporting success
+    // while dropping 'comment'/'owner' would lie to the caller.
     val (propChanges, colChanges) = changes.partition(
       _.isInstanceOf[TableChange.SetProperty])
-    propChanges.foreach { case p: TableChange.SetProperty =>
+    val propApply: Seq[() => Unit] = propChanges.map { case p: TableChange.SetProperty =>
       p.property.toLowerCase match {
         case "graft.dv.maxratio" =>
           val r = p.value.toDoubleOption.getOrElse(
             throw new IllegalArgumentException(
               s"graft catalog: graft.dv.maxRatio must be a number in (0, 1], " +
                 s"got '${p.value}'"))
-          CommitLog.setDvMaxRatio(dir, r)
-          ()
+          require(r > 0.0 && r <= 1.0,
+            s"graft catalog: graft.dv.maxRatio must be in (0, 1], got '${p.value}'")
+          () => { CommitLog.setDvMaxRatio(dir, r); () }
         case "graft.dv.enabled" =>
           require(p.value.equalsIgnoreCase("true"),
             "graft catalog: graft.dv.enabled cannot be revoked — committed " +
               "deletion vectors would resurface; CALL graft.system.compact " +
               "to materialize instead")
-          CommitLog.enableDv(dir)
-          ()
+          () => { CommitLog.enableDv(dir); () }
         case "graft.bloom.column" =>
-          CommitLog.declareBloom(SparkSession.active, dir, p.value)
-          ()
-        case other if other.startsWith("graft.") =>
+          // declareBloom re-validates column type against the POST-evolution
+          // schema at apply time (a bloom on a column this same ALTER adds
+          // works; on one it drops, refuses)
+          () => { CommitLog.declareBloom(SparkSession.active, dir, p.value); () }
+        case _ =>
           throw new IllegalArgumentException(
-            s"graft catalog: unknown table property '${p.property}' — " +
+            s"graft catalog: unsupported table property '${p.property}' — " +
               "supported: graft.dv.enabled, graft.bloom.column, graft.dv.maxRatio")
-        case _ => () // Spark bookkeeping properties: accepted, not stored
       }
     }
-    if (colChanges.isEmpty && propChanges.nonEmpty) return loadTable(ident)
+    def applyProps(): Unit = propApply.foreach(_.apply())
+    if (colChanges.isEmpty && propChanges.nonEmpty) {
+      applyProps()
+      return loadTable(ident)
+    }
     // physical names freed by DROP COLUMN are reserved forever: old files
     // still carry those bytes, so reusing the name would resurrect stale
     // values instead of serving NULLs (Delta solves this with mapping ids;
@@ -420,6 +430,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val evolved = colChanges.foldLeft(cur)(applyOne)
       try {
         CommitLog.evolveSchema(dir, evolved, tip, newTombstones.toSeq)
+        // property commits land only once the schema evolution is durable
+        // (each is itself one atomic alter commit; pre-validated above)
+        applyProps()
         return loadTable(ident)
       } catch {
         case _: java.util.ConcurrentModificationException => attempt += 1

@@ -346,6 +346,15 @@ object GraftLogDataSource {
             m.put("cluster-by", c)
             m.put("cluster-buckets", b.toString)
         }
+        // the graft.* opt-ins round-trip: what CREATE/ALTER SET
+        // TBLPROPERTIES accepted, SHOW TBLPROPERTIES reports back
+        // (the bloom column at its CURRENT logical name)
+        if (CommitLog.dvEnabled(path, Some(snapshotVersion)))
+          m.put("graft.dv.enabled", "true")
+        CommitLog.dvMaxRatioOf(path, Some(snapshotVersion)).foreach(r =>
+          m.put("graft.dv.maxRatio", r.toString))
+        CommitLog.declaredBloom(path, Some(snapshotVersion)).foreach(c =>
+          m.put("graft.bloom.column", CommitLog.logicalFor(path, c)))
       }
       m
     }

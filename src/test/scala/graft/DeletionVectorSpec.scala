@@ -290,6 +290,35 @@ class DeletionVectorSpec extends SparkSpec {
     assert(CommitLog.dvMaxRatioOf(t).contains(0.5))
   }
 
+  test("graft.dv.maxRatio + dvMerge: a commit that materializes EVERY " +
+      "touched file (annotations, zero dv actions) still serves CDF " +
+      "update labels") {
+    val t = freshTable("maxratio_cdf")
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c").coalesce(1), t) // v0
+    CommitLog.enableDv(t)                                                // v1
+    CommitLog.setDvMaxRatio(t, 0.5)                                      // v2
+    // the merge matches 2/3 of the only candidate file's rows (> 0.5):
+    // the policy materializes it in the same commit, so the commit
+    // carries `.dvu-`/cdfpost ANNOTATIONS but ZERO dv actions — the CDF
+    // scan branch must still be pos-tagged (pre-fix: AnalysisException,
+    // the plain branch has no DvFileCol to join the kind frame on)
+    val v = CommitLog.dvMerge(spark, df(1L -> "A", 2L -> "B", 9L -> "z"),
+      t, Seq("id"))
+    val c = CommitLog.readCommit(t, v)
+    assert(c.dv.isEmpty && c.remove.nonEmpty && c.add.nonEmpty,
+      s"repro needs a fully-materialized merge commit: $c")
+    val w = CommitLog.changes(spark, t, v - 1, v)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(w == Set(
+      (1L, "a", "update_preimage"), (1L, "A", "update_postimage"),
+      (2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+      (9L, "z", "insert")), s"got $w")
+    val now = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    assert(now == Seq(1L -> "A", 2L -> "B", 3L -> "c", 9L -> "z"), s"got $now")
+  }
+
   test("a fully-suppressed table survives compact and the maxRatio policy: " +
       "empty but readable, schema kept") {
     val t = freshTable("fullsuppress")

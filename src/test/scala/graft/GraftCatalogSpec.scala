@@ -295,5 +295,57 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Throwable] {
       spark.sql("ALTER TABLE gcat.ghost.t SET TBLPROPERTIES ('graft.dv.enabled' = 'false')")
     }
+    // non-graft properties refuse LOUDLY too: this log has nowhere to
+    // persist them, and a silent success would drop 'comment'/'owner'
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE gcat.ghost.t SET TBLPROPERTIES ('comment' = 'lost?')")
+    }
+    // SHOW TBLPROPERTIES round-trips every declared opt-in — an ALTER
+    // path that dropped a property would be caught here
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.ghost.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.dv.enabled").contains("true") &&
+        props.get("graft.dv.maxRatio").contains("0.25") &&
+        props.get("graft.bloom.column").contains("v"),
+      s"declared properties must round-trip through SHOW TBLPROPERTIES: $props")
+  }
+
+  test("a mixed ALTER (property + failing column change) applies NOTHING: " +
+      "property commits wait for the schema evolution") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.mixed")
+    spark.sql("DROP TABLE IF EXISTS gcat.mixed.t")
+    spark.sql("CREATE TABLE gcat.mixed.t (id BIGINT, v STRING)")
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("mixed"), "t")
+    val dir = java.nio.file.Paths.get(warehouse, "mixed", "t").toString
+    import org.apache.spark.sql.connector.catalog.TableChange
+    // the column change refuses (duplicate name) — the property in the
+    // SAME alter must not have landed first
+    intercept[Throwable] {
+      cat.alterTable(ident,
+        TableChange.setProperty("graft.dv.maxRatio", "0.5"),
+        TableChange.addColumn(Array("id"),
+          org.apache.spark.sql.types.LongType))
+    }
+    assert(CommitLog.dvMaxRatioOf(dir).isEmpty,
+      "a failed mixed ALTER must leave the property undeclared")
+    assert(CommitLog.dvEnabled(dir) == false)
+    // the succeeding form lands both, schema first
+    cat.alterTable(ident,
+      TableChange.setProperty("graft.dv.maxRatio", "0.5"),
+      TableChange.addColumn(Array("w"),
+        org.apache.spark.sql.types.LongType))
+    assert(CommitLog.dvMaxRatioOf(dir).contains(0.5))
+    assert(spark.table("gcat.mixed.t").columns.toSeq == Seq("id", "v", "w"))
+    // a bloom declared in the SAME alter as the column it targets works:
+    // declareBloom validates against the POST-evolution schema
+    cat.alterTable(ident,
+      TableChange.setProperty("graft.bloom.column", "k"),
+      TableChange.addColumn(Array("k"),
+        org.apache.spark.sql.types.LongType))
+    assert(CommitLog.declaredBloom(dir).contains("k"))
   }
 }
