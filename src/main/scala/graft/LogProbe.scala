@@ -270,6 +270,43 @@ object LogProbe {
       results += (s"dv_write_dense_x$k" -> sec)
     }
 
+    // ---------------------------------------------------------- Tier A7
+    // round 15: the row-identity scan is NATIVE for VECTORED files too
+    // (suppression via per-task sidecar probes over the row-index vector,
+    // batch-level selection views) — a SECOND UPDATE, whose zone-pruned
+    // candidates already carry live vectors with density ∝ k, must run at
+    // parity with the FIRST (clean candidates). The pre-round-15 scan
+    // dropped every vectored-file row-identity read to the V1
+    // InternalRow→Row→InternalRow bridge.
+    for (k <- Seq(1, 4, 16)) {
+      val t = freshDir(root, s"dvsecond_x$k")
+      CommitLog.appendClustered(spark,
+        spark.range(4 * baseRows).select(col("id"),
+          concat(lit("payload_"), col("id")).as("v")),
+        t, "id", buckets = 32)
+      CommitLog.enableDv(t)
+      def upd(lo: Long): Unit = {
+        CommitLog.dvUpdate(spark, t,
+          col("id") >= lo && col("id") < lo + 200L,
+          Map("v" -> lit("UPDATED")),
+          Some(_ => CommitLog.prunedFiles(t, lo, lo + 199L))); ()
+      }
+      upd(1000L) // warm
+      val firstSec = math.min(
+        timed { upd(baseRows) }._1, timed { upd(baseRows + 4000L) }._1)
+      // densify EVERY file's vector (∝ k), then update fresh key ranges
+      // whose candidate files now all carry live vectors
+      CommitLog.dvDelete(spark, t, col("id") % 16 < k)
+      val dense = CommitLog.dvRowCount(t)
+      val secondSec = math.min(
+        timed { upd(2 * baseRows) }._1, timed { upd(2 * baseRows + 4000L) }._1)
+      println(s"""{"probe":"dv_second_update","factor":$k,""" +
+        s""""first_sec":$firstSec,"second_sec":$secondSec,""" +
+        s""""preexisting_suppressed":$dense}""")
+      results += (s"dv_second_update_first_x$k" -> firstSec)
+      results += (s"dv_second_update_second_x$k" -> secondSec)
+    }
+
     // ---------------------------------------------------------- Tier B
     val seedDf = Seq((1L, "seed")).toDF("id", "v")
     for (n <- Seq(100, 500, 2000)) {

@@ -640,6 +640,21 @@ object CommitLog {
     try Some(Files.getLastModifiedTime(commitPath(table, v)).toMillis)
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The first RETAINED version whose (monotonized) commit time is at or
+    * after `tsMillis` — the streaming `startingTimestamp` contract
+    * (Delta: "changes committed at or after the timestamp"). A timestamp
+    * past the head resolves to head+1: nothing retained qualifies, the
+    * stream starts with the next commit to land. */
+  def versionFrom(table: String, tsMillis: Long): Long = {
+    val vs = versions(table)
+    var last = 0L
+    vs.find { v =>
+      val t = commitTimeMillis(table, v).getOrElse(last)
+      last = math.max(last, t)
+      last >= tsMillis
+    }.getOrElse(currentVersion(table) + 1)
+  }
+
   /** `read` at the snapshot that was current at wall-clock `tsMillis`. */
   def readAsOfTimestamp(spark: SparkSession, table: String, tsMillis: Long,
                         mergeSchema: Boolean = false): DataFrame =
@@ -1370,7 +1385,8 @@ object CommitLog {
       (added ++ postAdded).map(f => addAction(table, f, bloomCol)) ++
       postAdded.map(f => s"""{"cdfpost":"$f"}""")
     try {
-      val v = commitRaw(table, op, lines, Some(expectedTip), reconcile = true)
+      val v = commitRaw(table, op, lines, Some(expectedTip), reconcile = true,
+        dmlReadSet = Some((finals.map(_._1) ++ updFinals.map(_._1)).toSet))
       (partials ++ updPartials).foreach { case (_, p) =>
         Files.deleteIfExists(Paths.get(table, p))
       }
@@ -1444,7 +1460,8 @@ object CommitLog {
         if (written.isEmpty) None
         else {
           val (lines, matAdds) = dvPolicyLines(spark, table, tip, written.toSeq)
-          try Some(commitRaw(table, "delete", lines, Some(tip), reconcile = true))
+          try Some(commitRaw(table, "delete", lines, Some(tip), reconcile = true,
+            dmlReadSet = Some(written.map(_._1).toSet)))
           catch {
             case e: java.util.ConcurrentModificationException =>
               unstage(table, matAdds)
@@ -1537,7 +1554,8 @@ object CommitLog {
             val bloomCol = declaredBloom(table)
             val (dvLines, matAdds) = dvPolicyLines(spark, table, tip, written.toSeq)
             val lines = dvLines ++ added.map(f => addAction(table, f, bloomCol))
-            try Some(commitRaw(table, "update", lines, Some(tip), reconcile = true))
+            try Some(commitRaw(table, "update", lines, Some(tip), reconcile = true,
+              dmlReadSet = Some(written.map(_._1).toSet)))
             catch {
               case e: java.util.ConcurrentModificationException =>
                 unstage(table, added ++ matAdds)
@@ -1596,7 +1614,7 @@ object CommitLog {
         val added = stage(src, table)
         try Some(commitRaw(table, "merge",
           added.map(f => addAction(table, f, bloomCol)), Some(tip),
-          reconcile = true))
+          reconcile = true, dmlReadSet = Some(Set.empty)))
         catch {
           case e: java.util.ConcurrentModificationException =>
             unstage(table, added); throw e
@@ -1652,7 +1670,8 @@ object CommitLog {
             s"""{"dvu":"$f","dvufile":"$du"}"""
           } ++ (insAdded ++ postAdded).map(f => addAction(table, f, bloomCol)) ++
             postAdded.map(f => s"""{"cdfpost":"$f"}""")
-          try Some(commitRaw(table, "merge", lines, Some(tip), reconcile = true))
+          try Some(commitRaw(table, "merge", lines, Some(tip), reconcile = true,
+            dmlReadSet = Some(written.map(_._1).toSet)))
           catch {
             case e: java.util.ConcurrentModificationException =>
               unstage(table, insAdded ++ postAdded ++ matAdds)
@@ -1977,13 +1996,20 @@ object CommitLog {
     * the caller re-running its scan: the racers touched nothing the
     * statement read or writes, so serializing the statement BEFORE them
     * is valid (Delta's WriteSerializable treatment of append-vs-DML).
-    * Any other racer — a rewrite, another DML's vectors, a restore, a
+    * `dmlReadSet` (DML callers only) additionally reconciles past
+    * racing DMLs that ADDED NOTHING and whose removed/vectored files
+    * are DISJOINT from the statement's touched set
+    * ([[isDisjointDmlCommit]]): two merge-on-read statements on
+    * different zone-pruned regions of a big table both land with one
+    * scan each, where the previous rule re-scanned one side.
+    * Any other racer — a rewrite, an overlapping DML, a restore, a
     * schema/constraint change — still aborts to the caller's full
     * re-derive. Callers whose semantics depend on the commit-time live
     * set as a WHOLE (overwrite's remove-everything) must not opt in. */
   private def commitRaw(table: String, op: String, actions: Seq[String],
                         expectedTip: Option[Long] = None,
-                        reconcile: Boolean = false): Long = {
+                        reconcile: Boolean = false,
+                        dmlReadSet: Option[Set[String]] = None): Long = {
     Files.createDirectories(logDir(table))
     val lines = (s"""{"op":"$op"}""" +: actions).mkString("", "\n", "\n")
     // a txn-marked commit must NOT reconcile past a racer carrying a txn
@@ -1996,7 +2022,10 @@ object CommitLog {
       expectedTip.foreach { e =>
         if (tip != e) {
           val safe = reconcile && tip > e &&
-            ((e + 1) to tip).forall(v => isBlindAddCommit(table, v, oursHasTxn))
+            ((e + 1) to tip).forall(v =>
+              isBlindAddCommit(table, v, oursHasTxn) ||
+                dmlReadSet.exists(rs =>
+                  isDisjointDmlCommit(table, v, rs, oursHasTxn)))
           if (!safe) throw new java.util.ConcurrentModificationException(
             s"$op on $table was computed against snapshot v$e but the log tip " +
               s"is now v$tip — the caller must re-read and re-derive the commit")
@@ -2058,6 +2087,48 @@ object CommitLog {
       DvOnRe.findFirstIn(text).isEmpty &&
       DvMaxRatioRe.findFirstIn(text).isEmpty &&
       (!oursHasTxn || TxnRe.findFirstIn(text).isEmpty)
+  }
+
+  /** Row-level DML ops — the other commit vocabulary [[commitRaw]]'s
+    * reconciliation may serialize a derived commit AFTER. */
+  private val DmlOps = Set("delete", "update", "merge")
+
+  /** TRUE iff commit `v` is a row-level DML the statement can serialize
+    * AFTER without re-deriving: a DML op that ADDED NO FILES (pure
+    * merge-on-read suppression or whole-file metadata drops) whose
+    * removed/vectored/annotated EXISTING files are all DISJOINT from the
+    * statement's `readSet` (the files its derivation touched). Such a
+    * racer only deleted rows in files the statement proved irrelevant —
+    * it cannot create a match the statement missed (no new bytes) nor
+    * change one it found (disjoint files), so the statement's staged
+    * actions are exactly what a re-run at the new tip would stage
+    * (Delta's conflict-detection read/write-set disjointness check).
+    * Racers that ADD files stay disqualified: a merge/update image can
+    * carry rows the statement's predicate WOULD match, which only a
+    * re-scan (or a stats check against the predicate — Delta's
+    * changedDataAddedFiles pass) can rule out. Metadata declarations of
+    * any kind disqualify too. One commit-file read, ∝ racing commits. */
+  private def isDisjointDmlCommit(table: String, v: Long,
+                                  readSet: Set[String],
+                                  oursHasTxn: Boolean): Boolean = {
+    val p = commitPath(table, v)
+    if (!Files.exists(p)) return false
+    val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    OpRe.findFirstMatchIn(text).map(_.group(1)).exists(DmlOps.contains) &&
+      AddRe.findFirstIn(text).isEmpty &&
+      SchemaRe.findFirstIn(text).isEmpty &&
+      ClusterRe.findFirstIn(text).isEmpty &&
+      TombstoneRe.findFirstIn(text).isEmpty &&
+      UntombstoneRe.findFirstIn(text).isEmpty &&
+      ConstraintRe.findFirstIn(text).isEmpty &&
+      UnconstraintRe.findFirstIn(text).isEmpty &&
+      BloomOnRe.findFirstIn(text).isEmpty &&
+      DvOnRe.findFirstIn(text).isEmpty &&
+      DvMaxRatioRe.findFirstIn(text).isEmpty &&
+      (!oursHasTxn || TxnRe.findFirstIn(text).isEmpty) &&
+      RemoveRe.findAllMatchIn(text).forall(m => !readSet(m.group(1))) &&
+      DvRe.findAllMatchIn(text).forall(m => !readSet(m.group(1))) &&
+      DvuRe.findAllMatchIn(text).forall(m => !readSet(m.group(1)))
   }
 
   /** Transactional append. Returns the committed version. Appends are
@@ -2782,7 +2853,9 @@ object CommitLog {
           org.apache.spark.sql.types.StructField("_change_type",
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("_commit_version",
-            org.apache.spark.sql.types.LongType)))
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_commit_timestamp",
+            org.apache.spark.sql.types.TimestampType)))
     }
 
   /** Projects a change frame (some era's logical column names) onto a
@@ -2802,7 +2875,8 @@ object CommitLog {
     import org.apache.spark.sql.functions.{col, lit}
     val declared = declaredSchema(table, asOf)
     val cols = pinned.fields.toSeq.map { f =>
-      if (f.name == "_change_type" || f.name == "_commit_version")
+      if (f.name == "_change_type" || f.name == "_commit_version" ||
+          f.name == "_commit_timestamp")
         col(s"`${f.name}`")
       else {
         val ph = physicalName(f)
@@ -2933,6 +3007,8 @@ object CommitLog {
       return read(spark, table, Some(toV)).limit(0)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(0L))
+        .withColumn("_commit_timestamp",
+          lit(null).cast(org.apache.spark.sql.types.TimestampType))
         .limit(0)
 
     import spark.implicits._
@@ -3050,22 +3126,41 @@ object CommitLog {
     // labeled; covers the copy-on-write rewrite and the Scala dvUpdate,
     // which carry no annotations)
     val updVs = updateVersions.result()
-    if (updVs.isEmpty) unioned
-    else {
-      // broadcast (version → is-update) join, not a literal isin list:
-      // a window spanning thousands of update commits keeps a
-      // constant-width plan (same shape as the annotation join above)
-      val updDf = broadcast(updVs.map(v => (v, true))
-        .toDF("_commit_version", "_graft_cdf_upd"))
-      unioned.join(updDf, Seq("_commit_version"), "left")
-        .withColumn("_change_type",
-          when(coalesce(col("_graft_cdf_upd"), lit(false)),
-            when(col("_change_type") === "delete", lit("update_preimage"))
-              .when(col("_change_type") === "insert", lit("update_postimage"))
+    val relabeled =
+      if (updVs.isEmpty) unioned
+      else {
+        // broadcast (version → is-update) join, not a literal isin list:
+        // a window spanning thousands of update commits keeps a
+        // constant-width plan (same shape as the annotation join above)
+        val updDf = broadcast(updVs.map(v => (v, true))
+          .toDF("_commit_version", "_graft_cdf_upd"))
+        unioned.join(updDf, Seq("_commit_version"), "left")
+          .withColumn("_change_type",
+            when(coalesce(col("_graft_cdf_upd"), lit(false)),
+              when(col("_change_type") === "delete", lit("update_preimage"))
+                .when(col("_change_type") === "insert", lit("update_postimage"))
+                .otherwise(col("_change_type")))
               .otherwise(col("_change_type")))
-            .otherwise(col("_change_type")))
-        .select(outCols: _*)
+          .select(outCols: _*)
+      }
+    // Delta-parity `_commit_timestamp`: every change row carries its
+    // commit's wall clock (the log file's mtime, running-max monotonized
+    // exactly as [[versionAt]] resolves it — equal across one commit's
+    // rows, non-decreasing across versions), via a broadcast
+    // (version → millis) join — constant plan width however many commits
+    // the window holds
+    val tsPairs = {
+      var last = 0L
+      ((fromV + 1) to toV).map { v =>
+        val t = commitTimeMillis(table, v).getOrElse(last)
+        last = math.max(last, t)
+        v -> last
+      }
     }
+    val tsDf = broadcast(tsPairs.toDF("_commit_version", "_graft_cdf_ms"))
+    relabeled.join(tsDf, Seq("_commit_version"), "left")
+      .withColumn("_commit_timestamp", timestamp_millis(col("_graft_cdf_ms")))
+      .select((outCols :+ col("_commit_timestamp")): _*)
   }
 
   /** Zone-map stats restricted to files whose recorded range is ON

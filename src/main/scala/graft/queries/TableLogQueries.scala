@@ -1127,6 +1127,15 @@ object TableLogQueries {
     val byPath = spark.sql(s"SELECT * FROM table_changes('$tdir', 0, 2)")
     require(byIdent.exceptAll(byPath).isEmpty && byPath.exceptAll(byIdent).isEmpty,
       "tl27: identifier and path forms must serve the same feed")
+    // the TVF carries _commit_timestamp: stamped on every row, one value
+    // per commit (the batch/stream twins audit monotonicity in tl44)
+    val stamps = byPath.select("_commit_version", "_commit_timestamp")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    require(stamps.nonEmpty && stamps.forall(_._2 != null),
+      "tl27: every TVF change row must carry _commit_timestamp")
+    require(stamps.groupBy(_._1).values
+        .forall(_.map(_._2.getTime).distinct.size == 1),
+      "tl27: one commit's rows must share one _commit_timestamp")
     spark.sql(
       s"""SELECT CAST(_commit_version AS INT) AS commit_version,
          |  _change_type AS change_type, id, status, price, batch
@@ -2559,13 +2568,27 @@ object TableLogQueries {
         resumed.filter(_._4 == vDel).forall(_._3 == "delete"),
       "tl44: the genuine DELETE keeps its plain label in the same stream")
     // stream == batch multiset over the same window, types included
-    val batchTwin = CommitLog.changes(spark, tdir, vPre, vDel)
-      .select(col("id"), col("status"), col("_change_type"), col("_commit_version"))
+    // (one collected pass also audits the `_commit_timestamp` stamps)
+    val twinRows = CommitLog.changes(spark, tdir, vPre, vDel)
+      .select(col("id"), col("status"), col("_change_type"),
+        col("_commit_version"), col("_commit_timestamp"))
       .collect()
+    val batchTwin = twinRows
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq.sorted
     require(resumed == batchTwin,
       "tl44: the streamed window must multiset-equal the batch changes()")
+    // Delta's third CDF column: every row stamped, ONE value per commit,
+    // non-decreasing across versions
+    require(twinRows.forall(!_.isNullAt(4)),
+      "tl44: every change row must carry _commit_timestamp")
+    val perV = twinRows.map(r => (r.getLong(3), r.getTimestamp(4).getTime))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    require(perV.values.forall(_.size == 1),
+      s"tl44: one commit's rows must share one _commit_timestamp: $perV")
+    val orderedTs = perV.toSeq.sortBy(_._1).map(_._2.head)
+    require(orderedTs.zip(orderedTs.drop(1)).forall { case (a, b) => a <= b },
+      s"tl44: _commit_timestamp must be non-decreasing: $orderedTs")
     // the TVF serves the same vocabulary over the update window
     graft.sources.TableChanges.register(spark)
     val tvf = spark.sql(

@@ -109,13 +109,8 @@ class GraftLogDataSource extends TableProvider with DataSourceRegister
       mergeSchema = t.mergeSchema,
       changeFeed = opts.get("readchangefeed").exists(_.toBoolean),
       ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean),
-      startingVersion = opts.get("startingversion").map { v =>
-        try v.trim.toLong
-        catch {
-          case e: NumberFormatException => throw new IllegalArgumentException(
-            s"graftlog: startingVersion must be a version number, got '$v'", e)
-        }
-      }.getOrElse(0L),
+      startingVersion = GraftLogDataSource.streamStartVersion(t.path, opts)
+        .getOrElse(0L),
       maxVersionsPerTrigger = opts.get("maxversionspertrigger").map { v =>
         try v.trim.toLong
         catch {
@@ -204,7 +199,8 @@ private[graft] final class GraftLogNativeScan(
     new GraftLogMicroBatchStream(
       SparkSession.active, path, tableSchema, req, filters,
       ignoreChanges = streamOpts.get("ignorechanges").exists(_.toBoolean),
-      startingVersion = longOpt("startingversion", "startingVersion").getOrElse(0L),
+      startingVersion = GraftLogDataSource.streamStartVersion(path, streamOpts)
+        .getOrElse(0L),
       maxVersionsPerTrigger = longOpt("maxversionspertrigger", "maxVersionsPerTrigger"))
   }
 
@@ -473,14 +469,15 @@ object GraftLogDataSource {
                   "stream changes via readStream.table(\"<cat>.<ns>.<t>.changes\") " +
                   "or the path form readStream.format(\"graftlog\")" +
                   ".option(\"readChangeFeed\", true).load(dir)")
-              require(!opts.contains("endingversion"),
-                "graftlog: endingVersion is a batch CDF option — a " +
-                  "change-feed stream follows the live log (stop the query " +
-                  "to bound it)")
+              require(!opts.contains("endingversion") &&
+                  !opts.contains("endingtimestamp"),
+                "graftlog: endingVersion/endingTimestamp are batch CDF " +
+                  "options — a change-feed stream follows the live log " +
+                  "(stop the query to bound it)")
               new GraftLogCdfMicroBatchStream(SparkSession.active, path,
                 schema0, checkpointLocation,
-                startingVersion =
-                  longOpt("startingversion", "startingVersion").getOrElse(0L),
+                startingVersion = GraftLogDataSource
+                  .streamStartVersion(path, opts).getOrElse(0L),
                 maxVersionsPerTrigger =
                   longOpt("maxversionspertrigger", "maxVersionsPerTrigger"))
             }
@@ -594,62 +591,21 @@ object GraftLogDataSource {
             val dvd = CommitLog.dvFor(path, Some(snapshotVersion))
             val wantsRowId = required.fieldNames.exists(n =>
               n == CommitLog.DvFileCol || n == CommitLog.DvPosCol)
-            if (wantsRowId) {
-              // the (file, position) METADATA columns were referenced —
-              // vector-less files serve them NATIVELY (the parquet
-              // reader's own row index + a constant file vector,
-              // [[GraftDvNativeScan]]); files with a live vector keep the
-              // position-tagged Catalyst read, which must also suppress
-              if (!fs.exists(dvd.contains))
-                return new GraftDvNativeScan(path, snapshotVersion, schema0,
-                  required, pushed, fs)
-              val reqF = required
-              val fseq = pushed.toIndexedSeq
-              new V1Scan {
-                override def readSchema(): StructType = reqF
-                override def toV1TableScan[T <: BaseRelation with TableScan](
-                    context: SQLContext): T =
-                  new BaseRelation with TableScan {
-                    override def sqlContext: SQLContext = context
-                    override def schema: StructType = reqF
-                    override def buildScan(): RDD[Row] = {
-                      val base = CommitLog.readSnapshotWithPos(
-                        context.sparkSession, path, fs, Some(snapshotVersion))
-                      fseq.flatMap(translate).foldLeft(base)((df, c) => df.filter(c))
-                        .select(reqF.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
-                        .rdd
-                    }
-                  }.asInstanceOf[T]
+            val anyDv = fs.exists(dvd.contains)
+            if (wantsRowId || anyDv) {
+              // the (file, position) METADATA columns were referenced, or
+              // a scanned file carries a live deletion vector: both serve
+              // NATIVELY through [[GraftDvNativeScan]] (the parquet
+              // reader's own row index + a constant file vector); live
+              // vectors suppress in-scan via per-task sidecar probes and
+              // batch-level selection views — no V1 row bridge in either
+              // regime
+              val fsSet = fs.toSet
+              val dvSc = dvd.collect {
+                case (f, (sc, _)) if fsSet(f) => f -> sc
               }
-            } else if (fs.exists(dvd.contains)) {
-              // a live deletion vector means the raw columnar scan would
-              // serve suppressed rows — fall back to the Catalyst read
-              // that anti-joins them away ([[CommitLog.readFiles]] via
-              // [[narrowedRead]]: same pruned file list, same residual
-              // filters, vectors applied). The native scan returns as
-              // soon as `compact` materializes the vectors — the Delta
-              // merge-on-read read-amplification trade, documented, not
-              // hidden.
-              val reqF = required
-              new V1Scan {
-                override def readSchema(): StructType = reqF
-                override def toV1TableScan[T <: BaseRelation with TableScan](
-                    context: SQLContext): T =
-                  new BaseRelation with TableScan {
-                    override def sqlContext: SQLContext = context
-                    override def schema: StructType = reqF
-                    override def buildScan(): RDD[Row] =
-                      narrowedRead(context.sparkSession, path, snapshotVersion,
-                        mergeSchema = false, reqF, pushed.toIndexedSeq).rdd
-                  }.asInstanceOf[T]
-
-                override def toMicroBatchStream(checkpointLocation: String)
-                    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-                  throw new IllegalStateException(
-                    s"graftlog: cannot snapshot-stream $path while it has live " +
-                      "deletion vectors — CALL graft.system.compact(...) to " +
-                      "materialize them first")
-              }
+              new GraftDvNativeScan(path, snapshotVersion, schema0,
+                required, pushed, fs, dvSc)
             } else new GraftLogNativeScan(path, snapshotVersion, schema0, required,
               pushed, fs, streamOpts)
         }
@@ -1195,6 +1151,7 @@ object GraftLogDataSource {
       val cdfSchema = dataSchema
         .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
         .add("_commit_version", LongType, nullable = false)
+        .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
       return GraftLogTable(path, endV, mergeSchema, timeTravel = false,
         cdfSchema, changeFeed = Some((startV - 1, endV)))
     }
@@ -1235,6 +1192,7 @@ object GraftLogDataSource {
     val cdfSchema = dataSchema
       .add("_change_type", org.apache.spark.sql.types.StringType)
       .add("_commit_version", LongType)
+      .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
     GraftLogTable(path, head, mergeSchema = false, timeTravel = false,
       cdfSchema, changeFeed = Some((-1L, head)), cdfStream = true)
   }
@@ -1259,9 +1217,9 @@ object GraftLogDataSource {
         "stream use startingVersion to choose where to begin")
     val cdf = opts.get("readchangefeed").exists(_.toBoolean)
     if (cdf) {
-      require(!opts.contains("endingversion"),
-        "graftlog: endingVersion is a batch CDF option — a change-feed " +
-          "stream follows the live log (stop the query to bound it)")
+      require(!opts.contains("endingversion") && !opts.contains("endingtimestamp"),
+        "graftlog: endingVersion/endingTimestamp are batch CDF options — a " +
+          "change-feed stream follows the live log (stop the query to bound it)")
       require(!opts.get("ignorechanges").exists(_.toBoolean),
         "graftlog: ignoreChanges does not apply to a change-feed stream — " +
           "rewrite commits are delivered exactly, as delete+insert rows")
@@ -1273,12 +1231,35 @@ object GraftLogDataSource {
     val t =
       if (cdf) t0.copy(schema0 = t0.schema0
         .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
-        .add("_commit_version", LongType, nullable = false))
+        .add("_commit_version", LongType, nullable = false)
+        .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType))
       else t0
     require(t.snapshotVersion >= 0,
       s"graftlog: cannot stream from ${t.path} — the table has no commits " +
         "yet (write one batch first so the stream has a schema)")
     t
+  }
+
+  /** Streaming start resolution, shared by every stream surface (the V1
+    * path source, the V2 snapshot micro-batch, the `.changes` identifier
+    * stream): an explicit `startingVersion`, or `startingTimestamp`
+    * resolved to the FIRST commit at or after that moment
+    * ([[CommitLog.versionFrom]] — the Delta streaming contract); the two
+    * are mutually exclusive. None when neither is given (caller defaults
+    * to 0, the whole history). Keys arrive lowercased. */
+  private[sources] def streamStartVersion(
+      path: String, opts: Map[String, String]): Option[Long] = {
+    require(!(opts.contains("startingversion") &&
+        opts.contains("startingtimestamp")),
+      "graftlog: startingVersion and startingTimestamp are mutually exclusive")
+    opts.get("startingversion").map { v =>
+      try v.trim.toLong
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"graftlog: startingVersion must be a version number, got '$v'", e)
+      }
+    }.orElse(opts.get("startingtimestamp").map(ts =>
+      CommitLog.versionFrom(path, parseTs(ts))))
   }
 
   /** Epoch millis, an ISO-8601 instant, or an ISO local date-time/date

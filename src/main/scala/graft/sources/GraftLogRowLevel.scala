@@ -370,35 +370,17 @@ private[sources] final class GraftDvRowLevelOperation(
         val reqF = required
         val fseq = pushed.toIndexedSeq
         val files = GraftLogDataSource.prunedFileNames(path, version, fseq)
-        val dvs = CommitLog.dvFor(path, Some(version))
-        // vector-less scanned files: fully native columnar (row identity
-        // from the parquet reader's own row index + a constant file
-        // vector — no InternalRow→Row→InternalRow bridge). Files with a
-        // live vector keep the Catalyst read, which must also SUPPRESS.
-        if (!files.exists(dvs.contains))
-          return new GraftDvNativeScan(path, version, tableSchema, reqF,
-            fseq.toArray, files)
-        new org.apache.spark.sql.connector.read.V1Scan {
-          override def readSchema(): StructType = reqF
-          override def description(): String =
-            s"graftlog $path@v$version (merge-on-read scan), " +
-              s"PushedFilters: ${fseq.mkString("[", ", ", "]")}"
-          override def toV1TableScan[T <: BaseRelation with TableScan](
-              context: org.apache.spark.sql.SQLContext): T =
-            new BaseRelation with TableScan {
-              override def sqlContext: org.apache.spark.sql.SQLContext = context
-              override def schema: StructType = reqF
-              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-                val spark = context.sparkSession
-                val files = GraftLogDataSource.prunedFileNames(path, version, fseq)
-                val base = CommitLog.readSnapshotWithPos(spark, path, files, Some(version))
-                val filtered = fseq.flatMap(GraftLogDataSource.translate)
-                  .foldLeft(base)((df, c) => df.filter(c))
-                filtered.select(reqF.fieldNames.map(n =>
-                  org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*).rdd
-              }
-            }.asInstanceOf[T]
+        // fully native columnar for vector-less AND vectored files: row
+        // identity from the parquet reader's own row index + a constant
+        // file vector; live vectors suppress in-scan (per-task sidecar
+        // probe, batch-level selection views) — no
+        // InternalRow→Row→InternalRow bridge on any DML scan
+        val fileSet = files.toSet
+        val dvSc = CommitLog.dvFor(path, Some(version)).collect {
+          case (f, (sc, _)) if fileSet(f) => f -> sc
         }
+        new GraftDvNativeScan(path, version, tableSchema, reqF,
+          fseq.toArray, files, dvSc)
       }
     }
 
@@ -589,9 +571,8 @@ private final class GraftDeltaWriter(
 
 /** NATIVE columnar scan serving the table's data columns PLUS the
   * (file, position) row-identity metadata columns — the read half of the
-  * delta-based DML route and of `SELECT _graft_dv_file, _graft_dv_pos`,
-  * for snapshots whose scanned files carry NO live deletion vector (the
-  * vectored case keeps the Catalyst fallback, which must also filter).
+  * delta-based DML route, of `SELECT _graft_dv_file, _graft_dv_pos`, and
+  * of plain snapshot reads over files carrying live deletion vectors.
   *
   * Shape: the position column rides Spark's own parquet row-index
   * machinery — the delegate's read schema appends
@@ -603,10 +584,21 @@ private final class GraftDeltaWriter(
   * knows its name. End-to-end columnar, no InternalRow→Row→InternalRow
   * bridge (the previous V1Scan form paid that double conversion on every
   * DML scan row). The row-based reader path (complex types) maps fields
-  * through one reused mutable view. */
+  * through one reused mutable view.
+  *
+  * Files with a live vector (`dvs`: file → sidecar) SUPPRESS in-scan:
+  * each task probes its file's decoded sorted positions (the
+  * [[graft.io.DvSidecars]] LRU) against the batch's row-index vector —
+  * a batch overlapping no suppressed position passes through ZERO-COPY;
+  * an overlapping batch is served through [[SelectedColumnVector]] views
+  * remapping ordinals to the surviving rows (no value copied, no
+  * columnar→row drop). Sparse vectors therefore cost one range check per
+  * batch on most batches — the dense regime is bounded by the
+  * `graft.dv.maxRatio` materialization policy. */
 private[sources] final class GraftDvNativeScan(
     path: String, version: Long, tableSchema: StructType,
-    required: StructType, filters: Array[Filter], fileNames: Seq[String])
+    required: StructType, filters: Array[Filter], fileNames: Seq[String],
+    dvs: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.Scan {
 
   private val RowIdxCol = org.apache.spark.sql.execution.datasources.parquet
@@ -668,36 +660,114 @@ private[sources] final class GraftDvNativeScan(
           }.zipWithIndex.map { case ((pf, name), i) =>
             GraftDvInputPartition(
               org.apache.spark.sql.execution.datasources.FilePartition(i, Array(pf)),
-              name)
+              name, dvs.get(name))
           }.toArray
         }
 
       override def createReaderFactory()
           : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-        new GraftDvReaderFactory(delegate.toBatch.createReaderFactory(),
-          mapping, required)
+        new GraftDvReaderFactory(path, delegate.toBatch.createReaderFactory(),
+          mapping, required, dataFields.length)
     }
+
+  /** A vectored snapshot cannot seed a stream: its micro-batches replay
+    * the log, which has no way to re-suppress already-served rows when a
+    * later vector lands. Same contract as the previous fallback. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new IllegalStateException(
+      s"graftlog: cannot snapshot-stream $path while it has live " +
+        "deletion vectors — CALL graft.system.compact(...) to " +
+        "materialize them first")
 }
 
 private[sources] final case class GraftDvInputPartition(
     inner: org.apache.spark.sql.execution.datasources.FilePartition,
-    fileName: String)
+    fileName: String, sidecar: Option[String])
     extends org.apache.spark.sql.connector.read.InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** A zero-copy VIEW over a base column vector exposing only the SELECTED
+  * ordinals: every accessor remaps `i → sel(i)` into the base. Children
+  * remap too (struct field reads flow `getChild(f).getX(rowId)` with the
+  * parent's ordinal), while array/map/decimal/string accessors delegate
+  * whole — their return values index the base child DATA vectors by
+  * offset, never by row ordinal. The suppression path wraps only batches
+  * that actually contain a suppressed row. */
+private[sources] final class SelectedColumnVector(
+    base: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType()) {
+  override def close(): Unit = base.close()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = {
+    var n = 0; var i = 0
+    while (i < sel.length) { if (base.isNullAt(sel(i))) n += 1; i += 1 }
+    n
+  }
+  override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = base.getByte(sel(i))
+  override def getShort(i: Int): Short = base.getShort(sel(i))
+  override def getInt(i: Int): Int = base.getInt(sel(i))
+  override def getLong(i: Int): Long = base.getLong(sel(i))
+  override def getFloat(i: Int): Float = base.getFloat(sel(i))
+  override def getDouble(i: Int): Double = base.getDouble(sel(i))
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(sel(i))
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(sel(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    base.getDecimal(sel(i), precision, scale)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    base.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    new SelectedColumnVector(base.getChild(ordinal), sel)
 }
 
 /** Wraps the delegate's per-partition readers, splicing the constant file
   * column and re-ordering (data..., rowIndex) into the required layout.
   * Columnar batches reuse the delegate's vectors (zero copy); the
-  * row-based fallback maps through one mutable view per reader. */
+  * row-based fallback maps through one mutable view per reader. A
+  * partition whose file carries a live vector suppresses in-scan: the
+  * sidecar NAME rides the partition, positions load per task through the
+  * [[graft.io.DvSidecars]] LRU, and only batches overlapping a suppressed
+  * position pay the [[SelectedColumnVector]] remap. */
 private[sources] final class GraftDvReaderFactory(
+    table: String,
     inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
-    mapping: Array[Int], required: StructType)
+    mapping: Array[Int], required: StructType, idxOrdinal: Int)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
   override def supportColumnarReads(
       p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
     inner.supportColumnarReads(p.asInstanceOf[GraftDvInputPartition].inner)
+
+  /** Surviving ordinals of a batch, or null when NO row is suppressed
+    * (the zero-copy fast path): one sorted-merge pass over the batch's
+    * monotone row-index vector and the file's sorted positions, entered
+    * only when the [first, last] range check says they overlap. */
+  private def selectionOf(
+      idx: org.apache.spark.sql.vectorized.ColumnVector, n: Int,
+      sup: Array[Long]): Array[Int] = {
+    if (sup == null || n == 0) return null
+    val first = idx.getLong(0)
+    val last = idx.getLong(n - 1)
+    var lo = java.util.Arrays.binarySearch(sup, first)
+    if (lo < 0) lo = -lo - 1
+    if (lo >= sup.length || sup(lo) > last) return null
+    val out = new Array[Int](n)
+    var k = 0; var p = lo; var i = 0
+    while (i < n) {
+      val v = idx.getLong(i)
+      while (p < sup.length && sup(p) < v) p += 1
+      if (p >= sup.length || sup(p) != v) { out(k) = i; k += 1 }
+      i += 1
+    }
+    if (k == n) null else java.util.Arrays.copyOf(out, k)
+  }
 
   override def createColumnarReader(
       p: org.apache.spark.sql.connector.read.InputPartition)
@@ -705,6 +775,7 @@ private[sources] final class GraftDvReaderFactory(
         org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val gp = p.asInstanceOf[GraftDvInputPartition]
     val r = inner.createColumnarReader(gp.inner)
+    val sup = gp.sidecar.map(graft.io.DvSidecars.positions(table, _)).orNull
     val const = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
       1, org.apache.spark.sql.types.StringType)
     const.setUtf8String(
@@ -714,11 +785,16 @@ private[sources] final class GraftDvReaderFactory(
       override def next(): Boolean = r.next()
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
         val b = r.get()
+        val n = b.numRows()
+        val sel = selectionOf(if (sup == null) null else b.column(idxOrdinal), n, sup)
         val cols = mapping.map {
           case -1 => const: org.apache.spark.sql.vectorized.ColumnVector
-          case j  => b.column(j)
+          case j =>
+            if (sel == null) b.column(j)
+            else new SelectedColumnVector(b.column(j), sel)
         }
-        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+        new org.apache.spark.sql.vectorized.ColumnarBatch(cols,
+          if (sel == null) n else sel.length)
       }
       override def close(): Unit = r.close()
     }
@@ -729,12 +805,20 @@ private[sources] final class GraftDvReaderFactory(
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftDvInputPartition]
     val r = inner.createReader(gp.inner)
+    val sup = gp.sidecar.map(graft.io.DvSidecars.positions(table, _)).orNull
     val file = org.apache.spark.unsafe.types.UTF8String.fromString(gp.fileName)
     val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       mapping.length)
     val types = required.fields.map(_.dataType)
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-      override def next(): Boolean = r.next()
+      override def next(): Boolean = {
+        var has = r.next()
+        if (sup != null)
+          while (has && java.util.Arrays.binarySearch(
+              sup, r.get().getLong(idxOrdinal)) >= 0)
+            has = r.next()
+        has
+      }
       override def get(): InternalRow = {
         val in = r.get()
         var i = 0

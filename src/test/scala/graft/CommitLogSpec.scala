@@ -719,7 +719,10 @@ class CommitLogSpec extends SparkSpec {
   test("logical conflict resolution: a blind append racing a dvDelete " +
       "lands both WITHOUT a re-scan; overlap races still re-derive") {
     val t = freshTable("reconcile")
-    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), t) // v0
+    // ONE file, so the overlap race below really is a SAME-FILE race
+    // (disjoint-file DML racers reconcile since round 15)
+    CommitLog.append(df(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+      .coalesce(1), t)                                                   // v0
     CommitLog.enableDv(t)                                                // v1
     // the candidates callback runs exactly once per body execution, so
     // counting it counts the statement's scans — a blind append landed
@@ -745,10 +748,49 @@ class CommitLogSpec extends SparkSpec {
       if (bodyRuns2 == 1) { CommitLog.dvDelete(spark, t, col("id") === 4L); () }
       CommitLog.snapshotFiles(t, Some(tip))
     })
-    assert(bodyRuns2 == 2, "a vector-touching racer must force the re-derive")
+    assert(bodyRuns2 == 2,
+      "a racer vectoring the SAME file must force the re-derive")
     assert(v2.isDefined)
     val got2 = CommitLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
     assert(got2 == Seq(1L, 100L), s"all three deletes must land: $got2")
+  }
+
+  test("disjoint-file DML racers reconcile: concurrent dvDeletes on " +
+      "different files both land with ONE scan each; adders and " +
+      "same-file racers still re-derive") {
+    val t = freshTable("dmlreconcile")
+    CommitLog.append(df(1L -> "a", 2L -> "b").coalesce(1), t)   // v0: file A
+    CommitLog.append(df(10L -> "x", 11L -> "y").coalesce(1), t) // v1: file B
+    CommitLog.enableDv(t)                                        // v2
+    // racer: a dvDelete whose merged vector touches ONLY file B lands
+    // between our scan (which will touch only file A) and our commit —
+    // read/write sets disjoint, BOTH land, neither re-scans
+    var bodyRuns = 0
+    val v = CommitLog.dvDelete(spark, t, col("id") === 1L, Some { tip =>
+      bodyRuns += 1
+      if (bodyRuns == 1) { CommitLog.dvDelete(spark, t, col("id") === 10L); () }
+      CommitLog.snapshotFiles(t, Some(tip))
+    })
+    assert(bodyRuns == 1,
+      "a disjoint-file DML racer must reconcile, not force a re-scan")
+    assert(v.isDefined && v.get == CommitLog.currentVersion(t),
+      "the reconciled delete lands above the racer")
+    val got = CommitLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 11L), s"both deletes must land exactly once: $got")
+    // a racer that ADDS files (merge images) is NOT reconcilable — its
+    // fresh bytes could match our predicate, only a re-scan can tell
+    var bodyRuns2 = 0
+    val v2 = CommitLog.dvDelete(spark, t, col("id") === 11L, Some { tip =>
+      bodyRuns2 += 1
+      if (bodyRuns2 == 1) {
+        CommitLog.dvMerge(spark, df(50L -> "new"), t, Seq("id")); ()
+      }
+      CommitLog.snapshotFiles(t, Some(tip))
+    })
+    assert(bodyRuns2 == 2, "a file-ADDING DML racer must force the re-derive")
+    assert(v2.isDefined)
+    val got2 = CommitLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == Seq(2L, 50L), s"merge insert and delete both land: $got2")
   }
 
   test("compaction racing concurrent ingest: every appended row survives") {

@@ -427,7 +427,8 @@ class GraftLogDataSourceSpec extends SparkSpec {
     CommitLog.upsert(spark, Seq((2L, "B")).toDF("id", "v"), t, Seq("id")) // v1
 
     val cdf = spark.read.format("graftlog").option("readChangeFeed", true).load(t)
-    assert(cdf.schema.fieldNames.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+    assert(cdf.schema.fieldNames.toSeq ==
+      Seq("id", "v", "_change_type", "_commit_version", "_commit_timestamp"))
     val got = cdf.collect()
       .map(r => (r.getString(2), r.getLong(3), r.getLong(0), r.getString(1))).toSet
     assert(got == Set(
@@ -532,6 +533,39 @@ class GraftLogDataSourceSpec extends SparkSpec {
       feed("startingVersion" -> "1", "startingTimestamp" -> (base + 5000).toString)
     }
     assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
+
+  test("_commit_timestamp: every change row carries its commit's clock, " +
+      "equal within a commit, monotone across versions") {
+    import spark.implicits._
+    val t = freshTable("cdftscol")
+    val base = System.currentTimeMillis() - 1000000
+    CommitLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)      // v0
+    CommitLog.append(Seq((3L, "c")).toDF("id", "v"), t)                 // v1
+    CommitLog.overwrite(Seq((1L, "a"), (9L, "z")).toDF("id", "v"), t)   // v2
+    stampCommit(t, 0L, base)
+    // deliberately stamp v1 BEHIND v0: serving must monotonize (running
+    // max), exactly as timestamp time travel resolves
+    stampCommit(t, 1L, base - 5000)
+    stampCommit(t, 2L, base + 20000)
+    val rows = spark.read.format("graftlog").option("readChangeFeed", "true")
+      .load(t)
+      .select("_commit_version", "_commit_timestamp")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    assert(rows.nonEmpty && rows.forall(_._2 != null),
+      s"every change row must be stamped: $rows")
+    val byV = rows.groupBy(_._1).view.mapValues(_.map(_._2.getTime).distinct).toMap
+    assert(byV.forall(_._2.size == 1),
+      s"one commit's rows must share ONE timestamp: $byV")
+    assert(byV(0L) == Seq(base) && byV(1L) == Seq(base) &&
+      byV(2L) == Seq(base + 20000),
+      s"stamps must be the (monotonized) commit clocks: $byV")
+    // the TVF and the typed batch API serve the same column
+    graft.sources.TableChanges.register(spark)
+    val tvf = spark.sql(
+      s"SELECT _commit_version, _commit_timestamp FROM table_changes('$t', 0, 2)")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+    assert(tvf == Set((0L, base), (1L, base), (2L, base + 20000)), s"got $tvf")
   }
 
   test("table_changes misuse fails at analysis with named causes") {

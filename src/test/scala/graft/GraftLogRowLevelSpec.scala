@@ -376,13 +376,84 @@ class GraftLogRowLevelSpec extends SparkSpec {
       assert(g.map(_._3).sorted.toSeq == (0L until g.length.toLong),
         s"per-file positions must be dense from 0: ${g.toSeq}")
     }
-    // a live vector drops that read back to the suppressing Catalyst form
+    // a live vector KEEPS the native scan — suppression happens in-scan
+    // (per-task sidecar probe over the row-index vector), still columnar
+    val idBefore = spark.sql(q).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     spark.sql("DELETE FROM rlcat.dml.nv WHERE id % 2 = 1")
     val df2 = spark.sql(q)
-    assert(!df2.queryExecution.executedPlan.toString.contains(
+    val plan2 = df2.queryExecution.executedPlan
+    assert(plan2.toString.contains("row-identity native scan"),
+      s"vectored files must stay on the suppressing native scan:\n$plan2")
+    val scans2 = plan2.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans2.nonEmpty && scans2.forall(_.supportsColumnar),
+      "the suppressing native scan must still serve columnar batches")
+    val rows2 = df2.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows2.keySet == Set(0L, 2L, 4L), s"got $rows2")
+    // surviving rows keep their ORIGINAL (file, position) identity (gaps
+    // where suppressed rows sat) — what a second DML round suppresses by
+    assert(rows2 == idBefore.view.filterKeys(Set(0L, 2L, 4L)).toMap,
+      s"row identity must survive suppression: $rows2 vs $idBefore")
+    // plain reads (no metadata columns) of a vectored snapshot are native
+    // too — the V1 row bridge is gone from every dv regime
+    val df3 = spark.sql("SELECT id, v FROM rlcat.dml.nv")
+    assert(df3.queryExecution.executedPlan.toString.contains(
       "row-identity native scan"),
-      "vectored files must keep the suppressing fallback")
-    assert(df2.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 4L))
+      s"plain vectored reads must plan the suppressing native scan:\n" +
+        df3.queryExecution.executedPlan)
+    assert(df3.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 4L))
+  }
+
+  test("second UPDATE on already-vectored files: native scan end-to-end, " +
+      "vectors merge, no row resurrected or double-served") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.nv2")
+    spark.sql("CREATE TABLE rlcat.dml.nv2 AS " +
+      "SELECT id, CAST(0 AS INT) AS gen FROM range(12)")
+    val dir = tableDir("nv2")
+    CommitLog.enableDv(dir)
+    // round 1 vectors half the rows
+    spark.sql("UPDATE rlcat.dml.nv2 SET gen = 1 WHERE id % 2 = 0")
+    assert(CommitLog.dvFor(dir).nonEmpty, "round 1 must land vectors")
+    // round 2 scans files that ALREADY carry vectors — the dense-DV
+    // regime the native scan must serve (pre-round-15: V1 bridge)
+    spark.sql("UPDATE rlcat.dml.nv2 SET gen = gen + 10 WHERE id < 6")
+    val got = spark.sql("SELECT id, gen FROM rlcat.dml.nv2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq(0L -> 11, 1L -> 10, 2L -> 11, 3L -> 10, 4L -> 11,
+      5L -> 10, 6L -> 1, 7L -> 0, 8L -> 1, 9L -> 0, 10L -> 1, 11L -> 0),
+      s"got $got")
+    // round 3: DELETE through the merged-vector state
+    spark.sql("DELETE FROM rlcat.dml.nv2 WHERE gen = 11")
+    val left = spark.sql("SELECT id FROM rlcat.dml.nv2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(1L, 3L, 5L, 6L, 7L, 8L, 9L, 10L, 11L), s"got $left")
+  }
+
+  test("vectored scan suppression on complex types (row-based reader path)") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS rlcat.dml.nvc")
+    spark.sql("CREATE TABLE rlcat.dml.nvc AS " +
+      "SELECT id, array(id, id * 2) AS xs, " +
+      "named_struct('a', id, 'b', concat('s', id)) AS st FROM range(8)")
+    val dir = tableDir("nvc")
+    CommitLog.enableDv(dir)
+    spark.sql("DELETE FROM rlcat.dml.nvc WHERE id IN (1, 4, 6)")
+    val got = spark.sql(
+      "SELECT id, xs[1] AS x2, st.b AS b FROM rlcat.dml.nvc ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((0L, 0L, "s0"), (2L, 4L, "s2"), (3L, 6L, "s3"),
+      (5L, 10L, "s5"), (7L, 14L, "s7")), s"got $got")
+    // and a second round over the vectored complex-typed files
+    spark.sql("UPDATE rlcat.dml.nvc SET xs = array(id, -1) WHERE id >= 5")
+    val got2 = spark.sql(
+      "SELECT id, xs[1] AS x2 FROM rlcat.dml.nvc ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((0L, 0L), (2L, 4L), (3L, 6L), (5L, -1L), (7L, -1L)),
+      s"got $got2")
   }
 
   test("MERGE WHEN NOT MATCHED BY SOURCE: copy-on-write route") {

@@ -247,6 +247,49 @@ class GraftLogStreamSpec extends SparkSpec {
     assert(got == Seq((2L, "new")), s"startingVersion=1 must skip v0, got $got")
   }
 
+  test("startingTimestamp begins at the first commit AT OR AFTER the " +
+      "moment — matching its version-started twin") {
+    val root = freshDir("startts")
+    val t = root.resolve("t").toString
+    CommitLog.append(Seq((1L, "old")).toDF("id", "v"), t)   // v0
+    CommitLog.append(Seq((2L, "new")).toDF("id", "v"), t)   // v1
+    CommitLog.append(Seq((3L, "fresh")).toDF("id", "v"), t) // v2
+    val base = System.currentTimeMillis() - 1000000
+    def stamp(v: Long, ts: Long): Unit =
+      Files.setLastModifiedTime(
+        Paths.get(t, "_log", f"$v%012d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    stamp(0L, base); stamp(1L, base + 10000); stamp(2L, base + 20000)
+    // ts between v0 and v1: deliver v1 and v2 — identical to the
+    // startingVersion=1 twin
+    val byTs = drain(t, "gl_stream_ts", root.resolve("ck1").toString,
+      Map("startingTimestamp" -> (base + 5000).toString))
+    val byV = drain(t, "gl_stream_tsv", root.resolve("ck2").toString,
+      Map("startingVersion" -> "1"))
+    assert(byTs == byV && byTs == Seq((2L, "new"), (3L, "fresh")),
+      s"timestamp-started stream must match its version twin: $byTs vs $byV")
+    // ts exactly ON v1's clock: v1 is included ("at or after")
+    val onEdge = drain(t, "gl_stream_ts2", root.resolve("ck3").toString,
+      Map("startingTimestamp" -> (base + 10000).toString))
+    assert(onEdge == Seq((2L, "new"), (3L, "fresh")), s"got $onEdge")
+    // ts past the head: nothing retained qualifies; the stream waits for
+    // FUTURE commits and delivers the next one
+    val late = drain(t, "gl_stream_ts3", root.resolve("ck4").toString,
+      Map("startingTimestamp" -> (base + 999999).toString))
+    assert(late.isEmpty, s"a start past the head delivers nothing yet: $late")
+    CommitLog.append(Seq((4L, "later")).toDF("id", "v"), t) // v3, clock = now
+    val after = drain(t, "gl_stream_ts3b", root.resolve("ck4b").toString,
+      Map("startingTimestamp" -> (base + 999999).toString))
+    assert(after == Seq((4L, "later")), s"got $after")
+    // both forms at once refuse loudly
+    val e = intercept[Exception] {
+      drain(t, "gl_stream_ts4", root.resolve("ck5").toString,
+        Map("startingVersion" -> "1",
+          "startingTimestamp" -> (base + 5000).toString))
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
+
   test("initial-snapshot fast path: a fresh stream on a CHECKPOINTED table " +
       "serves the live snapshot, then the tail incrementally") {
     val root = freshDir("initsnap")
