@@ -601,9 +601,7 @@ object GraftLogDataSource {
               // batch-level selection views — no V1 row bridge in either
               // regime
               val fsSet = fs.toSet
-              val dvSc = dvd.collect {
-                case (f, (sc, _)) if fsSet(f) => f -> sc
-              }
+              val dvSc = dvd.filter { case (f, _) => fsSet(f) }
               new GraftDvNativeScan(path, snapshotVersion, schema0,
                 required, pushed, fs, dvSc)
             } else new GraftLogNativeScan(path, snapshotVersion, schema0, required,

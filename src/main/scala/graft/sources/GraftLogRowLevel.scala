@@ -376,9 +376,8 @@ private[sources] final class GraftDvRowLevelOperation(
         // probe, batch-level selection views) — no
         // InternalRow→Row→InternalRow bridge on any DML scan
         val fileSet = files.toSet
-        val dvSc = CommitLog.dvFor(path, Some(version)).collect {
-          case (f, (sc, _)) if fileSet(f) => f -> sc
-        }
+        val dvSc = CommitLog.dvFor(path, Some(version))
+          .filter { case (f, _) => fileSet(f) }
         new GraftDvNativeScan(path, version, tableSchema, reqF,
           fseq.toArray, files, dvSc)
       }
@@ -598,8 +597,35 @@ private final class GraftDeltaWriter(
 private[sources] final class GraftDvNativeScan(
     path: String, version: Long, tableSchema: StructType,
     required: StructType, filters: Array[Filter], fileNames: Seq[String],
-    dvs: Map[String, String] = Map.empty)
-    extends org.apache.spark.sql.connector.read.Scan {
+    dvs: Map[String, (String, Long)] = Map.empty)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Log-derived statistics, like [[GraftLogDataSource.GraftLogNativeScan]]
+    * (a V1Scan could never report any — why the previous vectored
+    * fallback lost auto-broadcast): numRows = footer counts MINUS the
+    * scanned files' suppressed counts (exact when every file carries a
+    * count); sizeInBytes scaled by the pruned column fraction, left
+    * UNREDUCED by suppression — an over-estimate can only withhold a
+    * broadcast, never wrongly grant one. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val sizes = CommitLog.fileSizeBytes(path, Some(version))
+    val totalBytes = fileNames.map(f => sizes.getOrElse(f, 0L)).sum
+    val fullSize = math.max(1L, tableSchema.defaultSize.toLong)
+    val scaled = math.max(1L,
+      (totalBytes.toDouble * required.defaultSize / fullSize).toLong)
+    val counts = CommitLog.fileRowCounts(path, Some(version))
+    val rows: Option[Long] =
+      if (fileNames.forall(counts.contains))
+        Some(fileNames.map(counts).sum - dvs.values.map(_._2).sum)
+      else None // a legacy count-less file: undefined, never wrong
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(scaled)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
 
   private val RowIdxCol = org.apache.spark.sql.execution.datasources.parquet
     .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
@@ -660,7 +686,7 @@ private[sources] final class GraftDvNativeScan(
           }.zipWithIndex.map { case ((pf, name), i) =>
             GraftDvInputPartition(
               org.apache.spark.sql.execution.datasources.FilePartition(i, Array(pf)),
-              name, dvs.get(name))
+              name, dvs.get(name).map(_._1))
           }.toArray
         }
 

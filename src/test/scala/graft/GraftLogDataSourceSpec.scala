@@ -349,6 +349,49 @@ class GraftLogDataSourceSpec extends SparkSpec {
     assert(scanStats(v0).sizeInBytes < scanStats(head).sizeInBytes)
   }
 
+  test("vectored snapshots report suppression-exact numRows and keep " +
+      "auto-broadcast (the V1 fallback reported nothing)") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable("dvstats")
+    CommitLog.append((1L to 25L).map(i => (i, s"name$i", "x" * 50))
+      .toDF("id", "nm", "pad"), t)
+    CommitLog.enableDv(t)
+    CommitLog.dvDelete(spark, t, col("id") <= 5L) // suppress 5 of 25
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.stats
+      }.head
+    val full = spark.read.format("graftlog").load(t)
+    val st = scanStats(full)
+    assert(st.rowCount.contains(BigInt(20)),
+      s"numRows must subtract the scanned files' suppressed counts, got ${st.rowCount}")
+    val defaultSize = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    assert(st.sizeInBytes > 0 && st.sizeInBytes < defaultSize / 1000,
+      s"sizeInBytes must be the real on-disk size, got ${st.sizeInBytes}")
+    // a small VECTORED dim still auto-broadcasts — through the
+    // suppressing native scan, statically planned (no AQE credit)
+    val fact = spark.range(10000).selectExpr("id % 20 + 6 AS id", "id AS v")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "10MB") {
+      val joined = fact.join(full, "id")
+      val builds = joined.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          val side = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case _                                                 => b.right
+          }
+          side.collect {
+            case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+                if s.scan.getClass.getSimpleName == "GraftDvNativeScan" => s
+          }.nonEmpty
+      }
+      assert(builds.exists(identity),
+        s"the vectored dim must be the broadcast build side:\n" +
+          joined.queryExecution.sparkPlan)
+      assert(joined.count() == 10000L,
+        "every fact row joins a surviving dim row")
+    }
+  }
+
   test("aggregate pushdown: count/min/max answered from the log, zero data reads") {
     import org.apache.spark.sql.functions.{count, lit, max, min}
     val t = freshTable("aggpush")
