@@ -725,6 +725,12 @@ private[sources] final class SelectedColumnVector(
     base: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
     extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType()) {
   override def close(): Unit = base.close()
+  // ColumnarToRowExec calls closeIfFreeable() after EACH batch; the default
+  // implementation closes for real, which would free the parquet reader's
+  // REUSED WritableColumnVectors mid-scan (use-after-free on the next
+  // batch). Forward the call so a reused base stays its no-op self and a
+  // genuinely freeable base still frees.
+  override def closeIfFreeable(): Unit = base.closeIfFreeable()
   override def hasNull: Boolean = base.hasNull
   override def numNulls(): Int = {
     var n = 0; var i = 0

@@ -392,6 +392,29 @@ class GraftLogDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("suppressing scan survives MULTI-BATCH files (closeIfFreeable must " +
+      "not free the reader's reused vectors between batches)") {
+    import org.apache.spark.sql.functions.col
+    // > columnarReaderBatchSize (4096) rows in ONE file, a dictionary-
+    // encodable low-cardinality column, and a sparse vector: every batch
+    // after the first re-reads the SAME reused WritableColumnVectors the
+    // wrapped batch exposed — if the SelectedColumnVector wrapper's
+    // closeIfFreeable() closes for real, batch 2 NPEs/corrupts
+    val t = freshTable("dvbatches")
+    CommitLog.append(
+      (0L until 20000L).map(i => (i, s"s${i % 7}", i * 2)).toDF("id", "tag", "v")
+        .coalesce(1), t)
+    CommitLog.enableDv(t)
+    CommitLog.dvDelete(spark, t, col("id") % 4096L === 0L) // one hit per batch
+    val out = spark.read.format("graftlog").load(t)
+    assert(out.count() == 20000L - 5L)
+    assert(out.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) ==
+      (0L until 20000L).filter(_ % 4096L != 0L).map(_ * 2).sum)
+    // second pass through the same plan (fresh scan) stays healthy
+    assert(out.filter(col("tag") === "s0").count() ==
+      (0L until 20000L).count(i => i % 7 == 0 && i % 4096L != 0L))
+  }
+
   test("aggregate pushdown: count/min/max answered from the log, zero data reads") {
     import org.apache.spark.sql.functions.{count, lit, max, min}
     val t = freshTable("aggpush")
