@@ -403,23 +403,62 @@ object CommitLog {
     * BELOW the checkpoint falls back to a full replay from version 0, which
     * works until [[expireLog]] reclaims the pre-checkpoint commits, and
     * fails loudly after. */
+  // Replayed-snapshot cache. Sound because the inputs behind a key are
+  // IMMUTABLE: a version's commit file lands by atomic rename and is never
+  // rewritten (conflicts abort to a fresh version), and a checkpoint
+  // reproduces exactly the state of the commits it compacts — so the
+  // LogState for (table, checkpoint-at-replay, last-applied-version) can
+  // never change. Invalidation is therefore BY KEY: a new commit extends
+  // the end version, a new checkpoint changes the checkpoint component;
+  // the per-call existence walk below (a handful of stat() calls) is what
+  // discovers both, so staleness is impossible. Callers treat the state
+  // as read-only (the CDF walk copies what it evolves; every other use
+  // reads). Access-ordered LRU, bounded — the metadata plane of a gate
+  // run touches a few dozen tables, and one state is O(live files) of
+  // strings/longs (the same thing Delta's driver-side snapshot cache
+  // holds at 100 TB).
+  private val replayCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long, Long), LogState](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long, Long), LogState]): Boolean =
+        size > 128
+    })
+
   private def replay(table: String, asOf: Option[Long]): LogState = {
-    val state = new LogState
     val cp = lastCheckpoint(table).filter(v => asOf.forall(v <= _))
     for (a <- asOf; v <- lastCheckpoint(table))
       if (a < v && !Files.exists(commitPath(table, 0L)))
         sys.error(s"version $a of $table predates checkpoint $v and the " +
           "pre-checkpoint log was expired — that history is gone")
-    cp.foreach { v =>
-      applyActions(state, new String(
-        Files.readAllBytes(ckptPath(table, v)), StandardCharsets.UTF_8))
-    }
+    // end version discovered by the existence walk — this doubles as the
+    // cache-invalidation probe (see the cache note above)
     var v = cp.getOrElse(-1L) + 1
-    while (Files.exists(commitPath(table, v)) && asOf.forall(v <= _)) {
+    while (Files.exists(commitPath(table, v)) && asOf.forall(v <= _)) v += 1
+    val end = v - 1
+    // a DELETED-and-RECREATED table reuses (path, version) with fresh
+    // content — the mtime of the last file applied distinguishes the
+    // generations (rename gives the landed file a fresh timestamp)
+    val stamp =
+      try {
+        if (end >= cp.getOrElse(-1L) + 1)
+          Files.getLastModifiedTime(commitPath(table, end)).toMillis
+        else cp.fold(0L)(c => Files.getLastModifiedTime(ckptPath(table, c)).toMillis)
+      } catch { case _: java.io.IOException => System.nanoTime() } // race: never cache
+    val key = (table, cp.getOrElse(-1L), end, stamp)
+    val hit = replayCache.get(key)
+    if (hit != null) return hit
+    val state = new LogState
+    cp.foreach { c =>
       applyActions(state, new String(
-        Files.readAllBytes(commitPath(table, v)), StandardCharsets.UTF_8))
-      v += 1
+        Files.readAllBytes(ckptPath(table, c)), StandardCharsets.UTF_8))
     }
+    var w = cp.getOrElse(-1L) + 1
+    while (w <= end) {
+      applyActions(state, new String(
+        Files.readAllBytes(commitPath(table, w)), StandardCharsets.UTF_8))
+      w += 1
+    }
+    replayCache.put(key, state)
     state
   }
 

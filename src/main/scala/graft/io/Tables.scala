@@ -49,4 +49,23 @@ object Tables {
     }
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** Spread a CPU-heavy pipeline's input across the session's compute
+    * parallelism when the scan under-splits. Parquet split sizing is
+    * BYTES-based (`maxPartitionBytes`), and a split can never be finer
+    * than a row group — so a small, highly-compressed table (text,
+    * embeddings) lands in ONE scan task even though the per-row work
+    * above it (explode / shingle / hash / distance loops) is thousands of
+    * times the scan cost, serializing the whole stage on one core. When
+    * the scan already yields >= defaultParallelism splits — any
+    * cluster-scale table — this is a NO-OP: no exchange is added at
+    * 100 TB. Locally it costs one exchange of the small input and buys
+    * full-width execution of everything above it. Round-robin
+    * repartition keeps Spark's sort-before-repartition determinism;
+    * apply it only under order-insensitive consumers (aggregates, joins,
+    * per-row maps — not written table layouts). */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

@@ -53,21 +53,49 @@ object GraphCC {
     import org.apache.spark.sql.GraftSqlShim.detachStats
     // the unhinted aggregated joins rely on AQE to right-size their strategy;
     // with it off a huge neighbor-min side could plan as a broadcast OOM
-    require(vertices.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+    val spark = vertices.sparkSession
+    require(spark.conf.get("spark.sql.adaptive.enabled", "true")
       .toBoolean, "GraphCC.connectedComponents requires adaptive query execution")
     val edges = detachStats(pairs.select("key", "id_a", "id_b").unionByName(
         pairs.select(col("key"), col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint())
+
+    // Right-size the fixpoint's shuffles from the MEASURED graph size
+    // (guide §2: partitioning derived from input size, not a constant).
+    // Every loop intermediate is O(|V| + |E|) rows of three ints; with the
+    // session's full shuffle width each of the O(diameter) rounds pays
+    // (width × per-task overhead) regardless of data, which dominates the
+    // loop on small-per-key graphs. ~64k rows per partition keeps tasks
+    // meaningfully sized; the session width is the ceiling, so a
+    // cluster-scale graph keeps its full parallelism — this only ever
+    // SHRINKS the width, never grows it. Restored in `finally` (the conf
+    // is session-global).
+    val edgeRows = edges.count()
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    val loopParts = math.max(1L, math.min(prevParts.toLong,
+      (edgeRows + 65535L) / 65536L))
+    spark.conf.set(partsKey, loopParts.toString)
+    try connectedComponentsLoop(vertices, edges, maxIter, broadcastThreshold)
+    finally spark.conf.set(partsKey, prevParts)
+  }
+
+  private def connectedComponentsLoop(vertices: DataFrame, edges: DataFrame,
+                                      maxIter: Int,
+                                      broadcastThreshold: Long): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim.detachStats
 
     // Seed round = round 1 of Hash-Min: comp(v) = min(v, min neighbor id).
     // The neighbor-min aggregation is inlined into the seed join — no
     // separate materialization: its size is unknown, so join strategy is
     // AQE's call from runtime stats (the bench/verify sessions run with
     // adaptive on; a pathological expander degrades to a hash join, not an
-    // OOM). Per round this plan costs exactly two jobs — the eager
-    // localCheckpoint and the frontier count — where a checkpoint-and-
-    // count-per-intermediate version cost four; at local-mode scale the
-    // fixpoint is orchestration-bound, so halving the jobs halves the wall.
+    // OOM). Per round this plan costs exactly ONE job: the checkpoint is
+    // LAZY and the frontier count is the action that materializes it —
+    // the count plans on top of the checkpointed RDD, so the label table
+    // is computed once, pinned, and measured in the same pass (the
+    // earlier eager-checkpoint-then-count shape paid two jobs per round,
+    // and the fixpoint is orchestration-bound at any per-key-small scale).
     val nbrMin = edges.groupBy(col("key"), col("id_a").as("id"))
       .agg(min(col("id_b")).as("nbr"))
     var comps = detachStats(vertices.select(col("key"), col("id"))
@@ -75,7 +103,7 @@ object GraphCC {
       .select(col("key"), col("id"),
         least(col("id"), coalesce(col("nbr"), col("id"))).as("comp"),
         (coalesce(col("nbr"), col("id")) < col("id")).as("chg"))
-      .localCheckpoint())
+      .localCheckpoint(false))
     var frontier = comps.filter(col("chg")).select("key", "id", "comp")
     var frontierSize = frontier.count()
     var iter = 1
@@ -98,7 +126,7 @@ object GraphCC {
         .select(col("key"), col("id"),
           least(col("c.comp"), coalesce(col("cand"), col("c.comp"))).as("comp"),
           (coalesce(col("cand"), col("c.comp")) < col("c.comp")).as("chg"))
-        .localCheckpoint())
+        .localCheckpoint(false))
       frontier = comps.filter(col("chg")).select("key", "id", "comp")
       frontierSize = frontier.count()
       iter += 1

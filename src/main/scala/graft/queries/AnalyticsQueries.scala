@@ -570,8 +570,11 @@ object AnalyticsQueries {
     * input of both triangle-count forms. Edge building is bounded per
     * order (lines-per-order choose 2). */
   private def coPurchaseEdges(spark: SparkSession, dir: String) = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
+    // spread: the pair enumeration above this scan is O(lines-per-order²)
+    // CPU per row — a single-split scan (one row group locally) would
+    // serialize it on one core; no-op once the table has >= cores splits
+    val li = Tables.spread(spark, Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("s")))
     li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
       .select(col("a.s").as("x"), col("b.s").as("y")).distinct()

@@ -21,6 +21,21 @@ object TableLogQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** One-action multiset equality for in-gate audits: tag each side ±1,
+    * group by every column, and any non-zero net count is a difference.
+    * Same property the two-direction `exceptAll` pair proved, at ONE job
+    * evaluating each feed once — the exceptAll form ran two actions and
+    * evaluated both feeds twice (4 feed computations per audit, and these
+    * feeds are full CDF window walks). */
+  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    a.select(cols.map(col): _*).withColumn("_s", lit(1))
+      .unionByName(b.select(cols.map(col): _*).withColumn("_s", lit(-1)))
+      .groupBy(cols.map(col): _*).agg(sum(col("_s")).as("_d"))
+      .filter(col("_d") =!= 0)
+      .isEmpty
+  }
+
   /** Batch 1: every third order enters the tracker as 'pending_review'. */
   private def batch1(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -1125,7 +1140,7 @@ object TableLogQueries {
     val byIdent = spark.sql("SELECT * FROM table_changes('graft.dml.t27', 0, 2)")
     val tdir = Paths.get(Sinks.scratchDir("commitlog_catalog_wh"), "dml", "t27").toString
     val byPath = spark.sql(s"SELECT * FROM table_changes('$tdir', 0, 2)")
-    require(byIdent.exceptAll(byPath).isEmpty && byPath.exceptAll(byIdent).isEmpty,
+    require(multisetEqual(byIdent, byPath),
       "tl27: identifier and path forms must serve the same feed")
     // the TVF carries _commit_timestamp: stamped on every row, one value
     // per commit (the batch/stream twins audit monotonicity in tl44)
@@ -1576,7 +1591,7 @@ object TableLogQueries {
         .drop("status") // pre-drop era serves it; window-end schema drops it
         .select(feed.columns.map(col(_)): _*)
     }.reduce(_ unionByName _)
-    require(feed.exceptAll(stitched).isEmpty && stitched.exceptAll(feed).isEmpty,
+    require(multisetEqual(feed, stitched),
       "tl33: the spanning feed must multiset-equal the per-era halves")
     spark.sql(
       s"""SELECT batch, count(*) AS n_rows,
@@ -1725,7 +1740,7 @@ object TableLogQueries {
     val streamed = spark.read.format("graftlog").load(dst)
     val twin = CommitLog.changes(spark, src, -1L, CommitLog.currentVersion(src))
       .select(streamed.columns.map(col(_)): _*)
-    require(streamed.exceptAll(twin).isEmpty && twin.exceptAll(streamed).isEmpty,
+    require(multisetEqual(streamed, twin),
       "tl25: accumulated stream feed must multiset-equal the batch changes() twin")
     streamed
       .select(col("_commit_version").cast("int").as("commit_version"),
@@ -1794,12 +1809,12 @@ object TableLogQueries {
     val streamed = spark.read.format("graftlog").load(dst)
     val twin = CommitLog.changes(spark, tdir, -1L, CommitLog.currentVersion(tdir))
       .select(streamed.columns.map(col(_)): _*)
-    require(streamed.exceptAll(twin).isEmpty && twin.exceptAll(streamed).isEmpty,
+    require(multisetEqual(streamed, twin),
       "tl25b: accumulated stream feed must multiset-equal the batch changes() twin")
     // the BATCH identifier surface serves the same full window
     val batchIdent = spark.read.table(s"$t.changes")
       .select(streamed.columns.map(col(_)): _*)
-    require(batchIdent.exceptAll(twin).isEmpty && twin.exceptAll(batchIdent).isEmpty,
+    require(multisetEqual(batchIdent, twin),
       "tl25b: spark.read.table(.changes) must equal the batch changes() twin")
     streamed
       .select(col("_change_type").as("change_type"),
@@ -1903,8 +1918,7 @@ object TableLogQueries {
     val scratch = CommitLog.read(spark, src).groupBy("batch")
       .agg(count(lit(1)).as("n_rows"),
         sum(col("price").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"))
-    require(maintained.exceptAll(scratch).isEmpty &&
-        scratch.exceptAll(maintained).isEmpty,
+    require(multisetEqual(maintained, scratch),
       "tl26: incrementally maintained state must equal the from-scratch recompute")
     maintained
       .select(col("batch"), col("n_rows"),

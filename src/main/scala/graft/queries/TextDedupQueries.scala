@@ -15,11 +15,20 @@ object TextDedupQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Documents feed, spread to compute parallelism ([[Tables.spread]]):
+    * every consumer in this module is per-row scalar work (shingle /
+    * hash / regex / explode) above a scan that locally yields ONE split,
+    * so without the exchange the whole stage serializes on one core.
+    * No-op at scale (>= cores splits); all consumers here are
+    * order-insensitive (aggregates, joins, per-row maps). */
+  private def sdocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, Tables.documents(spark, dir))
+
   private def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
   // ------------------------------------------------------------------ language id
   private val tLangId: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
     TextPipeline.langId(d, "text")
       .select("doc_id", "lang", "score_en", "score_es", "score_de", "score_fr", "predicted_lang")
       .orderBy("doc_id")
@@ -45,7 +54,7 @@ object TextDedupQueries {
 
   // ------------------------------------------------------------------ quality scoring
   private val tQuality: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
     TextPipeline.qualityMetrics(d, "text")
       .select("doc_id", "n_chars", "n_tokens", "avg_token_len",
         "punct_ratio", "stopword_ratio", "quality_bucket")
@@ -78,7 +87,7 @@ object TextDedupQueries {
   private val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
   private val tTokens: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
     d.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         regexp_count(col("text"), lit(tokenPattern)).cast("long").as("bpe_ish_tokens"),
@@ -95,7 +104,7 @@ object TextDedupQueries {
 
   // ------------------------------------------------------------------ fingerprint
   private val tFingerprint: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
     TextPipeline.fingerprint(d, "doc_id", "text").orderBy("doc_id")
   }
 
@@ -111,7 +120,7 @@ object TextDedupQueries {
     * (zero shuffle) instead of the char-explode composition. */
   private val tFingerprintNative: Q = (spark, dir) => {
     graft.plans.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+    sdocs(spark, dir)
       .select(col("doc_id"), expr("fingerprint64(text)").as("fingerprint"))
       .orderBy("doc_id")
   }
@@ -120,7 +129,7 @@ object TextDedupQueries {
   /** Canonical text normalization: lowercase, strip punctuation, squish
     * whitespace — the preprocessing step the dedup family assumes. */
   private val tNormalize: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
     d.select(col("doc_id"),
         regexp_replace(
           regexp_replace(lower(col("text")), "[.!?,;:]", ""),
@@ -160,7 +169,7 @@ object TextDedupQueries {
 
   // ------------------------------------------------------------------ exact dedup
   private val d1ExactDedup: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
     d.groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("content_hash")
@@ -174,7 +183,7 @@ object TextDedupQueries {
   /** Corpus + synthetic near-duplicates (one appended token) so LSH always
     * has true positives to find. */
   private def nearDupFeed(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val d = sdocs(spark, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") < 20)
         .select((col("doc_id") + 10000).as("doc_id"),
@@ -303,7 +312,7 @@ object TextDedupQueries {
     * boilerplate bucket, with the refusal visible in the audit query. */
   private def boilerFeed(spark: SparkSession, dir: String): DataFrame =
     nearDupFeed(spark, dir).unionByName(
-      Tables.documents(spark, dir).filter(col("doc_id") < 8)
+      sdocs(spark, dir).filter(col("doc_id") < 8)
         .select((col("doc_id") + 20000).as("doc_id"),
           lit("quarterly compliance boilerplate header repeated verbatim across the corpus")
             .as("text")))
@@ -463,7 +472,7 @@ object TextDedupQueries {
     * columns sim0..sim3 plus the assembled hex fingerprint. The band ints
     * double as the LSH keys in d9, with 65,536 possible values per band. */
   private val d3Simhash: Q = (spark, dir) =>
-    TextPipeline.simhash64(Tables.documents(spark, dir), "doc_id", "text")
+    TextPipeline.simhash64(sdocs(spark, dir), "doc_id", "text")
       .withColumn("simhash_hex",
         format_string("%04x%04x%04x%04x",
           col("sim0"), col("sim1"), col("sim2"), col("sim3")))
@@ -520,7 +529,7 @@ object TextDedupQueries {
   /** d3b: same fingerprint, same oracle, through the one-pass scalar
     * expression instead of the explode+aggregate composition. */
   private val d3bSimhashNative: Q = (spark, dir) =>
-    nativeSim(spark, Tables.documents(spark, dir))
+    nativeSim(spark, sdocs(spark, dir))
       .withColumn("simhash_hex",
         format_string("%04x%04x%04x%04x",
           col("sim0"), col("sim1"), col("sim2"), col("sim3")))
@@ -600,7 +609,7 @@ object TextDedupQueries {
     * no single-partition window, so the order materializes in parallel at
     * any corpus size and is reproducible across runs and cluster layouts. */
   private val d8GlobalShuffle: Q = (spark, dir) => {
-    val keyed = Tables.documents(spark, dir).select(col("doc_id"),
+    val keyed = sdocs(spark, dir).select(col("doc_id"),
       md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("shuffle_key"))
     graft.operators.GlobalRank
       .withGlobalRowNumber(keyed, Seq(col("shuffle_key"), col("doc_id")), "position")
@@ -627,7 +636,7 @@ object TextDedupQueries {
     * "stream in cum_chars order; stage boundaries are where stage
     * increments". */
   private val w10Curriculum: Q = (spark, dir) => {
-    val staged = Tables.documents(spark, dir).select(
+    val staged = sdocs(spark, dir).select(
       col("doc_id"), col("n_chars"),
       when(col("n_chars") < 200, 0).when(col("n_chars") < 400, 1).otherwise(2).as("stage"),
       md5(concat(lit("cur:"), col("doc_id").cast("string"))).as("shuffle_key"))
@@ -651,7 +660,7 @@ object TextDedupQueries {
 
   // ------------------------------------------------------------------ n-gram jaccard
   private val d4Jaccard: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
     val sh = d.withColumn("toks", TextPipeline.tokens(col("text")))
       .select(col("doc_id"),
         array_distinct(TextPipeline.shinglesFromTokens(col("toks"), 3)).as("sh"))
@@ -691,7 +700,7 @@ object TextDedupQueries {
     * quotients of identical integer divisions, so they compare exactly
     * across engines without rounding. */
   private val tRepetition: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
     val toks = d.withColumn("toks", TextPipeline.tokens(col("text")))
     def gramCounts(k: Int) = toks
       .select(col("doc_id"),
@@ -748,7 +757,7 @@ object TextDedupQueries {
     * 100 TB the shingle strings would be xxhash64'd to 8-byte keys first;
     * the string key here keeps the oracle engine-portable. */
   private val tBoilerplate: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
     val sh = d.withColumn("toks", TextPipeline.tokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(TextPipeline.shinglesFromTokens(col("toks"), 3))).as("g"))
@@ -796,7 +805,7 @@ object TextDedupQueries {
     * corpus-wide shuffle beyond the per-doc groupBy; at 100 TB the 8-gram
     * strings would be xxhash64'd to 8-byte keys first. */
   private def decontamFeed(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val d = sdocs(spark, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 30000).as("doc_id"),
@@ -852,7 +861,7 @@ object TextDedupQueries {
     * equi-join, cap on the indexed side, ≥6/8 signature agreement).
     * Signatures come from the scalar one-pass expression on both sides. */
   private def d11Feed(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val d = sdocs(spark, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") < 10)
         .select((col("doc_id") + 40000).as("doc_id"), col("text")))
@@ -925,7 +934,7 @@ object TextDedupQueries {
     * [[graft.operators.GlobalRank]] (range shuffle + broadcast offsets) —
     * no single-partition window no matter how large the vocabulary. */
   private val tVocabTopk: Q = (spark, dir) => {
-    val counts = Tables.documents(spark, dir)
+    val counts = sdocs(spark, dir)
       .select(col("doc_id"), explode(TextPipeline.tokens(col("text"))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
@@ -955,7 +964,7 @@ object TextDedupQueries {
   /** Deterministic synthetic PII so the scrubber always has work: every 5th
     * doc gains an email, every 7th a phone number. */
   private def piiFeed(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(col("doc_id"),
+    sdocs(spark, dir).select(col("doc_id"),
       concat(col("text"),
         when(col("doc_id") % 5 === 0,
           concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
@@ -1006,7 +1015,7 @@ object TextDedupQueries {
     * At 100 TB this is a stateless projection: no shuffle, no join, no
     * sampling state to coordinate across executors. */
   private def splitAssign(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(col("doc_id"),
+    sdocs(spark, dir).select(col("doc_id"),
       substring(md5(col("doc_id").cast("string")), 1, 1).as("bucket"))
       .withColumn("split",
         when(col("bucket") < "c", "train")
@@ -1055,7 +1064,7 @@ object TextDedupQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("skey", "doc_id")
     val cw = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-    Tables.documents(spark, dir)
+    sdocs(spark, dir)
       .select(col("doc_id"), col("lang"),
         md5(concat_ws(":", lit("w8"), col("doc_id"))).as("skey"))
       .withColumn("rn", row_number().over(w).cast("int"))
@@ -1089,7 +1098,7 @@ object TextDedupQueries {
     * (source, lang) key — cells are few by construction, so the final
     * share window over cells is trivially small. */
   private val e5DataMixture: Q = (spark, dir) => {
-    val cells = TextPipeline.qualityMetrics(Tables.documents(spark, dir), "text")
+    val cells = TextPipeline.qualityMetrics(sdocs(spark, dir), "text")
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
@@ -1139,7 +1148,7 @@ object TextDedupQueries {
     * ratios from [[TextPipeline.qualityMetrics]] and z is rounded before
     * the sigmoid, so both engines feed exp() the identical double. */
   private val tQualityModel: Q = (spark, dir) => {
-    val m = TextPipeline.qualityMetrics(Tables.documents(spark, dir), "text")
+    val m = TextPipeline.qualityMetrics(sdocs(spark, dir), "text")
     val z = round(
       lit(-2.0) + lit(0.015) * least(col("n_tokens"), lit(200L)).cast("double")
         + lit(5.0) * col("stopword_ratio") - lit(20.0) * col("punct_ratio"), 4)
@@ -1183,7 +1192,7 @@ object TextDedupQueries {
     * under 64 chars (corpus words are short English words; same invariant
     * family as the shingle caps above). */
   private val tBpePairs: Q = (spark, dir) => {
-    val pairs = Tables.documents(spark, dir)
+    val pairs = sdocs(spark, dir)
       .select(explode(TextPipeline.tokens(col("text"))).as("w"))
       .select(explode(expr(
         "transform(sequence(1, greatest(length(w) - 1, 0)), i -> substring(w, i, 2))")).as("pair"))
@@ -1222,7 +1231,7 @@ object TextDedupQueries {
   private val packBudget = 256L
 
   private val w9SequencePack: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
       .select(col("doc_id"),
         size(TextPipeline.tokens(col("text"))).cast("long").as("n_tokens"))
     graft.operators.GlobalRank
@@ -1264,7 +1273,7 @@ object TextDedupQueries {
   private val w12ChunkOverlap: Q = (spark, dir) => {
     val win = 32L
     val stride = 24L
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
       .select(col("doc_id"), TextPipeline.tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
     // empty-doc guard: sequence(0, -1, stride) throws in Spark while the
@@ -1306,7 +1315,7 @@ object TextDedupQueries {
     * tier them (the LSH bucket-cap pattern); here the closed 31-word
     * vocabulary keeps every list bounded by corpus size. */
   private val tInvertedIndex: Q = (spark, dir) => {
-    Tables.documents(spark, dir)
+    sdocs(spark, dir)
       .select(col("doc_id"), explode(TextPipeline.tokens(col("text"))).as("tok"))
       .distinct()
       .groupBy("tok")
@@ -1335,7 +1344,7 @@ object TextDedupQueries {
     * addition is order-independent and hash-stable vs the oracle. */
   private val tBm25: Q = (spark, dir) => {
     val qTerms = Seq("data", "join", "vector")
-    val docs = Tables.documents(spark, dir)
+    val docs = sdocs(spark, dir)
       .select(col("doc_id"), TextPipeline.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val tf = docs
@@ -1403,7 +1412,7 @@ object TextDedupQueries {
 
   private[graft] def bpeVocab(spark: SparkSession, dir: String,
                               rounds: Int): DataFrame = {
-    val wf = Tables.documents(spark, dir)
+    val wf = sdocs(spark, dir)
       .select(explode(TextPipeline.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .cache()
@@ -1466,7 +1475,7 @@ object TextDedupQueries {
     val ids = vocab.select(explode(split(col("syms"), " ")).as("piece")).distinct()
       .withColumn("piece_id", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("piece")).cast("long"))
-    val enc = Tables.documents(spark, dir)
+    val enc = sdocs(spark, dir)
       .select(col("doc_id"), explode(TextPipeline.tokens(col("text"))).as("word"))
       .join(broadcast(vocab.select("word", "syms")), Seq("word"))
       .select(col("doc_id"), explode(split(col("syms"), " ")).as("piece"))
@@ -1541,7 +1550,7 @@ object TextDedupQueries {
     * DuckDB agree exactly. */
   private val w13SystematicSample: Q = (spark, dir) => {
     val k = 50L
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
       .select(col("doc_id"), col("n_chars").cast("long").as("w"))
     val cum = graft.operators.GlobalRank
       .withRunningTotal(d, Seq(col("doc_id")), col("w"), "cum")
@@ -1591,7 +1600,7 @@ object TextDedupQueries {
     * Quotients are rounded (6/2/4 dp) per the repo convention so
     * summation-order differences cannot flip the hash. */
   private val e6MixtureWeights: Q = (spark, dir) => {
-    val per = Tables.documents(spark, dir)
+    val per = sdocs(spark, dir)
       .select(col("source"),
         size(TextPipeline.tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy("source")
@@ -1637,7 +1646,7 @@ object TextDedupQueries {
     * executing the gate + dedup window twice; VERDICT r4 Wrong #3).
     * One range shuffle + one keyed dedup shuffle total. */
   private val e7TrainingManifest: Q = (spark, dir) => {
-    val m = TextPipeline.qualityMetrics(Tables.documents(spark, dir), "text")
+    val m = TextPipeline.qualityMetrics(sdocs(spark, dir), "text")
     val z = round(
       lit(-2.0) + lit(0.015) * least(col("n_tokens"), lit(200L)).cast("double")
         + lit(5.0) * col("stopword_ratio") - lit(20.0) * col("punct_ratio"), 4)
@@ -1717,7 +1726,7 @@ object TextDedupQueries {
     * sentinel in the zero-struct is safe: a genuine leading '' element
     * just extends the zero-length run to 1, which is the correct count. */
   private val tEntropy: Q = (spark, dir) => {
-    Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+    sdocs(spark, dir).select(col("doc_id"), col("lang"),
       expr(
         """round((aggregate(
           |  array_sort(split(text, '')),
@@ -1762,7 +1771,10 @@ object TextDedupQueries {
     * sum is exact and order-independent (a raw double sum would make the
     * hash depend on aggregation order). */
   private val tBigramLm: Q = (spark, dir) => {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // spread: the bigram explode is ~|text| rows per doc of scalar work —
+    // single-split locally, so without the exchange both passes run on
+    // one core (no-op at scale where the corpus has >= cores splits)
+    val docs = sdocs(spark, dir).select("doc_id", "text")
     // sequence(1, n) counts DOWN when n < 1 — guard the 0/1-char docs
     val bigrams = docs.select(col("doc_id"),
       explode(expr(
@@ -1886,7 +1898,7 @@ object TextDedupQueries {
     * would move to a 128-bit hash plus stride/winnowing to trim the
     * window stream — the plan shape is unchanged. */
   private val d14SubstringDedup: Q = (spark, dir) => {
-    val docs = Tables.documents(spark, dir).filter(length(col("text")) >= 40)
+    val docs = sdocs(spark, dir).filter(length(col("text")) >= 40)
     val w = docs.select(col("doc_id"),
       explode(expr(
         "transform(sequence(1, length(text) - 39), p -> xxhash64(substring(text, p, 40)))"))
@@ -1951,7 +1963,7 @@ object TextDedupQueries {
     scalarSig(spark, uniq, "ntext")
 
   private val e4TextPipeline: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
     // 1-3. quality gate, normalization, exact dedup
     val uniq = curationUniq(d)
     // 4. near-dup components over LSH candidates; canonical = smallest id
@@ -2060,7 +2072,7 @@ object TextDedupQueries {
       "drill documentation archive review schedule"
 
   private def e4AuditFeed(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = sdocs(spark, dir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val block = spark.range(1, 1401).select((col("id") + 30000).as("doc_id"),
       concat(lit(e4BoilerBody + " tail"), col("id")).as("text"))
