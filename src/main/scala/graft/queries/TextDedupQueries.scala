@@ -1412,45 +1412,82 @@ object TextDedupQueries {
 
   private[graft] def bpeVocab(spark: SparkSession, dir: String,
                               rounds: Int): DataFrame = {
-    val wf = sdocs(spark, dir)
+    import spark.implicits._
+    // ONE distributed pass — the corpus collapses to its word-frequency
+    // table. The merge rounds then run on the DRIVER over that
+    // vocabulary-bounded state: merge-rule training state is O(word
+    // types), not O(corpus) (Sennrich's and every production BPE trainer
+    // hold exactly this table in memory), the same bounded-collect
+    // contract as [[graft.operators.Lloyd]]'s k·d centroid loop. The
+    // previous form ran one Spark action PER ROUND over the same bounded
+    // table — fixed orchestration ∝ rounds and plan depth ∝ merges, with
+    // the corpus-sized work (tokenize + count, and the encode pass in
+    // t_bpe_encode) already confined to the distributed stages it still
+    // runs in.
+    val wf: Array[(String, Long)] = sdocs(spark, dir)
       .select(explode(TextPipeline.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .cache()
-    var cur = wf.withColumn("syms", expr("rtrim(regexp_replace(word, '(.)', '$1 '))"))
-    for (r <- 1 to rounds) {
-      val top = cur
-        .select(col("freq"), expr("split(syms, ' ')").as("sp"))
-        // sequence(1, n) counts DOWN when n < 1 — guard 1-char words
-        .select(col("freq"), explode(expr(
-          """IF(size(sp) < 2, array(),
-            |  transform(sequence(1, size(sp) - 1),
-            |    i -> concat(element_at(sp, i), ' ', element_at(sp, i + 1))))""".stripMargin))
-          .as("pr"))
-        .groupBy("pr").agg(sum("freq").as("c"))
-        .orderBy(col("c").desc, col("pr")).limit(1)
-        .collect()
-      // vocabulary CONVERGED: every word is one symbol, no adjacent pairs
-      // remain — a real trainer stops here whatever the round budget (a
-      // small corpus saturates well before a 32k-merge budget; found by
-      // the LogProbe round-cost tier crashing at rounds > ~50 on sf0.001)
-      if (top.isEmpty) return cur
-      val best = top(0).getString(0)
-      // the pair is spliced into SQL text: keep the embedding safe by
-      // construction (symbols here are merges of corpus word characters;
-      // anything outside the expected alphabet means a corrupted round)
-      require(best.matches("[\\p{Alnum} ]+"),
-        s"unexpected characters in BPE merge pair: '$best'")
-      val merged = best.replace(" ", "")
-      cur = cur.withColumn("syms",
-        expr(s"trim(replace(' ' || syms || ' ', ' $best ', ' $merged '))"))
-      // lineage truncation every few rounds: without it the plan chains
-      // one replace() per merge — linear depth, an analyzer/codegen cliff
-      // at realistic 1k–32k-merge vocabularies. The state is the
-      // VOCABULARY (words × segmentation), so a localCheckpoint is cheap
-      // at any corpus size, and plan depth stays bounded by the interval.
-      if (r % 8 == 0) cur = cur.localCheckpoint()
+      .as[(String, Long)].collect()
+    // Spark/DuckDB compare strings in UTF-8 BINARY order; Java's
+    // compareTo is UTF-16 order, which misorders supplementary planes —
+    // replicate the engines' tie-break exactly
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
     }
-    cur
+    val words = wf.map(_._1)
+    val freqs = wf.map(_._2)
+    // syms0 = rtrim(regexp_replace(word, '(.)', '$1 ')) — identical regex
+    val syms: Array[String] =
+      words.map(w => w.replaceAll("(.)", "$1 ").replaceAll(" +$", ""))
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i < syms.length) {
+        val sp = syms(i).split(" ", -1) // Spark split keeps trailing empties
+        var j = 0
+        while (j < sp.length - 1) {
+          val pr = sp(j) + " " + sp(j + 1)
+          pairCounts.update(pr, pairCounts.getOrElse(pr, 0L) + freqs(i))
+          j += 1
+        }
+        i += 1
+      }
+      // vocabulary CONVERGED: every word is one symbol, no adjacent pairs
+      // remain — a real trainer stops here whatever the round budget
+      if (pairCounts.isEmpty) done = true
+      else {
+        // ORDER BY c DESC, pr ASC LIMIT 1 — highest count, UTF-8-lowest pair
+        var best: String = null
+        var bestC = Long.MinValue
+        pairCounts.foreach { case (pr, c) =>
+          if (c > bestC || (c == bestC && utf8Less(pr, best))) { best = pr; bestC = c }
+        }
+        require(best.matches("[\\p{Alnum} ]+"),
+          s"unexpected characters in BPE merge pair: '$best'")
+        val merged = best.replace(" ", "")
+        // trim(replace(' '||syms||' ', ' '||best||' ', ' '||merged||' ')):
+        // Java String.replace shares UTF8String.replace's left-to-right
+        // non-overlapping scan, resuming after the matched text
+        var k = 0
+        while (k < syms.length) {
+          syms(k) = (" " + syms(k) + " ")
+            .replace(" " + best + " ", " " + merged + " ").trim
+          k += 1
+        }
+      }
+    }
+    spark.createDataFrame(
+      words.indices.map(i => (words(i), freqs(i), syms(i))))
+      .toDF("word", "freq", "syms")
   }
 
   private val tBpeTrain: Q = (spark, dir) =>
@@ -1964,8 +2001,13 @@ object TextDedupQueries {
 
   private val e4TextPipeline: Q = (spark, dir) => {
     val d = sdocs(spark, dir)
-    // 1-3. quality gate, normalization, exact dedup
-    val uniq = curationUniq(d)
+    // 1-3. quality gate, normalization, exact dedup. PERSISTED: the
+    // deduped corpus feeds the signature pass, the component vertex set,
+    // and the final language join — un-persisted, the quality metrics +
+    // md5 window ran three times (spillable, and the 100 TB form of this
+    // pipeline materializes the same intermediate as a table between
+    // stages)
+    val uniq = curationUniq(d).cache()
     // 4. near-dup components over LSH candidates; canonical = smallest id
     val sig = curationSig(spark, uniq)
     // the production bucket cap is LIVE in the composed pipeline — the one

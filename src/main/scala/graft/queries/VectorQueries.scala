@@ -14,15 +14,6 @@ object VectorQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Embeddings feed, spread to compute parallelism ([[Tables.spread]]):
-    * the distance kernels above this scan (cosine loops, PQ sub-distance
-    * sums, quantization) are per-row heavy while the table locally scans
-    * as ONE split; the exchange is a no-op at scale. NOT used where the
-    * frame is handed straight to a CommitLog append (v16's incremental
-    * batch — commit file layout should not widen) or where the gate
-    * deliberately coalesces for the Lloyd loop (v15b). */
-  private def semb(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(spark, Tables.embeddings(spark, dir))
 
   // common oracle CTEs: unnested embeddings + norms (64 dims, static series)
   private val unnestSql =
@@ -33,7 +24,12 @@ object VectorQueries {
 
   // ------------------------------------------------------------------ brute-force top-k
   private val v1CosineTopk: Q = (spark, dir) => {
-    val emb = semb(spark, dir)
+    // spread: the brute-force scan is |corpus|×|queries| cosine kernels
+    // per input row — quadratic CPU over a single-split local scan
+    // (deliberately quadratic baseline; other vector queries keep the
+    // plain read, their kernels are window/broadcast-bounded and measured
+    // faster without the exchange)
+    val emb = Tables.spread(spark, Tables.embeddings(spark, dir))
     val queries = emb.filter(col("vec_id") % 50 === 0)
     VectorSearch.bruteForceTopK(emb, queries, 3)
       .orderBy("query_id", "rnk")
@@ -60,7 +56,7 @@ object VectorQueries {
 
   // ------------------------------------------------------------------ LSH buckets
   private val v2LshBuckets: Q = (spark, dir) => {
-    val emb = semb(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
     VectorSearch.hyperplaneBuckets(emb, 8).orderBy("vec_id")
   }
 
@@ -77,7 +73,7 @@ object VectorQueries {
 
   // ------------------------------------------------------------------ ANN within bucket
   private val v3AnnBucket: Q = (spark, dir) => {
-    val emb = semb(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
     val buckets = VectorSearch.hyperplaneBuckets(emb, 8)
     val withB = emb.join(buckets, "vec_id")
     val q = withB.filter(col("vec_id") % 50 === 0)
@@ -132,7 +128,7 @@ object VectorQueries {
     * fewer misses than single-bucket search. */
   private val v6MultiprobeAnn: Q = (spark, dir) => {
     graft.plans.GraftFunctions.register(spark)
-    val emb = semb(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
     val buckets = VectorSearch.hyperplaneBuckets(emb, 8)
     val withB = emb.join(buckets, "vec_id")
     val q = withB.filter(col("vec_id") % 50 === 0)
@@ -193,7 +189,7 @@ object VectorQueries {
   private val d5EmbeddingNeardup: Q = (spark, dir) => {
     // the corpus has no natural near-dups (max pairwise cosine ~0.48), so
     // the feed plants 10 exact duplicates the pipeline must find
-    val base = semb(spark, dir).select("vec_id", "embedding")
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val emb = base.unionByName(base.filter(col("vec_id") < 10)
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
     val withB = emb.join(VectorSearch.hyperplaneBuckets(emb, 8), "vec_id")
@@ -249,7 +245,7 @@ object VectorQueries {
     * step whose search path is the within-cell join of v3. */
   private val v5IvfAssign: Q = (spark, dir) => {
     graft.plans.GraftFunctions.register(spark)
-    val emb = semb(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
     val centroids = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val scored = emb.select(col("vec_id"), col("embedding"))
@@ -288,7 +284,7 @@ object VectorQueries {
     * IVF trade: recall bounded by nprobe, cost bounded by cell sizes. */
   private val v7IvfSearch: Q = (spark, dir) => {
     graft.plans.GraftFunctions.register(spark)
-    val emb = semb(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
     val centroids = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     // index build: every vector keeps its best cell (v5 semantics)
@@ -367,7 +363,7 @@ object VectorQueries {
     * pipeline — the hash match proves the fused loop preserves semantics. */
   private val v4CosineNative: Q = (spark, dir) => {
     graft.plans.GraftFunctions.register(spark)
-    val emb = semb(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
     val joined = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"))
       .crossJoin(broadcast(emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
@@ -470,7 +466,7 @@ object VectorQueries {
     * gate emits the code vector as a joined string. Stateless projection:
     * no shuffle at any scale. */
   private val v8Quantize: Q = (spark, dir) => {
-    val emb = semb(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
     emb.select(col("vec_id"), col("embedding"))
       .withColumn("dvec", transform(col("embedding"), x => x.cast("double")))
       .withColumn("maxabs", array_max(transform(col("dvec"), x => abs(x))))
@@ -510,7 +506,7 @@ object VectorQueries {
     * [[graft.operators.GlobalRank]] — range shuffle + broadcast offsets,
     * no single-partition window at any corpus size. */
   private val v9NormOutliers: Q = (spark, dir) => {
-    val emb = semb(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(aggregate(col("embedding"), lit(0.0),
         (acc, x) => acc + x.cast("double") * x.cast("double"))))
     val ranked = graft.operators.GlobalRank
@@ -564,7 +560,7 @@ object VectorQueries {
         x => floor(x * col("scale") + lit(0.5)).cast("int")).as("qvec"))
 
   private val v10KmeansStep: Q = (spark, dir) => {
-    val qvecs = quantizedVecs(semb(spark, dir))
+    val qvecs = quantizedVecs(Tables.embeddings(spark, dir))
     val centroids = qvecs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("qvec").as("cvec"))
     val dist = qvecs.crossJoin(broadcast(centroids))
@@ -716,7 +712,7 @@ object VectorQueries {
     * the same bucket equi-join as v6; scoring is two keyed counts and a
     * semi-join — nothing quadratic beyond the deliberate exact baseline. */
   private val v11AnnRecall: Q = (spark, dir) => {
-    val emb = semb(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter(col("vec_id") % 50 === 0)
     val exact = VectorSearch.bruteForceTopK(emb, qs, 3)
       .select("query_id", "neighbor_id")
@@ -890,7 +886,7 @@ object VectorQueries {
     * text path's DefaultMaxBucket since r3). */
   private def semCells(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val base = semb(spark, dir).select("vec_id", "embedding")
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val feed = base.unionByName(base.filter(col("vec_id") < 10)
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
     val centroids = base.filter(col("vec_id") < 16)
@@ -1013,7 +1009,7 @@ object VectorQueries {
     * partial, no window sort; the only shuffle is the two keyed
     * hash-aggregations, linear in corpus size. */
   private val v12PqCodes: Q = (spark, dir) => {
-    val emb = semb(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
     val subs = emb.select(col("vec_id"),
       explode(array((0 until 8).map(s =>
         struct(lit(s).as("sub"), slice(col("embedding"), s * 8 + 1, 8).as("v"))): _*)).as("sv"))
@@ -1081,7 +1077,7 @@ object VectorQueries {
     * order-independent (double addition is not associative), then cast
     * back to double for the oracle compare. */
   private val v13PqAdc: Q = (spark, dir) => {
-    val emb = semb(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
     val subs = emb.select(col("vec_id"),
       explode(array((0 until 8).map(s =>
         struct(lit(s).as("sub"), slice(col("embedding"), s * 8 + 1, 8).as("v"))): _*)).as("sv"))
@@ -1188,7 +1184,7 @@ object VectorQueries {
   private def buildIvfPq(spark: SparkSession, dir: String,
                          trainedCentroids: Boolean = false): IvfPqIndex = {
     graft.plans.GraftFunctions.register(spark)
-    val base = semb(spark, dir).select("vec_id", "embedding")
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     // planted true neighbors: 3 exact copies of each query (ids +10k/+20k/+30k)
     val planted = (1 to 3).map(j =>
         base.filter(col("vec_id") >= 4 && col("vec_id") < 7)
