@@ -86,6 +86,19 @@ object Lloyd {
     var lastUpd = Map.empty[(Long, Int), (Long, Long)]
     var it = 0
     var converged = false
+    // Right-size the per-round shuffle: map-side partials collapse each
+    // input partition to <= k·d cells, so the reduce side carries
+    // (input partitions × k·d) tiny rows — width derived from the INPUT
+    // partitioning (≈ one reduce task per 8 map partitions), never wider
+    // than the session setting. A gate-scale coalesced corpus trains at
+    // width 1 instead of paying the full session width per round; a
+    // 10⁹-vector corpus keeps proportional width. Restored in finally.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    val loopParts = math.max(1, math.min(prevParts.toInt,
+      qvecs.rdd.getNumPartitions / 8 + 1))
+    spark.conf.set(partsKey, loopParts.toString)
+    try {
     // NOTE on shape: each round is ONE narrow pass — the per-row argmin
     // runs inside whole-stage codegen via the native
     // [[graft.plans.NearestCentroidMilli]] expression (the centroid table
@@ -122,6 +135,7 @@ object Lloyd {
       converged = next.zip(cent).forall { case (a, b) => java.util.Arrays.equals(a, b) }
       cent = next
     }
+    } finally spark.conf.set(partsKey, prevParts)
     Trained(ids, cent, lastUpd, it, converged)
   }
 }

@@ -811,17 +811,26 @@ object VectorQueries {
       .select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text")))
     val media = BinaryMedia.fakePayloads(spark, feed)
-    val sim = media.toDF()
-      .select(col("media_id"), expr("simhash64(decode(payload, 'UTF-8'))").as("s"))
-      .select(col("media_id").as("doc_id"), col("s.sim0").as("sim0"),
-        col("s.sim1").as("sim1"), col("s.sim2").as("sim2"), col("s.sim3").as("sim3"))
+    // ONE pass over the binary payloads: hash and byte accounting ride the
+    // same narrow projection, and the hashed table (ids + 4 shorts + a
+    // long — payload dropped) is persisted for the band join, the vertex
+    // set, and the byte rollup. The previous shape re-generated and
+    // re-decoded the payload column three times (sim, verts, decodeMeta).
+    val hashed = media.toDF()
+      .select(col("media_id"), expr("simhash64(decode(payload, 'UTF-8'))").as("s"),
+        octet_length(col("payload")).cast("long").as("byte_len"))
+      .select(col("media_id"), col("s.sim0").as("sim0"), col("s.sim1").as("sim1"),
+        col("s.sim2").as("sim2"), col("s.sim3").as("sim3"), col("byte_len"))
+      .cache()
+    val sim = hashed.select(col("media_id").as("doc_id"),
+      col("sim0"), col("sim1"), col("sim2"), col("sim3"))
     val pairs = graft.operators.TextPipeline.simhashPairs(sim, "doc_id",
         maxHamming = 3, maxBucket = graft.operators.TextPipeline.DefaultMaxBucket)
       .select(lit("").as("key"), col("id_a"), col("id_b"))
-    val verts = media.toDF().select(lit("").as("key"), col("media_id").as("id"))
+    val verts = hashed.select(lit("").as("key"), col("media_id").as("id"))
     val comp = graft.operators.GraphCC.connectedComponents(verts, pairs)
       .select(col("id").as("media_id"), col("comp").as("cluster_id"))
-    val meta = BinaryMedia.decodeMeta(media).toDF().select("media_id", "byte_len")
+    val meta = hashed.select("media_id", "byte_len")
     comp.join(meta, "media_id")
       .groupBy("cluster_id")
       .agg(min("media_id").as("keep_media_id"),
@@ -1214,8 +1223,13 @@ object VectorQueries {
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
     val codebook = subs.filter(col("vec_id") < 4)
       .select(col("sub"), col("vec_id").as("k"), col("v").as("c"))
+    // narrow + persist: both consumers (corpus codes, v14's query-side
+    // ADC LUT) need only (vec_id, sub, k, d2) — without the persist each
+    // re-ran the subvector explode × codeword distance kernel
     val dist = subs.join(broadcast(codebook), "sub")
       .withColumn("d2", round(pqSqDist, 4))
+      .select("vec_id", "sub", "k", "d2")
+      .cache()
     val codes = dist.groupBy("vec_id", "sub")
       .agg(min(struct(col("d2"), col("k"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.k").as("k"))
