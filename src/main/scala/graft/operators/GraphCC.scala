@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Generic distributed connected components: frontier-based Hash-Min label
@@ -60,27 +60,11 @@ object GraphCC {
         pairs.select(col("key"), col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint())
 
-    // Right-size the fixpoint's shuffles from the MEASURED graph size
-    // (guide §2: partitioning derived from input size, not a constant).
-    // Every loop intermediate is O(|V| + |E|) rows of three ints; with the
-    // session's full shuffle width each of the O(diameter) rounds pays
-    // (width × per-task overhead) regardless of data, which dominates the
-    // loop on small-per-key graphs. ~64k rows per partition keeps tasks
-    // meaningfully sized; the session width is the ceiling, so a
-    // cluster-scale graph keeps its full parallelism — this only ever
-    // SHRINKS the width, never grows it. Restored in `finally` (the conf
-    // is session-global).
-    val edgeRows = edges.count()
-    val partsKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partsKey)
-    val loopParts = math.max(1L, math.min(prevParts.toLong,
-      (edgeRows + 65535L) / 65536L))
-    spark.conf.set(partsKey, loopParts.toString)
-    try connectedComponentsLoop(vertices, edges, maxIter, broadcastThreshold)
-    finally spark.conf.set(partsKey, prevParts)
+    connectedComponentsLoop(spark, vertices, edges, maxIter, broadcastThreshold)
   }
 
-  private def connectedComponentsLoop(vertices: DataFrame, edges: DataFrame,
+  private def connectedComponentsLoop(spark: SparkSession,
+                                      vertices: DataFrame, edges: DataFrame,
                                       maxIter: Int,
                                       broadcastThreshold: Long): DataFrame = {
     import org.apache.spark.sql.GraftSqlShim.detachStats
@@ -107,6 +91,23 @@ object GraphCC {
     var frontier = comps.filter(col("chg")).select("key", "id", "comp")
     var frontierSize = frontier.count()
     var iter = 1
+    // Right-size the remaining rounds' shuffles from the MEASURED graph
+    // size (guide §2: partitioning derived from input size, not a
+    // constant): every round's intermediates are O(|V| + |E|) rows of
+    // three ints, so with the session's full width each of the
+    // O(diameter) rounds pays (width × per-task overhead) regardless of
+    // data — which dominates the fixpoint on per-key-small graphs. Both
+    // counts are post-materialization reads of checkpointed state (the
+    // seed itself ran at the session width). ~64k rows per partition;
+    // the session width is the ceiling — this only ever SHRINKS. The
+    // conf is session-global: restored in `finally`.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    val graphRows = math.max(comps.count(), edges.count())
+    val loopParts = math.max(1L, math.min(prevParts.toLong,
+      (graphRows + 65535L) / 65536L))
+    spark.conf.set(partsKey, loopParts.toString)
+    try {
     while (frontierSize > 0 && iter < maxIter) {
       // frontierSize is exact (counted last round) — a small frontier
       // broadcast against the edge table avoids re-shuffling edges per
@@ -133,6 +134,7 @@ object GraphCC {
       if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
         System.err.println(s"[graphcc] round $iter frontier=$frontierSize")
     }
+    } finally spark.conf.set(partsKey, prevParts)
     // a component with diameter > maxIter would silently return wrong
     // labels — fail loudly instead
     require(frontierSize == 0,

@@ -15,13 +15,18 @@ object TextDedupQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Documents feed, spread to compute parallelism ([[Tables.spread]]):
-    * every consumer in this module is per-row scalar work (shingle /
-    * hash / regex / explode) above a scan that locally yields ONE split,
-    * so without the exchange the whole stage serializes on one core.
-    * No-op at scale (>= cores splits); all consumers here are
-    * order-insensitive (aggregates, joins, per-row maps). */
   private def sdocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** Documents feed spread to compute parallelism ([[Tables.spread]]) —
+    * ONLY for the pipelines whose per-row work above the scan is heavy
+    * enough to pay for the exchange (measured per query, r15: the
+    * shingle-explode/minhash feeds, the bigram LM, substring dedup, and
+    * the composed e4 curation). The light per-row queries (md5, token
+    * counts, regex passes) measured FASTER on the plain single-split
+    * read than behind an exchange, so they keep [[sdocs]]. No-op at
+    * scale either way (>= cores splits). */
+  private def sdocsSpread(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(spark, Tables.documents(spark, dir))
 
   private def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("(", ", ", ")")
@@ -216,7 +221,7 @@ object TextDedupQueries {
     (0 until 8).map(s => s"min(md5('$s:' || shingle)) AS h$s").mkString(",\n    ")
 
   private def shingledFeed(spark: SparkSession, dir: String): DataFrame =
-    nearDupFeed(spark, dir)
+    Tables.spread(spark, nearDupFeed(spark, dir))
       .withColumn("toks", TextPipeline.tokens(col("text")))
       .select(col("doc_id"),
         explode(TextPipeline.shinglesFromTokens(col("toks"), 3)).as("shingle"))
@@ -326,7 +331,7 @@ object TextDedupQueries {
 
   private def boilerSig(spark: SparkSession, dir: String): DataFrame =
     TextPipeline.minhashSignature(
-      boilerFeed(spark, dir)
+      Tables.spread(spark, boilerFeed(spark, dir))
         .withColumn("toks", TextPipeline.tokens(col("text")))
         .select(col("doc_id"),
           explode(TextPipeline.shinglesFromTokens(col("toks"), 3)).as("shingle")),
@@ -1811,7 +1816,7 @@ object TextDedupQueries {
     // spread: the bigram explode is ~|text| rows per doc of scalar work —
     // single-split locally, so without the exchange both passes run on
     // one core (no-op at scale where the corpus has >= cores splits)
-    val docs = sdocs(spark, dir).select("doc_id", "text")
+    val docs = sdocsSpread(spark, dir).select("doc_id", "text")
     // sequence(1, n) counts DOWN when n < 1 — guard the 0/1-char docs
     val bigrams = docs.select(col("doc_id"),
       explode(expr(
@@ -1935,7 +1940,7 @@ object TextDedupQueries {
     * would move to a 128-bit hash plus stride/winnowing to trim the
     * window stream — the plan shape is unchanged. */
   private val d14SubstringDedup: Q = (spark, dir) => {
-    val docs = sdocs(spark, dir).filter(length(col("text")) >= 40)
+    val docs = sdocsSpread(spark, dir).filter(length(col("text")) >= 40)
     val w = docs.select(col("doc_id"),
       explode(expr(
         "transform(sequence(1, length(text) - 39), p -> xxhash64(substring(text, p, 40)))"))
@@ -2000,7 +2005,7 @@ object TextDedupQueries {
     scalarSig(spark, uniq, "ntext")
 
   private val e4TextPipeline: Q = (spark, dir) => {
-    val d = sdocs(spark, dir)
+    val d = sdocsSpread(spark, dir)
     // 1-3. quality gate, normalization, exact dedup. PERSISTED: the
     // deduped corpus feeds the signature pass, the component vertex set,
     // and the final language join — un-persisted, the quality metrics +
