@@ -60,7 +60,25 @@ object GraphCC {
         pairs.select(col("key"), col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint())
 
-    connectedComponentsLoop(spark, vertices, edges, maxIter, broadcastThreshold)
+    // Right-size the fixpoint's shuffles from the MEASURED graph size
+    // (guide §2: partitioning derived from input size, not a constant):
+    // every intermediate — the seed included — is O(|V| + |E|) rows of
+    // three ints, so at the session's full width each of the O(diameter)
+    // rounds pays (width × per-task overhead) regardless of data, which
+    // dominates the fixpoint on per-key-small graphs. Both sides are
+    // counted (|E| from the just-checkpointed edge table, |V| from the
+    // vertex projection — dedup graphs are isolated-vertex-heavy, so an
+    // |E|-only width would under-size the label-table join at scale);
+    // ~64k rows per partition, ceiling = the session width — this only
+    // ever SHRINKS. The conf is session-global: restored in `finally`.
+    val graphRows = math.max(edges.count(), vertices.count())
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    val loopParts = math.max(1L, math.min(prevParts.toLong,
+      (graphRows + 65535L) / 65536L))
+    spark.conf.set(partsKey, loopParts.toString)
+    try connectedComponentsLoop(spark, vertices, edges, maxIter, broadcastThreshold)
+    finally spark.conf.set(partsKey, prevParts)
   }
 
   private def connectedComponentsLoop(spark: SparkSession,
@@ -91,23 +109,6 @@ object GraphCC {
     var frontier = comps.filter(col("chg")).select("key", "id", "comp")
     var frontierSize = frontier.count()
     var iter = 1
-    // Right-size the remaining rounds' shuffles from the MEASURED graph
-    // size (guide §2: partitioning derived from input size, not a
-    // constant): every round's intermediates are O(|V| + |E|) rows of
-    // three ints, so with the session's full width each of the
-    // O(diameter) rounds pays (width × per-task overhead) regardless of
-    // data — which dominates the fixpoint on per-key-small graphs. Both
-    // counts are post-materialization reads of checkpointed state (the
-    // seed itself ran at the session width). ~64k rows per partition;
-    // the session width is the ceiling — this only ever SHRINKS. The
-    // conf is session-global: restored in `finally`.
-    val partsKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partsKey)
-    val graphRows = math.max(comps.count(), edges.count())
-    val loopParts = math.max(1L, math.min(prevParts.toLong,
-      (graphRows + 65535L) / 65536L))
-    spark.conf.set(partsKey, loopParts.toString)
-    try {
     while (frontierSize > 0 && iter < maxIter) {
       // frontierSize is exact (counted last round) — a small frontier
       // broadcast against the edge table avoids re-shuffling edges per
@@ -134,7 +135,6 @@ object GraphCC {
       if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
         System.err.println(s"[graphcc] round $iter frontier=$frontierSize")
     }
-    } finally spark.conf.set(partsKey, prevParts)
     // a component with diameter > maxIter would silently return wrong
     // labels — fail loudly instead
     require(frontierSize == 0,

@@ -24,12 +24,9 @@ object VectorQueries {
 
   // ------------------------------------------------------------------ brute-force top-k
   private val v1CosineTopk: Q = (spark, dir) => {
-    // spread: the brute-force scan is |corpus|×|queries| cosine kernels
-    // per input row — quadratic CPU over a single-split local scan
-    // (deliberately quadratic baseline; other vector queries keep the
-    // plain read, their kernels are window/broadcast-bounded and measured
-    // faster without the exchange)
-    val emb = Tables.spread(spark, Tables.embeddings(spark, dir))
+    // plain read: at the gate corpus size the brute-force kernel costs
+    // less than the exchange a spread would add (measured both ways, r15)
+    val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") % 50 === 0)
     VectorSearch.bruteForceTopK(emb, queries, 3)
       .orderBy("query_id", "rnk")
