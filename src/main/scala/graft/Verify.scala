@@ -80,6 +80,11 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] ${i + 1}/${all.size} $name failed: ${e.getMessage}")
       }
+      // match Bench.runOnce's per-run clearCache: queries persist shared
+      // subtrees inside their own plans, and without this the one-session
+      // 237-query loop accumulates every query's MEMORY_AND_DISK blocks
+      // for the whole run (ADVICE r15)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -234,23 +234,16 @@ object CommitLog {
       .trim.toLongOption.filter(v => Files.exists(ckptPath(table, v)))
 
   def readCommit(table: String, version: Long): Commit = {
-    val text = new String(Files.readAllBytes(
-      logDir(table).resolve(f"$version%012d.json")), StandardCharsets.UTF_8)
-    Commit(version,
-      OpRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("unknown"),
-      AddRe.findAllMatchIn(text).map(_.group(1)).toSeq,
-      RemoveRe.findAllMatchIn(text).map(_.group(1)).toSeq,
-      DvRe.findAllMatchIn(text).map(_.group(1)).toSeq)
+    val pa = parsedFile(logDir(table).resolve(f"$version%012d.json"))
+    Commit(version, pa.op, pa.adds, pa.removes, pa.dvActs.map(_._1))
   }
 
   /** The deletion-vector actions of one commit: (dataFile, sidecar)
     * pairs, in action order — what the CDF walk needs to replay each
     * file's vector evolution through a window. */
-  private def dvActionsOf(table: String, version: Long): Seq[(String, String)] = {
-    val text = new String(Files.readAllBytes(
-      logDir(table).resolve(f"$version%012d.json")), StandardCharsets.UTF_8)
-    DvRe.findAllMatchIn(text).map(m => (m.group(1), m.group(2))).toSeq
-  }
+  private def dvActionsOf(table: String, version: Long): Seq[(String, String)] =
+    parsedFile(logDir(table).resolve(f"$version%012d.json"))
+      .dvActs.map(d => (d._1, d._2))
 
   // CDF update-classification vocabulary (the Delta `_change_type =
   // 'update_preimage' / 'update_postimage'` parity): an 'update'/'merge'
@@ -275,14 +268,20 @@ object CommitLog {
     * never recorded any (every pre-round-14 log). */
   private def cdfAnnotationsOf(table: String, version: Long)
       : (Map[String, String], Set[String]) = {
-    val text = new String(Files.readAllBytes(
-      logDir(table).resolve(f"$version%012d.json")), StandardCharsets.UTF_8)
-    (DvuRe.findAllMatchIn(text).map(m => (m.group(1), m.group(2))).toMap,
-      CdfPostRe.findAllMatchIn(text).map(_.group(1)).toSet)
+    val pa = parsedFile(logDir(table).resolve(f"$version%012d.json"))
+    (pa.dvu.toMap, pa.cdfPost)
   }
 
   /** Replayed log state: live files (first-added order, with optional
-    * zone-map stats) plus the set of committed transaction ids. */
+    * zone-map stats) plus the set of committed transaction ids.
+    *
+    * INVARIANT — cached instances are READ-ONLY after replay: instances
+    * live in [[replayCache]] and are shared across every later call with
+    * the same key, so NO caller may mutate one (a CDF walk that evolves
+    * vector state copies into its own maps; every other consumer reads).
+    * Mutating a cached state would corrupt every subsequent hit. Only
+    * [[applyParsed]], under [[replay]]'s construction of a fresh
+    * instance, writes here. */
   private final class LogState {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[(Long, Long)]]
     // file -> the column its recorded [lo, hi] range describes (only for
@@ -321,48 +320,154 @@ object CommitLog {
     val constraints = scala.collection.mutable.LinkedHashMap.empty[String, String]
   }
 
-  /** Applies one log file's add/remove/txn actions to the state. */
-  private def applyActions(state: LogState, text: String): Unit = {
-    val stats = AddStatsRe.findAllMatchIn(text)
-      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
-    val cols = AddStatsColRe.findAllMatchIn(text)
-      .map(m => m.group(1) -> m.group(4)).toMap
-    val rows = AddRowsRe.findAllMatchIn(text)
-      .map(m => m.group(1) -> m.group(2).toLong).toMap
-    val bytes = AddBytesRe.findAllMatchIn(text)
-      .map(m => m.group(1) -> m.group(2).toLong).toMap
-    val mstats = MStatsRe.findAllMatchIn(text)
-      .map(m => m.group(1) -> decodeMStats(m.group(2))).toMap
-    val sstats = SStatsRe.findAllMatchIn(text)
-      .map(m => m.group(1) -> decodeSStats(m.group(2))).toMap
-    val bloomed = BloomRefRe.findAllMatchIn(text).map(_.group(1)).toSet
-    AddRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
-      state.live(f) = stats.get(f)
-      cols.get(f) match {
+  /** Every action one log file (commit or checkpoint summary) carries,
+    * parsed ONCE. Immutable value — cached per file ([[parsedFile]]) and
+    * shared by every replay/CDF/conflict-check consumer, so the regex
+    * pass over a commit's text runs at most once per content generation
+    * instead of once per metadata call (the tl-gate driver floor was
+    * dominated by exactly this re-parsing). */
+  private final case class ParsedActions(
+      op: String,
+      adds: Seq[String],
+      removes: Seq[String],
+      stats: Map[String, (Long, Long)],
+      statsCols: Map[String, String],
+      rows: Map[String, Long],
+      bytes: Map[String, Long],
+      mstats: Map[String, Map[String, ColStat]],
+      sstats: Map[String, Map[String, (Array[Byte], Array[Byte])]],
+      bloomed: Set[String],
+      dvActs: Seq[(String, String, Long)],
+      dvOn: Boolean,
+      // outer Option = a dvmaxratio action exists (last one wins, exactly
+      // as the text pass applied them); inner = its parsed value
+      dvMaxRatio: Option[Option[Double]],
+      constraints: Seq[(String, String)],
+      unconstraints: Seq[String],
+      bloomOn: Option[String],
+      txns: Seq[String],
+      schemaJson: Option[String],
+      clusterSpec: Option[(String, Int)],
+      tombstones: Seq[String],
+      untombstones: Seq[String],
+      dvu: Seq[(String, String)],
+      cdfPost: Set[String])
+
+  /** One full regex pass over a log file's text — the ONLY place the
+    * action vocabulary is decoded. Field-by-field identical to the former
+    * in-place text application ("last wins" declarations keep the last
+    * match, ordered actions keep match order). */
+  private def parseActions(text: String): ParsedActions = ParsedActions(
+    op = OpRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("unknown"),
+    adds = AddRe.findAllMatchIn(text).map(_.group(1)).toSeq,
+    removes = RemoveRe.findAllMatchIn(text).map(_.group(1)).toSeq,
+    stats = AddStatsRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap,
+    statsCols = AddStatsColRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(4)).toMap,
+    rows = AddRowsRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap,
+    bytes = AddBytesRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap,
+    mstats = MStatsRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> decodeMStats(m.group(2))).toMap,
+    sstats = SStatsRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> decodeSStats(m.group(2))).toMap,
+    bloomed = BloomRefRe.findAllMatchIn(text).map(_.group(1)).toSet,
+    dvActs = DvRe.findAllMatchIn(text)
+      .map(m => (m.group(1), m.group(2), m.group(3).toLong)).toSeq,
+    dvOn = DvOnRe.findFirstIn(text).isDefined,
+    dvMaxRatio = DvMaxRatioRe.findAllMatchIn(text).toSeq.lastOption
+      .map(_.group(1).toDoubleOption),
+    constraints = ConstraintRe.findAllMatchIn(text).map(m =>
+      m.group(1) -> new String(
+        java.util.Base64.getDecoder.decode(m.group(2)), StandardCharsets.UTF_8)).toSeq,
+    unconstraints = UnconstraintRe.findAllMatchIn(text).map(_.group(1)).toSeq,
+    bloomOn = BloomOnRe.findAllMatchIn(text).toSeq.lastOption.map(_.group(1)),
+    txns = TxnRe.findAllMatchIn(text).map(_.group(1)).toSeq,
+    schemaJson = SchemaRe.findAllMatchIn(text).toSeq.lastOption.map(m =>
+      new String(java.util.Base64.getDecoder.decode(m.group(1)),
+        StandardCharsets.UTF_8)),
+    clusterSpec = ClusterRe.findAllMatchIn(text).toSeq.lastOption
+      .map(m => (m.group(1), m.group(2).toInt)),
+    tombstones = TombstoneRe.findAllMatchIn(text).map(_.group(1)).toSeq,
+    untombstones = UntombstoneRe.findAllMatchIn(text).map(_.group(1)).toSeq,
+    dvu = DvuRe.findAllMatchIn(text).map(m => (m.group(1), m.group(2))).toSeq,
+    cdfPost = CdfPostRe.findAllMatchIn(text).map(_.group(1)).toSet)
+
+  // Parsed-actions cache UNDER the replay cache: log files are immutable
+  // by atomic rename, so each need be parsed at most once per content
+  // generation. Validated per access against the file's
+  // (mtime, size, fileKey) stamp — the fileKey (inode) changes on a
+  // delete-and-recreate, which also closes the same-millisecond mtime
+  // aliasing window. Access-ordered LRU, bounded (one entry is O(actions
+  // in one commit); checkpoint summaries are O(live files), the same
+  // thing the replay cache already holds per table).
+  private val parsedCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, ParsedActions)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, ParsedActions)]): Boolean =
+        size > 1024
+    })
+
+  /** Content-generation stamp: mtime + size + fileKey (inode) + creation
+    * time, in ONE stat call. The creation time is the load-bearing
+    * component for delete-and-recreate aliasing: ext4 reuses a freed
+    * inode immediately and mtime ticks are coarse, but btime is recorded
+    * at nanosecond resolution when the file lands and is immutable — the
+    * filesystem's own creation nonce (filesystems without btime fall
+    * back to mtime there, which is still no weaker than the bare-mtime
+    * key these caches used before). */
+  private def fileStamp(p: Path): String = {
+    val a = Files.readAttributes(
+      p, classOf[java.nio.file.attribute.BasicFileAttributes])
+    s"${a.lastModifiedTime.toMillis}:${a.size}:${String.valueOf(a.fileKey)}:" +
+      s"${a.creationTime.toInstant.getEpochSecond}.${a.creationTime.toInstant.getNano}"
+  }
+
+  /** The file's parsed actions, through the cache. */
+  private def parsedFile(p: Path): ParsedActions = {
+    val key = p.toString
+    val stamp = fileStamp(p) // throws if the file vanished, like the read would
+    val hit = parsedCache.get(key)
+    if (hit != null && hit._1 == stamp) return hit._2
+    val pa = parseActions(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    parsedCache.put(key, (stamp, pa))
+    pa
+  }
+
+  /** Applies one log file's parsed actions to the state — the exact
+    * application order of the former text form (adds, removes, dv
+    * transitions, then the declaration vocabulary). */
+  private def applyParsed(state: LogState, pa: ParsedActions): Unit = {
+    pa.adds.foreach { f =>
+      state.live(f) = pa.stats.get(f)
+      pa.statsCols.get(f) match {
         case Some(c) => state.statsCols(f) = c
         case None    => state.statsCols.remove(f) // re-add without stats forgets the old claim
       }
-      mstats.get(f).filter(_.nonEmpty) match {
+      pa.mstats.get(f).filter(_.nonEmpty) match {
         case Some(m) => state.multiStats(f) = m
         case None    => state.multiStats.remove(f)
       }
-      sstats.get(f).filter(_.nonEmpty) match {
+      pa.sstats.get(f).filter(_.nonEmpty) match {
         case Some(m) => state.stringStats(f) = m
         case None    => state.stringStats.remove(f)
       }
-      if (bloomed(f)) state.bloomed += f else state.bloomed -= f
+      if (pa.bloomed(f)) state.bloomed += f else state.bloomed -= f
       state.dvs.remove(f) // an add is fresh content; the commit's own dv
                           // actions (checkpoint summaries) re-apply below
-      rows.get(f) match {
+      pa.rows.get(f) match {
         case Some(n) => state.rowCounts(f) = n
         case None    => state.rowCounts.remove(f)
       }
-      bytes.get(f) match {
+      pa.bytes.get(f) match {
         case Some(n) => state.fileBytes(f) = n
         case None    => state.fileBytes.remove(f)
       }
     }
-    RemoveRe.findAllMatchIn(text).map(_.group(1)).foreach { f =>
+    pa.removes.foreach { f =>
       state.live.remove(f); state.statsCols.remove(f)
       state.rowCounts.remove(f); state.fileBytes.remove(f)
       state.multiStats.remove(f); state.stringStats.remove(f)
@@ -371,29 +476,17 @@ object CommitLog {
     // dv actions AFTER adds/removes: a checkpoint summary re-declares a
     // live file's vector on the line after its add, and a remove clears
     // whatever vector the file carried
-    DvRe.findAllMatchIn(text).foreach { m =>
-      state.dvs(m.group(1)) = (m.group(2), m.group(3).toLong)
-    }
-    if (DvOnRe.findFirstIn(text).isDefined) state.dvOn = true
-    DvMaxRatioRe.findAllMatchIn(text).foreach(m =>
-      state.dvMaxRatio = m.group(1).toDoubleOption)
-    ConstraintRe.findAllMatchIn(text).foreach { m =>
-      state.constraints(m.group(1)) = new String(
-        java.util.Base64.getDecoder.decode(m.group(2)), StandardCharsets.UTF_8)
-    }
-    UnconstraintRe.findAllMatchIn(text).map(_.group(1))
-      .foreach(state.constraints.remove)
-    BloomOnRe.findAllMatchIn(text).foreach(m => state.bloomCol = Some(m.group(1)))
-    TxnRe.findAllMatchIn(text).map(_.group(1)).foreach(state.txns += _)
-    SchemaRe.findAllMatchIn(text).foreach { m =>
-      state.schemaJson = Some(new String(
-        java.util.Base64.getDecoder.decode(m.group(1)), StandardCharsets.UTF_8))
-    }
-    ClusterRe.findAllMatchIn(text).foreach { m =>
-      state.clusterSpec = Some((m.group(1), m.group(2).toInt))
-    }
-    TombstoneRe.findAllMatchIn(text).map(_.group(1)).foreach(state.tombstones += _)
-    UntombstoneRe.findAllMatchIn(text).map(_.group(1)).foreach(state.tombstones -= _)
+    pa.dvActs.foreach { case (f, sc, n) => state.dvs(f) = (sc, n) }
+    if (pa.dvOn) state.dvOn = true
+    pa.dvMaxRatio.foreach(v => state.dvMaxRatio = v)
+    pa.constraints.foreach { case (n, e) => state.constraints(n) = e }
+    pa.unconstraints.foreach(state.constraints.remove)
+    pa.bloomOn.foreach(c => state.bloomCol = Some(c))
+    pa.txns.foreach(state.txns += _)
+    pa.schemaJson.foreach(j => state.schemaJson = Some(j))
+    pa.clusterSpec.foreach(cs => state.clusterSpec = Some(cs))
+    pa.tombstones.foreach(state.tombstones += _)
+    pa.untombstones.foreach(state.tombstones -= _)
   }
 
   /** The live file → stats state at `asOf` (default: latest). Checkpoint-
@@ -418,9 +511,9 @@ object CommitLog {
   // strings/longs (the same thing Delta's driver-side snapshot cache
   // holds at 100 TB).
   private val replayCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long, Long, Long), LogState](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long, Long, String), LogState](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long, Long), LogState]): Boolean =
+          e: java.util.Map.Entry[(String, Long, Long, String), LogState]): Boolean =
         size > 128
     })
 
@@ -436,26 +529,23 @@ object CommitLog {
     while (Files.exists(commitPath(table, v)) && asOf.forall(v <= _)) v += 1
     val end = v - 1
     // a DELETED-and-RECREATED table reuses (path, version) with fresh
-    // content — the mtime of the last file applied distinguishes the
-    // generations (rename gives the landed file a fresh timestamp)
+    // content — the (mtime, size, inode) stamp of the last file applied
+    // distinguishes the generations (rename lands a fresh file)
     val stamp =
       try {
-        if (end >= cp.getOrElse(-1L) + 1)
-          Files.getLastModifiedTime(commitPath(table, end)).toMillis
-        else cp.fold(0L)(c => Files.getLastModifiedTime(ckptPath(table, c)).toMillis)
-      } catch { case _: java.io.IOException => System.nanoTime() } // race: never cache
+        if (end >= cp.getOrElse(-1L) + 1) fileStamp(commitPath(table, end))
+        else cp.fold("-")(c => fileStamp(ckptPath(table, c)))
+      } catch { // race: never cache
+        case _: java.io.IOException => s"race:${System.nanoTime()}"
+      }
     val key = (table, cp.getOrElse(-1L), end, stamp)
     val hit = replayCache.get(key)
     if (hit != null) return hit
     val state = new LogState
-    cp.foreach { c =>
-      applyActions(state, new String(
-        Files.readAllBytes(ckptPath(table, c)), StandardCharsets.UTF_8))
-    }
+    cp.foreach(c => applyParsed(state, parsedFile(ckptPath(table, c))))
     var w = cp.getOrElse(-1L) + 1
     while (w <= end) {
-      applyActions(state, new String(
-        Files.readAllBytes(commitPath(table, w)), StandardCharsets.UTF_8))
+      applyParsed(state, parsedFile(commitPath(table, w)))
       w += 1
     }
     replayCache.put(key, state)
@@ -2111,21 +2201,21 @@ object CommitLog {
                                oursHasTxn: Boolean): Boolean = {
     val p = commitPath(table, v)
     if (!Files.exists(p)) return false
-    val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    OpRe.findFirstMatchIn(text).map(_.group(1)).exists(BlindAddOps.contains) &&
-      RemoveRe.findFirstIn(text).isEmpty &&
-      DvRe.findFirstIn(text).isEmpty &&
-      DvuRe.findFirstIn(text).isEmpty &&
-      SchemaRe.findFirstIn(text).isEmpty &&
-      ClusterRe.findFirstIn(text).isEmpty &&
-      TombstoneRe.findFirstIn(text).isEmpty &&
-      UntombstoneRe.findFirstIn(text).isEmpty &&
-      ConstraintRe.findFirstIn(text).isEmpty &&
-      UnconstraintRe.findFirstIn(text).isEmpty &&
-      BloomOnRe.findFirstIn(text).isEmpty &&
-      DvOnRe.findFirstIn(text).isEmpty &&
-      DvMaxRatioRe.findFirstIn(text).isEmpty &&
-      (!oursHasTxn || TxnRe.findFirstIn(text).isEmpty)
+    val pa = parsedFile(p)
+    BlindAddOps.contains(pa.op) &&
+      pa.removes.isEmpty &&
+      pa.dvActs.isEmpty &&
+      pa.dvu.isEmpty &&
+      pa.schemaJson.isEmpty &&
+      pa.clusterSpec.isEmpty &&
+      pa.tombstones.isEmpty &&
+      pa.untombstones.isEmpty &&
+      pa.constraints.isEmpty &&
+      pa.unconstraints.isEmpty &&
+      pa.bloomOn.isEmpty &&
+      !pa.dvOn &&
+      pa.dvMaxRatio.isEmpty &&
+      (!oursHasTxn || pa.txns.isEmpty)
   }
 
   /** Row-level DML ops — the other commit vocabulary [[commitRaw]]'s
@@ -2152,22 +2242,22 @@ object CommitLog {
                                   oursHasTxn: Boolean): Boolean = {
     val p = commitPath(table, v)
     if (!Files.exists(p)) return false
-    val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    OpRe.findFirstMatchIn(text).map(_.group(1)).exists(DmlOps.contains) &&
-      AddRe.findFirstIn(text).isEmpty &&
-      SchemaRe.findFirstIn(text).isEmpty &&
-      ClusterRe.findFirstIn(text).isEmpty &&
-      TombstoneRe.findFirstIn(text).isEmpty &&
-      UntombstoneRe.findFirstIn(text).isEmpty &&
-      ConstraintRe.findFirstIn(text).isEmpty &&
-      UnconstraintRe.findFirstIn(text).isEmpty &&
-      BloomOnRe.findFirstIn(text).isEmpty &&
-      DvOnRe.findFirstIn(text).isEmpty &&
-      DvMaxRatioRe.findFirstIn(text).isEmpty &&
-      (!oursHasTxn || TxnRe.findFirstIn(text).isEmpty) &&
-      RemoveRe.findAllMatchIn(text).forall(m => !readSet(m.group(1))) &&
-      DvRe.findAllMatchIn(text).forall(m => !readSet(m.group(1))) &&
-      DvuRe.findAllMatchIn(text).forall(m => !readSet(m.group(1)))
+    val pa = parsedFile(p)
+    DmlOps.contains(pa.op) &&
+      pa.adds.isEmpty &&
+      pa.schemaJson.isEmpty &&
+      pa.clusterSpec.isEmpty &&
+      pa.tombstones.isEmpty &&
+      pa.untombstones.isEmpty &&
+      pa.constraints.isEmpty &&
+      pa.unconstraints.isEmpty &&
+      pa.bloomOn.isEmpty &&
+      !pa.dvOn &&
+      pa.dvMaxRatio.isEmpty &&
+      (!oursHasTxn || pa.txns.isEmpty) &&
+      pa.removes.forall(!readSet(_)) &&
+      pa.dvActs.forall(d => !readSet(d._1)) &&
+      pa.dvu.forall(d => !readSet(d._1))
   }
 
   /** Transactional append. Returns the committed version. Appends are
@@ -2856,10 +2946,8 @@ object CommitLog {
     * commits). These are the era boundaries change serving splits at. */
   private def dropVersions(table: String, fromV: Long, toV: Long): Seq[Long] =
     ((fromV + 1) to toV).filter { v =>
-      val text = new String(Files.readAllBytes(commitPath(table, v)),
-        StandardCharsets.UTF_8)
-      OpRe.findFirstMatchIn(text).exists(_.group(1) == "alter") &&
-        TombstoneRe.findFirstIn(text).nonEmpty
+      val pa = parsedFile(commitPath(table, v))
+      pa.op == "alter" && pa.tombstones.nonEmpty
     }
 
   /** The schema-era sub-windows of `(fromV, toV]`: split just BELOW every
@@ -3593,7 +3681,7 @@ object CommitLog {
           .encodeToString(e.getBytes(StandardCharsets.UTF_8))
         s"""{"constraint":"$n","expr64":"$b64"}"""
       } ++
-      // live deletion vectors roll into the summary too; [[applyActions]]
+      // live deletion vectors roll into the summary too; [[applyParsed]]
       // is phase-ordered (all adds, then all dv actions) regardless of
       // line order, so the summary replays to exactly this state
       state.dvs.toSeq.map { case (f, (sc, n)) =>

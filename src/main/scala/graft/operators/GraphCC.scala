@@ -71,6 +71,10 @@ object GraphCC {
     // |E|-only width would under-size the label-table join at scale);
     // ~64k rows per partition, ceiling = the session width — this only
     // ever SHRINKS. The conf is session-global: restored in `finally`.
+    // SINGLE-THREADED-SESSION ASSUMPTION (ADVICE r15): Bench/Verify run
+    // queries sequentially, so no concurrent query can observe the
+    // narrowed width or clobber the restore; a server embedding this
+    // operator under concurrent queries should run it in spark.newSession.
     val graphRows = math.max(edges.count(), vertices.count())
     val partsKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(partsKey)

@@ -93,6 +93,9 @@ object Lloyd {
     // than the session setting. A gate-scale coalesced corpus trains at
     // width 1 instead of paying the full session width per round; a
     // 10⁹-vector corpus keeps proportional width. Restored in finally.
+    // SINGLE-THREADED-SESSION ASSUMPTION (ADVICE r15): Bench/Verify run
+    // queries sequentially; a concurrent-query embedding should train
+    // inside spark.newSession instead.
     val partsKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(partsKey)
     val loopParts = math.max(1, math.min(prevParts.toInt,

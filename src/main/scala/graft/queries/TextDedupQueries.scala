@@ -1408,6 +1408,12 @@ object TextDedupQueries {
     * run (the realistic regime is 1k–32k). */
   private[graft] val BpeRounds = 20
 
+  /** Hard cap on the word types the BPE trainer's driver loop may hold —
+    * ~4M entries (a few hundred MB) is comfortably past any clean
+    * corpus' vocabulary and comfortably inside the driver heap; the
+    * trainer REFUSES (loudly) past it rather than OOM. */
+  private[graft] val BpeMaxVocab = 1 << 22
+
   /** The trained BPE vocabulary — (word, freq, syms) with syms the
     * space-joined final segmentation after [[BpeRounds]] merges. Shared
     * by the train gate and the encode gate so both surface the SAME
@@ -1415,8 +1421,20 @@ object TextDedupQueries {
   private[graft] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
     bpeVocab(spark, dir, BpeRounds)
 
+  /** syms0 = rtrim(regexp_replace(word, '(.)', '$1 ')) — identical regex.
+    * The trailing trim uses \z (absolute end), NOT $: Java's $ also
+    * matches before a final line terminator, so a token ending in '\n'
+    * (tokens() splits on single spaces only — newlines survive) would
+    * lose a space rtrim keeps, diverging from the engines' rtrim. */
+  private[graft] def bpeSyms0(word: String): String =
+    word.replaceAll("(.)", "$1 ").replaceAll(" +\\z", "")
+
   private[graft] def bpeVocab(spark: SparkSession, dir: String,
-                              rounds: Int): DataFrame = {
+                              rounds: Int): DataFrame =
+    bpeVocab(spark, dir, rounds, BpeMaxVocab)
+
+  private[graft] def bpeVocab(spark: SparkSession, dir: String,
+                              rounds: Int, maxVocab: Int): DataFrame = {
     import spark.implicits._
     // ONE distributed pass — the corpus collapses to its word-frequency
     // table. The merge rounds then run on the DRIVER over that
@@ -1429,10 +1447,21 @@ object TextDedupQueries {
     // the corpus-sized work (tokenize + count, and the encode pass in
     // t_bpe_encode) already confined to the distributed stages it still
     // runs in.
+    // BOUNDED collect, enforced: the O(word types) argument holds for
+    // clean corpora, but noisy web text can blow the type count past
+    // driver memory — take(cap+1) bounds what the driver ever holds and
+    // fails LOUDLY past the cap (the same explicit-contract guard as
+    // Lloyd's seed collect) instead of OOMing mid-round. take() returning
+    // <= cap rows IS the complete vocabulary (it only truncates past the
+    // cap, where the require fires).
     val wf: Array[(String, Long)] = sdocs(spark, dir)
       .select(explode(TextPipeline.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .as[(String, Long)].collect()
+      .as[(String, Long)].take(maxVocab + 1)
+    require(wf.length <= maxVocab,
+      s"BPE trainer: corpus has more than $maxVocab distinct word types " +
+        "— the driver-side merge loop's bounded-state contract does not " +
+        "hold; pre-normalize the corpus or raise the cap deliberately")
     // Spark/DuckDB compare strings in UTF-8 BINARY order; Java's
     // compareTo is UTF-16 order, which misorders supplementary planes —
     // replicate the engines' tie-break exactly
@@ -1449,9 +1478,7 @@ object TextDedupQueries {
     }
     val words = wf.map(_._1)
     val freqs = wf.map(_._2)
-    // syms0 = rtrim(regexp_replace(word, '(.)', '$1 ')) — identical regex
-    val syms: Array[String] =
-      words.map(w => w.replaceAll("(.)", "$1 ").replaceAll(" +$", ""))
+    val syms: Array[String] = words.map(bpeSyms0)
     var done = false
     for (_ <- 1 to rounds if !done) {
       val pairCounts = scala.collection.mutable.HashMap.empty[String, Long]

@@ -816,4 +816,27 @@ class CommitLogSpec extends SparkSpec {
     assert(got == ((1L to 4L) ++ (10L to 14L)).toSeq,
       s"no appended or compacted row may be lost or duplicated: $got")
   }
+
+  test("replay never serves a deleted-and-recreated table's dead generation, " +
+      "even at an identical commit mtime") {
+    val t = freshTable("regen")
+    CommitLog.append(df(1L -> "old"), t)
+    // warm the replay + parsed caches on generation 1
+    assert(CommitLog.read(spark, t).collect().map(_.getString(1)).toSeq
+      == Seq("old"))
+    val logFile = Paths.get(t, "_log", f"${0L}%012d.json")
+    val oldMtime = Files.getLastModifiedTime(logFile)
+    // delete and recreate the table at the SAME path and version count
+    Files.walk(Paths.get(t)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    CommitLog.append(df(2L -> "new"), t)
+    // force the aliasing worst case a coarse-mtime key would miss: same
+    // path, same version, same millisecond timestamp — only the inode
+    // (fileKey) distinguishes the generations
+    Files.setLastModifiedTime(logFile, oldMtime)
+    val served = CommitLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(served == Seq(2L -> "new"),
+      s"replay served the dead generation's snapshot: $served")
+  }
 }

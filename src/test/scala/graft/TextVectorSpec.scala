@@ -155,4 +155,21 @@ class TextVectorSpec extends SparkSpec {
       expr("replace(syms, ' ', '') != word")).count()
     assert(broken == 0L, s"$broken words whose BPE pieces do not re-join")
   }
+
+  test("BPE trainer: driver vocabulary collect is BOUNDED and fails loudly past the cap") {
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.TextDedupQueries.bpeVocab(spark, sf0001, 1, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("distinct word types"), e.getMessage)
+    // and the production cap admits the real corpus unchanged
+    assert(graft.queries.TextDedupQueries.bpeVocab(spark, sf0001, 1).count() > 3)
+  }
+
+  test("BPE syms0 matches the engines' rtrim on newline-bearing tokens") {
+    // rtrim trims ' ' only and never sees through a trailing '\n'; Java's
+    // " +$" would (its $ matches before a final line terminator)
+    assert(graft.queries.TextDedupQueries.bpeSyms0("ab\n") == "a b \n")
+    assert(graft.queries.TextDedupQueries.bpeSyms0("ab") == "a b")
+    assert(graft.queries.TextDedupQueries.bpeSyms0("a\nb") == "a \nb")
+  }
 }
