@@ -808,17 +808,20 @@ object VectorQueries {
       .select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text")))
     val media = BinaryMedia.fakePayloads(spark, feed)
-    // ONE pass over the binary payloads: hash and byte accounting ride the
-    // same narrow projection, and the hashed table (ids + 4 shorts + a
-    // long — payload dropped) is persisted for the band join, the vertex
-    // set, and the byte rollup. The previous shape re-generated and
-    // re-decoded the payload column three times (sim, verts, decodeMeta).
+    // ONE narrow projection over the binary payloads: hash and byte
+    // accounting ride together (ids + 4 shorts + a long — payload
+    // dropped) feeding the band join, the vertex set, and the byte
+    // rollup; the previous shape re-decoded the payload three times (sim,
+    // verts, decodeMeta). NOT persisted: the r16 A/B measured the cache
+    // as a ~1 s loss (min 4.72 vs 3.63 over 3 quiet runs each) — the
+    // kernel is cheap codegen and the materialization job costs more
+    // than the recomputes it saves (guide §5's persist trade, decided by
+    // measurement; the r15 verdict flagged this persist perf-weak).
     val hashed = media.toDF()
       .select(col("media_id"), expr("simhash64(decode(payload, 'UTF-8'))").as("s"),
         octet_length(col("payload")).cast("long").as("byte_len"))
       .select(col("media_id"), col("s.sim0").as("sim0"), col("s.sim1").as("sim1"),
         col("s.sim2").as("sim2"), col("s.sim3").as("sim3"), col("byte_len"))
-      .cache()
     val sim = hashed.select(col("media_id").as("doc_id"),
       col("sim0"), col("sim1"), col("sim2"), col("sim3"))
     val pairs = graft.operators.TextPipeline.simhashPairs(sim, "doc_id",
@@ -1220,13 +1223,16 @@ object VectorQueries {
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
     val codebook = subs.filter(col("vec_id") < 4)
       .select(col("sub"), col("vec_id").as("k"), col("v").as("c"))
-    // narrow + persist: both consumers (corpus codes, v14's query-side
-    // ADC LUT) need only (vec_id, sub, k, d2) — without the persist each
-    // re-ran the subvector explode × codeword distance kernel
+    // narrow shared projection: both consumers (corpus codes, v14's
+    // query-side ADC LUT) read only (vec_id, sub, k, d2). NOT persisted:
+    // the r16 A/B measured the r15 persist as a loss on every consumer
+    // (v14 2.60→2.13, v15 6.46→5.84, v16 4.44→3.90 without it) — the
+    // explode × broadcast-join distance kernel recomputes cheaper than
+    // the 16-partition materialization it was traded for (the r15
+    // verdict flagged it perf-weak; reverted on evidence).
     val dist = subs.join(broadcast(codebook), "sub")
       .withColumn("d2", round(pqSqDist, 4))
       .select("vec_id", "sub", "k", "d2")
-      .cache()
     val codes = dist.groupBy("vec_id", "sub")
       .agg(min(struct(col("d2"), col("k"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.k").as("k"))
