@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -108,22 +107,41 @@ object TankInventory {
         greatest(lit(0.0), least(col("ey2"), col("ky2")) - greatest(col("ey1"), col("ky1")))
     val joined = wgs.join(broadcast(k), overlap > 0.0)
       .withColumn("overlap_m2", overlap)
-    val w = Window.partitionBy("tile_id", "cluster_id")
-      .orderBy(col("overlap_m2").desc, col("county_key"))
-
-    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // Greatest-overlap argmax as ONE aggregation with map-side partials
+    // instead of window(row_number)+filter: the broadcast join leaves the
+    // candidate rows on their producing partitions, so partial max_by
+    // collapses each cluster's <= |counties| candidates BEFORE the
+    // exchange — the shuffle carries one row per cluster, not one per
+    // overlapping county, and the window's full per-partition sort
+    // disappears (guide §2.3 "aggregate before you shuffle", §2.4).
+    // Identical rows: max_by's key (overlap_m2, -county_key) is the
+    // window's (overlap DESC, county_key ASC) order, and county_key is
+    // unique per candidate so the argmax is deterministic.
+    val payload = struct(
+      col("minx"), col("miny"), col("maxx"), col("maxy"),
+      col("n_boxes"), col("object_class"), col("merged"),
+      col("chip_names"), col("cx_utm"), col("cy_utm"), col("diameter_m"),
+      col("lat"), col("lon"), col("county_key"), col("state_key"),
+      col("overlap_m2"), col("geo_ok"))
+    joined.groupBy("tile_id", "cluster_id")
+      .agg(max_by(payload,
+        struct(col("overlap_m2"), (-col("county_key")).as("nk"))).as("b"))
       .select(
         col("tile_id"), col("cluster_id"),
-        col("minx"), col("miny"), col("maxx"), col("maxy"),
-        col("n_boxes"), col("object_class"), col("merged"),
-        array_join(col("chip_names"), ",").as("chip_names"),
-        round(col("cx_utm"), 2).as("cx_utm"),
-        round(col("cy_utm"), 2).as("cy_utm"),
-        round(col("diameter_m"), 2).as("diameter_m"),
-        col("lat"), col("lon"),
-        col("county_key"), col("state_key"),
-        round(col("overlap_m2"), 2).as("overlap_m2"),
-        col("geo_ok"))
+        col("b.minx").as("minx"), col("b.miny").as("miny"),
+        col("b.maxx").as("maxx"), col("b.maxy").as("maxy"),
+        col("b.n_boxes").as("n_boxes"),
+        col("b.object_class").as("object_class"),
+        col("b.merged").as("merged"),
+        array_join(col("b.chip_names"), ",").as("chip_names"),
+        round(col("b.cx_utm"), 2).as("cx_utm"),
+        round(col("b.cy_utm"), 2).as("cy_utm"),
+        round(col("b.diameter_m"), 2).as("diameter_m"),
+        col("b.lat").as("lat"), col("b.lon").as("lon"),
+        col("b.county_key").as("county_key"),
+        col("b.state_key").as("state_key"),
+        round(col("b.overlap_m2"), 2).as("overlap_m2"),
+        col("b.geo_ok").as("geo_ok"))
   }
 
   val Classes = Seq("closed_roof_tank", "water_tower", "spherical_tank", "undefined_object")

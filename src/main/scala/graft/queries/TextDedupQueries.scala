@@ -268,9 +268,11 @@ object TextDedupQueries {
   // ------------------------------------------------------------------ LSH candidate pairs
   private val d2LshPairs: Q = (spark, dir) => {
     // the signature feeds the band join AND both sides of the agreement
-    // join — cache it so the shingle->md5-min pipeline runs once
+    // join — checkpoint it so the shingle->md5-min pipeline runs once and
+    // the three consumers plan over a flat leaf instead of re-analyzing
+    // the whole subtree (r16 A/B: ckpt 1.59 vs cache 1.84 s min-of-3)
     val sig = TextPipeline.minhashSignature(
-      shingledFeed(spark, dir), "doc_id", "shingle", 8).cache()
+      shingledFeed(spark, dir), "doc_id", "shingle", 8).localCheckpoint()
     // explicitly UNCAPPED: this is the baseline variant whose oracle
     // generates every bucket's pairs; the capped production form is gated
     // separately as d2c_lsh_capped/d2d_lsh_dropped
@@ -2033,13 +2035,15 @@ object TextDedupQueries {
 
   private val e4TextPipeline: Q = (spark, dir) => {
     val d = sdocsSpread(spark, dir)
-    // 1-3. quality gate, normalization, exact dedup. PERSISTED: the
+    // 1-3. quality gate, normalization, exact dedup. CHECKPOINTED: the
     // deduped corpus feeds the signature pass, the component vertex set,
-    // and the final language join — un-persisted, the quality metrics +
-    // md5 window ran three times (spillable, and the 100 TB form of this
-    // pipeline materializes the same intermediate as a table between
-    // stages)
-    val uniq = curationUniq(d).cache()
+    // and the final language join. localCheckpoint beats cache() here
+    // AND plain recompute (r16 A/B min-of-3: ckpt 3.49 s, cache 4.94 s,
+    // plain 5.18 s) because it also TRUNCATES LINEAGE — each consumer
+    // re-planned the whole quality+md5-window subtree under cache(),
+    // which only dedupes execution. The 100 TB form of this pipeline
+    // materializes the same intermediate as a table between stages.
+    val uniq = curationUniq(d).localCheckpoint()
     // 4. near-dup components over LSH candidates; canonical = smallest id
     val sig = curationSig(spark, uniq)
     // the production bucket cap is LIVE in the composed pipeline — the one

@@ -908,7 +908,12 @@ object VectorQueries {
   }
 
   private val d13SemanticDedup: Q = (spark, dir) => {
-    val cells = semCells(spark, dir)
+    // cells feeds THREE consumers (pair join, CC vertex set, final join)
+    // plus GraphCC's vertex count — checkpointing materializes the
+    // crossJoin × window subtree once AND flattens the lineage each
+    // consumer re-plans (the uncheckpointed form re-planned the whole
+    // subtree per consumer; A/B r16: 2.63 -> 1.52 s min-of-3)
+    val cells = semCells(spark, dir).localCheckpoint()
     val pairs = graft.operators.VectorSearch
       .cellPairs(cells, "vec_id", "embedding", "cell_id",
         maxCell = graft.operators.VectorSearch.DefaultMaxCell)
